@@ -1,13 +1,308 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{MarketOps, Relational}
+import graft.pipeline.{Dedup, Similarity, TextOps}
+import graft.tsdb.TickStore
+
+/** Driver contract — see SURVEY.md §2 for the capability each query
+  * covers and §4 for the oracle-parity conventions (DATE/epoch-us
+  * instead of raw timestamps, BIGINT casts for integer aggregates,
+  * decimal-exact money sums).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1(spark, "/root/testdata/sf0.001")
+
+  private def ticks(s: SparkSession, dir: String): DataFrame = Tables.ticks(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 reference TSDB surface ----
+    "q_range_scan" -> ((s, dir) =>
+      ticks(s, dir)
+        .filter(col("symbol") === "click" &&
+          col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") <= lit("2024-01-15").cast("timestamp"))
+        .select(unix_micros(col("ts")).as("ts_us"), col("price"), col("volume"))
+        .orderBy("ts_us", "price", "volume")),
+    "q_point_lookup" -> ((s, dir) =>
+      ticks(s, dir)
+        .filter(col("event_id") === 424L)
+        .select(col("event_id"), col("symbol"), unix_micros(col("ts")).as("ts_us"),
+          col("price"), col("volume"))),
+    "q_last_n" -> ((s, dir) =>
+      ticks(s, dir)
+        .filter(col("symbol") === "purchase")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(100)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("price"), col("volume"))
+        .orderBy("event_id")),
+    "q_count_by_symbol" -> ((s, dir) =>
+      ticks(s, dir).groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_ticks"), sum(col("volume")).as("total_volume"))
+        .orderBy("symbol")),
+    "q_ingest_roundtrip" -> ((s, dir) => ingestRoundtrip(s, dir)),
+    "q_csv_import" -> ((s, dir) => csvImport(s, dir)),
+
+    // ---- §2.2 market analytics ----
+    "q_ohlc_daily" -> ((s, dir) => MarketOps.ohlcDaily(ticks(s, dir))),
+    "q_vwap_daily" -> ((s, dir) => MarketOps.vwapDaily(ticks(s, dir))),
+    "q_sma" -> ((s, dir) => MarketOps.sma(ticks(s, dir), 20)),
+    "q_resample_hourly" -> ((s, dir) => MarketOps.resampleHourly(ticks(s, dir))),
+    "q_topn_per_symbol" -> ((s, dir) => MarketOps.topNBySymbol(ticks(s, dir), 5)),
+    "q_returns" -> ((s, dir) => MarketOps.returns(ticks(s, dir))),
+    "q_running_sum" -> ((s, dir) => MarketOps.runningVolume(ticks(s, dir))),
+    "q_volatility" -> ((s, dir) => MarketOps.volatility(ticks(s, dir))),
+    "q_sessionize" -> ((s, dir) => MarketOps.sessionize(ticks(s, dir), 30)),
+
+    // ---- §2.3 relational/OLAP breadth ----
+    "q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
+    "q3_join" -> ((s, dir) => Relational.q3(s, dir)),
+    "q5_star_join" -> ((s, dir) => Relational.q5(s, dir)),
+    "q_semi_join" -> ((s, dir) => Relational.semiJoin(s, dir)),
+    "q_anti_join" -> ((s, dir) => Relational.antiJoin(s, dir)),
+    "q_above_avg" -> ((s, dir) => Relational.aboveAvg(s, dir)),
+    "q_distinct_users" -> ((s, dir) => Relational.distinctUsers(s, dir)),
+    "q_pivot_status" -> ((s, dir) => Relational.pivotStatus(s, dir)),
+
+    // ---- §2.4 LLM-training-data pipeline ----
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidates(Tables.documents(s, dir))),
+    "q_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+    "q_token_count" -> ((s, dir) => TextOps.tokenCount(Tables.documents(s, dir))),
+    "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
+    "q_ann_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 10)),
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), 0L, 10, dim = 64)),
+  )
+
+  /** Batch-ingest into a TickStore (symbol-partitioned, ts-sorted
+    * parquet) and read a range back — exercises the reference's
+    * append_batch → query_range path end-to-end. Rows-only check.
+    */
+  private def ingestRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_tickstore_").toString
+    val store = new TickStore(s, path)
+    store.ingest(ticks(s, dir))
+    store.queryRange("click",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-12-31 00:00:00"))
+      .select(unix_micros(col("ts")).as("ts_us"), col("price"), col("volume"))
+  }
+
+  /** CSV round trip mirroring the reference's import command
+    * (/root/reference/cli.cpp:140): dump ticks as (timestamp,price,
+    * volume) CSV, import into a store, scan back. Rows-only check.
+    */
+  private def csvImport(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    val csvPath = s"$base/in"
+    ticks(s, dir).filter(col("symbol") === "view")
+      .select(unix_timestamp(col("ts")).as("timestamp"), col("price"), col("volume"))
+      .write.option("header", "true").csv(csvPath)
+    val store = new TickStore(s, s"$base/store")
+    store.importCsv(csvPath, "VIEW")
+    store.all()
+  }
+
+  /** DuckDB-equivalent SQL per query (same column names, same ordering;
+    * SURVEY.md §4 conventions). Rows-only queries are omitted.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_range_scan" ->
+      """SELECT epoch_us(ts) AS ts_us, value AS price, user_id AS volume
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-01-05' AND ts <= TIMESTAMP '2024-01-15'
+        |ORDER BY ts_us, price, volume""".stripMargin,
+    "q_point_lookup" ->
+      """SELECT event_id, event_type AS symbol, epoch_us(ts) AS ts_us,
+        |       value AS price, user_id AS volume
+        |FROM events WHERE event_id = 424""".stripMargin,
+    "q_last_n" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, value AS price, user_id AS volume
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase'
+        |      ORDER BY ts DESC, event_id DESC LIMIT 100)
+        |ORDER BY event_id""".stripMargin,
+    "q_count_by_symbol" ->
+      """SELECT event_type AS symbol, COUNT(*) AS n_ticks,
+        |       CAST(SUM(user_id) AS BIGINT) AS total_volume
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ohlc_daily" ->
+      """SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |       min_by(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
+        |       max_by(value, ts) AS close,
+        |       CAST(SUM(user_id) AS BIGINT) AS volume, COUNT(*) AS n_ticks
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_vwap_daily" ->
+      """SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * user_id) AS DOUBLE)
+        |             / CAST(SUM(user_id) AS DOUBLE), 6) AS vwap
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sma" ->
+      """SELECT event_id, event_type AS symbol,
+        |       ROUND(AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4) AS sma20
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_resample_hourly" ->
+      """SELECT event_type AS symbol, strftime(ts, '%Y-%m-%d %H:00') AS bucket,
+        |       COUNT(*) AS n_ticks, ROUND(AVG(value), 4) AS avg_price,
+        |       MIN(value) AS lo, MAX(value) AS hi,
+        |       CAST(SUM(user_id) AS BIGINT) AS volume
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_topn_per_symbol" ->
+      """SELECT symbol, rn, event_id, price FROM (
+        |  SELECT event_type AS symbol,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |              ORDER BY value DESC, event_id) AS BIGINT) AS rn,
+        |         event_id, value AS price
+        |  FROM events)
+        |WHERE rn <= 5 ORDER BY symbol, rn""".stripMargin,
+    "q_returns" ->
+      """SELECT event_id, symbol, ROUND(value / prev - 1, 6) AS ret FROM (
+        |  SELECT event_id, event_type AS symbol, value,
+        |         LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |WHERE prev IS NOT NULL ORDER BY event_id""".stripMargin,
+    "q_running_sum" ->
+      """SELECT event_id, event_type AS symbol,
+        |       CAST(SUM(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_volume
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_volatility" ->
+      """SELECT event_type AS symbol, ROUND(stddev_samp(value), 4) AS price_stddev,
+        |       ROUND(AVG(value), 4) AS avg_price, MIN(value) AS min_price,
+        |       MAX(value) AS max_price, COUNT(*) AS n_ticks
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sessionize" ->
+      """SELECT event_id, symbol,
+        |       CAST(SUM(is_new) OVER (PARTITION BY symbol ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM (
+        |  SELECT event_id, event_type AS symbol, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM (SELECT event_id, event_type, ts,
+        |               LAG(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_ts
+        |        FROM events))
+        |ORDER BY event_id""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |       AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |       * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+        |       AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |       AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_star_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |       AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer, orders, lineitem, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_above_avg" ->
+      """SELECT p_partkey, p_retailprice FROM part
+        |WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type AS symbol, COUNT(DISTINCT user_id) AS n_users,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |       w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT)
+        |       AS stop_cnt,
+        |  ROUND(CAST(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio,
+        |  ROUND((CAST(LEAST(len(string_split(text, ' ')), 200) AS DOUBLE) / 200.0
+        |        + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |            w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT)
+        |            / CAST(len(string_split(text, ' ')) AS DOUBLE))) / 2.0, 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+        |       AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_ann_brute" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |flat AS (
+        |  SELECT e.vec_id, UNNEST(e.embedding) AS x,
+        |         generate_subscripts(e.embedding, 1) AS i
+        |  FROM embeddings e WHERE e.vec_id <> 0),
+        |sums AS (
+        |  SELECT f.vec_id,
+        |         SUM(CAST(f.x AS DOUBLE) * CAST(q.qe[f.i] AS DOUBLE)) AS dot,
+        |         SUM(CAST(f.x AS DOUBLE) * CAST(f.x AS DOUBLE)) AS n2,
+        |         SUM(CAST(q.qe[f.i] AS DOUBLE) * CAST(q.qe[f.i] AS DOUBLE)) AS qn2
+        |  FROM flat f, q GROUP BY f.vec_id)
+        |SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(qn2)), 4) AS cos_sim
+        |FROM sums ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+  )
 }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Relational/OLAP query suite over the TPC-H-ish tables — engine
+  * breadth beyond the reference's tick surface (SURVEY.md §2.3).
+  *
+  * Conventions (SURVEY.md §4): money sums go through DECIMAL(12,2)
+  * casts (inputs are 2-dp doubles) so sums are exact and engine-
+  * independent, then surface as doubles; integer aggregates cast to
+  * long to match DuckDB's BIGINT.
+  *
+  * Scale posture: dimension tables broadcast (region/nation/customer at
+  * TPC-H proportions); fact-fact joins shuffle on their join key only
+  * after pushed-down filters; AQE handles skew at 100 TB.
+  */
+object Relational {
+  private val dec = DecimalType(12, 2)
+  private def d(c: String) = col(c).cast(dec)
+  private val one = lit(1).cast(dec)
+
+  /** TPC-H Q1-style pricing summary. */
+  def q1(spark: SparkSession, dir: String): DataFrame = {
+    val disc = one - d("l_discount")
+    val charge = d("l_extendedprice") * disc * (one + d("l_tax"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(d("l_quantity")).cast("double").as("sum_qty"),
+        sum(d("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(d("l_extendedprice") * disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(d("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(d("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(d("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-style shipping-priority revenue: 3-way join, customer side
+    * broadcast after its segment filter.
+    */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(d("l_extendedprice") * (one - d("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Star join through region→nation→customer→orders→lineitem (Q5-ish):
+    * the dimension chain broadcasts, the fact join shuffles once.
+    */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(d("l_extendedprice") * (one - d("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Semi-join: customers having at least one big order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0)
+    Tables.customer(spark, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Anti-join: customers who never placed a big order. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Scalar-subquery pattern: parts priced above the global average
+    * (global aggregate broadcast back, no window-over-everything).
+    */
+  def aboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val avgPrice = p.agg(avg(col("p_retailprice")).as("global_avg"))
+    p.crossJoin(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("global_avg"))
+      .select(col("p_partkey"), col("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
+  /** Exact distinct-count per group (tick surface: distinct users). */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("symbol"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("symbol")
+
+  /** Conditional aggregation (pivot-style status counts per priority). */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
+        count(lit(1)).as("n"),
+        sum(d("o_totalprice")).cast("double").as("total_price"))
+      .orderBy("o_orderpriority")
+}

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exactness baseline: one broadcast of
+  * the query vector, a codegen'd map-side dot product, and a global
+  * top-k (TakeOrderedAndProject — each task keeps k rows, no full sort).
+  * At 100 TB the scale path is [[lshBuckets]]: random-hyperplane signs
+  * bucket vectors so candidate generation is an equi-join on bucket id
+  * instead of an all-pairs cross join.
+  */
+object Similarity {
+  /** Double-precision dot product of two float vectors (cast-up first so
+    * accumulation order and width match the oracle).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k cosine neighbors of the vector with id `queryId`. */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot products
+    * with pseudo-random hyperplanes (deterministically derived from the
+    * bit index via xxhash64 of the element index — no stored model).
+    */
+  def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { b =>
+      // hyperplane component h_i in [-0.5, 0.5) from hash(b, i)
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) =>
+          x.cast("double") *
+            (pmod(xxhash64(lit(b), i), lit(1000000L)).cast("double") / 1000000.0 - 0.5)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Assign every vector an LSH bucket; ANN = equi-join on bucket then
+    * exact cosine within bucket (plus optional multi-probe in later
+    * rounds).
+    */
+  def lshBuckets(emb: DataFrame, dim: Int, nBits: Int = 8): DataFrame =
+    emb.select(col("vec_id"), col("label"), col("embedding"),
+      lshBucket(col("embedding"), dim, nBits).as("bucket"))
+
+  /** ANN top-k via LSH buckets: candidates share the query's bucket. */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int, dim: Int, nBits: Int = 8): DataFrame = {
+    val bucketed = lshBuckets(emb, dim, nBits)
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), col("bucket"))
+    bucketed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), "bucket")
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: normalized vectors whose cosine
+    * exceeds `threshold`, generated within LSH buckets (single shuffle).
+    */
+  def embeddingNearDups(emb: DataFrame, dim: Int, threshold: Double, nBits: Int = 6): DataFrame = {
+    val bucketed = lshBuckets(emb, dim, nBits)
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("e_a"), col("e_b")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline,
+  * run over the `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All are per-row scalar pipelines built from codegen'd builtin
+  * functions — they stay inside WholeStageCodegen with no shuffle at
+  * all, so they stream through 100 TB at scan speed.
+  */
+object TextOps {
+  /** Small English stopword list shared with the oracle SQL. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  private val stopwordSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Quality scoring: word counts, stopword ratio, composite score.
+    * All intermediates derive from exact integer counts, so the double
+    * arithmetic is bit-identical across engines.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val stopCnt = expr(
+      s"size(filter(split(text, ' '), w -> w in ($stopwordSqlList)))").cast("long")
+    docs.select(col("doc_id"), col("n_chars"),
+        nWords.as("n_words"), stopCnt.as("stop_cnt"))
+      .withColumn("stop_ratio",
+        round(col("stop_cnt") / col("n_words").cast("double"), 6))
+      .withColumn("quality",
+        round((least(col("n_words"), lit(200L)).cast("double") / 200.0 +
+          (lit(1.0) - col("stop_cnt") / col("n_words").cast("double"))) / 2.0, 6))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenization
+    * (letter runs, digit runs, single punctuation marks).
+    */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic: score each candidate language by stopword
+    * hits (tiny per-language marker lists); emit argmax. The `lang`
+    * column in the synthetic data is random, so this is exercised as a
+    * deterministic transform (rows-only check), not against `lang`.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "und", "das"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("de", "le", "shi"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val list = markers.map(w => s"'$w'").mkString(", ")
+      struct(expr(s"size(filter(split(text, ' '), w -> w in ($list)))").as("score"),
+        lit(lang).as("lang"))
+    }
+    docs.select(col("doc_id"),
+        greatest(scores: _*).getField("lang").as("pred_lang"),
+        size(words).cast("long").as("n_words"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: polynomial rolling hash of the word sequence
+    * (base 31 mod 1e9+7 — intermediate values stay < 2^35, safe under
+    * ANSI long arithmetic). Deterministic and order-sensitive, unlike a
+    * bag-of-words hash.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val m = lit(1000000007L)
+    docs.select(col("doc_id"),
+        aggregate(split(col("text"), " "), lit(0L),
+          (acc, w) => pmod(acc * 31L + pmod(hash(w).cast("long"), m), m))
+          .as("fingerprint"))
+      .orderBy("doc_id")
+  }
+}

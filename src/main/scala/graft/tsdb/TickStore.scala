@@ -1,0 +1,113 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Spark-native equivalent of the reference `TimeSeriesDB`
+  * (/root/reference/timeseries_db.hpp:26-104).
+  *
+  * Design mapping (reference → Spark):
+  *  - per-symbol column files (`tsdb_data/<SYM>/{timestamps,prices,
+  *    volumes}.bin`, /root/reference/column_storage.hpp + README.md:66-76)
+  *    → parquet `partitionBy("symbol")`: columnar by construction, and
+  *    partition pruning gives the same "open only this symbol's files"
+  *    behavior on a cluster of any size.
+  *  - in-memory B+ tree `timestamp → offset` index
+  *    (/root/reference/bplus_tree.hpp) → files sorted by `ts` within each
+  *    symbol partition + parquet row-group min/max statistics: a ts-range
+  *    predicate prunes row groups, the distributed analog of a B+ tree
+  *    range descent. No driver-side index needs to fit in memory.
+  *  - `append` / `append_batch` (/root/reference/timeseries_db.hpp:32-35)
+  *    → append-mode writes; the store stays append-only exactly like the
+  *    reference's design.
+  *  - `query_range` / `query_last` / `get_count`
+  *    (/root/reference/timeseries_db.hpp:38-59) → pushed-filter scans; no
+  *    shuffle on any read path (scan + local sort/limit only).
+  *  - CSV import (/root/reference/cli.cpp:140-207) → [[importCsv]] with an
+  *    explicit `timestamp,price,volume` schema; malformed lines are
+  *    dropped (PERMISSIVE + null filter) like the reference's per-line
+  *    warnings.
+  *
+  * At 100 TB: ingest shuffles once on `symbol` so each partition's files
+  * are written by one task and stay time-sorted; reads never shuffle.
+  * Many-symbol skew is bounded because market symbols are numerous and
+  * AQE rebalances the ingest shuffle.
+  */
+final class TickStore(spark: SparkSession, path: String) {
+  import TickStore._
+
+  /** Append a batch of ticks — reference `append_batch`
+    * (/root/reference/timeseries_db.hpp:35). Input must have columns
+    * (symbol, ts, price, volume); extra columns are dropped.
+    */
+  def ingest(ticks: DataFrame): Unit =
+    ticks.select(col("symbol").cast(StringType),
+        col("ts").cast(TimestampType),
+        col("price").cast(DoubleType),
+        col("volume").cast(LongType))
+      .repartition(col("symbol"))
+      .sortWithinPartitions("ts")
+      .write.mode(SaveMode.Append).partitionBy("symbol").parquet(path)
+
+  /** Single-tick append — reference `append`
+    * (/root/reference/timeseries_db.hpp:32). Provided for API parity; on
+    * Spark, batch ingest is the intended write path.
+    */
+  def append(symbol: String, ts: java.sql.Timestamp, price: Double, volume: Long): Unit = {
+    import spark.implicits._
+    ingest(Seq((symbol, ts, price, volume)).toDF("symbol", "ts", "price", "volume"))
+  }
+
+  /** CSV import — reference `import` command (/root/reference/cli.cpp:140).
+    * Expected columns: epoch-second timestamp, price, volume.
+    */
+  def importCsv(csvPath: String, symbol: String, header: Boolean = true): Unit = {
+    val raw = spark.read
+      .schema(StructType(Seq(
+        StructField("timestamp", LongType),
+        StructField("price", DoubleType),
+        StructField("volume", LongType))))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .csv(csvPath)
+      .filter(col("timestamp").isNotNull && col("price").isNotNull && col("volume").isNotNull)
+    ingest(raw.select(
+      lit(symbol).as("symbol"),
+      timestamp_seconds(col("timestamp")).as("ts"),
+      col("price"), col("volume")))
+  }
+
+  /** Full store scan (lazy). Partition column is re-ordered first. */
+  def all(): DataFrame =
+    spark.read.parquet(path).select(cols.map(col): _*)
+
+  /** Inclusive time-range query — reference `query_range`
+    * (/root/reference/timeseries_db.hpp:38). Symbol partition pruning +
+    * ts row-group pruning; result ordered by ts.
+    */
+  def queryRange(symbol: String, start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame =
+    all().filter(col("symbol") === symbol && col("ts") >= lit(start) && col("ts") <= lit(end))
+      .orderBy("ts")
+
+  /** Last N ticks — reference `query_last`
+    * (/root/reference/timeseries_db.hpp:41). Planned as
+    * TakeOrderedAndProject: each partition keeps only its top-N, no full
+    * sort even on a 100 TB store.
+    */
+  def queryLast(symbol: String, n: Int): DataFrame =
+    all().filter(col("symbol") === symbol).orderBy(col("ts").desc).limit(n)
+
+  /** Tick count — reference `get_count`
+    * (/root/reference/timeseries_db.hpp:44). Metadata-only at the parquet
+    * level (row-group counts), no column IO.
+    */
+  def count(symbol: String): Long =
+    all().filter(col("symbol") === symbol).count()
+
+  def countAll(): Long = all().count()
+}
+
+object TickStore {
+  val cols: Seq[String] = Seq("symbol", "ts", "price", "volume")
+}

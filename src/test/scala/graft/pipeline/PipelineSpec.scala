@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("exact dedup: distinct hashes <= docs, dup counts sum to total") {
+    val d = Dedup.exact(docs)
+    assert(d.count() <= docs.count())
+    val total = d.agg(sum("dup_count")).head().getLong(0)
+    assert(total === docs.count())
+  }
+
+  test("exact dedup flags an injected duplicate") {
+    val doubled = docs.select("doc_id", "text")
+      .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val d = Dedup.exact(doubled)
+    assert(d.count() === docs.count())
+    assert(d.filter(col("dup_count") < 2).count() === 0)
+  }
+
+  test("minhash signature: identical docs collide, signature width fixed") {
+    val sigs = Dedup.minhashSignatures(docs, n = 3, k = 16)
+    assert(sigs.filter(size(col("sig")) =!= 16).count() === 0)
+  }
+
+  test("simhash of identical texts is identical") {
+    val s = Dedup.simhash(docs).withColumnRenamed("simhash", "s1")
+    val s2 = Dedup.simhash(docs).withColumnRenamed("simhash", "s2")
+    val joined = s.join(s2, "doc_id").filter(col("s1") =!= col("s2"))
+    assert(joined.count() === 0)
+  }
+
+  test("quality: ratios within [0,1]") {
+    val q = TextOps.qualityScore(docs)
+    assert(q.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() === 0)
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
+  }
+
+  test("token counts: ws_tokens equals whitespace word count") {
+    val q = TextOps.tokenCount(docs)
+      .join(docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("words")), "doc_id")
+    assert(q.filter(col("ws_tokens") =!= col("words")).count() === 0)
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val f1 = TextOps.fingerprint(docs).withColumnRenamed("fingerprint", "f1")
+    val f2 = TextOps.fingerprint(docs).withColumnRenamed("fingerprint", "f2")
+    assert(f1.join(f2, "doc_id").filter(col("f1") =!= col("f2")).count() === 0)
+    // reversed word order should (generically) change the hash
+    val rev = docs.select(col("doc_id"),
+      concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+    val fr = TextOps.fingerprint(rev).withColumnRenamed("fingerprint", "fr")
+    assert(f1.join(fr, "doc_id").filter(col("f1") === col("fr")).count() < docs.count())
+  }
+
+  test("brute-force ANN: self-similarity excluded, sims in [-1,1], k rows") {
+    val r = Similarity.bruteForceTopK(emb, 0L, 10)
+    assert(r.count() === 10)
+    assert(r.filter(col("vec_id") === 0).count() === 0)
+    assert(r.filter(col("cos_sim") < -1.0001 || col("cos_sim") > 1.0001).count() === 0)
+  }
+
+  test("LSH ANN results are a subset ranked consistently with brute force") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(emb, 0L, 10, dim = 64).collect()
+    // every LSH hit must carry the same cosine the brute force computed
+    lsh.foreach { r =>
+      val id = r.getLong(0)
+      assert(brute.contains(id))
+      assert(math.abs(brute(id) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("langId emits a prediction per doc") {
+    assert(TextOps.langId(docs).filter(col("pred_lang").isNull).count() === 0)
+  }
+}

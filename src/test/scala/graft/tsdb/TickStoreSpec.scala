@@ -1,0 +1,67 @@
+package graft.tsdb
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+
+/** Reference-parity behavior of the TickStore: append_batch →
+  * query_range/query_last/count (/root/reference/timeseries_db.hpp:32-59).
+  */
+class TickStoreSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val store: TickStore = {
+    val s = new TickStore(spark, Files.createTempDirectory("ts_spec_").toString)
+    s.ingest(Tables.ticks(spark, sf))
+    s
+  }
+
+  test("ingest preserves every tick (column sync invariant)") {
+    assert(store.countAll() === Tables.ticks(spark, sf).count())
+  }
+
+  test("count per symbol matches source") {
+    val want = Tables.ticks(spark, sf).filter(col("symbol") === "click").count()
+    assert(store.count("click") === want)
+  }
+
+  test("queryRange is inclusive and time-bounded") {
+    val lo = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val got = store.queryRange("click", lo, hi)
+    val n = got.count()
+    assert(n > 0)
+    val bounds = got.agg(min("ts").as("lo"), max("ts").as("hi")).head()
+    assert(!bounds.getTimestamp(0).before(lo))
+    assert(!bounds.getTimestamp(1).after(hi))
+    // matches a straight filter over the source view
+    val want = Tables.ticks(spark, sf)
+      .filter(col("symbol") === "click" && col("ts") >= lit(lo) && col("ts") <= lit(hi))
+      .count()
+    assert(n === want)
+  }
+
+  test("queryLast returns n newest ticks, newest first") {
+    val got = store.queryLast("view", 10).collect()
+    assert(got.length === 10)
+    val ts = got.map(_.getAs[java.sql.Timestamp]("ts"))
+    assert(ts.sliding(2).forall { case Array(a, b) => !a.before(b) })
+    val newest = Tables.ticks(spark, sf).filter(col("symbol") === "view")
+      .agg(max("ts")).head().getTimestamp(0)
+    assert(ts.head === newest)
+  }
+
+  test("csv import round-trips (reference cli.cpp import path)") {
+    val base = Files.createTempDirectory("ts_csv_").toString
+    Tables.ticks(spark, sf).filter(col("symbol") === "error").limit(50)
+      .select(unix_timestamp(col("ts")).as("timestamp"), col("price"), col("volume"))
+      .write.option("header", "true").csv(s"$base/in")
+    val s2 = new TickStore(spark, s"$base/store")
+    s2.importCsv(s"$base/in", "ERR")
+    assert(s2.count("ERR") === 50)
+  }
+}

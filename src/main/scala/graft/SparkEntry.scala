@@ -21,6 +21,11 @@ object SparkEntry {
 
   private def ticks(s: SparkSession, dir: String): DataFrame = Tables.ticks(s, dir)
 
+  /** Tick view keeping `user_id` as the as-of/range join key. */
+  private def keyedTicks(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("event_id"), col("event_type").as("symbol"),
+      col("ts"), col("value").as("price"), col("user_id"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.1 reference TSDB surface ----
@@ -61,6 +66,18 @@ object SparkEntry {
     "q_running_sum" -> ((s, dir) => MarketOps.runningVolume(ticks(s, dir))),
     "q_volatility" -> ((s, dir) => MarketOps.volatility(ticks(s, dir))),
     "q_sessionize" -> ((s, dir) => MarketOps.sessionize(ticks(s, dir), 30)),
+    "q_asof_join" -> ((s, dir) => {
+      val t = keyedTicks(s, dir)
+      MarketOps.asofJoin(t.filter(col("symbol") === "purchase"),
+        t.filter(col("symbol") === "click"))
+    }),
+    "q_range_join" -> ((s, dir) => {
+      val t = keyedTicks(s, dir)
+      MarketOps.rangeJoinCount(t.filter(col("symbol") === "error"),
+        t.filter(col("symbol") === "click"), windowMinutes = 5)
+    }),
+    "q_gap_fill" -> ((s, dir) => MarketOps.gapFillHourly(ticks(s, dir))),
+    "q_ema" -> ((s, dir) => MarketOps.ema(ticks(s, dir), alpha = 0.2)),
 
     // ---- §2.3 relational/OLAP breadth ----
     "q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
@@ -71,6 +88,8 @@ object SparkEntry {
     "q_above_avg" -> ((s, dir) => Relational.aboveAvg(s, dir)),
     "q_distinct_users" -> ((s, dir) => Relational.distinctUsers(s, dir)),
     "q_pivot_status" -> ((s, dir) => Relational.pivotStatus(s, dir)),
+    "q_percentiles" -> ((s, dir) => Relational.percentiles(s, dir)),
+    "q_rollup" -> ((s, dir) => Relational.rollupDaily(s, dir)),
 
     // ---- §2.4 LLM-training-data pipeline ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -85,6 +104,19 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 10)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), 0L, 10, dim = 64)),
+    "q_embed_dedup" -> ((s, dir) =>
+      Similarity.embeddingNearDups(Tables.embeddings(s, dir), dim = 64, threshold = 0.25)),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      Dedup.ngramJaccard(pairs, docs)
+    }),
+    "q_multimodal_meta" -> ((s, dir) =>
+      graft.pipeline.Multimodal.pipeline(s, Tables.documents(s, dir))),
+
+    // ---- §2.1/2.2 streaming paths ----
+    "q_stream_ingest" -> ((s, dir) => graft.streaming.Streams.streamIngest(s, dir)),
+    "q_stream_bars" -> ((s, dir) => graft.streaming.Streams.streamBars(s, dir)),
   )
 
   /** Batch-ingest into a TickStore (symbol-partitioned, ts-sorted
@@ -198,6 +230,50 @@ object SparkEntry {
         |               LAG(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_ts
         |        FROM events))
         |ORDER BY event_id""".stripMargin,
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value AS price,
+        |       COALESCE(epoch_us(r.ts), -1) AS quote_ts_us,
+        |       COALESCE(r.value, -1.0) AS quote_price
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY 1""".stripMargin,
+    "q_range_join" ->
+      """SELECT l.event_id, COUNT(r.event_id) AS n_prior
+        |FROM (SELECT * FROM events WHERE event_type = 'error') l
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id
+        | AND epoch_us(r.ts) >= epoch_us(l.ts) - 300000000
+        | AND epoch_us(r.ts) < epoch_us(l.ts)
+        |GROUP BY l.event_id ORDER BY l.event_id""".stripMargin,
+    "q_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type AS symbol, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |         ROUND(AVG(value), 4) AS avg_price
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT symbol, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+        |spine AS (SELECT b.symbol, UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+        |          FROM bounds b)
+        |SELECT s.symbol, epoch_us(s.h) AS h_us,
+        |       last_value(hr.avg_price IGNORE NULLS) OVER (
+        |         PARTITION BY s.symbol ORDER BY s.h ROWS UNBOUNDED PRECEDING) AS price_ffill,
+        |       CAST(CASE WHEN hr.avg_price IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+        |FROM spine s LEFT JOIN hourly hr ON s.symbol = hr.symbol AND s.h = hr.h
+        |ORDER BY s.symbol, h_us""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type AS symbol,
+        |       ROUND(quantile_cont(value, 0.25), 4) AS p25,
+        |       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+        |       ROUND(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(symbol, 'ALL') AS symbol_g,
+        |       COALESCE(strftime(day, '%Y-%m-%d'), 'ALL') AS day_g,
+        |       COUNT(*) AS n_ticks, CAST(SUM(volume) AS BIGINT) AS volume
+        |FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS day, user_id AS volume
+        |      FROM events)
+        |GROUP BY ROLLUP(symbol, day) ORDER BY symbol_g, day_g""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

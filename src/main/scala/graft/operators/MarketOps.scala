@@ -123,6 +123,88 @@ object MarketOps {
         count(lit(1)).as("n_ticks"))
       .orderBy("symbol")
 
+  /** As-of join (trade↔quote style): for each left tick, the latest
+    * right tick with `right.ts <= left.ts` for the same key.
+    *
+    * Spark-first design: instead of an N×M inequality join (which Spark
+    * would plan as broadcast-nested-loop), tag and union both sides,
+    * then take `last(..., ignoreNulls)` over a (key, ts)-sorted window —
+    * a single sort-shuffle, linear in |L|+|R|, the same cost shape as a
+    * distributed merge-asof. Right rows sort before left rows at equal
+    * ts, making the match inclusive like DuckDB's `ASOF JOIN ... ON
+    * l.ts >= r.ts`.
+    *
+    * Unmatched lefts surface as -1 sentinels (keeps the output
+    * null-free for engine-independent hashing; see SURVEY.md §4).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String = "user_id"): DataFrame = {
+    val lTagged = left.select(col(key), col("ts"), lit(1).as("_side"),
+      col("event_id").as("l_event_id"), col("price").as("l_price"),
+      lit(null).cast("timestamp").as("r_ts"), lit(null).cast("double").as("r_price"))
+    val rTagged = right.select(col(key), col("ts"), lit(0).as("_side"),
+      lit(null).cast("long").as("l_event_id"), lit(null).cast("double").as("l_price"),
+      col("ts").as("r_ts"), col("price").as("r_price"))
+    val w = Window.partitionBy(key).orderBy(col("ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rTagged.unionByName(lTagged)
+      .withColumn("m_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .withColumn("m_price", last(col("r_price"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("l_event_id").as("event_id"), col(key),
+        unix_micros(col("ts")).as("ts_us"), col("l_price").as("price"),
+        coalesce(unix_micros(col("m_ts")), lit(-1L)).as("quote_ts_us"),
+        coalesce(col("m_price"), lit(-1.0)).as("quote_price"))
+      .orderBy("event_id")
+  }
+
+  /** Range (interval) join: for each left tick, count right ticks of the
+    * same key in the window [left.ts - windowMinutes, left.ts).
+    *
+    * Spark-first design: coarse time-bucket equi-join + residual
+    * predicate. Each side gets `bucket = ts div window`; a left row can
+    * only match right rows in its own or the previous bucket, so the
+    * left probes exactly two buckets. This keeps the join an equi-join
+    * (hash/sort-merge, shuffle on (key, bucket)) instead of a
+    * nested-loop range scan — the standard distributed range-join
+    * rewrite.
+    */
+  def rangeJoinCount(left: DataFrame, right: DataFrame,
+      windowMinutes: Int, key: String = "user_id"): DataFrame = {
+    val winUs = windowMinutes * 60L * 1000000L
+    val l = left.select(col("event_id"), col(key), unix_micros(col("ts")).as("l_us"))
+      .withColumn("_b", expr(s"l_us div $winUs"))
+      .withColumn("bucket", explode(array(col("_b") - 1, col("_b"))))
+    val r = right.select(col(key), unix_micros(col("ts")).as("r_us"))
+      .withColumn("bucket", expr(s"r_us div $winUs"))
+    l.join(r, Seq(key, "bucket"), "left")
+      .groupBy(col("event_id"))
+      .agg(count(when(col("r_us") >= col("l_us") - winUs &&
+        col("r_us") < col("l_us"), 1)).as("n_prior"))
+      .orderBy("event_id")
+  }
+
+  /** Gap fill: hourly spine per symbol (min..max observed hour), left
+    * join the observed hourly average, forward-fill missing hours with
+    * the last observation. The spine is generated distributed
+    * (sequence+explode per symbol), never on the driver.
+    */
+  def gapFillHourly(ticks: DataFrame): DataFrame = {
+    val hourly = ticks
+      .groupBy(col("symbol"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(avg(col("price")), 4).as("avg_price"))
+    val spine = hourly.groupBy(col("symbol"))
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("symbol"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy("symbol").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq("symbol", "h"), "left")
+      .select(col("symbol"), unix_micros(col("h")).as("h_us"),
+        last(col("avg_price"), ignoreNulls = true).over(w).as("price_ffill"),
+        col("avg_price").isNull.cast("long").as("is_gap"))
+      .orderBy("symbol", "h_us")
+  }
+
   /** Sessionize: new session when gap to previous tick > gapMinutes.
     * Classic lag + cumulative-flag-sum; one sort-shuffle per symbol.
     */

@@ -116,6 +116,35 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
       .orderBy("symbol")
 
+  /** Exact interpolated percentiles per symbol (matches DuckDB
+    * quantile_cont). At 100 TB the approximate path is
+    * `percentile_approx` / t-digest — exposed separately so the exact
+    * variant stays oracle-checkable.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.ticks(spark, dir)
+      .groupBy(col("symbol"))
+      .agg(
+        round(expr("percentile(price, 0.25)"), 4).as("p25"),
+        round(expr("percentile(price, 0.5)"), 4).as("p50"),
+        round(expr("percentile(price, 0.9)"), 4).as("p90"),
+        round(expr("percentile(price, 0.99)"), 4).as("p99"))
+      .orderBy("symbol")
+
+  /** Rollup: per (symbol, day) + per symbol + grand total. Grouped-out
+    * keys surface as 'ALL' sentinels so the output is null-free
+    * (SURVEY.md §4).
+    */
+  def rollupDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.ticks(spark, dir)
+      .rollup(col("symbol"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_ticks"), sum(col("volume")).as("volume"))
+      .select(
+        coalesce(col("symbol"), lit("ALL")).as("symbol_g"),
+        coalesce(date_format(col("day"), "yyyy-MM-dd"), lit("ALL")).as("day_g"),
+        col("n_ticks"), col("volume"))
+      .orderBy("symbol_g", "day_g")
+
   /** Conditional aggregation (pivot-style status counts per priority). */
   def pivotStatus(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

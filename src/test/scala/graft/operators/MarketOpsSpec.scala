@@ -59,6 +59,55 @@ class MarketOpsSpec extends AnyFunSuite {
     assert(MarketOps.returns(ticks).count() === ticks.count() - nSymbols)
   }
 
+  test("asof join matches a naive per-row max-ts computation") {
+    val t = graft.core.Tables.events(spark, sf).select(col("event_id"),
+      col("event_type").as("symbol"), col("ts"), col("value").as("price"), col("user_id"))
+    val l = t.filter(col("symbol") === "purchase")
+    val r = t.filter(col("symbol") === "click")
+    val got = MarketOps.asofJoin(l, r)
+    assert(got.count() === l.count())
+    // naive: inequality join + max over matches (fine at sf0.001)
+    val naive = l.select(col("event_id"), col("user_id").as("lu"), col("ts").as("lts"))
+      .join(r.select(col("user_id").as("ru"), col("ts").as("rts")),
+        col("lu") === col("ru") && col("rts") <= col("lts"), "left")
+      .groupBy("event_id")
+      .agg(coalesce(unix_micros(max("rts")), lit(-1L)).as("want_ts"))
+    val bad = got.join(naive, "event_id")
+      .filter(col("quote_ts_us") =!= col("want_ts")).count()
+    assert(bad === 0)
+  }
+
+  test("range join count matches a naive inequality join") {
+    val t = graft.core.Tables.events(spark, sf).select(col("event_id"),
+      col("event_type").as("symbol"), col("ts"), col("value").as("price"), col("user_id"))
+    val l = t.filter(col("symbol") === "error")
+    val r = t.filter(col("symbol") === "click")
+    val got = MarketOps.rangeJoinCount(l, r, windowMinutes = 5)
+    val naive = l.select(col("event_id"), col("user_id").as("lu"), unix_micros(col("ts")).as("lus"))
+      .join(r.select(col("user_id").as("ru"), unix_micros(col("ts")).as("rus")),
+        col("lu") === col("ru") && col("rus") >= col("lus") - 300000000L &&
+          col("rus") < col("lus"), "left")
+      .groupBy("event_id").agg(count(col("rus")).as("want"))
+    val bad = got.join(naive, "event_id").filter(col("n_prior") =!= col("want")).count()
+    assert(bad === 0)
+    assert(got.count() === l.count())
+  }
+
+  test("gap fill: complete hourly spine, ffill leaves no nulls") {
+    val g = MarketOps.gapFillHourly(ticks)
+    assert(g.filter(col("price_ffill").isNull).count() === 0)
+    // spine length per symbol == hours between min and max + 1
+    val hourly = ticks.groupBy(col("symbol"),
+      date_trunc("hour", col("ts")).as("h")).count()
+    val bounds = hourly.groupBy("symbol")
+      .agg(((unix_micros(max("h")) - unix_micros(min("h"))) / 3600000000L + 1).as("want"))
+    val bad = g.groupBy("symbol").count().join(bounds, "symbol")
+      .filter(col("count") =!= col("want")).count()
+    assert(bad === 0)
+    // filled rows outnumber observed rows iff gaps exist; gap rows flagged
+    assert(g.filter(col("is_gap") === 0).count() === hourly.count())
+  }
+
   test("ema tracks price scale") {
     val e = MarketOps.ema(ticks.filter(col("symbol") === "click"), alpha = 0.2)
     val mm = ticks.filter(col("symbol") === "click")

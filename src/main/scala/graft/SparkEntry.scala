@@ -29,13 +29,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.1 reference TSDB surface ----
-    "q_range_scan" -> ((s, dir) =>
-      ticks(s, dir)
-        .filter(col("symbol") === "click" &&
-          col("ts") >= lit("2024-01-05").cast("timestamp") &&
-          col("ts") <= lit("2024-01-15").cast("timestamp"))
-        .select(unix_micros(col("ts")).as("ts_us"), col("price"), col("volume"))
-        .orderBy("ts_us", "price", "volume")),
+    "q_range_scan" -> ((s, dir) => {
+      // Filter on the raw nanosecond long so the time predicate reaches
+      // parquet row-group pruning (see Tables.eventsRaw). Bounds are
+      // whole seconds, so ns and truncated-us comparisons agree.
+      val loNs = 1704412800L * 1000000000L // 2024-01-05T00:00:00Z
+      val hiNs = 1705276800L * 1000000000L // 2024-01-15T00:00:00Z
+      Tables.eventsRaw(s, dir)
+        .filter(col("event_type") === "click" &&
+          col("ts") >= loNs && col("ts") <= hiNs)
+        .select(expr("ts div 1000").as("ts_us"),
+          col("value").as("price"), col("user_id").as("volume"))
+        .orderBy("ts_us", "price", "volume")
+    }),
     "q_point_lookup" -> ((s, dir) =>
       ticks(s, dir)
         .filter(col("event_id") === 424L)

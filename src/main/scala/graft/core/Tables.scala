@@ -50,4 +50,13 @@ object Tables {
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Raw events with `ts` as the stored nanosecond long — predicates on
+    * this column push down to parquet row-group stats (the converted
+    * timestamp in [[events]] cannot). Time-critical scans filter here.
+    */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
 }

@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-hash expressions for the dedup pipeline.
+  *
+  * The declarative formulation (explode word shingles → hash → k
+  * aggregated mins) is semantically clean but pays interpreted
+  * higher-order-function overhead per element plus a shuffle per
+  * document. These expressions compute the same signatures in one
+  * tokenization pass per row, entirely map-side: O(words · k) long
+  * arithmetic, no intermediate shingle strings, no shuffle. At 100 TB
+  * the whole dedup candidate stage then shuffles only
+  * (doc_id, k·8-byte signature).
+  *
+  * Hashing is FNV-1a over characters per word + a Murmur3 finalizer
+  * for mixing (public-domain constants).
+  */
+object TextHash {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** Murmur3 64-bit finalizer. */
+  @inline def mix(z0: Long): Long = {
+    var z = z0 ^ (z0 >>> 33)
+    z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33
+    z *= 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  @inline def fnv(s: String, from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) { h ^= s.charAt(i).toLong; h *= FnvPrime; i += 1 }
+    h
+  }
+
+  /** Word hashes of a single-space-tokenized string (one allocation). */
+  def wordHashes(s: String): Array[Long] = {
+    val n = s.length
+    var words = 1
+    var i = 0
+    while (i < n) { if (s.charAt(i) == ' ') words += 1; i += 1 }
+    val out = new Array[Long](words)
+    var w = 0
+    var start = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        out(w) = mix(fnv(s, start, i)); w += 1; start = i + 1
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** MinHash signature: for each of `k` seeded permutations, the min hash
+  * over all word `n`-grams of the text. Documents with fewer than `n`
+  * words signature to Long.MaxValue entries (they band together,
+  * harmless: exact dedup handles degenerate docs first).
+  */
+case class MinHashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  import TextHash._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  private val seeds: Array[Long] = Array.tabulate(k)(j => mix(0x9e3779b97f4a7c15L * (j + 1)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val wh = wordHashes(input.asInstanceOf[UTF8String].toString)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val last = wh.length - n
+    while (i <= last) {
+      // combine n consecutive word hashes into one gram hash
+      var g = FnvOffset
+      var j = 0
+      while (j < n) { g ^= wh(i + j); g *= FnvPrime; j += 1 }
+      g = mix(g)
+      var p = 0
+      while (p < k) {
+        val h = mix(g ^ seeds(p))
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over word hashes: bit j of the result is the sign of
+  * the sum over words of ±1 according to bit j of the word's hash.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import TextHash._
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val wh = wordHashes(input.asInstanceOf[UTF8String].toString)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < wh.length) {
+      val h = wh(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Session registration so the expressions are callable from SQL and
+  * `expr(...)` — `graft_minhash(text[, n, k])`, `graft_simhash(text)`.
+  */
+object GraftFunctions {
+  private def intLit(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_minhash", {
+      case Seq(t) => MinHashSig(t, 3, 16)
+      case Seq(t, n, k) => MinHashSig(t, intLit(n), intLit(k))
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash(text[, n, k]), got ${other.size} args")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash", {
+      case Seq(t) => SimHash64(t)
+      case other => throw new IllegalArgumentException(
+        s"graft_simhash(text), got ${other.size} args")
+    }, "scala_udf")
+  }
+}

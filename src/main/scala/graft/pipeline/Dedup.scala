@@ -35,38 +35,47 @@ object Dedup {
     docs.select(col("doc_id"), array_distinct(grams).as("shingles"))
   }
 
-  /** MinHash signatures over word shingles: k independent permutations
-    * approximated by k seeded hashes; signature[i] = min over shingles of
-    * hash_i(shingle). Map-side only; the LSH band join below is the
-    * single shuffle.
+  /** MinHash signatures over word n-grams: k independent permutations;
+    * signature[i] = min over grams of hash_i(gram). Computed by the
+    * single-pass [[graft.functions.MinHashSig]] expression — one
+    * tokenization per row, map-side only, no shuffle, no intermediate
+    * shingle strings. The downstream LSH band join shuffles only
+    * (doc_id, k longs).
     */
-  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame =
-    shingles(docs, n).select(col("doc_id"),
-      array((0 until k).map { i =>
-        array_min(transform(col("shingles"), s => xxhash64(lit(i), s)))
-      }: _*).as("sig"))
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr(s"graft_minhash(text, $n, $k)").as("sig"))
+  }
 
-  /** LSH near-duplicate candidate pairs: band the signature, equi-join on
-    * (band_id, band_hash). Each band is rows/bands wide; docs sharing any
-    * band collide. Output is candidate pairs (a < b) with estimated
-    * Jaccard = fraction of matching signature positions.
+  /** LSH near-duplicate candidate pairs: band each signature, group by
+    * (band_id, band_hash), generate pairs inside each bucket.
+    *
+    * Bucket-grouped pair generation is a single shuffle and never
+    * self-joins the corpus; pathological buckets (every doc identical)
+    * are capped at [[maxBucket]] members — a real corpus dedups those
+    * with the exact pass first.
     */
+  val maxBucket = 10000
+
   def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(docs, n, k).cache()
     val rowsPerBand = k / bands
-    val banded = sigs.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until bands).map { b =>
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => element_at(col("sig"), i + 1)): _*)
-        }: _*)).as(Seq("band_id", "band_hash")))
-    val a = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+    val banded = minhashSignatures(docs, n, k).select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1)): _*)
+      }: _*)).as(Seq("band_id", "band_hash")))
+    val buckets = banded
+      .groupBy("band_id", "band_hash")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairs = buckets.select(explode(flatten(
+      transform(col("members"), (a, i) =>
+        transform(slice(col("members"), i + 2, lit(maxBucket)),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+    pairs.select(
+        least(col("p.a.doc_id"), col("p.b.doc_id")).as("doc_a"),
+        greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("doc_b"),
+        (size(filter(zip_with(col("p.a.sig"), col("p.b.sig"), (x, y) => x === y),
           m => m)).cast("double") / k).as("est_jaccard"))
       .distinct()
       .orderBy("doc_a", "doc_b")
@@ -74,18 +83,12 @@ object Dedup {
 
   /** SimHash: 64-bit signature where bit j = sign of the sum over words
     * of (+1/-1 depending on bit j of the word hash). Near-dups have small
-    * Hamming distance. Computed with bit arithmetic over xxhash64 — all
-    * codegen'd builtins.
+    * Hamming distance. Single-pass [[graft.functions.SimHash64]]
+    * expression, map-side only.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val words = split(col("text"), " ")
-    // For each bit, sum +1/-1 across words, then collapse to a bit.
-    val bits = (0 until 64).map { j =>
-      val votes = aggregate(words, lit(0L),
-        (acc, w) => acc + when(shiftright(xxhash64(w), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }
-    docs.select(col("doc_id"), bits.reduce(_ bitwiseOR _).as("simhash"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("graft_simhash(text)").as("simhash"))
       .orderBy("doc_id")
   }
 

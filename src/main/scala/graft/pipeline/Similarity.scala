@@ -34,17 +34,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic pseudo-random hyperplanes in [-0.5, 0.5), generated
+    * driver-side once (a tiny `nBits × dim` constant matrix, shipped
+    * inside the plan as literals — no per-row hashing, no stored model).
+    */
+  private def hyperplanes(dim: Int, nBits: Int): IndexedSeq[Seq[Double]] = {
+    val rng = new scala.util.Random(42)
+    IndexedSeq.fill(nBits)(Seq.fill(dim)(rng.nextDouble() - 0.5))
+  }
+
   /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot products
-    * with pseudo-random hyperplanes (deterministically derived from the
-    * bit index via xxhash64 of the element index — no stored model).
+    * with the constant hyperplanes — nBits codegen'd multiply-add passes
+    * per row.
     */
   def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    val planes = hyperplanes(dim, nBits)
     val bits = (0 until nBits).map { b =>
-      // hyperplane component h_i in [-0.5, 0.5) from hash(b, i)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) =>
-          x.cast("double") *
-            (pmod(xxhash64(lit(b), i), lit(1000000L)).cast("double") / 1000000.0 - 0.5)),
+        zip_with(vec, typedLit(planes(b)), (x, h) => x.cast("double") * h),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }

@@ -110,6 +110,8 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 10)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), 0L, 10, dim = 64)),
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), 0L, 10)),
     "q_embed_dedup" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, dir), dim = 64, threshold = 0.25)),
     "q_ngram_jaccard" -> ((s, dir) => {

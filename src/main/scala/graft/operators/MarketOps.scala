@@ -56,24 +56,37 @@ object MarketOps {
         round(avg(col("price")).over(tickOrder.rowsBetween(-(n - 1), 0)), 4).as(s"sma$n"))
       .orderBy("event_id")
 
-  /** Exponential moving average per symbol (alpha-weighted recursive
-    * form, computed as a closed-form weighted window sum: for the k-th
-    * tick, EMA = sum_i a*(1-a)^(k-i)*p_i + (1-a)^k*p_0 — here
-    * approximated over a bounded lookback window, which is exact to
-    * double precision once (1-a)^w underflows).
+  /** Tick record for typed sorted-group streaming. */
+  final case class Tick(event_id: Long, symbol: String, ts_us: Long, price: Double)
+  final case class EmaRow(event_id: Long, symbol: String, ema: Double)
+
+  /** Exponential moving average per symbol — the genuinely recursive
+    * form (ema_k = a·p_k + (1-a)·ema_{k-1}, seeded with the first
+    * price).
+    *
+    * A recursive per-key scan is the one shape windows can't express;
+    * `groupByKey(symbol).flatMapSortedGroups(ts)` is the Spark-native
+    * answer: one shuffle on symbol, a spillable sort per group, then a
+    * streaming O(1)-state pass — per-symbol state never leaves one
+    * task, so 100 TB of ticks across many symbols parallelizes freely.
     */
-  def ema(ticks: DataFrame, alpha: Double, lookback: Int = 100): DataFrame = {
-    val w = tickOrder.rowsBetween(-lookback, 0)
-    // position within window via row_number; weight = a*(1-a)^(last-i)
-    val rn = row_number().over(tickOrder)
-    val withRn = ticks.withColumn("_rn", rn)
-    val pairs = collect_list(struct(col("_rn"), col("price"))).over(w)
-    withRn.select(col("event_id"), col("symbol"),
-        aggregate(pairs,
-          lit(0.0),
-          (acc, x) => acc + x.getField("price") *
-            lit(alpha) * pow(lit(1.0 - alpha), col("_rn") - x.getField("_rn")))
-          .as("ema"))
+  def ema(ticks: DataFrame, alpha: Double): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.select(col("event_id"), col("symbol"),
+        unix_micros(col("ts")).as("ts_us"), col("price"))
+      .as[Tick]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("ts_us"), col("event_id")) { (sym, it) =>
+        var e = 0.0
+        var first = true
+        it.map { t =>
+          e = if (first) { first = false; t.price }
+              else alpha * t.price + (1 - alpha) * e
+          EmaRow(t.event_id, sym, e)
+        }
+      }
+      .toDF()
       .orderBy("event_id")
   }
 

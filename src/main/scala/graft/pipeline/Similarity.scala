@@ -79,6 +79,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: partition vectors into `nlist` Voronoi
+    * cells with KMeans, search only the `nprobe` cells nearest the
+    * query. The classic large-scale trade: the centroid table is tiny
+    * and broadcast; the candidate scan touches ~nprobe/nlist of the
+    * corpus — at 100 TB, cluster id becomes the parquet partition key
+    * so probing is partition pruning.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val feats = emb.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+
+    // one-row lookup of the query vector + its probe cells
+    val qVec = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.toArray.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+
+    val q = assigned.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    assigned.filter(col("cell").isin(probes.toSeq: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: normalized vectors whose cosine
     * exceeds `threshold`, generated within LSH buckets (single shuffle).
     */

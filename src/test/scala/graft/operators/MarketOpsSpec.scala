@@ -108,11 +108,18 @@ class MarketOpsSpec extends AnyFunSuite {
     assert(g.filter(col("is_gap") === 0).count() === hourly.count())
   }
 
-  test("ema tracks price scale") {
-    val e = MarketOps.ema(ticks.filter(col("symbol") === "click"), alpha = 0.2)
-    val mm = ticks.filter(col("symbol") === "click")
-      .agg(min("price"), max("price")).head()
-    val bad = e.filter(col("ema") < lit(0.0) || col("ema") > lit(mm.getDouble(1) * 1.01)).count()
-    assert(bad === 0)
+  test("ema matches an exact sequential computation") {
+    val sub = ticks.filter(col("symbol") === "click")
+    val got = MarketOps.ema(sub, alpha = 0.2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rows = sub.select(col("event_id"), col("price"))
+      .orderBy(unix_micros(col("ts")), col("event_id")).collect()
+    var e = 0.0
+    var first = true
+    rows.foreach { r =>
+      val p = r.getDouble(1)
+      e = if (first) { first = false; p } else 0.2 * p + 0.8 * e
+      assert(math.abs(got(r.getLong(0)) - e) < 1e-9)
+    }
   }
 }

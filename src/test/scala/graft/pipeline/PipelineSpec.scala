@@ -81,6 +81,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN results carry brute-force-consistent cosines") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfTopK(emb, 0L, 10).collect()
+    assert(ivf.length === 10)
+    ivf.foreach { r =>
+      assert(brute.contains(r.getLong(0)))
+      assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
   test("langId emits a prediction per doc") {
     assert(TextOps.langId(docs).filter(col("pred_lang").isNull).count() === 0)
   }

@@ -83,6 +83,18 @@ object SparkEntry {
         t.filter(col("symbol") === "click"), windowMinutes = 5)
     }),
     "q_gap_fill" -> ((s, dir) => MarketOps.gapFillHourly(ticks(s, dir))),
+    "q_asof_native" -> ((s, dir) => {
+      val t = keyedTicks(s, dir)
+      graft.operators.AsOf.join(
+          t.filter(col("symbol") === "purchase"),
+          t.filter(col("symbol") === "click").select("user_id", "ts", "price"),
+          key = "user_id")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("price"),
+          coalesce(unix_micros(col("ts_r")), lit(-1L)).as("quote_ts_us"),
+          coalesce(col("price_r"), lit(-1.0)).as("quote_price"))
+        .orderBy("event_id")
+    }),
     "q_ema" -> ((s, dir) => MarketOps.ema(ticks(s, dir), alpha = 0.2)),
 
     // ---- §2.3 relational/OLAP breadth ----
@@ -239,6 +251,14 @@ object SparkEntry {
         |        FROM events))
         |ORDER BY event_id""".stripMargin,
     "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value AS price,
+        |       COALESCE(epoch_us(r.ts), -1) AS quote_ts_us,
+        |       COALESCE(r.value, -1.0) AS quote_price
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY 1""".stripMargin,
+    "q_asof_native" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value AS price,
         |       COALESCE(epoch_us(r.ts), -1) AS quote_ts_us,
         |       COALESCE(r.value, -1.0) AS quote_price

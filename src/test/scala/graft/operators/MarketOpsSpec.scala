@@ -77,6 +77,22 @@ class MarketOpsSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("native AsOfJoinExec agrees with the composed asof join") {
+    val t = graft.core.Tables.events(spark, sf).select(col("event_id"),
+      col("event_type").as("symbol"), col("ts"), col("value").as("price"), col("user_id"))
+    val l = t.filter(col("symbol") === "purchase")
+    val r = t.filter(col("symbol") === "click")
+    val composed = MarketOps.asofJoin(l, r)
+    val native = AsOf.join(l, r.select("user_id", "ts", "price"), key = "user_id")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("price"),
+        coalesce(unix_micros(col("ts_r")), lit(-1L)).as("quote_ts_us"),
+        coalesce(col("price_r"), lit(-1.0)).as("quote_price"))
+    assert(native.count() === composed.count())
+    assert(native.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(native).count() === 0)
+  }
+
   test("range join count matches a naive inequality join") {
     val t = graft.core.Tables.events(spark, sf).select(col("event_id"),
       col("event_type").as("symbol"), col("ts"), col("value").as("price"), col("user_id"))

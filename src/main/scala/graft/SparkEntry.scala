@@ -96,6 +96,8 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "q_ema" -> ((s, dir) => MarketOps.ema(ticks(s, dir), alpha = 0.2)),
+    "q_session_window" -> ((s, dir) => MarketOps.sessionWindows(ticks(s, dir), 30)),
+    "q_approx_stats" -> ((s, dir) => MarketOps.approxStats(ticks(s, dir))),
 
     // ---- §2.3 relational/OLAP breadth ----
     "q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
@@ -137,6 +139,7 @@ object SparkEntry {
     // ---- §2.1/2.2 streaming paths ----
     "q_stream_ingest" -> ((s, dir) => graft.streaming.Streams.streamIngest(s, dir)),
     "q_stream_bars" -> ((s, dir) => graft.streaming.Streams.streamBars(s, dir)),
+    "q_stream_stateful" -> ((s, dir) => graft.streaming.Streams.streamRunningVwap(s, dir)),
   )
 
   /** Batch-ingest into a TickStore (symbol-partitioned, ts-sorted
@@ -250,6 +253,20 @@ object SparkEntry {
         |               LAG(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_ts
         |        FROM events))
         |ORDER BY event_id""".stripMargin,
+    "q_session_window" ->
+      """SELECT symbol, MIN(ts_us) AS sess_start_us, COUNT(*) AS n_ticks
+        |FROM (
+        |  SELECT symbol, ts_us,
+        |         SUM(is_new) OVER (PARTITION BY symbol ORDER BY ts_us
+        |             ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM (
+        |    SELECT event_type AS symbol, epoch_us(ts) AS ts_us,
+        |           CASE WHEN LAG(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL
+        |                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER (
+        |                     PARTITION BY event_type ORDER BY ts)) >= 1800000000
+        |                THEN 1 ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY symbol, sess ORDER BY symbol, sess_start_us""".stripMargin,
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value AS price,
         |       COALESCE(epoch_us(r.ts), -1) AS quote_ts_us,

@@ -218,6 +218,31 @@ object MarketOps {
       .orderBy("symbol", "h_us")
   }
 
+  /** Sessionization via Spark's native `session_window` (gap-merged
+    * windows, batch mode): one aggregation, no window-function sort
+    * pass. Emits per (symbol, session): first-tick time + tick count.
+    * Same session boundaries as [[sessionize]], oracle-checkable.
+    */
+  def sessionWindows(ticks: DataFrame, gapMinutes: Int): DataFrame =
+    ticks.groupBy(col("symbol"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_ticks"))
+      .select(col("symbol"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        col("n_ticks"))
+      .orderBy("symbol", "sess_start_us")
+
+  /** Scale-path approximate stats: HLL distinct + t-digest percentile.
+    * The exact counterparts are oracled (q_distinct_users,
+    * q_percentiles); these run the 100 TB-friendly one-pass sketches.
+    */
+  def approxStats(ticks: DataFrame): DataFrame =
+    ticks.groupBy(col("symbol"))
+      .agg(
+        approx_count_distinct(col("volume"), rsd = 0.02).as("approx_users"),
+        percentile_approx(col("price"), lit(0.5), lit(1000)).as("approx_p50"),
+        percentile_approx(col("price"), lit(0.99), lit(1000)).as("approx_p99"))
+      .orderBy("symbol")
+
   /** Sessionize: new session when gap to previous tick > gapMinutes.
     * Classic lag + cumulative-flag-sum; one sort-shuffle per symbol.
     */

@@ -20,6 +20,10 @@ import org.apache.spark.sql.types._
 object Streams {
   private val counter = new AtomicInteger(0)
 
+  final case class VwapIn(symbol: String, price: Double, volume: Long)
+  final case class VwapState(n: Long, pv: Double, v: Long)
+  final case class VwapOut(symbol: String, n_ticks: Long, running_vwap: Double)
+
   private val rawEventsSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw long
@@ -55,6 +59,33 @@ object Streams {
     spark.read.parquet(s"$base/data")
       .groupBy(col("symbol")).agg(count(lit(1)).as("n_ticks"))
       .orderBy("symbol")
+  }
+
+  /** Per-symbol running state maintained with flatMapGroupsWithState —
+    * the custom-state analog of the reference's per-symbol in-memory
+    * store fed by its writer thread. Emits one running (count, vwap)
+    * snapshot per symbol per micro-batch; state is O(symbols).
+    */
+  def streamRunningVwap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+
+    val name = s"graft_vwap_${counter.incrementAndGet()}"
+    val ticks = tickStream(spark, dir)
+      .select(col("symbol"), col("price"), col("volume")).as[VwapIn]
+    val updated = ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym: String, rows: Iterator[VwapIn], state: GroupState[VwapState]) =>
+          var s = state.getOption.getOrElse(VwapState(0L, 0.0, 0L))
+          rows.foreach { r => s = VwapState(s.n + 1, s.pv + r.price * r.volume, s.v + r.volume) }
+          state.update(s)
+          Iterator.single(VwapOut(sym, s.n, if (s.v == 0) 0.0 else s.pv / s.v))
+      }
+    val q = updated.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy("symbol", "n_ticks")
   }
 
   /** Streaming 1-minute OHLC-style bars with a 10-minute watermark:

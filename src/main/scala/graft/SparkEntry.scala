@@ -109,6 +109,12 @@ object SparkEntry {
     "q_distinct_users" -> ((s, dir) => Relational.distinctUsers(s, dir)),
     "q_pivot_status" -> ((s, dir) => Relational.pivotStatus(s, dir)),
     "q_percentiles" -> ((s, dir) => Relational.percentiles(s, dir)),
+    "q6_filter_agg" -> ((s, dir) => Relational.q6(s, dir)),
+    "q12_priority" -> ((s, dir) => Relational.q12(s, dir)),
+    "q14_promo" -> ((s, dir) => Relational.q14(s, dir)),
+    "q18_having" -> ((s, dir) => Relational.q18(s, dir)),
+    "q_window_suite" -> ((s, dir) => Relational.windowSuite(s, dir)),
+    "q_scalar_funcs" -> ((s, dir) => Relational.scalarFuncs(s, dir)),
     "q_rollup" -> ((s, dir) => Relational.rollupDaily(s, dir)),
 
     // ---- §2.4 LLM-training-data pipeline ----
@@ -363,6 +369,63 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_filter_agg" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+    "q12_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS high_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q14_promo" ->
+      """SELECT ROUND(100.0 *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |       THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |            * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+        |  6) AS promo_revenue_pct,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+        |""".stripMargin,
+    "q18_having" ->
+      """SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |       total_qty
+        |FROM (SELECT l_orderkey,
+        |             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150.0) big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_window_suite" ->
+      """SELECT event_id, event_type AS symbol,
+        |  CAST(RANK() OVER w AS BIGINT) AS price_rank,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS price_dense_rank,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS price_quartile,
+        |  FIRST_VALUE(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS first_price
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT event_id,
+        |  CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+        |  CAST(dayofweek(ts) AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS h,
+        |  UPPER(substr(event_type, 1, 3)) AS sym3,
+        |  CAST(length(props) AS BIGINT) AS props_len,
+        |  concat_ws('|', event_type, user_id) AS tag,
+        |  user_id % 7 AS user_mod
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)

@@ -116,6 +116,99 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
       .orderBy("symbol")
 
+  /** TPC-H Q6-style forecasting revenue change: tight pushed-down
+    * filter + single global sum, the canonical scan-bound query.
+    */
+  def q6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+      .agg(sum(d("l_extendedprice") * d("l_discount")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q12-style priority split by line status: fact-fact join +
+    * conditional aggregation.
+    */
+  def q12(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_count"))
+      .orderBy("l_linestatus")
+
+  /** TPC-H Q14-style promo revenue share: broadcast part join +
+    * conditional / total aggregate ratio.
+    */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val rev = d("l_extendedprice") * (one - d("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(dec))).cast("double") /
+        sum(rev).cast("double"), 6).as("promo_revenue_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q18-style large-volume customers: HAVING over a grouped
+    * fact, then dimension joins.
+    */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(d("l_quantity")).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 150.0)
+    bigOrders
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** Window-function suite: rank/dense_rank/ntile/first_value per
+    * symbol with a total order (price desc, event_id) so every engine
+    * assigns identical rows to identical buckets.
+    */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPrice = Window.partitionBy(col("symbol"))
+      .orderBy(col("price").desc, col("event_id"))
+    val byTime = Window.partitionBy(col("symbol"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.ticks(spark, dir)
+      .select(col("event_id"), col("symbol"),
+        rank().over(byPrice).cast("long").as("price_rank"),
+        dense_rank().over(byPrice).cast("long").as("price_dense_rank"),
+        ntile(4).over(byPrice).cast("long").as("price_quartile"),
+        first(col("price")).over(byTime).as("first_price"))
+      .orderBy("event_id")
+  }
+
+  /** Scalar string/date function suite — row-level breadth check. */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("h"),
+        upper(substring(col("event_type"), 1, 3)).as("sym3"),
+        length(col("props")).cast("long").as("props_len"),
+        concat_ws("|", col("event_type"), col("user_id")).as("tag"),
+        (col("user_id") % 7L).as("user_mod"))
+      .orderBy("event_id")
+
   /** Exact interpolated percentiles per symbol (matches DuckDB
     * quantile_cont). At 100 TB the approximate path is
     * `percentile_approx` / t-digest — exposed separately so the exact

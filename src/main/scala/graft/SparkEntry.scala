@@ -120,6 +120,7 @@ object SparkEntry {
     // ---- §2.4 LLM-training-data pipeline ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir))),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),

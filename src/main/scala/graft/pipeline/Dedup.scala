@@ -92,6 +92,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`.
+    *
+    * Banding by pigeonhole: split the 64-bit signature into
+    * `maxHamming + 1` bands — any pair within the distance budget must
+    * agree exactly on at least one band, so candidates come from a
+    * band-wise equi-join (bucket-grouped, single shuffle), then the
+    * exact popcount filter runs per candidate. No all-pairs comparison
+    * anywhere.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(64 % bands == 0, s"maxHamming+1 must divide 64, got $bands bands")
+    val width = 64 / bands
+    val sigs = simhash(docs)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bands).map { b =>
+        shiftrightunsigned(col("simhash"), b * width)
+          .bitwiseAND((1L << width) - 1L)
+      }: _*)).as(Seq("band_id", "band_val")))
+    val buckets = banded
+      .groupBy("band_id", "band_val")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    buckets.select(explode(flatten(
+        transform(col("members"), (a, i) =>
+          transform(slice(col("members"), i + 2, lit(maxBucket)),
+            b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(
+        least(col("p.a.doc_id"), col("p.b.doc_id")).as("doc_a"),
+        greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact n-gram Jaccard for candidate pairs (verification stage after
     * LSH): |A∩B| / |A∪B| over shingle sets.
     */

@@ -34,21 +34,40 @@ import org.apache.spark.sql.types._
   * Many-symbol skew is bounded because market symbols are numerous and
   * AQE rebalances the ingest shuffle.
   */
-final class TickStore(spark: SparkSession, path: String) {
+/** @param dailyPartitions also partition by calendar day
+  *   (`symbol=<s>/ts_date=<d>/`): at 100 TB this bounds per-directory
+  *   file counts and turns time-range predicates into directory-level
+  *   partition pruning on top of row-group pruning — the layout a real
+  *   deployment uses. Off by default to mirror the reference's
+  *   one-directory-per-symbol layout.
+  */
+final class TickStore(spark: SparkSession, path: String,
+    dailyPartitions: Boolean = false) {
   import TickStore._
 
   /** Append a batch of ticks — reference `append_batch`
     * (/root/reference/timeseries_db.hpp:35). Input must have columns
     * (symbol, ts, price, volume); extra columns are dropped.
     */
-  def ingest(ticks: DataFrame): Unit =
-    ticks.select(col("symbol").cast(StringType),
-        col("ts").cast(TimestampType),
-        col("price").cast(DoubleType),
-        col("volume").cast(LongType))
-      .repartition(col("symbol"))
-      .sortWithinPartitions("ts")
-      .write.mode(SaveMode.Append).partitionBy("symbol").parquet(path)
+  def ingest(ticks: DataFrame): Unit = {
+    val missing = cols.filterNot(ticks.columns.contains)
+    require(missing.isEmpty,
+      s"ingest requires columns ${cols.mkString(", ")}; missing: ${missing.mkString(", ")}")
+    val normalized = ticks.select(col("symbol").cast(StringType),
+      col("ts").cast(TimestampType),
+      col("price").cast(DoubleType),
+      col("volume").cast(LongType))
+    if (dailyPartitions)
+      normalized.withColumn("ts_date", to_date(col("ts")))
+        .repartition(col("symbol"), col("ts_date"))
+        .sortWithinPartitions("ts")
+        .write.mode(SaveMode.Append).partitionBy("symbol", "ts_date").parquet(path)
+    else
+      normalized
+        .repartition(col("symbol"))
+        .sortWithinPartitions("ts")
+        .write.mode(SaveMode.Append).partitionBy("symbol").parquet(path)
+  }
 
   /** Single-tick append — reference `append`
     * (/root/reference/timeseries_db.hpp:32). Provided for API parity; on
@@ -78,17 +97,26 @@ final class TickStore(spark: SparkSession, path: String) {
       col("price"), col("volume")))
   }
 
+  private def raw(): DataFrame = spark.read.parquet(path)
+
   /** Full store scan (lazy). Partition column is re-ordered first. */
-  def all(): DataFrame =
-    spark.read.parquet(path).select(cols.map(col): _*)
+  def all(): DataFrame = raw().select(cols.map(col): _*)
 
   /** Inclusive time-range query — reference `query_range`
-    * (/root/reference/timeseries_db.hpp:38). Symbol partition pruning +
-    * ts row-group pruning; result ordered by ts.
+    * (/root/reference/timeseries_db.hpp:38). Symbol (and, for daily
+    * layouts, date-directory) partition pruning + ts row-group pruning;
+    * result ordered by ts.
     */
-  def queryRange(symbol: String, start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame =
-    all().filter(col("symbol") === symbol && col("ts") >= lit(start) && col("ts") <= lit(end))
-      .orderBy("ts")
+  def queryRange(symbol: String, start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame = {
+    val base = raw().filter(col("symbol") === symbol &&
+      col("ts") >= lit(start) && col("ts") <= lit(end))
+    val pruned =
+      if (dailyPartitions)
+        base.filter(col("ts_date").between(
+          to_date(lit(start)), to_date(lit(end))))
+      else base
+    pruned.select(cols.map(col): _*).orderBy("ts")
+  }
 
   /** Last N ticks — reference `query_last`
     * (/root/reference/timeseries_db.hpp:41). Planned as

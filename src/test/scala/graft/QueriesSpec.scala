@@ -11,7 +11,8 @@ class QueriesSpec extends AnyFunSuite {
 
   // Near-dup candidate generation can legitimately be empty on 500
   // random docs; everything else must produce rows.
-  private val mayBeEmpty = Set("q_dedup_minhash", "q_embed_dedup", "q_ngram_jaccard")
+  private val mayBeEmpty =
+    Set("q_dedup_minhash", "q_embed_dedup", "q_ngram_jaccard", "q_simhash_pairs")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {

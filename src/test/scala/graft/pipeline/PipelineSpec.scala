@@ -39,6 +39,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("simhashPairs surfaces injected duplicates at hamming 0") {
+    val doubled = docs.select("doc_id", "text").limit(50)
+      .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")).limit(50))
+    val pairs = Dedup.simhashPairs(doubled, maxHamming = 3)
+      .filter(col("doc_b") === col("doc_a") + 100000 && col("hamming") === 0)
+    assert(pairs.count() === 50)
+  }
+
   test("quality: ratios within [0,1]") {
     val q = TextOps.qualityScore(docs)
     assert(q.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() === 0)

@@ -55,6 +55,33 @@ class TickStoreSpec extends AnyFunSuite {
     assert(ts.head === newest)
   }
 
+  test("daily layout partitions by symbol and date; range query prunes and matches") {
+    val p = Files.createTempDirectory("ts_daily_").toString
+    val daily = new TickStore(spark, p, dailyPartitions = true)
+    daily.ingest(Tables.ticks(spark, sf))
+    // physical layout: symbol=<s>/ts_date=<d>/ directories
+    val clickDir = new java.io.File(s"$p/symbol=click")
+    assert(clickDir.isDirectory)
+    assert(clickDir.listFiles().exists(_.getName.startsWith("ts_date=2024-01-")))
+    val lo = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val want = Tables.ticks(spark, sf)
+      .filter(col("symbol") === "click" && col("ts") >= lit(lo) && col("ts") <= lit(hi))
+      .count()
+    assert(daily.queryRange("click", lo, hi).count() === want)
+    // the plan prunes date partitions: scanned partitions filter shows ts_date
+    val plan = daily.queryRange("click", lo, hi).queryExecution.executedPlan.toString
+    assert(plan.contains("ts_date"))
+  }
+
+  test("ingest rejects frames missing required columns") {
+    val p = Files.createTempDirectory("ts_badcols_").toString
+    val s2 = new TickStore(spark, p)
+    val bad = Tables.ticks(spark, sf).drop("volume")
+    val e = intercept[IllegalArgumentException](s2.ingest(bad))
+    assert(e.getMessage.contains("volume"))
+  }
+
   test("csv import round-trips (reference cli.cpp import path)") {
     val base = Files.createTempDirectory("ts_csv_").toString
     Tables.ticks(spark, sf).filter(col("symbol") === "error").limit(50)

@@ -36,7 +36,32 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // reference-style throughput numbers (cli.cpp benchmark prints
+    // ticks/second for ingest and range scan) — measured on 2M
+    // deterministic synthetic ticks so steady-state throughput, not
+    // fixed job overhead, dominates.
+    import org.apache.spark.sql.functions._
+    val nTicks = 2000000L
+    val symbols = array(lit("AAPL"), lit("MSFT"), lit("GOOG"), lit("AMZN"), lit("TSLA"))
+    val synth = spark.range(nTicks).select(
+      element_at(symbols, (pmod(col("id"), lit(5L)) + 1).cast("int")).as("symbol"),
+      timestamp_seconds(lit(1700000000L) + expr("id div 5")).as("ts"),
+      (lit(100.0) + pmod(col("id") * 7919L, lit(10000L)) / 100.0).as("price"),
+      (pmod(col("id") * 104729L, lit(9900L)) + 100L).as("volume"))
+    val ingestDir = java.nio.file.Files.createTempDirectory("graft_bench_ingest_").toString
+    val t0 = System.nanoTime()
+    new graft.tsdb.TickStore(spark, ingestDir).ingest(synth)
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val scanned = new graft.tsdb.TickStore(spark, ingestDir)
+      .queryRange("AAPL", new java.sql.Timestamp(1700000000L * 1000L),
+        new java.sql.Timestamp(1700400000L * 1000L)).count()
+    val scanSec = (System.nanoTime() - t1) / 1e9
+    val extra = s""""ingest_ticks_per_sec":${(nTicks / ingestSec).toLong},""" +
+      s""""scan_ticks_per_sec":${(scanned / scanSec).toLong}"""
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$extra}""")
     spark.stop()
   }
 }

@@ -126,6 +126,34 @@ final class TickStore(spark: SparkSession, path: String,
   def queryLast(symbol: String, n: Int): DataFrame =
     all().filter(col("symbol") === symbol).orderBy(col("ts").desc).limit(n)
 
+  /** Compact each partition's accumulated small files (streaming and
+    * per-batch appends leave one file per micro-batch) into `filesPer`
+    * time-sorted files per partition. Uses dynamic partition overwrite
+    * so untouched partitions are left alone; at 100 TB this runs
+    * per-partition as routine maintenance, exactly like the
+    * reference's chunked file preallocation amortizes its write cost
+    * (/root/reference/README.md:81-83).
+    */
+  def compact(): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val partCols = if (dailyPartitions) Seq("symbol", "ts_date") else Seq("symbol")
+      // localCheckpoint breaks lineage so overwriting the source path
+      // is safe (no lazy re-read of overwritten files)
+      val data = raw().localCheckpoint()
+      data
+        .repartition(partCols.map(col): _*)
+        .sortWithinPartitions("ts")
+        .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** Tick count — reference `get_count`
     * (/root/reference/timeseries_db.hpp:44). Metadata-only at the parquet
     * level (row-group counts), no column IO.

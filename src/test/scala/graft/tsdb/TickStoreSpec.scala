@@ -82,6 +82,24 @@ class TickStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("volume"))
   }
 
+  test("compact merges append-accumulated files and preserves data") {
+    val p = Files.createTempDirectory("ts_compact_").toString
+    val s2 = new TickStore(spark, p)
+    val src = Tables.ticks(spark, sf).filter(col("symbol") === "click")
+    (1 to 3).foreach(_ => s2.ingest(src)) // 3 appends → ≥3 files
+    val dir = new java.io.File(s"$p/symbol=click")
+    val before = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 3)
+    val total = s2.countAll()
+    s2.compact()
+    val after = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after < before)
+    assert(s2.countAll() === total)
+    // still time-sorted within the compacted file
+    val ts = s2.queryLast("click", 5).collect().map(_.getTimestamp(1))
+    assert(ts.sliding(2).forall { case Array(a, b) => !a.before(b) })
+  }
+
   test("csv import round-trips (reference cli.cpp import path)") {
     val base = Files.createTempDirectory("ts_csv_").toString
     Tables.ticks(spark, sf).filter(col("symbol") === "error").limit(50)

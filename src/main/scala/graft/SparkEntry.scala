@@ -147,6 +147,7 @@ object SparkEntry {
     "q_stream_ingest" -> ((s, dir) => graft.streaming.Streams.streamIngest(s, dir)),
     "q_stream_bars" -> ((s, dir) => graft.streaming.Streams.streamBars(s, dir)),
     "q_stream_stateful" -> ((s, dir) => graft.streaming.Streams.streamRunningVwap(s, dir)),
+    "q_stream_rollup" -> ((s, dir) => graft.streaming.Streams.materializedBars(s, dir)),
   )
 
   /** Batch-ingest into a TickStore (symbol-partitioned, ts-sorted

@@ -123,6 +123,10 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir))),
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.nearDupClusters(docs, Dedup.minhashCandidates(docs))
+    }),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "q_token_count" -> ((s, dir) => TextOps.tokenCount(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),

@@ -129,6 +129,44 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-duplicate clusters from a candidate-pair graph: label
+    * propagation to connected components (each doc's cluster id =
+    * smallest doc_id reachable through near-dup edges), then survivor
+    * selection — keep the min doc_id per cluster, exactly like
+    * [[exact]] keeps min per content hash.
+    *
+    * Iterative min-label joins converge in O(log(diameter)) rounds;
+    * near-dup clusters are shallow in practice, and `maxIters` bounds
+    * the work. Each round is one shuffle of (doc_id, label).
+    */
+  def nearDupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 5): DataFrame = {
+    // undirected edges, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    var i = 0
+    var changed = 1L
+    while (i < maxIters && changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("label", "n_label"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("n_label").as("n_min"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("n_min"), col("label"))).as("label"))
+        .cache()
+      changed = updated.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+      .withColumn("is_survivor", (col("doc_id") === col("cluster_id")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard for candidate pairs (verification stage after
     * LSH): |A∩B| / |A∪B| over shingle sets.
     */

@@ -39,6 +39,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("nearDupClusters: chains collapse to one cluster, survivors are minima") {
+    import spark.implicits._
+    val d = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 0-1-2, pair 5-6, singletons 3,4,7,8,9
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(d, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0) === (0L, 1L) && got(1) === (0L, 0L) && got(2) === (0L, 0L))
+    assert(got(5) === (5L, 1L) && got(6) === (5L, 0L))
+    Seq(3L, 4L, 7L, 8L, 9L).foreach(i => assert(got(i) === (i, 1L)))
+  }
+
   test("simhashPairs surfaces injected duplicates at hamming 0") {
     val doubled = docs.select("doc_id", "text").limit(50)
       .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")).limit(50))

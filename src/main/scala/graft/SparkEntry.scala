@@ -220,12 +220,17 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sma" ->
       """SELECT event_id, event_type AS symbol,
-        |       ROUND(AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
-        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4) AS sma20
-        |FROM events ORDER BY event_id""".stripMargin,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |             / CAST(COUNT(*) OVER w AS DOUBLE) AS sma20
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_resample_hourly" ->
       """SELECT event_type AS symbol, strftime(ts, '%Y-%m-%d %H:00') AS bucket,
-        |       COUNT(*) AS n_ticks, ROUND(AVG(value), 4) AS avg_price,
+        |       COUNT(*) AS n_ticks,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE) AS avg_price,
         |       MIN(value) AS lo, MAX(value) AS hi,
         |       CAST(SUM(user_id) AS BIGINT) AS volume
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -242,7 +247,7 @@ object SparkEntry {
         |  SELECT event_id, event_type AS symbol, value,
         |         LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
         |  FROM events)
-        |WHERE prev IS NOT NULL ORDER BY event_id""".stripMargin,
+        |WHERE prev IS NOT NULL AND prev <> 0 ORDER BY event_id""".stripMargin,
     "q_running_sum" ->
       """SELECT event_id, event_type AS symbol,
         |       CAST(SUM(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id
@@ -250,7 +255,8 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "q_volatility" ->
       """SELECT event_type AS symbol, ROUND(stddev_samp(value), 4) AS price_stddev,
-        |       ROUND(AVG(value), 4) AS avg_price, MIN(value) AS min_price,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE) AS avg_price, MIN(value) AS min_price,
         |       MAX(value) AS max_price, COUNT(*) AS n_ticks
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sessionize" ->
@@ -306,7 +312,8 @@ object SparkEntry {
     "q_gap_fill" ->
       """WITH hourly AS (
         |  SELECT event_type AS symbol, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
-        |         ROUND(AVG(value), 4) AS avg_price
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |               / CAST(COUNT(*) AS DOUBLE) AS avg_price
         |  FROM events GROUP BY 1, 2),
         |bounds AS (SELECT symbol, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
         |spine AS (SELECT b.symbol, UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h

@@ -50,11 +50,21 @@ object MarketOps {
           sum(col("volume")).cast("double"), 6).as("vwap"))
       .orderBy("symbol", "day")
 
+  /** Engine-exact mean of 2-dp prices: decimal sum (exact, order-free)
+    * then one double division — bit-identical across engines, immune
+    * to the 1-ulp averaging differences that split round() boundaries.
+    */
+  private def exactAvg(c: Column, n: Column): Column =
+    sum(c.cast(dec)).cast("double") / n.cast("double")
+
   /** n-tick simple moving average per symbol. */
-  def sma(ticks: DataFrame, n: Int): DataFrame =
+  def sma(ticks: DataFrame, n: Int): DataFrame = {
+    val w = tickOrder.rowsBetween(-(n - 1), 0)
     ticks.select(col("event_id"), col("symbol"),
-        round(avg(col("price")).over(tickOrder.rowsBetween(-(n - 1), 0)), 4).as(s"sma$n"))
+        (sum(col("price").cast(dec)).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as(s"sma$n"))
       .orderBy("event_id")
+  }
 
   /** Tick record for typed sorted-group streaming. */
   final case class Tick(event_id: Long, symbol: String, ts_us: Long, price: Double)
@@ -95,7 +105,7 @@ object MarketOps {
     ticks.groupBy(col("symbol"), date_format(col("ts"), "yyyy-MM-dd HH:00").as("bucket"))
       .agg(
         count(lit(1)).as("n_ticks"),
-        round(avg(col("price")), 4).as("avg_price"),
+        exactAvg(col("price"), count(lit(1))).as("avg_price"),
         min(col("price")).as("lo"),
         max(col("price")).as("hi"),
         sum(col("volume")).as("volume"))
@@ -113,7 +123,7 @@ object MarketOps {
   /** Tick-over-tick simple returns per symbol. */
   def returns(ticks: DataFrame): DataFrame =
     ticks.withColumn("prev", lag(col("price"), 1).over(tickOrder))
-      .filter(col("prev").isNotNull)
+      .filter(col("prev").isNotNull && col("prev") =!= 0.0)
       .select(col("event_id"), col("symbol"),
         round(col("price") / col("prev") - 1, 6).as("ret"))
       .orderBy("event_id")
@@ -130,7 +140,7 @@ object MarketOps {
     ticks.groupBy(col("symbol"))
       .agg(
         round(stddev_samp(col("price")), 4).as("price_stddev"),
-        round(avg(col("price")), 4).as("avg_price"),
+        exactAvg(col("price"), count(lit(1))).as("avg_price"),
         min(col("price")).as("min_price"),
         max(col("price")).as("max_price"),
         count(lit(1)).as("n_ticks"))
@@ -204,7 +214,7 @@ object MarketOps {
   def gapFillHourly(ticks: DataFrame): DataFrame = {
     val hourly = ticks
       .groupBy(col("symbol"), date_trunc("hour", col("ts")).as("h"))
-      .agg(round(avg(col("price")), 4).as("avg_price"))
+      .agg(exactAvg(col("price"), count(lit(1))).as("avg_price"))
     val spine = hourly.groupBy(col("symbol"))
       .agg(min("h").as("h0"), max("h").as("h1"))
       .select(col("symbol"),

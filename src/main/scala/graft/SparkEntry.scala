@@ -243,7 +243,7 @@ object SparkEntry {
         |  FROM events)
         |WHERE rn <= 5 ORDER BY symbol, rn""".stripMargin,
     "q_returns" ->
-      """SELECT event_id, symbol, ROUND(value / prev - 1, 6) AS ret FROM (
+      """SELECT event_id, symbol, value / prev - 1 AS ret FROM (
         |  SELECT event_id, event_type AS symbol, value,
         |         LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
         |  FROM events)

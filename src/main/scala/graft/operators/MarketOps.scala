@@ -125,7 +125,7 @@ object MarketOps {
     ticks.withColumn("prev", lag(col("price"), 1).over(tickOrder))
       .filter(col("prev").isNotNull && col("prev") =!= 0.0)
       .select(col("event_id"), col("symbol"),
-        round(col("price") / col("prev") - 1, 6).as("ret"))
+        (col("price") / col("prev") - 1).as("ret"))
       .orderBy("event_id")
 
   /** Running (cumulative) volume per symbol — exact integer math. */

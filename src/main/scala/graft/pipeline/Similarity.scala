@@ -66,13 +66,25 @@ object Similarity {
     emb.select(col("vec_id"), col("label"), col("embedding"),
       lshBucket(col("embedding"), dim, nBits).as("bucket"))
 
-  /** ANN top-k via LSH buckets: candidates share the query's bucket. */
-  def lshTopK(emb: DataFrame, queryId: Long, k: Int, dim: Int, nBits: Int = 8): DataFrame = {
+  /** ANN top-k via LSH buckets with multi-probe: candidates come from
+    * the query's bucket plus every bucket at Hamming distance 1 in
+    * sign-bit space (`nBits + 1` probes) — the standard recall fix for
+    * sign-LSH without growing the table. Probe list is tiny and
+    * broadcast; the scan stays an equi-join on bucket id.
+    */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int, dim: Int, nBits: Int = 8,
+      multiProbe: Boolean = true): DataFrame = {
     val bucketed = lshBuckets(emb, dim, nBits)
-    val q = bucketed.filter(col("vec_id") === queryId)
+    val qRow = bucketed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"), col("bucket"))
+    val probes =
+      if (multiProbe)
+        qRow.select(col("qe"), explode(array(
+          (col("bucket") +: (0 until nBits).map(b =>
+            col("bucket").bitwiseXOR(1L << b))): _*)).as("bucket"))
+      else qRow
     bucketed.filter(col("vec_id") =!= queryId)
-      .join(broadcast(q), "bucket")
+      .join(broadcast(probes), "bucket")
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))

@@ -98,6 +98,7 @@ object SparkEntry {
     "q_ema" -> ((s, dir) => MarketOps.ema(ticks(s, dir), alpha = 0.2)),
     "q_session_window" -> ((s, dir) => MarketOps.sessionWindows(ticks(s, dir), 30)),
     "q_approx_stats" -> ((s, dir) => MarketOps.approxStats(ticks(s, dir))),
+    "q_correlation" -> ((s, dir) => MarketOps.correlationMatrix(ticks(s, dir))),
 
     // ---- §2.3 relational/OLAP breadth ----
     "q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
@@ -271,6 +272,17 @@ object SparkEntry {
         |               LAG(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_ts
         |        FROM events))
         |ORDER BY event_id""".stripMargin,
+    "q_correlation" ->
+      """WITH hourly AS (
+        |  SELECT event_type AS symbol, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE) AS p
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+        |       ROUND(corr(a.p, b.p), 4) AS price_corr, COUNT(*) AS n_hours
+        |FROM hourly a JOIN hourly b ON a.h = b.h
+        |WHERE a.symbol < b.symbol
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_session_window" ->
       """SELECT symbol, MIN(ts_us) AS sess_start_us, COUNT(*) AS n_ticks
         |FROM (

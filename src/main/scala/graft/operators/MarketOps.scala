@@ -146,6 +146,26 @@ object MarketOps {
         count(lit(1)).as("n_ticks"))
       .orderBy("symbol")
 
+  /** Cross-symbol price correlation: align symbols on an hourly grid
+    * (exact decimal means), pair-join on the hour, Pearson corr per
+    * symbol pair. The pair join runs on the tiny hourly rollup, never
+    * on raw ticks — at 100 TB the rollup is what makes an all-pairs
+    * correlation feasible at all.
+    */
+  def correlationMatrix(ticks: DataFrame): DataFrame = {
+    val hourly = ticks
+      .groupBy(col("symbol"), date_trunc("hour", col("ts")).as("h"))
+      .agg(exactAvg(col("price"), count(lit(1))).as("p"))
+    val a = hourly.select(col("symbol").as("sym_a"), col("h"), col("p").as("p_a"))
+    val b = hourly.select(col("symbol").as("sym_b"), col("h"), col("p").as("p_b"))
+    a.join(b, "h")
+      .filter(col("sym_a") < col("sym_b"))
+      .groupBy("sym_a", "sym_b")
+      .agg(round(corr(col("p_a"), col("p_b")), 4).as("price_corr"),
+        count(lit(1)).as("n_hours"))
+      .orderBy("sym_a", "sym_b")
+  }
+
   /** As-of join (trade↔quote style): for each left tick, the latest
     * right tick with `right.ts <= left.ts` for the same key.
     *

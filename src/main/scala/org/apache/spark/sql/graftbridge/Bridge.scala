@@ -13,4 +13,20 @@ import org.apache.spark.sql.classic
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Test hook: materialize what a SparkSessionExtensions instance
+    * would inject, without building a new session.
+    */
+  def plannerStrategies(spark: SparkSession,
+      ext: org.apache.spark.sql.SparkSessionExtensions)
+      : Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
+
+  def registerFunctions(spark: SparkSession,
+      ext: org.apache.spark.sql.SparkSessionExtensions)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry = {
+    val reg = spark.asInstanceOf[classic.SparkSession]
+      .sessionState.functionRegistry.clone()
+    ext.registerFunctions(reg)
+  }
 }

@@ -68,6 +68,7 @@ object SparkEntry {
     "q_sma" -> ((s, dir) => MarketOps.sma(ticks(s, dir), 20)),
     "q_resample_hourly" -> ((s, dir) => MarketOps.resampleHourly(ticks(s, dir))),
     "q_topn_per_symbol" -> ((s, dir) => MarketOps.topNBySymbol(ticks(s, dir), 5)),
+    "q_topn_agg" -> ((s, dir) => MarketOps.topNBySymbolAgg(ticks(s, dir), 5)),
     "q_returns" -> ((s, dir) => MarketOps.returns(ticks(s, dir))),
     "q_running_sum" -> ((s, dir) => MarketOps.runningVolume(ticks(s, dir))),
     "q_volatility" -> ((s, dir) => MarketOps.volatility(ticks(s, dir))),
@@ -236,6 +237,14 @@ object SparkEntry {
         |       CAST(SUM(user_id) AS BIGINT) AS volume
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_topn_per_symbol" ->
+      """SELECT symbol, rn, event_id, price FROM (
+        |  SELECT event_type AS symbol,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |              ORDER BY value DESC, event_id) AS BIGINT) AS rn,
+        |         event_id, value AS price
+        |  FROM events)
+        |WHERE rn <= 5 ORDER BY symbol, rn""".stripMargin,
+    "q_topn_agg" ->
       """SELECT symbol, rn, event_id, price FROM (
         |  SELECT event_type AS symbol,
         |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type

@@ -120,6 +120,28 @@ object MarketOps {
       .select(col("symbol"), col("rn"), col("event_id"), col("price"))
       .orderBy("symbol", "rn")
 
+  /** Top-n per symbol as a typed partial aggregation
+    * ([[graft.functions.TopKAggregator]]): map-side k-row buffers,
+    * shuffle of k rows per symbol — same answer as [[topNBySymbol]]
+    * without sorting whole partitions. Same output shape/oracle.
+    */
+  def topNBySymbolAgg(ticks: DataFrame, n: Int): DataFrame = {
+    import graft.functions.TopKAggregator
+    import TopKAggregator.PE
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.select(col("symbol"), col("price"), col("event_id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => PE(t._2, t._3))
+      .agg(TopKAggregator.topK(n).toColumn.name("top"))
+      .toDF("symbol", "top")
+      .select(col("symbol"), posexplode(col("top")).as(Seq("i", "pe")))
+      .select(col("symbol"), (col("i") + 1).cast("long").as("rn"),
+        col("pe.event_id").as("event_id"), col("pe.price").as("price"))
+      .orderBy("symbol", "rn")
+  }
+
   /** Tick-over-tick simple returns per symbol. */
   def returns(ticks: DataFrame): DataFrame =
     ticks.withColumn("prev", lag(col("price"), 1).over(tickOrder))

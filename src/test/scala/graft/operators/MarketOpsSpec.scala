@@ -59,6 +59,14 @@ class MarketOpsSpec extends AnyFunSuite {
     assert(MarketOps.returns(ticks).count() === ticks.count() - nSymbols)
   }
 
+  test("top-k aggregator agrees with the window formulation") {
+    val byWindow = MarketOps.topNBySymbol(ticks, 5)
+    val byAgg = MarketOps.topNBySymbolAgg(ticks, 5)
+    assert(byAgg.count() === byWindow.count())
+    assert(byAgg.exceptAll(byWindow).count() === 0)
+    assert(byWindow.exceptAll(byAgg).count() === 0)
+  }
+
   test("asof join matches a naive per-row max-ts computation") {
     val t = graft.core.Tables.events(spark, sf).select(col("event_id"),
       col("event_type").as("symbol"), col("ts"), col("value").as("price"), col("user_id"))

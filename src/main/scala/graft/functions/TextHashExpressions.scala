@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -41,6 +41,57 @@ object TextHash {
     h
   }
 
+  /** Static entry points for generated code (and interpreted eval):
+    * keeping the whole computation behind one static call lets
+    * `doGenCode` emit a plain method invocation, so the surrounding
+    * operators stay fused in WholeStageCodegen.
+    */
+  def minhashEval(input: UTF8String, n: Int, k: Int): UnsafeArrayData = {
+    val wh = wordHashes(input.toString)
+    val seeds = seedsFor(k)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val last = wh.length - n
+    while (i <= last) {
+      var g = FnvOffset
+      var j = 0
+      while (j < n) { g ^= wh(i + j); g *= FnvPrime; j += 1 }
+      g = mix(g)
+      var p = 0
+      while (p < k) {
+        val h = mix(g ^ seeds(p))
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  def simhashEval(input: UTF8String): Long = {
+    val wh = wordHashes(input.toString)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < wh.length) {
+      val h = wh(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  def seedsFor(k: Int): Array[Long] =
+    seedCache.computeIfAbsent(k, kk =>
+      Array.tabulate(kk)(j => mix(0x9e3779b97f4a7c15L * (j + 1))))
+
   /** Word hashes of a single-space-tokenized string (one allocation). */
   def wordHashes(s: String): Array[Long] = {
     val n = s.length
@@ -67,35 +118,20 @@ object TextHash {
   * harmless: exact dedup handles degenerate docs first).
   */
 case class MinHashSig(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  import TextHash._
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
-  private val seeds: Array[Long] = Array.tabulate(k)(j => mix(0x9e3779b97f4a7c15L * (j + 1)))
+  override def nullSafeEval(input: Any): Any =
+    TextHash.minhashEval(input.asInstanceOf[UTF8String], n, k)
 
-  override def nullSafeEval(input: Any): Any = {
-    val wh = wordHashes(input.asInstanceOf[UTF8String].toString)
-    val mins = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    val last = wh.length - n
-    while (i <= last) {
-      // combine n consecutive word hashes into one gram hash
-      var g = FnvOffset
-      var j = 0
-      while (j < n) { g ^= wh(i + j); g *= FnvPrime; j += 1 }
-      g = mix(g)
-      var p = 0
-      while (p < k) {
-        val h = mix(g ^ seeds(p))
-        if (h < mins(p)) mins(p) = h
-        p += 1
-      }
-      i += 1
-    }
-    UnsafeArrayData.fromPrimitiveArray(mins)
-  }
+  /** One static call — the enclosing WholeStageCodegen stage stays
+    * fused (CodegenFallback would split it).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.minhashEval($c, $n, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -105,30 +141,16 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
   * the sum over words of ±1 according to bit j of the word's hash.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  import TextHash._
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val wh = wordHashes(input.asInstanceOf[UTF8String].toString)
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < wh.length) {
-      val h = wh(i)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var j = 0
-    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
-    java.lang.Long.valueOf(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(TextHash.simhashEval(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhashEval($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

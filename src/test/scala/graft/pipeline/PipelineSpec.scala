@@ -32,6 +32,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(sigs.filter(size(col("sig")) =!= 16).count() === 0)
   }
 
+  test("hash expressions run under codegen with fallback disabled") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(Dedup.simhash(docs).count() === docs.count())
+      assert(Dedup.minhashSignatures(docs).count() === docs.count())
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("simhash of identical texts is identical") {
     val s = Dedup.simhash(docs).withColumnRenamed("simhash", "s1")
     val s2 = Dedup.simhash(docs).withColumnRenamed("simhash", "s2")

@@ -158,7 +158,8 @@ object SparkEntry {
 
   /** Batch-ingest into a TickStore (symbol-partitioned, ts-sorted
     * parquet) and read a range back — exercises the reference's
-    * append_batch → query_range path end-to-end. Rows-only check.
+    * append_batch → query_range path end-to-end. The store round-trip
+    * is value-preserving, so the oracle is the equivalent direct scan.
     */
   private def ingestRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val path = java.nio.file.Files
@@ -169,11 +170,14 @@ object SparkEntry {
       java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
       java.sql.Timestamp.valueOf("2024-12-31 00:00:00"))
       .select(unix_micros(col("ts")).as("ts_us"), col("price"), col("volume"))
+      .orderBy("ts_us", "price", "volume")
   }
 
   /** CSV round trip mirroring the reference's import command
     * (/root/reference/cli.cpp:140): dump ticks as (timestamp,price,
-    * volume) CSV, import into a store, scan back. Rows-only check.
+    * volume) CSV, import into a store, scan back. The CSV carries
+    * epoch-second timestamps (like the reference's format), so the
+    * oracle is the direct scan with ts truncated to seconds.
     */
   private def csvImport(s: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_csv_").toString
@@ -184,6 +188,8 @@ object SparkEntry {
     val store = new TickStore(s, s"$base/store")
     store.importCsv(csvPath, "VIEW")
     store.all()
+      .select(unix_micros(col("ts")).as("ts_us"), col("price"), col("volume"))
+      .orderBy("ts_us", "price", "volume")
   }
 
   /** DuckDB-equivalent SQL per query (same column names, same ordering;
@@ -345,6 +351,23 @@ object SparkEntry {
         |       CAST(CASE WHEN hr.avg_price IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
         |FROM spine s LEFT JOIN hourly hr ON s.symbol = hr.symbol AND s.h = hr.h
         |ORDER BY s.symbol, h_us""".stripMargin,
+    // Recursive-CTE mirror of the flatMapSortedGroups recursion; the
+    // per-step expression shape matches the Scala op order exactly
+    // (a·p + (1−a)·e with a=0.2 evaluated in doubles), so the stream
+    // of IEEE operations — and hence every ema value — is bit-identical.
+    "q_ema" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT event_id, event_type AS symbol, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, symbol, rn, value AS ema FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.event_id, t.symbol, t.rn,
+        |         CAST(0.2 AS DOUBLE) * t.value
+        |           + (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.ema
+        |  FROM t JOIN r ON t.symbol = r.symbol AND t.rn = r.rn + 1)
+        |SELECT event_id, symbol, ema FROM r ORDER BY event_id""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type AS symbol,
         |       ROUND(quantile_cont(value, 0.25), 4) AS p25,
@@ -508,6 +531,103 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
         |       AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // checksum = first 8 md5 hex digits as an integer (hex fold);
+    // mean_byte = integer byte sum / length, exact in doubles — the
+    // documents corpus is ASCII so byte==codepoint.
+    "q_multimodal_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |         list_reduce(list_transform(generate_series(1, 8),
+        |             i -> CAST(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1
+        |                  AS BIGINT)),
+        |           (a, b) -> a * 16 + b) AS h,
+        |         CAST(list_sum(list_transform(generate_series(1, length(text)),
+        |             i -> unicode(substr(text, i, 1)))) AS DOUBLE) AS byte_sum
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, h AS checksum,
+        |       h % 1280 + 32 AS width, h % 720 + 32 AS height,
+        |       byte_sum / CAST(n_bytes AS DOUBLE) AS mean_byte,
+        |       CAST(8 AS BIGINT) AS feat_dim
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // list_reduce seeds with the first element — RollingHash64 uses the
+    // same seed-with-first recurrence, so the fold is identical.
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    list_reduce(
+        |      list_transform(generate_series(1, length(text)),
+        |                     i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007)
+        |  END AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Shingles are distinct word 3-grams; intersection/union sizes are
+    // exact integers, so the jaccard quotient is bit-identical.
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           generate_series(1, len(string_split(text, ' ')) - 2),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i+1] || ' ' ||
+        |                string_split(text, ' ')[i+2])) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+        |         AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Argmax by (score, lang): ties pick the lexicographically larger
+    // lang, matching Spark's greatest() over (score, lang) structs —
+    // hence the descending-lang CASE order.
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('der','und','das'))) AS s_de,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of'))) AS s_en,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de'))) AS s_es,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('le','la','et'))) AS s_fr,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('de','le','shi'))) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr'
+        |            WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en'
+        |            ELSE 'de' END AS pred_lang,
+        |       CAST(n_words AS BIGINT) AS n_words
+        |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM s)
+        |ORDER BY doc_id""".stripMargin,
+    "q_ingest_roundtrip" ->
+      """SELECT epoch_us(ts) AS ts_us, value AS price, user_id AS volume
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-12-31'
+        |ORDER BY ts_us, price, volume""".stripMargin,
+    "q_csv_import" ->
+      """SELECT epoch_us(date_trunc('second', ts)) AS ts_us, value AS price,
+        |       user_id AS volume
+        |FROM events WHERE event_type = 'view'
+        |ORDER BY ts_us, price, volume""".stripMargin,
+    "q_stream_ingest" ->
+      """SELECT event_type AS symbol, COUNT(*) AS n_ticks
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_bars" ->
+      """SELECT epoch_us(date_trunc('minute', ts)) AS bar_start_us,
+        |       event_type AS symbol, COUNT(*) AS n_ticks,
+        |       MIN(value) AS low, MAX(value) AS high,
+        |       CAST(SUM(user_id) AS BIGINT) AS volume
+        |FROM events GROUP BY 1, 2 ORDER BY symbol, bar_start_us""".stripMargin,
+    "q_stream_rollup" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS bar_start_us,
+        |       event_type AS symbol, COUNT(*) AS n_ticks,
+        |       MIN(value) AS low, MAX(value) AS high,
+        |       CAST(SUM(user_id) AS BIGINT) AS volume
+        |FROM events GROUP BY 1, 2 ORDER BY symbol, bar_start_us""".stripMargin,
+    "q_stream_stateful" ->
+      """SELECT event_type AS symbol, COUNT(*) AS n_ticks,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * user_id) AS DOUBLE)
+        |             / CAST(SUM(user_id) AS DOUBLE), 6) AS running_vwap
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |flat AS (

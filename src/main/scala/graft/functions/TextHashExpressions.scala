@@ -87,6 +87,29 @@ object TextHash {
     out
   }
 
+  /** Polynomial rolling hash over codepoints, seeded with the first
+    * codepoint then acc = (acc·31 + c) mod 1e9+7 — intermediates stay
+    * < 2^35 (ANSI-safe), and the recurrence is expressible one-to-one
+    * in any engine with a list fold (the DuckDB oracle uses
+    * `list_reduce`, which seeds with the first element — hence the
+    * seed-with-first form). Empty input hashes to 0.
+    */
+  def fingerprintEval(input: UTF8String): Long = {
+    val s = input.toString
+    val n = s.length
+    if (n == 0) return 0L
+    var h = 0L
+    var first = true
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (first) { h = cp.toLong; first = false }
+      else h = (h * 31L + cp.toLong) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
   def seedsFor(k: Int): Array[Long] =
     seedCache.computeIfAbsent(k, kk =>
@@ -156,8 +179,29 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Engine-neutral document fingerprint: polynomial rolling hash of the
+  * codepoint sequence (order-sensitive, unlike a bag-of-words hash).
+  * See [[TextHash.fingerprintEval]] for the exact recurrence.
+  */
+case class RollingHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(TextHash.fingerprintEval(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.fingerprintEval($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session registration so the expressions are callable from SQL and
-  * `expr(...)` — `graft_minhash(text[, n, k])`, `graft_simhash(text)`.
+  * `expr(...)` — `graft_minhash(text[, n, k])`, `graft_simhash(text)`,
+  * `graft_fingerprint(text)`.
   */
 object GraftFunctions {
   private def intLit(e: Expression): Int =
@@ -175,6 +219,11 @@ object GraftFunctions {
       case Seq(t) => SimHash64(t)
       case other => throw new IllegalArgumentException(
         s"graft_simhash(text), got ${other.size} args")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_fingerprint", {
+      case Seq(t) => RollingHash64(t)
+      case other => throw new IllegalArgumentException(
+        s"graft_fingerprint(text), got ${other.size} args")
     }, "scala_udf")
   }
 }

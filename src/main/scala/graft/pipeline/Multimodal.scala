@@ -30,16 +30,20 @@ object Multimodal {
   /** Typed metadata over the opaque blob — size, checksum, and a
     * deterministic pseudo width/height/duration (in production these
     * come from the container header; derivation from the checksum keeps
-    * the pipeline runnable without codecs).
+    * the pipeline runnable without codecs). The checksum is the first
+    * 8 hex digits of md5 as an integer — md5 is the one digest every
+    * engine computes identically, keeping this oracle-checkable.
     */
-  def extractMeta(withBlob: DataFrame): DataFrame =
+  def extractMeta(withBlob: DataFrame): DataFrame = {
+    val sum = conv(substring(md5(col("blob")), 1, 8), 16, 10).cast("long")
     withBlob.select(col("doc_id"), col("blob"),
       struct(
         length(col("blob")).cast("long").as("n_bytes"),
-        crc32(col("blob")).as("checksum"),
-        (pmod(crc32(col("blob")), lit(1280L)) + 32L).as("width"),
-        (pmod(crc32(col("blob")), lit(720L)) + 32L).as("height"),
+        sum.as("checksum"),
+        (pmod(sum, lit(1280L)) + 32L).as("width"),
+        (pmod(sum, lit(720L)) + 32L).as("height"),
         col("source").as("container")).as("meta"))
+  }
 
   /** Feature vector record produced by the decode stage. */
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, mean_byte: Double,
@@ -75,8 +79,9 @@ object Multimodal {
   }
 
   /** End-to-end multimodal query: blob → metadata → decoded features,
-    * joined back on doc_id. Rows-only check (no SQL-expressible
-    * oracle for the stub features).
+    * joined back on doc_id. Every emitted column (md5-derived checksum,
+    * byte-sum mean from the stub decode) is engine-neutral, so the
+    * whole pipeline is DuckDB-oracled.
     */
   def pipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     val meta = extractMeta(attachBlob(docs))
@@ -84,7 +89,8 @@ object Multimodal {
     meta.select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
         col("meta.checksum").as("checksum"), col("meta.width").as("width"),
         col("meta.height").as("height"))
-      .join(feats.select(col("doc_id"), col("mean_byte"), size(col("features")).as("feat_dim")),
+      .join(feats.select(col("doc_id"), col("mean_byte"),
+          size(col("features")).cast("long").as("feat_dim")),
         "doc_id")
       .orderBy("doc_id")
   }

@@ -70,17 +70,18 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Document fingerprint: polynomial rolling hash of the word sequence
-    * (base 31 mod 1e9+7 — intermediate values stay < 2^35, safe under
-    * ANSI long arithmetic). Deterministic and order-sensitive, unlike a
-    * bag-of-words hash.
+  /** Document fingerprint: polynomial rolling hash of the codepoint
+    * sequence (base 31 mod 1e9+7 — intermediates stay < 2^35, safe
+    * under ANSI long arithmetic). Deterministic and order-sensitive,
+    * unlike a bag-of-words hash, and engine-neutral so it is
+    * DuckDB-oracled. Computed by the codegen'd
+    * [[graft.functions.RollingHash64]] expression — one pass per row,
+    * no per-character higher-order-function overhead.
     */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val m = lit(1000000007L)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"),
-        aggregate(split(col("text"), " "), lit(0L),
-          (acc, w) => pmod(acc * 31L + pmod(hash(w).cast("long"), m), m))
-          .as("fingerprint"))
+        expr("graft_fingerprint(text)").as("fingerprint"))
       .orderBy("doc_id")
   }
 }

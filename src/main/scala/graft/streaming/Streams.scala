@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -16,12 +16,27 @@ import org.apache.spark.sql.types._
   * in production the same plans run over Kafka/files unchanged. The
   * memory sink + `processAllAvailable` makes the smoke path
   * synchronous and deterministic.
+  *
+  * Window flushing: append-mode windowed aggregates only emit a window
+  * once the watermark passes its end, so a finite stream would hold
+  * back its tail windows forever. [[sentinelInput]] appends one
+  * heartbeat/punctuation tick far enough past the real max event time
+  * to advance the watermark past every real window — the standard
+  * stream-termination pattern — making the streamed result equal the
+  * batch aggregation exactly (and therefore DuckDB-oracle-checkable).
   */
 object Streams {
   private val counter = new AtomicInteger(0)
 
+  /** Heartbeat symbol; filtered out of every result. */
+  val SentinelSymbol = "~sentinel~"
+
   final case class VwapIn(symbol: String, price: Double, volume: Long)
-  final case class VwapState(n: Long, pv: Double, v: Long)
+  /** VWAP state keeps price·volume in exact integer cents (prices are
+    * 2-dp), so the final quotient is bit-identical to the oracle's
+    * DECIMAL-sum formulation regardless of arrival order.
+    */
+  final case class VwapState(n: Long, pvCents: Long, v: Long)
   final case class VwapOut(symbol: String, n_ticks: Long, running_vwap: Double)
 
   private val rawEventsSchema = StructType(Seq(
@@ -32,20 +47,47 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def tickStream(spark: SparkSession, dir: String): DataFrame = {
+  private def tickStreamFrom(spark: SparkSession, dir: String, glob: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawEventsSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .select(col("event_id"), col("event_type").as("symbol"),
         timestamp_micros(expr("ts div 1000")).as("ts"),
         col("value").as("price"), col("user_id").as("volume"))
   }
 
+  private def tickStream(spark: SparkSession, dir: String): DataFrame =
+    tickStreamFrom(spark, dir, "events.parquet")
+
+  /** Stage the events file plus one sentinel tick `marginUs` past the
+    * real max event time into a fresh stream-input directory.
+    */
+  private def sentinelInput(spark: SparkSession, dir: String, marginUs: Long): String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val maxNs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(col("ts"))).head().getLong(0)
+    val base = Files.createTempDirectory("graft_stream_in_")
+    val in = Files.createDirectory(base.resolve("in"))
+    Files.copy(Paths.get(dir, "events.parquet"), in.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    import spark.implicits._
+    val sentNs = maxNs + marginUs * 1000L
+    val tmpOut = base.resolve("sent").toString
+    Seq((-1L, sentNs, 0L, SentinelSymbol, 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(tmpOut)
+    val part = Files.list(Paths.get(tmpOut)).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, in.resolve("zz_sentinel.parquet"))
+    in.toString
+  }
+
   /** Streaming ingest → parquet sink with checkpoint (exactly-once),
     * then scan the sink back. Mirrors reference append path running in
-    * the background while queries read committed data.
+    * the background while queries read committed data. The sink
+    * round-trip is value-preserving, so the oracle is the batch count.
     */
   def streamIngest(spark: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_stream_ingest_").toString
@@ -69,7 +111,10 @@ object Streams {
     */
   def materializedBars(spark: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_matbars_").toString
-    val bars = tickStream(spark, dir)
+    // sentinel 2h past max: watermark (10 min behind) passes every
+    // real hourly window end, flushing the full rollup
+    val inDir = sentinelInput(spark, dir, marginUs = 2L * 3600 * 1000000)
+    val bars = tickStreamFrom(spark, inDir, "*.parquet")
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("symbol"))
       .agg(count(lit(1)).as("n_ticks"),
@@ -87,6 +132,7 @@ object Streams {
     q.stop()
     // query the rollup store, not the raw ticks
     spark.read.parquet(s"$base/bars")
+      .filter(col("symbol") =!= SentinelSymbol)
       .select(unix_micros(col("bar_start")).as("bar_start_us"), col("symbol"),
         col("n_ticks"), col("low"), col("high"), col("volume"))
       .orderBy("symbol", "bar_start_us")
@@ -95,7 +141,9 @@ object Streams {
   /** Per-symbol running state maintained with flatMapGroupsWithState —
     * the custom-state analog of the reference's per-symbol in-memory
     * store fed by its writer thread. Emits one running (count, vwap)
-    * snapshot per symbol per micro-batch; state is O(symbols).
+    * snapshot per symbol per micro-batch; state is O(symbols). The
+    * final snapshot per symbol covers every tick, so it equals the
+    * batch VWAP (exact integer-cent state; see [[VwapState]]).
     */
   def streamRunningVwap(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -107,25 +155,38 @@ object Streams {
     val updated = ticks.groupByKey(_.symbol)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (sym: String, rows: Iterator[VwapIn], state: GroupState[VwapState]) =>
-          var s = state.getOption.getOrElse(VwapState(0L, 0.0, 0L))
-          rows.foreach { r => s = VwapState(s.n + 1, s.pv + r.price * r.volume, s.v + r.volume) }
+          var s = state.getOption.getOrElse(VwapState(0L, 0L, 0L))
+          rows.foreach { r =>
+            s = VwapState(s.n + 1,
+              s.pvCents + Math.round(r.price * 100.0) * r.volume, s.v + r.volume)
+          }
           state.update(s)
-          Iterator.single(VwapOut(sym, s.n, if (s.v == 0) 0.0 else s.pv / s.v))
+          Iterator.single(VwapOut(sym, s.n,
+            if (s.v == 0) 0.0 else (s.pvCents.toDouble / 100.0) / s.v.toDouble))
       }
     val q = updated.toDF().writeStream.outputMode("append")
       .format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name).orderBy("symbol", "n_ticks")
+    // final snapshot per symbol = totals over all micro-batches
+    spark.table(name).groupBy(col("symbol"))
+      .agg(max(col("n_ticks")).as("n_ticks"),
+        round(max_by(col("running_vwap"), col("n_ticks")), 6).as("running_vwap"))
+      .orderBy("symbol")
   }
 
   /** Streaming 1-minute OHLC-style bars with a 10-minute watermark:
     * late ticks inside the watermark still land in their bar; bars
-    * finalize (append mode) once the watermark passes.
+    * finalize (append mode) once the watermark passes. A sentinel
+    * heartbeat past the stream end flushes the tail bars, so the
+    * result equals the batch per-minute aggregation.
     */
   def streamBars(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_bars_${counter.incrementAndGet()}"
-    val bars = tickStream(spark, dir)
+    // sentinel 20 min past max: watermark (10 min behind) passes every
+    // real 1-minute window end
+    val inDir = sentinelInput(spark, dir, marginUs = 20L * 60 * 1000000)
+    val bars = tickStreamFrom(spark, inDir, "*.parquet")
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 minute"), col("symbol"))
       .agg(count(lit(1)).as("n_ticks"),
@@ -136,6 +197,7 @@ object Streams {
     q.processAllAvailable()
     q.stop()
     spark.table(name)
+      .filter(col("symbol") =!= SentinelSymbol)
       .select(unix_micros(col("window.start")).as("bar_start_us"), col("symbol"),
         col("n_ticks"), col("low"), col("high"), col("volume"))
       .orderBy("symbol", "bar_start_us")

@@ -97,6 +97,11 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "q_ema" -> ((s, dir) => MarketOps.ema(ticks(s, dir), alpha = 0.2)),
+    "q_twap_daily" -> ((s, dir) => MarketOps.twapDaily(ticks(s, dir))),
+    "q_volume_bars" -> ((s, dir) => MarketOps.volumeBars(ticks(s, dir), 10000L)),
+    "q_drawdown" -> ((s, dir) => MarketOps.drawdown(ticks(s, dir))),
+    "q_hopping_bars" -> ((s, dir) => MarketOps.hoppingBars(ticks(s, dir))),
+    "q_zorder_scan" -> ((s, dir) => zorderScan(s, dir)),
     "q_session_window" -> ((s, dir) => MarketOps.sessionWindows(ticks(s, dir), 30)),
     "q_approx_stats" -> ((s, dir) => MarketOps.approxStats(ticks(s, dir))),
     "q_correlation" -> ((s, dir) => MarketOps.correlationMatrix(ticks(s, dir))),
@@ -154,6 +159,10 @@ object SparkEntry {
     "q_stream_bars" -> ((s, dir) => graft.streaming.Streams.streamBars(s, dir)),
     "q_stream_stateful" -> ((s, dir) => graft.streaming.Streams.streamRunningVwap(s, dir)),
     "q_stream_rollup" -> ((s, dir) => graft.streaming.Streams.materializedBars(s, dir)),
+    "q_stream_asof" -> ((s, dir) => graft.streaming.Streams.streamAsOf(s, dir)),
+
+    // ---- §2.4 composite training-data filter ----
+    "q_pipeline_filter" -> ((s, dir) => pipelineFilter(s, dir)),
   )
 
   /** Batch-ingest into a TickStore (symbol-partitioned, ts-sorted
@@ -190,6 +199,45 @@ object SparkEntry {
     store.all()
       .select(unix_micros(col("ts")).as("ts_us"), col("price"), col("volume"))
       .orderBy("ts_us", "price", "volume")
+  }
+
+  /** Z-ordered layout round trip: write ticks clustered by the Morton
+    * code of (user_id, coarse time), then run a two-dimensional
+    * predicate over the layout. Value-preserving, so the oracle is the
+    * direct filtered scan; the point of the layout is that BOTH
+    * predicates prune row groups (see [[graft.tsdb.Layout]]).
+    */
+  private def zorderScan(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    val epoch2024 = 1704067200L // 2024-01-01T00:00:00Z
+    val df = keyedTicks(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("price"))
+      .withColumn("ts_sec", expr(s"ts_us div 1000000 - $epoch2024"))
+    graft.tsdb.Layout.writeZOrdered(df, base, "user_id", "ts_sec")
+    graft.tsdb.Layout.read(s, base)
+      .filter(col("user_id").between(7L, 11L) &&
+        col("ts_us") >= 1704844800L * 1000000L && // 2024-01-10
+        col("ts_us") <= 1705708800L * 1000000L)   // 2024-01-20
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("price"))
+      .orderBy("event_id")
+  }
+
+  /** End-to-end training-data filter: exact-dedup survivors that pass
+    * quality and length gates, annotated with predicted language —
+    * the composite keep/drop decision a data pipeline ships, built
+    * from the already-oracled pieces (each stage shares its SQL).
+    */
+  private def pipelineFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val surv = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+    val qual = TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("quality"), col("n_words"))
+    val lang = TextOps.langId(docs).select(col("doc_id"), col("pred_lang"))
+    surv.join(qual, "doc_id").join(lang, "doc_id")
+      .filter(col("quality") >= 0.5 && col("n_words") >= 20)
+      .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_words"))
+      .orderBy("doc_id")
   }
 
   /** DuckDB-equivalent SQL per query (same column names, same ordering;
@@ -351,6 +399,91 @@ object SparkEntry {
         |       CAST(CASE WHEN hr.avg_price IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
         |FROM spine s LEFT JOIN hourly hr ON s.symbol = hr.symbol AND s.h = hr.h
         |ORDER BY s.symbol, h_us""".stripMargin,
+    "q_twap_daily" ->
+      """WITH d AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day, value,
+        |         LEAD(epoch_us(ts)) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |             ORDER BY ts, event_id) - epoch_us(ts) AS dur_us
+        |  FROM events)
+        |SELECT symbol, day,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dur_us) AS DOUBLE)
+        |             / CAST(SUM(dur_us) AS DOUBLE), 6) AS twap,
+        |       COUNT(*) AS n_intervals
+        |FROM d WHERE dur_us IS NOT NULL AND dur_us > 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_volume_bars" ->
+      """WITH b AS (
+        |  SELECT event_type AS symbol, ts, value, user_id,
+        |         COALESCE(SUM(user_id) OVER (PARTITION BY event_type
+        |             ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_cum
+        |  FROM events)
+        |SELECT symbol, CAST(pre_cum // 10000 AS BIGINT) AS bar_id,
+        |       COUNT(*) AS n_ticks,
+        |       min_by(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
+        |       max_by(value, ts) AS close, CAST(SUM(user_id) AS BIGINT) AS bar_volume
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_drawdown" ->
+      """SELECT event_id, event_type AS symbol,
+        |       CASE WHEN run_max > 0 THEN value / run_max - 1.0 ELSE 0.0 END AS drawdown
+        |FROM (SELECT event_id, event_type, value,
+        |             MAX(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS run_max
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q_hopping_bars" ->
+      """WITH w AS (
+        |  SELECT event_type AS symbol, value, user_id,
+        |         UNNEST([(epoch_us(ts) // 300000000) * 300000000,
+        |                 (epoch_us(ts) // 300000000) * 300000000 - 300000000])
+        |           AS win_start_us
+        |  FROM events)
+        |SELECT win_start_us, symbol, COUNT(*) AS n_ticks,
+        |       MIN(value) AS low, MAX(value) AS high,
+        |       CAST(SUM(user_id) AS BIGINT) AS volume
+        |FROM w GROUP BY 1, 2 ORDER BY symbol, win_start_us""".stripMargin,
+    "q_stream_asof" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value AS price,
+        |       COALESCE(epoch_us(r.ts), -1) AS quote_ts_us,
+        |       COALESCE(r.value, -1.0) AS quote_price
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY 1""".stripMargin,
+    "q_zorder_scan" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value AS price
+        |FROM events
+        |WHERE user_id BETWEEN 7 AND 11
+        |  AND ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20'
+        |ORDER BY event_id""".stripMargin,
+    "q_pipeline_filter" ->
+      """WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |qual AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    ROUND((CAST(LEAST(len(string_split(text, ' ')), 200) AS DOUBLE) / 200.0
+        |          + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |              w -> w IN ('the','a','of','and','to','in','is','on','for','with')))
+        |              AS BIGINT)
+        |              / CAST(len(string_split(text, ' ')) AS DOUBLE))) / 2.0, 6) AS quality
+        |  FROM documents),
+        |lang AS (
+        |  SELECT doc_id,
+        |         CASE WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr'
+        |              WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en'
+        |              ELSE 'de' END AS pred_lang
+        |  FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(string_split(text, ' '), w -> w IN ('der','und','das'))) AS s_de,
+        |      len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of'))) AS s_en,
+        |      len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de'))) AS s_es,
+        |      len(list_filter(string_split(text, ' '), w -> w IN ('le','la','et'))) AS s_fr,
+        |      len(list_filter(string_split(text, ' '), w -> w IN ('de','le','shi'))) AS s_zh
+        |    FROM documents)))
+        |SELECT s.doc_id, l.pred_lang, q.quality, q.n_words
+        |FROM surv s JOIN qual q USING (doc_id) JOIN lang l USING (doc_id)
+        |WHERE q.quality >= 0.5 AND q.n_words >= 20
+        |ORDER BY doc_id""".stripMargin,
     // Recursive-CTE mirror of the flatMapSortedGroups recursion; the
     // per-step expression shape matches the Scala op order exactly
     // (a·p + (1−a)·e with a=0.2 evaluated in doubles), so the stream

@@ -225,5 +225,10 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_fingerprint(text), got ${other.size} args")
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_zorder", {
+      case Seq(x, y) => ZOrder2(x, y)
+      case other => throw new IllegalArgumentException(
+        s"graft_zorder(x, y), got ${other.size} args")
+    }, "scala_udf")
   }
 }

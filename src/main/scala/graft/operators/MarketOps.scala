@@ -295,6 +295,79 @@ object MarketOps {
         percentile_approx(col("price"), lit(0.99), lit(1000)).as("approx_p99"))
       .orderBy("symbol")
 
+  /** Time-weighted average price per symbol per day: each tick's price
+    * is weighted by the µs until the next tick of the same day (the
+    * last tick of a day carries no weight). Decimal-exact products and
+    * sums, one double division — engine-identical.
+    */
+  def twapDaily(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), to_date(col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    ticks.select(col("symbol"), to_date(col("ts")).as("day"), col("event_id"),
+        col("ts"), col("price"))
+      .withColumn("dur_us",
+        lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+      .filter(col("dur_us").isNotNull && col("dur_us") > 0)
+      .groupBy(col("symbol"), col("day"))
+      .agg(
+        round(sum(col("price").cast(dec) * col("dur_us")).cast("double") /
+          sum(col("dur_us")).cast("double"), 6).as("twap"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Volume bars: per symbol, a new bar every `threshold` units of
+    * cumulative volume (bar id = pre-tick cumulative volume div
+    * threshold — the classic "volume clock" used instead of wall-clock
+    * bars on tick data). Integer bar assignment, min_by/max_by
+    * open/close: everything engine-exact.
+    */
+  def volumeBars(ticks: DataFrame, threshold: Long): DataFrame = {
+    val preCum = coalesce(
+      sum(col("volume")).over(tickOrder.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    // integer div: cumulative volume exceeds double-exact range at scale
+    ticks.withColumn("pre_cum", preCum)
+      .withColumn("bar_id", expr(s"pre_cum div $threshold"))
+      .groupBy(col("symbol"), col("bar_id"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        sum(col("volume")).as("bar_volume"))
+      .orderBy("symbol", "bar_id")
+  }
+
+  /** Running-peak drawdown per symbol: price / running max − 1.
+    * Identical operands on both engines → bit-identical quotient
+    * (emitted unrounded); an all-zero-price prefix yields 0.
+    */
+  def drawdown(ticks: DataFrame): DataFrame = {
+    val runMax = max(col("price")).over(tickOrder.rowsBetween(Window.unboundedPreceding, 0))
+    ticks.select(col("event_id"), col("symbol"), col("price"),
+        runMax.as("run_max"))
+      .withColumn("drawdown",
+        when(col("run_max") > 0.0, col("price") / col("run_max") - 1.0).otherwise(0.0))
+      .select(col("event_id"), col("symbol"), col("drawdown"))
+      .orderBy("event_id")
+  }
+
+  /** Hopping (sliding) windows: 10-minute bars every 5 minutes — each
+    * tick lands in two overlapping windows. Spark's native sliding
+    * `window()`; the oracle mirrors the epoch-aligned window starts
+    * with integer µs math.
+    */
+  def hoppingBars(ticks: DataFrame): DataFrame =
+    ticks.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        min(col("price")).as("low"), max(col("price")).as("high"),
+        sum(col("volume")).as("volume"))
+      .select(unix_micros(col("window.start")).as("win_start_us"), col("symbol"),
+        col("n_ticks"), col("low"), col("high"), col("volume"))
+      .orderBy("symbol", "win_start_us")
+
   /** Sessionize: new session when gap to previous tick > gapMinutes.
     * Classic lag + cumulative-flag-sum; one sort-shuffle per symbol.
     */

@@ -175,6 +175,58 @@ object Streams {
       .orderBy("symbol")
   }
 
+  final case class AsofIn(side: Int, event_id: Long, user_id: Long,
+      ts_us: Long, price: Double)
+  final case class QuoteState(ts_us: Long, price: Double)
+  final case class AsofOut(event_id: Long, user_id: Long, ts_us: Long,
+      price: Double, quote_ts_us: Long, quote_price: Double)
+
+  /** Stream-stream as-of join: trades (purchase) matched to the latest
+    * quote (click) per user with quote.ts <= trade.ts — the streaming
+    * form of [[graft.operators.MarketOps.asofJoin]].
+    *
+    * Both sides arrive as one keyed stream; per key a single
+    * [[QuoteState]] (the latest quote) is carried across micro-batches
+    * — O(keys) state, like the reference's per-symbol in-memory tail.
+    * Rows inside a batch are sorted by (ts, side) with quotes first at
+    * equal ts, so the match is inclusive and deterministic under
+    * intra-batch disorder. (Cross-batch disorder needs watermark-depth
+    * buffering; a file-per-batch source replays in time order, so the
+    * streamed result equals the batch as-of join and shares its DuckDB
+    * `ASOF JOIN` oracle.)
+    */
+  def streamAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+
+    val name = s"graft_stream_asof_${counter.incrementAndGet()}"
+    val src = tickStream(spark, dir)
+      .filter(col("symbol").isin("purchase", "click"))
+      .select(
+        when(col("symbol") === "click", 0).otherwise(1).as("side"),
+        col("event_id"), col("volume").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("price"))
+      .as[AsofIn]
+    val joined = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AsofIn], state: GroupState[QuoteState]) =>
+          val sorted = rows.toArray.sortBy(r => (r.ts_us, r.side))
+          var q = state.getOption.getOrElse(QuoteState(-1L, -1.0))
+          val out = Array.newBuilder[AsofOut]
+          sorted.foreach { r =>
+            if (r.side == 0) { if (r.ts_us >= q.ts_us) q = QuoteState(r.ts_us, r.price) }
+            else out += AsofOut(r.event_id, uid, r.ts_us, r.price, q.ts_us, q.price)
+          }
+          state.update(q)
+          out.result().iterator
+      }
+    val q = joined.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy("event_id")
+  }
+
   /** Streaming 1-minute OHLC-style bars with a 10-minute watermark:
     * late ticks inside the watermark still land in their bar; bars
     * finalize (append mode) once the watermark passes. A sentinel

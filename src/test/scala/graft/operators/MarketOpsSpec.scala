@@ -132,6 +132,45 @@ class MarketOpsSpec extends AnyFunSuite {
     assert(g.filter(col("is_gap") === 0).count() === hourly.count())
   }
 
+  test("twap lies within [low, high] of the same day") {
+    val ohlc = MarketOps.ohlcDaily(ticks).select(col("symbol"), col("day"), col("low"), col("high"))
+    val bad = MarketOps.twapDaily(ticks).join(ohlc, Seq("symbol", "day"))
+      .filter(col("twap") < col("low") || col("twap") > col("high"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("volume bars: bars partition the ticks; interior bars reach the threshold") {
+    val t = 10000L
+    val bars = MarketOps.volumeBars(ticks, t).cache()
+    assert(bars.agg(sum("n_ticks")).head().getLong(0) === ticks.count())
+    // every bar except the last per symbol must close at/above the
+    // threshold boundary: its cumulative volume spans a multiple of t
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("symbol")
+    val nonLast = bars.withColumn("max_bar", max("bar_id").over(w))
+      .filter(col("bar_id") < col("max_bar"))
+    // volume of one bar can exceed t (a big tick straddles), but the sum
+    // of bars 0..k is >= (k+1)*t for non-last bars
+    val cum = nonLast.withColumn("cum",
+      sum("bar_volume").over(w.orderBy("bar_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    assert(cum.filter(col("cum") < (col("bar_id") + 1) * t).count() === 0)
+  }
+
+  test("drawdown is in [-1, 0] and zero at each running peak") {
+    val d = MarketOps.drawdown(ticks).cache()
+    assert(d.filter(col("drawdown") > 0 || col("drawdown") < -1).count() === 0)
+    // first tick of each symbol is its own peak -> drawdown 0
+    val firsts = ticks.groupBy("symbol").agg(min("event_id").as("event_id"))
+    assert(d.join(firsts, Seq("symbol", "event_id"), "left_semi")
+      .filter(col("drawdown") =!= 0.0).count() === 0)
+  }
+
+  test("hopping bars double-count ticks across overlapping windows") {
+    val h = MarketOps.hoppingBars(ticks)
+    assert(h.agg(sum("n_ticks")).head().getLong(0) === 2 * ticks.count())
+  }
+
   test("ema matches an exact sequential computation") {
     val sub = ticks.filter(col("symbol") === "click")
     val got = MarketOps.ema(sub, alpha = 0.2).collect()

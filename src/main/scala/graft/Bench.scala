@@ -49,12 +49,14 @@ object Bench {
       timestamp_seconds(lit(1700000000L) + expr("id div 5")).as("ts"),
       (lit(100.0) + pmod(col("id") * 7919L, lit(10000L)) / 100.0).as("price"),
       (pmod(col("id") * 104729L, lit(9900L)) + 100L).as("volume"))
+    // daily partitioning: symbol×day write tasks (the production layout)
+    // instead of one task per symbol, and date-directory pruning on scan
     val ingestDir = java.nio.file.Files.createTempDirectory("graft_bench_ingest_").toString
     val t0 = System.nanoTime()
-    new graft.tsdb.TickStore(spark, ingestDir).ingest(synth)
+    new graft.tsdb.TickStore(spark, ingestDir, dailyPartitions = true).ingest(synth)
     val ingestSec = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val scanned = new graft.tsdb.TickStore(spark, ingestDir)
+    val scanned = new graft.tsdb.TickStore(spark, ingestDir, dailyPartitions = true)
       .queryRange("AAPL", new java.sql.Timestamp(1700000000L * 1000L),
         new java.sql.Timestamp(1700400000L * 1000L)).count()
     val scanSec = (System.nanoTime() - t1) / 1e9

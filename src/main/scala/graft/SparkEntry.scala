@@ -214,7 +214,7 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"), col("price"))
       .withColumn("ts_sec", expr(s"ts_us div 1000000 - $epoch2024"))
-    graft.tsdb.Layout.writeZOrdered(df, base, "user_id", "ts_sec")
+    graft.tsdb.Layout.writeZOrdered(df, base, "user_id", "ts_sec", partitions = 8)
     graft.tsdb.Layout.read(s, base)
       .filter(col("user_id").between(7L, 11L) &&
         col("ts_us") >= 1704844800L * 1000000L && // 2024-01-10

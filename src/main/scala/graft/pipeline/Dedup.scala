@@ -135,31 +135,29 @@ object Dedup {
     * selection — keep the min doc_id per cluster, exactly like
     * [[exact]] keeps min per content hash.
     *
-    * Iterative min-label joins converge in O(log(diameter)) rounds;
-    * near-dup clusters are shallow in practice, and `maxIters` bounds
-    * the work. Each round is one shuffle of (doc_id, label).
+    * Iterative min-label joins reach fixpoint in O(diameter) rounds;
+    * near-dup clusters are LSH-bucket cliques and short chains, so
+    * `iters` = 3 covers diameter ≤ 3 (raise for deeper graphs). Fixed
+    * iterations keep this a SINGLE Spark action — no per-round
+    * convergence counts (each of which would be an extra job), and the
+    * repeated edge subplan collapses via exchange reuse.
     */
-  def nearDupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 5): DataFrame = {
+  def nearDupClusters(docs: DataFrame, pairs: DataFrame, iters: Int = 3): DataFrame = {
     // undirected edges, both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
+      .distinct()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
     var i = 0
-    var changed = 1L
-    while (i < maxIters && changed > 0) {
+    while (i < iters) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst")
           .withColumnRenamed("label", "n_label"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("n_label").as("n_min"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("n_min"), col("label"))).as("label"))
-        .cache()
-      changed = updated.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
       i += 1
     }
     labels.withColumnRenamed("label", "cluster_id")

@@ -105,7 +105,14 @@ object Similarity {
 
     val feats = emb.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).fit(feats)
+    // IVF practice: train centroids on a sample (coarse cells only need
+    // coarse centroids); random init skips k-means||'s extra passes.
+    // Tiny corpora train on everything so the sample can't undershoot k.
+    val n = feats.count()
+    val trainFrac = if (n * 0.25 >= nlist * 4L) 0.25 else 1.0
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(3)
+      .setInitMode("random")
+      .fit(feats.sample(withReplacement = false, trainFrac, seed = 42L))
     val assigned = model.transform(feats)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
 

@@ -61,28 +61,34 @@ object Streams {
   private def tickStream(spark: SparkSession, dir: String): DataFrame =
     tickStreamFrom(spark, dir, "events.parquet")
 
-  /** Stage the events file plus one sentinel tick `marginUs` past the
-    * real max event time into a fresh stream-input directory.
+  /** Stage the events file plus one sentinel tick 2 hours past the
+    * real max event time into a stream-input directory (2 h clears
+    * every window size used here against the 10-minute watermark).
+    * Cached per source dir — every streaming query over the same data
+    * shares one staged copy and one max-ts scan.
     */
-  private def sentinelInput(spark: SparkSession, dir: String, marginUs: Long): String = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxNs = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max(col("ts"))).head().getLong(0)
-    val base = Files.createTempDirectory("graft_stream_in_")
-    val in = Files.createDirectory(base.resolve("in"))
-    Files.copy(Paths.get(dir, "events.parquet"), in.resolve("events.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-    import spark.implicits._
-    val sentNs = maxNs + marginUs * 1000L
-    val tmpOut = base.resolve("sent").toString
-    Seq((-1L, sentNs, 0L, SentinelSymbol, 0.0, ""))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.parquet(tmpOut)
-    val part = Files.list(Paths.get(tmpOut)).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
-    Files.move(part, in.resolve("zz_sentinel.parquet"))
-    in.toString
-  }
+  private val sentinelCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sentinelInput(spark: SparkSession, dir: String): String =
+    sentinelCache.computeIfAbsent(dir, _ => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val maxNs = spark.read.parquet(s"$dir/events.parquet")
+        .agg(max(col("ts"))).head().getLong(0)
+      val base = Files.createTempDirectory("graft_stream_in_")
+      val in = Files.createDirectory(base.resolve("in"))
+      Files.copy(Paths.get(dir, "events.parquet"), in.resolve("events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      import spark.implicits._
+      val sentNs = maxNs + 2L * 3600 * 1000000000L
+      val tmpOut = base.resolve("sent").toString
+      Seq((-1L, sentNs, 0L, SentinelSymbol, 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmpOut)
+      val part = Files.list(Paths.get(tmpOut)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, in.resolve("zz_sentinel.parquet"))
+      in.toString
+    })
 
   /** Streaming ingest → parquet sink with checkpoint (exactly-once),
     * then scan the sink back. Mirrors reference append path running in
@@ -111,9 +117,9 @@ object Streams {
     */
   def materializedBars(spark: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_matbars_").toString
-    // sentinel 2h past max: watermark (10 min behind) passes every
-    // real hourly window end, flushing the full rollup
-    val inDir = sentinelInput(spark, dir, marginUs = 2L * 3600 * 1000000)
+    // sentinel past max: watermark (10 min behind) passes every real
+    // hourly window end, flushing the full rollup
+    val inDir = sentinelInput(spark, dir)
     val bars = tickStreamFrom(spark, inDir, "*.parquet")
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("symbol"))
@@ -235,9 +241,9 @@ object Streams {
     */
   def streamBars(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_bars_${counter.incrementAndGet()}"
-    // sentinel 20 min past max: watermark (10 min behind) passes every
-    // real 1-minute window end
-    val inDir = sentinelInput(spark, dir, marginUs = 20L * 60 * 1000000)
+    // sentinel past max: watermark (10 min behind) passes every real
+    // 1-minute window end
+    val inDir = sentinelInput(spark, dir)
     val bars = tickStreamFrom(spark, inDir, "*.parquet")
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 minute"), col("symbol"))

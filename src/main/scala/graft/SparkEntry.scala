@@ -123,6 +123,18 @@ object SparkEntry {
     "q_window_suite" -> ((s, dir) => Relational.windowSuite(s, dir)),
     "q_scalar_funcs" -> ((s, dir) => Relational.scalarFuncs(s, dir)),
     "q_rollup" -> ((s, dir) => Relational.rollupDaily(s, dir)),
+    "q_salted_join" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val t = ticks(s, dir)
+      val stats = t.groupBy(col("symbol")).agg(
+        (sum(col("price").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1)).cast("double")).as("sym_avg"))
+      // symbol is the worst-case hot key (5 distinct values); salting
+      // by event_id spreads each over 16 reducers
+      graft.operators.SkewJoin.salted(t, stats, "symbol", col("event_id"), 16)
+        .select(col("event_id"), col("symbol"), col("price"), col("sym_avg"))
+        .orderBy("event_id")
+    }),
 
     // ---- §2.4 LLM-training-data pipeline ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -160,6 +172,9 @@ object SparkEntry {
     "q_stream_stateful" -> ((s, dir) => graft.streaming.Streams.streamRunningVwap(s, dir)),
     "q_stream_rollup" -> ((s, dir) => graft.streaming.Streams.materializedBars(s, dir)),
     "q_stream_asof" -> ((s, dir) => graft.streaming.Streams.streamAsOf(s, dir)),
+    "q_stream_range_join" -> ((s, dir) => graft.streaming.Streams.streamRangeJoin(s, dir)),
+    "q_stream_sessions" -> ((s, dir) => graft.streaming.Streams.streamSessions(s, dir)),
+    "q_stream_enrich" -> ((s, dir) => graft.streaming.Streams.streamEnrich(s, dir)),
 
     // ---- §2.4 composite training-data filter ----
     "q_pipeline_filter" -> ((s, dir) => pipelineFilter(s, dir)),
@@ -442,6 +457,42 @@ object SparkEntry {
         |       MIN(value) AS low, MAX(value) AS high,
         |       CAST(SUM(user_id) AS BIGINT) AS volume
         |FROM w GROUP BY 1, 2 ORDER BY symbol, win_start_us""".stripMargin,
+    "q_salted_join" ->
+      """WITH s AS (
+        |  SELECT event_type AS symbol,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE) AS sym_avg
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type AS symbol, e.value AS price, s.sym_avg
+        |FROM events e JOIN s ON e.event_type = s.symbol
+        |ORDER BY event_id""".stripMargin,
+    "q_stream_range_join" ->
+      """SELECT l.event_id, COUNT(r.event_id) AS n_prior
+        |FROM (SELECT * FROM events WHERE event_type = 'error') l
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id
+        | AND epoch_us(r.ts) >= epoch_us(l.ts) - 300000000
+        | AND epoch_us(r.ts) < epoch_us(l.ts)
+        |GROUP BY l.event_id ORDER BY l.event_id""".stripMargin,
+    "q_stream_sessions" ->
+      """SELECT symbol, MIN(ts_us) AS sess_start_us, COUNT(*) AS n_ticks
+        |FROM (
+        |  SELECT symbol, ts_us,
+        |         SUM(is_new) OVER (PARTITION BY symbol ORDER BY ts_us
+        |             ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM (
+        |    SELECT event_type AS symbol, epoch_us(ts) AS ts_us,
+        |           CASE WHEN LAG(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL
+        |                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER (
+        |                     PARTITION BY event_type ORDER BY ts)) >= 1800000000
+        |                THEN 1 ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY symbol, sess ORDER BY symbol, sess_start_us""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.event_type AS symbol,
+        |       COALESCE(c.c_mktsegment, 'NONE') AS mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY event_id""".stripMargin,
     "q_stream_asof" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value AS price,
         |       COALESCE(epoch_us(r.ts), -1) AS quote_ts_us,

@@ -181,6 +181,88 @@ object Streams {
       .orderBy("symbol")
   }
 
+  /** Native stream-stream range join: for each error event, count the
+    * same user's clicks in the preceding 5 minutes — Spark's
+    * watermarked stream-stream join with a time-interval condition
+    * (both sides buffer only the watermark-bounded range; state evicts
+    * as the watermark advances, so state is O(rate × window), not
+    * O(history)). The streamed join is INNER — outer null-emission is
+    * watermark-lagged by design — and the zero-count lefts are
+    * recovered at read-back with a batch left join against the key
+    * universe, so the result equals the batch range join and shares
+    * its oracle.
+    */
+  def streamRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_rj_${counter.incrementAndGet()}"
+    def side(sym: String, prefix: String) =
+      tickStream(spark, dir)
+        .withWatermark("ts", "10 minutes")
+        .filter(col("symbol") === sym)
+        .select(col("event_id").as(s"${prefix}_event_id"),
+          col("volume").as(s"${prefix}_user_id"), col("ts").as(s"${prefix}_ts"))
+    val joined = side("error", "l").join(side("click", "r"),
+      col("l_user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") - expr("interval 5 minutes") &&
+        col("r_ts") < col("l_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table(name)
+      .groupBy(col("l_event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_matched"))
+    graft.core.Tables.ticks(spark, dir).filter(col("symbol") === "error")
+      .select(col("event_id"))
+      .join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), coalesce(col("n_matched"), lit(0L)).as("n_prior"))
+      .orderBy("event_id")
+  }
+
+  /** Streaming sessionization with the native `session_window` (gap-
+    * merged event-time windows + watermark): same session boundaries as
+    * the batch operator, flushed by the sentinel, so it shares the
+    * batch oracle.
+    */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_sess_${counter.incrementAndGet()}"
+    val inDir = sentinelInput(spark, dir)
+    val src = tickStreamFrom(spark, inDir, "*.parquet")
+      .withWatermark("ts", "10 minutes")
+    val sessions = src
+      .groupBy(col("symbol"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_ticks"))
+      .select(col("symbol"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        col("n_ticks"))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .filter(col("symbol") =!= SentinelSymbol)
+      .orderBy("symbol", "sess_start_us")
+  }
+
+  /** Stream-static enrich: the tick stream joined to a static
+    * dimension table (customer market segment by user id) — Spark
+    * plans the static side as an ordinary broadcast per micro-batch,
+    * no state at all. The oracle is the equivalent batch join.
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_enrich_${counter.incrementAndGet()}"
+    val dim = graft.core.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = tickStream(spark, dir)
+      .join(broadcast(dim), col("volume") === col("c_custkey"), "left")
+      .select(col("event_id"), col("symbol"),
+        coalesce(col("c_mktsegment"), lit("NONE")).as("mktsegment"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy("event_id")
+  }
+
   final case class AsofIn(side: Int, event_id: Long, user_id: Long,
       ts_us: Long, price: Double)
   final case class QuoteState(ts_us: Long, price: Double)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{MinHashSig, SimHash64}
-import graft.plans.AsOfJoinStrategy
+import graft.plans.{AsOfJoinStrategy, TimestampFilterPushdown}
 
 /** Builder-time registration of everything graft adds to a session:
   *
@@ -27,6 +27,7 @@ import graft.plans.AsOfJoinStrategy
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => TimestampFilterPushdown)
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),

@@ -42,6 +42,20 @@ object SparkEntry {
           col("value").as("price"), col("user_id").as("volume"))
         .orderBy("ts_us", "price", "volume")
     }),
+    "q_range_scan_view" -> ((s, dir) => {
+      // Same scan as q_range_scan but written against the FRIENDLY
+      // converted-timestamp view — the TimestampFilterPushdown
+      // optimizer rule rewrites the bounds onto the raw ns column so
+      // row-group pruning still happens (no hand-written raw filter).
+      graft.plans.GraftOptimizations.install(s)
+      Tables.events(s, dir)
+        .filter(col("event_type") === "click" &&
+          col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")) &&
+          col("ts") <= lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+        .select(unix_micros(col("ts")).as("ts_us"),
+          col("value").as("price"), col("user_id").as("volume"))
+        .orderBy("ts_us", "price", "volume")
+    }),
     "q_point_lookup" -> ((s, dir) =>
       ticks(s, dir)
         .filter(col("event_id") === 424L)
@@ -123,6 +137,14 @@ object SparkEntry {
     "q_window_suite" -> ((s, dir) => Relational.windowSuite(s, dir)),
     "q_scalar_funcs" -> ((s, dir) => Relational.scalarFuncs(s, dir)),
     "q_rollup" -> ((s, dir) => Relational.rollupDaily(s, dir)),
+    "q_cube" -> ((s, dir) => Relational.cubeDaily(s, dir)),
+    "q_set_ops" -> ((s, dir) => Relational.setOps(s, dir)),
+    "q_rolling_1h" -> ((s, dir) => MarketOps.rollingHourlyAvg(ticks(s, dir))),
+    "q_edit_distance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      TextOps.editDistance(pairs, docs)
+    }),
     "q_salted_join" -> ((s, dir) => {
       import org.apache.spark.sql.types.DecimalType
       val t = ticks(s, dir)
@@ -260,6 +282,12 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_range_scan" ->
+      """SELECT epoch_us(ts) AS ts_us, value AS price, user_id AS volume
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-01-05' AND ts <= TIMESTAMP '2024-01-15'
+        |ORDER BY ts_us, price, volume""".stripMargin,
+    "q_range_scan_view" ->
       """SELECT epoch_us(ts) AS ts_us, value AS price, user_id AS volume
         |FROM events
         |WHERE event_type = 'click'
@@ -457,6 +485,37 @@ object SparkEntry {
         |       MIN(value) AS low, MAX(value) AS high,
         |       CAST(SUM(user_id) AS BIGINT) AS volume
         |FROM w GROUP BY 1, 2 ORDER BY symbol, win_start_us""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(symbol, 'ALL') AS symbol_g,
+        |       COALESCE(strftime(day, '%Y-%m-%d'), 'ALL') AS day_g,
+        |       COUNT(*) AS n_ticks, CAST(SUM(volume) AS BIGINT) AS volume
+        |FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS day, user_id AS volume
+        |      FROM events)
+        |GROUP BY CUBE(symbol, day) ORDER BY symbol_g, day_g""".stripMargin,
+    "q_set_ops" ->
+      """SELECT user_id, 'click_and_buy' AS set_op FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'click_no_error' AS set_op FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |ORDER BY set_op, user_id""".stripMargin,
+    "q_rolling_1h" ->
+      """SELECT event_id, event_type AS symbol,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |             / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_edit_distance" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_salted_join" ->
       """WITH s AS (
         |  SELECT event_type AS symbol,

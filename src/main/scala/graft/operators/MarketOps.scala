@@ -368,6 +368,23 @@ object MarketOps {
         col("n_ticks"), col("low"), col("high"), col("volume"))
       .orderBy("symbol", "win_start_us")
 
+  /** Trailing time-window rolling average (RANGE frame, not ROWS): the
+    * mean price over the last hour of wall-clock per symbol at every
+    * tick — frames are defined by the event-time axis, so sparse and
+    * dense periods weight correctly. Decimal-exact sum / count →
+    * bit-identical quotient.
+    */
+  def rollingHourlyAvg(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0)
+    ticks.select(col("event_id"), col("symbol"),
+        unix_micros(col("ts")).as("ts_us"), col("price"))
+      .select(col("event_id"), col("symbol"),
+        (sum(col("price").cast(dec)).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("avg_1h"))
+      .orderBy("event_id")
+  }
+
   /** Sessionize: new session when gap to previous tick > gapMinutes.
     * Classic lag + cumulative-flag-sum; one sort-shuffle per symbol.
     */

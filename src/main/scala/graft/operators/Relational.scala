@@ -238,6 +238,35 @@ object Relational {
         col("n_ticks"), col("volume"))
       .orderBy("symbol_g", "day_g")
 
+  /** Full cube over (symbol, day) — every grouping-set combination,
+    * including the day-only marginals rollup cannot produce.
+    */
+  def cubeDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.ticks(spark, dir)
+      .cube(col("symbol"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_ticks"), sum(col("volume")).as("volume"))
+      .select(
+        coalesce(col("symbol"), lit("ALL")).as("symbol_g"),
+        coalesce(date_format(col("day"), "yyyy-MM-dd"), lit("ALL")).as("day_g"),
+        col("n_ticks"), col("volume"))
+      .orderBy("symbol_g", "day_g")
+
+  /** Set operators over user cohorts: INTERSECT (clicked ∧ purchased)
+    * and EXCEPT (clicked ∧ never errored), tagged and unioned. Spark
+    * plans both as aggregate + semi/anti join — same single-shuffle
+    * shape as the explicit joins.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.ticks(spark, dir)
+    def users(sym: String) =
+      t.filter(col("symbol") === sym).select(col("volume").as("user_id")).distinct()
+    users("click").intersect(users("purchase"))
+      .withColumn("set_op", lit("click_and_buy"))
+      .union(users("click").except(users("error"))
+        .withColumn("set_op", lit("click_no_error")))
+      .orderBy("set_op", "user_id")
+  }
+
   /** Conditional aggregation (pivot-style status counts per priority). */
   def pivotStatus(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -70,6 +70,18 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Edit distance between consecutive documents (the exact-verify
+    * stage a fuzzy-dedup pipeline runs on candidate pairs when Jaccard
+    * is too coarse). Integer Levenshtein — engine-exact.
+    */
+  def editDistance(pairs: DataFrame, docs: DataFrame): DataFrame =
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"))
+      .orderBy("doc_a", "doc_b")
+
   /** Document fingerprint: polynomial rolling hash of the codepoint
     * sequence (base 31 mod 1e9+7 — intermediates stay < 2^35, safe
     * under ANSI long arithmetic). Deterministic and order-sensitive,

@@ -197,6 +197,8 @@ object SparkEntry {
     "q_stream_range_join" -> ((s, dir) => graft.streaming.Streams.streamRangeJoin(s, dir)),
     "q_stream_sessions" -> ((s, dir) => graft.streaming.Streams.streamSessions(s, dir)),
     "q_stream_enrich" -> ((s, dir) => graft.streaming.Streams.streamEnrich(s, dir)),
+    "q_stream_dedup" -> ((s, dir) => graft.streaming.Streams.streamDedup(s, dir)),
+    "q_stream_latest" -> ((s, dir) => graft.streaming.Streams.streamLatest(s, dir)),
 
     // ---- §2.4 composite training-data filter ----
     "q_pipeline_filter" -> ((s, dir) => pipelineFilter(s, dir)),
@@ -547,6 +549,13 @@ object SparkEntry {
         |                THEN 1 ELSE 0 END AS is_new
         |    FROM events))
         |GROUP BY symbol, sess ORDER BY symbol, sess_start_us""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type AS symbol
+        |FROM events ORDER BY user_id, symbol""".stripMargin,
+    "q_stream_latest" ->
+      """SELECT event_type AS symbol, epoch_us(MAX(ts)) AS last_ts_us,
+        |       max_by(value, ts) AS last_price
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_enrich" ->
       """SELECT e.event_id, e.event_type AS symbol,
         |       COALESCE(c.c_mktsegment, 'NONE') AS mktsegment

@@ -263,6 +263,51 @@ object Streams {
     spark.table(name).orderBy("event_id")
   }
 
+  /** Streaming deduplication: first-seen (user, symbol) pairs survive,
+    * replays and duplicates are suppressed by keyed state — the
+    * streaming form of the exact-dedup stage. (Unbounded key state
+    * here; a production pipeline bounds it with
+    * `dropDuplicatesWithinWatermark` once keys stop recurring.) The
+    * surviving key set equals batch DISTINCT, which is the oracle.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
+    val deduped = tickStream(spark, dir)
+      .select(col("volume").as("user_id"), col("symbol"))
+      .dropDuplicates("user_id", "symbol")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy("user_id", "symbol")
+  }
+
+  /** Continuous latest-value store via `foreachBatch`: each micro-batch
+    * appends its per-symbol argmax to a delta directory (merge-on-read
+    * upsert — the "current tick" table every market-data consumer
+    * keeps); the read side compacts deltas with one argmax. Equals the
+    * batch per-symbol last tick, which is the oracle.
+    */
+  def streamLatest(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_stream_latest_").toString
+    val q = tickStream(spark, dir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.groupBy(col("symbol"))
+          .agg(unix_micros(max(col("ts"))).as("last_ts_us"),
+            max_by(col("price"), col("ts")).as("last_price"))
+          .write.mode("append").parquet(s"$base/delta")
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(s"$base/delta")
+      .groupBy(col("symbol"))
+      .agg(max(col("last_ts_us")).as("last_ts_us"),
+        max_by(col("last_price"), col("last_ts_us")).as("last_price"))
+      .orderBy("symbol")
+  }
+
   final case class AsofIn(side: Int, event_id: Long, user_id: Long,
       ts_us: Long, price: Double)
   final case class QuoteState(ts_us: Long, price: Double)

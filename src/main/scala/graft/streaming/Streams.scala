@@ -31,6 +31,20 @@ object Streams {
   /** Heartbeat symbol; filtered out of every result. */
   val SentinelSymbol = "~sentinel~"
 
+  /** Run a streaming query with `n` state partitions (baked in at
+    * query start): stateful operators create one state-store instance
+    * per shuffle partition per store, so a 5-symbol/150-user local
+    * stream paying 32×4 store instances is pure fixed overhead. On a
+    * cluster, size this like any shuffle — O(executor cores) — via the
+    * same conf. The session value is restored afterwards.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   final case class VwapIn(symbol: String, price: Double, volume: Long)
   /** VWAP state keeps price·volume in exact integer cents (prices are
     * 2-dp), so the final quotient is bit-identical to the oracle's
@@ -128,14 +142,16 @@ object Streams {
         sum(col("volume")).as("volume"))
       .select(col("window.start").as("bar_start"), col("symbol"),
         col("n_ticks"), col("low"), col("high"), col("volume"))
-    val q = bars.writeStream.outputMode("append")
-      .format("parquet")
-      .option("path", s"$base/bars")
-      .option("checkpointLocation", s"$base/chk")
-      .partitionBy("symbol")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark, 8) {
+      val q = bars.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", s"$base/bars")
+        .option("checkpointLocation", s"$base/chk")
+        .partitionBy("symbol")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     // query the rollup store, not the raw ticks
     spark.read.parquet(s"$base/bars")
       .filter(col("symbol") =!= SentinelSymbol)
@@ -170,10 +186,12 @@ object Streams {
           Iterator.single(VwapOut(sym, s.n,
             if (s.v == 0) 0.0 else (s.pvCents.toDouble / 100.0) / s.v.toDouble))
       }
-    val q = updated.toDF().writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark, 8) {
+      val q = updated.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     // final snapshot per symbol = totals over all micro-batches
     spark.table(name).groupBy(col("symbol"))
       .agg(max(col("n_ticks")).as("n_ticks"),
@@ -200,14 +218,16 @@ object Streams {
         .filter(col("symbol") === sym)
         .select(col("event_id").as(s"${prefix}_event_id"),
           col("volume").as(s"${prefix}_user_id"), col("ts").as(s"${prefix}_ts"))
-    val joined = side("error", "l").join(side("click", "r"),
-      col("l_user_id") === col("r_user_id") &&
-        col("r_ts") >= col("l_ts") - expr("interval 5 minutes") &&
-        col("r_ts") < col("l_ts"))
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark, 8) {
+      val joined = side("error", "l").join(side("click", "r"),
+        col("l_user_id") === col("r_user_id") &&
+          col("r_ts") >= col("l_ts") - expr("interval 5 minutes") &&
+          col("r_ts") < col("l_ts"))
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     val counts = spark.table(name)
       .groupBy(col("l_event_id").as("event_id"))
       .agg(count(lit(1)).as("n_matched"))
@@ -228,16 +248,18 @@ object Streams {
     val inDir = sentinelInput(spark, dir)
     val src = tickStreamFrom(spark, inDir, "*.parquet")
       .withWatermark("ts", "10 minutes")
-    val sessions = src
-      .groupBy(col("symbol"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_ticks"))
-      .select(col("symbol"),
-        unix_micros(col("session_window.start")).as("sess_start_us"),
-        col("n_ticks"))
-    val q = sessions.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark, 8) {
+      val sessions = src
+        .groupBy(col("symbol"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_ticks"))
+        .select(col("symbol"),
+          unix_micros(col("session_window.start")).as("sess_start_us"),
+          col("n_ticks"))
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name)
       .filter(col("symbol") =!= SentinelSymbol)
       .orderBy("symbol", "sess_start_us")
@@ -272,13 +294,15 @@ object Streams {
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
-    val deduped = tickStream(spark, dir)
-      .select(col("volume").as("user_id"), col("symbol"))
-      .dropDuplicates("user_id", "symbol")
-    val q = deduped.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark, 8) {
+      val deduped = tickStream(spark, dir)
+        .select(col("volume").as("user_id"), col("symbol"))
+        .dropDuplicates("user_id", "symbol")
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name).orderBy("user_id", "symbol")
   }
 
@@ -353,10 +377,12 @@ object Streams {
           state.update(q)
           out.result().iterator
       }
-    val q = joined.toDF().writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark, 8) {
+      val q = joined.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name).orderBy("event_id")
   }
 
@@ -377,10 +403,12 @@ object Streams {
       .agg(count(lit(1)).as("n_ticks"),
         min(col("price")).as("low"), max(col("price")).as("high"),
         sum(col("volume")).as("volume"))
-    val q = bars.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark, 8) {
+      val q = bars.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name)
       .filter(col("symbol") =!= SentinelSymbol)
       .select(unix_micros(col("window.start")).as("bar_start_us"), col("symbol"),

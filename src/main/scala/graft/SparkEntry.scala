@@ -279,6 +279,38 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The LSH hyperplanes as a DuckDB VALUES list — the planes are
+    * deterministic (seeded), so inlining them lets the oracle run the
+    * SAME bucketing algorithm independently. `list_sum` over a
+    * `list_transform` folds in index order like the Spark-side
+    * `aggregate(zip_with(...))`, and every similarity is rounded to 4
+    * digits before any comparison, so bucket bits and thresholds agree.
+    */
+  private def planesSql(nBits: Int): String =
+    graft.pipeline.Similarity.hyperplanes(64, nBits).zipWithIndex
+      .map { case (ws, b) => s"($b, [${ws.mkString(", ")}])" }
+      .mkString(", ")
+
+  private def duckCosine(a: String, b: String): String =
+    s"""ROUND(list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]))
+       |  / (SQRT(list_sum(list_transform($a, x -> x * x)))
+       |     * SQRT(list_sum(list_transform($b, x -> x * x)))), 4)""".stripMargin
+
+  private def duckBuckets(nBits: Int): String =
+    s"""planes(bit, ws) AS (VALUES ${planesSql(nBits)}),
+       |proj AS (
+       |  SELECT e.vec_id, p.bit,
+       |         list_sum(list_transform(generate_series(1, 64),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.ws[i] AS DOUBLE))) AS proj
+       |  FROM embeddings e CROSS JOIN planes p),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << bit
+       |                       ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1),
+       |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |         FROM embeddings)""".stripMargin
+
   /** DuckDB-equivalent SQL per query (same column names, same ordering;
     * SURVEY.md §4 conventions). Rows-only queries are omitted.
     */
@@ -880,6 +912,33 @@ object SparkEntry {
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * user_id) AS DOUBLE)
         |             / CAST(SUM(user_id) AS DOUBLE), 6) AS running_vwap
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_embed_dedup" ->
+      s"""WITH ${duckBuckets(6)},
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sims AS (
+         |  SELECT c.id_a, c.id_b,
+         |         ${duckCosine("va.ve", "vb.ve")} AS cos_sim
+         |  FROM cand c JOIN vecs va ON va.vec_id = c.id_a
+         |              JOIN vecs vb ON vb.vec_id = c.id_b)
+         |SELECT id_a, id_b, cos_sim FROM sims
+         |WHERE cos_sim >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH ${duckBuckets(8)},
+         |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT DISTINCT xor(qb.bucket, m.m) AS bucket
+         |  FROM qb CROSS JOIN (VALUES (0), (1), (2), (4), (8), (16), (32),
+         |                             (64), (128)) m(m)),
+         |q AS (SELECT ve AS qe FROM vecs WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT b.vec_id FROM buckets b JOIN probes p ON b.bucket = p.bucket
+         |  WHERE b.vec_id <> 0)
+         |SELECT c.vec_id AS vec_id, ${duckCosine("v.ve", "q.qe")} AS cos_sim
+         |FROM cand c JOIN vecs v ON v.vec_id = c.vec_id CROSS JOIN q
+         |ORDER BY cos_sim DESC, 1 LIMIT 10""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |flat AS (

@@ -38,7 +38,7 @@ object Similarity {
     * driver-side once (a tiny `nBits × dim` constant matrix, shipped
     * inside the plan as literals — no per-row hashing, no stored model).
     */
-  private def hyperplanes(dim: Int, nBits: Int): IndexedSeq[Seq[Double]] = {
+  private[graft] def hyperplanes(dim: Int, nBits: Int): IndexedSeq[Seq[Double]] = {
     val rng = new scala.util.Random(42)
     IndexedSeq.fill(nBits)(Seq.fill(dim)(rng.nextDouble() - 0.5))
   }

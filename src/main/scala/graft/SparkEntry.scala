@@ -311,6 +311,78 @@ object SparkEntry {
        |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
        |         FROM embeddings)""".stripMargin
 
+  /** Seed-with-first polynomial codepoint hash mod p — the DuckDB
+    * mirror of [[graft.functions.TextHash.charPoly]].
+    */
+  private def duckCharPoly(w: String, base: Long): String =
+    s"""CASE WHEN length($w) = 0 THEN 0 ELSE
+       |  list_reduce(list_transform(generate_series(1, length($w)),
+       |    ci -> CAST(unicode(substr($w, ci, 1)) AS BIGINT)),
+       |    (a, c) -> (a * $base + c) % 1000000007) END""".stripMargin
+
+  /** Shared minhash CTE chain: word hashes → gram hashes → k affine
+    * permutation minima (constants inlined from
+    * [[graft.functions.TextHash.permConsts]]) → positional-weight band
+    * keys → capped buckets → candidate pairs. Mirrors
+    * [[graft.pipeline.Dedup.minhashCandidates]] term for term.
+    */
+  private def duckMinhashCtes: String = {
+    val perms = graft.functions.TextHash.permConsts(16).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""wh AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '),
+       |    w -> ${duckCharPoly("w", 31L)}) AS whs
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, list_transform(generate_series(1, len(whs) - 2),
+       |    i -> ((whs[i] * 1000003 + whs[i+1]) % 1000000007 * 1000003
+       |          + whs[i+2]) % 1000000007) AS gs
+       |  FROM wh),
+       |perms(pi, pa, pb) AS (VALUES $perms),
+       |sigs AS (
+       |  SELECT g.doc_id, p.pi,
+       |         CASE WHEN len(g.gs) = 0 THEN 1000000007
+       |              ELSE list_min(list_transform(g.gs,
+       |                     x -> (p.pa * x + p.pb) % 1000000007)) END AS sig
+       |  FROM grams g CROSS JOIN perms p),
+       |bnd AS (
+       |  SELECT doc_id, pi // 4 AS band_id,
+       |         SUM(sig * CASE pi % 4 WHEN 0 THEN 1 WHEN 1 THEN 1000003
+       |                              WHEN 2 THEN 999917 ELSE 999983 END)
+       |           % 1000000009 AS band_hash
+       |  FROM sigs GROUP BY 1, 2),
+       |sized AS (
+       |  SELECT band_id, band_hash, COUNT(*) AS cnt FROM bnd
+       |  GROUP BY 1, 2 HAVING cnt BETWEEN 2 AND 10000),
+       |prs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bnd a
+       |  JOIN bnd b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |            AND a.doc_id < b.doc_id
+       |  JOIN sized s ON s.band_id = a.band_id AND s.band_hash = a.band_hash)""".stripMargin
+  }
+
+  /** Shared simhash CTE chain mirroring
+    * [[graft.functions.TextHash.simhashEval]]: two 30-bit polynomial
+    * word hashes vote on 60 bits.
+    */
+  private def duckSimhashCtes: String =
+    s"""words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |wh AS (
+       |  SELECT doc_id, ${duckCharPoly("w", 31L)} AS h1,
+       |         ${duckCharPoly("w", 131L)} AS h2
+       |  FROM words),
+       |votes AS (
+       |  SELECT doc_id, j.j,
+       |         SUM(CASE WHEN ((CASE WHEN j.j < 30 THEN h1 ELSE h2 END)
+       |                        >> (j.j % 30)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM wh CROSS JOIN generate_series(0, 59) j(j) GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+       |              AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1)""".stripMargin
+
   /** DuckDB-equivalent SQL per query (same column names, same ordering;
     * SURVEY.md §4 conventions). Rows-only queries are omitted.
     */
@@ -912,6 +984,47 @@ object SparkEntry {
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * user_id) AS DOUBLE)
         |             / CAST(SUM(user_id) AS DOUBLE), 6) AS running_vwap
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH $duckMinhashCtes
+         |SELECT p.doc_a, p.doc_b,
+         |       CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / 16 AS est_jaccard
+         |FROM prs p
+         |JOIN sigs sa ON sa.doc_id = p.doc_a
+         |JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.pi = sa.pi
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $duckMinhashCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |          UNION SELECT doc_b, doc_a FROM prs),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst)
+         |SELECT doc AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id,
+         |       CAST(CASE WHEN MIN(lab) = doc THEN 1 ELSE 0 END AS BIGINT)
+         |         AS is_survivor
+         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH $duckSimhashCtes
+         |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH $duckSimhashCtes,
+         |bnd AS (
+         |  SELECT doc_id, simhash, b.b AS band_id,
+         |         (simhash >> (b.b * 15)) & 32767 AS band_val
+         |  FROM sims CROSS JOIN generate_series(0, 3) b(b)),
+         |sized AS (
+         |  SELECT band_id, band_val, COUNT(*) AS cnt FROM bnd
+         |  GROUP BY 1, 2 HAVING cnt BETWEEN 2 AND 10000)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM bnd a
+         |JOIN bnd b ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |          AND a.doc_id < b.doc_id
+         |JOIN sized s ON s.band_id = a.band_id AND s.band_val = a.band_val
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_embed_dedup" ->
       s"""WITH ${duckBuckets(6)},
          |cand AS (

@@ -18,26 +18,49 @@ import org.apache.spark.unsafe.types.UTF8String
   * the whole dedup candidate stage then shuffles only
   * (doc_id, k·8-byte signature).
   *
-  * Hashing is FNV-1a over characters per word + a Murmur3 finalizer
-  * for mixing (public-domain constants).
+  * Hashing is ENGINE-NEUTRAL modular arithmetic (universal hashing
+  * over the field mod p = 1e9+7): polynomial char hashes per word,
+  * a polynomial gram hash over word hashes, and k affine permutations
+  * `(a_i·g + b_i) mod p`. Every intermediate stays below 2^61 (safe
+  * under ANSI long arithmetic), and — unlike 64-bit wraparound
+  * mixing — the whole scheme is expressible in any SQL engine with a
+  * list fold, which is what makes the minhash/simhash queries
+  * DuckDB-oracle-checkable.
   */
 object TextHash {
-  final val FnvOffset = 0xcbf29ce484222325L
-  final val FnvPrime = 0x100000001b3L
+  /** Field modulus for all polynomial/affine hashing. */
+  final val P = 1000000007L
+  /** Secondary modulus for band keys. */
+  final val P2 = 1000000009L
+  /** Char-polynomial bases (word hash 1 and 2) and gram base. */
+  final val CharBase1 = 31L
+  final val CharBase2 = 131L
+  final val GramBase = 1000003L
+  /** Sentinel signature entry for docs with < n words. */
+  final val EmptySig: Long = P
 
-  /** Murmur3 64-bit finalizer. */
-  @inline def mix(z0: Long): Long = {
-    var z = z0 ^ (z0 >>> 33)
-    z *= 0xff51afd7ed558ccdL
-    z ^= z >>> 33
-    z *= 0xc4ceb9fe1a85ec53L
-    z ^ (z >>> 33)
-  }
+  /** Affine permutation constants (a_i, b_i), deterministic so the
+    * oracle SQL can inline them (xxhash-prime multipliers, mod P).
+    */
+  def permConsts(k: Int): IndexedSeq[(Long, Long)] =
+    (0 until k).map { i =>
+      val a = (2654435761L * (i + 1)) % P
+      val b = (2246822519L * (i + 1)) % P
+      (if (a == 0) 1L else a, b)
+    }
 
-  @inline def fnv(s: String, from: Int, until: Int): Long = {
-    var h = FnvOffset
+  /** Seed-with-first polynomial codepoint hash mod P (the same fold
+    * shape as a SQL `list_reduce`, which has no init element).
+    */
+  @inline def charPoly(s: String, from: Int, until: Int, base: Long): Long = {
+    if (until <= from) return 0L
+    var h = -1L
     var i = from
-    while (i < until) { h ^= s.charAt(i).toLong; h *= FnvPrime; i += 1 }
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      h = if (h < 0) cp.toLong else (h * base + cp.toLong) % P
+      i += Character.charCount(cp)
+    }
     h
   }
 
@@ -48,18 +71,18 @@ object TextHash {
     */
   def minhashEval(input: UTF8String, n: Int, k: Int): UnsafeArrayData = {
     val wh = wordHashes(input.toString)
-    val seeds = seedsFor(k)
-    val mins = Array.fill(k)(Long.MaxValue)
+    val perms = permConsts(k)
+    val mins = Array.fill(k)(EmptySig)
     var i = 0
     val last = wh.length - n
     while (i <= last) {
-      var g = FnvOffset
-      var j = 0
-      while (j < n) { g ^= wh(i + j); g *= FnvPrime; j += 1 }
-      g = mix(g)
+      var g = wh(i)
+      var j = 1
+      while (j < n) { g = (g * GramBase + wh(i + j)) % P; j += 1 }
       var p = 0
       while (p < k) {
-        val h = mix(g ^ seeds(p))
+        val (a, b) = perms(p)
+        val h = (a * g + b) % P
         if (h < mins(p)) mins(p) = h
         p += 1
       }
@@ -68,22 +91,35 @@ object TextHash {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** 60-bit SimHash: bits 0..29 vote with word hash 1 (base 31), bits
+    * 30..59 with the independent word hash 2 (base 131); both are
+    * < 2^30 so every bit position is live.
+    */
+  final val SimBits = 60
+
   def simhashEval(input: UTF8String): Long = {
-    val wh = wordHashes(input.toString)
-    val votes = new Array[Int](64)
+    val s = input.toString
+    val votes = new Array[Int](SimBits)
+    val n = s.length
+    var start = 0
     var i = 0
-    while (i < wh.length) {
-      val h = wh(i)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        val h1 = charPoly(s, start, i, CharBase1)
+        val h2 = charPoly(s, start, i, CharBase2)
+        var j = 0
+        while (j < 30) {
+          if (((h1 >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          if (((h2 >>> j) & 1L) == 1L) votes(30 + j) += 1 else votes(30 + j) -= 1
+          j += 1
+        }
+        start = i + 1
       }
       i += 1
     }
     var out = 0L
     var j = 0
-    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    while (j < SimBits) { if (votes(j) > 0) out |= (1L << j); j += 1 }
     out
   }
 
@@ -110,11 +146,6 @@ object TextHash {
     h
   }
 
-  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
-  def seedsFor(k: Int): Array[Long] =
-    seedCache.computeIfAbsent(k, kk =>
-      Array.tabulate(kk)(j => mix(0x9e3779b97f4a7c15L * (j + 1))))
-
   /** Word hashes of a single-space-tokenized string (one allocation). */
   def wordHashes(s: String): Array[Long] = {
     val n = s.length
@@ -127,7 +158,7 @@ object TextHash {
     i = 0
     while (i <= n) {
       if (i == n || s.charAt(i) == ' ') {
-        out(w) = mix(fnv(s, start, i)); w += 1; start = i + 1
+        out(w) = charPoly(s, start, i, CharBase1); w += 1; start = i + 1
       }
       i += 1
     }
@@ -135,10 +166,11 @@ object TextHash {
   }
 }
 
-/** MinHash signature: for each of `k` seeded permutations, the min hash
-  * over all word `n`-grams of the text. Documents with fewer than `n`
-  * words signature to Long.MaxValue entries (they band together,
-  * harmless: exact dedup handles degenerate docs first).
+/** MinHash signature: for each of `k` affine permutations mod p, the
+  * min hash over all word `n`-grams of the text. Documents with fewer
+  * than `n` words signature to [[TextHash.EmptySig]] entries (they
+  * band together, harmless: exact dedup handles degenerate docs
+  * first).
   */
 case class MinHashSig(child: Expression, n: Int, k: Int)
     extends UnaryExpression {
@@ -160,8 +192,9 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash over word hashes: bit j of the result is the sign of
-  * the sum over words of ±1 according to bit j of the word's hash.
+/** 60-bit SimHash over word hashes: bit j of the result is the sign of
+  * the sum over words of ±1 according to bit j of the word's two
+  * 30-bit polynomial hashes (see [[TextHash.simhashEval]]).
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression {

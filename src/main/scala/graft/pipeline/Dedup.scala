@@ -57,12 +57,23 @@ object Dedup {
     */
   val maxBucket = 10000
 
+  /** Positional weights for band keys: sig values are < 2^31 and
+    * weights < 2^21, so the 4-term weighted sum stays < 2^54 and one
+    * final mod suffices — engine-neutral, unlike a 64-bit mixing hash.
+    * Distinct sig tuples can collide mod P2 (≈1e-9 per bucket pair);
+    * a collision only adds a candidate pair, and both engines add the
+    * same one.
+    */
+  private[graft] val bandWeights: IndexedSeq[Long] = IndexedSeq(1L, 1000003L, 999917L, 999983L)
+
   def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = k / bands
+    require(rowsPerBand <= bandWeights.size, s"need weights for $rowsPerBand rows/band")
     val banded = minhashSignatures(docs, n, k).select(col("doc_id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => element_at(col("sig"), i + 1)): _*)
+        (0 until rowsPerBand)
+          .map(r => element_at(col("sig"), b * rowsPerBand + r + 1) * bandWeights(r))
+          .reduce(_ + _) % graft.functions.TextHash.P2
       }: _*)).as(Seq("band_id", "band_hash")))
     val buckets = banded
       .groupBy("band_id", "band_hash")
@@ -103,8 +114,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
-    require(64 % bands == 0, s"maxHamming+1 must divide 64, got $bands bands")
-    val width = 64 / bands
+    val simBits = graft.functions.TextHash.SimBits
+    require(simBits % bands == 0, s"maxHamming+1 must divide $simBits, got $bands bands")
+    val width = simBits / bands
     val sigs = simhash(docs)
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map { b =>
@@ -137,12 +149,14 @@ object Dedup {
     *
     * Iterative min-label joins reach fixpoint in O(diameter) rounds;
     * near-dup clusters are LSH-bucket cliques and short chains, so
-    * `iters` = 3 covers diameter ≤ 3 (raise for deeper graphs). Fixed
+    * `iters` = 5 covers diameter ≤ 5 (raise for deeper graphs; the
+    * DuckDB oracle computes the true transitive closure, so a
+    * too-shallow iteration count shows up as a hash mismatch). Fixed
     * iterations keep this a SINGLE Spark action — no per-round
     * convergence counts (each of which would be an extra job), and the
     * repeated edge subplan collapses via exchange reuse.
     */
-  def nearDupClusters(docs: DataFrame, pairs: DataFrame, iters: Int = 3): DataFrame = {
+  def nearDupClusters(docs: DataFrame, pairs: DataFrame, iters: Int = 5): DataFrame = {
     // undirected edges, both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -62,11 +62,19 @@ class TextHashSpec extends AnyFunSuite {
     val he = ham(simhash(base), simhash(edited))
     val hd = ham(simhash(base), simhash(disjoint))
     assert(he < hd)
-    assert(he <= 16)
-    assert(hd >= 16)
+    assert(he <= 15)
+    assert(hd >= 15)
   }
 
-  test("short docs (< n words) signature to MaxValue sentinels") {
-    assert(minhash("one two").forall(_ == Long.MaxValue))
+  test("signatures stay below the modulus (ANSI-safe, SQL-expressible)") {
+    samples(text, 50).foreach { s =>
+      assert(minhash(s).forall(v => v >= 0 && v <= TextHash.P))
+      val sh = simhash(s)
+      assert(sh >= 0 && sh < (1L << TextHash.SimBits))
+    }
+  }
+
+  test("short docs (< n words) signature to the EmptySig sentinel") {
+    assert(minhash("one two").forall(_ == TextHash.EmptySig))
   }
 }

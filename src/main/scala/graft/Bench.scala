@@ -43,12 +43,10 @@ object Bench {
     // fixed job overhead, dominates.
     import org.apache.spark.sql.functions._
     val nTicks = 2000000L
-    val symbols = array(lit("AAPL"), lit("MSFT"), lit("GOOG"), lit("AMZN"), lit("TSLA"))
-    val synth = spark.range(nTicks).select(
-      element_at(symbols, (pmod(col("id"), lit(5L)) + 1).cast("int")).as("symbol"),
-      timestamp_seconds(lit(1700000000L) + expr("id div 5")).as("ts"),
-      (lit(100.0) + pmod(col("id") * 7919L, lit(10000L)) / 100.0).as("price"),
-      (pmod(col("id") * 104729L, lit(9900L)) + 100L).as("volume"))
+    // the DataSourceV2 tick generator feeds the probe (zero input IO)
+    val synth = spark.read.format("tickgen")
+      .option("rows", nTicks).option("partitions", cpus.toInt).load()
+      .select("symbol", "ts", "price", "volume")
     // daily partitioning: symbol×day write tasks (the production layout)
     // instead of one task per symbol, and date-directory pruning on scan
     val ingestDir = java.nio.file.Files.createTempDirectory("graft_bench_ingest_").toString

@@ -75,6 +75,18 @@ object SparkEntry {
         .orderBy("symbol")),
     "q_ingest_roundtrip" -> ((s, dir) => ingestRoundtrip(s, dir)),
     "q_csv_import" -> ((s, dir) => csvImport(s, dir)),
+    "q_source_scan" -> ((s, _) =>
+      // DataSourceV2 tick generator: aggregate 100k generated ticks;
+      // the oracle regenerates the same stream with generate_series
+      s.read.format("tickgen").option("rows", 100000L).load()
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_ticks"),
+          sum(col("price").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_price"),
+          sum(col("volume")).as("sum_volume"),
+          unix_micros(min(col("ts"))).as("first_ts_us"),
+          unix_micros(max(col("ts"))).as("last_ts_us"))
+        .orderBy("symbol")),
 
     // ---- §2.2 market analytics ----
     "q_ohlc_daily" -> ((s, dir) => MarketOps.ohlcDaily(ticks(s, dir))),
@@ -959,6 +971,18 @@ object SparkEntry {
         |WHERE event_type = 'click'
         |  AND ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-12-31'
         |ORDER BY ts_us, price, volume""".stripMargin,
+    "q_source_scan" ->
+      """WITH g AS (
+        |  SELECT ['AAPL','MSFT','GOOG','AMZN','TSLA'][CAST(i % 5 AS INT) + 1] AS symbol,
+        |         (1700000000 + i // 5) * 1000000 AS ts_us,
+        |         100.0 + CAST(i * 7919 % 10000 AS DOUBLE) / 100 AS price,
+        |         i * 104729 % 9900 + 100 AS volume
+        |  FROM generate_series(0, 99999) t(i))
+        |SELECT symbol, COUNT(*) AS n_ticks,
+        |       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(SUM(volume) AS BIGINT) AS sum_volume,
+        |       MIN(ts_us) AS first_ts_us, MAX(ts_us) AS last_ts_us
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_csv_import" ->
       """SELECT epoch_us(date_trunc('second', ts)) AS ts_us, value AS price,
         |       user_id AS volume

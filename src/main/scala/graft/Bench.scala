@@ -49,6 +49,9 @@ object Bench {
       .select("symbol", "ts", "price", "volume")
     // daily partitioning: symbol×day write tasks (the production layout)
     // instead of one task per symbol, and date-directory pruning on scan
+    val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_warm_").toString
+    new graft.tsdb.TickStore(spark, warmDir, dailyPartitions = true)
+      .ingest(synth.limit(100000)) // JIT/codec warmup, untimed
     val ingestDir = java.nio.file.Files.createTempDirectory("graft_bench_ingest_").toString
     val t0 = System.nanoTime()
     new graft.tsdb.TickStore(spark, ingestDir, dailyPartitions = true).ingest(synth)

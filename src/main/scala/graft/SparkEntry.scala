@@ -148,6 +148,21 @@ object SparkEntry {
     "q18_having" -> ((s, dir) => Relational.q18(s, dir)),
     "q_window_suite" -> ((s, dir) => Relational.windowSuite(s, dir)),
     "q_scalar_funcs" -> ((s, dir) => Relational.scalarFuncs(s, dir)),
+    "q_json_extract" -> ((s, dir) =>
+      // semi-structured payload processing: parse the JSON props column
+      // with an explicit schema (codegen'd JsonToStructs), aggregate the
+      // extracted field per symbol
+      Tables.events(s, dir)
+        .select(col("event_type").as("symbol"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          count(when(col("k") > 50, 1)).as("n_high"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("symbol")),
     "q_rollup" -> ((s, dir) => Relational.rollupDaily(s, dir)),
     "q_cube" -> ((s, dir) => Relational.cubeDaily(s, dir)),
     "q_set_ops" -> ((s, dir) => Relational.setOps(s, dir)),
@@ -851,6 +866,14 @@ object SparkEntry {
         |  concat_ws('|', event_type, user_id) AS tag,
         |  user_id % 7 AS user_mod
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type AS symbol, COUNT(*) AS n,
+        |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+        |                  THEN 1 END) AS n_high,
+        |       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)

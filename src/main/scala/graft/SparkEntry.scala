@@ -310,8 +310,10 @@ object SparkEntry {
     * deterministic (seeded), so inlining them lets the oracle run the
     * SAME bucketing algorithm independently. `list_sum` over a
     * `list_transform` folds in index order like the Spark-side
-    * `aggregate(zip_with(...))`, and every similarity is rounded to 4
-    * digits before any comparison, so bucket bits and thresholds agree.
+    * codegen'd loop; each PROJECTION is rounded to 6 digits before its
+    * sign test (both engines) so a near-zero projection can't flip a
+    * bucket bit on summation-order ulps, and every similarity is
+    * rounded to 4 digits before any comparison.
     */
   private def planesSql(nBits: Int): String =
     graft.pipeline.Similarity.hyperplanes(64, nBits).zipWithIndex
@@ -332,7 +334,7 @@ object SparkEntry {
        |  FROM embeddings e CROSS JOIN planes p),
        |buckets AS (
        |  SELECT vec_id,
-       |         CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << bit
+       |         CAST(SUM(CASE WHEN ROUND(proj, 6) > 0 THEN CAST(1 AS BIGINT) << bit
        |                       ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY 1),
        |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve

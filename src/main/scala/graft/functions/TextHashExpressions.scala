@@ -263,5 +263,20 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_zorder(x, y), got ${other.size} args")
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot", {
+      case Seq(a, b) => DotProduct(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_dot(a, b), got ${other.size} args")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sig_match", {
+      case Seq(a, b) => SigMatchCount(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_sig_match(a, b), got ${other.size} args")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_lsh_bucket", {
+      case Seq(v, d, n) => LshBucket(v, intLit(d), intLit(n))
+      case other => throw new IllegalArgumentException(
+        s"graft_lsh_bucket(vec, dim, nBits), got ${other.size} args")
+    }, "scala_udf")
   }
 }

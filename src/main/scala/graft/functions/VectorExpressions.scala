@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector math for the similarity/ANN operators.
+  *
+  * The declarative `aggregate(zip_with(...))` formulation of a dot
+  * product runs interpreted lambdas per element in Spark 4 — fine for
+  * one projection, ruinous when every candidate pair of a 100 TB
+  * embedding join pays it. These expressions do the same arithmetic
+  * (sequential index-order accumulation, floats widened to double
+  * before multiply — bit-identical to the left fold they replace, and
+  * to the DuckDB oracle's `list_sum(list_transform(...))`) in one
+  * static Java call that stays inside WholeStageCodegen.
+  */
+object VectorMath {
+  /** Deterministic pseudo-random hyperplanes in [-0.5, 0.5) for sign
+    * LSH, seeded so the DuckDB oracle can inline the identical matrix
+    * (see SparkEntry.planesSql). Generation order (row-major, one
+    * Random(42) stream) is part of the oracle contract — do not
+    * reorder.
+    */
+  def hyperplanes(dim: Int, nBits: Int): Array[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(nBits)(Array.fill(dim)(rng.nextDouble() - 0.5))
+  }
+
+  /** Dot product of two float vectors, widened to double per element,
+    * accumulated in index order (the fold order both engines use).
+    */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Sign-LSH bucket id: bit b set iff the projection onto plane b is
+    * positive after rounding to 6 decimals. The rounding makes the sign
+    * decision robust to last-ulp summation differences between engines
+    * (an unrounded `proj > 0` can flip on a near-zero projection);
+    * `Math.round(x*1e6) > 0` is exactly DuckDB's `ROUND(proj, 6) > 0`
+    * for the sign test (half-away vs half-up differ only on negative
+    * exact halves, which are non-positive either way).
+    */
+  def lshBucket(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    var bucket = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      val n = math.min(v.numElements(), p.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getFloat(i).toDouble * p(i); i += 1 }
+      if (java.lang.Math.round(acc * 1e6) > 0L) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** Positions where two long signatures agree — the MinHash Jaccard
+    * estimator numerator.
+    */
+  def sigMatch(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+}
+
+/** `graft_dot(array<float>, array<float>) -> double`. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.dotFF($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_sig_match(array<bigint>, array<bigint>) -> int`: count of
+  * agreeing positions.
+  */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sig_match"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.sigMatch(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.sigMatch($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sign-LSH bucket of a float vector against the deterministic
+  * hyperplane matrix for (dim, nBits) — the whole nBits-projection
+  * pass in one codegen'd call. The matrix rides along as a referenced
+  * object (a few KB), not per-row literals.
+  */
+case class LshBucket(child: Expression, dim: Int, nBits: Int)
+    extends UnaryExpression {
+  @transient private lazy val planes: Array[Array[Double]] =
+    VectorMath.hyperplanes(dim, nBits)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(
+      VectorMath.lshBucket(v.asInstanceOf[ArrayData], planes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorMath.lshBucket($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -47,12 +47,17 @@ object Dedup {
     docs.select(col("doc_id"), expr(s"graft_minhash(text, $n, $k)").as("sig"))
   }
 
-  /** LSH near-duplicate candidate pairs: band each signature, group by
-    * (band_id, band_hash), generate pairs inside each bucket.
+  /** LSH near-duplicate candidate pairs: band each signature, self-join
+    * the banded table on (band_id, band_hash) with `doc_a < doc_b`.
     *
-    * Bucket-grouped pair generation is a single shuffle and never
-    * self-joins the corpus; pathological buckets (every doc identical)
-    * are capped at [[maxBucket]] members — a real corpus dedups those
+    * The self-join STREAMS pairs through the join operator — a bucket
+    * of m members emits m²/2 rows without ever materializing them
+    * together (the grouped alternative, collect_list + in-row pair
+    * expansion, buffers the whole m²/2 pair array inside one row: at
+    * the [[maxBucket]] cap that is ~50M structs ≈ multi-GB — an
+    * executor OOM on one degenerate bucket). Never an all-pairs join
+    * across the corpus; pathological buckets (every doc identical) are
+    * excluded above [[maxBucket]] members — a real corpus dedups those
     * with the exact pass first.
     */
   val maxBucket = 10000
@@ -75,19 +80,22 @@ object Dedup {
           .map(r => element_at(col("sig"), b * rowsPerBand + r + 1) * bandWeights(r))
           .reduce(_ + _) % graft.functions.TextHash.P2
       }: _*)).as(Seq("band_id", "band_hash")))
-    val buckets = banded
-      .groupBy("band_id", "band_hash")
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-    val pairs = buckets.select(explode(flatten(
-      transform(col("members"), (a, i) =>
-        transform(slice(col("members"), i + 2, lit(maxBucket)),
-          b => struct(a.as("a"), b.as("b")))))).as("p"))
-    pairs.select(
-        least(col("p.a.doc_id"), col("p.b.doc_id")).as("doc_a"),
-        greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("doc_b"),
-        (size(filter(zip_with(col("p.a.sig"), col("p.b.sig"), (x, y) => x === y),
-          m => m)).cast("double") / k).as("est_jaccard"))
+    // bucket-size gate: buckets of 1 pair nothing; buckets above the
+    // cap are degenerate (handled by exact dedup) and excluded
+    val sized = banded.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(2, maxBucket))
+      .select("band_id", "band_hash")
+    val a = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(sized, Seq("band_id", "band_hash"), "left_semi")
+      .join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (call_function("graft_sig_match", col("sig_a"), col("sig_b"))
+          .cast("double") / k).as("est_jaccard"))
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
@@ -123,18 +131,20 @@ object Dedup {
         shiftrightunsigned(col("simhash"), b * width)
           .bitwiseAND((1L << width) - 1L)
       }: _*)).as(Seq("band_id", "band_val")))
-    val buckets = banded
-      .groupBy("band_id", "band_val")
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-    buckets.select(explode(flatten(
-        transform(col("members"), (a, i) =>
-          transform(slice(col("members"), i + 2, lit(maxBucket)),
-            b => struct(a.as("a"), b.as("b")))))).as("p"))
-      .select(
-        least(col("p.a.doc_id"), col("p.b.doc_id")).as("doc_a"),
-        greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("doc_b"),
-        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
+    // same streaming self-join shape as [[minhashCandidates]]
+    val sized = banded.groupBy("band_id", "band_val")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(2, maxBucket))
+      .select("band_id", "band_val")
+    val a = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(sized, Seq("band_id", "band_val"), "left_semi")
+      .join(b, Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
@@ -147,21 +157,32 @@ object Dedup {
     * selection — keep the min doc_id per cluster, exactly like
     * [[exact]] keeps min per content hash.
     *
-    * Iterative min-label joins reach fixpoint in O(diameter) rounds;
-    * near-dup clusters are LSH-bucket cliques and short chains, so
-    * `iters` = 5 covers diameter ≤ 5 (raise for deeper graphs; the
-    * DuckDB oracle computes the true transitive closure, so a
-    * too-shallow iteration count shows up as a hash mismatch). Fixed
-    * iterations keep this a SINGLE Spark action — no per-round
-    * convergence counts (each of which would be an extra job), and the
-    * repeated edge subplan collapses via exchange reuse.
+    * Each round does a neighbor-min step AND a pointer-jumping step
+    * (label(v) ← min(label(v), label(label(v)))): a label always names
+    * a node reachable from v, so jumping through it stays inside the
+    * component while roughly DOUBLING the path length covered per
+    * round — `iters` = 5 reaches fixpoint on components of diameter
+    * ~31, not 5 (the DuckDB oracle computes the true transitive
+    * closure, so an unconverged component would surface as a hash
+    * mismatch).
+    *
+    * Lineage is TRUNCATED per round (`localCheckpoint`): each round
+    * references the previous labels twice and itself twice, so the
+    * un-truncated logical plan grows 4^iters copies of the candidate
+    * pipeline — analysis alone melts down long before execution (this
+    * is why GraphX/GraphFrames checkpoint inside every iterative
+    * algorithm). The pair graph materializes once up front; each round
+    * is then two tiny joins on (doc_id, label) tables.
     */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, iters: Int = 5): DataFrame = {
-    // undirected edges, both directions
+    // undirected edges, both directions, materialized once — every
+    // round re-reads this instead of recomputing the LSH pipeline
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
     var i = 0
     while (i < iters) {
       val neighborMin = edges
@@ -169,9 +190,20 @@ object Dedup {
           .withColumnRenamed("label", "n_label"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("n_label").as("n_min"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("n_min"), col("label"))).as("label"))
+      // pointer jump: follow the current label one hop through the
+      // label table itself (label(label(v)) — min keeps monotonicity)
+      labels = stepped.join(
+          stepped.select(col("doc_id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+      // truncate every other round: plan growth between checkpoints is
+      // bounded at 4² = 16 references to cheap checkpointed-scan
+      // leaves, and half the materialization jobs disappear
+      if (i % 2 == 1 || i == iters - 1) labels = labels.localCheckpoint()
       i += 1
     }
     labels.withColumnRenamed("label", "cluster_id")

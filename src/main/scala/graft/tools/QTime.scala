@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Time individual SparkEntry queries by name (dev loop for bench
+  * regressions): `runMain graft.tools.QTime q_dedup_clusters ...`.
+  * Each query runs twice; both timings print (cold + warm).
+  */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { name =>
+      (1 to 2).foreach { round =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry_queries(name)(spark, sfDir).count()
+        println(f"QTIME $name%-24s run$round ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      }
+    }
+    spark.stop()
+  }
+
+  private def SparkEntry_queries = graft.SparkEntry.queries
+}

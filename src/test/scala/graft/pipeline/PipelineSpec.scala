@@ -123,4 +123,27 @@ class PipelineSpec extends AnyFunSuite {
   test("langId emits a prediction per doc") {
     assert(TextOps.langId(docs).filter(col("pred_lang").isNull).count() === 0)
   }
+
+  test("minhashCandidates streams a degenerate corpus (5k identical docs)") {
+    import spark.implicits._
+    // every doc identical → ONE bucket of 5000 members per band. The
+    // grouped collect_list formulation would buffer ~12.5M pair structs
+    // inside a single row here; the self-join streams them instead.
+    val clones = (0L until 5000L)
+      .map(i => (i, "the same exact document body repeated verbatim"))
+      .toDF("doc_id", "text")
+    val nPairs = Dedup.minhashCandidates(clones).count()
+    assert(nPairs === 5000L * 4999L / 2L)
+  }
+
+  test("nearDupClusters converges on a chain longer than the round count") {
+    import spark.implicits._
+    // 21-node path graph: diameter 20 > iters 5 — only the
+    // pointer-jumping step reaches fixpoint here
+    val d = (0L to 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 20L).foreach(i => assert(got(i) === 0L, s"node $i"))
+  }
 }

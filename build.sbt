@@ -15,6 +15,8 @@ run / fork := true
 // parses Bench's one-line JSON with a line-anchored match, and sbt's
 // default LoggedOutput strategy would prepend "[info] " to it.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// `graft.Cli serve` reads commands from stdin in the forked JVM
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -27,7 +27,8 @@ object Cli {
       |  graft.Cli query <symbol> <start_timestamp> <end_timestamp>
       |  graft.Cli last <symbol> <count>
       |  graft.Cli benchmark <symbol> <tick_count>
-      |  graft.Cli import <symbol> <csv_file>""".stripMargin)
+      |  graft.Cli import <symbol> <csv_file>
+      |  graft.Cli serve                 # interactive loop, warm session""".stripMargin)
 
   private def ts(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000L)
 
@@ -78,9 +79,122 @@ object Cli {
         store.importCsv(args(2), args(1))
         println(s"Imported ${store.count(args(1))} ticks from ${args(2)} for symbol ${args(1)}")
         0
+      case "serve" =>
+        serve(spark, dataDir, Console.in, Console.out)
+        0
       case _ =>
         help()
         1
+    }
+  }
+
+  /** Per-symbol serving cache: ts-sorted parallel arrays — the exact
+    * analog of the reference's warm in-memory B+ tree
+    * (/root/reference/bplus_tree.hpp:76-95), populated by ONE pruned
+    * Spark scan per symbol and then answering range reads with a
+    * driver-side binary search.
+    */
+  private final case class SymCache(ts: Array[Long], price: Array[Double],
+      volume: Array[Long]) {
+    /** First index with ts >= key (lower bound). */
+    def lowerBound(key: Long): Int = {
+      var lo = 0; var hi = ts.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ts(mid) < key) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+  }
+
+  /** Interactive serving loop — the mitigation for Spark's per-process
+    * startup cost on point reads. The reference answers `query_range`
+    * in-process from a warm B+ tree; one `graft.Cli` invocation per
+    * command instead pays full JVM + session startup every time
+    * (ironically mirroring the reference's ~370 process-per-insert/s).
+    * `serve` keeps ONE session alive and a lazily-loaded per-symbol
+    * read-through cache (the serving-layer pattern every Spark-backed
+    * market-data system uses: Spark for scans/analytics, a warm keyed
+    * store for interactive point reads). First touch of a symbol pays
+    * one partition-pruned Spark scan; every later query/last/count on
+    * it is a driver-side binary search — sub-millisecond, matching the
+    * reference's in-process latency class. At 100 TB the cache is
+    * bounded per symbol (a symbol's tail fits driver memory; evict LRU
+    * or bound by time window in a long-lived deployment).
+    *
+    * Protocol (one command per line, results + `(N ms)` timing):
+    * {{{
+    *   query <symbol> <start_sec> <end_sec>
+    *   last <symbol> <count>
+    *   count <symbol>
+    *   insert <symbol> <epoch_sec> <price> <volume>   # refreshes cache
+    *   exit
+    * }}}
+    */
+  def serve(spark: SparkSession, dataDir: String,
+      in: java.io.BufferedReader, out: java.io.PrintStream): Unit = {
+    val store = new TickStore(spark, dataDir)
+    val cache = scala.collection.mutable.Map.empty[String, SymCache]
+    def warm(sym: String): SymCache = cache.getOrElseUpdate(sym, {
+      // one symbol-pruned, ts-sorted scan; everything after is local
+      // (bounds: epoch 0 .. 9999-12-31, inside timestamp micro range)
+      val rows = store.queryRange(sym, new java.sql.Timestamp(0L),
+        new java.sql.Timestamp(253402300799000L)).collect()
+      SymCache(rows.map(_.getTimestamp(1).getTime / 1000L),
+        rows.map(_.getDouble(2)), rows.map(_.getLong(3)))
+    })
+    def printSlice(c: SymCache, from: Int, until: Int): Unit = {
+      var i = from
+      while (i < until) {
+        out.println(f"Timestamp: ${c.ts(i)} Price: ${c.price(i)}%.2f " +
+          f"Volume: ${c.volume(i)}")
+        i += 1
+      }
+    }
+    out.println("graft serve — warm session ready (exit to quit)")
+    var done = false
+    while (!done) {
+      val line = in.readLine()
+      if (line == null) done = true
+      else {
+        val t0 = System.nanoTime()
+        val a = line.trim.split("\\s+")
+        try a(0) match {
+          case "" => ()
+          case "exit" | "quit" => done = true
+          case "query" if a.length == 4 =>
+            val c = warm(a(1))
+            val from = c.lowerBound(a(2).toLong)
+            val until = c.lowerBound(a(3).toLong + 1) // inclusive end
+            out.println(s"Found ${until - from} results:")
+            printSlice(c, from, until)
+            out.println(f"(${(System.nanoTime() - t0) / 1e6}%.2f ms)")
+          case "last" if a.length == 3 =>
+            val c = warm(a(1))
+            val n = math.min(a(2).toInt, c.ts.length)
+            out.println(s"Last $n ticks for ${a(1)}:")
+            // newest first, matching the one-shot `last` command
+            var i = c.ts.length - 1
+            while (i >= c.ts.length - n) {
+              out.println(f"Timestamp: ${c.ts(i)} Price: ${c.price(i)}%.2f " +
+                f"Volume: ${c.volume(i)}")
+              i -= 1
+            }
+            out.println(f"(${(System.nanoTime() - t0) / 1e6}%.2f ms)")
+          case "count" if a.length == 2 =>
+            out.println(s"Count: ${warm(a(1)).ts.length}")
+            out.println(f"(${(System.nanoTime() - t0) / 1e6}%.2f ms)")
+          case "insert" if a.length == 5 =>
+            store.append(a(1), ts(a(2).toLong), a(3).toDouble, a(4).toLong)
+            cache.remove(a(1)) // read-through refresh on next touch
+            out.println(s"Inserted tick for ${a(1)}")
+            out.println(f"(${(System.nanoTime() - t0) / 1e6}%.2f ms)")
+          case _ =>
+            out.println("commands: query|last|count|insert|exit")
+        } catch {
+          case e: Exception => out.println(s"error: ${e.getMessage}")
+        }
+      }
     }
   }
 

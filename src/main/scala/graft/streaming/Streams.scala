@@ -28,6 +28,15 @@ import org.apache.spark.sql.types._
 object Streams {
   private val counter = new AtomicInteger(0)
 
+  /** State partitions for the local streaming smoke paths (key
+    * cardinalities here are 5 symbols / 150 users, so each extra
+    * partition is a state-store instance of pure fixed overhead; on a
+    * cluster size this O(executor cores) like any shuffle).
+    * Env-overridable for benchmarking the trade-off.
+    */
+  private val statePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "4").toInt
+
   /** Heartbeat symbol; filtered out of every result. */
   val SentinelSymbol = "~sentinel~"
 
@@ -98,11 +107,23 @@ object Streams {
       Seq((-1L, sentNs, 0L, SentinelSymbol, 0.0, ""))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.parquet(tmpOut)
-      val part = Files.list(Paths.get(tmpOut)).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val listing = Files.list(Paths.get(tmpOut))
+      val part =
+        try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
       Files.move(part, in.resolve("zz_sentinel.parquet"))
+      // staged copies live for the process; sweep them on shutdown
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(base)))
       in.toString
     })
+
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    try {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    } catch { case _: Exception => () }
 
   /** Streaming ingest → parquet sink with checkpoint (exactly-once),
     * then scan the sink back. Mirrors reference append path running in
@@ -142,7 +163,7 @@ object Streams {
         sum(col("volume")).as("volume"))
       .select(col("window.start").as("bar_start"), col("symbol"),
         col("n_ticks"), col("low"), col("high"), col("volume"))
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitions) {
       val q = bars.writeStream.outputMode("append")
         .format("parquet")
         .option("path", s"$base/bars")
@@ -186,7 +207,7 @@ object Streams {
           Iterator.single(VwapOut(sym, s.n,
             if (s.v == 0) 0.0 else (s.pvCents.toDouble / 100.0) / s.v.toDouble))
       }
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitions) {
       val q = updated.toDF().writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       q.processAllAvailable()
@@ -218,7 +239,7 @@ object Streams {
         .filter(col("symbol") === sym)
         .select(col("event_id").as(s"${prefix}_event_id"),
           col("volume").as(s"${prefix}_user_id"), col("ts").as(s"${prefix}_ts"))
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitions) {
       val joined = side("error", "l").join(side("click", "r"),
         col("l_user_id") === col("r_user_id") &&
           col("r_ts") >= col("l_ts") - expr("interval 5 minutes") &&
@@ -248,7 +269,7 @@ object Streams {
     val inDir = sentinelInput(spark, dir)
     val src = tickStreamFrom(spark, inDir, "*.parquet")
       .withWatermark("ts", "10 minutes")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitions) {
       val sessions = src
         .groupBy(col("symbol"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_ticks"))
@@ -285,25 +306,30 @@ object Streams {
     spark.table(name).orderBy("event_id")
   }
 
-  /** Streaming deduplication: first-seen (user, symbol) pairs survive,
-    * replays and duplicates are suppressed by keyed state — the
-    * streaming form of the exact-dedup stage. (Unbounded key state
-    * here; a production pipeline bounds it with
-    * `dropDuplicatesWithinWatermark` once keys stop recurring.) The
-    * surviving key set equals batch DISTINCT, which is the oracle.
+  /** Streaming deduplication with BOUNDED state: first-seen
+    * (user, symbol) pairs survive within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — keys older than the watermark
+    * delay are evicted, so state is O(keys-per-horizon), not
+    * O(all-keys-ever); the unbounded `dropDuplicates` variant grows
+    * state forever at 100 TB). A key recurring AFTER its state evicted
+    * re-emits, so the sink side collapses re-emissions with one
+    * DISTINCT at read-back — the same merge-on-read compaction
+    * [[streamLatest]] uses — making the survivor set equal batch
+    * DISTINCT, which is the oracle.
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitions) {
       val deduped = tickStream(spark, dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("volume", "symbol")
         .select(col("volume").as("user_id"), col("symbol"))
-        .dropDuplicates("user_id", "symbol")
       val q = deduped.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       q.processAllAvailable()
       q.stop()
     }
-    spark.table(name).orderBy("user_id", "symbol")
+    spark.table(name).distinct().orderBy("user_id", "symbol")
   }
 
   /** Continuous latest-value store via `foreachBatch`: each micro-batch
@@ -345,11 +371,17 @@ object Streams {
     * Both sides arrive as one keyed stream; per key a single
     * [[QuoteState]] (the latest quote) is carried across micro-batches
     * — O(keys) state, like the reference's per-symbol in-memory tail.
-    * Rows inside a batch are sorted by (ts, side) with quotes first at
-    * equal ts, so the match is inclusive and deterministic under
-    * intra-batch disorder. (Cross-batch disorder needs watermark-depth
-    * buffering; a file-per-batch source replays in time order, so the
-    * streamed result equals the batch as-of join and shares its DuckDB
+    * Rows inside a batch are sorted by (ts, side, event_id) with
+    * quotes first at equal ts, so the match is inclusive and FULLY
+    * deterministic under intra-batch disorder — at equal quote ts the
+    * highest event_id wins. (If a corpus had duplicate-(user, ts)
+    * quotes with different prices, DuckDB's ASOF JOIN picks an
+    * arbitrary one; its oracle would then need the same rule via a
+    * max_by(price, (ts, event_id)) pre-dedup. This corpus has unique
+    * event timestamps per user, so the shared oracle is exact.
+    * Cross-batch disorder needs watermark-depth buffering; a
+    * file-per-batch source replays in time order, so the streamed
+    * result equals the batch as-of join and shares its DuckDB
     * `ASOF JOIN` oracle.)
     */
   def streamAsOf(spark: SparkSession, dir: String): DataFrame = {
@@ -367,7 +399,7 @@ object Streams {
     val joined = src.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[AsofIn], state: GroupState[QuoteState]) =>
-          val sorted = rows.toArray.sortBy(r => (r.ts_us, r.side))
+          val sorted = rows.toArray.sortBy(r => (r.ts_us, r.side, r.event_id))
           var q = state.getOption.getOrElse(QuoteState(-1L, -1.0))
           val out = Array.newBuilder[AsofOut]
           sorted.foreach { r =>
@@ -377,7 +409,7 @@ object Streams {
           state.update(q)
           out.result().iterator
       }
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitions) {
       val q = joined.toDF().writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       q.processAllAvailable()
@@ -403,7 +435,7 @@ object Streams {
       .agg(count(lit(1)).as("n_ticks"),
         min(col("price")).as("low"), max(col("price")).as("high"),
         sum(col("volume")).as("volume"))
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitions) {
       val q = bars.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       q.processAllAvailable()

@@ -23,15 +23,17 @@ object IngestProbe {
     synth.count() // warm the source + JIT
 
     Seq("lz4", "uncompressed", "zstd").foreach { codec =>
-      spark.conf.set("spark.sql.parquet.compression.codec", codec)
       (1 to 2).foreach { round =>
         val dir = java.nio.file.Files.createTempDirectory(s"probe_$codec").toString
         val t0 = System.nanoTime()
-        new graft.tsdb.TickStore(spark, dir, dailyPartitions = true).ingest(synth)
+        new graft.tsdb.TickStore(spark, dir, dailyPartitions = true, codec = codec)
+          .ingest(synth)
         val sec = (System.nanoTime() - t0) / 1e9
-        val bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-          .filter(p => p.toString.endsWith(".parquet")).mapToLong(p =>
-            java.nio.file.Files.size(p)).sum()
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        val bytes =
+          try walk.filter(p => p.toString.endsWith(".parquet"))
+            .mapToLong(p => java.nio.file.Files.size(p)).sum()
+          finally walk.close()
         println(f"$codec%-12s round $round: ${(n / sec).toLong}%9d ticks/s  ${bytes / 1048576.0}%6.1f MiB")
       }
     }

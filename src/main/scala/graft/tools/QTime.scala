@@ -10,13 +10,15 @@ object QTime {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach(p =>
+      builder.config("spark.sql.streaming.stateStore.providerClass", p))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
       (1 to 2).foreach { round =>

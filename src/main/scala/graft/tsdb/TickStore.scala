@@ -40,9 +40,14 @@ import org.apache.spark.sql.types._
   *   partition pruning on top of row-group pruning — the layout a real
   *   deployment uses. Off by default to mirror the reference's
   *   one-directory-per-symbol layout.
+  * @param codec parquet compression codec for every write path.
+  *   Default zstd: measured fastest ingest AND ~40% smaller files than
+  *   snappy/lz4 on tick data (tools/IngestProbe, which passes this
+  *   parameter to A/B codecs) — write cost is dominated by bytes
+  *   hitting disk, so the better ratio wins both ways.
   */
 final class TickStore(spark: SparkSession, path: String,
-    dailyPartitions: Boolean = false) {
+    dailyPartitions: Boolean = false, codec: String = "zstd") {
   import TickStore._
 
   /** Append a batch of ticks — reference `append_batch`
@@ -57,20 +62,17 @@ final class TickStore(spark: SparkSession, path: String,
       col("ts").cast(TimestampType),
       col("price").cast(DoubleType),
       col("volume").cast(LongType))
-    // zstd: measured fastest ingest AND ~40% smaller files than snappy
-    // on tick data (tools/IngestProbe) — write cost is dominated by
-    // bytes hitting disk, so the better ratio wins both ways
     if (dailyPartitions)
       normalized.withColumn("ts_date", to_date(col("ts")))
         .repartition(col("symbol"), col("ts_date"))
         .sortWithinPartitions("ts")
-        .write.mode(SaveMode.Append).option("compression", "zstd")
+        .write.mode(SaveMode.Append).option("compression", codec)
         .partitionBy("symbol", "ts_date").parquet(path)
     else
       normalized
         .repartition(col("symbol"))
         .sortWithinPartitions("ts")
-        .write.mode(SaveMode.Append).option("compression", "zstd")
+        .write.mode(SaveMode.Append).option("compression", codec)
         .partitionBy("symbol").parquet(path)
   }
 
@@ -150,7 +152,7 @@ final class TickStore(spark: SparkSession, path: String,
       data
         .repartition(partCols.map(col): _*)
         .sortWithinPartitions("ts")
-        .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+        .write.mode(SaveMode.Overwrite).option("compression", codec)
         .partitionBy(partCols: _*).parquet(path)
     } finally {
       prev match {

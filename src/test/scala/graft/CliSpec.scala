@@ -33,4 +33,32 @@ class CliSpec extends AnyFunSuite {
   test("unknown command prints help and fails") {
     assert(Cli.run(spark, dir, Array("nope")) === 1)
   }
+
+  test("serve answers repeated queries on a warm cached session") {
+    val sdir = Files.createTempDirectory("cli_serve_").toString
+    assert(Cli.run(spark, sdir, Array("benchmark", "NVDA", "5000")) === 0)
+    val cmds =
+      """query NVDA 1700000000 1700000050
+        |query NVDA 1700000100 1700000150
+        |last NVDA 3
+        |count NVDA
+        |exit
+        |""".stripMargin
+    val bout = new java.io.ByteArrayOutputStream()
+    val t0 = System.nanoTime()
+    Cli.serve(spark, sdir,
+      new java.io.BufferedReader(new java.io.StringReader(cmds)),
+      new java.io.PrintStream(bout, true))
+    val totalSec = (System.nanoTime() - t0) / 1e9
+    val outStr = bout.toString
+    assert(outStr.contains("Found 51 results:"))
+    assert(outStr.contains("Last 3 ticks for NVDA:"))
+    assert(outStr.contains("Count: 5000"))
+    // warm repeated reads: the 2nd query must be much faster than the
+    // 1st (per-symbol cache hit); parse the "(N ms)" timings
+    val times = "\\(([\\d.]+) ms\\)".r.findAllMatchIn(outStr)
+      .map(_.group(1).toDouble).toVector
+    assert(times.length === 4, s"timings in: $outStr")
+    assert(times(1) < 100, s"warm query took ${times(1)} ms (total $totalSec s)")
+  }
 }

@@ -80,21 +80,25 @@ object Dedup {
           .map(r => element_at(col("sig"), b * rowsPerBand + r + 1) * bandWeights(r))
           .reduce(_ + _) % graft.functions.TextHash.P2
       }: _*)).as(Seq("band_id", "band_hash")))
-    // bucket-size gate: buckets of 1 pair nothing; buckets above the
-    // cap are degenerate (handled by exact dedup) and excluded
-    val sized = banded.groupBy("band_id", "band_hash")
-      .agg(count(lit(1)).as("cnt"))
+    // bucket-size gate as a WINDOW count over the banded shuffle:
+    // sizing consumes the same exchange the pair join needs, so the
+    // signature computation runs once and shuffles once. Buckets of 1
+    // pair nothing; buckets above the cap are degenerate (handled by
+    // exact dedup) and excluded.
+    import org.apache.spark.sql.expressions.Window
+    val eligible = banded.withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("band_id", "band_hash")))
       .filter(col("cnt").between(2, maxBucket))
-      .select("band_id", "band_hash")
-    val a = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(sized, Seq("band_id", "band_hash"), "left_semi")
-      .join(b, Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (call_function("graft_sig_match", col("sig_a"), col("sig_b"))
+      .drop("cnt")
+    // symmetric self-join (dataset aliases, not per-side renames) so
+    // both sides canonicalize identically and AQE plans a single
+    // ReusedExchange — see SURVEY §6.5 plan audit
+    eligible.as("a").join(eligible.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (call_function("graft_sig_match", col("a.sig"), col("b.sig"))
           .cast("double") / k).as("est_jaccard"))
       .distinct()
       .orderBy("doc_a", "doc_b")
@@ -131,20 +135,19 @@ object Dedup {
         shiftrightunsigned(col("simhash"), b * width)
           .bitwiseAND((1L << width) - 1L)
       }: _*)).as(Seq("band_id", "band_val")))
-    // same streaming self-join shape as [[minhashCandidates]]
-    val sized = banded.groupBy("band_id", "band_val")
-      .agg(count(lit(1)).as("cnt"))
+    // same one-shuffle window-gated self-join shape as
+    // [[minhashCandidates]]
+    import org.apache.spark.sql.expressions.Window
+    val eligible = banded.withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("band_id", "band_val")))
       .filter(col("cnt").between(2, maxBucket))
-      .select("band_id", "band_val")
-    val a = banded.select(col("band_id"), col("band_val"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = banded.select(col("band_id"), col("band_val"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    a.join(sized, Seq("band_id", "band_val"), "left_semi")
-      .join(b, Seq("band_id", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+      .drop("cnt")
+    eligible.as("a").join(eligible.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()

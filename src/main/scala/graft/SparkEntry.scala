@@ -131,6 +131,10 @@ object SparkEntry {
     "q_session_window" -> ((s, dir) => MarketOps.sessionWindows(ticks(s, dir), 30)),
     "q_approx_stats" -> ((s, dir) => MarketOps.approxStats(ticks(s, dir))),
     "q_correlation" -> ((s, dir) => MarketOps.correlationMatrix(ticks(s, dir))),
+    "q_rsi" -> ((s, dir) => MarketOps.rsi(ticks(s, dir), 14)),
+    "q_bollinger" -> ((s, dir) => MarketOps.bollinger(ticks(s, dir), 20, 2.0)),
+    "q_obv" -> ((s, dir) => MarketOps.obv(ticks(s, dir))),
+    "q_zscore" -> ((s, dir) => MarketOps.zscoreOutliers(ticks(s, dir), 2.5)),
 
     // ---- §2.3 relational/OLAP breadth ----
     "q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
@@ -146,6 +150,11 @@ object SparkEntry {
     "q12_priority" -> ((s, dir) => Relational.q12(s, dir)),
     "q14_promo" -> ((s, dir) => Relational.q14(s, dir)),
     "q18_having" -> ((s, dir) => Relational.q18(s, dir)),
+    "q4_exists" -> ((s, dir) => Relational.q4(s, dir)),
+    "q7_nation_volume" -> ((s, dir) => Relational.q7(s, dir)),
+    "q10_returned" -> ((s, dir) => Relational.q10(s, dir)),
+    "q13_distribution" -> ((s, dir) => Relational.q13(s, dir)),
+    "q19_disjunctive" -> ((s, dir) => Relational.q19(s, dir)),
     "q_window_suite" -> ((s, dir) => Relational.windowSuite(s, dir)),
     "q_scalar_funcs" -> ((s, dir) => Relational.scalarFuncs(s, dir)),
     "q_json_extract" -> ((s, dir) =>
@@ -198,6 +207,12 @@ object SparkEntry {
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "q_token_count" -> ((s, dir) => TextOps.tokenCount(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    "q_repetition" -> ((s, dir) => TextOps.repetitionRatio(Tables.documents(s, dir))),
+    "q_stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(Tables.documents(s, dir), 20)),
+    "q_top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir))),
+    "q_knn_join" -> ((s, dir) =>
+      Similarity.knnJoin(Tables.embeddings(s, dir), dim = 64, k = 3)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "q_ann_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 10)),
@@ -1101,6 +1116,213 @@ object SparkEntry {
          |SELECT c.vec_id AS vec_id, ${duckCosine("v.ve", "q.qe")} AS cos_sim
          |FROM cand c JOIN vecs v ON v.vec_id = c.vec_id CROSS JOIN q
          |ORDER BY cos_sim DESC, 1 LIMIT 10""".stripMargin,
+    "q_rsi" ->
+      """WITH gl AS (
+        |  SELECT event_id, event_type AS symbol, ts,
+        |         CAST(value AS DECIMAL(18,2))
+        |           - LAG(CAST(value AS DECIMAL(18,2)))
+        |               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS chg
+        |  FROM events)
+        |SELECT event_id, symbol,
+        |       CASE WHEN SUM(CASE WHEN chg < 0 THEN -chg
+        |                          ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w = 0
+        |            THEN 100.0
+        |            ELSE ROUND(100.0 - 100.0 / (1.0 +
+        |              CAST(SUM(CASE WHEN chg > 0 THEN chg
+        |                            ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w AS DOUBLE)
+        |              / CAST(SUM(CASE WHEN chg < 0 THEN -chg
+        |                              ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w AS DOUBLE)), 4)
+        |       END AS rsi14
+        |FROM gl
+        |WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+        |             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_bollinger" ->
+      """WITH t AS (
+        |  SELECT event_id, event_type AS symbol, ts,
+        |         CAST(value AS DECIMAL(18,2)) AS p
+        |  FROM events),
+        |acc AS (
+        |  SELECT event_id, symbol,
+        |         CAST(COUNT(*) OVER w AS DOUBLE) AS cnt,
+        |         CAST(SUM(p) OVER w AS DOUBLE) AS s,
+        |         CAST(SUM(CAST(p * p AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sq
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |sd AS (
+        |  SELECT event_id, symbol, s / cnt AS mean,
+        |         SQRT(CASE WHEN cnt > 1 AND (sq - (s * s) / cnt) / (cnt - 1.0) > 0
+        |                   THEN (sq - (s * s) / cnt) / (cnt - 1.0) ELSE 0 END) AS sd
+        |  FROM acc)
+        |SELECT event_id, symbol, ROUND(mean, 4) AS sma, ROUND(sd, 4) AS sd,
+        |       ROUND(mean + 2.0 * sd, 4) AS upper_band,
+        |       ROUND(mean - 2.0 * sd, 4) AS lower_band
+        |FROM sd ORDER BY event_id""".stripMargin,
+    "q_obv" ->
+      """WITH ch AS (
+        |  SELECT event_id, event_type AS symbol, ts, user_id AS volume,
+        |         CAST(value AS DECIMAL(18,2))
+        |           - LAG(CAST(value AS DECIMAL(18,2)))
+        |               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS chg
+        |  FROM events)
+        |SELECT event_id, symbol,
+        |       CAST(SUM(CASE WHEN chg > 0 THEN volume
+        |                     WHEN chg < 0 THEN -volume ELSE 0 END)
+        |         OVER (PARTITION BY symbol ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS obv
+        |FROM ch ORDER BY event_id""".stripMargin,
+    "q_zscore" ->
+      """WITH t AS (
+        |  SELECT event_id, event_type AS symbol, value AS price FROM events),
+        |st AS (
+        |  SELECT symbol, CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |         CAST(SUM(CAST(CAST(price AS DECIMAL(18,2))
+        |                       * CAST(price AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |              AS DOUBLE) AS sq
+        |  FROM t GROUP BY 1)
+        |SELECT event_id, symbol, price,
+        |       ROUND((price - s / n) / SQRT((sq - (s * s) / n) / (n - 1.0)), 4) AS z
+        |FROM t JOIN st USING (symbol)
+        |WHERE ABS(ROUND((price - s / n) / SQRT((sq - (s * s) / n) / (n - 1.0)), 4)) >= 2.5
+        |ORDER BY event_id""".stripMargin,
+    "q4_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |            AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+        |WHERE (sr.r_name = 'ASIA' AND cr.r_name = 'EUROPE')
+        |   OR (sr.r_name = 'EUROPE' AND cr.r_name = 'ASIA')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |            AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q13_distribution" ->
+      """WITH cc AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |             WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+        |FROM cc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |            AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(ws) - 2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS gs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+        |SELECT doc_id, CAST(len(gs) AS BIGINT) AS total_grams,
+        |       CAST(len(list_distinct(gs)) AS BIGINT) AS distinct_grams,
+        |       CASE WHEN len(gs) > 0
+        |            THEN ROUND(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+        |                             / CAST(len(gs) AS DOUBLE), 6)
+        |            ELSE 0.0 END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('der','und','das'))) AS s_de,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of'))) AS s_en,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de'))) AS s_es,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('le','la','et'))) AS s_fr,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('de','le','shi'))) AS s_zh
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id,
+        |         CASE WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr'
+        |              WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en'
+        |              ELSE 'de' END AS pred_lang
+        |  FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM s)),
+        |rk AS (
+        |  SELECT doc_id, pred_lang,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY pred_lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM pl)
+        |SELECT doc_id, pred_lang, rk FROM rk WHERE rk <= 20
+        |ORDER BY pred_lang, rk""".stripMargin,
+    "q_top_terms" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |         ROUND(CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE), 6) AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, word) AS rn FROM sc)
+        |SELECT doc_id, word AS top_term, CAST(tf AS BIGINT) AS tf,
+        |       CAST(df AS BIGINT) AS df, score
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_knn_join" ->
+      s"""WITH ${duckBuckets(6)},
+         |nrm AS (
+         |  SELECT vec_id, SQRT(list_sum(list_transform(ve, x -> x * x))) AS nrm
+         |  FROM vecs),
+         |cand AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |sims AS (
+         |  SELECT c.vec_id, c.nbr_id,
+         |         ROUND(list_sum(list_transform(generate_series(1, 64),
+         |                 i -> va.ve[i] * vb.ve[i])) / (na.nrm * nb.nrm), 4) AS cos_sim
+         |  FROM cand c
+         |  JOIN vecs va ON va.vec_id = c.vec_id
+         |  JOIN vecs vb ON vb.vec_id = c.nbr_id
+         |  JOIN nrm na ON na.vec_id = c.vec_id
+         |  JOIN nrm nb ON nb.vec_id = c.nbr_id),
+         |rk AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_sim DESC, nbr_id) AS BIGINT) AS rk FROM sims)
+         |SELECT vec_id, nbr_id, cos_sim, rk FROM rk WHERE rk <= 3
+         |ORDER BY vec_id, rk""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |flat AS (

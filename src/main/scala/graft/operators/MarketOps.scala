@@ -188,6 +188,94 @@ object MarketOps {
       .orderBy("sym_a", "sym_b")
   }
 
+  /** Cutler's RSI(n) per symbol: SMA of gains over SMA of losses in an
+    * n-tick window. Gains/losses are DECIMAL differences of the 2-dp
+    * prices and window sums stay decimal, so they are exact and
+    * order-free — a double sliding-window sum would differ between
+    * Spark's per-frame re-aggregation and DuckDB's segment tree in the
+    * last ulp. Zero-loss windows emit RSI = 100 (both engines).
+    */
+  def rsi(ticks: DataFrame, n: Int = 14): DataFrame = {
+    val chg = col("price").cast(dec) - lag(col("price"), 1).over(tickOrder).cast(dec)
+    val w = tickOrder.rowsBetween(-(n - 1), 0)
+    ticks.withColumn("chg", chg)
+      .withColumn("gain", when(col("chg") > 0, col("chg")).otherwise(lit(0).cast(dec)))
+      .withColumn("loss", when(col("chg") < 0, -col("chg")).otherwise(lit(0).cast(dec)))
+      .select(col("event_id"), col("symbol"),
+        when(sum(col("loss")).over(w) === 0, lit(100.0))
+          .otherwise(round(lit(100.0) - lit(100.0) /
+            (lit(1.0) + sum(col("gain")).over(w).cast("double") /
+              sum(col("loss")).over(w).cast("double")), 4))
+          .as(s"rsi$n"))
+      .orderBy("event_id")
+  }
+
+  /** Bollinger bands (n-tick SMA ± k·σ). The variance is computed from
+    * exact decimal window sums of price and price² via the textbook
+    * (Σx² − (Σx)²/n)/(n−1) identity with a FIXED double op order, so
+    * both engines derive bit-identical bands — streaming stddev
+    * (Welford in Spark, segment tree in DuckDB) would not agree.
+    * Cancellation can produce a tiny negative variance on constant
+    * windows; clamped to 0 (both engines).
+    */
+  def bollinger(ticks: DataFrame, n: Int = 20, k: Double = 2.0): DataFrame = {
+    val sqDec = DecimalType(38, 4)
+    val w = tickOrder.rowsBetween(-(n - 1), 0)
+    val cnt = count(lit(1)).over(w).cast("double")
+    val s = sum(col("price").cast(dec)).over(w).cast("double")
+    val sq = sum((col("price").cast(dec) * col("price").cast(dec)).cast(sqDec))
+      .over(w).cast("double")
+    val mean = s / cnt
+    val varRaw = (sq - (s * s) / cnt) / (cnt - lit(1.0))
+    val sd = sqrt(when(cnt > 1 && varRaw > 0, varRaw).otherwise(lit(0.0)))
+    ticks.select(col("event_id"), col("symbol"),
+        round(mean, 4).as("sma"),
+        round(sd, 4).as("sd"),
+        round(mean + lit(k) * sd, 4).as("upper_band"),
+        round(mean - lit(k) * sd, 4).as("lower_band"))
+      .orderBy("event_id")
+  }
+
+  /** On-balance volume per symbol: running signed-volume sum (volume
+    * added on up-ticks, subtracted on down-ticks) — pure BIGINT math,
+    * exact everywhere. The sign comes from the DECIMAL price change so
+    * equal prices are exactly zero.
+    */
+  def obv(ticks: DataFrame): DataFrame = {
+    val chg = col("price").cast(dec) - lag(col("price"), 1).over(tickOrder).cast(dec)
+    ticks.withColumn("chg", chg)
+      .select(col("event_id"), col("symbol"),
+        sum(when(col("chg") > 0, col("volume"))
+            .when(col("chg") < 0, -col("volume"))
+            .otherwise(lit(0L)))
+          .over(tickOrder.rowsBetween(Window.unboundedPreceding, 0))
+          .as("obv"))
+      .orderBy("event_id")
+  }
+
+  /** Price anomaly detection: ticks more than `zMin` sample standard
+    * deviations from their symbol's mean. Mean and σ come from exact
+    * decimal sums via the same fixed-order identity as [[bollinger]];
+    * the per-symbol stats broadcast back onto the tick stream (scalar-
+    * aggregate join, no window over the whole partition).
+    */
+  def zscoreOutliers(ticks: DataFrame, zMin: Double = 2.5): DataFrame = {
+    val sqDec = DecimalType(38, 4)
+    val stats = ticks.groupBy(col("symbol")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("price").cast(dec)).cast("double").as("s"),
+      sum((col("price").cast(dec) * col("price").cast(dec)).cast(sqDec))
+        .cast("double").as("sq"))
+      .select(col("symbol"), (col("s") / col("n")).as("mean"),
+        sqrt((col("sq") - (col("s") * col("s")) / col("n")) / (col("n") - 1.0))
+          .as("sd"))
+    ticks.join(broadcast(stats), "symbol")
+      .withColumn("z", round((col("price") - col("mean")) / col("sd"), 4))
+      .filter(abs(col("z")) >= zMin)
+      .select(col("event_id"), col("symbol"), col("price"), col("z"))
+      .orderBy("event_id")
+  }
+
   /** As-of join (trade↔quote style): for each left tick, the latest
     * right tick with `right.ts <= left.ts` for the same key.
     *

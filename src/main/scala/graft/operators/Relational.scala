@@ -267,6 +267,105 @@ object Relational {
       .orderBy("set_op", "user_id")
   }
 
+  /** TPC-H Q4-shape: EXISTS subquery — orders in a window having at
+    * least one returned line item, counted per priority. Plans as a
+    * left-semi join (the fact side never duplicates), then a tiny
+    * aggregation.
+    */
+  def q4(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q7-shape: volume shipped between two geography cohorts per
+    * year — a 7-way join where every dimension chain
+    * (nation→region, twice) broadcasts and the only shuffles are the
+    * fact joins on orderkey, plus the symmetric disjunctive cohort
+    * filter. Cohorts are REGIONS (5 nations each) so every scale
+    * factor of the synthetic data populates both directions.
+    */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    def geo(nk: String, rn: String) = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as(nk), col("r_name").as(rn))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(geo("s_nk", "supp_region")), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_region"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(geo("c_nk", "cust_region")), col("c_nationkey") === col("c_nk"))
+      .select(col("c_custkey"), col("cust_region"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
+        (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
+      .groupBy(col("supp_region"), col("cust_region"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(d("l_extendedprice") * (one - d("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_region", "cust_region", "l_year")
+  }
+
+  /** TPC-H Q10-shape: revenue lost to returned items per customer, top
+    * 20 — fact join + group + TakeOrderedAndProject.
+    */
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-07-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(sum(d("l_extendedprice") * (one - d("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q13-shape: customer order-count distribution — LEFT OUTER
+    * join (customers with zero orders must appear), per-customer count,
+    * then a histogram over the counts. Two aggregations, the second
+    * over an already-tiny table.
+    */
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q19-shape: disjunction of conjunctive brand/size/quantity
+    * ranges — the predicate-pushdown stress case (the shared
+    * `l_partkey = p_partkey` equi-condition must still plan as a hash
+    * join, with the OR-of-ANDs evaluated as a post-join filter, not a
+    * nested loop).
+    */
+  def q19(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40)))
+      .agg(sum(d("l_extendedprice") * (one - d("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** Conditional aggregation (pivot-style status counts per priority). */
   def pivotStatus(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -111,6 +111,35 @@ object Similarity {
     index.topK(queryId, k, nprobe)
   }
 
+  /** All-vectors kNN join: every vector's top-k cosine neighbors WITHIN
+    * its LSH bucket — the batch companion to the single-query ANN paths
+    * (build the neighbor graph for a whole corpus in one plan). Shape:
+    * one bucket equi-self-join (never all-pairs), one codegen'd dot per
+    * candidate with precomputed norms, then a per-vector top-k window.
+    * At 100 TB this is THE way to materialize a kNN graph: the
+    * quadratic blowup is bounded per bucket, and the window's rank
+    * never sorts more than one vector's candidate list.
+    */
+  def knnJoin(emb: DataFrame, dim: Int, k: Int, nBits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = lshBuckets(emb, dim, nBits)
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val a = bucketed.select(col("bucket"), col("vec_id"),
+      col("embedding").as("e_a"), col("nrm").as("nrm_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("nbr_id"),
+      col("embedding").as("e_b"), col("nrm").as("nrm_b"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    a.join(b, "bucket")
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(dot(col("e_a"), col("e_b")) / (col("nrm_a") * col("nrm_b")), 4)
+          .as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("vec_id", "rk")
+  }
+
   /** Embedding near-duplicate pairs: vectors whose cosine exceeds
     * `threshold`, generated within LSH buckets (single equi-join, never
     * all-pairs). Norms are computed once per VECTOR before the join —

@@ -82,6 +82,76 @@ object TextOps {
         levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"))
       .orderBy("doc_a", "doc_b")
 
+  /** Within-document repetition ratio (the Gopher-style repetition
+    * quality filter): 1 − distinct/total word 3-grams. A document that
+    * loops the same phrases scores high and gets filtered. Per-row
+    * scalar pipeline on STRING grams (identical strings on both
+    * engines — no hashing, so no cross-engine collision risk).
+    */
+  def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame = {
+    val words = split(col("text"), " ")
+    val grams = filter(
+      transform(words, (w, i) =>
+        when(i <= size(words) - n,
+          concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))),
+      g => g.isNotNull)
+    docs.select(col("doc_id"),
+        size(grams).cast("long").as("total_grams"),
+        size(array_distinct(grams)).cast("long").as("distinct_grams"))
+      .withColumn("rep_ratio",
+        when(col("total_grams") > 0,
+          round(lit(1.0) - col("distinct_grams") / col("total_grams").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling: at most `perStratum` docs per
+    * predicted language, chosen by ranking on md5(doc_id) — a seedless,
+    * engine-reproducible "random" order (both engines agree on the md5
+    * hex of the same string). The standard way to carve a balanced
+    * training subset out of a skewed 100 TB corpus: one window per
+    * stratum, no global shuffle of the data itself.
+    */
+  def stratifiedSample(docs: DataFrame, perStratum: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("pred_lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    langId(docs)
+      .select(col("doc_id"), col("pred_lang"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perStratum)
+      .orderBy("pred_lang", "rk")
+  }
+
+  /** Top term per document by tf·(N/df) — tf-idf with a LINEAR inverse
+    * document frequency (N/df instead of ln(N/df)): the ranking signal
+    * is the same family, and avoiding `ln` keeps the score a pure
+    * rational of exact integers, so both engines compute bit-identical
+    * doubles (libm log implementations are not guaranteed to agree in
+    * the last ulp). Two aggregations (term-frequency, document-
+    * frequency) + a broadcast of the tiny df table back onto terms.
+    */
+  def topTerms(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = words.groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("word"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round((col("tf") * col("n_docs")).cast("double") / col("df").cast("double"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("word").as("top_term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: polynomial rolling hash of the codepoint
     * sequence (base 31 mod 1e9+7 — intermediates stay < 2^35, safe
     * under ANSI long arithmetic). Deterministic and order-sensitive,

@@ -123,6 +123,7 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "q_ema" -> ((s, dir) => MarketOps.ema(ticks(s, dir), alpha = 0.2)),
+    "q_macd" -> ((s, dir) => MarketOps.macd(ticks(s, dir))),
     "q_twap_daily" -> ((s, dir) => MarketOps.twapDaily(ticks(s, dir))),
     "q_volume_bars" -> ((s, dir) => MarketOps.volumeBars(ticks(s, dir), 10000L)),
     "q_drawdown" -> ((s, dir) => MarketOps.drawdown(ticks(s, dir))),
@@ -150,6 +151,7 @@ object SparkEntry {
     "q12_priority" -> ((s, dir) => Relational.q12(s, dir)),
     "q14_promo" -> ((s, dir) => Relational.q14(s, dir)),
     "q18_having" -> ((s, dir) => Relational.q18(s, dir)),
+    "q_bucketed_join" -> ((s, dir) => bucketedJoin(s, dir)),
     "q4_exists" -> ((s, dir) => Relational.q4(s, dir)),
     "q7_nation_volume" -> ((s, dir) => Relational.q7(s, dir)),
     "q10_returned" -> ((s, dir) => Relational.q10(s, dir)),
@@ -211,6 +213,7 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(Tables.documents(s, dir), 20)),
     "q_top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir))),
+    "q_jsonl_roundtrip" -> ((s, dir) => jsonlRoundtrip(s, dir)),
     "q_knn_join" -> ((s, dir) =>
       Similarity.knnJoin(Tables.embeddings(s, dir), dim = 64, k = 3)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
@@ -302,6 +305,61 @@ object SparkEntry {
         col("ts_us") <= 1705708800L * 1000000L)   // 2024-01-20
       .select(col("event_id"), col("user_id"), col("ts_us"), col("price"))
       .orderBy("event_id")
+  }
+
+  private val tableCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Bucketed co-located join: both fact tables written `bucketBy` on
+    * the join key (hash-bucketed, per-bucket sorted files + catalog
+    * bucket spec), so the orderkey join plans with NO shuffle on either
+    * side — at 100 TB this converts the biggest exchange of every
+    * fact-fact query into a free merge of pre-bucketed files. The only
+    * remaining exchange is the final tiny per-priority aggregate.
+    * `BucketedJoinSpec` asserts the no-shuffle plan; the oracle is the
+    * equivalent plain join (bucketing must not change results).
+    */
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
+    val id = tableCounter.incrementAndGet()
+    val liT = s"graft_li_bucketed_$id"
+    val ordT = s"graft_ord_bucketed_$id"
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/li").mode("overwrite").saveAsTable(liT)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/ord").mode("overwrite").saveAsTable(ordT)
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(12, 2)
+    s.table(liT).join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** JSONL round-trip for the documents corpus — the interchange format
+    * every LLM-data pipeline ingests and emits. Write the corpus as
+    * JSON lines, read it back with an explicit schema (no inference
+    * scan), and digest every column; value-preserving, so the oracle is
+    * the direct parquet scan with the same digest.
+    */
+  private def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+    Tables.documents(s, dir).write.json(s"$base/docs")
+    s.read.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .json(s"$base/docs")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
   }
 
   /** End-to-end training-data filter: exact-dedup survivors that pass
@@ -768,6 +826,34 @@ object SparkEntry {
         |           + (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.ema
         |  FROM t JOIN r ON t.symbol = r.symbol AND t.rn = r.rn + 1)
         |SELECT event_id, symbol, ema FROM r ORDER BY event_id""".stripMargin,
+    "q_macd" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT event_id, event_type AS symbol, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, symbol, rn, value AS ef, value AS es FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.event_id, t.symbol, t.rn,
+        |         CAST(0.2 AS DOUBLE) * t.value
+        |           + (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.ef,
+        |         CAST(0.05 AS DOUBLE) * t.value
+        |           + (CAST(1 AS DOUBLE) - CAST(0.05 AS DOUBLE)) * r.es
+        |  FROM t JOIN r ON t.symbol = r.symbol AND t.rn = r.rn + 1)
+        |SELECT event_id, symbol, ef AS ema_fast, es AS ema_slow,
+        |       ef - es AS macd
+        |FROM r ORDER BY event_id""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |            AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type AS symbol,
         |       ROUND(quantile_cont(value, 0.25), 4) AS p25,

@@ -100,6 +100,39 @@ object MarketOps {
       .orderBy("event_id")
   }
 
+  final case class MacdRow(event_id: Long, symbol: String,
+      ema_fast: Double, ema_slow: Double, macd: Double)
+
+  /** MACD: difference of a fast and a slow recursive EMA, both carried
+    * through ONE sorted-group pass (same shape as [[ema]], two
+    * accumulators — not two scans). Both recursions and the final
+    * subtraction run the identical IEEE op stream as the oracle's
+    * two-column recursive CTE, so the doubles are bit-identical.
+    */
+  def macd(ticks: DataFrame, fast: Double = 0.2, slow: Double = 0.05): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.select(col("event_id"), col("symbol"),
+        unix_micros(col("ts")).as("ts_us"), col("price"))
+      .as[Tick]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("ts_us"), col("event_id")) { (sym, it) =>
+        var ef = 0.0
+        var es = 0.0
+        var first = true
+        it.map { t =>
+          if (first) { first = false; ef = t.price; es = t.price }
+          else {
+            ef = fast * t.price + (1 - fast) * ef
+            es = slow * t.price + (1 - slow) * es
+          }
+          MacdRow(t.event_id, sym, ef, es, ef - es)
+        }
+      }
+      .toDF()
+      .orderBy("event_id")
+  }
+
   /** Downsample to hourly bars (string bucket for oracle-stable typing). */
   def resampleHourly(ticks: DataFrame): DataFrame =
     ticks.groupBy(col("symbol"), date_format(col("ts"), "yyyy-MM-dd HH:00").as("bucket"))

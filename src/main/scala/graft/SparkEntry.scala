@@ -157,6 +157,11 @@ object SparkEntry {
     "q10_returned" -> ((s, dir) => Relational.q10(s, dir)),
     "q13_distribution" -> ((s, dir) => Relational.q13(s, dir)),
     "q19_disjunctive" -> ((s, dir) => Relational.q19(s, dir)),
+    "q2_min_supplier" -> ((s, dir) => Relational.q2(s, dir)),
+    "q15_top_supplier" -> ((s, dir) => Relational.q15(s, dir)),
+    "q17_small_qty" -> ((s, dir) => Relational.q17(s, dir)),
+    "q21_exists_combo" -> ((s, dir) => Relational.q21(s, dir)),
+    "q22_idle_custs" -> ((s, dir) => Relational.q22(s, dir)),
     "q_window_suite" -> ((s, dir) => Relational.windowSuite(s, dir)),
     "q_scalar_funcs" -> ((s, dir) => Relational.scalarFuncs(s, dir)),
     "q_json_extract" -> ((s, dir) =>
@@ -232,6 +237,8 @@ object SparkEntry {
     }),
     "q_multimodal_meta" -> ((s, dir) =>
       graft.pipeline.Multimodal.pipeline(s, Tables.documents(s, dir))),
+    "q_frame_sample" -> ((s, dir) =>
+      graft.pipeline.Multimodal.frameSummary(s, Tables.documents(s, dir))),
 
     // ---- §2.1/2.2 streaming paths ----
     "q_stream_ingest" -> ((s, dir) => graft.streaming.Streams.streamIngest(s, dir)),
@@ -244,6 +251,7 @@ object SparkEntry {
     "q_stream_enrich" -> ((s, dir) => graft.streaming.Streams.streamEnrich(s, dir)),
     "q_stream_dedup" -> ((s, dir) => graft.streaming.Streams.streamDedup(s, dir)),
     "q_stream_latest" -> ((s, dir) => graft.streaming.Streams.streamLatest(s, dir)),
+    "q_stream_topk" -> ((s, dir) => graft.streaming.Streams.streamTopK(s, dir)),
 
     // ---- §2.4 composite training-data filter ----
     "q_pipeline_filter" -> ((s, dir) => pipelineFilter(s, dir)),
@@ -826,6 +834,86 @@ object SparkEntry {
         |           + (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.ema
         |  FROM t JOIN r ON t.symbol = r.symbol AND t.rn = r.rn + 1)
         |SELECT event_id, symbol, ema FROM r ORDER BY event_id""".stripMargin,
+    "q2_min_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE) AS avg_price
+        |  FROM lineitem GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |    ORDER BY avg_price, l_suppkey) AS rk FROM ps)
+        |SELECT l_partkey, l_suppkey, s_name, avg_price
+        |FROM rk JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rk = 1 ORDER BY l_partkey LIMIT 100""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                  * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |              AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-07-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty" ->
+      """WITH aq AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+        |         AS avg_yearly,
+        |       COUNT(*) AS n_items
+        |FROM lineitem l JOIN aq ON l.l_partkey = aq.l_partkey
+        |WHERE l.l_quantity < 0.5 * aq.avg_qty""".stripMargin,
+    "q21_exists_combo" ->
+      """SELECT s_suppkey, s_name FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R')
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_suppkey = s.s_suppkey
+        |                    AND l.l_extendedprice > 104700)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_idle_custs" ->
+      """WITH ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c_custkey
+        |                    AND o.o_totalprice > 450000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_topk" ->
+      """SELECT symbol, rn, event_id, price FROM (
+        |  SELECT event_type AS symbol,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |              ORDER BY value DESC, event_id) AS BIGINT) AS rn,
+        |         event_id, value AS price
+        |  FROM events)
+        |WHERE rn <= 5 ORDER BY symbol, rn""".stripMargin,
+    "q_frame_sample" ->
+      // DuckDB 1.0 has no BLOB substring; the corpus is pure ASCII
+      // (octet_length = length for every doc, both SFs), so VARCHAR
+      // substring slices the same bytes and md5(VARCHAR) hashes them.
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, (length(text) + 255) // 256, 4)) AS frame_idx,
+        |         text
+        |  FROM documents)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(length(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256))
+        |         AS BIGINT) AS frame_len,
+        |       md5(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q_macd" ->
       """WITH RECURSIVE t AS (
         |  SELECT event_id, event_type AS symbol, value,

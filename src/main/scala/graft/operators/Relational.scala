@@ -366,6 +366,101 @@ object Relational {
       .agg(sum(d("l_extendedprice") * (one - d("l_discount"))).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** TPC-H Q2-shape: cheapest supplier per part (correlated min-per-
+    * group, decorrelated as a window rank over the part×supplier
+    * aggregate + broadcast join-back) — no per-part subquery execution.
+    */
+  def q2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((sum(d("l_extendedprice")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_price"))
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("avg_price"), col("l_suppkey"))
+    ps.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("s_name"), col("avg_price"))
+      .orderBy("l_partkey")
+      .limit(100)
+  }
+
+  /** TPC-H Q15-shape: the top supplier(s) by revenue — an aggregated
+    * revenue view compared against its own MAX (scalar subquery over an
+    * aggregate). Exact decimal sums make the double equality safe.
+    */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(d("l_extendedprice") * (one - d("l_discount"))).cast("double")
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17-shape: revenue from small-quantity orders — lineitems
+    * below half their part's average quantity (correlated scalar
+    * average, decorrelated as an aggregate + join-back).
+    */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val avgQty = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg((sum(d("l_quantity")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_qty"))
+    Tables.lineitem(spark, dir)
+      .join(avgQty, "l_partkey")
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((sum(d("l_extendedprice")).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q21-shape: combined EXISTS ∧ NOT-EXISTS correlation —
+    * suppliers with at least one returned line item who never shipped
+    * a top-band-priced item. One left-semi + one left-anti join, both
+    * on the same fact key. (The synthetic data is uniformly dense per
+    * supplier, so the NOT-EXISTS threshold sits inside the narrow
+    * per-supplier max-price band to stay selective-but-nonempty at
+    * every SF.)
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    Tables.supplier(spark, dir)
+      .join(li.filter(col("l_returnflag") === "R"),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(li.filter(col("l_extendedprice") > 104700.0),
+        col("s_suppkey") === col("l_suppkey"), "left_anti")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q22-shape: well-funded customers who never ordered — a
+    * scalar-subquery threshold (average positive balance) plus an
+    * anti join, aggregated per market segment.
+    */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(dec)).cast("double") /
+        count(lit(1)).cast("double")).as("avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 450000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(dec)).cast("double").as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Conditional aggregation (pivot-style status counts per priority). */
   def pivotStatus(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

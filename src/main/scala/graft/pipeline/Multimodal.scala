@@ -78,6 +78,45 @@ object Multimodal {
       }
   }
 
+  final case class Frame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+
+  /** Partition-wise frame sampling: treat the blob as fixed-size
+    * `frameBytes` frames and keep every `every`-th one — the video
+    * keyframe-sampling shape (decode stays stubbed; the slicing,
+    * fan-out row explosion, and executor-side execution are the real
+    * contract). Blobs never shuffle: sampling is map-side and only the
+    * sampled frames flow on.
+    */
+  def sampleFrames(spark: SparkSession, withBlob: DataFrame,
+      frameBytes: Int = 256, every: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    withBlob.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, blob) =>
+          val bytes = if (blob == null) Array.emptyByteArray else blob
+          val n = bytes.length
+          val nFrames = (n + frameBytes - 1) / frameBytes
+          (0 until nFrames by every).iterator.map { i =>
+            Frame(id, i.toLong,
+              bytes.slice(i * frameBytes, math.min(n, (i + 1) * frameBytes)))
+          }
+        }
+      }
+  }
+
+  /** Sampled-frame summary: every 4th 256-byte frame with its length
+    * and md5 — engine-neutral digests, so the whole frame-sampling
+    * path is DuckDB-oracled (blob slicing via substring on both
+    * engines).
+    */
+  def frameSummary(spark: SparkSession, docs: DataFrame): DataFrame =
+    sampleFrames(spark, attachBlob(docs)).toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
   /** End-to-end multimodal query: blob → metadata → decoded features,
     * joined back on doc_id. Every emitted column (md5-derived checksum,
     * byte-sum mean from the stub decode) is engine-neutral, so the

@@ -358,6 +358,39 @@ object Streams {
       .orderBy("symbol")
   }
 
+  /** Streaming top-k per symbol via mergeable per-batch top-k: each
+    * micro-batch appends ONLY its own k best rows per symbol
+    * (`foreachBatch` + window rank — k rows per symbol per batch, not
+    * the batch itself), and the read side ranks the accumulated
+    * candidates once. Top-k is a mergeable summary — the global top-k
+    * is always contained in the union of per-batch top-ks — so the
+    * streamed result EQUALS the batch `row_number() <= k` query and
+    * shares its oracle shape. State outside the store is zero;
+    * the delta directory grows k·symbols rows per batch.
+    */
+  def streamTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Files.createTempDirectory("graft_stream_topk_").toString
+    val rankW = Window.partitionBy("symbol")
+      .orderBy(col("price").desc, col("event_id"))
+    val q = tickStream(spark, dir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.withColumn("rn", row_number().over(rankW))
+          .filter(col("rn") <= k)
+          .select(col("symbol"), col("event_id"), col("price"))
+          .write.mode("append").parquet(s"$base/delta")
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(s"$base/delta")
+      .withColumn("rn", row_number().over(rankW).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("symbol"), col("rn"), col("event_id"), col("price"))
+      .orderBy("symbol", "rn")
+  }
+
   final case class AsofIn(side: Int, event_id: Long, user_id: Long,
       ts_us: Long, price: Double)
   final case class QuoteState(ts_us: Long, price: Double)

@@ -171,6 +171,44 @@ class MarketOpsSpec extends AnyFunSuite {
     assert(h.agg(sum("n_ticks")).head().getLong(0) === 2 * ticks.count())
   }
 
+  test("rsi stays within [0, 100]") {
+    val bad = MarketOps.rsi(ticks, 14)
+      .filter(col("rsi14") < 0.0 || col("rsi14") > 100.0).count()
+    assert(bad === 0)
+  }
+
+  test("bollinger: lower <= sma <= upper, sd >= 0") {
+    val bad = MarketOps.bollinger(ticks)
+      .filter(col("lower_band") > col("sma") || col("sma") > col("upper_band") ||
+        col("sd") < 0.0)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("obv is bounded by cumulative volume") {
+    val cum = MarketOps.runningVolume(ticks)
+    val bad = MarketOps.obv(ticks).join(cum, Seq("event_id", "symbol"))
+      .filter(abs(col("obv")) > col("cum_volume"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("zscore outliers have |z| >= threshold and are a strict subset") {
+    val z = MarketOps.zscoreOutliers(ticks, 2.5)
+    assert(z.filter(abs(col("z")) < 2.5).count() === 0)
+    assert(z.count() < ticks.count())
+  }
+
+  test("macd equals fast minus slow ema pointwise") {
+    val bad = MarketOps.macd(ticks)
+      .filter(col("macd") =!= col("ema_fast") - col("ema_slow")).count()
+    assert(bad === 0)
+    // fast ema with alpha=0.2 must equal the standalone ema operator
+    val m = MarketOps.macd(ticks).select(col("event_id"), col("ema_fast"))
+    val e = MarketOps.ema(ticks, 0.2).select(col("event_id"), col("ema"))
+    assert(m.join(e, "event_id").filter(col("ema_fast") =!= col("ema")).count() === 0)
+  }
+
   test("ema matches an exact sequential computation") {
     val sub = ticks.filter(col("symbol") === "click")
     val got = MarketOps.ema(sub, alpha = 0.2).collect()

@@ -136,6 +136,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(nPairs === 5000L * 4999L / 2L)
   }
 
+  test("repetition ratio within [0,1); clone-heavy doc scores higher") {
+    import spark.implicits._
+    val r = TextOps.repetitionRatio(docs)
+    assert(r.filter(col("rep_ratio") < 0.0 || col("rep_ratio") >= 1.0).count() === 0)
+    val synth = Seq((1L, "a b c a b c a b c a b c"), (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val m = TextOps.repetitionRatio(synth).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(m(1L) > m(2L) && m(2L) === 0.0)
+  }
+
+  test("stratified sample: at most k per stratum, deterministic") {
+    val s1 = TextOps.stratifiedSample(docs, 10)
+    assert(s1.groupBy("pred_lang").count().filter(col("count") > 10).count() === 0)
+    val s2 = TextOps.stratifiedSample(docs, 10)
+    assert(s1.exceptAll(s2).count() === 0)
+  }
+
+  test("top terms: exactly one row per doc, tf <= total words") {
+    val t = TextOps.topTerms(docs)
+    assert(t.count() === docs.count())
+    assert(t.groupBy("doc_id").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("knn join: rk <= k, no self edges, cosine within bounds") {
+    val g = Similarity.knnJoin(emb, dim = 64, k = 3)
+    assert(g.filter(col("rk") > 3).count() === 0)
+    assert(g.filter(col("vec_id") === col("nbr_id")).count() === 0)
+    assert(g.filter(col("cos_sim") < -1.0001 || col("cos_sim") > 1.0001).count() === 0)
+  }
+
   test("nearDupClusters converges on a chain longer than the round count") {
     import spark.implicits._
     // 21-node path graph: diameter 20 > iters 5 — only the

@@ -136,6 +136,7 @@ object SparkEntry {
     "q_bollinger" -> ((s, dir) => MarketOps.bollinger(ticks(s, dir), 20, 2.0)),
     "q_obv" -> ((s, dir) => MarketOps.obv(ticks(s, dir))),
     "q_zscore" -> ((s, dir) => MarketOps.zscoreOutliers(ticks(s, dir), 2.5)),
+    "q_histogram" -> ((s, dir) => MarketOps.priceHistogram(ticks(s, dir))),
 
     // ---- §2.3 relational/OLAP breadth ----
     "q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
@@ -843,6 +844,12 @@ object SparkEntry {
         |           + (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.ema
         |  FROM t JOIN r ON t.symbol = r.symbol AND t.rn = r.rn + 1)
         |SELECT event_id, symbol, ema FROM r ORDER BY event_id""".stripMargin,
+    "q_histogram" ->
+      """SELECT event_type AS symbol,
+        |       CAST(FLOOR((value - 100.0) / 10.0) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n_ticks,
+        |       MIN(value) AS lo_price, MAX(value) AS hi_price
+        |FROM events GROUP BY 1, 2 ORDER BY symbol, bucket""".stripMargin,
     "q2_min_supplier" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,

@@ -309,6 +309,20 @@ object MarketOps {
       .orderBy("event_id")
   }
 
+  /** Fixed-width price histogram per symbol (distribution analysis):
+    * bucket = floor((price − lo) / width), one partial-agg shuffle of
+    * (symbol, bucket) counts. The bucket id is an integer floor of a
+    * double quotient — identical IEEE ops in both engines, no
+    * width_bucket builtin needed (DuckDB 1.0 lacks it).
+    */
+  def priceHistogram(ticks: DataFrame, lo: Double = 100.0, width: Double = 10.0): DataFrame =
+    ticks
+      .withColumn("bucket", floor((col("price") - lit(lo)) / lit(width)).cast("long"))
+      .groupBy(col("symbol"), col("bucket"))
+      .agg(count(lit(1)).as("n_ticks"),
+        min(col("price")).as("lo_price"), max(col("price")).as("hi_price"))
+      .orderBy("symbol", "bucket")
+
   /** As-of join (trade↔quote style): for each left tick, the latest
     * right tick with `right.ts <= left.ts` for the same key.
     *

@@ -322,6 +322,10 @@ object SparkEntry {
     */
   private val bucketedCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), (String, String)]()
+  // table-name ids come from a dedicated counter, NOT bucketedCache.size():
+  // two concurrent computeIfAbsent builds would observe the same size and
+  // collide on the catalog table name, re-pointing one entry's data
+  private val bucketedId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Bucketed co-located join: both fact tables written `bucketBy` on
     * the join key (hash-bucketed, per-bucket sorted files + catalog
@@ -336,7 +340,7 @@ object SparkEntry {
     val (liT, ordT) = bucketedCache.computeIfAbsent(
       (System.identityHashCode(s), dir), _ => {
         val base = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
-        val id = bucketedCache.size()
+        val id = bucketedId.getAndIncrement()
         val li = s"graft_li_bucketed_$id"
         val ord = s"graft_ord_bucketed_$id"
         Tables.lineitem(s, dir)
@@ -1372,11 +1376,16 @@ object SparkEntry {
         |         CAST(SUM(CAST(CAST(price AS DECIMAL(18,2))
         |                       * CAST(price AS DECIMAL(18,2)) AS DECIMAL(38,4)))
         |              AS DOUBLE) AS sq
-        |  FROM t GROUP BY 1)
+        |  FROM t GROUP BY 1),
+        |sd AS (
+        |  SELECT symbol, s / n AS mean,
+        |         CASE WHEN n > 1.0
+        |              THEN SQRT((sq - (s * s) / n) / (n - 1.0)) END AS sd
+        |  FROM st)
         |SELECT event_id, symbol, price,
-        |       ROUND((price - s / n) / SQRT((sq - (s * s) / n) / (n - 1.0)), 4) AS z
-        |FROM t JOIN st USING (symbol)
-        |WHERE ABS(ROUND((price - s / n) / SQRT((sq - (s * s) / n) / (n - 1.0)), 4)) >= 2.5
+        |       ROUND((price - mean) / sd, 4) AS z
+        |FROM t JOIN sd USING (symbol)
+        |WHERE sd > 0 AND ABS(ROUND((price - mean) / sd, 4)) >= 2.5
         |ORDER BY event_id""".stripMargin,
     "q4_exists" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count

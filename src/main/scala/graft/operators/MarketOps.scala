@@ -300,10 +300,16 @@ object MarketOps {
       sum((col("price").cast(dec) * col("price").cast(dec)).cast(sqDec))
         .cast("double").as("sq"))
       .select(col("symbol"), (col("s") / col("n")).as("mean"),
-        sqrt((col("sq") - (col("s") * col("s")) / col("n")) / (col("n") - 1.0))
+        // n=1 → 0/0 and constant-price → sd=0 must yield NULL (as
+        // DuckDB's x/0 does), never NaN/Inf — Spark sorts NaN above all
+        // numbers, so an unguarded abs(z) >= zMin silently passes NaN
+        when(col("n") > 1.0,
+          sqrt((col("sq") - (col("s") * col("s")) / col("n")) / (col("n") - 1.0)))
           .as("sd"))
     ticks.join(broadcast(stats), "symbol")
-      .withColumn("z", round((col("price") - col("mean")) / col("sd"), 4))
+      .withColumn("z",
+        when(col("sd") > 0 && !isnan(col("sd")),
+          round((col("price") - col("mean")) / col("sd"), 4)))
       .filter(abs(col("z")) >= zMin)
       .select(col("event_id"), col("symbol"), col("price"), col("z"))
       .orderBy("event_id")

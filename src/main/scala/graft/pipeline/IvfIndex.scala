@@ -60,14 +60,18 @@ class IvfIndex private (
 }
 
 object IvfIndex {
-  private val cache = new ConcurrentHashMap[(Int, Int, Int), IvfIndex]()
+  private val cache =
+    new ConcurrentHashMap[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), IvfIndex]()
 
   /** Cached build: one index per (session, source plan, nlist) for the
-    * process lifetime — the query path never rebuilds.
+    * process lifetime — the query path never rebuilds. Keyed on the
+    * canonicalized plan ITSELF (case-class structural equality), not
+    * its 32-bit hashCode — a hash collision between two different
+    * corpora must miss, never serve the wrong index.
     */
   def forTable(emb: DataFrame, nlist: Int): IvfIndex = {
     val key = (System.identityHashCode(emb.sparkSession),
-      emb.queryExecution.analyzed.canonicalized.hashCode(), nlist)
+      emb.queryExecution.analyzed.canonicalized, nlist)
     cache.computeIfAbsent(key, _ => build(emb, nlist))
   }
 

@@ -122,19 +122,21 @@ object Similarity {
     */
   def knnJoin(emb: DataFrame, dim: Int, k: Int, nBits: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE shared subplan joined to itself via dataset aliases — NOT two
+    // per-side-renamed projections, which break canonical plan equality
+    // and make AQE scan + bucket-shuffle the corpus twice (the
+    // minhashCandidates lesson; asserted by KnnJoinPlanSpec).
     val bucketed = lshBuckets(emb, dim, nBits)
-      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-    val a = bucketed.select(col("bucket"), col("vec_id"),
-      col("embedding").as("e_a"), col("nrm").as("nrm_a"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("nbr_id"),
-      col("embedding").as("e_b"), col("nrm").as("nrm_b"))
+      .select(col("bucket"), col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos_sim").desc, col("nbr_id"))
-    a.join(b, "bucket")
-      .filter(col("vec_id") =!= col("nbr_id"))
-      .select(col("vec_id"), col("nbr_id"),
-        round(dot(col("e_a"), col("e_b")) / (col("nrm_a") * col("nrm_b")), 4)
-          .as("cos_sim"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 4).as("cos_sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .orderBy("vec_id", "rk")

@@ -384,7 +384,11 @@ object Streams {
       .start()
     q.processAllAvailable()
     q.stop()
+    // a retried micro-batch appends its per-batch top-k twice; the
+    // read-side dedup on the natural key makes the sink-side append
+    // idempotent (duplicates of the best row must not occupy two ranks)
     spark.read.parquet(s"$base/delta")
+      .dropDuplicates("symbol", "event_id")
       .withColumn("rn", row_number().over(rankW).cast("long"))
       .filter(col("rn") <= k)
       .select(col("symbol"), col("rn"), col("event_id"), col("price"))

@@ -435,6 +435,27 @@ object SparkEntry {
        |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
        |         FROM embeddings)""".stripMargin
 
+  /** The IVF centroids as a DuckDB VALUES list. The KMeans fit runs
+    * inside the `q_ann_ivf` query (cached, offline-style) BEFORE
+    * [[oracleSql]] is dumped — Verify executes every query first — so
+    * the dumped SQL carries exactly the centroid table the Spark
+    * answer used, the same way [[planesSql]] inlines the LSH planes.
+    * Cell assignment and probe selection are then re-derived
+    * independently by both engines from the shared rounded-argmin rule
+    * (distance ROUND(...,6), ties to the lower cell id — see
+    * [[graft.pipeline.IvfIndex]]).
+    */
+  private def ivfCentroidsSql: String =
+    graft.pipeline.IvfIndex.lastCentroids match {
+      case Some(cs) => cs.zipWithIndex
+        .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
+        .mkString(", ")
+      // only reachable if the dump runs without the query having run —
+      // never the Verify flow; yields a syntactically valid oracle that
+      // will loudly mismatch instead of crashing the dump
+      case None => "(0, [0.0])"
+    }
+
   /** Seed-with-first polynomial codepoint hash mod p — the DuckDB
     * mirror of [[graft.functions.TextHash.charPoly]].
     */
@@ -1307,6 +1328,29 @@ object SparkEntry {
          |cand AS (
          |  SELECT b.vec_id FROM buckets b JOIN probes p ON b.bucket = p.bucket
          |  WHERE b.vec_id <> 0)
+         |SELECT c.vec_id AS vec_id, ${duckCosine("v.ve", "q.qe")} AS cos_sim
+         |FROM cand c JOIN vecs v ON v.vec_id = c.vec_id CROSS JOIN q
+         |ORDER BY cos_sim DESC, 1 LIMIT 10""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH cents(cell, c) AS (VALUES ${ivfCentroidsSql}),
+         |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |         FROM embeddings),
+         |dist AS (
+         |  SELECT v.vec_id, ct.cell,
+         |         ROUND(list_sum(list_transform(generate_series(1, 64),
+         |           i -> (v.ve[i] - ct.c[i]) * (v.ve[i] - ct.c[i]))), 6) AS d
+         |  FROM vecs v CROSS JOIN cents ct),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |probes AS (SELECT cell FROM dist WHERE vec_id = 0
+         |           ORDER BY d, cell LIMIT 4),
+         |q AS (SELECT ve AS qe FROM vecs WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT a.vec_id FROM assign a JOIN probes p ON a.cell = p.cell
+         |  WHERE a.vec_id <> 0)
          |SELECT c.vec_id AS vec_id, ${duckCosine("v.ve", "q.qe")} AS cos_sim
          |FROM cand c JOIN vecs v ON v.vec_id = c.vec_id CROSS JOIN q
          |ORDER BY cos_sim DESC, 1 LIMIT 10""".stripMargin,

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication operators for a training-data pipeline over the
   * `documents` table.
@@ -178,16 +179,33 @@ object Dedup {
     * is then two tiny joins on (doc_id, label) tables.
     */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, iters: Int = 5): DataFrame = {
-    // undirected edges, both directions, materialized once — every
-    // round re-reads this instead of recomputing the LSH pipeline
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
+    // undirected edges, both directions, in ONE pass over the pair
+    // pipeline (explode of the two orientations — a flip-union would
+    // execute the whole LSH candidate pipeline twice), materialized
+    // once. No distinct needed: candidate pairs are already distinct
+    // with doc_a < doc_b, so the orientations cannot collide.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
+    // convergence detector: every step only LOWERS labels (least of the
+    // current label and neighbor/jump minima), so the exact decimal sum
+    // of all labels is strictly decreasing until fixpoint — an
+    // unchanged sum means the round was a no-op, and the round function
+    // is deterministic in the labels, so every later round is too.
+    // Real candidate graphs are mostly 2-3 doc clusters that fix in one
+    // round; without the exit all `iters` rounds always run (the r3
+    // bench regression). Decimal, not long: at 1e12 docs a long sum of
+    // doc_ids overflows (ANSI throws).
+    def labelSum(): java.math.BigDecimal =
+      labels.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    var prevSum: Option[java.math.BigDecimal] = None // no job for the initial sum
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst")
           .withColumnRenamed("label", "n_label"), "dst")
@@ -203,10 +221,13 @@ object Dedup {
           Seq("label"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-      // truncate every other round: plan growth between checkpoints is
-      // bounded at 4² = 16 references to cheap checkpointed-scan
-      // leaves, and half the materialization jobs disappear
-      if (i % 2 == 1 || i == iters - 1) labels = labels.localCheckpoint()
+      // truncate every round: the checkpoint materializes exactly this
+      // round's two joins (lineage is one checkpointed scan deep), and
+      // the sum check below is a cheap scan of the materialized blocks
+      labels = labels.localCheckpoint()
+      val s = labelSum()
+      converged = prevSum.exists(_.compareTo(s) == 0)
+      prevSum = Some(s)
       i += 1
     }
     labels.withColumnRenamed("label", "cluster_id")

@@ -2,12 +2,12 @@ package graft.pipeline
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Offline IVF (inverted-file) ANN index: vectors partitioned into
-  * `nlist` Voronoi cells by a ONE-TIME KMeans fit, persisted as parquet
-  * partitioned by cell id.
+  * `nlist` Voronoi cells around KMeans-fitted centroids, persisted as
+  * parquet partitioned by cell id.
   *
   * Index build and query are separate lifecycles — the classic
   * large-scale layout (FAISS-style IVF re-expressed as a table layout):
@@ -23,13 +23,21 @@ import org.apache.spark.sql.functions._
   *    directory-level partition PRUNING: ~nprobe/nlist of the corpus is
   *    read, no KMeans, no full scan, no model in the query path.
   *
-  * Process-lifetime cache keyed by (source plan, nlist) so repeated
-  * queries against the same corpus reuse one build.
+  * The KMeans fit supplies ONLY the centroid coordinates; the cell
+  * assignment (argmin over squared L2, distances rounded to 6 digits,
+  * ties to the lower cell id) is computed by graft's own expressions so
+  * an independent engine holding the same centroid table reproduces the
+  * exact same partitioning — that is what lets the DuckDB oracle verify
+  * `q_ann_ivf` end-to-end (centroids inlined as a VALUES list, same
+  * rounded-argmin rule; see SparkEntry.centroidsSql).
+  *
+  * Process-lifetime cache keyed by (session, source plan, nlist) so
+  * repeated queries against the same corpus reuse one build.
   */
 class IvfIndex private (
     emb: DataFrame,
     cellsPath: String,
-    centroids: Array[Array[Double]]) {
+    val centroids: Array[Array[Double]]) {
 
   /** Top-k cosine neighbors of `queryId` scanning only the `nprobe`
     * cells nearest the query vector.
@@ -38,15 +46,9 @@ class IvfIndex private (
     // point lookup of the query vector (pushed-down scan on vec_id)
     val qVec = emb.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0).toArray
-    // probe selection against the tiny driver-held centroid table
-    val probes = centroids.zipWithIndex.map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < c.length && j < qVec.length) {
-          val diff = c(j) - qVec(j); d += diff * diff; j += 1
-        }
-        (i, d)
-      }.sortBy(_._2).take(nprobe).map(_._1).toSeq
+    // probe selection against the tiny driver-held centroid table —
+    // same rounded-distance ordering as the cell assignment
+    val probes = IvfIndex.nearestCells(centroids, qVec.map(_.toDouble), nprobe)
 
     val cells = emb.sparkSession.read.parquet(cellsPath)
     cells
@@ -63,6 +65,14 @@ object IvfIndex {
   private val cache =
     new ConcurrentHashMap[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), IvfIndex]()
 
+  /** Centroids of the most recently used index in this process — read
+    * by `SparkEntry.oracleSql` AFTER the verify run's queries execute,
+    * so the dumped DuckDB SQL carries exactly the centroid table the
+    * Spark answer was computed against.
+    */
+  @volatile private var lastUsed: Option[Array[Array[Double]]] = None
+  def lastCentroids: Option[Array[Array[Double]]] = lastUsed
+
   /** Cached build: one index per (session, source plan, nlist) for the
     * process lifetime — the query path never rebuilds. Keyed on the
     * canonicalized plan ITSELF (case-class structural equality), not
@@ -72,15 +82,46 @@ object IvfIndex {
   def forTable(emb: DataFrame, nlist: Int): IvfIndex = {
     val key = (System.identityHashCode(emb.sparkSession),
       emb.queryExecution.analyzed.canonicalized, nlist)
-    cache.computeIfAbsent(key, _ => build(emb, nlist))
+    val idx = cache.computeIfAbsent(key, _ => build(emb, nlist))
+    lastUsed = Some(idx.centroids)
+    idx
   }
+
+  /** The `nprobe` cell ids nearest to `q`: squared L2 accumulated in
+    * index order, rounded to 6 digits, ties to the lower cell id — the
+    * driver-side twin of the per-row assignment rule in [[build]].
+    */
+  private[pipeline] def nearestCells(
+      cents: Array[Array[Double]], q: Array[Double], nprobe: Int): Seq[Int] =
+    cents.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < c.length && j < q.length) {
+        val diff = c(j) - q(j); d += diff * diff; j += 1
+      }
+      (i, round6(d))
+    }.sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1).toSeq
+
+  private def round6(d: Double): Double = math.round(d * 1e6).toDouble / 1e6
+
+  /** Squared L2 distance to a constant centroid, folded in index order
+    * (seed 0.0) so DuckDB's `list_sum(list_transform(...))` over the
+    * same doubles produces the same value. Interpreted HOFs are fine
+    * here: this runs once, offline, in the index build — never in the
+    * query path.
+    */
+  private def sqDist(ve: Column, c: Array[Double]): Column =
+    round(aggregate(
+      zip_with(ve, typedLit(c.toSeq), (v, w) => (v - w) * (v - w)),
+      lit(0.0), (acc, x) => acc + x), 6)
 
   /** Offline index construction: KMeans on a sample (coarse cells only
     * need coarse centroids; random init skips k-means||'s extra
-    * passes), then one full assignment pass written partition-by-cell.
-    * The corpus count here is index-build bookkeeping (choosing a
-    * sample fraction that cannot undershoot k), NOT a query-path
-    * action.
+    * passes) fits the centroids, then one full assignment pass — the
+    * rounded argmin described on the class — writes the corpus
+    * partition-by-cell. The corpus count here is index-build
+    * bookkeeping (choosing a sample fraction that cannot undershoot
+    * k), NOT a query-path action.
     */
   def build(emb: DataFrame, nlist: Int): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
@@ -93,13 +134,20 @@ object IvfIndex {
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(3)
       .setInitMode("random")
       .fit(feats.sample(withReplacement = false, trainFrac, seed = 42L))
+    val cents = model.clusterCenters.map(_.toArray)
+
+    // engine-neutral assignment: argmin of (rounded) squared L2 as a
+    // lexicographic min over (distance, cell id) structs
+    val ve = transform(col("embedding"), _.cast("double"))
+    val cell = array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(ve, c).as("d"), lit(i).as("c"))
+    }: _*)).getField("c")
 
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
     val cellsPath = s"$dir/cells"
-    model.transform(feats)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    emb.select(col("vec_id"), col("embedding"), cell.as("cell"))
       .write.partitionBy("cell").parquet(cellsPath)
 
-    new IvfIndex(emb, cellsPath, model.clusterCenters.map(_.toArray))
+    new IvfIndex(emb, cellsPath, cents)
   }
 }

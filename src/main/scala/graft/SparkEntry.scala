@@ -163,6 +163,11 @@ object SparkEntry {
     "q17_small_qty" -> ((s, dir) => Relational.q17(s, dir)),
     "q21_exists_combo" -> ((s, dir) => Relational.q21(s, dir)),
     "q22_idle_custs" -> ((s, dir) => Relational.q22(s, dir)),
+    "q8_mkt_share" -> ((s, dir) => Relational.q8(s, dir)),
+    "q9_profit" -> ((s, dir) => Relational.q9(s, dir)),
+    "q11_important_stock" -> ((s, dir) => Relational.q11(s, dir)),
+    "q16_supplier_cnt" -> ((s, dir) => Relational.q16(s, dir)),
+    "q20_excess_supply" -> ((s, dir) => Relational.q20(s, dir)),
     "q_window_suite" -> ((s, dir) => Relational.windowSuite(s, dir)),
     "q_scalar_funcs" -> ((s, dir) => Relational.scalarFuncs(s, dir)),
     "q_json_extract" -> ((s, dir) =>
@@ -451,10 +456,19 @@ object SparkEntry {
         .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
         .mkString(", ")
       // only reachable if the dump runs without the query having run —
-      // never the Verify flow; yields a syntactically valid oracle that
-      // will loudly mismatch instead of crashing the dump
+      // never the Verify flow (IvfIndex.lastCentroids warns on stderr);
+      // yields a syntactically valid oracle that will loudly mismatch
+      // instead of crashing the dump
       case None => "(0, [0.0])"
     }
+
+  /** Embedding dimensionality for the `q_ann_ivf` oracle — read from
+    * the same centroid table the Spark query used (a centroid has one
+    * coordinate per dimension), so the oracle's `generate_series`
+    * bound cannot desync from the data.
+    */
+  private def ivfDim: Int =
+    graft.pipeline.IvfIndex.lastCentroids.map(_.head.length).getOrElse(64)
 
   /** Seed-with-first polynomial codepoint hash mod p — the DuckDB
     * mirror of [[graft.functions.TextHash.charPoly]].
@@ -933,6 +947,91 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c_custkey
         |                    AND o.o_totalprice > 450000)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_mkt_share" ->
+      """WITH base AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))) AS rev,
+        |         sn.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  WHERE EXISTS (SELECT 1 FROM customer c
+        |                JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |                JOIN region r ON n.n_regionkey = r.r_regionkey
+        |                WHERE r.r_name = 'ASIA' AND c.c_custkey = o.o_custkey)
+        |    AND EXISTS (SELECT 1 FROM part p
+        |                WHERE p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'))
+        |SELECT o_year,
+        |       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |             / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_profit" ->
+      """SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+        |            AS DOUBLE)
+        |         - CAST(0.9 AS DOUBLE)
+        |           * CAST(SUM(CAST(p.p_retailprice AS DECIMAL(12,2))
+        |                      * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE p.p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_stock" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier s
+        |                      JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |                      WHERE n.n_name = 'NATION_8')
+        |  GROUP BY 1)
+        |SELECT l_partkey, value
+        |FROM pp, (SELECT CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |          FROM pp) t
+        |WHERE value > CAST(0.001 AS DOUBLE) * t.total
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_excess_supply" ->
+      """WITH li AS (
+        |  SELECT l.* FROM lineitem l
+        |  WHERE EXISTS (SELECT 1 FROM part p
+        |                WHERE p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%')),
+        |demand AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |  FROM li
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1),
+        |sp AS (
+        |  SELECT l_suppkey, l_partkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS supp_qty
+        |  FROM li GROUP BY 1, 2),
+        |q AS (
+        |  SELECT DISTINCT sp.l_suppkey FROM sp
+        |  JOIN demand ON sp.l_partkey = demand.l_partkey
+        |  WHERE sp.supp_qty > CAST(0.3 AS DOUBLE) * demand.total_qty)
+        |SELECT s_suppkey, s_name FROM supplier s
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM q)
+        |  AND s_nationkey IN (SELECT n_nationkey FROM nation
+        |                      JOIN region ON n_regionkey = r_regionkey
+        |                      WHERE r_name = 'EUROPE')
+        |ORDER BY s_suppkey""".stripMargin,
     "q_stream_topk" ->
       """SELECT symbol, rn, event_id, price FROM (
         |  SELECT event_type AS symbol,
@@ -1337,7 +1436,7 @@ object SparkEntry {
          |         FROM embeddings),
          |dist AS (
          |  SELECT v.vec_id, ct.cell,
-         |         ROUND(list_sum(list_transform(generate_series(1, 64),
+         |         ROUND(list_sum(list_transform(generate_series(1, ${ivfDim}),
          |           i -> (v.ve[i] - ct.c[i]) * (v.ve[i] - ct.c[i]))), 6) AS d
          |  FROM vecs v CROSS JOIN cents ct),
          |assign AS (
@@ -1346,7 +1445,7 @@ object SparkEntry {
          |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
          |    FROM dist) WHERE rn = 1),
          |probes AS (SELECT cell FROM dist WHERE vec_id = 0
-         |           ORDER BY d, cell LIMIT 4),
+         |           ORDER BY d, cell LIMIT ${graft.pipeline.Similarity.DefaultNprobe}),
          |q AS (SELECT ve AS qe FROM vecs WHERE vec_id = 0),
          |cand AS (
          |  SELECT a.vec_id FROM assign a JOIN probes p ON a.cell = p.cell
@@ -1423,7 +1522,7 @@ object SparkEntry {
         |  FROM t GROUP BY 1),
         |sd AS (
         |  SELECT symbol, s / n AS mean,
-        |         CASE WHEN n > 1.0
+        |         CASE WHEN n > 1.0 AND (sq - (s * s) / n) > 0
         |              THEN SQRT((sq - (s * s) / n) / (n - 1.0)) END AS sd
         |  FROM st)
         |SELECT event_id, symbol, price,

@@ -461,6 +461,140 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q8-shape: national market share — the revenue fraction one
+    * supplier nation holds of a region's market for a part type, per
+    * order year. Dimension chain (part, supplier→nation,
+    * customer→nation→region) broadcasts; the lineitem↔orders fact join
+    * is the one shuffle. The share division happens in double AFTER
+    * exact decimal sums, rounded to 6 for engine parity.
+    */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+    val suppNation = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custRegion = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val rev = d("l_extendedprice") * (one - d("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0).cast(dec)))
+          .cast("double") /
+        sum(rev).cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9-shape: product-line profit by supplier nation and year.
+    * No partsupp table in this schema, so supply cost is proxied as
+    * 90% of `p_retailprice` per unit — the plan shape (fact joined to
+    * two broadcast dims, two-level group-by, profit = revenue − cost)
+    * is Q9's. Revenue and cost are summed as exact decimals separately,
+    * then combined in double with a fixed op order both engines mirror.
+    */
+  def q9(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).filter(col("p_name").contains("gear"))
+      .select(col("p_partkey"), d("p_retailprice").as("p_cost"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(d("l_extendedprice") * (one - d("l_discount"))).cast("double") -
+        lit(0.9) * sum(col("p_cost") * d("l_quantity")).cast("double"))
+        .as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11-shape: important stock — parts whose inventory value
+    * (proxied as the extended-price volume supplied by one nation's
+    * suppliers; no partsupp table) exceeds a fixed fraction of that
+    * nation's grand total. The grand total is a scalar aggregate
+    * broadcast back over the per-part aggregate — no window over the
+    * whole table.
+    */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val suppIn = Tables.supplier(spark, dir)
+      // NATION_8 has suppliers at every SF (the 10-supplier sf0.001
+      // universe covers only 10 of the 25 nations)
+      .join(Tables.nation(spark, dir).filter(col("n_name") === "NATION_8"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = Tables.lineitem(spark, dir)
+      .join(broadcast(suppIn), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(d("l_extendedprice")).cast("double").as("value"))
+    val total = perPart.agg(sum(col("value").cast(dec)).cast("double").as("total"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value") > lit(0.001) * col("total"))
+      .select(col("l_partkey"), col("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q16-shape: supplier diversity per part attribute — distinct
+    * suppliers per (brand, type, size) over the lineitem↔part join,
+    * excluding a brand, a size band, and a NOT-IN supplier blocklist
+    * (negative balance ≈ "complaints"; anti join against a broadcast
+    * dim, never a per-row subquery).
+    */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val badSupp = Tables.supplier(spark, dir).filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("int").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20-shape: suppliers with excess supply — EUROPE suppliers
+    * who shipped, for some filtered part, more than 30% of that part's
+    * total 1997 demand (nested aggregate threshold; availqty proxied by
+    * the supplier's own shipped quantity, no partsupp table). Both
+    * aggregates group the same filtered fact slice; the qualifying set
+    * reaches `supplier` as a semi join.
+    */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"), "left_semi")
+    val demand = li
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(d("l_quantity")).cast("double").as("total_qty"))
+    val suppPart = li.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(d("l_quantity")).cast("double").as("supp_qty"))
+    val qualifying = suppPart.join(demand, "l_partkey")
+      .filter(col("supp_qty") > lit(0.3) * col("total_qty"))
+      .select(col("l_suppkey"))
+    val euroSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+    euroSupp.join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
   /** Conditional aggregation (pivot-style status counts per priority). */
   def pivotStatus(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

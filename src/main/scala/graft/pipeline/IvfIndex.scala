@@ -62,28 +62,63 @@ class IvfIndex private (
 }
 
 object IvfIndex {
-  private val cache =
-    new ConcurrentHashMap[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), IvfIndex]()
+  private val cache = new ConcurrentHashMap[(Int, String, Int), IvfIndex]()
 
-  /** Centroids of the most recently used index in this process — read
-    * by `SparkEntry.oracleSql` AFTER the verify run's queries execute,
-    * so the dumped DuckDB SQL carries exactly the centroid table the
-    * Spark answer was computed against.
+  /** Centroids of the most recently used index, keyed by corpus digest
+    * — read by `SparkEntry.oracleSql` AFTER the verify run's queries
+    * execute, so the dumped DuckDB SQL carries exactly the centroid
+    * table the Spark answer was computed against. The key set lets the
+    * dump detect (and warn about) a multi-corpus process, where "most
+    * recently used" is ambiguous.
     */
-  @volatile private var lastUsed: Option[Array[Array[Double]]] = None
-  def lastCentroids: Option[Array[Array[Double]]] = lastUsed
+  @volatile private var lastUsed: Option[(String, Array[Array[Double]])] = None
+  private val usedKeys = ConcurrentHashMap.newKeySet[String]()
+  def lastCentroids: Option[Array[Array[Double]]] = {
+    if (usedKeys.size > 1) System.err.println(
+      s"[graft] WARNING: IVF indexes for ${usedKeys.size} distinct corpora " +
+        "were used in this process; the dumped q_ann_ivf oracle carries the " +
+        "most recently used one")
+    if (lastUsed.isEmpty) System.err.println(
+      "[graft] WARNING: ivfCentroidsSql read before any IVF query ran — " +
+        "emitting a placeholder oracle that will loudly mismatch")
+    lastUsed.map(_._2)
+  }
 
-  /** Cached build: one index per (session, source plan, nlist) for the
-    * process lifetime — the query path never rebuilds. Keyed on the
-    * canonicalized plan ITSELF (case-class structural equality), not
-    * its 32-bit hashCode — a hash collision between two different
-    * corpora must miss, never serve the wrong index.
+  /** Collision-safe digest of the corpus identity: MD5 over the full
+    * canonicalized plan string plus the schema. Cache keys hold this
+    * 32-char string, not the plan tree itself — a long-lived serve
+    * process must not pin every corpus's analyzed plan in memory.
+    */
+  private def corpusDigest(emb: DataFrame): String = {
+    val plan = emb.queryExecution.analyzed.canonicalized
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest((plan.toString + "|" + emb.schema.catalogString)
+      .getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  // index parquet lives in temp dirs for the process lifetime; one
+  // shutdown hook removes them all recursively (deleteOnExit alone
+  // cannot delete non-empty directories)
+  private val tempDirs = ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach { p =>
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        catch { case _: java.io.IOException => () }
+        finally s.close()
+      }))
+
+  /** Cached build: one index per (session, corpus digest, nlist) for
+    * the process lifetime — the query path never rebuilds.
     */
   def forTable(emb: DataFrame, nlist: Int): IvfIndex = {
-    val key = (System.identityHashCode(emb.sparkSession),
-      emb.queryExecution.analyzed.canonicalized, nlist)
+    val digest = corpusDigest(emb)
+    val key = (System.identityHashCode(emb.sparkSession), digest, nlist)
     val idx = cache.computeIfAbsent(key, _ => build(emb, nlist))
-    lastUsed = Some(idx.centroids)
+    usedKeys.add(digest)
+    lastUsed = Some((digest, idx.centroids))
     idx
   }
 
@@ -143,7 +178,9 @@ object IvfIndex {
       struct(sqDist(ve, c).as("d"), lit(i).as("c"))
     }: _*)).getField("c")
 
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    cleanupHook // install the shutdown-hook cleaner once
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_")
+    tempDirs.add(dir)
     val cellsPath = s"$dir/cells"
     emb.select(col("vec_id"), col("embedding"), cell.as("cell"))
       .write.partitionBy("cell").parquet(cellsPath)

@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   * functions/VectorExpressions.scala for the parity argument).
   */
 object Similarity {
+  /** Cells probed per IVF query — shared with the `q_ann_ivf` oracle
+    * SQL (SparkEntry interpolates it) so Spark and DuckDB cannot
+    * silently desync on the probe count.
+    */
+  val DefaultNprobe = 4
+
   private def reg(df: DataFrame): Unit =
     graft.functions.GraftFunctions.register(df.sparkSession)
 
@@ -106,7 +112,7 @@ object Similarity {
     * in [[IvfIndex.build]] — never inside the query path.
     */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = DefaultNprobe): DataFrame = {
     val index = IvfIndex.forTable(emb, nlist)
     index.topK(queryId, k, nprobe)
   }

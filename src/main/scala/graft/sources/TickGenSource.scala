@@ -19,11 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * `spark.read.format("tickgen").option("rows", 2000000).load()`
   *
   * Options: `rows` (total ticks), `partitions` (parallel splits,
-  * default 32), `startEpoch` (first tick second, default 1700000000).
-  * Tick `id` maps to columns via fixed arithmetic (symbol round-robin
-  * over 5 names, 5 ticks/second, 2-dp prices from a prime-stride
-  * sequence), so any slice of the stream is reproducible anywhere —
-  * including inside a SQL oracle.
+  * default 32), `startEpoch` (first tick second, default 1700000000),
+  * `symbols` (symbol universe size, default 5 — the default keeps the
+  * 5 named tickers the oracle SQL mirrors; larger universes emit
+  * uniform synthetic names for many-symbol scale tests, where
+  * per-symbol windows must spread over all cores instead of maxing
+  * out at 5-way parallelism). Tick `id` maps to columns via fixed
+  * arithmetic (symbol round-robin, 5 ticks/second, 2-dp prices from a
+  * prime-stride sequence), so any slice of the stream is reproducible
+  * anywhere — including inside a SQL oracle.
   *
   * Spark-native surface demonstrated: `TableProvider` → `ScanBuilder`
   * with column pruning (`SupportsPushDownRequiredColumns` — a
@@ -50,6 +54,18 @@ object TickGenSource {
   val symbols: Array[UTF8String] =
     Array("AAPL", "MSFT", "GOOG", "AMZN", "TSLA").map(UTF8String.fromString)
 
+  /** Symbol universe of size `n`: the 5 named tickers for the default
+    * universe, else uniform synthetic names. Cached per size and built
+    * lazily inside each executor JVM — the reader factory ships only
+    * the integer.
+    */
+  private val symbolCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[UTF8String]]()
+  def symbolsFor(n: Int): Array[UTF8String] =
+    if (n == 5) symbols
+    else symbolCache.computeIfAbsent(n, m =>
+      Array.tabulate(m)(k => UTF8String.fromString(f"S$k%05d")))
+
   /** id → column value, shared by every reader (and mirrored by the
     * DuckDB oracle SQL in SparkEntry).
     */
@@ -68,19 +84,21 @@ private class TickGenTable extends Table with SupportsRead {
     new TickGenScanBuilder(
       options.getLong("rows", 1000000L),
       options.getInt("partitions", 32),
-      options.getLong("startEpoch", 1700000000L))
+      options.getLong("startEpoch", 1700000000L),
+      options.getInt("symbols", 5))
 }
 
-private class TickGenScanBuilder(rows: Long, partitions: Int, startEpoch: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+private class TickGenScanBuilder(rows: Long, partitions: Int, startEpoch: Long,
+    nSymbols: Int) extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = TickGenSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new TickGenScan(rows, partitions, startEpoch, required)
+  override def build(): Scan =
+    new TickGenScan(rows, partitions, startEpoch, nSymbols, required)
 }
 
 private class TickGenScan(rows: Long, partitions: Int, startEpoch: Long,
-    required: StructType) extends Scan with Batch {
+    nSymbols: Int, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
@@ -90,15 +108,16 @@ private class TickGenScan(rows: Long, partitions: Int, startEpoch: Long,
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TickGenReaderFactory(startEpoch, required.fieldNames)
+    new TickGenReaderFactory(startEpoch, nSymbols, required.fieldNames)
 }
 
 private case class TickGenPartition(start: Long, end: Long) extends InputPartition
 
-private class TickGenReaderFactory(startEpoch: Long, fields: Array[String])
-    extends PartitionReaderFactory {
+private class TickGenReaderFactory(startEpoch: Long, nSymbols: Int,
+    fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TickGenPartition]
+    val syms = TickGenSource.symbolsFor(nSymbols)
     new PartitionReader[InternalRow] {
       private var id = p.start - 1
       override def next(): Boolean = { id += 1; id < p.end }
@@ -108,7 +127,7 @@ private class TickGenReaderFactory(startEpoch: Long, fields: Array[String])
         while (i < fields.length) {
           fields(i) match {
             case "id" => row.update(i, id)
-            case "symbol" => row.update(i, TickGenSource.symbols((id % 5).toInt))
+            case "symbol" => row.update(i, syms((id % nSymbols).toInt))
             case "ts" => row.update(i, TickGenSource.tsMicrosOf(id, startEpoch))
             case "price" => row.update(i, TickGenSource.priceOf(id))
             case "volume" => row.update(i, TickGenSource.volumeOf(id))

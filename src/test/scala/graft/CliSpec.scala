@@ -61,7 +61,8 @@ class CliSpec extends AnyFunSuite {
     val times = "\\(([\\d.]+) ms\\)".r.findAllMatchIn(outStr)
       .map(_.group(1).toDouble).toVector
     assert(times.length === 4, s"timings in: $outStr")
-    assert(times(1) < math.max(times(0) / 5.0, 500.0),
+    assert(times(1) < times(0) &&
+      times(1) < math.max(times(0) / 5.0, 250.0),
       s"warm query took ${times(1)} ms vs cold ${times(0)} ms (total $totalSec s)")
   }
 }

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+
+/** Retrieval-quality invariants for the ANN family (SURVEY §3.5 caps
+  * candidate-set SIZE; this measures what the caps cost in QUALITY).
+  * recall@10 against the exact brute-force ranking, averaged over a
+  * fixed query panel — planes, centroids and data are all
+  * deterministic, so the measured recalls are exact values and the
+  * floors are regression gates, not statistical hopes.
+  *
+  * Context for the absolute numbers: the synthetic embeddings are only
+  * weakly clustered, so top-10 cosines sit low and sign-LSH bucket
+  * agreement is correspondingly weak — measured multi-probe recall at
+  * the production nBits=8 is 0.22 (vs 0.04 single-probe) on this
+  * corpus. The floors freeze those measurements; the MONOTONE
+  * invariants (multi-probe ⊇ single-probe, IVF recall grows with
+  * nprobe) are corpus-independent and are the real contract: recall is
+  * a knob you buy with candidates scanned, and the knob must work.
+  */
+class RecallSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+  private val K = 10
+  private val queryIds = Seq(0L, 7L, 42L, 99L, 250L)
+  private val dim = 64
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("vec_id").collect().map(_.getLong(0)).toSet
+
+  private def recallOf(ann: Long => org.apache.spark.sql.DataFrame): Double = {
+    val rs = queryIds.map { q =>
+      val truth = ids(Similarity.bruteForceTopK(emb, q, K))
+      ids(ann(q)).intersect(truth).size.toDouble / truth.size
+    }
+    rs.sum / rs.size
+  }
+
+  test("multi-probe LSH beats single-probe and holds its measured floor") {
+    val multi = recallOf(q => Similarity.lshTopK(emb, q, K, dim, multiProbe = true))
+    val single = recallOf(q => Similarity.lshTopK(emb, q, K, dim, multiProbe = false))
+    // multi-probe candidates are a strict superset (own bucket + every
+    // Hamming-1 bucket), so its recall can never be lower
+    assert(multi >= single,
+      s"multi-probe recall $multi < single-probe recall $single")
+    // measured on the deterministic corpus: 0.22 vs 0.04 — the probe
+    // set buys ~5x recall for ~9x candidates at nBits=8
+    assert(multi >= 0.2, s"multi-probe recall@10 $multi below measured floor 0.2")
+  }
+
+  test("IVF recall grows monotonically with nprobe and holds its floors") {
+    val byProbe = Seq(4, 6, 8)
+      .map(np => np -> recallOf(q => Similarity.ivfTopK(emb, q, K, nprobe = np)))
+    // measured: 0.52 @ nprobe=4 (25% of cells), 0.82 @ nprobe=8 (50%)
+    val m = byProbe.toMap
+    assert(m(4) >= 0.5, s"IVF recall@10 ${m(4)} at nprobe=4 below floor 0.5")
+    assert(m(8) >= 0.8, s"IVF recall@10 ${m(8)} at nprobe=8 below floor 0.8")
+    byProbe.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+      assert(r2 >= r1, s"recall fell from $r1 (nprobe=$p1) to $r2 (nprobe=$p2)")
+    }
+  }
+}

@@ -41,4 +41,25 @@ class TickGenSourceSpec extends AnyFunSuite {
     val b = gen(500).agg(sum("price")).head().getDouble(0)
     assert(a === b)
   }
+
+  test("many-symbol universe: 10k distinct symbols, balanced, windows stay per-symbol") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 10000
+    val df = spark.read.format("tickgen")
+      .option("rows", 50000).option("partitions", 8)
+      .option("symbols", n).load()
+    // exactly n uniform symbols, round-robin balanced (50000/10000 = 5 each)
+    val perSym = df.groupBy("symbol").count()
+    assert(perSym.count() === n)
+    assert(perSym.filter(col("count") =!= 5).count() === 0)
+    // a per-symbol window over the 10k-symbol universe partitions by
+    // symbol correctly: each row's lag is its own symbol's previous id
+    // (ids of one symbol are exactly n apart by round-robin)
+    val w = Window.partitionBy("symbol").orderBy("id")
+    val bad = df.withColumn("prev", lag("id", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("id") - n)
+    assert(bad.count() === 0)
+    // the default universe is untouched (oracle contract)
+    assert(gen(10).select("symbol").distinct().count() === 5)
+  }
 }

@@ -230,6 +230,8 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "q_ann_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 10)),
+    "q_ann_i8" -> ((s, dir) =>
+      Similarity.bruteForceTopKI8(Tables.embeddings(s, dir), 0L, 10)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), 0L, 10, dim = 64)),
     "q_ann_ivf" -> ((s, dir) =>
@@ -1665,6 +1667,33 @@ object SparkEntry {
          |    ORDER BY cos_sim DESC, nbr_id) AS BIGINT) AS rk FROM sims)
          |SELECT vec_id, nbr_id, cos_sim, rk FROM rk WHERE rk <= 3
          |ORDER BY vec_id, rk""".stripMargin,
+    "q_ann_i8" ->
+      // int8 quantization mirrored exactly: scaled value s = x/am*127
+      // computed in the same double op order, explicit half-away
+      // rounding (FLOOR(s+0.5) / CEIL(s-0.5)), then ALL-INTEGER dot
+      // products — the cosine is derived from exact int64 sums on both
+      // engines, so no float-summation drift is possible.
+      """WITH vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id,
+        |         list_transform(ve, x -> CAST(
+        |           CASE WHEN am <= 0 THEN 0
+        |                WHEN x / am * 127.0 >= 0 THEN FLOOR(x / am * 127.0 + 0.5)
+        |                ELSE CEIL(x / am * 127.0 - 0.5) END AS BIGINT)) AS qv
+        |  FROM (SELECT vec_id, ve,
+        |               list_max(list_transform(ve, x -> ABS(x))) AS am FROM vecs)),
+        |qq AS (SELECT qv AS que FROM q8 WHERE vec_id = 0)
+        |SELECT e.vec_id AS vec_id,
+        |       ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+        |               i -> e.qv[i] * q.que[i])) AS DOUBLE)
+        |         / (SQRT(CAST(list_sum(list_transform(e.qv, x -> x * x)) AS DOUBLE))
+        |            * SQRT(CAST(list_sum(list_transform(q.que, x -> x * x)) AS DOUBLE))), 4)
+        |         AS cos_sim
+        |FROM q8 e CROSS JOIN qq q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |flat AS (

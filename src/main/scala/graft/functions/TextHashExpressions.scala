@@ -278,5 +278,15 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_lsh_bucket(vec, dim, nBits), got ${other.size} args")
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_quantize_i8", {
+      case Seq(v) => QuantizeI8(v)
+      case other => throw new IllegalArgumentException(
+        s"graft_quantize_i8(vec), got ${other.size} args")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot_i8", {
+      case Seq(a, b) => DotProductI8(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_dot_i8(a, b), got ${other.size} args")
+    }, "scala_udf")
   }
 }

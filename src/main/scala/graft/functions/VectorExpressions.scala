@@ -65,6 +65,48 @@ object VectorMath {
     bucket
   }
 
+  /** Symmetric int8 quantization of a float vector: each component
+    * maps to round-half-away-from-zero(x / max|x| * 127) ∈ [-127, 127].
+    * Rounding is explicit floor/ceil half-away (NOT Java's
+    * `Math.round`, which rounds half toward +∞ and would disagree with
+    * the oracle's away-from-zero `round()` on negative halves). The
+    * scale (max|x|/127) is per-vector; cosine ranking never needs it —
+    * scales cancel — so the quantized table carries 1 byte/component:
+    * 4× less scan IO and memory bandwidth than float32 at 100 TB.
+    */
+  def quantizeI8(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(v.getFloat(i).toDouble)
+      if (x > amax) amax = x
+      i += 1
+    }
+    if (amax > 0.0) {
+      i = 0
+      while (i < n) {
+        val s = v.getFloat(i).toDouble / amax * 127.0
+        val r = if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)
+        out(i) = r.toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Integer dot product of two int8 vectors — exact int64 arithmetic,
+    * no floating point anywhere, so engines cannot disagree by an ulp.
+    */
+  def dotI8(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getByte(i).toLong * b.getByte(i).toLong; i += 1 }
+    acc
+  }
+
   /** Positions where two long signatures agree — the MinHash Jaccard
     * estimator numerator.
     */
@@ -107,6 +149,45 @@ case class SigMatchCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.sigMatch($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_quantize_i8(array<float>) -> array<tinyint>`: symmetric
+  * per-vector int8 quantization (see [[VectorMath.quantizeI8]]).
+  */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "graft_quantize_i8"
+
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(VectorMath.quantizeI8(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.functions.VectorMath.quantizeI8($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_dot_i8(array<tinyint>, array<tinyint>) -> bigint`: exact
+  * integer dot product of quantized vectors.
+  */
+case class DotProductI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_i8"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.dotI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.dotI8($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

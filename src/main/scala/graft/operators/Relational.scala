@@ -367,19 +367,24 @@ object Relational {
         count(lit(1)).as("n_items"))
 
   /** TPC-H Q2-shape: cheapest supplier per part (correlated min-per-
-    * group, decorrelated as a window rank over the part×supplier
-    * aggregate + broadcast join-back) — no per-part subquery execution.
+    * group, decorrelated as `min(struct(price, suppkey))` over the
+    * part×supplier aggregate + broadcast join-back) — no per-part
+    * subquery execution. The struct-min IS the window-rank-1 row
+    * (lexicographic (avg_price, suppkey) min = ORDER BY avg_price,
+    * suppkey LIMIT 1 per part) but aggregates with map-side partials
+    * instead of shuffling and SORTING every (part, supplier) row — at
+    * 100 TB the sort is the cost, and rank=1 prunes nothing until
+    * after it.
     */
   def q2(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ps = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg((sum(d("l_extendedprice")).cast("double") /
         count(lit(1)).cast("double")).as("avg_price"))
-    val w = Window.partitionBy("l_partkey")
-      .orderBy(col("avg_price"), col("l_suppkey"))
-    ps.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    ps.groupBy(col("l_partkey"))
+      .agg(min(struct(col("avg_price"), col("l_suppkey"))).as("best"))
+      .select(col("l_partkey"), col("best.l_suppkey").as("l_suppkey"),
+        col("best.avg_price").as("avg_price"))
       .join(broadcast(Tables.supplier(spark, dir)),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"), col("l_suppkey"), col("s_name"), col("avg_price"))
@@ -574,15 +579,28 @@ object Relational {
       .select(col("p_partkey"))
     val li = Tables.lineitem(spark, dir)
       .join(broadcast(part), col("l_partkey") === col("p_partkey"), "left_semi")
-    val demand = li
-      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .groupBy(col("l_partkey"))
-      .agg(sum(d("l_quantity")).cast("double").as("total_qty"))
+    // ONE pass over the filtered fact: per-(supplier, part) all-time
+    // quantity plus a conditional 1997 slice, then per-part 1997
+    // demand as a window sum OVER the aggregate — a second tiny
+    // shuffle of the aggregated table, never a second fact scan (a
+    // separate groupBy+join re-derivation loses exchange reuse to
+    // column pruning and scans lineitem twice; exact decimal sums
+    // survive the two-level formulation). The `total_qty > 0` gate
+    // keeps the original inner-join-on-demand semantics: parts with
+    // no 1997 shipments qualify nobody.
+    import org.apache.spark.sql.expressions.Window
     val suppPart = li.groupBy(col("l_suppkey"), col("l_partkey"))
-      .agg(sum(d("l_quantity")).cast("double").as("supp_qty"))
-    val qualifying = suppPart.join(demand, "l_partkey")
-      .filter(col("supp_qty") > lit(0.3) * col("total_qty"))
+      .agg(sum(d("l_quantity")).cast("double").as("supp_qty"),
+        sum(when(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"),
+          d("l_quantity")).otherwise(lit(0).cast(dec)))
+          .cast("double").as("supp_qty_97"))
+    val qualifying = suppPart
+      .withColumn("total_qty",
+        sum(col("supp_qty_97").cast(dec))
+          .over(Window.partitionBy("l_partkey")).cast("double"))
+      .filter(col("total_qty") > 0.0 &&
+        col("supp_qty") > lit(0.3) * col("total_qty"))
       .select(col("l_suppkey"))
     val euroSupp = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)

@@ -36,6 +36,39 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Per-vector symmetric int8 quantization: `array<float>` →
+    * `array<tinyint>` (codegen'd [[graft.functions.QuantizeI8]]).
+    */
+  def quantizeI8(vec: Column): Column = call_function("graft_quantize_i8", vec)
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotI8(a: Column, b: Column): Column = call_function("graft_dot_i8", a, b)
+
+  /** Top-k cosine neighbors over INT8-QUANTIZED vectors — the
+    * bandwidth-bound scale path: a quantized corpus is 4× smaller than
+    * float32 (1 byte/component), and because the per-vector scales
+    * cancel in cosine, ranking runs entirely in exact int64 arithmetic
+    * (`dot8/(√dot8(a,a)·√dot8(b,b))`) — no dequantization, no
+    * float-summation engine drift, an exactly oracle-able result. At
+    * 100 TB the quantized table is what you'd persist next to (or
+    * instead of) the float corpus; here it is derived in the scan
+    * projection to keep the query self-contained.
+    */
+  def bruteForceTopKI8(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    reg(emb)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(quantizeI8(col("embedding")).as("qe"))
+    emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), quantizeI8(col("embedding")).as("e8"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotI8(col("e8"), col("qe")).cast("double") /
+          (sqrt(dotI8(col("e8"), col("e8")).cast("double")) *
+            sqrt(dotI8(col("qe"), col("qe")).cast("double"))), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact top-k cosine neighbors of the vector with id `queryId`. */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
     reg(emb)

@@ -37,6 +37,7 @@ class PipelineSpec extends AnyFunSuite {
     try {
       assert(Dedup.simhash(docs).count() === docs.count())
       assert(Dedup.minhashSignatures(docs).count() === docs.count())
+      assert(Similarity.bruteForceTopKI8(emb, 0L, 5).count() === 5)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 

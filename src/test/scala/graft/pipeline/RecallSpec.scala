@@ -53,6 +53,26 @@ class RecallSpec extends AnyFunSuite {
     assert(multi >= 0.2, s"multi-probe recall@10 $multi below measured floor 0.2")
   }
 
+  test("int8-quantized cosine ranking tracks the float ranking closely") {
+    // quantization is a precision trade, not a candidate-pruning trade:
+    // recall against the float top-10 should be near-perfect
+    val r = recallOf(q => Similarity.bruteForceTopKI8(emb, q, K))
+    assert(r >= 0.9, s"int8 recall@10 $r below floor 0.9")
+  }
+
+  test("quantized components stay in [-127, 127] with max magnitude hit") {
+    import spark.implicits._
+    val q = emb.select(col("vec_id"),
+      Similarity.quantizeI8(col("embedding")).as("qv"))
+    val stats = q.select(explode(col("qv")).as("c"))
+      .agg(min(col("c")), max(col("c"))).head()
+    assert(stats.getByte(0) >= -127 && stats.getByte(1) <= 127)
+    // every nonzero vector has a component at ±127 (the scale anchor)
+    val anchored = q.filter(array_max(transform(col("qv"),
+      c => abs(c.cast("int")))) === 127)
+    assert(anchored.count() === emb.count())
+  }
+
   test("IVF recall grows monotonically with nprobe and holds its floors") {
     val byProbe = Seq(4, 6, 8)
       .map(np => np -> recallOf(q => Similarity.ivfTopK(emb, q, K, nprobe = np)))

@@ -225,6 +225,42 @@ object SparkEntry {
       TextOps.stratifiedSample(Tables.documents(s, dir), 20)),
     "q_top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir))),
     "q_jsonl_roundtrip" -> ((s, dir) => jsonlRoundtrip(s, dir)),
+    "q_text_normalize" -> ((s, dir) => {
+      // deterministically-augmented input (leading/trailing runs, tabs,
+      // mixed case on a doc_id schedule) so the normalizer's every rule
+      // does real work on this single-space lowercase corpus — the
+      // oracle builds the identical augmented text
+      val aug = concat(
+        when(col("doc_id") % 3 === 0, lit("  Mixed\tCASE ")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 5 === 0, lit("\t trailing  ")).otherwise(lit("")))
+      val norm = TextOps.normalize(aug)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(aug).cast("long").as("raw_len"),
+          length(norm).cast("long").as("norm_len"),
+          md5(norm.cast("binary")).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+    "q_redact" -> ((s, dir) => {
+      // inject URL/email/IP on a doc_id schedule (corpus is clean word
+      // soup) — counts measured on the augmented text, md5 on the
+      // redacted output
+      val aug = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" contact admin@example.com at https://ex.io/path?q=1 or 10.0.0.1 now"))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_count(aug, lit("https?://[^ ]+")).cast("long").as("n_urls"),
+          regexp_count(aug,
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+            .cast("long").as("n_emails"),
+          regexp_count(aug, lit("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"))
+            .cast("long").as("n_ips"),
+          md5(TextOps.redact(aug).cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
     "q_knn_join" -> ((s, dir) =>
       Similarity.knnJoin(Tables.embeddings(s, dir), dim = 64, k = 3)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
@@ -1084,6 +1120,45 @@ object SparkEntry {
     "q_jsonl_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_normalize" ->
+      // identical augmented input (chr(9) = the Spark literal's \t);
+      // same two regexes with the 'g' flag (Spark replaces all matches
+      // by default), then trim+lower
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN doc_id % 3 = 0
+        |               THEN '  Mixed' || chr(9) || 'CASE ' ELSE '' END)
+        |         || text
+        |         || (CASE WHEN doc_id % 5 = 0
+        |                  THEN chr(9) || ' trailing  ' ELSE '' END) AS t
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id, t,
+        |         lower(trim(regexp_replace(
+        |           regexp_replace(t, '[ \t\n\r\f\x0B]+', ' ', 'g'),
+        |           '[\x00-\x1F\x7F]', '', 'g'))) AS n
+        |  FROM aug)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS raw_len,
+        |       CAST(length(n) AS BIGINT) AS norm_len, md5(n) AS norm_md5
+        |FROM norm ORDER BY doc_id""".stripMargin,
+    "q_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || (CASE WHEN doc_id % 7 = 0
+        |           THEN ' contact admin@example.com at https://ex.io/path?q=1 or 10.0.0.1 now'
+        |           ELSE '' END) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |       CAST(len(regexp_extract_all(t,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(t,
+        |         '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |       md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |         'https?://[^ ]+', '<URL>', 'g'),
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type AS symbol,
         |       ROUND(quantile_cont(value, 0.25), 4) AS p25,

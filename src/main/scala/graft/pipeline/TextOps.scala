@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline,
@@ -151,6 +151,33 @@ object TextOps {
         col("score"))
       .orderBy("doc_id")
   }
+
+  /** Text normalization for training corpora: collapse whitespace runs
+    * to single spaces FIRST (so tabs/newlines become separators, not
+    * deletions), then strip remaining non-whitespace control
+    * characters, trim, lowercase. Pure per-row regexp/string builtins —
+    * no shuffle, scan-speed at 100 TB. Patterns use explicit ASCII
+    * classes (`[ \t\n\r\f\x0B]`, `[\x00-\x1F\x7F]`) because Java and
+    * RE2 disagree on `\s` (vertical tab); the DuckDB oracle runs the
+    * identical patterns with the 'g' flag.
+    */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[ \\t\\n\\r\\f\\x0B]+", " "),
+      "[\\x00-\\x1F\\x7F]", "")))
+
+  /** PII/link redaction: URLs, then emails, then dotted-quad IPs
+    * replaced with typed placeholders, in that fixed order (a URL can
+    * contain an email-shaped userinfo part; redacting URLs first makes
+    * the composition order-independent for the oracle). Patterns are
+    * the Java∩RE2 common subset — no lookarounds, ASCII classes,
+    * non-capturing groups.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      "https?://[^ ]+", "<URL>"),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
 
   /** Document fingerprint: polynomial rolling hash of the codepoint
     * sequence (base 31 mod 1e9+7 — intermediates stay < 2^35, safe

@@ -209,6 +209,30 @@ class MarketOpsSpec extends AnyFunSuite {
     assert(m.join(e, "event_id").filter(col("ema_fast") =!= col("ema")).count() === 0)
   }
 
+  test("approx sketches stay within their error bounds of the exact answers") {
+    // q_approx_stats is rows-only (HLL/t-digest internals aren't
+    // cross-engine), so THIS is its correctness contract: HLL at
+    // rsd=0.02 within 5% of exact distinct, and each approx percentile
+    // bracketed by exact percentiles one rank-percent either side —
+    // all deterministic given the data, so exact regression gates.
+    val approx = MarketOps.approxStats(ticks).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = ticks.groupBy(col("symbol"))
+      .agg(countDistinct(col("volume")).as("nd"),
+        expr("percentile(price, array(0.49, 0.51, 0.98, 1.0))").as("ps"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    exact.foreach { case (sym, (nd, ps)) =>
+      val (aNd, aP50, aP99) = approx(sym)
+      assert(math.abs(aNd - nd).toDouble / nd <= 0.05,
+        s"$sym HLL $aNd vs exact $nd drifts > 5%")
+      assert(aP50 >= ps(0) && aP50 <= ps(1),
+        s"$sym approx p50 $aP50 outside exact [p49, p51] ${ps(0)}..${ps(1)}")
+      assert(aP99 >= ps(2) && aP99 <= ps(3),
+        s"$sym approx p99 $aP99 outside exact [p98, max] ${ps(2)}..${ps(3)}")
+    }
+  }
+
   test("ema matches an exact sequential computation") {
     val sub = ticks.filter(col("symbol") === "click")
     val got = MarketOps.ema(sub, alpha = 0.2).collect()

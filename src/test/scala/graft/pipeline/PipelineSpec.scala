@@ -121,6 +121,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("normalize collapses whitespace, strips controls, lowercases") {
+    import spark.implicits._
+    val rows = Seq(
+      "  Hello\t\tWORLD \r\n",          // runs of mixed whitespace + case
+      "a\u0000b\u0007c", // NUL/BEL delete in place, no space inserted
+      "one\ntwo\u000Bthree", // newline + vertical tab are separators
+      "already clean")
+      .toDF("t").select(TextOps.normalize(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(rows(0) === "hello world")
+    assert(rows(1) === "abc") // non-ws controls delete in place
+    assert(rows(2) === "one two three")
+    assert(rows(3) === "already clean")
+  }
+
+  test("redact replaces URLs, emails and IPs with typed placeholders") {
+    import spark.implicits._
+    val out = Seq(
+      "see https://a.io/x?y=1 or mail bob@corp.example.org from 192.168.0.1 ok",
+      "no pii here", "half@match. 300.1.2 http:/nope")
+      .toDF("t").select(TextOps.redact(col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) === "see <URL> or mail <EMAIL> from <IP> ok")
+    assert(out(1) === "no pii here")
+    assert(out(2) === "half@match. 300.1.2 http:/nope") // near-misses untouched
+  }
+
   test("langId emits a prediction per doc") {
     assert(TextOps.langId(docs).filter(col("pred_lang").isNull).count() === 0)
   }

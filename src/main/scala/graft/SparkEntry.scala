@@ -263,6 +263,8 @@ object SparkEntry {
     }),
     "q_knn_join" -> ((s, dir) =>
       Similarity.knnJoin(Tables.embeddings(s, dir), dim = 64, k = 3)),
+    "q_knn_i8" -> ((s, dir) =>
+      Similarity.knnJoinI8(Tables.embeddings(s, dir), dim = 64, k = 3)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "q_ann_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 10)),
@@ -477,6 +479,23 @@ object SparkEntry {
        |  FROM proj GROUP BY 1),
        |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
        |         FROM embeddings)""".stripMargin
+
+  /** The int8-quantization CTE (expects a `vecs(vec_id, ve)` CTE in
+    * scope) — shared by the `q_ann_i8` and `q_knn_i8` oracles so the
+    * quantization rule cannot drift between them. See
+    * [[graft.functions.VectorMath.quantizeI8]] for the rounding
+    * contract (explicit half-away; Java's Math.round would disagree
+    * with DuckDB's round() on negative halves).
+    */
+  private val duckQ8: String =
+    """q8 AS (
+      |  SELECT vec_id,
+      |         list_transform(ve, x -> CAST(
+      |           CASE WHEN am <= 0 THEN 0
+      |                WHEN x / am * 127.0 >= 0 THEN FLOOR(x / am * 127.0 + 0.5)
+      |                ELSE CEIL(x / am * 127.0 - 0.5) END AS BIGINT)) AS qv
+      |  FROM (SELECT vec_id, ve,
+      |               list_max(list_transform(ve, x -> ABS(x))) AS am FROM vecs))""".stripMargin
 
   /** The IVF centroids as a DuckDB VALUES list. The KMeans fit runs
     * inside the `q_ann_ivf` query (cached, offline-style) BEFORE
@@ -1742,23 +1761,44 @@ object SparkEntry {
          |    ORDER BY cos_sim DESC, nbr_id) AS BIGINT) AS rk FROM sims)
          |SELECT vec_id, nbr_id, cos_sim, rk FROM rk WHERE rk <= 3
          |ORDER BY vec_id, rk""".stripMargin,
+    "q_knn_i8" ->
+      // same bucket candidates as q_knn_join (float LSH signs), scored
+      // with exact integer dots over the shared quantization CTE
+      s"""WITH ${duckBuckets(6)},
+         |${duckQ8},
+         |n8 AS (
+         |  SELECT vec_id,
+         |         SQRT(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+         |  FROM q8),
+         |cand AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |sims AS (
+         |  SELECT c.vec_id, c.nbr_id,
+         |         ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
+         |                 i -> qa.qv[i] * qb.qv[i])) AS DOUBLE)
+         |           / (na.nrm * nb.nrm), 4) AS cos_sim
+         |  FROM cand c
+         |  JOIN q8 qa ON qa.vec_id = c.vec_id
+         |  JOIN q8 qb ON qb.vec_id = c.nbr_id
+         |  JOIN n8 na ON na.vec_id = c.vec_id
+         |  JOIN n8 nb ON nb.vec_id = c.nbr_id),
+         |rk AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_sim DESC, nbr_id) AS BIGINT) AS rk FROM sims)
+         |SELECT vec_id, nbr_id, cos_sim, rk FROM rk WHERE rk <= 3
+         |ORDER BY vec_id, rk""".stripMargin,
     "q_ann_i8" ->
       // int8 quantization mirrored exactly: scaled value s = x/am*127
       // computed in the same double op order, explicit half-away
       // rounding (FLOOR(s+0.5) / CEIL(s-0.5)), then ALL-INTEGER dot
       // products — the cosine is derived from exact int64 sums on both
       // engines, so no float-summation drift is possible.
-      """WITH vecs AS (
+      s"""WITH vecs AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
         |  FROM embeddings),
-        |q8 AS (
-        |  SELECT vec_id,
-        |         list_transform(ve, x -> CAST(
-        |           CASE WHEN am <= 0 THEN 0
-        |                WHEN x / am * 127.0 >= 0 THEN FLOOR(x / am * 127.0 + 0.5)
-        |                ELSE CEIL(x / am * 127.0 - 0.5) END AS BIGINT)) AS qv
-        |  FROM (SELECT vec_id, ve,
-        |               list_max(list_transform(ve, x -> ABS(x))) AS am FROM vecs)),
+        |${duckQ8},
         |qq AS (SELECT qv AS que FROM q8 WHERE vec_id = 0)
         |SELECT e.vec_id AS vec_id,
         |       ROUND(CAST(list_sum(list_transform(generate_series(1, 64),

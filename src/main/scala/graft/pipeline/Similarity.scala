@@ -181,6 +181,37 @@ object Similarity {
       .orderBy("vec_id", "rk")
   }
 
+  /** All-vectors kNN join over INT8-QUANTIZED vectors: the same
+    * one-exchange LSH-bucket self-join as [[knnJoin]], but every
+    * candidate dot runs in exact int64 over 1-byte components — the
+    * 100 TB neighbor-graph pass at a quarter of the scan/shuffle
+    * bandwidth (the shuffled payload is the quantized vector).
+    * Bucketing still uses the float LSH signs, so the candidate sets
+    * are identical to the float path's; only the scoring precision
+    * changes, and it changes deterministically (exact integer sums on
+    * both engines — oracle-able to the hash).
+    */
+  def knnJoinI8(emb: DataFrame, dim: Int, k: Int, nBits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE shared subplan joined to itself via dataset aliases (the
+    // knnJoin/minhashCandidates lesson; asserted by KnnJoinPlanSpec)
+    val q = lshBuckets(emb, dim, nBits)
+      .select(col("bucket"), col("vec_id"), quantizeI8(col("embedding")).as("e8"))
+    val bucketed = q.select(col("bucket"), col("vec_id"), col("e8"),
+      sqrt(dotI8(col("e8"), col("e8")).cast("double")).as("nrm8"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        round(dotI8(col("a.e8"), col("b.e8")).cast("double") /
+          (col("a.nrm8") * col("b.nrm8")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("vec_id", "rk")
+  }
+
   /** Embedding near-duplicate pairs: vectors whose cosine exceeds
     * `threshold`, generated within LSH buckets (single equi-join, never
     * all-pairs). Norms are computed once per VECTOR before the join —

@@ -32,4 +32,20 @@ class KnnJoinPlanSpec extends AnyFunSuite {
         s"self-join must reuse the bucketed exchange:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
+
+  test("knnJoinI8 executed plan has one parquet scan and a ReusedExchange") {
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = graft.core.Tables.embeddings(spark, sf)
+      val df = Similarity.knnJoinI8(emb, dim = 64, k = 3)
+      assert(df.collect().nonEmpty)
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val scans = "Scan parquet".r.findAllMatchIn(plan).size
+      assert(scans === 1, s"expected ONE corpus scan, got $scans in:\n$plan")
+      assert(plan.contains("ReusedExchange"),
+        s"self-join must reuse the bucketed+quantized exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
 }

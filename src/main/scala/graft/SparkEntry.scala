@@ -225,6 +225,10 @@ object SparkEntry {
       TextOps.stratifiedSample(Tables.documents(s, dir), 20)),
     "q_top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir))),
     "q_jsonl_roundtrip" -> ((s, dir) => jsonlRoundtrip(s, dir)),
+    "q_contamination" -> ((s, dir) =>
+      // every 97th doc plays the held-out benchmark; the oracle
+      // reproduces the same split
+      TextOps.contamination(Tables.documents(s, dir), col("doc_id") % 97 === 0)),
     "q_text_normalize" -> ((s, dir) => {
       // deterministically-augmented input (leading/trailing runs, tabs,
       // mixed case on a doc_id schedule) so the normalizer's every rule
@@ -1139,6 +1143,27 @@ object SparkEntry {
     "q_jsonl_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      // same 5-gram construction (words i..i+4 joined by single
+      // spaces), same doc_id % 97 eval split, same per-train-doc
+      // hit counting with multiplicity
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(ws) - 4),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+        |                || ws[i+3] || ' ' || ws[i+4])) AS gram
+        |  FROM w),
+        |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN gram IN (SELECT gram FROM eg)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |       ROUND(CAST(SUM(CASE WHEN gram IN (SELECT gram FROM eg)
+        |                          THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 6) AS contamination
+        |FROM g WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_normalize" ->
       // identical augmented input (chr(9) = the Spark literal's \t);
       // same two regexes with the 'g' flag (Spark replaces all matches

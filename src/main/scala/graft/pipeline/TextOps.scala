@@ -152,6 +152,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark-contamination check — the decontamination pass every
+    * serious training pipeline runs before the data ships: for each
+    * training document, the fraction of its word `n`-grams that appear
+    * anywhere in the held-out evaluation set. Shape at 100 TB: the
+    * eval side is tiny by construction (benchmarks are small), so its
+    * distinct gram set BROADCASTS; the train side streams once through
+    * explode → broadcast-hash lookup → per-doc partial counts — one
+    * shuffle of (doc_id, two counters), never of text or grams.
+    *
+    * `isEval` marks the held-out rows (callers pass a deterministic
+    * predicate so the oracle can reproduce the split).
+    */
+  def contamination(docs: DataFrame, isEval: Column, n: Int = 5): DataFrame = {
+    val words = split(col("text"), " ")
+    val grams = filter(
+      transform(words, (w, i) =>
+        when(i <= size(words) - n,
+          concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))),
+      g => g.isNotNull)
+    val exploded = docs.select(col("doc_id"), isEval.as("is_eval"),
+      explode(grams).as("gram"))
+    val evalGrams = exploded.filter(col("is_eval")).select(col("gram")).distinct()
+    exploded.filter(!col("is_eval"))
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") /
+          col("n_grams").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Text normalization for training corpora: collapse whitespace runs
     * to single spaces FIRST (so tabs/newlines become separators, not
     * deletions), then strip remaining non-whitespace control

@@ -148,6 +148,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2) === "half@match. 300.1.2 http:/nope") // near-misses untouched
   }
 
+  test("contamination: eval copy scores 1.0, disjoint doc scores 0.0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"), // eval
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy
+      (2L, "one two three four five six seven eight nine"),  // disjoint
+      (3L, "x alpha beta gamma delta epsilon y z w v"))      // partial
+      .toDF("doc_id", "text")
+    val out = TextOps.contamination(corpus, col("doc_id") === 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((4L, 4L, 1.0)))
+    assert(out(2L) === ((5L, 0L, 0.0)))
+    // doc 3 has 6 grams, exactly one ("alpha beta gamma delta epsilon")
+    // is an eval gram
+    assert(out(3L) === ((6L, 1L, 0.166667)))
+    assert(!out.contains(0L)) // eval rows are not scored
+  }
+
   test("langId emits a prediction per doc") {
     assert(TextOps.langId(docs).filter(col("pred_lang").isNull).count() === 0)
   }

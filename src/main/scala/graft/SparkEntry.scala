@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{MarketOps, Relational}
+import graft.operators.{ChangeData, EventAnalytics, MarketOps, Relational}
 import graft.pipeline.{Dedup, Similarity, TextOps}
 import graft.tsdb.TickStore
 
@@ -137,6 +137,21 @@ object SparkEntry {
     "q_obv" -> ((s, dir) => MarketOps.obv(ticks(s, dir))),
     "q_zscore" -> ((s, dir) => MarketOps.zscoreOutliers(ticks(s, dir), 2.5)),
     "q_histogram" -> ((s, dir) => MarketOps.priceHistogram(ticks(s, dir))),
+    "q_stochastic" -> ((s, dir) => MarketOps.stochastic(ticks(s, dir), 14)),
+    "q_donchian" -> ((s, dir) => MarketOps.donchian(ticks(s, dir), 20)),
+    "q_atr" -> ((s, dir) => MarketOps.atr(ticks(s, dir), 14)),
+    "q_beta" -> ((s, dir) => MarketOps.betaDaily(ticks(s, dir), "click")),
+    "q_candle_patterns" -> ((s, dir) => MarketOps.candlePatterns(ticks(s, dir))),
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = ticks(s, dir)
+      val updates = base.filter(col("event_id") % 10 === 0)
+        .withColumn("price", round(col("price") + 1.0, 2))
+      ChangeData.mergeAudit(base, updates)
+    }),
+    "q_downsample" -> ((s, dir) => MarketOps.downsample(ticks(s, dir), 100)),
+    "q_gap_stats" -> ((s, dir) => MarketOps.gapStats(ticks(s, dir), 60)),
+    "q_funnel" -> ((s, dir) => EventAnalytics.funnel(Tables.events(s, dir))),
+    "q_retention" -> ((s, dir) => EventAnalytics.retention(Tables.events(s, dir), 7)),
 
     // ---- §2.3 relational/OLAP breadth ----
     "q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
@@ -270,6 +285,9 @@ object SparkEntry {
     "q_knn_i8" -> ((s, dir) =>
       Similarity.knnJoinI8(Tables.embeddings(s, dir), dim = 64, k = 3)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
+    "q_lexical_diversity" -> ((s, dir) => TextOps.lexicalDiversity(Tables.documents(s, dir))),
+    "q_source_mix" -> ((s, dir) => TextOps.sourceMix(Tables.documents(s, dir))),
+    "q_boilerplate" -> ((s, dir) => TextOps.boilerplate(Tables.documents(s, dir), 3, 20)),
     "q_ann_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 10)),
     "q_ann_i8" -> ((s, dir) =>
@@ -950,6 +968,207 @@ object SparkEntry {
         |       COUNT(*) AS n_ticks,
         |       MIN(value) AS lo_price, MAX(value) AS hi_price
         |FROM events GROUP BY 1, 2 ORDER BY symbol, bucket""".stripMargin,
+    "q_stochastic" ->
+      // %K from exact decimal window extrema; %D adds the three rounded
+      // doubles left-to-right (lag, not a window SUM) — same op order
+      // as the Spark plan
+      """WITH t AS (
+        |  SELECT event_id, event_type AS symbol, ts,
+        |         CAST(value AS DECIMAL(18,2)) AS p FROM events),
+        |k AS (
+        |  SELECT event_id, symbol, ts,
+        |         CASE WHEN MAX(p) OVER w > MIN(p) OVER w
+        |              THEN 100.0 * CAST(p - MIN(p) OVER w AS DOUBLE)
+        |                   / CAST(MAX(p) OVER w - MIN(p) OVER w AS DOUBLE)
+        |         END AS pct_k
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, symbol, pct_k,
+        |       (pct_k + LAG(pct_k, 1) OVER o + LAG(pct_k, 2) OVER o)
+        |             / 3.0 AS pct_d
+        |FROM k
+        |WINDOW o AS (PARTITION BY symbol ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_donchian" ->
+      """WITH t AS (
+        |  SELECT event_id, event_type AS symbol, ts,
+        |         CAST(value AS DECIMAL(18,2)) AS p FROM events)
+        |SELECT event_id, symbol,
+        |       CAST(MAX(p) OVER w AS DOUBLE) AS upper_ch,
+        |       CAST(MIN(p) OVER w AS DOUBLE) AS lower_ch,
+        |       CAST(MAX(p) OVER w + MIN(p) OVER w AS DOUBLE) / 2.0 AS mid_ch
+        |FROM t
+        |WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_atr" ->
+      // GREATEST skips the NULLs LAG produces on first bars in both
+      // engines, so TR degrades to high-low with no special-casing.
+      // DuckDB's GREATEST promotes DECIMAL args to DOUBLE — cast the
+      // result back to DECIMAL(18,2) (exact: TRs are 2-dp) so the
+      // window SUM is exact/order-free like Spark's decimal sum
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |         CAST(max_by(value, ts) AS DECIMAL(18,2)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT symbol, day,
+        |         CAST(GREATEST(h - l, ABS(h - LAG(c) OVER o),
+        |                       ABS(l - LAG(c) OVER o)) AS DECIMAL(18,2)) AS tr
+        |  FROM b WINDOW o AS (PARTITION BY symbol ORDER BY day))
+        |SELECT symbol, day, CAST(tr AS DOUBLE) AS true_range,
+        |       CAST(SUM(tr) OVER w AS DOUBLE)
+        |             / CAST(COUNT(*) OVER w AS DOUBLE) AS atr14
+        |FROM tr
+        |WINDOW w AS (PARTITION BY symbol ORDER BY day
+        |             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |ORDER BY symbol, day""".stripMargin,
+    "q_beta" ->
+      // returns rounded to 6 dp then re-summed as DECIMAL so the
+      // beta identity runs over exact, order-free sums (SURVEY §4)
+      """WITH cl AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(max_by(value, ts) AS DECIMAL(18,2)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r0 AS (
+        |  SELECT symbol, day, c,
+        |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+        |  FROM cl),
+        |r AS (
+        |  SELECT symbol, day,
+        |         CAST(ROUND(CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE), 6)
+        |              AS DECIMAL(18,6)) AS y
+        |  FROM r0 WHERE pc IS NOT NULL),
+        |bx AS (SELECT day, y AS x FROM r WHERE symbol = 'click'),
+        |j AS (SELECT r.symbol, r.y, bx.x FROM r JOIN bx USING (day)),
+        |s AS (
+        |  SELECT symbol,
+        |         CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(SUM(x) AS DOUBLE) AS sx,
+        |         CAST(SUM(y) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |         CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM j GROUP BY 1)
+        |SELECT symbol, n_days,
+        |       CASE WHEN sxx - (sx * sx) / n <> 0.0
+        |            THEN (sxy - (sx * sy) / n) / (sxx - (sx * sx) / n)
+        |       END AS beta
+        |FROM s ORDER BY symbol""".stripMargin,
+    "q_candle_patterns" ->
+      // every test is a DECIMAL comparison (body*10 <= range, not a
+      // division); NULL lags fall through CASE to 0 in both engines
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(min_by(value, ts) AS DECIMAL(18,2)) AS o,
+        |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |         CAST(max_by(value, ts) AS DECIMAL(18,2)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT symbol, day, o, h, l, c, ABS(c - o) AS body,
+        |         LAG(o) OVER w AS po, LAG(c) OVER w AS pc
+        |  FROM b WINDOW w AS (PARTITION BY symbol ORDER BY day))
+        |SELECT symbol, day,
+        |       CASE WHEN body * 10 <= h - l THEN 1 ELSE 0 END AS doji,
+        |       CASE WHEN CAST(LEAST(o, c) AS DECIMAL(18,2)) - l >= body * 2
+        |                 AND h - CAST(GREATEST(o, c) AS DECIMAL(18,2)) <= body
+        |            THEN 1 ELSE 0 END AS hammer,
+        |       CASE WHEN pc < po AND c > o AND o <= pc AND c >= po
+        |            THEN 1 ELSE 0 END AS bull_engulf,
+        |       CASE WHEN pc > po AND c < o AND o >= pc AND c <= po
+        |            THEN 1 ELSE 0 END AS bear_engulf
+        |FROM x ORDER BY symbol, day""".stripMargin,
+    "q_merge_upsert" ->
+      // same synthetic update stream (every 10th event, price+1), same
+      // newest-version-wins semantics via ROW_NUMBER
+      """WITH base AS (
+        |  SELECT event_id, event_type AS symbol, value AS price,
+        |         1 AS version FROM events),
+        |upd AS (
+        |  SELECT event_id, event_type AS symbol,
+        |         ROUND(value + 1.0, 2) AS price, 2 AS version
+        |  FROM events WHERE event_id % 10 = 0),
+        |m AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+        |                               ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
+        |SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |       CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_updated
+        |FROM m WHERE rn = 1
+        |GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "q_downsample" ->
+      // integer-div bucket ids; bucket mean from exact decimal sums;
+      // rank on (dev DESC, event_id) mirrors the Spark tiebreak
+      """WITH t AS (
+        |  SELECT event_id, event_type AS symbol, ts, value AS price,
+        |         CAST(ROW_NUMBER() OVER o - 1 AS BIGINT) AS i,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |  WINDOW o AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |b AS (SELECT *, (i * 100) // n AS bucket FROM t),
+        |m AS (
+        |  SELECT *,
+        |         ABS(price - CAST(SUM(CAST(price AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |                     / CAST(COUNT(*) OVER w AS DOUBLE)) AS dev
+        |  FROM b WINDOW w AS (PARTITION BY symbol, bucket)),
+        |r AS (
+        |  SELECT symbol, bucket, event_id, price, dev,
+        |         ROW_NUMBER() OVER (PARTITION BY symbol, bucket
+        |                            ORDER BY dev DESC, event_id) AS rn
+        |  FROM m)
+        |SELECT symbol, bucket, event_id, price, dev
+        |FROM r WHERE rn = 1 ORDER BY symbol, bucket""".stripMargin,
+    "q_gap_stats" ->
+      """WITH g AS (
+        |  SELECT event_type AS symbol,
+        |         epoch_us(ts) - LAG(epoch_us(ts))
+        |           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+        |       ROUND(CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+        |         AS avg_gap_us,
+        |       CAST(SUM(CASE WHEN gap_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_stale
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_funnel" ->
+      // ordered funnel: each stage's first qualifying event must be at
+      // or after the previous stage's (same staged-min semantics)
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+        |SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+        |       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+        |       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+        |       ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+        |             / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6) AS view_to_click,
+        |       ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        |             / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 6) AS click_to_purchase""".stripMargin,
+    "q_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |ch AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT ch.cohort_day,
+        |       CAST(d.day - ch.cohort_day AS INTEGER) AS day_offset,
+        |       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN ch ON d.user_id = ch.user_id
+        |WHERE d.day - ch.cohort_day <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q2_min_supplier" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,
@@ -1763,6 +1982,49 @@ object SparkEntry {
         |SELECT doc_id, word AS top_term, CAST(tf AS BIGINT) AS tf,
         |       CAST(df AS BIGINT) AS df, score
         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_lexical_diversity" ->
+      // ratios of exact BIGINT token counts — no float accumulation;
+      // DuckDB's INT128 sums cast to BIGINT/DOUBLE per SURVEY §4
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+        |       ROUND(1.0 - CAST(SUM(c * c) AS DOUBLE)
+        |             / CAST(SUM(c) * SUM(c) AS DOUBLE), 6) AS simpson
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_source_mix" ->
+      """WITH t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents),
+        |s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_docs,
+        |       ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS share,
+        |       ROUND(CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+        |         AS avg_chars,
+        |       n_langs
+        |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
+    "q_boilerplate" ->
+      // same 3-gram construction as q_contamination's 5-grams; the
+      // (n_docs, n_occ, gram) sort makes the top-20 cut deterministic
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(ws) - 2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |  FROM w),
+        |a AS (
+        |  SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |         CAST(COUNT(*) AS BIGINT) AS n_occ
+        |  FROM g GROUP BY 1)
+        |SELECT gram, n_docs, n_occ FROM a
+        |WHERE n_docs >= 2
+        |ORDER BY n_docs DESC, n_occ DESC, gram
+        |LIMIT 20""".stripMargin,
     "q_knn_join" ->
       s"""WITH ${duckBuckets(6)},
          |nrm AS (

@@ -526,6 +526,178 @@ object MarketOps {
       .orderBy("event_id")
   }
 
+  /** Stochastic oscillator %K/%D per symbol: %K = 100·(price − lowest)
+    * / (highest − lowest) over an n-tick window; %D = 3-tick average of
+    * %K. Highest/lowest are DECIMAL window extrema (exact, order-free);
+    * the one double division happens last. %D adds three %K doubles in
+    * a fixed left-to-right order via lag() — never a window SUM, whose
+    * re-aggregation order differs between engines.
+    * Flat windows (high = low) yield NULL in both engines.
+    */
+  def stochastic(ticks: DataFrame, n: Int = 14): DataFrame = {
+    val w = tickOrder.rowsBetween(-(n - 1), 0)
+    val hhv = max(col("price").cast(dec)).over(w)
+    val llv = min(col("price").cast(dec)).over(w)
+    // emitted UNROUNDED (SURVEY §4): every operand is an exact decimal
+    // or a quotient both engines compute with identical IEEE ops
+    val k = when(hhv > llv,
+      lit(100.0) * (col("price").cast(dec) - llv).cast("double") /
+        (hhv - llv).cast("double"))
+    ticks.select(col("event_id"), col("symbol"), col("ts"), k.as("pct_k"))
+      .select(col("event_id"), col("symbol"), col("pct_k"),
+        ((col("pct_k") + lag(col("pct_k"), 1).over(tickOrder)
+          + lag(col("pct_k"), 2).over(tickOrder)) / 3.0).as("pct_d"))
+      .orderBy("event_id")
+  }
+
+  /** Donchian channel per symbol: n-tick rolling high/low plus the
+    * midline. Pure DECIMAL extrema (exact); the midline sums the two
+    * decimals exactly before the single double halving.
+    */
+  def donchian(ticks: DataFrame, n: Int = 20): DataFrame = {
+    val w = tickOrder.rowsBetween(-(n - 1), 0)
+    val up = max(col("price").cast(dec)).over(w)
+    val lo = min(col("price").cast(dec)).over(w)
+    ticks.select(col("event_id"), col("symbol"),
+        up.cast("double").as("upper_ch"),
+        lo.cast("double").as("lower_ch"),
+        ((up + lo).cast("double") / 2.0).as("mid_ch"))
+      .orderBy("event_id")
+  }
+
+  /** Average true range over daily bars: TR = max(high−low,
+    * |high−prev_close|, |low−prev_close|), ATR(n) = n-day SMA of TR.
+    * All components are DECIMAL differences of 2-dp prices (exact);
+    * `greatest` skips the NULLs a missing prev_close produces in BOTH
+    * engines (Spark and DuckDB both ignore NULL arguments), so the
+    * first bar's TR degrades to high−low with no special-casing.
+    * Builds on [[ohlcDaily]] — one agg shuffle plus one per-symbol
+    * window sort; days per symbol are few, so the window state is tiny.
+    */
+  def atr(ticks: DataFrame, n: Int = 14): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val pc = lag(col("close").cast(dec), 1).over(dayOrder)
+    val tr = greatest(
+      col("high").cast(dec) - col("low").cast(dec),
+      abs(col("high").cast(dec) - pc),
+      abs(col("low").cast(dec) - pc))
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    ohlcDaily(ticks).withColumn("tr", tr)
+      .select(col("symbol"), col("day"),
+        col("tr").cast("double").as("true_range"),
+        (sum(col("tr")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as(s"atr$n"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Per-symbol market beta vs a benchmark symbol over daily
+    * closes. Daily returns are rounded to 6 dp and re-summed as
+    * DECIMAL, so Σx, Σy, Σxy, Σx² are exact and order-free; beta =
+    * (Σxy − ΣxΣy/n)/(Σx² − (Σx)²/n) is then a fixed sequence of double
+    * ops both engines execute identically (same trick as [[bollinger]]).
+    * The benchmark's daily-return series is tiny (one row per day) and
+    * broadcast onto every symbol's series — no shuffle of the fact side
+    * beyond the daily rollup, which is what makes an all-symbol beta
+    * feasible at 100 TB.
+    */
+  def betaDaily(ticks: DataFrame, benchmark: String): DataFrame = {
+    val dec6 = DecimalType(18, 6)
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val closes = ticks.groupBy(col("symbol"), to_date(col("ts")).as("day"))
+      .agg(max_by(col("price"), col("ts")).cast(dec).as("c"))
+    val rets = closes
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull)
+      .select(col("symbol"), col("day"),
+        round((col("c") - col("pc")).cast("double") / col("pc").cast("double"), 6)
+          .cast(dec6).as("r"))
+    val bench = rets.filter(col("symbol") === benchmark)
+      .select(col("day"), col("r").as("x"))
+    val sq = DecimalType(38, 12)
+    val joined = rets.join(broadcast(bench), "day")
+    joined.groupBy(col("symbol"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("r")).cast("double").as("sy"),
+        sum((col("x") * col("r")).cast(sq)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(sq)).cast("double").as("sxx"),
+        count(lit(1)).as("n_days"))
+      .select(col("symbol"), col("n_days"),
+        when(col("sxx") - (col("sx") * col("sx")) / col("n") =!= 0.0,
+          (col("sxy") - (col("sx") * col("sy")) / col("n")) /
+            (col("sxx") - (col("sx") * col("sx")) / col("n"))).as("beta"))
+      .orderBy("symbol")
+  }
+
+  /** Candlestick pattern flags over daily bars: doji (body ≤ range/10),
+    * hammer (long lower shadow, short upper), bullish/bearish engulfing
+    * (body swallows the previous day's opposite-direction body). Every
+    * test is a DECIMAL comparison — body·10 ≤ range instead of a
+    * division — so the flags are exact in both engines; first-day rows
+    * (NULL lag) fall through to 0 via identical CASE semantics.
+    */
+  def candlePatterns(ticks: DataFrame): DataFrame = {
+    val o = col("open").cast(dec);  val h = col("high").cast(dec)
+    val l = col("low").cast(dec);   val c = col("close").cast(dec)
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val body = abs(c - o)
+    val po = lag(o, 1).over(dayOrder)
+    val pc = lag(c, 1).over(dayOrder)
+    ohlcDaily(ticks).select(col("symbol"), col("day"),
+        when(body * 10 <= h - l, 1).otherwise(0).as("doji"),
+        when(least(o, c) - l >= body * 2 && h - greatest(o, c) <= body, 1)
+          .otherwise(0).as("hammer"),
+        when(pc < po && c > o && o <= pc && c >= po, 1).otherwise(0).as("bull_engulf"),
+        when(pc > po && c < o && o >= pc && c <= po, 1).otherwise(0).as("bear_engulf"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Extreme-preserving downsample to ≤k points per symbol (chart/
+    * preview export, the TSDB "downsample for visualization" op): ticks
+    * bucket into k equal index ranges; each bucket keeps its most
+    * deviant point (max |price − bucket mean|, event_id tiebreak), so
+    * spikes survive where stride sampling would drop them. Bucket ids
+    * use integer `div` (exact); the mean is the usual exact-decimal
+    * sum/count; the rank-1 filter compiles to WindowGroupLimit, so each
+    * map task forwards one candidate row per bucket.
+    */
+  def downsample(ticks: DataFrame, k: Int = 100): DataFrame = {
+    val b = Window.partitionBy("symbol", "bucket")
+    val base = ticks
+      .withColumn("i", (row_number().over(tickOrder) - 1).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+      .withColumn("bucket", expr(s"(i * $k) div n"))
+    val mean = sum(col("price").cast(dec)).over(b).cast("double") /
+      count(lit(1)).over(b).cast("double")
+    base.withColumn("dev", abs(col("price") - mean))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("symbol", "bucket")
+          .orderBy(col("dev").desc, col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("symbol"), col("bucket"), col("event_id"), col("price"),
+        col("dev"))
+      .orderBy("symbol", "bucket")
+  }
+
+  /** Per-symbol feed-health report: inter-tick gap count/max/mean plus
+    * how many gaps exceed a staleness threshold — the monitoring query
+    * behind a TSDB's "is this feed alive" dashboard. Gaps are exact
+    * BIGINT µs differences; one window sort + one partial-agg shuffle.
+    */
+  def gapStats(ticks: DataFrame, thresholdSec: Int = 60): DataFrame = {
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(tickOrder))
+    ticks.withColumn("gap_us", gapUs)
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        round(sum(col("gap_us")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("avg_gap_us"),
+        sum(when(col("gap_us") > thresholdSec * 1000000L, 1L).otherwise(0L))
+          .as("n_stale"))
+      .orderBy("symbol")
+  }
+
   /** Sessionize: new session when gap to previous tick > gapMinutes.
     * Classic lag + cumulative-flag-sum; one sort-shuffle per symbol.
     */

@@ -226,4 +226,75 @@ object TextOps {
         expr("graft_fingerprint(text)").as("fingerprint"))
       .orderBy("doc_id")
   }
+
+  /** Lexical diversity per document: type-token ratio and Simpson
+    * diversity (1 − Σcᵢ²/n²). Both are ratios of exact BIGINT token
+    * counts — no logs, no float accumulation — so they hash-match any
+    * engine. Two hash aggregations ((doc_id, token) then doc_id), both
+    * with map-side partials; token strings only cross the first
+    * shuffle, counters the second. Low-diversity documents (template
+    * spam, keyword stuffing) are a standard training-corpus filter
+    * signal alongside [[repetitionRatio]].
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sq"))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        round(lit(1.0) - col("sq").cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double"), 6).as("simpson"))
+      .orderBy("doc_id")
+
+  /** Corpus composition report: per-source document count, corpus
+    * share, mean length, language spread. One tiny agg plus a
+    * broadcast of the single-row corpus total — the pattern for any
+    * "data mixture" dashboard over a 100 TB corpus (the per-source
+    * rollup is partial-aggregated map-side; nothing else moves).
+    */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("total"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        round(col("sum_chars").cast("double") / col("n_docs").cast("double"), 4)
+          .as("avg_chars"),
+        col("n_langs"))
+      .orderBy("source")
+  }
+
+  /** Boilerplate detection: word n-grams that repeat across ≥2 distinct
+    * documents, ranked by document spread then total occurrences
+    * (deterministic gram tiebreak). The shuffle carries (gram, doc_id)
+    * pairs with map-side partial counts; at 100 TB the gram strings are
+    * bounded (n words) and the ≥2-doc filter plus top-k keep the
+    * reduce side tiny. Finding shared spans (headers, license blocks,
+    * navigation chrome) is the precursor to stripping them before
+    * dedup/training.
+    */
+  def boilerplate(docs: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
+    val words = split(col("text"), " ")
+    val grams = filter(
+      transform(words, (_, i) =>
+        when(i <= size(words) - n,
+          concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))),
+      g => g.isNotNull)
+    docs.select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), desc("n_occ"), col("gram"))
+      .limit(k)
+  }
 }

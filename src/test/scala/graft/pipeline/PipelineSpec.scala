@@ -213,6 +213,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(g.filter(col("cos_sim") < -1.0001 || col("cos_sim") > 1.0001).count() === 0)
   }
 
+  test("lexical diversity: ttr in (0,1], distinct <= tokens, simpson < 1") {
+    val ld = TextOps.lexicalDiversity(docs)
+    assert(ld.count() === docs.count())
+    assert(ld.filter(col("ttr") <= 0 || col("ttr") > 1).count() === 0)
+    assert(ld.filter(col("n_distinct") > col("n_tokens")).count() === 0)
+    assert(ld.filter(col("simpson") < 0 || col("simpson") >= 1).count() === 0)
+  }
+
+  test("source mix: shares sum to 1, counts sum to corpus size") {
+    val sm = TextOps.sourceMix(docs).collect()
+    assert(sm.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val share = sm.map(_.getAs[Double]("share")).sum
+    assert(math.abs(share - 1.0) < 1e-4, s"shares sum to $share")
+  }
+
+  test("boilerplate: every reported gram appears in >=2 distinct docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a quick brown fox runs"),
+      (3L, "entirely different words here")).toDF("doc_id", "text")
+    val b = TextOps.boilerplate(d, n = 3, k = 10).collect()
+    assert(b.map(_.getString(0)).contains("quick brown fox"))
+    assert(b.forall(_.getAs[Long]("n_docs") >= 2))
+  }
+
   test("nearDupClusters converges on a chain longer than the round count") {
     import spark.implicits._
     // 21-node path graph: diameter 20 > iters 5 — only the

@@ -150,6 +150,8 @@ object SparkEntry {
     }),
     "q_downsample" -> ((s, dir) => MarketOps.downsample(ticks(s, dir), 100)),
     "q_gap_stats" -> ((s, dir) => MarketOps.gapStats(ticks(s, dir), 60)),
+    "q_leadlag" -> ((s, dir) => MarketOps.leadLagCorr(ticks(s, dir), "click", "view", 2)),
+    "q_pairs_spread" -> ((s, dir) => MarketOps.pairsSpread(ticks(s, dir), "click", "view", 20)),
     "q_funnel" -> ((s, dir) => EventAnalytics.funnel(Tables.events(s, dir))),
     "q_retention" -> ((s, dir) => EventAnalytics.retention(Tables.events(s, dir), 7)),
 
@@ -288,6 +290,8 @@ object SparkEntry {
     "q_lexical_diversity" -> ((s, dir) => TextOps.lexicalDiversity(Tables.documents(s, dir))),
     "q_source_mix" -> ((s, dir) => TextOps.sourceMix(Tables.documents(s, dir))),
     "q_boilerplate" -> ((s, dir) => TextOps.boilerplate(Tables.documents(s, dir), 3, 20)),
+    "q_pack_bins" -> ((s, dir) => TextOps.packBins(Tables.documents(s, dir), 512)),
+    "q_vocab_coverage" -> ((s, dir) => TextOps.vocabCoverage(Tables.documents(s, dir))),
     "q_ann_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 10)),
     "q_ann_i8" -> ((s, dir) =>
@@ -1138,6 +1142,85 @@ object SparkEntry {
         |         AS n_stale
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_leadlag" ->
+      // same hourly exact-mean rollup as q_correlation; the lag spine
+      // shifts B by whole hours in epoch-µs space
+      """WITH hourly AS (
+        |  SELECT event_type AS symbol, date_trunc('hour', ts) AS h,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE) AS p
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT epoch_us(h) AS hu, p AS p_a FROM hourly
+        |      WHERE symbol = 'click'),
+        |b AS (SELECT epoch_us(h) AS hu_b, p AS p_b FROM hourly
+        |      WHERE symbol = 'view'),
+        |l AS (SELECT unnest(generate_series(-2, 2)) AS lag_hours)
+        |SELECT CAST(l.lag_hours AS BIGINT) AS lag_hours,
+        |       ROUND(corr(a.p_a, b.p_b), 4) AS lag_corr,
+        |       CAST(COUNT(*) AS BIGINT) AS n_hours
+        |FROM a CROSS JOIN l
+        |JOIN b ON b.hu_b = a.hu + l.lag_hours * 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pairs_spread" ->
+      // hourly CLOSES (exact 2-dp decimals), so every OLS moment is an
+      // exact decimal sum; beta/alpha/spread replay the identical
+      // double op sequence as the Spark plan
+      """WITH hourly AS (
+        |  SELECT event_type AS symbol, date_trunc('hour', ts) AS h,
+        |         CAST(max_by(value, ts) AS DECIMAL(18,2)) AS p
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT h, p AS pa FROM hourly WHERE symbol = 'click'),
+        |b AS (SELECT h, p AS pb FROM hourly WHERE symbol = 'view'),
+        |j AS (SELECT a.h, pa, pb FROM a JOIN b USING (h)),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |             CAST(SUM(pa) AS DOUBLE) AS sa,
+        |             CAST(SUM(pb) AS DOUBLE) AS sb,
+        |             CAST(SUM(CAST(pa * pb AS DECIMAL(38,12))) AS DOUBLE) AS sab,
+        |             CAST(SUM(CAST(pb * pb AS DECIMAL(38,12))) AS DOUBLE) AS sbb
+        |      FROM j),
+        |s AS (
+        |  SELECT j.h,
+        |         CAST(pa AS DOUBLE) -
+        |         ((sa / n - ((sab - sa * sb / n) / (sbb - sb * sb / n))
+        |                    * (sb / n))
+        |          + ((sab - sa * sb / n) / (sbb - sb * sb / n))
+        |            * CAST(pb AS DOUBLE)) AS spread
+        |  FROM j CROSS JOIN m),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(spread) DESC, h)
+        |        AS rk FROM s)
+        |SELECT CAST(rk AS BIGINT) AS rk, epoch_us(h) AS hour_us,
+        |       ROUND(spread, 4) AS spread
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "q_pack_bins" ->
+      // a doc belongs to the bin its start offset falls in; all BIGINT
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, toks,
+        |         SUM(toks) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - toks) // 512 AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(toks) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM c),
+        |r AS (
+        |  SELECT w, c,
+        |         CAST(ROW_NUMBER() OVER o AS BIGINT) AS top_n,
+        |         CAST(SUM(c) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING
+        |                           AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM c WINDOW o AS (ORDER BY c DESC, w))
+        |SELECT top_n, cum_tokens, total,
+        |       ROUND(CAST(cum_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |         AS coverage
+        |FROM r CROSS JOIN t
+        |WHERE top_n IN (5, 10, 20) ORDER BY top_n""".stripMargin,
     "q_funnel" ->
       // ordered funnel: each stage's first qualifying event must be at
       // or after the previous stage's (same staged-min semantics)

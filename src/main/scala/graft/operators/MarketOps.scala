@@ -652,6 +652,71 @@ object MarketOps {
       .orderBy("symbol", "day")
   }
 
+  /** Lead-lag cross-correlation between two symbols: Pearson corr of
+    * hourly mean prices with B shifted by −maxLag..+maxLag hours — the
+    * "who moves first" discovery query. Rides the same tiny hourly
+    * rollup as [[correlationMatrix]]; the lag spine (2·maxLag+1 rows)
+    * cross-joins broadcast, so the fact side never re-shuffles per lag.
+    */
+  def leadLagCorr(ticks: DataFrame, symA: String, symB: String,
+      maxLag: Int = 2): DataFrame = {
+    val session = ticks.sparkSession
+    import session.implicits._
+    val hourly = ticks
+      .groupBy(col("symbol"), date_trunc("hour", col("ts")).as("h"))
+      .agg(exactAvg(col("price"), count(lit(1))).as("p"))
+    val a = hourly.filter(col("symbol") === symA)
+      .select(unix_micros(col("h")).as("hu"), col("p").as("p_a"))
+    val b = hourly.filter(col("symbol") === symB)
+      .select(unix_micros(col("h")).as("hu_b"), col("p").as("p_b"))
+    val lags = (-maxLag to maxLag).map(_.toLong).toDF("lag_hours")
+    a.crossJoin(broadcast(lags))
+      .join(b, col("hu_b") === col("hu") + col("lag_hours") * 3600000000L)
+      .groupBy("lag_hours")
+      .agg(round(corr(col("p_a"), col("p_b")), 4).as("lag_corr"),
+        count(lit(1)).as("n_hours"))
+      .orderBy("lag_hours")
+  }
+
+  /** Pairs-trading dislocation report: OLS-hedge B against A on hourly
+    * closes (exact 2-dp decimals — closes, not means, so no rounding
+    * enters the moments), then rank the k largest |spread| hours.
+    * α/β come from the same exact-decimal-sum identity as [[betaDaily]];
+    * the per-hour spread is a fixed sequence of double ops, and the
+    * single-row moment table broadcasts onto the (tiny) hourly series.
+    */
+  def pairsSpread(ticks: DataFrame, symA: String, symB: String,
+      k: Int = 20): DataFrame = {
+    val sq = DecimalType(38, 12)
+    val hourly = ticks.groupBy(col("symbol"), date_trunc("hour", col("ts")).as("h"))
+      .agg(max_by(col("price"), col("ts")).cast(dec).as("p"))
+    val a = hourly.filter(col("symbol") === symA).select(col("h"), col("p").as("pa"))
+    val b = hourly.filter(col("symbol") === symB).select(col("h"), col("p").as("pb"))
+    val j = a.join(b, "h")
+    val m = j.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("pa")).cast("double").as("sa"),
+      sum(col("pb")).cast("double").as("sb"),
+      sum((col("pa") * col("pb")).cast(sq)).cast("double").as("sab"),
+      sum((col("pb") * col("pb")).cast(sq)).cast("double").as("sbb"))
+    val beta = (col("sab") - col("sa") * col("sb") / col("n")) /
+      (col("sbb") - col("sb") * col("sb") / col("n"))
+    j.crossJoin(broadcast(m))
+      .withColumn("beta", beta)
+      .withColumn("alpha",
+        col("sa") / col("n") - col("beta") * (col("sb") / col("n")))
+      .withColumn("spread", col("pa").cast("double") -
+        (col("alpha") + col("beta") * col("pb").cast("double")))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("spread")).desc, col("h"))).cast("long"))
+      .filter(col("rk") <= k)
+      // the two engines' a−b·c sequences can differ by one ulp (fused
+      // multiply-add); 4-dp rounding absorbs it, far from any .xxxx5 tie
+      .select(col("rk"), unix_micros(col("h")).as("hour_us"),
+        round(col("spread"), 4).as("spread"))
+      .orderBy("rk")
+  }
+
   /** Extreme-preserving downsample to ≤k points per symbol (chart/
     * preview export, the TSDB "downsample for visualization" op): ticks
     * bucket into k equal index ranges; each bucket keeps its most

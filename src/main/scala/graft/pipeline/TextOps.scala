@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline,
@@ -272,6 +273,47 @@ object TextOps {
           .as("avg_chars"),
         col("n_langs"))
       .orderBy("source")
+  }
+
+  /** Greedy stream packing of documents into fixed token-budget bins
+    * (sequence packing for training batches): docs are laid end-to-end
+    * in doc_id order per source and a doc belongs to the bin its start
+    * offset falls in. Pure BIGINT cumulative sums — exact everywhere.
+    * Partitioning by `source` keeps the running-offset window parallel
+    * at 100 TB (a single global cumsum would serialize on one task).
+    */
+  def packBins(docs: DataFrame, binTokens: Int = 512): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("bin", expr(s"(cum - toks) div $binTokens"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+      .orderBy("source", "bin")
+  }
+
+  /** Vocabulary coverage curve: what fraction of all corpus tokens the
+    * top-N most frequent words cover, at a few N checkpoints — the
+    * quick tokenizer-vocabulary sizing read. The ranking window runs
+    * over the (vocabulary-sized, corpus-independent) word-count table;
+    * the single-row token total broadcasts. Integer ratios only.
+    */
+  def vocabCoverage(docs: DataFrame, ranks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    val counts = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy(col("c").desc, col("w"))
+    val tot = counts.agg(sum(col("c")).as("total"))
+    counts
+      .withColumn("top_n", row_number().over(ord).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("c")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("top_n").isin(ranks.map(_.toLong): _*))
+      .crossJoin(broadcast(tot))
+      .select(col("top_n"), col("cum_tokens"), col("total"),
+        round(col("cum_tokens").cast("double") / col("total").cast("double"), 6)
+          .as("coverage"))
+      .orderBy("top_n")
   }
 
   /** Boilerplate detection: word n-grams that repeat across ≥2 distinct

@@ -295,6 +295,23 @@ class MarketOpsSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("lead-lag: one row per lag, corr within [-1,1]") {
+    val ll = MarketOps.leadLagCorr(ticks, "click", "view", 2).collect()
+    assert(ll.length === 5)
+    assert(ll.map(_.getAs[Long]("lag_hours")).toSet === Set(-2L, -1L, 0L, 1L, 2L))
+    ll.foreach { r =>
+      val c = r.getAs[Double]("lag_corr")
+      assert(c >= -1.0001 && c <= 1.0001, s"corr $c")
+    }
+  }
+
+  test("pairs spread: ranks 1..k in decreasing |spread| order") {
+    val ps = MarketOps.pairsSpread(ticks, "click", "view", 10).collect()
+    assert(ps.map(_.getAs[Long]("rk")).toSeq === (1L to 10L))
+    val devs = ps.map(r => math.abs(r.getAs[Double]("spread")))
+    assert(devs.zip(devs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("ema matches an exact sequential computation") {
     val sub = ticks.filter(col("symbol") === "click")
     val got = MarketOps.ema(sub, alpha = 0.2).collect()

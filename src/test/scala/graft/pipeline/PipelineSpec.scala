@@ -239,6 +239,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(b.forall(_.getAs[Long]("n_docs") >= 2))
   }
 
+  test("pack bins conserve tokens and number bins contiguously per source") {
+    val pb = TextOps.packBins(docs, 512).cache()
+    val total = docs.select(size(split(col("text"), " ")).cast("long").as("t"))
+      .agg(sum("t")).collect()(0).getLong(0)
+    assert(pb.agg(sum("bin_tokens")).collect()(0).getLong(0) === total)
+    // bins are 0..max with no holes within each source
+    val bad = pb.groupBy("source")
+      .agg(min("bin").as("mn"), max("bin").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0 || col("n") =!= col("mx") + 1)
+      .count()
+    assert(bad === 0)
+    pb.unpersist()
+  }
+
+  test("vocab coverage is monotone in top_n and bounded by 1") {
+    val vc = TextOps.vocabCoverage(docs, Seq(5, 10, 20)).collect()
+    assert(vc.nonEmpty)
+    val cov = vc.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    assert(cov.forall(c => c > 0 && c <= 1.0))
+  }
+
   test("nearDupClusters converges on a chain longer than the round count") {
     import spark.implicits._
     // 21-node path graph: diameter 20 > iters 5 — only the

@@ -154,6 +154,19 @@ object SparkEntry {
     "q_pairs_spread" -> ((s, dir) => MarketOps.pairsSpread(ticks(s, dir), "click", "view", 20)),
     "q_funnel" -> ((s, dir) => EventAnalytics.funnel(Tables.events(s, dir))),
     "q_retention" -> ((s, dir) => EventAnalytics.retention(Tables.events(s, dir), 7)),
+    "q_ofi" -> ((s, dir) => MarketOps.ofi(ticks(s, dir))),
+    "q_realized_vol" -> ((s, dir) => MarketOps.realizedVol(ticks(s, dir))),
+    "q_autocorr" -> ((s, dir) => MarketOps.autocorr(ticks(s, dir), 3)),
+    "q_mad_outliers" -> ((s, dir) => MarketOps.madOutliers(ticks(s, dir))),
+    "q_asof_forward" -> ((s, dir) => {
+      val t = keyedTicks(s, dir)
+      MarketOps.forwardAsofJoin(t.filter(col("symbol") === "purchase"),
+        t.filter(col("symbol") === "click"))
+    }),
+    "q_calendar_heatmap" -> ((s, dir) =>
+      EventAnalytics.calendarHeatmap(Tables.events(s, dir))),
+    "q_islands" -> ((s, dir) => EventAnalytics.islands(Tables.events(s, dir))),
+    "q_concurrency" -> ((s, dir) => EventAnalytics.concurrency(Tables.events(s, dir))),
 
     // ---- §2.3 relational/OLAP breadth ----
     "q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
@@ -204,6 +217,8 @@ object SparkEntry {
         .orderBy("symbol")),
     "q_rollup" -> ((s, dir) => Relational.rollupDaily(s, dir)),
     "q_cube" -> ((s, dir) => Relational.cubeDaily(s, dir)),
+    "q_grouping_sets" -> ((s, dir) => Relational.groupingSetsPricing(s, dir)),
+    "q_unpivot" -> ((s, dir) => Relational.unpivotMeasures(s, dir)),
     "q_set_ops" -> ((s, dir) => Relational.setOps(s, dir)),
     "q_rolling_1h" -> ((s, dir) => MarketOps.rollingHourlyAvg(ticks(s, dir))),
     "q_edit_distance" -> ((s, dir) => {
@@ -241,6 +256,11 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(Tables.documents(s, dir), 20)),
     "q_top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir))),
+    "q_chunking" -> ((s, dir) => TextOps.chunk(Tables.documents(s, dir), 200, 150)),
+    "q_mixture_sample" -> ((s, dir) =>
+      TextOps.mixtureSample(Tables.documents(s, dir), 300)),
+    "q_collocations" -> ((s, dir) =>
+      TextOps.collocations(Tables.documents(s, dir), 20)),
     "q_jsonl_roundtrip" -> ((s, dir) => jsonlRoundtrip(s, dir)),
     "q_contamination" -> ((s, dir) =>
       // every 97th doc plays the held-out benchmark; the oracle
@@ -840,6 +860,30 @@ object SparkEntry {
         |FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS day, user_id AS volume
         |      FROM events)
         |GROUP BY CUBE(symbol, day) ORDER BY symbol_g, day_g""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag_g,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus_g,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+        |         AS g_level,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY g_level, returnflag_g, linestatus_g""".stripMargin,
+    "q_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |         CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc,
+        |         CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_tax
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_tax', sum_tax FROM a
+        |ORDER BY l_returnflag, measure""".stripMargin,
     "q_set_ops" ->
       """SELECT user_id, 'click_and_buy' AS set_op FROM (
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
@@ -1252,6 +1296,166 @@ object SparkEntry {
         |FROM d JOIN ch ON d.user_id = ch.user_id
         |WHERE d.day - ch.cohort_day <= 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // tick-rule sign from the lagged price; imbalance kept in integer
+    // basis points (BIGINT div) so no float rounding can diverge
+    "q_ofi" ->
+      """WITH s AS (
+        |  SELECT event_type AS symbol, date_trunc('hour', ts) AS h,
+        |         user_id AS volume,
+        |         CASE WHEN LAG(value) OVER w IS NULL THEN 0
+        |              WHEN value > LAG(value) OVER w THEN 1
+        |              WHEN value < LAG(value) OVER w THEN -1 ELSE 0 END AS sgn
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT symbol, h,
+        |         CAST(SUM(CASE WHEN sgn = 1 THEN volume ELSE 0 END) AS BIGINT) AS buy_vol,
+        |         CAST(SUM(CASE WHEN sgn = -1 THEN volume ELSE 0 END) AS BIGINT) AS sell_vol,
+        |         CAST(COUNT(*) AS BIGINT) AS n_ticks
+        |  FROM s GROUP BY 1, 2)
+        |SELECT symbol, epoch_us(h) AS hour_us, buy_vol, sell_vol,
+        |       buy_vol - sell_vol AS net_vol,
+        |       CASE WHEN buy_vol + sell_vol = 0 THEN 0
+        |            ELSE ((buy_vol - sell_vol) * 10000) // (buy_vol + sell_vol)
+        |       END AS imbalance_bp,
+        |       n_ticks
+        |FROM g ORDER BY 1, 2""".stripMargin,
+    // interval close = rank-1 by (ts, event_id) desc, mirrored; each
+    // return is rounded to 6 dp and squared/summed as exact DECIMAL
+    "q_realized_vol" ->
+      """WITH b AS (
+        |  SELECT event_type AS symbol, epoch_us(ts) // 300000000 AS bucket,
+        |         value AS price,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type, epoch_us(ts) // 300000000
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |c AS (SELECT symbol, bucket, price FROM b WHERE rn = 1),
+        |r AS (SELECT symbol, price,
+        |             LAG(price) OVER (PARTITION BY symbol ORDER BY bucket) AS prev
+        |      FROM c),
+        |-- DECIMAL(19,6): int128 physical so the square can't overflow
+        |-- DuckDB's int64 multiply (values are identical to Spark's
+        |-- DECIMAL(12,6) path — both are exact at scale 12)
+        |rr AS (SELECT symbol, CAST(ROUND(price / prev - 1, 6) AS DECIMAL(19,6)) AS rr
+        |       FROM r WHERE prev IS NOT NULL AND prev <> 0)
+        |SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_returns,
+        |       CAST(ROUND(SUM(rr * rr), 6) AS DOUBLE) AS realized_var,
+        |       CAST(MAX(ABS(rr)) AS DOUBLE) AS max_abs_r
+        |FROM rr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same exact-decimal hourly rollup as q_correlation; corr rounded
+    // to 4 dp (streaming co-moment accumulation is order-sensitive)
+    "q_autocorr" ->
+      """WITH hourly AS (
+        |  SELECT event_type AS symbol, epoch_us(date_trunc('hour', ts)) AS hu,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE) AS p
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT unnest(generate_series(1, 3)) AS lag_hours)
+        |SELECT a.symbol, CAST(l.lag_hours AS BIGINT) AS lag_hours,
+        |       ROUND(corr(a.p, b.p), 4) AS acf,
+        |       CAST(COUNT(*) AS BIGINT) AS n_hours
+        |FROM hourly a CROSS JOIN l
+        |JOIN hourly b ON b.symbol = a.symbol
+        |             AND b.hu = a.hu - l.lag_hours * 3600000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // median/MAD are lower-median ORDER STATISTICS (rank = (n+1)//2,
+    // event_id tie-break) — actual data points, bit-identical in both
+    // engines, so the 3×MAD cut needs no rounding guard at all
+    "q_mad_outliers" ->
+      """WITH t AS (SELECT event_type AS symbol, value AS price, event_id FROM events),
+        |med AS (
+        |  SELECT symbol, price AS med FROM (
+        |    SELECT symbol, price,
+        |           ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY price, event_id) AS rn,
+        |           COUNT(*) OVER (PARTITION BY symbol) AS cnt
+        |    FROM t) WHERE rn = (cnt + 1) // 2),
+        |d AS (SELECT t.symbol, t.event_id, ABS(t.price - med.med) AS dev, med.med
+        |      FROM t JOIN med ON t.symbol = med.symbol),
+        |mad AS (
+        |  SELECT symbol, dev AS mad FROM (
+        |    SELECT symbol, dev,
+        |           ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY dev, event_id) AS rn,
+        |           COUNT(*) OVER (PARTITION BY symbol) AS cnt
+        |    FROM d) WHERE rn = (cnt + 1) // 2)
+        |SELECT d.symbol, MIN(d.med) AS med, MIN(mad.mad) AS mad,
+        |       CAST(SUM(CASE WHEN d.dev > mad.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       CAST(COUNT(*) AS BIGINT) AS n_ticks
+        |FROM d JOIN mad ON d.symbol = mad.symbol
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // forward as-of mirrored as the same union-tag + forward-frame MIN
+    // construction (MIN skips NULLs in both engines — no IGNORE NULLS
+    // dialect dependence); right side deduplicated per (key, ts) first
+    "q_asof_forward" ->
+      """WITH rd AS (
+        |  SELECT user_id, epoch_us(ts) AS r_us, value AS r_price
+        |  FROM (SELECT user_id, ts, value, event_id,
+        |               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                                  ORDER BY event_id) AS qrn
+        |        FROM events WHERE event_type = 'click')
+        |  WHERE qrn = 1),
+        |l AS (SELECT user_id, epoch_us(ts) AS us, 0 AS _side,
+        |             event_id AS l_event_id, value AS l_price,
+        |             CAST(NULL AS BIGINT) AS r_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, r_us AS us, 1 AS _side,
+        |             CAST(NULL AS BIGINT) AS l_event_id,
+        |             CAST(NULL AS DOUBLE) AS l_price, r_us
+        |      FROM rd),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |m AS (SELECT *, MIN(r_us) OVER (PARTITION BY user_id ORDER BY us, _side
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m_us
+        |      FROM u)
+        |SELECT m.l_event_id AS event_id, m.user_id, m.us AS ts_us,
+        |       m.l_price AS price,
+        |       COALESCE(m.m_us, -1) AS quote_ts_us,
+        |       COALESCE(rd.r_price, -1.0) AS quote_price
+        |FROM m LEFT JOIN rd ON m.user_id = rd.user_id AND m.m_us = rd.r_us
+        |WHERE m._side = 0 ORDER BY event_id""".stripMargin,
+    "q_calendar_heatmap" ->
+      """SELECT CAST(date_part('dow', ts) AS BIGINT) AS dow,
+        |       CAST(date_part('hour', ts) AS BIGINT) AS hod,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_islands" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         CASE WHEN LAG(event_type) OVER w IS NULL
+        |                OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |i AS (SELECT user_id, event_type,
+        |             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM s),
+        |runs AS (SELECT user_id, island, event_type,
+        |                CAST(COUNT(*) AS BIGINT) AS run_len
+        |         FROM i GROUP BY 1, 2, 3)
+        |SELECT event_type AS symbol, run_len, CAST(COUNT(*) AS BIGINT) AS n_runs
+        |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sweep line: interval length = value-cents seconds via exact
+    // DECIMAL→BIGINT; ends sort before same-instant starts (d asc).
+    // peak / first-peak-time are permutation-invariant under ties.
+    "q_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type AS symbol, epoch_us(ts) AS s_us,
+        |         epoch_us(ts)
+        |           + CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000 AS e_us
+        |  FROM events),
+        |dl AS (
+        |  SELECT symbol, s_us AS t, CAST(1 AS BIGINT) AS d FROM iv
+        |  UNION ALL
+        |  SELECT symbol, e_us AS t, CAST(-1 AS BIGINT) AS d FROM iv),
+        |r AS (
+        |  SELECT symbol, t, d,
+        |         SUM(d) OVER (PARTITION BY symbol ORDER BY t, d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM dl),
+        |p AS (SELECT *, MAX(running) OVER (PARTITION BY symbol) AS peak FROM r)
+        |SELECT symbol, CAST(MIN(peak) AS BIGINT) AS peak_concurrent,
+        |       CAST(MIN(CASE WHEN running = peak THEN t END) AS BIGINT) AS peak_at_us,
+        |       CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q2_min_supplier" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,
@@ -2065,6 +2269,45 @@ object SparkEntry {
         |SELECT doc_id, word AS top_term, CAST(tf AS BIGINT) AS tf,
         |       CAST(df AS BIGINT) AS df, score
         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // per-chunk md5 hex folds summed as BIGINT — order-free, so no
+    // ordered string aggregation is needed on either engine
+    "q_chunking" ->
+      """WITH st AS (
+        |  SELECT doc_id, text, unnest(range(0, greatest(n_chars, 1), 150)) AS start
+        |  FROM documents),
+        |c AS (SELECT doc_id, substr(text, CAST(start + 1 AS INT), 200) AS piece
+        |      FROM st)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(length(piece)) AS BIGINT) AS total_chunk_chars,
+        |       CAST(SUM(list_reduce(list_transform(generate_series(1, 12),
+        |              i -> CAST(strpos('0123456789abcdef', substr(md5(piece), i, 1)) - 1
+        |                   AS BIGINT)),
+        |            (a, b) -> a * 16 + b)) AS BIGINT) AS chunk_checksum
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // quota = floor(weight × 300) with weight keyed off the source id;
+    // identical double op order on both engines, so floors agree
+    "q_mixture_sample" ->
+      """WITH q AS (
+        |  SELECT source, doc_id,
+        |         CAST(FLOOR((CAST(substr(source, 4) AS INT) % 4 + 1) / 50.0 * 300)
+        |              AS BIGINT) AS quota,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |                ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)), doc_id)
+        |              AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_taken,
+        |       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+        |       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+        |FROM q WHERE rk <= quota GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_collocations" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |p AS (SELECT unnest(CASE WHEN len(ws) >= 2
+        |               THEN list_transform(range(1, len(ws)),
+        |                      i -> ws[i] || ' ' || ws[i + 1])
+        |               ELSE CAST([] AS VARCHAR[]) END) AS pair
+        |      FROM w)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_lexical_diversity" ->
       // ratios of exact BIGINT token counts — no float accumulation;
       // DuckDB's INT128 sums cast to BIGINT/DOUBLE per SURVEY §4

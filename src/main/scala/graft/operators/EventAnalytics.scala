@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream product analytics over the raw `events` table — the
   * funnel/cohort queries an analytics user runs beside the market ops
@@ -57,5 +59,70 @@ object EventAnalytics {
       .groupBy("cohort_day", "day_offset")
       .agg(countDistinct("user_id").as("n_users"))
       .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Activity heatmap by (day-of-week, hour-of-day): event counts and
+    * the exact-decimal mean value per cell. One partial-agg shuffle of
+    * at most 168 group states. Spark's `dayofweek` is 1=Sunday;
+    * emitted 0-based to line up with DuckDB's `date_part('dow')`.
+    */
+  def calendarHeatmap(events: DataFrame): DataFrame =
+    events.groupBy(
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_value"))
+      .orderBy("dow", "hod")
+
+  /** Gaps-and-islands: maximal runs of consecutive same-type events per
+    * user (ordered by ts, event_id), reported as a run-length histogram
+    * per event type. The island id is the classic
+    * lag-change-flag + running sum — one sort-shuffle on user_id, then
+    * two partial aggregations over run rows (never raw events twice).
+    */
+  def islands(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prevType = lag(col("event_type"), 1).over(w)
+    val changed = when(prevType.isNull || prevType =!= col("event_type"), 1L)
+      .otherwise(0L)
+    events.withColumn("chg", changed)
+      .withColumn("island",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"), col("event_type"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("event_type").as("symbol"), col("run_len"))
+      .agg(count(lit(1)).as("n_runs"))
+      .orderBy("symbol", "run_len")
+  }
+
+  /** Peak interval concurrency per event type (sweep line): each event
+    * opens an interval of `value`-cents seconds (exact DECIMAL→BIGINT,
+    * no float truncation dialect risk); the +1/−1 endpoint deltas are
+    * swept in (t, delta) order — ends close before same-instant starts
+    * — with a running sum. Peak and first-peak-time are
+    * permutation-invariant under equal-key ties, so the engine's tie
+    * order never shows. One shuffle: everything windows on symbol.
+    */
+  def concurrency(events: DataFrame): DataFrame = {
+    val startUs = unix_micros(col("ts"))
+    val durS = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val endUs = startUs + durS * 1000000L
+    val deltas = events.select(col("event_type").as("symbol"),
+        explode(array(
+          struct(startUs.as("t"), lit(1L).as("d")),
+          struct(endUs.as("t"), lit(-1L).as("d")))).as("e"))
+      .select(col("symbol"), col("e.t").as("t"), col("e.d").as("d"))
+    val sweep = Window.partitionBy("symbol").orderBy(col("t"), col("d"))
+    val sym = Window.partitionBy("symbol")
+    deltas
+      .withColumn("running",
+        sum(col("d")).over(sweep.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("peak", max(col("running")).over(sym))
+      .groupBy(col("symbol"))
+      .agg(first(col("peak")).as("peak_concurrent"),
+        min(when(col("running") === col("peak"), col("t"))).as("peak_at_us"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      .orderBy("symbol")
   }
 }

@@ -763,6 +763,160 @@ object MarketOps {
       .orderBy("symbol")
   }
 
+  /** Order-flow imbalance via the tick rule: each tick is signed by its
+    * price change vs the previous tick (flat and first ticks are
+    * neutral), then buy/sell volume is aggregated per symbol-hour.
+    * The imbalance is emitted in integer basis points (`(net*10000)
+    * div total`) — pure BIGINT arithmetic, no float rounding to
+    * diverge between engines.
+    *
+    * One sort-shuffle on symbol for the lag, then partial aggregation;
+    * the hourly group states are all that reach the second exchange.
+    */
+  def ofi(ticks: DataFrame): DataFrame = {
+    val prev = lag(col("price"), 1).over(tickOrder)
+    val sign = when(prev.isNull, 0L)
+      .when(col("price") > prev, 1L)
+      .when(col("price") < prev, -1L)
+      .otherwise(0L)
+    ticks.withColumn("sign", sign)
+      .groupBy(col("symbol"), date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        sum(when(col("sign") === 1L, col("volume")).otherwise(0L)).as("buy_vol"),
+        sum(when(col("sign") === -1L, col("volume")).otherwise(0L)).as("sell_vol"),
+        count(lit(1)).as("n_ticks"))
+      .withColumn("net_vol", col("buy_vol") - col("sell_vol"))
+      .withColumn("imbalance_bp",
+        when(col("buy_vol") + col("sell_vol") === 0L, 0L)
+          .otherwise(expr("(net_vol * 10000) div (buy_vol + sell_vol)")))
+      .select(col("symbol"), unix_micros(col("h")).as("hour_us"),
+        col("buy_vol"), col("sell_vol"), col("net_vol"),
+        col("imbalance_bp"), col("n_ticks"))
+      .orderBy("symbol", "hour_us")
+  }
+
+  /** Realized variance from 5-minute close-to-close returns. The
+    * interval close is the deterministic last tick per (symbol,
+    * bucket) (rank-1 by ts desc, event_id desc — mirrored verbatim in
+    * the oracle); each simple return is rounded to 6 dp and squared /
+    * summed as an exact DECIMAL, so the aggregation is order-free.
+    * Zero closes are excluded from the denominator (sf0.1 has them).
+    */
+  def realizedVol(ticks: DataFrame): DataFrame = {
+    val bucketUs = 5L * 60L * 1000000L
+    val rn = row_number().over(Window.partitionBy("symbol", "bucket")
+      .orderBy(col("ts").desc, col("event_id").desc))
+    val closes = ticks
+      .withColumn("bucket", expr(s"unix_micros(ts) div ${bucketUs}L"))
+      .withColumn("rn", rn)
+      .filter(col("rn") === 1)
+      .select(col("symbol"), col("bucket"), col("price"))
+    val prev = lag(col("price"), 1)
+      .over(Window.partitionBy("symbol").orderBy("bucket"))
+    closes.withColumn("prev", prev)
+      .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+      .withColumn("rr",
+        round(col("price") / col("prev") - 1.0, 6).cast(DecimalType(12, 6)))
+      .groupBy("symbol")
+      // round the exact scale-12 sum to 6 dp BEFORE the double cast:
+      // a 6-dp decimal converts with a single correctly-rounded
+      // division in both engines (scale-12 int128→double in DuckDB
+      // double-rounds and can differ by an ulp)
+      .agg(count(lit(1)).as("n_returns"),
+        round(sum(col("rr") * col("rr")), 6).cast("double").as("realized_var"),
+        max(abs(col("rr"))).cast("double").as("max_abs_r"))
+      .orderBy("symbol")
+  }
+
+  /** Autocorrelation of the hourly mean-price series at lags 1..maxLag
+    * hours, per symbol. Same exact-decimal hourly rollup as
+    * `correlationMatrix`; the lagged pairing is an equi-join on the
+    * epoch-µs hour shifted by whole hours (tiny aggregated tables, so
+    * the join broadcasts; nothing re-shuffles the tick log per lag).
+    */
+  def autocorr(ticks: DataFrame, maxLag: Int = 3): DataFrame = {
+    val hourly = ticks
+      .groupBy(col("symbol"), date_trunc("hour", col("ts")).as("h"))
+      .agg(exactAvg(col("price"), count(lit(1))).as("p"))
+      .select(col("symbol"), unix_micros(col("h")).as("hu"), col("p"))
+    val lags = hourly.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag_hours"))
+    val a = hourly.select(col("symbol"), col("hu"), col("p").as("p_now"))
+      .crossJoin(lags)
+    val b = hourly.select(col("symbol").as("symbol_b"), col("hu").as("hu_b"),
+      col("p").as("p_lag"))
+    a.join(b, col("symbol") === col("symbol_b") &&
+        col("hu_b") === col("hu") - col("lag_hours") * 3600000000L)
+      .groupBy(col("symbol"), col("lag_hours"))
+      .agg(round(corr(col("p_now"), col("p_lag")), 4).as("acf"),
+        count(lit(1)).as("n_hours"))
+      .orderBy("symbol", "lag_hours")
+  }
+
+  /** Median-absolute-deviation outlier report per symbol. Median and
+    * MAD are ORDER STATISTICS (lower median via rank = (n+1) div 2,
+    * event_id tie-break), not interpolated quantiles — the selected
+    * values are actual data points, so both engines agree bit-for-bit
+    * and the `dev > 3*mad` cut has no rounding hazard at all.
+    * Two window sorts (prices, then deviations) + one broadcast-back
+    * join per stage; the per-symbol medians are single rows.
+    */
+  def madOutliers(ticks: DataFrame): DataFrame = {
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("symbol").orderBy(col(valueCol), col("event_id"))
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("symbol")))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("symbol"), col(valueCol).as(out))
+    }
+    val med = lowerMedian(ticks, "price", "med")
+    val withDev = ticks.join(broadcast(med), "symbol")
+      .withColumn("dev", abs(col("price") - col("med")))
+    val mad = lowerMedian(withDev, "dev", "mad")
+    withDev.join(broadcast(mad), "symbol")
+      .groupBy(col("symbol"))
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+        sum(when(col("dev") > col("mad") * 3.0, 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("symbol")
+  }
+
+  /** Forward as-of join: each left tick matches the FIRST right quote
+    * at-or-after its timestamp (the mirror of `asofJoin`). Same
+    * union-tag single-sort design, scanning forward: the match is
+    * `min(r_us)` over [current row, unbounded following] with lefts
+    * ordered before same-ts rights (inclusive match). The matched
+    * quote's price is recovered by joining the per-(key, ts)
+    * deduplicated quote table back on the matched timestamp — MIN
+    * skips NULLs in both engines, so no IGNORE NULLS dialect risk.
+    */
+  def forwardAsofJoin(left: DataFrame, right: DataFrame,
+      key: String = "user_id"): DataFrame = {
+    val rDedup = right
+      .withColumn("qrn", row_number().over(
+        Window.partitionBy(col(key), col("ts")).orderBy(col("event_id"))))
+      .filter(col("qrn") === 1)
+      .select(col(key), unix_micros(col("ts")).as("r_us"),
+        col("price").as("r_price"))
+    val lTagged = left.select(col(key), unix_micros(col("ts")).as("us"),
+      lit(0).as("_side"), col("event_id").as("l_event_id"),
+      col("price").as("l_price"), lit(null).cast("long").as("r_us"))
+    val rTagged = rDedup.select(col(key), col("r_us").as("us"),
+      lit(1).as("_side"), lit(null).cast("long").as("l_event_id"),
+      lit(null).cast("double").as("l_price"), col("r_us"))
+    val w = Window.partitionBy(key).orderBy(col("us"), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lTagged.unionByName(rTagged)
+      .withColumn("m_us", min(col("r_us")).over(w))
+      .filter(col("_side") === 0)
+      .join(rDedup.withColumnRenamed("r_us", "m_us"), Seq(key, "m_us"), "left")
+      .select(col("l_event_id").as("event_id"), col(key),
+        col("us").as("ts_us"), col("l_price").as("price"),
+        coalesce(col("m_us"), lit(-1L)).as("quote_ts_us"),
+        coalesce(col("r_price"), lit(-1.0)).as("quote_price"))
+      .orderBy("event_id")
+  }
+
   /** Sessionize: new session when gap to previous tick > gapMinutes.
     * Classic lag + cumulative-flag-sum; one sort-shuffle per symbol.
     */

@@ -624,4 +624,46 @@ object Relational {
         count(lit(1)).as("n"),
         sum(d("o_totalprice")).cast("double").as("total_price"))
       .orderBy("o_orderpriority")
+
+  /** Explicit GROUPING SETS — the general form rollup/cube are sugar
+    * for: (returnflag, linestatus), the linestatus marginal rollup
+    * cannot produce, and the grand total, in ONE aggregation pass
+    * (Spark plans a single Expand + partial/final aggregate — the fact
+    * is scanned once, not once per set). The grouping level surfaces
+    * via per-column `grouping()` flags, which both engines define.
+    */
+  def groupingSetsPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("g_level"),
+        count(lit(1)).as("n"),
+        sum(d("l_quantity")).cast("double").as("sum_qty"),
+        sum(d("l_extendedprice")).cast("double").as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag_g"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus_g"),
+        col("g_level"), col("n"), col("sum_qty"), col("sum_price"))
+      .orderBy("g_level", "returnflag_g", "linestatus_g")
+
+  /** UNPIVOT: the per-returnflag measure sums melted into long-form
+    * (measure, value) rows — the wide→long reshape every BI export
+    * needs. Aggregation happens FIRST (exact decimal sums, one
+    * shuffle); the unpivot then expands only the 3-row aggregate, so
+    * at 100 TB the reshape is free.
+    */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(d("l_quantity")).cast("double").as("sum_qty"),
+        sum(d("l_extendedprice")).cast("double").as("sum_price"),
+        sum(d("l_discount")).cast("double").as("sum_disc"),
+        sum(d("l_tax")).cast("double").as("sum_tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc"), col("sum_tax")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
 }

@@ -339,4 +339,66 @@ object TextOps {
       .orderBy(desc("n_docs"), desc("n_occ"), col("gram"))
       .limit(k)
   }
+
+  /** Fixed-size overlapping character chunking (RAG/context-window
+    * prep): chunk starts every `stride` chars, each `size` chars long.
+    * The per-doc report carries exact integer aggregates only — chunk
+    * count, total chunk chars, and a sum of per-chunk md5 hex folds
+    * (order-free BIGINT, ≤16^12 per chunk so thousands of chunks fit a
+    * long) — so the oracle needs no ordered string aggregation.
+    * Zero shuffles before the per-doc aggregate; the expansion happens
+    * map-side inside one projection.
+    */
+  def chunk(docs: DataFrame, size: Int = 200, stride: Int = 150): DataFrame =
+    docs
+      .withColumn("start", explode(expr(
+        s"sequence(CAST(0 AS BIGINT), greatest(n_chars - 1, CAST(0 AS BIGINT)), CAST($stride AS BIGINT))")))
+      .withColumn("piece",
+        expr(s"substring(text, CAST(start + 1 AS INT), $size)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(length(col("piece")).cast("long")).as("total_chunk_chars"),
+        sum(conv(substring(md5(col("piece").cast("binary")), 1, 12), 16, 10)
+          .cast("long")).as("chunk_checksum"))
+      .orderBy("doc_id")
+
+  /** Data-mixture sampling: draw a per-source quota of documents
+    * (quota = floor(weight × total), weight keyed off the source id —
+    * the "rebalance the training mix" step). Selection is a
+    * deterministic md5 rank within each source, so the sample is
+    * reproducible across runs and engines. One window sort per source
+    * partition; the quota math never touches the driver.
+    */
+  def mixtureSample(docs: DataFrame, total: Int = 300): DataFrame = {
+    val idx = expr("CAST(substring(source, 4) AS INT)")
+    val quota = floor((pmod(idx, lit(4)) + 1).cast("double") / 50.0 * total)
+      .cast("long")
+    val rk = row_number().over(Window.partitionBy("source")
+      .orderBy(md5(concat(lit("mix"), col("doc_id").cast("string"))),
+        col("doc_id"))).cast("long")
+    docs.withColumn("quota", quota)
+      .withColumn("rk", rk)
+      .filter(col("rk") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_taken"), sum(col("doc_id")).as("sum_doc_id"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy("source")
+  }
+
+  /** Top-k adjacent-word collocations (the bigram-frequency pass a BPE
+    * trainer or phrase miner starts from). Bigrams are built map-side
+    * with one positional transform over the token array; one
+    * partial-agg shuffle of (bigram, count) pairs, then a global
+    * TakeOrdered — the corpus text itself never shuffles.
+    */
+  def collocations(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(split(lower(col("text")), " ").as("ws"))
+      .select(explode(when(size(col("ws")) >= 2,
+        expr("transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .otherwise(lit(Array.empty[String]))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("pair"))
+      .limit(k)
 }

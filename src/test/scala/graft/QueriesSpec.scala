@@ -29,4 +29,34 @@ class QueriesSpec extends AnyFunSuite {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("grouping sets: levels {0,2,3}, grand total matches the fact count") {
+    import org.apache.spark.sql.functions._
+    val gs = graft.operators.Relational.groupingSetsPricing(spark, sf).cache()
+    val levels = gs.select("g_level").distinct().collect().map(_.getLong(0)).toSet
+    assert(levels === Set(0L, 2L, 3L))
+    val grand = gs.filter(col("g_level") === 3L).collect()
+    assert(grand.length === 1)
+    val lineitemN = graft.core.Tables.lineitem(spark, sf).count()
+    assert(grand(0).getAs[Long]("n") === lineitemN)
+    // detail rows partition the fact: level-0 counts sum to the total
+    val detailSum = gs.filter(col("g_level") === 0L)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(detailSum === lineitemN)
+    gs.unpersist()
+  }
+
+  test("unpivot: 4 measures per returnflag, values match the wide aggregate") {
+    import org.apache.spark.sql.functions._
+    val up = graft.operators.Relational.unpivotMeasures(spark, sf).cache()
+    val flags = up.select("l_returnflag").distinct().count()
+    assert(up.count() === flags * 4)
+    val qtyLong = up.filter(col("measure") === "sum_qty")
+      .agg(sum("value")).collect()(0).getDouble(0)
+    val qtyWide = graft.core.Tables.lineitem(spark, sf)
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+        .cast("double")).collect()(0).getDouble(0)
+    assert(math.abs(qtyLong - qtyWide) < 1e-6)
+    up.unpersist()
+  }
 }

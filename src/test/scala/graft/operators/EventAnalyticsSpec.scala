@@ -48,4 +48,56 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(ret.filter(col("day_offset") < 0 || col("day_offset") > 7).count() === 0)
     ret.unpersist()
   }
+
+  test("calendar heatmap: cells partition the event log, axes in range") {
+    val hm = EventAnalytics.calendarHeatmap(events).cache()
+    assert(hm.agg(sum("n_events")).collect()(0).getLong(0) === events.count())
+    assert(hm.filter(col("dow") < 0 || col("dow") > 6 ||
+      col("hod") < 0 || col("hod") > 23).count() === 0)
+    hm.unpersist()
+  }
+
+  test("islands: run lengths conserve the event count") {
+    val is = EventAnalytics.islands(events)
+    val total = is.agg(sum(col("run_len") * col("n_runs"))).collect()(0).getLong(0)
+    assert(total === events.count())
+  }
+
+  test("islands: alternating and repeated types produce the right runs") {
+    import spark.implicits._
+    // u1: A A B A  -> runs A:2, B:1, A:1 ; u2: B B B -> runs B:3
+    val e = Seq(
+      (1L, 1L, "A", 10L), (2L, 1L, "A", 20L), (3L, 1L, "B", 30L),
+      (4L, 1L, "A", 40L),
+      (5L, 2L, "B", 10L), (6L, 2L, "B", 20L), (7L, 2L, "B", 30L))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).withColumn("value", lit(1.0))
+    val got = EventAnalytics.islands(e).collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[Long]("run_len")) ->
+        r.getAs[Long]("n_runs")).toMap
+    assert(got === Map(("A", 1L) -> 1L, ("A", 2L) -> 1L,
+      ("B", 1L) -> 1L, ("B", 3L) -> 1L))
+  }
+
+  test("concurrency: known overlapping intervals peak correctly") {
+    import spark.implicits._
+    // value-cents = duration seconds: value 1.00 -> 100 s.
+    // X: [0,100], [50,150], [200,300] -> peak 2 first reached at t=50s
+    val e = Seq(
+      (1L, 1L, "X", 0L, 1.00), (2L, 2L, "X", 50000000L, 1.00),
+      (3L, 3L, "X", 200000000L, 1.00))
+      .toDF("event_id", "user_id", "event_type", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = EventAnalytics.concurrency(e).collect()(0)
+    assert(r.getAs[Long]("peak_concurrent") === 2L)
+    assert(r.getAs[Long]("peak_at_us") === 50000000L)
+    assert(r.getAs[Long]("n_intervals") === 3L)
+  }
+
+  test("concurrency: peak is at least 1 and intervals conserve counts") {
+    val c = EventAnalytics.concurrency(events).cache()
+    assert(c.filter(col("peak_concurrent") < 1).count() === 0)
+    assert(c.agg(sum("n_intervals")).collect()(0).getLong(0) === events.count())
+    c.unpersist()
+  }
 }

@@ -326,4 +326,89 @@ class MarketOpsSpec extends AnyFunSuite {
       assert(math.abs(got(r.getLong(0)) - e) < 1e-9)
     }
   }
+
+  private def syntheticTicks(rows: Seq[(Long, String, Long, Double, Long)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "symbol", "us", "price", "volume")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+  }
+
+  test("ofi: tick-rule signs split volume correctly") {
+    // prices 1,2,3,2,2 -> signs 0,+1,+1,-1,0
+    val t = syntheticTicks(Seq(
+      (1L, "X", 1000000L, 1.0, 10L), (2L, "X", 2000000L, 2.0, 20L),
+      (3L, "X", 3000000L, 3.0, 30L), (4L, "X", 4000000L, 2.0, 40L),
+      (5L, "X", 5000000L, 2.0, 50L)))
+    val r = MarketOps.ofi(t).collect()(0)
+    assert(r.getAs[Long]("buy_vol") === 50L)
+    assert(r.getAs[Long]("sell_vol") === 40L)
+    assert(r.getAs[Long]("net_vol") === 10L)
+    assert(r.getAs[Long]("imbalance_bp") === 10L * 10000L / 90L)
+  }
+
+  test("ofi conserves tick counts per symbol-hour") {
+    val total = MarketOps.ofi(ticks).agg(sum("n_ticks")).collect()(0).getLong(0)
+    assert(total === ticks.count())
+  }
+
+  test("realized vol: constant prices give zero variance") {
+    val t = syntheticTicks((1 to 30).map(i =>
+      (i.toLong, "C", i * 60000000L, 50.0, 1L)))
+    val r = MarketOps.realizedVol(t).collect()(0)
+    assert(r.getAs[Double]("realized_var") === 0.0)
+    assert(r.getAs[Double]("max_abs_r") === 0.0)
+    assert(r.getAs[Long]("n_returns") > 0)
+  }
+
+  test("autocorr: a linear price path is perfectly autocorrelated") {
+    // one tick per hour, price = hour index -> corr 1.0 at every lag
+    val t = syntheticTicks((0 until 48).map(i =>
+      (i.toLong, "L", i * 3600000000L, 100.0 + i, 1L)))
+    val rows = MarketOps.autocorr(t, 3).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("acf") === 1.0)
+      assert(r.getAs[Long]("n_hours") === 48L - r.getAs[Long]("lag_hours"))
+    }
+  }
+
+  test("mad outliers: a single spike against a flat tape is the one outlier") {
+    val t = syntheticTicks((1 to 10).map(i =>
+      (i.toLong, "M", i * 1000000L, 1.0, 1L)) :+
+      (11L, "M", 11000000L, 100.0, 1L))
+    val r = MarketOps.madOutliers(t).collect()(0)
+    assert(r.getAs[Double]("med") === 1.0)
+    assert(r.getAs[Double]("mad") === 0.0)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    assert(r.getAs[Long]("n_ticks") === 11L)
+  }
+
+  test("forward as-of: inclusive same-ts match, sentinel after last quote") {
+    val trades = syntheticTicks(Seq(
+      (1L, "T", 1000000L, 10.0, 7L),   // before first quote -> q1
+      (2L, "T", 2000000L, 11.0, 7L),   // same ts as q1 -> inclusive match
+      (3L, "T", 9000000L, 12.0, 7L)))  // after last quote -> sentinel
+      .withColumn("user_id", col("volume"))
+    val quotes = syntheticTicks(Seq(
+      (100L, "Q", 2000000L, 99.0, 7L), (101L, "Q", 5000000L, 98.0, 7L)))
+      .withColumn("user_id", col("volume"))
+    val got = MarketOps.forwardAsofJoin(trades, quotes).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("quote_ts_us"), r.getAs[Double]("quote_price"))).toMap
+    assert(got(1L) === ((2000000L, 99.0)))
+    assert(got(2L) === ((2000000L, 99.0)))
+    assert(got(3L) === ((-1L, -1.0)))
+  }
+
+  test("forward as-of never matches a quote strictly before the trade") {
+    val t = Tables.events(spark, sf).select(col("event_id"),
+      col("event_type").as("symbol"), col("ts"),
+      col("value").as("price"), col("user_id"))
+    val bad = MarketOps.forwardAsofJoin(
+        t.filter(col("symbol") === "purchase"),
+        t.filter(col("symbol") === "click"))
+      .filter(col("quote_ts_us") =!= -1L && col("quote_ts_us") < col("ts_us"))
+      .count()
+    assert(bad === 0)
+  }
 }

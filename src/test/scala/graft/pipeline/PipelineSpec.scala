@@ -271,4 +271,50 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0L to 20L).foreach(i => assert(got(i) === 0L, s"node $i"))
   }
+
+  test("chunking: short doc is one whole chunk; overlap counts chars twice") {
+    import spark.implicits._
+    val d = Seq((1L, "a" * 100, 100L), (2L, "b" * 350, 350L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = TextOps.chunk(d, 200, 150).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("total_chunk_chars"))).toMap
+    assert(got(1L) === ((1L, 100L)))
+    // starts 0,150,300 -> chunk lengths 200,200,50
+    assert(got(2L) === ((3L, 450L)))
+  }
+
+  test("chunking covers every doc with enough chunks for its length") {
+    val joined = TextOps.chunk(docs, 200, 150)
+      .join(docs.select("doc_id", "n_chars"), "doc_id")
+    assert(joined.count() === docs.count())
+    // n_chunks = ceil(max(n_chars,1) / 150) exactly
+    val bad = joined.filter(
+      col("n_chunks") =!= expr("cast(ceil(greatest(n_chars, 1) / 150.0) as bigint)"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("mixture sample: per-source takes respect quotas and are deterministic") {
+    val m = TextOps.mixtureSample(docs, 300).cache()
+    val bad = m.withColumn("idx",
+        expr("CAST(substring(source, 4) AS INT)"))
+      .withColumn("quota",
+        floor((pmod(col("idx"), lit(4)) + 1).cast("double") / 50.0 * 300).cast("long"))
+      .filter(col("n_taken") > col("quota")).count()
+    assert(bad === 0)
+    val a = m.collect().map(_.toSeq).toSeq
+    val b = TextOps.mixtureSample(docs, 300).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    m.unpersist()
+  }
+
+  test("collocations: adjacent pairs counted with deterministic top-k") {
+    import spark.implicits._
+    val d = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = TextOps.collocations(d, 10).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("cnt"))
+    assert(got.head === ("x y" -> 3L))
+    assert(got.toMap === Map("x y" -> 3L, "y x" -> 1L, "y z" -> 1L))
+  }
 }

@@ -163,6 +163,10 @@ object SparkEntry {
       MarketOps.forwardAsofJoin(t.filter(col("symbol") === "purchase"),
         t.filter(col("symbol") === "click"))
     }),
+    "q_bar_cascade" -> ((s, dir) => MarketOps.barCascade(ticks(s, dir))),
+    "q_kama" -> ((s, dir) => MarketOps.kama(ticks(s, dir), 10)),
+    "q_interval_join" -> ((s, dir) =>
+      EventAnalytics.intervalOverlap(Tables.events(s, dir))),
     "q_calendar_heatmap" -> ((s, dir) =>
       EventAnalytics.calendarHeatmap(Tables.events(s, dir))),
     "q_islands" -> ((s, dir) => EventAnalytics.islands(Tables.events(s, dir))),
@@ -256,6 +260,13 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(Tables.documents(s, dir), 20)),
     "q_top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir))),
+    "q_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1).as("doc_b"))
+      Dedup.containment(pairs, docs)
+    }),
+    "q_train_split" -> ((s, dir) => TextOps.trainSplit(Tables.documents(s, dir))),
     "q_chunking" -> ((s, dir) => TextOps.chunk(Tables.documents(s, dir), 200, 150)),
     "q_mixture_sample" -> ((s, dir) =>
       TextOps.mixtureSample(Tables.documents(s, dir), 300)),
@@ -1296,6 +1307,71 @@ object SparkEntry {
         |FROM d JOIN ch ON d.user_id = ch.user_id
         |WHERE d.day - ch.cohort_day <= 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // cascade mirrored level by level: minute bars from ticks, hourly
+    // from minute, daily from hourly — min_by/max_by on the sub-bar
+    // timestamp (unique above level 1)
+    "q_bar_cascade" ->
+      """WITH minute AS (
+        |  SELECT event_type AS symbol, date_trunc('minute', ts) AS m,
+        |         min_by(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
+        |         max_by(value, ts) AS close,
+        |         CAST(SUM(user_id) AS BIGINT) AS vol, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |hour AS (
+        |  SELECT symbol, date_trunc('hour', m) AS h,
+        |         min_by(open, m) AS open, MAX(high) AS high, MIN(low) AS low,
+        |         max_by(close, m) AS close,
+        |         CAST(SUM(vol) AS BIGINT) AS vol, CAST(SUM(n) AS BIGINT) AS n
+        |  FROM minute GROUP BY 1, 2)
+        |SELECT symbol, CAST(h AS DATE) AS day,
+        |       min_by(open, h) AS open, MAX(high) AS high, MIN(low) AS low,
+        |       max_by(close, h) AS close,
+        |       CAST(SUM(vol) AS BIGINT) AS volume, CAST(SUM(n) AS BIGINT) AS n_ticks
+        |FROM hour GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // er inputs are exact decimal window sums; er/sc/recursion run the
+    // identical IEEE op stream as the Spark sorted-group pass
+    "q_kama" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT event_id, event_type AS symbol, value,
+        |         CAST(value AS DECIMAL(18,2)) AS pd,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |t2 AS (
+        |  SELECT event_id, symbol, value, rn,
+        |         ABS(pd - LAG(pd, 1) OVER w) AS adiff,
+        |         ABS(pd - LAG(pd, 10) OVER w) AS dir
+        |  FROM t WINDOW w AS (PARTITION BY symbol ORDER BY rn)),
+        |pre AS (
+        |  SELECT event_id, symbol, value, rn, dir,
+        |         SUM(adiff) OVER (PARTITION BY symbol ORDER BY rn
+        |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vol
+        |  FROM t2),
+        |sc AS (
+        |  SELECT event_id, symbol, value, rn,
+        |         (CASE WHEN rn <= 10 OR vol = 0 THEN CAST(1.0 AS DOUBLE)
+        |               ELSE CAST(dir AS DOUBLE) / CAST(vol AS DOUBLE) END
+        |          * (2.0/3.0 - 2.0/31.0) + 2.0/31.0) AS sc1
+        |  FROM pre),
+        |r AS (
+        |  SELECT event_id, symbol, rn, value AS kama FROM sc WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_id, s.symbol, s.rn,
+        |         r.kama + (s.sc1 * s.sc1) * (s.value - r.kama)
+        |  FROM sc s JOIN r ON s.symbol = r.symbol AND s.rn = r.rn + 1)
+        |SELECT event_id, symbol, kama FROM r ORDER BY event_id""".stripMargin,
+    // the oracle is the direct nested-loop overlap join — the bucketed
+    // equi-join rewrite must agree with it exactly
+    "q_interval_join" ->
+      """WITH iv AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS s,
+        |         epoch_us(ts)
+        |           + CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000 AS e
+        |  FROM events WHERE event_type IN ('error', 'click'))
+        |SELECT l.event_id, CAST(COUNT(r.event_id) AS BIGINT) AS n_overlap
+        |FROM (SELECT * FROM iv WHERE event_type = 'error') l
+        |LEFT JOIN (SELECT * FROM iv WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.s <= r.e AND r.s <= l.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // tick-rule sign from the lagged price; imbalance kept in integer
     // basis points (BIGINT div) so no float rounding can diverge
     "q_ofi" ->
@@ -2269,6 +2345,42 @@ object SparkEntry {
         |SELECT doc_id, word AS top_term, CAST(tf AS BIGINT) AS tf,
         |       CAST(df AS BIGINT) AS df, score
         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // same shingle construction as q_ngram_jaccard; containment is
+    // |A∩B| / |A| per direction, zero-gram docs guarded to 0
+    "q_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           generate_series(1, len(string_split(text, ' ')) - 2),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i+1] || ' ' ||
+        |                string_split(text, ' ')[i+2])) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CASE WHEN len(a.s) = 0 THEN 0.0
+        |            ELSE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |                       / CAST(len(a.s) AS DOUBLE), 6) END AS containment_a,
+        |       CASE WHEN len(b.s) = 0 THEN 0.0
+        |            ELSE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |                       / CAST(len(b.s) AS DOUBLE), 6) END AS containment_b
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // same md5 hex fold as q_chunking, mod 100 → 80/10/10 buckets
+    "q_train_split" ->
+      """WITH b AS (
+        |  SELECT source, n_chars, doc_id,
+        |         list_reduce(list_transform(generate_series(1, 12),
+        |             i -> CAST(strpos('0123456789abcdef',
+        |                    substr(md5('split' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+        |                  AS BIGINT)),
+        |           (a, b) -> a * 16 + b) % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |       source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // per-chunk md5 hex folds summed as BIGINT — order-free, so no
     // ordered string aggregation is needed on either engine
     "q_chunking" ->

@@ -96,6 +96,43 @@ object EventAnalytics {
       .orderBy("symbol", "run_len")
   }
 
+  /** Interval-overlap join: for each left-type event's interval, count
+    * same-user right-type intervals that overlap it (closed-interval
+    * `l.s <= r.e AND r.s <= l.e`). Distributed as the standard
+    * bucketed rewrite: every interval explodes onto the coarse time
+    * buckets it covers, the join is an EQUI-join on (user_id, bucket)
+    * with the overlap test as a residual, and pairs spanning several
+    * shared buckets dedupe before counting — no nested-loop/range
+    * join anywhere. Interval durations reuse the `value`-cents-seconds
+    * convention of [[concurrency]] (exact DECIMAL→BIGINT).
+    */
+  def intervalOverlap(events: DataFrame, leftType: String = "error",
+      rightType: String = "click"): DataFrame = {
+    val bucketUs = 3600L * 1000000L
+    def intervals(t: String) = events.filter(col("event_type") === t)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) +
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long") * 1000000L)
+          .as("e"))
+    val l = intervals(leftType)
+      .withColumn("bucket",
+        explode(expr(s"sequence(s div ${bucketUs}L, e div ${bucketUs}L)")))
+    val r = intervals(rightType)
+      .select(col("event_id").as("r_id"), col("user_id"),
+        col("s").as("rs"), col("e").as("re"))
+      .withColumn("bucket",
+        explode(expr(s"sequence(rs div ${bucketUs}L, re div ${bucketUs}L)")))
+    val pairs = l.join(r, Seq("user_id", "bucket"))
+      .filter(col("s") <= col("re") && col("rs") <= col("e"))
+      .select(col("event_id"), col("r_id")).distinct()
+    intervals(leftType).select(col("event_id"))
+      .join(pairs.groupBy("event_id").agg(count(lit(1)).as("cnt")),
+        Seq("event_id"), "left")
+      .select(col("event_id"), coalesce(col("cnt"), lit(0L)).as("n_overlap"))
+      .orderBy("event_id")
+  }
+
   /** Peak interval concurrency per event type (sweep line): each event
     * opens an interval of `value`-cents seconds (exact DECIMAL→BIGINT,
     * no float truncation dialect risk); the +1/−1 endpoint deltas are

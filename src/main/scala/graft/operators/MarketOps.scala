@@ -100,6 +100,53 @@ object MarketOps {
       .orderBy("event_id")
   }
 
+  final case class KamaIn(event_id: Long, symbol: String, ts_us: Long,
+      price: Double, sc: Double)
+  final case class KamaRow(event_id: Long, symbol: String, kama: Double)
+
+  /** Kaufman adaptive moving average: the smoothing constant adapts
+    * per row to the efficiency ratio er = |net move over n| / Σ|tick
+    * moves over n|. The ratio inputs are EXACT DECIMAL window sums
+    * (never a float window SUM — order-dependent); er, the smoothing
+    * constant sc = (er·(fast−slow)+slow)², and the recursion
+    * `kama += sc·(price − kama)` then run the identical IEEE op
+    * stream as the oracle's recursive CTE, so doubles are
+    * bit-identical. Rows inside the warm-up window use er = 1
+    * (fully directional), as does a zero-volatility window.
+    * One sort-shuffle per symbol; O(1) state in the sorted-group pass.
+    */
+  def kama(ticks: DataFrame, n: Int = 10): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    val ord = tickOrder
+    val pd = col("price").cast(dec)
+    val adiff = abs(pd - lag(pd, 1).over(ord))
+    val dir = abs(pd - lag(pd, n).over(ord))
+    val volSum = sum(adiff).over(ord.rowsBetween(-(n - 1), 0))
+    val fastC = lit(2.0) / lit(3.0)   // 2/(2+1)
+    val slowC = lit(2.0) / lit(31.0)  // 2/(30+1)
+    val rn = row_number().over(ord)
+    val er = when(rn <= n || volSum === lit(0).cast(dec), lit(1.0))
+      .otherwise(dir.cast("double") / volSum.cast("double"))
+    val sc = er * (fastC - slowC) + slowC
+    ticks.select(col("event_id"), col("symbol"),
+        unix_micros(col("ts")).as("ts_us"), col("price"),
+        (sc * sc).as("sc"))
+      .as[KamaIn]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("ts_us"), col("event_id")) { (sym, it) =>
+        var k = 0.0
+        var first = true
+        it.map { t =>
+          k = if (first) { first = false; t.price }
+              else k + t.sc * (t.price - k)
+          KamaRow(t.event_id, sym, k)
+        }
+      }
+      .toDF()
+      .orderBy("event_id")
+  }
+
   final case class MacdRow(event_id: Long, symbol: String,
       ema_fast: Double, ema_slow: Double, macd: Double)
 
@@ -761,6 +808,37 @@ object MarketOps {
         sum(when(col("gap_us") > thresholdSec * 1000000L, 1L).otherwise(0L))
           .as("n_stale"))
       .orderBy("symbol")
+  }
+
+  /** Multi-resolution continuous-aggregate cascade: minute bars →
+    * hourly bars → daily bars, each level re-aggregated FROM the level
+    * below (the TSDB materialized-rollup pattern). After the first
+    * minute aggregation, every later shuffle moves bar states only —
+    * at 100 TB the hourly and daily levels cost |symbols × buckets|
+    * rows, not the tick log. open/close propagate by `min_by`/`max_by`
+    * on the sub-bar timestamp (unique within each parent bucket, so no
+    * tie ambiguity above level 1).
+    */
+  def barCascade(ticks: DataFrame): DataFrame = {
+    val minute = ticks
+      .groupBy(col("symbol"), date_trunc("minute", col("ts")).as("m"))
+      .agg(min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"), min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        sum(col("volume")).as("vol"), count(lit(1)).as("n"))
+    val hour = minute
+      .groupBy(col("symbol"), date_trunc("hour", col("m")).as("h"))
+      .agg(min_by(col("open"), col("m")).as("open"),
+        max(col("high")).as("high"), min(col("low")).as("low"),
+        max_by(col("close"), col("m")).as("close"),
+        sum(col("vol")).as("vol"), sum(col("n")).as("n"))
+    hour
+      .groupBy(col("symbol"), to_date(col("h")).as("day"))
+      .agg(min_by(col("open"), col("h")).as("open"),
+        max(col("high")).as("high"), min(col("low")).as("low"),
+        max_by(col("close"), col("h")).as("close"),
+        sum(col("vol")).as("volume"), sum(col("n")).as("n_ticks"))
+      .orderBy("symbol", "day")
   }
 
   /** Order-flow imbalance via the tick rule: each tick is signed by its

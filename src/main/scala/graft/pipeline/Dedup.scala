@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -246,6 +246,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** ASYMMETRIC n-gram containment `|A∩B| / |A|` — catches a document
+    * quoted or wholly embedded inside a larger one, which symmetric
+    * Jaccard dilutes toward 0 as the host grows. Same shingle arrays
+    * and candidate-pair plumbing as [[ngramJaccard]]; both directions
+    * are emitted so subsumption is visible either way round.
+    */
+  def containment(pairs: DataFrame, docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    def contain(num: Column, den: Column): Column =
+      when(den === 0, 0.0).otherwise(round(num / den.cast("double"), 6))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        contain(inter, size(col("sh_a"))).as("containment_a"),
+        contain(inter, size(col("sh_b"))).as("containment_b"))
       .orderBy("doc_a", "doc_b")
   }
 }

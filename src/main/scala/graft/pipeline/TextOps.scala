@@ -385,6 +385,24 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Deterministic train/val/test split (80/10/10) by content-free
+    * hash bucketing: bucket = md5-fold("split" || doc_id) mod 100.
+    * Reported as a per-(split, source) composition table so the split
+    * balance is auditable. Pure hash partitioning — no global sort, no
+    * window, reproducible on any engine and any cluster size.
+    */
+  def trainSplit(docs: DataFrame): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("split"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 12), 16, 10).cast("long"), lit(100L))
+    docs.withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy("split", "source")
+  }
+
   /** Top-k adjacent-word collocations (the bigram-frequency pass a BPE
     * trainer or phrase miner starts from). Bigrams are built map-side
     * with one positional transform over the token array; one

@@ -94,6 +94,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_intervals") === 3L)
   }
 
+  test("interval overlap: bucketed rewrite matches hand-computed counts") {
+    import spark.implicits._
+    // value 1.00 -> 100 s intervals. user 1:
+    //   error e1 [0,100] overlaps clicks c1 [50,150] and c2 [100,200]
+    //   (closed-interval touch), error e2 [400,500] overlaps none;
+    // user 2: error e3 [0,100], same-window click belongs to user 1 only
+    val e = Seq(
+      (1L, 1L, "error", 0L, 1.00), (2L, 1L, "error", 400000000L, 1.00),
+      (3L, 2L, "error", 0L, 1.00),
+      (10L, 1L, "click", 50000000L, 1.00), (11L, 1L, "click", 100000000L, 1.00),
+      (12L, 1L, "click", 300000000L, 0.50))
+      .toDF("event_id", "user_id", "event_type", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = EventAnalytics.intervalOverlap(e).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_overlap")).toMap
+    assert(got === Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("concurrency: peak is at least 1 and intervals conserve counts") {
     val c = EventAnalytics.concurrency(events).cache()
     assert(c.filter(col("peak_concurrent") < 1).count() === 0)

@@ -400,6 +400,29 @@ class MarketOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((-1L, -1.0)))
   }
 
+  test("bar cascade: daily bars from the cascade equal direct daily OHLC") {
+    val direct = MarketOps.ohlcDaily(ticks)
+      .select("symbol", "day", "open", "high", "low", "close", "volume", "n_ticks")
+    val cascade = MarketOps.barCascade(ticks)
+      .select("symbol", "day", "open", "high", "low", "close", "volume", "n_ticks")
+    assert(cascade.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(cascade).count() === 0)
+  }
+
+  test("kama: constant tape returns the price; output stays in price range") {
+    val flat = syntheticTicks((1 to 40).map(i =>
+      (i.toLong, "K", i * 1000000L, 42.0, 1L)))
+    val r = MarketOps.kama(flat, 10)
+    assert(r.filter(col("kama") =!= 42.0).count() === 0)
+    val mm = ticks.groupBy("symbol").agg(min("price").as("mn"), max("price").as("mx"))
+    val bad = MarketOps.kama(ticks, 10)
+      .join(ticks.select("event_id", "symbol"), Seq("event_id", "symbol"))
+      .join(mm, "symbol")
+      .filter(col("kama") < col("mn") || col("kama") > col("mx"))
+      .count()
+    assert(bad === 0)
+  }
+
   test("forward as-of never matches a quote strictly before the trade") {
     val t = Tables.events(spark, sf).select(col("event_id"),
       col("event_type").as("symbol"), col("ts"),

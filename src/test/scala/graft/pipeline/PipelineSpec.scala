@@ -309,6 +309,43 @@ class PipelineSpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("containment: an embedded document is fully contained") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zero alpha beta gamma delta epsilon omega end tail"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Dedup.containment(pairs, d).collect()(0)
+    assert(r.getAs[Double]("containment_a") === 1.0)
+    assert(r.getAs[Double]("containment_b") < 1.0)
+  }
+
+  test("containment bounds [0,1] and dominates jaccard on the same pairs") {
+    val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+    val c = Dedup.containment(pairs, docs)
+    val j = Dedup.ngramJaccard(pairs, docs)
+    val joined = c.join(j, Seq("doc_a", "doc_b"))
+    assert(joined.filter(col("containment_a") < 0 || col("containment_a") > 1 ||
+      col("containment_b") < 0 || col("containment_b") > 1).count() === 0)
+    // |A∩B|/|A| >= |A∩B|/|A∪B| always (rounding-tolerant epsilon)
+    assert(joined.filter(col("containment_a") < col("jaccard") - 1e-6).count() === 0)
+  }
+
+  test("train split partitions the corpus into three named splits") {
+    val s = TextOps.trainSplit(docs).cache()
+    assert(s.agg(sum("n_docs")).collect()(0).getLong(0) === docs.count())
+    val splits = s.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    assert(splits.contains("train"))
+    // 80/10/10 in expectation: train must dominate at sf0.001 (500 docs)
+    val byS = s.groupBy("split").agg(sum("n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("train") > byS.getOrElse("val", 0L))
+    assert(byS("train") > byS.getOrElse("test", 0L))
+    s.unpersist()
+  }
+
   test("collocations: adjacent pairs counted with deterministic top-k") {
     import spark.implicits._
     val d = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")

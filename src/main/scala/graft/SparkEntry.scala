@@ -164,6 +164,13 @@ object SparkEntry {
         t.filter(col("symbol") === "click"))
     }),
     "q_bar_cascade" -> ((s, dir) => MarketOps.barCascade(ticks(s, dir))),
+    "q_sax" -> ((s, dir) => MarketOps.saxWords(ticks(s, dir))),
+    "q_trend" -> ((s, dir) => MarketOps.trend(ticks(s, dir))),
+    "q_seasonality" -> ((s, dir) => MarketOps.seasonality(ticks(s, dir))),
+    "q_late_arrivals" -> ((s, dir) => MarketOps.lateArrivals(ticks(s, dir))),
+    "q_slippage" -> ((s, dir) => MarketOps.slippage(ticks(s, dir))),
+    "q_symbol_catalog" -> ((s, dir) => MarketOps.symbolCatalog(ticks(s, dir))),
+    "q_window_extras" -> ((s, dir) => Relational.windowExtras(s, dir)),
     "q_kama" -> ((s, dir) => MarketOps.kama(ticks(s, dir), 10)),
     "q_interval_join" -> ((s, dir) =>
       EventAnalytics.intervalOverlap(Tables.events(s, dir))),
@@ -1307,6 +1314,110 @@ object SparkEntry {
         |FROM d JOIN ch ON d.user_id = ch.user_id
         |WHERE d.day - ch.cohort_day <= 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // rank-based PAA discretization — every step integer/decimal-exact
+    "q_sax" ->
+      """WITH segs AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(date_part('hour', ts) // 4 AS INT) AS seg,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE) AS m
+        |  FROM events GROUP BY 1, 2, 3),
+        |rk AS (
+        |  SELECT symbol, day, seg,
+        |         chr(96 + CAST(RANK() OVER (PARTITION BY symbol, day
+        |                        ORDER BY m, seg) AS INT)) AS letter
+        |  FROM segs)
+        |SELECT symbol, day,
+        |       string_agg(letter, '' ORDER BY seg) AS sax_word,
+        |       CAST(COUNT(*) AS BIGINT) AS n_segments
+        |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // hour-resolution x keeps every exact-decimal moment under 2^53,
+    // so even the decimal->double casts are exact on both engines
+    "q_trend" ->
+      """WITH m AS (
+        |  SELECT event_type AS symbol, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(xd) AS DOUBLE) AS sx, CAST(SUM(yd) AS DOUBLE) AS sy,
+        |         CAST(SUM(xd * yd) AS DOUBLE) AS sxy,
+        |         CAST(SUM(xd * xd) AS DOUBLE) AS sxx,
+        |         CAST(SUM(yd * yd) AS DOUBLE) AS syy
+        |  FROM (SELECT event_type,
+        |               CAST((epoch_us(ts) // 1000000 - 1704067200) // 3600
+        |                    AS DECIMAL(10,0)) AS xd,
+        |               CAST(value AS DECIMAL(18,2)) AS yd
+        |        FROM events)
+        |  GROUP BY 1)
+        |SELECT symbol, n,
+        |       CASE WHEN n * sxx - sx * sx = 0.0 THEN 0.0
+        |            ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 24.0, 6)
+        |       END AS slope_per_day,
+        |       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0.0 THEN 0.0
+        |            ELSE ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |       END AS r2
+        |FROM m ORDER BY symbol""".stripMargin,
+    "q_seasonality" ->
+      """WITH hourly AS (
+        |  SELECT event_type AS symbol, CAST(date_part('hour', ts) AS BIGINT) AS hod,
+        |         SUM(CAST(value AS DECIMAL(18,2))) AS s,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |overall AS (
+        |  SELECT symbol, SUM(s) AS st, CAST(SUM(c) AS BIGINT) AS ct
+        |  FROM hourly GROUP BY 1)
+        |SELECT h.symbol, h.hod, h.c AS n_ticks,
+        |       ROUND((CAST(h.s AS DOUBLE) / CAST(h.c AS DOUBLE))
+        |             / (CAST(o.st AS DOUBLE) / CAST(o.ct AS DOUBLE)), 6)
+        |         AS season_index
+        |FROM hourly h JOIN overall o ON h.symbol = o.symbol
+        |ORDER BY 1, 2""".stripMargin,
+    // arrival order = event_id (append sequence); lateness in exact
+    // BIGINT microseconds vs the running max event time
+    "q_late_arrivals" ->
+      """WITH a AS (
+        |  SELECT event_type AS symbol, epoch_us(ts) AS us,
+        |         MAX(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prior
+        |  FROM events),
+        |l AS (SELECT symbol,
+        |             CASE WHEN max_prior IS NOT NULL AND us < max_prior
+        |                  THEN max_prior - us ELSE 0 END AS late_us
+        |      FROM a)
+        |SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_ticks,
+        |       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |       CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+        |       CAST(SUM(late_us) AS BIGINT) AS sum_late_us
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_slippage" ->
+      """WITH vwap AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2)) * user_id) AS DOUBLE)
+        |           / CAST(SUM(user_id) AS DOUBLE) AS vwap
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, CAST(e.ts AS DATE) AS day, e.value AS price, v.vwap,
+        |       ROUND((e.value - v.vwap) / v.vwap * 10000.0, 4) AS slippage_bp
+        |FROM events e
+        |JOIN vwap v ON v.symbol = e.event_type AND v.day = CAST(e.ts AS DATE)
+        |WHERE e.event_type = 'purchase' AND v.vwap <> 0.0
+        |ORDER BY e.event_id""".stripMargin,
+    "q_symbol_catalog" ->
+      """SELECT event_type AS symbol, CAST(COUNT(*) AS BIGINT) AS n_ticks,
+        |       CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_ts_us,
+        |       CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_ts_us,
+        |       MIN(value) AS min_price, MAX(value) AS max_price,
+        |       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |       CAST(SUM(user_id) AS BIGINT) AS total_volume
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_extras" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       ROUND(percent_rank() OVER w, 6) AS pr,
+        |       ROUND(cume_dist() OVER w, 6) AS cd,
+        |       COALESCE(nth_value(o_totalprice, 3) OVER
+        |         (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1.0)
+        |         AS third_price
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     // cascade mirrored level by level: minute bars from ticks, hourly
     // from minute, daily from hourly — min_by/max_by on the sub-bar
     // timestamp (unique above level 1)

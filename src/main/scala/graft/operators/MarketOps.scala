@@ -810,6 +810,142 @@ object MarketOps {
       .orderBy("symbol")
   }
 
+  /** SAX-style shape words: each (symbol, day) is segmented into six
+    * 4-hour windows, each segment reduced to its exact-decimal mean
+    * (PAA), and segments are ranked within the day — the word is the
+    * rank letters in time order ('a' = cheapest segment). Rank-based
+    * discretization instead of z-normalized Gaussian breakpoints keeps
+    * every step integer/decimal-exact (no stddev, no sqrt), so the
+    * words match across engines bit-for-bit. Two shuffles: segment
+    * aggregation, then a day-partitioned rank window over ≤6 rows per
+    * partition.
+    */
+  def saxWords(ticks: DataFrame): DataFrame = {
+    val seg = (hour(col("ts")) / lit(4)).cast("int")
+    val segs = ticks
+      .groupBy(col("symbol"), to_date(col("ts")).as("day"), seg.as("seg"))
+      .agg(exactAvg(col("price"), count(lit(1))).as("m"))
+    val rk = rank().over(Window.partitionBy("symbol", "day")
+      .orderBy(col("m"), col("seg")))
+    segs.withColumn("letter", chr(rk + lit(96)))
+      .groupBy(col("symbol"), col("day"))
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("seg"), col("letter")))),
+          x => x.getField("letter"))).as("sax_word"),
+        count(lit(1)).cast("long").as("n_segments"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Per-symbol OLS time trend: slope of price on tick time (whole
+    * hours since 2024-01-01) from the classic closed-form moments.
+    * Every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact DECIMAL sum —
+    * order-free and engine-identical — and hour-resolution x keeps
+    * every moment under 2^53, so even the decimal→double casts are
+    * EXACT (no conversion-rounding divergence; see q_realized_vol).
+    * Slope/R² then come out through a fixed sequence of double ops.
+    * One partial-agg shuffle; degenerate denominators guarded to 0 on
+    * both engines.
+    */
+  def trend(ticks: DataFrame): DataFrame = {
+    val baseS = 1704067200L // 2024-01-01T00:00:00Z
+    val xd = expr(s"(unix_micros(ts) div 1000000 - ${baseS}L) div 3600")
+      .cast(DecimalType(10, 0))
+    val yd = col("price").cast(dec)
+    val m = ticks.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n"),
+      sum(xd).cast("double").as("sx"),
+      sum(yd).cast("double").as("sy"),
+      sum(xd * yd).cast("double").as("sxy"),
+      sum(xd * xd).cast("double").as("sxx"),
+      sum(yd * yd).cast("double").as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denX = col("n") * col("sxx") - col("sx") * col("sx")
+    val denY = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("symbol"), col("n"),
+        when(denX === 0.0, 0.0)
+          .otherwise(round(num / denX * 24.0, 6)).as("slope_per_day"),
+        when(denX * denY === 0.0, 0.0)
+          .otherwise(round(num * num / (denX * denY), 6)).as("r2"))
+      .orderBy("symbol")
+  }
+
+  /** Hour-of-day seasonality index per symbol: hourly mean over overall
+    * mean, both exact-decimal averages — the intraday profile used to
+    * normalize volume/price curves. One shuffle; the per-symbol
+    * overall mean broadcasts back onto 24 rows per symbol.
+    */
+  def seasonality(ticks: DataFrame): DataFrame = {
+    val hourly = ticks
+      .groupBy(col("symbol"), hour(col("ts")).cast("long").as("hod"))
+      .agg(sum(col("price").cast(dec)).as("s"), count(lit(1)).as("c"))
+    val overall = hourly.groupBy(col("symbol"))
+      .agg(sum(col("s")).as("st"), sum(col("c")).as("ct"))
+    hourly.join(broadcast(overall), "symbol")
+      .select(col("symbol"), col("hod"), col("c").as("n_ticks"),
+        round((col("s").cast("double") / col("c").cast("double")) /
+          (col("st").cast("double") / col("ct").cast("double")), 6)
+          .as("season_index"))
+      .orderBy("symbol", "hod")
+  }
+
+  /** Late-arrival report: arrival order is `event_id` (the append
+    * sequence); a tick is late when its event time precedes the
+    * running max event time of everything that arrived before it.
+    * Lateness totals stay in exact BIGINT µs. This is the batch
+    * mirror of the streaming watermark decision — it measures how
+    * much out-of-orderness a watermark would have to absorb.
+    */
+  def lateArrivals(ticks: DataFrame): DataFrame = {
+    val arrival = Window.partitionBy("symbol").orderBy("event_id")
+    val maxPrior = max(unix_micros(col("ts")))
+      .over(arrival.rowsBetween(Window.unboundedPreceding, -1))
+    ticks.withColumn("late_us",
+        when(maxPrior.isNotNull && unix_micros(col("ts")) < maxPrior,
+          maxPrior - unix_micros(col("ts"))).otherwise(0L))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        sum(col("late_us")).as("sum_late_us"))
+      .orderBy("symbol")
+  }
+
+  /** Per-trade VWAP slippage: each purchase tick against its symbol's
+    * daily VWAP, in (rounded) basis points. The VWAP ratio and the
+    * slippage quotient run identical double ops on both engines; the
+    * daily VWAP table broadcasts back onto the trade stream.
+    */
+  def slippage(ticks: DataFrame): DataFrame = {
+    val vwap = ticks.groupBy(col("symbol"), to_date(col("ts")).as("day"))
+      .agg((sum(col("price").cast(dec) * col("volume")).cast("double") /
+        sum(col("volume")).cast("double")).as("vwap"))
+    ticks.filter(col("symbol") === "purchase")
+      .select(col("event_id"), col("symbol"), to_date(col("ts")).as("day"),
+        col("price"))
+      .join(broadcast(vwap), Seq("symbol", "day"))
+      .filter(col("vwap") =!= 0.0)
+      .select(col("event_id"), col("day"), col("price"), col("vwap"),
+        round((col("price") - col("vwap")) / col("vwap") * 10000.0, 4)
+          .as("slippage_bp"))
+      .orderBy("event_id")
+  }
+
+  /** Symbol catalog: the TSDB directory listing — per-symbol extent
+    * metadata (count, time range, price range, active days, volume).
+    * The distributed analog of the reference's per-symbol data
+    * directory + `get_count` (/root/reference/timeseries_db.hpp).
+    */
+  def symbolCatalog(ticks: DataFrame): DataFrame =
+    ticks.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        unix_micros(min(col("ts"))).as("first_ts_us"),
+        unix_micros(max(col("ts"))).as("last_ts_us"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        sum(col("volume")).as("total_volume"))
+      .orderBy("symbol")
+
   /** Multi-resolution continuous-aggregate cascade: minute bars →
     * hourly bars → daily bars, each level re-aggregated FROM the level
     * below (the TSDB materialized-rollup pattern). After the first

@@ -625,6 +625,26 @@ object Relational {
         sum(d("o_totalprice")).cast("double").as("total_price"))
       .orderBy("o_orderpriority")
 
+  /** Distribution window functions: percent_rank / cume_dist / a
+    * full-frame nth_value over a unique (price, key) order — the
+    * ranking surface beyond rank/dense_rank/ntile in the base window
+    * suite. The unique tie-break makes every rank deterministic; the
+    * rank quotients are identical double ops on both engines.
+    */
+  def windowExtras(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir).filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        coalesce(nth_value(col("o_totalprice"), 3).over(full), lit(-1.0))
+          .as("third_price"))
+      .orderBy("o_orderkey")
+  }
+
   /** Explicit GROUPING SETS — the general form rollup/cube are sugar
     * for: (returnflag, linestatus), the linestatus marginal rollup
     * cannot produce, and the grand total, in ONE aggregation pass

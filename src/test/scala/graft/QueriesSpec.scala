@@ -46,6 +46,22 @@ class QueriesSpec extends AnyFunSuite {
     gs.unpersist()
   }
 
+  test("window extras: rank quotients in [0,1], third_price from the partition") {
+    import org.apache.spark.sql.functions._
+    val we = graft.operators.Relational.windowExtras(spark, sf).cache()
+    assert(we.filter(col("pr") < 0 || col("pr") > 1 ||
+      col("cd") <= 0 || col("cd") > 1).count() === 0)
+    // third_price is either the sentinel or an actual price in the partition
+    val prices = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_totalprice")).distinct()
+    val badThird = we.filter(col("third_price") =!= -1.0)
+      .join(prices, we("third_price") === prices("o_totalprice"), "left_anti")
+      .count()
+    assert(badThird === 0)
+    we.unpersist()
+  }
+
   test("unpivot: 4 measures per returnflag, values match the wide aggregate") {
     import org.apache.spark.sql.functions._
     val up = graft.operators.Relational.unpivotMeasures(spark, sf).cache()

@@ -423,6 +423,65 @@ class MarketOpsSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("sax words: letters are a permutation of the day's segment ranks") {
+    val r = MarketOps.saxWords(ticks).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val word = row.getAs[String]("sax_word")
+      val n = row.getAs[Long]("n_segments")
+      assert(word.length === n)
+      assert(word.sorted === (1 to n.toInt).map(i => ('a' + i - 1).toChar).mkString)
+    }
+  }
+
+  test("trend: an exact linear tape recovers its slope with r2 = 1") {
+    // price = 100 + 2.00/hour, one tick per hour from the 2024 epoch
+    val t = syntheticTicks((0 until 72).map(i =>
+      (i.toLong, "T", 1704067200000000L + i * 3600000000L, 100.0 + 2.0 * i, 1L)))
+    val r = MarketOps.trend(t).collect()(0)
+    assert(math.abs(r.getAs[Double]("slope_per_day") - 48.0) < 1e-6)
+    assert(r.getAs[Double]("r2") === 1.0)
+  }
+
+  test("seasonality: tick-weighted mean index is 1 per symbol") {
+    val s = MarketOps.seasonality(ticks)
+    val bad = s.groupBy("symbol")
+      .agg((sum(col("season_index") * col("n_ticks")) / sum(col("n_ticks")))
+        .as("wm"))
+      .filter(abs(col("wm") - 1.0) > 1e-4).count()
+    assert(bad === 0)
+  }
+
+  test("late arrivals: counts bounded and detected on a known shuffle") {
+    // arrival order (event_id) 1,2,3 but event times 10,30,20 -> one late
+    val t = syntheticTicks(Seq(
+      (1L, "L", 10000000L, 1.0, 1L), (2L, "L", 30000000L, 1.0, 1L),
+      (3L, "L", 20000000L, 1.0, 1L)))
+    val r = MarketOps.lateArrivals(t).collect()(0)
+    assert(r.getAs[Long]("n_late") === 1L)
+    assert(r.getAs[Long]("max_late_us") === 10000000L)
+    assert(r.getAs[Long]("sum_late_us") === 10000000L)
+    val real = MarketOps.lateArrivals(ticks)
+    assert(real.filter(col("n_late") > col("n_ticks")).count() === 0)
+  }
+
+  test("slippage: every purchase tick appears once with finite bp") {
+    val s = MarketOps.slippage(ticks).cache()
+    val purchases = ticks.filter(col("symbol") === "purchase").count()
+    assert(s.count() === purchases)
+    assert(s.filter(col("vwap") <= 0.0).count() === 0)
+    s.unpersist()
+  }
+
+  test("symbol catalog: ranges are consistent") {
+    val c = MarketOps.symbolCatalog(ticks).cache()
+    assert(c.count() === ticks.select("symbol").distinct().count())
+    assert(c.filter(col("first_ts_us") > col("last_ts_us") ||
+      col("min_price") > col("max_price") || col("n_days") < 1).count() === 0)
+    assert(c.agg(sum("n_ticks")).collect()(0).getLong(0) === ticks.count())
+    c.unpersist()
+  }
+
   test("forward as-of never matches a quote strictly before the trade") {
     val t = Tables.events(spark, sf).select(col("event_id"),
       col("event_type").as("symbol"), col("ts"),

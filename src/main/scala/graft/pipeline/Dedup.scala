@@ -25,16 +25,12 @@ object Dedup {
   /** Word n-gram shingles (sorted distinct), the input to MinHash /
     * Jaccard. Pure scalar transform, no shuffle.
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val words = split(col("text"), " ")
-    // k-gram via transform over sliding offsets; filter short tails
-    val grams = filter(
-      transform(words, (w, i) =>
-        when(i <= size(words) - n,
-          concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))),
-      g => g.isNotNull)
-    docs.select(col("doc_id"), array_distinct(grams).as("shingles"))
-  }
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    // k-gram via transform over sliding offsets (token array projected
+    // first — see TextOps.gramsOf on why the split must be an attribute)
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), array_distinct(TextOps.gramsOf(col("ws"), n))
+        .as("shingles"))
 
   /** MinHash signatures over word n-grams: k independent permutations;
     * signature[i] = min over grams of hash_i(gram). Computed by the

@@ -165,15 +165,26 @@ object TextOps {
     * `isEval` marks the held-out rows (callers pass a deterministic
     * predicate so the oracle can reproduce the split).
     */
+  /** Word n-grams from an already-projected token-array ATTRIBUTE.
+    * Callers must materialize `split(text)` into a column first: with
+    * the split inlined, the interpreted higher-order lambda re-splits
+    * the text at every `element_at` site — O(words²·n) splits per doc
+    * (measured 6.4 s → 0.6 s on q_contamination at sf0.1). Catalyst's
+    * CollapseProject keeps the projection because the reference is
+    * expensive and multiply-used.
+    */
+  private[pipeline] def gramsOf(ws: Column, n: Int): Column = filter(
+    transform(ws, (_, i) =>
+      when(i <= size(ws) - n,
+        concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))),
+    g => g.isNotNull)
+
   def contamination(docs: DataFrame, isEval: Column, n: Int = 5): DataFrame = {
-    val words = split(col("text"), " ")
-    val grams = filter(
-      transform(words, (w, i) =>
-        when(i <= size(words) - n,
-          concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))),
-      g => g.isNotNull)
-    val exploded = docs.select(col("doc_id"), isEval.as("is_eval"),
-      explode(grams).as("gram"))
+    val exploded = docs
+      .select(col("doc_id"), isEval.as("is_eval"),
+        split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("is_eval"),
+        explode(gramsOf(col("ws"), n)).as("gram"))
     val evalGrams = exploded.filter(col("is_eval")).select(col("gram")).distinct()
     exploded.filter(!col("is_eval"))
       .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
@@ -326,13 +337,8 @@ object TextOps {
     * dedup/training.
     */
   def boilerplate(docs: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
-    val words = split(col("text"), " ")
-    val grams = filter(
-      transform(words, (_, i) =>
-        when(i <= size(words) - n,
-          concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))),
-      g => g.isNotNull)
-    docs.select(col("doc_id"), explode(grams).as("gram"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(gramsOf(col("ws"), n)).as("gram"))
       .groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= 2)

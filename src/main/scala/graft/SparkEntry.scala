@@ -165,6 +165,9 @@ object SparkEntry {
     }),
     "q_bar_cascade" -> ((s, dir) => MarketOps.barCascade(ticks(s, dir))),
     "q_sax" -> ((s, dir) => MarketOps.saxWords(ticks(s, dir))),
+    "q_roll_spread" -> ((s, dir) => MarketOps.rollSpread(ticks(s, dir))),
+    "q_amihud" -> ((s, dir) => MarketOps.amihud(ticks(s, dir))),
+    "q_price_impact" -> ((s, dir) => MarketOps.priceImpact(ticks(s, dir))),
     "q_trend" -> ((s, dir) => MarketOps.trend(ticks(s, dir))),
     "q_seasonality" -> ((s, dir) => MarketOps.seasonality(ticks(s, dir))),
     "q_late_arrivals" -> ((s, dir) => MarketOps.lateArrivals(ticks(s, dir))),
@@ -1314,6 +1317,82 @@ object SparkEntry {
         |FROM d JOIN ch ON d.user_id = ch.user_id
         |WHERE d.day - ch.cohort_day <= 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact-decimal Δp moments; sqrt is IEEE-correctly-rounded on both
+    // engines, so the spread chain is bit-stable before the final round
+    "q_roll_spread" ->
+      """WITH d AS (
+        |  SELECT event_type AS symbol, ts, event_id,
+        |         CAST(value AS DECIMAL(18,2))
+        |           - LAG(CAST(value AS DECIMAL(18,2))) OVER w AS d
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |dd AS (
+        |  SELECT symbol, d,
+        |         LAG(d) OVER (PARTITION BY symbol ORDER BY ts, event_id) AS dl
+        |  FROM d),
+        |m AS (
+        |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |         CAST(SUM(d) AS DOUBLE) AS sx, CAST(SUM(dl) AS DOUBLE) AS sy,
+        |         CAST(SUM(d * dl) AS DOUBLE) AS sxy
+        |  FROM dd WHERE d IS NOT NULL AND dl IS NOT NULL GROUP BY 1)
+        |SELECT symbol, n_pairs,
+        |       ROUND((sxy - sx * sy / CAST(n_pairs AS DOUBLE))
+        |             / (CAST(n_pairs AS DOUBLE) - 1.0), 6) AS serial_cov,
+        |       CASE WHEN (sxy - sx * sy / CAST(n_pairs AS DOUBLE))
+        |                 / (CAST(n_pairs AS DOUBLE) - 1.0) < 0.0
+        |            THEN ROUND(SQRT(-((sxy - sx * sy / CAST(n_pairs AS DOUBLE))
+        |                 / (CAST(n_pairs AS DOUBLE) - 1.0))) * 2.0, 6)
+        |            ELSE 0.0 END AS roll_spread
+        |FROM m ORDER BY symbol""".stripMargin,
+    // rank-1 closes, exact decimal dollar volume; per-day ratios are
+    // 6-dp decimals so the day average is order-free
+    "q_amihud" ->
+      """WITH t AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day, value AS price,
+        |         CAST(value AS DECIMAL(18,2)) * user_id AS dv_part,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |closes AS (SELECT symbol, day, price FROM t WHERE rn = 1),
+        |dv AS (SELECT symbol, day, SUM(dv_part) AS dv FROM t GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c.symbol, c.day, c.price, dv.dv,
+        |         LAG(c.price) OVER (PARTITION BY c.symbol ORDER BY c.day) AS prev
+        |  FROM closes c JOIN dv ON c.symbol = dv.symbol AND c.day = dv.day),
+        |i AS (
+        |  SELECT symbol,
+        |         CAST(ROUND(ABS(price / prev - 1) / CAST(dv AS DOUBLE)
+        |              * 1000000.0, 6) AS DECIMAL(18,6)) AS illiq
+        |  FROM r WHERE prev IS NOT NULL AND prev <> 0 AND dv <> 0)
+        |SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       ROUND(CAST(SUM(illiq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |         AS avg_illiq_e6,
+        |       CAST(MAX(illiq) AS DOUBLE) AS max_illiq_e6
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+    // tick-rule-signed volume vs exact-decimal price change; same
+    // closed-form moment shape as q_trend
+    "q_price_impact" ->
+      """WITH d AS (
+        |  SELECT event_type AS symbol, user_id AS volume,
+        |         CAST(value AS DECIMAL(18,2))
+        |           - LAG(CAST(value AS DECIMAL(18,2))) OVER w AS dp
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |x AS (
+        |  SELECT symbol, dp,
+        |         CAST((CASE WHEN dp > 0 THEN 1 WHEN dp < 0 THEN -1 ELSE 0 END)
+        |              * volume AS DECIMAL(12,0)) AS x
+        |  FROM d WHERE dp IS NOT NULL),
+        |m AS (
+        |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(dp) AS DOUBLE) AS sy,
+        |         CAST(SUM(x * dp) AS DOUBLE) AS sxy,
+        |         CAST(SUM(x * x) AS DOUBLE) AS sxx
+        |  FROM x GROUP BY 1)
+        |SELECT symbol, n_pairs,
+        |       CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx = 0.0 THEN 0.0
+        |            ELSE ROUND((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |                 / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+        |                 * 10000.0, 6) END AS lambda_e4
+        |FROM m ORDER BY symbol""".stripMargin,
     // rank-based PAA discretization — every step integer/decimal-exact
     "q_sax" ->
       """WITH segs AS (

@@ -810,6 +810,96 @@ object MarketOps {
       .orderBy("symbol")
   }
 
+  /** Roll's implied bid-ask spread: 2·√(−cov(Δp_t, Δp_{t-1})) per
+    * symbol. Price changes are exact decimals, so the covariance
+    * moments (Σd, Σd′, Σdd′) are order-free; the covariance and the
+    * IEEE-correctly-rounded sqrt then run identical double ops on
+    * both engines. Positive serial covariance (no spread signal) is
+    * guarded to 0. One window shuffle + one partial aggregation.
+    */
+  def rollSpread(ticks: DataFrame): DataFrame = {
+    val pd = col("price").cast(dec)
+    val withD = ticks
+      .withColumn("d", pd - lag(pd, 1).over(tickOrder))
+      .withColumn("dl", lag(col("d"), 1).over(tickOrder))
+      .filter(col("d").isNotNull && col("dl").isNotNull)
+    val m = withD.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("d")).cast("double").as("sx"),
+      sum(col("dl")).cast("double").as("sy"),
+      sum(col("d") * col("dl")).cast("double").as("sxy"))
+    val nd = col("n_pairs").cast("double")
+    val cov = (col("sxy") - col("sx") * col("sy") / nd) / (nd - 1.0)
+    m.select(col("symbol"), col("n_pairs"),
+        round(cov, 6).as("serial_cov"),
+        when(cov < 0.0, round(sqrt(-cov) * 2.0, 6)).otherwise(0.0)
+          .as("roll_spread"))
+      .orderBy("symbol")
+  }
+
+  /** Amihud illiquidity (×10⁶): mean over days of |daily return| per
+    * dollar volume. Daily closes are rank-1 order statistics, dollar
+    * volume an exact decimal sum; each day's ratio is rounded to 6 dp
+    * and averaged through an exact decimal sum, so the day order
+    * never matters. Zero-volume / zero-close days are excluded on
+    * both engines.
+    */
+  def amihud(ticks: DataFrame): DataFrame = {
+    val rn = row_number().over(Window.partitionBy("symbol", "day")
+      .orderBy(col("ts").desc, col("event_id").desc))
+    val daily = ticks.withColumn("day", to_date(col("ts")))
+      .withColumn("dv_part", col("price").cast(dec) * col("volume"))
+      .withColumn("rn", rn)
+    val closes = daily.filter(col("rn") === 1)
+      .select(col("symbol"), col("day"), col("price"))
+    val dv = daily.groupBy(col("symbol"), col("day"))
+      .agg(sum(col("dv_part")).as("dv"))
+    val prev = lag(col("price"), 1)
+      .over(Window.partitionBy("symbol").orderBy("day"))
+    closes.join(dv, Seq("symbol", "day"))
+      .withColumn("prev", prev)
+      .filter(col("prev").isNotNull && col("prev") =!= 0.0 &&
+        col("dv") =!= lit(0).cast(dec))
+      .withColumn("illiq",
+        round(abs(col("price") / col("prev") - 1.0) / col("dv").cast("double")
+          * 1000000.0, 6).cast(DecimalType(18, 6)))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("illiq")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_illiq_e6"),
+        max(col("illiq")).cast("double").as("max_illiq_e6"))
+      .orderBy("symbol")
+  }
+
+  /** Kyle's lambda (price impact): per-symbol OLS slope of the tick
+    * price change on tick-rule-signed volume, reported per 10k signed
+    * shares. Same exact-decimal closed-form moments as [[trend]] —
+    * every sum stays under 2^53 at test scales, so the double casts
+    * are exact; at petabyte scale this runs per (symbol, day) where
+    * the moment magnitudes reset daily. One window + one aggregation.
+    */
+  def priceImpact(ticks: DataFrame): DataFrame = {
+    val pd = col("price").cast(dec)
+    val dp = pd - lag(pd, 1).over(tickOrder)
+    val withD = ticks.withColumn("dp", dp).filter(col("dp").isNotNull)
+      .withColumn("x",
+        (when(col("dp") > 0, 1L).when(col("dp") < 0, -1L).otherwise(0L) *
+          col("volume")).cast(DecimalType(12, 0)))
+    val m = withD.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("dp")).cast("double").as("sy"),
+      sum(col("x") * col("dp")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"))
+    val nd = col("n_pairs").cast("double")
+    val denX = nd * col("sxx") - col("sx") * col("sx")
+    m.select(col("symbol"), col("n_pairs"),
+        when(denX === 0.0, 0.0)
+          .otherwise(round((nd * col("sxy") - col("sx") * col("sy")) / denX
+            * 10000.0, 6)).as("lambda_e4"))
+      .orderBy("symbol")
+  }
+
   /** SAX-style shape words: each (symbol, day) is segmented into six
     * 4-hour windows, each segment reduced to its exact-decimal mean
     * (PAA), and segments are ranked within the day — the word is the

@@ -423,6 +423,37 @@ class MarketOpsSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("roll spread: a pure bid-ask bounce recovers twice the half-spread") {
+    // prices alternate 100.00 / 100.10 -> serial cov of price changes
+    // is -(0.10)^2-ish and the implied spread ~ 0.20
+    val t = syntheticTicks((1 to 200).map(i =>
+      (i.toLong, "R", i * 1000000L, if (i % 2 == 0) 100.10 else 100.00, 1L)))
+    val r = MarketOps.rollSpread(t).collect()(0)
+    assert(r.getAs[Double]("serial_cov") < 0.0)
+    assert(math.abs(r.getAs[Double]("roll_spread") - 0.20) < 0.01)
+  }
+
+  test("amihud: non-negative, max dominates average") {
+    val a = MarketOps.amihud(ticks).cache()
+    assert(a.count() > 0)
+    assert(a.filter(col("avg_illiq_e6") < 0 ||
+      col("max_illiq_e6") < col("avg_illiq_e6")).count() === 0)
+    a.unpersist()
+  }
+
+  test("price impact: a tape where dp = 0.01 * signed volume gives lambda 100") {
+    val rng = new scala.util.Random(7)
+    var p = 100.00
+    val rows = (1 to 300).map { i =>
+      val vol = 1 + rng.nextInt(99)
+      val sign = if (rng.nextBoolean()) 1 else -1
+      p = math.rint(p * 100 + sign * vol).toLong / 100.0
+      (i.toLong, "P", i * 1000000L, p, vol.toLong)
+    }
+    val r = MarketOps.priceImpact(syntheticTicks(rows)).collect()(0)
+    assert(r.getAs[Double]("lambda_e4") === 100.0)
+  }
+
   test("sax words: letters are a permutation of the day's segment ranks") {
     val r = MarketOps.saxWords(ticks).collect()
     assert(r.nonEmpty)

@@ -270,6 +270,9 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(Tables.documents(s, dir), 20)),
     "q_top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir))),
+    "q_lang_confusion" -> ((s, dir) =>
+      TextOps.langConfusion(Tables.documents(s, dir))),
+    "q_orc_roundtrip" -> ((s, dir) => orcRoundtrip(s, dir)),
     "q_containment" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = docs.select(col("doc_id").as("doc_a"),
@@ -491,6 +494,27 @@ object SparkEntry {
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType))))
       .json(s"$base/docs")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** ORC round-trip: the second columnar interchange format beside
+    * parquet — write the corpus as ORC (zlib), read it back through
+    * the ORC reader, digest every column. Value-preserving, so the
+    * oracle is the direct parquet scan (same pattern as JSONL).
+    */
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val basePath = java.nio.file.Files.createTempDirectory("graft_orc_")
+    val base = basePath.toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val walk = java.nio.file.Files.walk(basePath)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }))
+    Tables.documents(s, dir).write.orc(s"$base/docs")
+    s.read.orc(s"$base/docs")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         md5(col("text")).as("text_md5"))
       .orderBy("doc_id")
@@ -2535,6 +2559,27 @@ object SparkEntry {
         |SELECT doc_id, word AS top_term, CAST(tf AS BIGINT) AS tf,
         |       CAST(df AS BIGINT) AS df, score
         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_lang_confusion" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('der','und','das'))) AS s_de,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of'))) AS s_en,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de'))) AS s_es,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('le','la','et'))) AS s_fr,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('de','le','shi'))) AS s_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang AS declared,
+        |         CASE WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr'
+        |              WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en'
+        |              ELSE 'de' END AS predicted
+        |  FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM s))
+        |SELECT declared, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // value-preserving ORC write/read round-trip → direct-scan oracle
+    "q_orc_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // same shingle construction as q_ngram_jaccard; containment is
     // |A∩B| / |A| per direction, zero-gram docs guarded to 0
     "q_containment" ->

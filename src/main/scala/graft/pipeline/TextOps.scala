@@ -71,6 +71,18 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix: declared `lang` column vs the
+    * n-gram-heuristic prediction — the quality dashboard for the
+    * classifier itself (and the mislabeled-document detector for the
+    * corpus). One partial-agg shuffle of ≤|langs|² cells.
+    */
+  def langConfusion(docs: DataFrame): DataFrame =
+    langId(docs).select(col("doc_id"), col("pred_lang"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang").as("declared"), col("pred_lang").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("declared", "predicted")
+
   /** Edit distance between consecutive documents (the exact-verify
     * stage a fuzzy-dedup pipeline runs on candidate pairs when Jaccard
     * is too coarse). Integer Levenshtein — engine-exact.

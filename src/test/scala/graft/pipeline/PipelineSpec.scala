@@ -332,6 +332,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(joined.filter(col("containment_a") < col("jaccard") - 1e-6).count() === 0)
   }
 
+  test("lang confusion matrix conserves the corpus and stays in the label set") {
+    val cm = TextOps.langConfusion(docs).cache()
+    assert(cm.agg(sum("n_docs")).collect()(0).getLong(0) === docs.count())
+    val labels = TextOps.langMarkers.keySet
+    val preds = cm.select("predicted").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(labels))
+    cm.unpersist()
+  }
+
   test("train split partitions the corpus into three named splits") {
     val s = TextOps.trainSplit(docs).cache()
     assert(s.agg(sum("n_docs")).collect()(0).getLong(0) === docs.count())

@@ -116,20 +116,24 @@ object EventAnalytics {
           (col("value").cast(DecimalType(18, 2)) * 100).cast("long") * 1000000L)
           .as("e"))
     val l = intervals(leftType)
-      .withColumn("bucket",
+      .select(col("event_id"), col("user_id").as("l_user"),
+        col("s"), col("e"))
+      .withColumn("l_bucket",
         explode(expr(s"sequence(s div ${bucketUs}L, e div ${bucketUs}L)")))
     val r = intervals(rightType)
       .select(col("event_id").as("r_id"), col("user_id"),
         col("s").as("rs"), col("e").as("re"))
       .withColumn("bucket",
         explode(expr(s"sequence(rs div ${bucketUs}L, re div ${bucketUs}L)")))
-    val pairs = l.join(r, Seq("user_id", "bucket"))
-      .filter(col("s") <= col("re") && col("rs") <= col("e"))
-      .select(col("event_id"), col("r_id")).distinct()
-    intervals(leftType).select(col("event_id"))
-      .join(pairs.groupBy("event_id").agg(count(lit(1)).as("cnt")),
-        Seq("event_id"), "left")
-      .select(col("event_id"), coalesce(col("cnt"), lit(0L)).as("n_overlap"))
+    // LEFT OUTER keeps zero-overlap lefts in-band (no second left scan
+    // for the zero-fill — the r5 plan scanned the left side twice), and
+    // count(DISTINCT r_id) both dedupes pairs that share several coarse
+    // buckets and ignores the outer-join NULLs — one scan per side.
+    l.join(r,
+        col("l_user") === col("user_id") && col("l_bucket") === col("bucket") &&
+          col("s") <= col("re") && col("rs") <= col("e"), "left_outer")
+      .groupBy(col("event_id"))
+      .agg(countDistinct(col("r_id")).as("n_overlap"))
       .orderBy("event_id")
   }
 

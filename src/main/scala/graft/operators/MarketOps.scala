@@ -230,12 +230,50 @@ object MarketOps {
         (col("price") / col("prev") - 1).as("ret"))
       .orderBy("event_id")
 
-  /** Running (cumulative) volume per symbol — exact integer math. */
-  def runningVolume(ticks: DataFrame): DataFrame =
-    ticks.select(col("event_id"), col("symbol"),
-        sum(col("volume")).over(tickOrder.rowsBetween(Window.unboundedPreceding, 0))
-          .as("cum_volume"))
+  // ---- distributed prefix aggregation (chunked cumulative windows) ----
+  //
+  // An unbounded `Window.partitionBy(symbol)` cumulative serializes one
+  // symbol's ENTIRE history through a single task — parallelism equals
+  // symbol count, the classic window scale-killer at 100 TB. The fix is
+  // the two-level distributed prefix-sum: (1) the detail window
+  // partitions by (symbol, day), so parallelism = symbols × active days;
+  // (2) per-(symbol, day) totals — a tiny table, one row per symbol-day,
+  // built with map-side partial aggregation — get a running offset over
+  // the day axis; (3) the offsets broadcast-join back onto the detail
+  // rows and add to the within-day running value. Integer sums are exact
+  // and double MAX is order-free, so every result is bit-identical to
+  // the single-window plan (same CORRECTNESS hashes; PrefixAggSpec
+  // asserts both the equivalence and the detail-side partitioning).
+
+  /** Within-day deterministic tick order — the detail-side window of the
+    * distributed prefix aggregation. Partitioning by (symbol, chunk_day)
+    * is the point: no task ever sees more than one symbol-day of rows.
+    */
+  private def chunkOrder =
+    Window.partitionBy("symbol", "chunk_day").orderBy(col("ts"), col("event_id"))
+
+  /** Running frame over STRICTLY PRIOR days of the per-day totals table
+    * (one row per symbol-day — driver-size, but still distributed).
+    */
+  private def priorDays =
+    Window.partitionBy("symbol").orderBy("chunk_day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+  /** Running (cumulative) volume per symbol — exact integer math, via
+    * the chunked prefix-sum (day partials + broadcast offsets).
+    */
+  def runningVolume(ticks: DataFrame): DataFrame = {
+    val t = ticks.withColumn("chunk_day", to_date(col("ts")))
+    val offsets = t.groupBy(col("symbol"), col("chunk_day"))
+      .agg(sum(col("volume")).as("day_total"))
+      .select(col("symbol"), col("chunk_day"),
+        coalesce(sum(col("day_total")).over(priorDays), lit(0L)).as("cum_offset"))
+    t.join(broadcast(offsets), Seq("symbol", "chunk_day"))
+      .select(col("event_id"), col("symbol"),
+        (sum(col("volume")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, 0))
+          + col("cum_offset")).as("cum_volume"))
       .orderBy("event_id")
+  }
 
   /** Per-symbol dispersion stats. */
   def volatility(ticks: DataFrame): DataFrame =
@@ -322,14 +360,32 @@ object MarketOps {
     * equal prices are exactly zero.
     */
   def obv(ticks: DataFrame): DataFrame = {
-    val chg = col("price").cast(dec) - lag(col("price"), 1).over(tickOrder).cast(dec)
-    ticks.withColumn("chg", chg)
+    // chunked prefix-sum; the lag(price) crosses day boundaries, so the
+    // tiny per-day table also carries each day's LAST price (max_by on
+    // (ts, event_id) — deterministic), lagged to seed the next day's
+    // first price change
+    val t = ticks.withColumn("chunk_day", to_date(col("ts")))
+    val dayLast = t.groupBy(col("symbol"), col("chunk_day"))
+      .agg(max_by(col("price"), struct(col("ts"), col("event_id"))).as("day_last"))
+      .select(col("symbol"), col("chunk_day"),
+        lag(col("day_last"), 1)
+          .over(Window.partitionBy("symbol").orderBy("chunk_day"))
+          .as("prev_day_last"))
+    val prev = coalesce(lag(col("price"), 1).over(chunkOrder), col("prev_day_last"))
+    val signed = t.join(broadcast(dayLast), Seq("symbol", "chunk_day"))
+      .withColumn("chg", col("price").cast(dec) - prev.cast(dec))
+      .withColumn("sv",
+        when(col("chg") > 0, col("volume"))
+          .when(col("chg") < 0, -col("volume"))
+          .otherwise(lit(0L)))
+    val offsets = signed.groupBy(col("symbol"), col("chunk_day"))
+      .agg(sum(col("sv")).as("day_total"))
+      .select(col("symbol"), col("chunk_day"),
+        coalesce(sum(col("day_total")).over(priorDays), lit(0L)).as("cum_offset"))
+    signed.join(broadcast(offsets), Seq("symbol", "chunk_day"))
       .select(col("event_id"), col("symbol"),
-        sum(when(col("chg") > 0, col("volume"))
-            .when(col("chg") < 0, -col("volume"))
-            .otherwise(lit(0L)))
-          .over(tickOrder.rowsBetween(Window.unboundedPreceding, 0))
-          .as("obv"))
+        (sum(col("sv")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, 0))
+          + col("cum_offset")).as("obv"))
       .orderBy("event_id")
   }
 
@@ -511,11 +567,19 @@ object MarketOps {
     * open/close: everything engine-exact.
     */
   def volumeBars(ticks: DataFrame, threshold: Long): DataFrame = {
+    // chunked prefix-sum (see runningVolume): the pre-tick cumulative is
+    // within-day running volume (EXCLUSIVE frame) + prior-day offsets
+    val t = ticks.withColumn("chunk_day", to_date(col("ts")))
+    val offsets = t.groupBy(col("symbol"), col("chunk_day"))
+      .agg(sum(col("volume")).as("day_total"))
+      .select(col("symbol"), col("chunk_day"),
+        coalesce(sum(col("day_total")).over(priorDays), lit(0L)).as("cum_offset"))
     val preCum = coalesce(
-      sum(col("volume")).over(tickOrder.rowsBetween(Window.unboundedPreceding, -1)),
-      lit(0L))
+      sum(col("volume")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L)) + col("cum_offset")
     // integer div: cumulative volume exceeds double-exact range at scale
-    ticks.withColumn("pre_cum", preCum)
+    t.join(broadcast(offsets), Seq("symbol", "chunk_day"))
+      .withColumn("pre_cum", preCum)
       .withColumn("bar_id", expr(s"pre_cum div $threshold"))
       .groupBy(col("symbol"), col("bar_id"))
       .agg(
@@ -533,9 +597,19 @@ object MarketOps {
     * (emitted unrounded); an all-zero-price prefix yields 0.
     */
   def drawdown(ticks: DataFrame): DataFrame = {
-    val runMax = max(col("price")).over(tickOrder.rowsBetween(Window.unboundedPreceding, 0))
-    ticks.select(col("event_id"), col("symbol"), col("price"),
-        runMax.as("run_max"))
+    // chunked prefix-MAX: running max = greatest(within-day running max,
+    // max over all prior days); MAX is order-free so bit-identical to
+    // the single-window plan. greatest() skips the NULL prior_max on
+    // each symbol's first day.
+    val t = ticks.withColumn("chunk_day", to_date(col("ts")))
+    val offsets = t.groupBy(col("symbol"), col("chunk_day"))
+      .agg(max(col("price")).as("day_max"))
+      .select(col("symbol"), col("chunk_day"),
+        max(col("day_max")).over(priorDays).as("prior_max"))
+    val withinMax =
+      max(col("price")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, 0))
+    t.join(broadcast(offsets), Seq("symbol", "chunk_day"))
+      .withColumn("run_max", greatest(withinMax, col("prior_max")))
       .withColumn("drawdown",
         when(col("run_max") > 0.0, col("price") / col("run_max") - 1.0).otherwise(0.0))
       .select(col("event_id"), col("symbol"), col("drawdown"))
@@ -985,13 +1059,31 @@ object MarketOps {
     * mirror of the streaming watermark decision — it measures how
     * much out-of-orderness a watermark would have to absorb.
     */
-  def lateArrivals(ticks: DataFrame): DataFrame = {
-    val arrival = Window.partitionBy("symbol").orderBy("event_id")
-    val maxPrior = max(unix_micros(col("ts")))
-      .over(arrival.rowsBetween(Window.unboundedPreceding, -1))
-    ticks.withColumn("late_us",
-        when(maxPrior.isNotNull && unix_micros(col("ts")) < maxPrior,
-          maxPrior - unix_micros(col("ts"))).otherwise(0L))
+  def lateArrivals(ticks: DataFrame, chunkRows: Long = 100000L): DataFrame = {
+    // chunked prefix-MAX over the ARRIVAL axis: the chunk key is an
+    // event_id range (event_id is the global append sequence, so ranges
+    // are contiguous in arrival order per symbol), not a day — the
+    // running max must follow arrival order, not event time. maxPrior =
+    // greatest(within-chunk prior max [NULL on chunk-first rows],
+    // prior-chunk max [NULL on each symbol's first chunk]); both NULL ⇒
+    // NULL ⇒ the existing not-late branch.
+    val t = ticks
+      .withColumn("chunk_id", expr(s"event_id div $chunkRows"))
+      .withColumn("us", unix_micros(col("ts")))
+    val priorChunks = Window.partitionBy("symbol").orderBy("chunk_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("symbol"), col("chunk_id"))
+      .agg(max(col("us")).as("chunk_max"))
+      .select(col("symbol"), col("chunk_id"),
+        max(col("chunk_max")).over(priorChunks).as("prior_max"))
+    val arrival = Window.partitionBy("symbol", "chunk_id").orderBy("event_id")
+    val maxPrior = greatest(
+      max(col("us")).over(arrival.rowsBetween(Window.unboundedPreceding, -1)),
+      col("prior_max"))
+    t.join(broadcast(offsets), Seq("symbol", "chunk_id"))
+      .withColumn("late_us",
+        when(maxPrior.isNotNull && col("us") < maxPrior,
+          maxPrior - col("us")).otherwise(0L))
       .groupBy(col("symbol"))
       .agg(count(lit(1)).as("n_ticks"),
         sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
@@ -1046,11 +1138,21 @@ object MarketOps {
     * tie ambiguity above level 1).
     */
   def barCascade(ticks: DataFrame): DataFrame = {
+    // level-1 open/close tie-break: two ticks can share a (symbol, ts)
+    // after ns→µs truncation, and bare min_by(price, ts) picks an
+    // arbitrary one. A fixed-width zero-padded (epoch_us, event_id)
+    // string key is totally ordered and deterministic on both engines
+    // (DuckDB's min_by can't take a struct key; a packed BIGINT
+    // overflows). Levels 2/3 key on the previous level's GROUP BY
+    // column, which is unique per group — no tie-break needed there.
+    val tieKey = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 10, "0"))
     val minute = ticks
       .groupBy(col("symbol"), date_trunc("minute", col("ts")).as("m"))
-      .agg(min_by(col("price"), col("ts")).as("open"),
+      .agg(min_by(col("price"), tieKey).as("open"),
         max(col("price")).as("high"), min(col("price")).as("low"),
-        max_by(col("price"), col("ts")).as("close"),
+        max_by(col("price"), tieKey).as("close"),
         sum(col("volume")).as("vol"), count(lit(1)).as("n"))
     val hour = minute
       .groupBy(col("symbol"), date_trunc("hour", col("m")).as("h"))
@@ -1185,14 +1287,42 @@ object MarketOps {
       .orderBy("symbol")
   }
 
+  /** Approx MAD outlier report — the 100 TB scale path for
+    * [[madOutliers]] (SURVEY §3.5): the exact operator needs two full
+    * per-symbol WINDOW SORTS over the facts (prices, then deviations)
+    * to select order-statistic medians; this variant reads the same
+    * three-pass shape but computes both medians with
+    * `percentile_approx` sketches — every pass is a hash aggregation
+    * with map-side partials, and nothing is ever sorted. Rows-only
+    * (sketch internals aren't cross-engine); its correctness contract
+    * is the MarketOpsSpec gate against the exact operator's medians
+    * and outlier counts.
+    */
+  def madOutliersApprox(ticks: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val med = ticks.groupBy(col("symbol"))
+      .agg(percentile_approx(col("price"), lit(0.5), lit(accuracy)).as("med"))
+    val withDev = ticks.join(broadcast(med), "symbol")
+      .withColumn("dev", abs(col("price") - col("med")))
+    val mad = withDev.groupBy(col("symbol"))
+      .agg(percentile_approx(col("dev"), lit(0.5), lit(accuracy)).as("mad"))
+    withDev.join(broadcast(mad), "symbol")
+      .groupBy(col("symbol"))
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+        sum(when(col("dev") > col("mad") * 3.0, 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("symbol")
+  }
+
   /** Forward as-of join: each left tick matches the FIRST right quote
     * at-or-after its timestamp (the mirror of `asofJoin`). Same
-    * union-tag single-sort design, scanning forward: the match is
-    * `min(r_us)` over [current row, unbounded following] with lefts
-    * ordered before same-ts rights (inclusive match). The matched
-    * quote's price is recovered by joining the per-(key, ts)
-    * deduplicated quote table back on the matched timestamp — MIN
-    * skips NULLs in both engines, so no IGNORE NULLS dialect risk.
+    * union-tag single-sort design, scanning forward: the match is a
+    * forward-frame MIN over [current row, unbounded following] with
+    * lefts ordered before same-ts rights (inclusive match). The
+    * matched quote's PAYLOAD rides the same pass — the MIN runs over
+    * `struct(r_us, r_price)` (whole-NULL on left rows, so MIN skips
+    * them in both engines; r_us is unique per (key, ts) after dedup,
+    * so the struct order is decided by r_us alone) — which removes the
+    * r5 payload join-back and its second quote-side scan entirely.
     */
   def forwardAsofJoin(left: DataFrame, right: DataFrame,
       key: String = "user_id"): DataFrame = {
@@ -1204,20 +1334,21 @@ object MarketOps {
         col("price").as("r_price"))
     val lTagged = left.select(col(key), unix_micros(col("ts")).as("us"),
       lit(0).as("_side"), col("event_id").as("l_event_id"),
-      col("price").as("l_price"), lit(null).cast("long").as("r_us"))
+      col("price").as("l_price"),
+      lit(null).cast("struct<r_us:bigint,r_price:double>").as("q"))
     val rTagged = rDedup.select(col(key), col("r_us").as("us"),
       lit(1).as("_side"), lit(null).cast("long").as("l_event_id"),
-      lit(null).cast("double").as("l_price"), col("r_us"))
+      lit(null).cast("double").as("l_price"),
+      struct(col("r_us"), col("r_price")).as("q"))
     val w = Window.partitionBy(key).orderBy(col("us"), col("_side"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     lTagged.unionByName(rTagged)
-      .withColumn("m_us", min(col("r_us")).over(w))
+      .withColumn("m", min(col("q")).over(w))
       .filter(col("_side") === 0)
-      .join(rDedup.withColumnRenamed("r_us", "m_us"), Seq(key, "m_us"), "left")
       .select(col("l_event_id").as("event_id"), col(key),
         col("us").as("ts_us"), col("l_price").as("price"),
-        coalesce(col("m_us"), lit(-1L)).as("quote_ts_us"),
-        coalesce(col("r_price"), lit(-1.0)).as("quote_price"))
+        coalesce(col("m.r_us"), lit(-1L)).as("quote_ts_us"),
+        coalesce(col("m.r_price"), lit(-1.0)).as("quote_price"))
       .orderBy("event_id")
   }
 

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as
@@ -45,38 +45,167 @@ object Multimodal {
         col("source").as("container")).as("meta"))
   }
 
-  /** Feature vector record produced by the decode stage. */
-  final case class MediaFeatures(doc_id: Long, n_bytes: Long, mean_byte: Double,
-      features: Array[Float])
+  // ---- real container decode (BMP / WAV headers) ----
+  //
+  // The container has no image/audio codec LIBRARIES, but BMP and WAV
+  // are self-describing pure-byte formats — so the decode step can be
+  // real: [[synthesizeMedia]] builds spec-conformant binaries (the
+  // stand-in for media payloads read from object storage; dimensions
+  // are closed-form in doc_id so DuckDB can oracle the decoder without
+  // reconstructing bytes), and [[decodeMeta]] parses the actual headers
+  // back out of the blob with little-endian field reads. An encode →
+  // parse → closed-form-oracle round trip: if the parser read the wrong
+  // offset or endianness, every hash would miss.
 
-  /** Partition-wise decode + feature extraction.
-    *
-    * STUB: a real implementation decodes the blob (image/audio frame)
-    * and emits model features; no codec libraries exist in this
-    * container, so features are a deterministic fake — byte-histogram
-    * moments over `dim` equal-width slices. Batch shape, schema, and
-    * executor-side execution are the real contract.
+  private def bmpW(id: Long): Int = (id % 61 + 4).toInt
+  private def bmpH(id: Long): Int = (id % 37 + 4).toInt
+  private def wavRate(id: Long): Int = Array(8000, 16000, 22050, 44100)(((id / 2) % 4).toInt)
+  private def wavSamples(id: Long): Int = (id % 500 + 100).toInt
+
+  /** A real 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER + padded
+    * pixel rows (deterministic pixel bytes).
     */
-  def stubDecode(spark: SparkSession, withBlob: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
+  private def bmpBytes(id: Long): Array[Byte] = {
+    val w = bmpW(id); val h = bmpH(id)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var i = 0
+    while (i < dataSize) { buf.put(((id * 31 + i) % 251).toByte); i += 1 }
+    buf.array()
+  }
+
+  /** A real RIFF/WAVE PCM file: 44-byte canonical header + 16-bit
+    * mono samples (deterministic).
+    */
+  private def wavBytes(id: Long): Array[Byte] = {
+    val n = wavSamples(id); val rate = wavRate(id)
+    val dataSize = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(dataSize)
+    var i = 0
+    while (i < n) { buf.putShort(((id * 13 + i) % 8191 - 4095).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** Deterministic media corpus: even doc_ids carry a BMP image, odd a
+    * WAV clip (map-side generation — the stand-in for reading stored
+    * payloads; blobs never shuffle).
+    */
+  def synthesizeMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, if (id % 2 == 0) bmpBytes(id) else wavBytes(id))))
+      .toDF("doc_id", "blob")
+  }
+
+  /** Little-endian unsigned field at 0-based byte `off`, `n` ≤ 7 bytes:
+    * hex() the slice (big-endian hex pairs), reverse the pairs, conv to
+    * decimal — pure built-ins, stays inside WholeStageCodegen (no UDF,
+    * no custom expression needed for header parsing).
+    */
+  private def leU(blob: Column, off: Int, n: Int): Column = {
+    val h = hex(substring(blob, off + 1, n))
+    val le = concat((n - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*)
+    conv(le, 16, 10).cast("long")
+  }
+
+  /** REAL header decode over the opaque blob: identifies the container
+    * by magic bytes and reads the actual BMP (width/height/bpp) or WAV
+    * (channels/sample-rate/bits/duration) header fields at their spec
+    * offsets. Audio fields are NULL on images and vice versa; exact
+    * integer duration via BIGINT div.
+    */
+  def decodeMeta(withBlob: DataFrame): DataFrame = {
+    val blob = col("blob")
+    val isBmp = substring(blob, 1, 2) === lit("BM".getBytes)
+    val isWav = substring(blob, 1, 4) === lit("RIFF".getBytes) &&
+      substring(blob, 9, 4) === lit("WAVE".getBytes)
+    withBlob.select(col("doc_id"),
+        when(isBmp, "bmp").when(isWav, "wav").otherwise("unknown").as("kind"),
+        length(blob).cast("long").as("n_bytes"),
+        when(isBmp, leU(blob, 18, 4)).as("width"),
+        when(isBmp, leU(blob, 22, 4)).as("height"),
+        when(isBmp, leU(blob, 28, 2)).as("bpp"),
+        when(isWav, leU(blob, 22, 2)).as("channels"),
+        when(isWav, leU(blob, 24, 4)).as("sample_rate"),
+        when(isWav, leU(blob, 34, 2)).as("bits"),
+        when(isWav, leU(blob, 40, 4)).as("data_bytes"))
+      // exact BIGINT div (both engines floor nonnegative quotients)
+      .withColumn("duration_us",
+        expr("(data_bytes * 1000000) div (sample_rate * channels * (bits div 8))"))
+      .orderBy("doc_id")
+  }
+
+  /** q_multimodal_meta: synthesize the media corpus, decode it back
+    * through the real header parser. Every field is closed-form in
+    * doc_id, so the DuckDB oracle checks the decoder without
+    * reconstructing a single byte.
+    */
+  def mediaMeta(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeMeta(synthesizeMedia(spark, docs))
+
+  /** Decoded-features record: `n_units` decoded pixels (bmp) or PCM
+    * samples (wav), and their exact-integer-sum mean.
+    */
+  final case class MediaFeatures(doc_id: Long, kind: String, n_units: Long,
+      mean_value: Double)
+
+  /** REAL partition-wise decode + feature extraction: walks the BMP
+    * pixel array (via the pixel-array offset read from the file header,
+    * honoring 4-byte row padding) or the WAV PCM data section, and
+    * reduces the decoded units to an exact-sum mean. Imperative
+    * per-byte work belongs in a partition function (interpreted SQL
+    * lambdas re-evaluate per element); blobs never shuffle — only the
+    * fixed-width features flow downstream.
+    */
+  def decodeFeatures(spark: SparkSession, withBlob: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     withBlob.select(col("doc_id").cast("long"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, blob) =>
-          val bytes = if (blob == null) Array.emptyByteArray else blob
-          val n = bytes.length
-          val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / n
-          val feats = Array.tabulate(dim) { i =>
-            val lo = i * n / dim
-            val hi = math.max(lo + 1, (i + 1) * n / dim)
-            val slice = bytes.slice(lo, math.min(hi, n))
-            if (slice.isEmpty) 0f
-            else (slice.map(b => (b & 0xff).toInt).sum.toFloat / (255f * slice.length))
+          val bb = java.nio.ByteBuffer.wrap(blob)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          if (blob.length >= 2 && blob(0) == 'B'.toByte && blob(1) == 'M'.toByte) {
+            val off = bb.getInt(10); val w = bb.getInt(18); val h = bb.getInt(22)
+            val rowSize = ((w * 3 + 3) / 4) * 4
+            var sum = 0L; var r = 0
+            while (r < h) {
+              var j = 0
+              while (j < w * 3) { sum += blob(off + r * rowSize + j) & 0xff; j += 1 }
+              r += 1
+            }
+            val n = w.toLong * 3 * h
+            MediaFeatures(id, "bmp", n, sum.toDouble / n)
+          } else {
+            val dataSize = bb.getInt(40); val n = dataSize / 2
+            var sum = 0L; var i = 0
+            while (i < n) { sum += bb.getShort(44 + i * 2); i += 1 }
+            MediaFeatures(id, "wav", n.toLong, sum.toDouble / n)
           }
-          MediaFeatures(id, n.toLong, mean, feats)
         }
       }
   }
+
+  /** q_media_features: synthesize, then REALLY decode every pixel /
+    * sample into exact-sum means. The DuckDB oracle recomputes the
+    * modular byte sums in closed form — a wrong offset, a missed row
+    * padding, or a sign error in the 16-bit samples misses every hash.
+    */
+  def mediaFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeFeatures(spark, synthesizeMedia(spark, docs)).toDF()
+      .orderBy("doc_id")
 
   final case class Frame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
 
@@ -117,20 +246,4 @@ object Multimodal {
         md5(col("frame")).as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
 
-  /** End-to-end multimodal query: blob → metadata → decoded features,
-    * joined back on doc_id. Every emitted column (md5-derived checksum,
-    * byte-sum mean from the stub decode) is engine-neutral, so the
-    * whole pipeline is DuckDB-oracled.
-    */
-  def pipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val meta = extractMeta(attachBlob(docs))
-    val feats = stubDecode(spark, meta).toDF()
-    meta.select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
-        col("meta.checksum").as("checksum"), col("meta.width").as("width"),
-        col("meta.height").as("height"))
-      .join(feats.select(col("doc_id"), col("mean_byte"),
-          size(col("features")).cast("long").as("feat_dim")),
-        "doc_id")
-      .orderBy("doc_id")
-  }
 }

@@ -233,6 +233,29 @@ class MarketOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx MAD stays within tight bounds of the exact operator") {
+    // q_mad_outliers_approx is rows-only (percentile_approx sketch
+    // internals aren't cross-engine) — THIS is its correctness
+    // contract: medians within 1% of the exact order statistics and
+    // outlier counts within 5% (deterministic given the data).
+    val exact = MarketOps.madOutliers(ticks).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    val approx = MarketOps.madOutliersApprox(ticks).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (sym, (med, mad, nOut, nTicks)) =>
+      val (aMed, aMad, aOut, aTicks) = approx(sym)
+      assert(aTicks === nTicks)
+      assert(math.abs(aMed - med) <= 0.01 * math.abs(med),
+        s"$sym approx median $aMed vs exact $med drifts > 1%")
+      assert(mad === 0.0 || math.abs(aMad - mad) <= 0.01 * mad,
+        s"$sym approx MAD $aMad vs exact $mad drifts > 1%")
+      val tol = math.max(2L, math.ceil(0.05 * nOut).toLong)
+      assert(math.abs(aOut - nOut) <= tol,
+        s"$sym approx outliers $aOut vs exact $nOut drifts > 5%")
+    }
+  }
+
   test("stochastic %K in [0,100], %D within the K range it averages") {
     val st = MarketOps.stochastic(ticks, 14)
     assert(st.filter(col("pct_k") < 0 || col("pct_k") > 100).count() === 0)

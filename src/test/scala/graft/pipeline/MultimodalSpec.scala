@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The media decode is REAL — these tests check the parser against the
+  * format specs independently of the closed-form oracle: a hand-built
+  * reference BMP/WAV (fields chosen to expose endianness and padding
+  * mistakes) must decode exactly, and the decoded features must equal a
+  * brute-force recompute over the very bytes that were written.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = graft.core.Tables.documents(spark, sf)
+
+  test("decodeMeta reads real header fields (endianness, spec offsets)") {
+    import spark.implicits._
+    // 3×2 24bpp BMP: rowSize = 12 (9 pixel bytes + 3 padding)
+    val bmp = java.nio.ByteBuffer.allocate(54 + 24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(78).putShort(0).putShort(0)
+      .putInt(54).putInt(40).putInt(3).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(24).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // 11025 Hz stereo 8-bit WAV, 10 bytes of data
+    val wav = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes).putInt(46).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(11025).putInt(11025 * 2).putShort(2).putShort(8)
+      .put("data".getBytes).putInt(10).put(Array.fill(10)(0x7f.toByte))
+    val in = Seq((0L, bmp.array()), (1L, wav.array())).toDF("doc_id", "blob")
+    val rows = Multimodal.decodeMeta(in).collect()
+    val b = rows(0)
+    assert(b.getString(1) === "bmp" && b.getLong(3) === 3L &&
+      b.getLong(4) === 2L && b.getLong(5) === 24L)
+    val w = rows(1)
+    assert(w.getString(1) === "wav" && w.getLong(6) === 2L &&
+      w.getLong(7) === 11025L && w.getLong(8) === 8L &&
+      w.getLong(9) === 10L)
+    // duration = 10 bytes * 1e6 / (11025 * 2ch * 1Bps) = 453 µs (floored)
+    assert(w.getLong(10) === 10L * 1000000L / (11025L * 2L))
+  }
+
+  test("decodeFeatures equals a brute-force recompute of the written bytes") {
+    val blobs = Multimodal.synthesizeMedia(spark, docs.limit(40))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val decoded = Multimodal.mediaFeatures(spark, docs.limit(40))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(decoded.size === blobs.size)
+    blobs.foreach { case (id, bytes) =>
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val (kind, n, mean) = decoded(id)
+      if (id % 2 == 0) {
+        assert(kind === "bmp")
+        val off = bb.getInt(10); val w = bb.getInt(18); val h = bb.getInt(22)
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val px = for (r <- 0 until h; j <- 0 until w * 3)
+          yield (bytes(off + r * rowSize + j) & 0xff).toLong
+        assert(n === px.length.toLong)
+        assert(mean === px.sum.toDouble / px.length)
+      } else {
+        assert(kind === "wav")
+        val dataSize = bb.getInt(40)
+        val samples = (0 until dataSize / 2).map(i => bb.getShort(44 + i * 2).toLong)
+        assert(n === samples.length.toLong)
+        assert(mean === samples.sum.toDouble / samples.length)
+      }
+    }
+  }
+
+  test("synthesized containers are well-formed (sizes match headers)") {
+    val bad = Multimodal.synthesizeMedia(spark, docs)
+      .select(col("doc_id"), length(col("blob")).as("len"), col("blob"))
+      .collect().count { r =>
+        val bytes = r.getAs[Array[Byte]]("blob")
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        if (bytes(0) == 'B'.toByte) bb.getInt(2) != bytes.length // BMP file size field
+        else bb.getInt(4) + 8 != bytes.length                    // RIFF chunk size + 8
+      }
+    assert(bad === 0)
+  }
+}

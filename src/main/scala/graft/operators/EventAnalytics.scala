@@ -154,16 +154,28 @@ object EventAnalytics {
           struct(startUs.as("t"), lit(1L).as("d")),
           struct(endUs.as("t"), lit(-1L).as("d")))).as("e"))
       .select(col("symbol"), col("e.t").as("t"), col("e.d").as("d"))
-    val sweep = Window.partitionBy("symbol").orderBy(col("t"), col("d"))
-    val sym = Window.partitionBy("symbol")
-    deltas
+    // chunked prefix-sum over the sweep axis (endpoint day): within-day
+    // running deltas + prior-day delta totals broadcast back — no
+    // whole-symbol window; the peak and its first time fall out of one
+    // max(struct(running, −t)) aggregate (struct order: max running,
+    // then max −t = MIN t), replacing the whole-partition peak window.
+    val withDay = deltas.withColumn("chunk_day", to_date(timestamp_micros(col("t"))))
+    val sweep = Window.partitionBy("symbol", "chunk_day").orderBy(col("t"), col("d"))
+    val priorDays = Window.partitionBy("symbol").orderBy("chunk_day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withDay.groupBy(col("symbol"), col("chunk_day"))
+      .agg(sum(col("d")).as("day_total"))
+      .select(col("symbol"), col("chunk_day"),
+        coalesce(sum(col("day_total")).over(priorDays), lit(0L)).as("cum_offset"))
+    withDay.join(broadcast(offsets), Seq("symbol", "chunk_day"))
       .withColumn("running",
-        sum(col("d")).over(sweep.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("peak", max(col("running")).over(sym))
+        sum(col("d")).over(sweep.rowsBetween(Window.unboundedPreceding, 0))
+          + col("cum_offset"))
       .groupBy(col("symbol"))
-      .agg(first(col("peak")).as("peak_concurrent"),
-        min(when(col("running") === col("peak"), col("t"))).as("peak_at_us"),
+      .agg(max(struct(col("running").as("r"), (-col("t")).as("nt"))).as("m"),
         (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      .select(col("symbol"), col("m.r").as("peak_concurrent"),
+        (-col("m.nt")).as("peak_at_us"), col("n_intervals"))
       .orderBy("symbol")
   }
 }

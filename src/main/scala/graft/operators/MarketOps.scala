@@ -57,13 +57,73 @@ object MarketOps {
   private def exactAvg(c: Column, n: Column): Column =
     sum(c.cast(dec)).cast("double") / n.cast("double")
 
-  /** n-tick simple moving average per symbol. */
-  def sma(ticks: DataFrame, n: Int): DataFrame = {
-    val w = tickOrder.rowsBetween(-(n - 1), 0)
-    ticks.select(col("event_id"), col("symbol"),
+  /** n-tick simple moving average per symbol — chunked-with-carry
+    * rolling window (the bounded-frame sibling of the distributed
+    * prefix aggregation below): a plain
+    * `Window.partitionBy(symbol).rowsBetween(-(n-1), 0)` still sorts a
+    * symbol's ENTIRE history in one task even though the frame is tiny.
+    * Here every tick gets an exact global per-symbol row number (via
+    * within-day rank + prior-day count offsets — both chunk-parallel),
+    * rows are chunked `chunkRows` at a time, and each chunk's last n−1
+    * rows are ALSO emitted as carry rows into the next chunk, so the
+    * first rows of a chunk see exactly the frame they would have seen
+    * in the monolithic window. Carry rows are dropped after the frame
+    * evaluates; identical operand multiset ⇒ bit-identical results
+    * (PrefixAggSpec).
+    */
+  def sma(ticks: DataFrame, n: Int, chunkRows: Long = 8192L): DataFrame = {
+    val (t, spec) = chunkedFrame(ticks, n - 1, chunkRows)
+    val w = spec.rowsBetween(-(n - 1), 0)
+    t.select(col("event_id"), col("symbol"), col("carry"),
         (sum(col("price").cast(dec)).over(w).cast("double") /
           count(lit(1)).over(w).cast("double")).as(s"sma$n"))
+      .filter(!col("carry"))
+      .select(col("event_id"), col("symbol"), col(s"sma$n"))
       .orderBy("event_id")
+  }
+
+  /** Chunked-with-carry scaffold for bounded per-symbol ROWS windows:
+    * rows get their exact global per-symbol row number `rn` (prefix-sum
+    * trick, chunk-parallel), are split into `chunkRows`-row chunks, and
+    * each chunk's last `carryRows` rows are re-emitted into the next
+    * chunk flagged `carry`. Window specs over the returned
+    * (symbol, chunk_id) partition ordered by `rn` give every REAL row
+    * exactly the frame the monolithic per-symbol window would — as
+    * long as the frame (plus any layered lag) reaches at most
+    * `carryRows` back. Carries may themselves see truncated frames
+    * near the chunk start; callers must size `carryRows` so that only
+    * carries whose values never feed a real row are affected, then
+    * `filter(!col("carry"))` after evaluating.
+    */
+  private def chunkedFrame(ticks: DataFrame, carryRows: Int,
+      chunkRows: Long): (DataFrame, org.apache.spark.sql.expressions.WindowSpec) = {
+    require(chunkRows > carryRows,
+      s"chunkRows=$chunkRows must exceed carryRows=$carryRows")
+    val t = withSymbolRowNumber(ticks)
+      .withColumn("chunk_id", expr(s"(rn - 1) div ${chunkRows}L"))
+    val carries = t
+      .filter(expr(s"(rn - 1) % ${chunkRows}L >= ${chunkRows - carryRows}L"))
+      .withColumn("chunk_id", col("chunk_id") + 1)
+      .withColumn("carry", lit(true))
+    (t.withColumn("carry", lit(false)).unionByName(carries),
+      Window.partitionBy("symbol", "chunk_id").orderBy("rn"))
+  }
+
+  /** Exact global per-symbol row number WITHOUT a whole-symbol window:
+    * within-day rank (chunk-parallel) + running prior-day count offsets
+    * (tiny table, broadcast back) — the prefix-sum trick applied to
+    * row_number itself.
+    */
+  private def withSymbolRowNumber(ticks: DataFrame): DataFrame = {
+    val t = ticks.withColumn("chunk_day", to_date(col("ts")))
+    val offsets = t.groupBy(col("symbol"), col("chunk_day"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("symbol"), col("chunk_day"),
+        coalesce(sum(col("c")).over(priorDays), lit(0L)).as("rn_off"))
+    t.join(broadcast(offsets), Seq("symbol", "chunk_day"))
+      .withColumn("rn",
+        row_number().over(chunkOrder).cast("long") + col("rn_off"))
+      .drop("chunk_day", "rn_off")
   }
 
   /** Tick record for typed sorted-group streaming. */
@@ -313,18 +373,25 @@ object MarketOps {
     * Spark's per-frame re-aggregation and DuckDB's segment tree in the
     * last ulp. Zero-loss windows emit RSI = 100 (both engines).
     */
-  def rsi(ticks: DataFrame, n: Int = 14): DataFrame = {
-    val chg = col("price").cast(dec) - lag(col("price"), 1).over(tickOrder).cast(dec)
-    val w = tickOrder.rowsBetween(-(n - 1), 0)
-    ticks.withColumn("chg", chg)
+  def rsi(ticks: DataFrame, n: Int = 14, chunkRows: Long = 8192L): DataFrame = {
+    // chunked-with-carry, LAYERED: the (n−1)-row sums consume chg,
+    // which itself lags one row — so carry n rows. The first carry's
+    // chg is NULL-degraded (its lag is outside the chunk), but its
+    // value only enters frames of other carries, never a real row.
+    val (t, spec) = chunkedFrame(ticks, n, chunkRows)
+    val chg = col("price").cast(dec) - lag(col("price"), 1).over(spec).cast(dec)
+    val w = spec.rowsBetween(-(n - 1), 0)
+    t.withColumn("chg", chg)
       .withColumn("gain", when(col("chg") > 0, col("chg")).otherwise(lit(0).cast(dec)))
       .withColumn("loss", when(col("chg") < 0, -col("chg")).otherwise(lit(0).cast(dec)))
-      .select(col("event_id"), col("symbol"),
+      .select(col("event_id"), col("symbol"), col("carry"),
         when(sum(col("loss")).over(w) === 0, lit(100.0))
           .otherwise(round(lit(100.0) - lit(100.0) /
             (lit(1.0) + sum(col("gain")).over(w).cast("double") /
               sum(col("loss")).over(w).cast("double")), 4))
           .as(s"rsi$n"))
+      .filter(!col("carry"))
+      .select(col("event_id"), col("symbol"), col(s"rsi$n"))
       .orderBy("event_id")
   }
 
@@ -336,9 +403,11 @@ object MarketOps {
     * Cancellation can produce a tiny negative variance on constant
     * windows; clamped to 0 (both engines).
     */
-  def bollinger(ticks: DataFrame, n: Int = 20, k: Double = 2.0): DataFrame = {
+  def bollinger(ticks: DataFrame, n: Int = 20, k: Double = 2.0,
+      chunkRows: Long = 8192L): DataFrame = {
     val sqDec = DecimalType(38, 4)
-    val w = tickOrder.rowsBetween(-(n - 1), 0)
+    val (t, spec) = chunkedFrame(ticks, n - 1, chunkRows)
+    val w = spec.rowsBetween(-(n - 1), 0)
     val cnt = count(lit(1)).over(w).cast("double")
     val s = sum(col("price").cast(dec)).over(w).cast("double")
     val sq = sum((col("price").cast(dec) * col("price").cast(dec)).cast(sqDec))
@@ -346,11 +415,14 @@ object MarketOps {
     val mean = s / cnt
     val varRaw = (sq - (s * s) / cnt) / (cnt - lit(1.0))
     val sd = sqrt(when(cnt > 1 && varRaw > 0, varRaw).otherwise(lit(0.0)))
-    ticks.select(col("event_id"), col("symbol"),
+    t.select(col("event_id"), col("symbol"), col("carry"),
         round(mean, 4).as("sma"),
         round(sd, 4).as("sd"),
         round(mean + lit(k) * sd, 4).as("upper_band"),
         round(mean - lit(k) * sd, 4).as("lower_band"))
+      .filter(!col("carry"))
+      .select(col("event_id"), col("symbol"), col("sma"), col("sd"),
+        col("upper_band"), col("lower_band"))
       .orderBy("event_id")
   }
 
@@ -637,13 +709,30 @@ object MarketOps {
     * bit-identical quotient.
     */
   def rollingHourlyAvg(ticks: DataFrame): DataFrame = {
-    val w = Window.partitionBy("symbol").orderBy(col("ts_us"))
-      .rangeBetween(-3600000000L, 0)
-    ticks.select(col("event_id"), col("symbol"),
+    // chunked-with-carry RANGE frame: calendar-day chunks; the 1-hour
+    // lookback can only cross ONE day boundary, so each day's final
+    // hour of rows is also emitted as carries into the next calendar
+    // day — rows of a day D frame-reach at most into [D−1 23:00, D−1
+    // 24:00), which is exactly the carry set. Identical in-frame
+    // operand multiset ⇒ bit-identical to the whole-symbol window,
+    // without one task owning a symbol's entire history.
+    val rangeUs = 3600000000L
+    val t = ticks.select(col("event_id"), col("symbol"),
         unix_micros(col("ts")).as("ts_us"), col("price"))
-      .select(col("event_id"), col("symbol"),
+      .withColumn("chunk_day", to_date(timestamp_micros(col("ts_us"))))
+    val nextDayStartUs =
+      unix_micros(to_timestamp(date_add(col("chunk_day"), 1)))
+    val carries = t.filter(col("ts_us") >= nextDayStartUs - rangeUs)
+      .withColumn("chunk_day", date_add(col("chunk_day"), 1))
+      .withColumn("carry", lit(true))
+    val w = Window.partitionBy("symbol", "chunk_day").orderBy(col("ts_us"))
+      .rangeBetween(-rangeUs, 0)
+    t.withColumn("carry", lit(false)).unionByName(carries)
+      .select(col("event_id"), col("symbol"), col("carry"),
         (sum(col("price").cast(dec)).over(w).cast("double") /
           count(lit(1)).over(w).cast("double")).as("avg_1h"))
+      .filter(!col("carry"))
+      .select(col("event_id"), col("symbol"), col("avg_1h"))
       .orderBy("event_id")
   }
 
@@ -655,8 +744,13 @@ object MarketOps {
     * re-aggregation order differs between engines.
     * Flat windows (high = low) yield NULL in both engines.
     */
-  def stochastic(ticks: DataFrame, n: Int = 14): DataFrame = {
-    val w = tickOrder.rowsBetween(-(n - 1), 0)
+  def stochastic(ticks: DataFrame, n: Int = 14, chunkRows: Long = 8192L): DataFrame = {
+    // LAYERED chunking: pct_d lags pct_k by up to 2 rows, and pct_k
+    // needs an (n−1)-row frame — carry (n−1)+2 rows so the last two
+    // carries (the only ones whose pct_k feeds a real row's pct_d)
+    // still see their full frames.
+    val (t, spec) = chunkedFrame(ticks, n + 1, chunkRows)
+    val w = spec.rowsBetween(-(n - 1), 0)
     val hhv = max(col("price").cast(dec)).over(w)
     val llv = min(col("price").cast(dec)).over(w)
     // emitted UNROUNDED (SURVEY §4): every operand is an exact decimal
@@ -664,10 +758,13 @@ object MarketOps {
     val k = when(hhv > llv,
       lit(100.0) * (col("price").cast(dec) - llv).cast("double") /
         (hhv - llv).cast("double"))
-    ticks.select(col("event_id"), col("symbol"), col("ts"), k.as("pct_k"))
-      .select(col("event_id"), col("symbol"), col("pct_k"),
-        ((col("pct_k") + lag(col("pct_k"), 1).over(tickOrder)
-          + lag(col("pct_k"), 2).over(tickOrder)) / 3.0).as("pct_d"))
+    t.select(col("event_id"), col("symbol"), col("chunk_id"), col("rn"),
+        col("carry"), k.as("pct_k"))
+      .select(col("event_id"), col("symbol"), col("carry"), col("pct_k"),
+        ((col("pct_k") + lag(col("pct_k"), 1).over(spec)
+          + lag(col("pct_k"), 2).over(spec)) / 3.0).as("pct_d"))
+      .filter(!col("carry"))
+      .select(col("event_id"), col("symbol"), col("pct_k"), col("pct_d"))
       .orderBy("event_id")
   }
 
@@ -675,14 +772,18 @@ object MarketOps {
     * midline. Pure DECIMAL extrema (exact); the midline sums the two
     * decimals exactly before the single double halving.
     */
-  def donchian(ticks: DataFrame, n: Int = 20): DataFrame = {
-    val w = tickOrder.rowsBetween(-(n - 1), 0)
+  def donchian(ticks: DataFrame, n: Int = 20, chunkRows: Long = 8192L): DataFrame = {
+    val (t, spec) = chunkedFrame(ticks, n - 1, chunkRows)
+    val w = spec.rowsBetween(-(n - 1), 0)
     val up = max(col("price").cast(dec)).over(w)
     val lo = min(col("price").cast(dec)).over(w)
-    ticks.select(col("event_id"), col("symbol"),
+    t.select(col("event_id"), col("symbol"), col("carry"),
         up.cast("double").as("upper_ch"),
         lo.cast("double").as("lower_ch"),
         ((up + lo).cast("double") / 2.0).as("mid_ch"))
+      .filter(!col("carry"))
+      .select(col("event_id"), col("symbol"), col("upper_ch"),
+        col("lower_ch"), col("mid_ch"))
       .orderBy("event_id")
   }
 
@@ -1353,17 +1454,32 @@ object MarketOps {
   }
 
   /** Sessionize: new session when gap to previous tick > gapMinutes.
-    * Classic lag + cumulative-flag-sum; one sort-shuffle per symbol.
+    * Lag + cumulative-flag-sum, both through the chunked prefix
+    * aggregation (the obv shape): the boundary lag comes from the tiny
+    * per-day last-ts table, the session id from within-day flag
+    * cumsums + prior-day flag totals — no whole-symbol window.
     */
   def sessionize(ticks: DataFrame, gapMinutes: Int): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
-    val prevTs = lag(col("ts"), 1).over(tickOrder)
-    val newSession = when(prevTs.isNull ||
-      unix_micros(col("ts")) - unix_micros(prevTs) > gapUs, 1L).otherwise(0L)
-    ticks.withColumn("is_new", newSession)
-      .withColumn("session_id",
-        sum(col("is_new")).over(tickOrder.rowsBetween(Window.unboundedPreceding, 0)))
-      .select(col("event_id"), col("symbol"), col("session_id"))
+    val t = ticks.withColumn("chunk_day", to_date(col("ts")))
+    val dayLast = t.groupBy(col("symbol"), col("chunk_day"))
+      .agg(max(col("ts")).as("day_last_ts"))
+      .select(col("symbol"), col("chunk_day"),
+        lag(col("day_last_ts"), 1)
+          .over(Window.partitionBy("symbol").orderBy("chunk_day"))
+          .as("prev_day_ts"))
+    val prevTs = coalesce(lag(col("ts"), 1).over(chunkOrder), col("prev_day_ts"))
+    val flagged = t.join(broadcast(dayLast), Seq("symbol", "chunk_day"))
+      .withColumn("is_new", when(prevTs.isNull ||
+        unix_micros(col("ts")) - unix_micros(prevTs) > gapUs, 1L).otherwise(0L))
+    val offsets = flagged.groupBy(col("symbol"), col("chunk_day"))
+      .agg(sum(col("is_new")).as("day_total"))
+      .select(col("symbol"), col("chunk_day"),
+        coalesce(sum(col("day_total")).over(priorDays), lit(0L)).as("cum_offset"))
+    flagged.join(broadcast(offsets), Seq("symbol", "chunk_day"))
+      .select(col("event_id"), col("symbol"),
+        (sum(col("is_new")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, 0))
+          + col("cum_offset")).as("session_id"))
       .orderBy("event_id")
   }
 }

@@ -325,12 +325,25 @@ object TextOps {
   def vocabCoverage(docs: DataFrame, ranks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
     val counts = docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val ord = Window.orderBy(col("c").desc, col("w"))
+    // global Zipf rank/cumsum WITHOUT the single-task global window
+    // (`Window.orderBy(c desc, w)` drains the whole vocabulary through
+    // one task at 100 TB): the order is (c desc, w), so equal-c rows
+    // are contiguous — chunk BY THE COUNT VALUE. Within a c-chunk the
+    // rank is row_number by w and the cumulative tokens are simply
+    // rank·c; cross-chunk offsets come from the tiny distinct-c table
+    // (word + token totals per c, running-summed in c-desc order).
+    val withinRank = row_number()
+      .over(Window.partitionBy("c").orderBy("w")).cast("long")
+    val bandOrd = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.groupBy(col("c")).agg(count(lit(1)).as("n_words"))
+      .select(col("c"),
+        coalesce(sum(col("n_words")).over(bandOrd), lit(0L)).as("rank_off"),
+        coalesce(sum(col("n_words") * col("c")).over(bandOrd), lit(0L)).as("tok_off"))
     val tot = counts.agg(sum(col("c")).as("total"))
-    counts
-      .withColumn("top_n", row_number().over(ord).cast("long"))
-      .withColumn("cum_tokens",
-        sum(col("c")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    counts.join(broadcast(offsets), Seq("c"))
+      .withColumn("top_n", col("rank_off") + withinRank)
+      .withColumn("cum_tokens", col("tok_off") + withinRank * col("c"))
       .filter(col("top_n").isin(ranks.map(_.toLong): _*))
       .crossJoin(broadcast(tot))
       .select(col("top_n"), col("cum_tokens"), col("total"),

@@ -117,6 +117,144 @@ class PrefixAggSpec extends AnyFunSuite {
     detailWindowsArePartitionedByChunk(MarketOps.volumeBars(ticks, 10000L))
   }
 
+  test("sma (chunked-with-carry ROWS frame) matches the single-window plan bit-for-bit") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val w = tickOrder.rowsBetween(-19, 0)
+    val naive = ticks.select(col("event_id"), col("symbol"),
+      (sum(col("price").cast(dec)).over(w).cast("double") /
+        count(lit(1)).over(w).cast("double")).as("sma20"))
+    // chunkRows=64 ≪ per-symbol row count, so carries are exercised
+    assertSame(MarketOps.sma(ticks, 20, chunkRows = 64L), naive)
+    detailWindowsArePartitionedByChunk(MarketOps.sma(ticks, 20, chunkRows = 64L))
+  }
+
+  test("rollingHourlyAvg (chunked-with-carry RANGE frame) matches bit-for-bit") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val w = Window.partitionBy("symbol").orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0)
+    val naive = ticks.select(col("event_id"), col("symbol"),
+        unix_micros(col("ts")).as("ts_us"), col("price"))
+      .select(col("event_id"), col("symbol"),
+        (sum(col("price").cast(dec)).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("avg_1h"))
+    assertSame(MarketOps.rollingHourlyAvg(ticks), naive)
+    detailWindowsArePartitionedByChunk(MarketOps.rollingHourlyAvg(ticks))
+  }
+
+  test("rsi (layered lag+frame carries) matches the single-window plan bit-for-bit") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val chg = col("price").cast(dec) - lag(col("price"), 1).over(tickOrder).cast(dec)
+    val w = tickOrder.rowsBetween(-13, 0)
+    val naive = ticks.withColumn("chg", chg)
+      .withColumn("gain", when(col("chg") > 0, col("chg")).otherwise(lit(0).cast(dec)))
+      .withColumn("loss", when(col("chg") < 0, -col("chg")).otherwise(lit(0).cast(dec)))
+      .select(col("event_id"), col("symbol"),
+        when(sum(col("loss")).over(w) === 0, lit(100.0))
+          .otherwise(round(lit(100.0) - lit(100.0) /
+            (lit(1.0) + sum(col("gain")).over(w).cast("double") /
+              sum(col("loss")).over(w).cast("double")), 4)).as("rsi14"))
+    assertSame(MarketOps.rsi(ticks, 14, chunkRows = 64L), naive)
+  }
+
+  test("bollinger (chunked frame) matches the single-window plan bit-for-bit") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val sqDec = org.apache.spark.sql.types.DecimalType(38, 4)
+    val w = tickOrder.rowsBetween(-19, 0)
+    val cnt = count(lit(1)).over(w).cast("double")
+    val s = sum(col("price").cast(dec)).over(w).cast("double")
+    val sq = sum((col("price").cast(dec) * col("price").cast(dec)).cast(sqDec))
+      .over(w).cast("double")
+    val mean = s / cnt
+    val varRaw = (sq - (s * s) / cnt) / (cnt - lit(1.0))
+    val sd = sqrt(when(cnt > 1 && varRaw > 0, varRaw).otherwise(lit(0.0)))
+    val naive = ticks.select(col("event_id"), col("symbol"),
+      round(mean, 4).as("sma"), round(sd, 4).as("sd"),
+      round(mean + lit(2.0) * sd, 4).as("upper_band"),
+      round(mean - lit(2.0) * sd, 4).as("lower_band"))
+    assertSame(MarketOps.bollinger(ticks, 20, 2.0, chunkRows = 64L), naive)
+  }
+
+  test("donchian (chunked frame) matches the single-window plan bit-for-bit") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val w = tickOrder.rowsBetween(-19, 0)
+    val up = max(col("price").cast(dec)).over(w)
+    val lo = min(col("price").cast(dec)).over(w)
+    val naive = ticks.select(col("event_id"), col("symbol"),
+      up.cast("double").as("upper_ch"), lo.cast("double").as("lower_ch"),
+      ((up + lo).cast("double") / 2.0).as("mid_ch"))
+    assertSame(MarketOps.donchian(ticks, 20, chunkRows = 64L), naive)
+  }
+
+  test("stochastic (layered frame+lag carries) matches bit-for-bit") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val w = tickOrder.rowsBetween(-13, 0)
+    val hhv = max(col("price").cast(dec)).over(w)
+    val llv = min(col("price").cast(dec)).over(w)
+    val k = when(hhv > llv,
+      lit(100.0) * (col("price").cast(dec) - llv).cast("double") /
+        (hhv - llv).cast("double"))
+    val naive = ticks.select(col("event_id"), col("symbol"), col("ts"), k.as("pct_k"))
+      .select(col("event_id"), col("symbol"), col("pct_k"),
+        ((col("pct_k") + lag(col("pct_k"), 1).over(tickOrder)
+          + lag(col("pct_k"), 2).over(tickOrder)) / 3.0).as("pct_d"))
+    assertSame(MarketOps.stochastic(ticks, 14, chunkRows = 64L), naive)
+  }
+
+  test("sessionize (chunked lag + flag prefix-sum) matches bit-for-bit") {
+    val gapUs = 30 * 60L * 1000000L
+    val prevTs = lag(col("ts"), 1).over(tickOrder)
+    val newSession = when(prevTs.isNull ||
+      unix_micros(col("ts")) - unix_micros(prevTs) > gapUs, 1L).otherwise(0L)
+    val naive = ticks.withColumn("is_new", newSession)
+      .withColumn("session_id",
+        sum(col("is_new")).over(tickOrder.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("event_id"), col("symbol"), col("session_id"))
+    assertSame(MarketOps.sessionize(ticks, 30), naive)
+    detailWindowsArePartitionedByChunk(MarketOps.sessionize(ticks, 30))
+  }
+
+  test("concurrency (chunked sweep + argmax aggregate) matches bit-for-bit") {
+    import org.apache.spark.sql.types.DecimalType
+    val events = graft.core.Tables.events(spark, sf)
+    val startUs = unix_micros(col("ts"))
+    val durS = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val endUs = startUs + durS * 1000000L
+    val deltas = events.select(col("event_type").as("symbol"),
+        explode(array(
+          struct(startUs.as("t"), lit(1L).as("d")),
+          struct(endUs.as("t"), lit(-1L).as("d")))).as("e"))
+      .select(col("symbol"), col("e.t").as("t"), col("e.d").as("d"))
+    val sweep = Window.partitionBy("symbol").orderBy(col("t"), col("d"))
+    val sym = Window.partitionBy("symbol")
+    val naive = deltas
+      .withColumn("running",
+        sum(col("d")).over(sweep.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("peak", max(col("running")).over(sym))
+      .groupBy(col("symbol"))
+      .agg(first(col("peak")).as("peak_concurrent"),
+        min(when(col("running") === col("peak"), col("t"))).as("peak_at_us"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+    assertSame(graft.operators.EventAnalytics.concurrency(events), naive)
+  }
+
+  test("vocabCoverage (count-band chunking) matches the global-window plan") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val counts = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy(col("c").desc, col("w"))
+    val tot = counts.agg(sum(col("c")).as("total"))
+    val naive = counts
+      .withColumn("top_n", row_number().over(ord).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("c")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("top_n").isin(5L, 10L, 20L))
+      .crossJoin(broadcast(tot))
+      .select(col("top_n"), col("cum_tokens"), col("total"),
+        round(col("cum_tokens").cast("double") / col("total").cast("double"), 6)
+          .as("coverage"))
+    assertSame(graft.pipeline.TextOps.vocabCoverage(docs), naive)
+  }
+
   test("lateArrivals matches the single-window plan bit-for-bit") {
     val arrival = Window.partitionBy("symbol").orderBy("event_id")
     val maxPrior = max(unix_micros(col("ts")))

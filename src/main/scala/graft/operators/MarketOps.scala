@@ -99,14 +99,19 @@ object MarketOps {
       chunkRows: Long): (DataFrame, org.apache.spark.sql.expressions.WindowSpec) = {
     require(chunkRows > carryRows,
       s"chunkRows=$chunkRows must exceed carryRows=$carryRows")
-    val t = withSymbolRowNumber(ticks)
-      .withColumn("chunk_id", expr(s"(rn - 1) div ${chunkRows}L"))
-    val carries = t
-      .filter(expr(s"(rn - 1) % ${chunkRows}L >= ${chunkRows - carryRows}L"))
-      .withColumn("chunk_id", col("chunk_id") + 1)
-      .withColumn("carry", lit(true))
-    (t.withColumn("carry", lit(false)).unionByName(carries),
-      Window.partitionBy("symbol", "chunk_id").orderBy("rn"))
+    // duplication via explode, NOT a union of two branches — a union
+    // would re-execute the whole row-number subplan (rank window +
+    // offsets join) once per branch; exploding a 1/2-element array
+    // duplicates the chunk-tail rows in place on a single pass
+    val isTail = expr(s"(rn - 1) % ${chunkRows}L >= ${chunkRows - carryRows}L")
+    val all = withSymbolRowNumber(ticks)
+      .withColumn("carry",
+        explode(when(isTail, array(lit(false), lit(true)))
+          .otherwise(array(lit(false)))))
+      .withColumn("chunk_id",
+        expr(s"(rn - 1) div ${chunkRows}L") +
+          when(col("carry"), 1L).otherwise(0L))
+    (all, Window.partitionBy("symbol", "chunk_id").orderBy("rn"))
   }
 
   /** Exact global per-symbol row number WITHOUT a whole-symbol window:
@@ -282,9 +287,9 @@ object MarketOps {
       .orderBy("symbol", "rn")
   }
 
-  /** Tick-over-tick simple returns per symbol. */
+  /** Tick-over-tick simple returns per symbol (chunked lag). */
   def returns(ticks: DataFrame): DataFrame =
-    ticks.withColumn("prev", lag(col("price"), 1).over(tickOrder))
+    chunkedLag1(ticks.withColumn("chunk_day", to_date(col("ts"))), "price", "prev")
       .filter(col("prev").isNotNull && col("prev") =!= 0.0)
       .select(col("event_id"), col("symbol"),
         (col("price") / col("prev") - 1).as("ret"))
@@ -318,6 +323,24 @@ object MarketOps {
   private def priorDays =
     Window.partitionBy("symbol").orderBy("chunk_day")
       .rowsBetween(Window.unboundedPreceding, -1)
+
+  /** lag-1 of column `c` without a whole-symbol window: within-day lag
+    * over the (symbol, chunk_day) chunks, with each day's boundary NULL
+    * filled from the previous ACTIVE day's last value (deterministic:
+    * max_by on (ts, event_id)), carried on the tiny per-day table.
+    * Input must already have `chunk_day`; the result adds `out`.
+    */
+  private def chunkedLag1(t: DataFrame, c: String, out: String): DataFrame = {
+    val dayLast = t.groupBy(col("symbol"), col("chunk_day"))
+      .agg(max_by(col(c), struct(col("ts"), col("event_id"))).as("day_last"))
+      .select(col("symbol"), col("chunk_day"),
+        lag(col("day_last"), 1)
+          .over(Window.partitionBy("symbol").orderBy("chunk_day"))
+          .as("prev_day_val"))
+    t.join(broadcast(dayLast), Seq("symbol", "chunk_day"))
+      .withColumn(out, coalesce(lag(col(c), 1).over(chunkOrder), col("prev_day_val")))
+      .drop("prev_day_val")
+  }
 
   /** Running (cumulative) volume per symbol — exact integer math, via
     * the chunked prefix-sum (day partials + broadcast offsets).
@@ -432,20 +455,12 @@ object MarketOps {
     * equal prices are exactly zero.
     */
   def obv(ticks: DataFrame): DataFrame = {
-    // chunked prefix-sum; the lag(price) crosses day boundaries, so the
-    // tiny per-day table also carries each day's LAST price (max_by on
-    // (ts, event_id) — deterministic), lagged to seed the next day's
-    // first price change
+    // chunked prefix-sum; the lag(price) crosses day boundaries, so
+    // chunkedLag1 seeds each day's first change from the previous
+    // day's last price
     val t = ticks.withColumn("chunk_day", to_date(col("ts")))
-    val dayLast = t.groupBy(col("symbol"), col("chunk_day"))
-      .agg(max_by(col("price"), struct(col("ts"), col("event_id"))).as("day_last"))
-      .select(col("symbol"), col("chunk_day"),
-        lag(col("day_last"), 1)
-          .over(Window.partitionBy("symbol").orderBy("chunk_day"))
-          .as("prev_day_last"))
-    val prev = coalesce(lag(col("price"), 1).over(chunkOrder), col("prev_day_last"))
-    val signed = t.join(broadcast(dayLast), Seq("symbol", "chunk_day"))
-      .withColumn("chg", col("price").cast(dec) - prev.cast(dec))
+    val signed = chunkedLag1(t, "price", "prev")
+      .withColumn("chg", col("price").cast(dec) - col("prev").cast(dec))
       .withColumn("sv",
         when(col("chg") > 0, col("volume"))
           .when(col("chg") < 0, -col("volume"))
@@ -717,17 +732,23 @@ object MarketOps {
     // operand multiset ⇒ bit-identical to the whole-symbol window,
     // without one task owning a symbol's entire history.
     val rangeUs = 3600000000L
-    val t = ticks.select(col("event_id"), col("symbol"),
+    val base = ticks.select(col("event_id"), col("symbol"),
         unix_micros(col("ts")).as("ts_us"), col("price"))
       .withColumn("chunk_day", to_date(timestamp_micros(col("ts_us"))))
     val nextDayStartUs =
       unix_micros(to_timestamp(date_add(col("chunk_day"), 1)))
-    val carries = t.filter(col("ts_us") >= nextDayStartUs - rangeUs)
-      .withColumn("chunk_day", date_add(col("chunk_day"), 1))
-      .withColumn("carry", lit(true))
+    // in-place duplication via explode (see chunkedFrame): each day's
+    // final hour of rows is emitted twice, the copy re-tagged +1 day
+    val t = base
+      .withColumn("carry",
+        explode(when(col("ts_us") >= nextDayStartUs - rangeUs,
+          array(lit(false), lit(true))).otherwise(array(lit(false)))))
+      .withColumn("chunk_day",
+        when(col("carry"), date_add(col("chunk_day"), 1))
+          .otherwise(col("chunk_day")))
     val w = Window.partitionBy("symbol", "chunk_day").orderBy(col("ts_us"))
       .rangeBetween(-rangeUs, 0)
-    t.withColumn("carry", lit(false)).unionByName(carries)
+    t
       .select(col("event_id"), col("symbol"), col("carry"),
         (sum(col("price").cast(dec)).over(w).cast("double") /
           count(lit(1)).over(w).cast("double")).as("avg_1h"))
@@ -950,9 +971,13 @@ object MarketOps {
     */
   def downsample(ticks: DataFrame, k: Int = 100): DataFrame = {
     val b = Window.partitionBy("symbol", "bucket")
-    val base = ticks
-      .withColumn("i", (row_number().over(tickOrder) - 1).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+    // global index from the prefix-sum row number + per-symbol totals
+    // broadcast back — neither a whole-symbol rank window nor a
+    // whole-partition COUNT window
+    val nTab = ticks.groupBy(col("symbol")).agg(count(lit(1)).as("n"))
+    val base = withSymbolRowNumber(ticks)
+      .withColumn("i", col("rn") - 1)
+      .join(broadcast(nTab), "symbol")
       .withColumn("bucket", expr(s"(i * $k) div n"))
     val mean = sum(col("price").cast(dec)).over(b).cast("double") /
       count(lit(1)).over(b).cast("double")
@@ -972,8 +997,9 @@ object MarketOps {
     * BIGINT µs differences; one window sort + one partial-agg shuffle.
     */
   def gapStats(ticks: DataFrame, thresholdSec: Int = 60): DataFrame = {
-    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(tickOrder))
-    ticks.withColumn("gap_us", gapUs)
+    val gapUs = unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+    chunkedLag1(ticks.withColumn("chunk_day", to_date(col("ts"))), "ts", "prev_ts")
+      .withColumn("gap_us", gapUs)
       .filter(col("gap_us").isNotNull)
       .groupBy(col("symbol"))
       .agg(count(lit(1)).as("n_gaps"),
@@ -992,12 +1018,17 @@ object MarketOps {
     * both engines. Positive serial covariance (no spread signal) is
     * guarded to 0. One window shuffle + one partial aggregation.
     */
-  def rollSpread(ticks: DataFrame): DataFrame = {
+  def rollSpread(ticks: DataFrame, chunkRows: Long = 8192L): DataFrame = {
+    // chunkedFrame with 2 carries: d lags price once, dl lags d again.
+    // The first carry's d is NULL-degraded (its lag is outside the
+    // chunk) but only feeds the second carry's dl — and carries never
+    // reach the aggregation.
+    val (t, spec) = chunkedFrame(ticks, 2, chunkRows)
     val pd = col("price").cast(dec)
-    val withD = ticks
-      .withColumn("d", pd - lag(pd, 1).over(tickOrder))
-      .withColumn("dl", lag(col("d"), 1).over(tickOrder))
-      .filter(col("d").isNotNull && col("dl").isNotNull)
+    val withD = t
+      .withColumn("d", pd - lag(pd, 1).over(spec))
+      .withColumn("dl", lag(col("d"), 1).over(spec))
+      .filter(!col("carry") && col("d").isNotNull && col("dl").isNotNull)
     val m = withD.groupBy(col("symbol")).agg(
       count(lit(1)).as("n_pairs"),
       sum(col("d")).cast("double").as("sx"),
@@ -1054,9 +1085,10 @@ object MarketOps {
     * the moment magnitudes reset daily. One window + one aggregation.
     */
   def priceImpact(ticks: DataFrame): DataFrame = {
-    val pd = col("price").cast(dec)
-    val dp = pd - lag(pd, 1).over(tickOrder)
-    val withD = ticks.withColumn("dp", dp).filter(col("dp").isNotNull)
+    val dp = col("price").cast(dec) - col("prev").cast(dec)
+    val withD = chunkedLag1(ticks.withColumn("chunk_day", to_date(col("ts"))),
+        "price", "prev")
+      .withColumn("dp", dp).filter(col("dp").isNotNull)
       .withColumn("x",
         (when(col("dp") > 0, 1L).when(col("dp") < 0, -1L).otherwise(0L) *
           col("volume")).cast(DecimalType(12, 0)))
@@ -1281,12 +1313,13 @@ object MarketOps {
     * the hourly group states are all that reach the second exchange.
     */
   def ofi(ticks: DataFrame): DataFrame = {
-    val prev = lag(col("price"), 1).over(tickOrder)
+    val prev = col("prev")
     val sign = when(prev.isNull, 0L)
       .when(col("price") > prev, 1L)
       .when(col("price") < prev, -1L)
       .otherwise(0L)
-    ticks.withColumn("sign", sign)
+    chunkedLag1(ticks.withColumn("chunk_day", to_date(col("ts"))), "price", "prev")
+      .withColumn("sign", sign)
       .groupBy(col("symbol"), date_trunc("hour", col("ts")).as("h"))
       .agg(
         sum(when(col("sign") === 1L, col("volume")).otherwise(0L)).as("buy_vol"),
@@ -1462,16 +1495,10 @@ object MarketOps {
   def sessionize(ticks: DataFrame, gapMinutes: Int): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
     val t = ticks.withColumn("chunk_day", to_date(col("ts")))
-    val dayLast = t.groupBy(col("symbol"), col("chunk_day"))
-      .agg(max(col("ts")).as("day_last_ts"))
-      .select(col("symbol"), col("chunk_day"),
-        lag(col("day_last_ts"), 1)
-          .over(Window.partitionBy("symbol").orderBy("chunk_day"))
-          .as("prev_day_ts"))
-    val prevTs = coalesce(lag(col("ts"), 1).over(chunkOrder), col("prev_day_ts"))
-    val flagged = t.join(broadcast(dayLast), Seq("symbol", "chunk_day"))
-      .withColumn("is_new", when(prevTs.isNull ||
-        unix_micros(col("ts")) - unix_micros(prevTs) > gapUs, 1L).otherwise(0L))
+    val flagged = chunkedLag1(t, "ts", "prev_ts")
+      .withColumn("is_new", when(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+        .otherwise(0L))
     val offsets = flagged.groupBy(col("symbol"), col("chunk_day"))
       .agg(sum(col("is_new")).as("day_total"))
       .select(col("symbol"), col("chunk_day"),

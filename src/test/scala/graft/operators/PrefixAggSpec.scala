@@ -255,6 +255,101 @@ class PrefixAggSpec extends AnyFunSuite {
     assertSame(graft.pipeline.TextOps.vocabCoverage(docs), naive)
   }
 
+  test("returns / ofi / gapStats (chunked lag-1) match bit-for-bit") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val naiveRet = ticks.withColumn("prev", lag(col("price"), 1).over(tickOrder))
+      .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+      .select(col("event_id"), col("symbol"),
+        (col("price") / col("prev") - 1).as("ret"))
+    assertSame(MarketOps.returns(ticks), naiveRet)
+
+    val prev = lag(col("price"), 1).over(tickOrder)
+    val sign = when(prev.isNull, 0L).when(col("price") > prev, 1L)
+      .when(col("price") < prev, -1L).otherwise(0L)
+    val naiveOfi = ticks.withColumn("sign", sign)
+      .groupBy(col("symbol"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(when(col("sign") === 1L, col("volume")).otherwise(0L)).as("buy_vol"),
+        sum(when(col("sign") === -1L, col("volume")).otherwise(0L)).as("sell_vol"),
+        count(lit(1)).as("n_ticks"))
+      .withColumn("net_vol", col("buy_vol") - col("sell_vol"))
+      .withColumn("imbalance_bp",
+        when(col("buy_vol") + col("sell_vol") === 0L, 0L)
+          .otherwise(expr("(net_vol * 10000) div (buy_vol + sell_vol)")))
+      .select(col("symbol"), unix_micros(col("h")).as("hour_us"),
+        col("buy_vol"), col("sell_vol"), col("net_vol"),
+        col("imbalance_bp"), col("n_ticks"))
+    assertSame(MarketOps.ofi(ticks), naiveOfi)
+
+    val gapUs = unix_micros(col("ts")) -
+      unix_micros(lag(col("ts"), 1).over(tickOrder))
+    val naiveGap = ticks.withColumn("gap_us", gapUs)
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_gaps"), max(col("gap_us")).as("max_gap_us"),
+        round(sum(col("gap_us")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("avg_gap_us"),
+        sum(when(col("gap_us") > 60 * 1000000L, 1L).otherwise(0L)).as("n_stale"))
+    assertSame(MarketOps.gapStats(ticks), naiveGap)
+  }
+
+  test("rollSpread / priceImpact (chunked moment lags) match bit-for-bit") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val pd = col("price").cast(dec)
+    val withD = ticks
+      .withColumn("d", pd - lag(pd, 1).over(tickOrder))
+      .withColumn("dl", lag(col("d"), 1).over(tickOrder))
+      .filter(col("d").isNotNull && col("dl").isNotNull)
+    val m = withD.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("d")).cast("double").as("sx"),
+      sum(col("dl")).cast("double").as("sy"),
+      sum(col("d") * col("dl")).cast("double").as("sxy"))
+    val nd = col("n_pairs").cast("double")
+    val cov = (col("sxy") - col("sx") * col("sy") / nd) / (nd - 1.0)
+    val naiveRoll = m.select(col("symbol"), col("n_pairs"),
+      round(cov, 6).as("serial_cov"),
+      when(cov < 0.0, round(sqrt(-cov) * 2.0, 6)).otherwise(0.0).as("roll_spread"))
+    assertSame(MarketOps.rollSpread(ticks, chunkRows = 64L), naiveRoll)
+
+    val dp = pd - lag(pd, 1).over(tickOrder)
+    val withDp = ticks.withColumn("dp", dp).filter(col("dp").isNotNull)
+      .withColumn("x",
+        (when(col("dp") > 0, 1L).when(col("dp") < 0, -1L).otherwise(0L) *
+          col("volume")).cast(org.apache.spark.sql.types.DecimalType(12, 0)))
+    val m2 = withDp.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("dp")).cast("double").as("sy"),
+      sum(col("x") * col("dp")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"))
+    val nd2 = col("n_pairs").cast("double")
+    val denX = nd2 * col("sxx") - col("sx") * col("sx")
+    val naiveKyle = m2.select(col("symbol"), col("n_pairs"),
+      when(denX === 0.0, 0.0)
+        .otherwise(round((nd2 * col("sxy") - col("sx") * col("sy")) / denX
+          * 10000.0, 6)).as("lambda_e4"))
+    assertSame(MarketOps.priceImpact(ticks), naiveKyle)
+  }
+
+  test("downsample (prefix-sum index) matches the rank-window plan bit-for-bit") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val b = Window.partitionBy("symbol", "bucket")
+    val base = ticks
+      .withColumn("i", (row_number().over(tickOrder) - 1).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+      .withColumn("bucket", expr("(i * 100) div n"))
+    val mean = sum(col("price").cast(dec)).over(b).cast("double") /
+      count(lit(1)).over(b).cast("double")
+    val naive = base.withColumn("dev", abs(col("price") - mean))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("symbol", "bucket")
+          .orderBy(col("dev").desc, col("event_id"))))
+      .filter(col("rk") === 1)
+      .select(col("symbol"), col("bucket"), col("event_id"), col("price"),
+        col("dev"))
+    assertSame(MarketOps.downsample(ticks, 100), naive)
+  }
+
   test("lateArrivals matches the single-window plan bit-for-bit") {
     val arrival = Window.partitionBy("symbol").orderBy("event_id")
     val maxPrior = max(unix_micros(col("ts")))

@@ -126,6 +126,8 @@ object SparkEntry {
     "q_macd" -> ((s, dir) => MarketOps.macd(ticks(s, dir))),
     "q_twap_daily" -> ((s, dir) => MarketOps.twapDaily(ticks(s, dir))),
     "q_volume_bars" -> ((s, dir) => MarketOps.volumeBars(ticks(s, dir), 10000L)),
+    "q_vpin" -> ((s, dir) => MarketOps.vpin(ticks(s, dir), 10000L, 5)),
+    "q_heikin_ashi" -> ((s, dir) => MarketOps.heikinAshi(ticks(s, dir))),
     "q_drawdown" -> ((s, dir) => MarketOps.drawdown(ticks(s, dir))),
     "q_hopping_bars" -> ((s, dir) => MarketOps.hoppingBars(ticks(s, dir))),
     "q_zorder_scan" -> ((s, dir) => zorderScan(s, dir)),
@@ -920,6 +922,64 @@ object SparkEntry {
         |       min_by(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
         |       max_by(value, ts) AS close, CAST(SUM(user_id) AS BIGINT) AS bar_volume
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // recursive CTE over daily bars (EMA pattern): identical
+    // left-associative sums and power-of-two divisions on both engines
+    "q_heikin_ashi" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT symbol, day, open, high, low, close,
+        |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+        |  FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |               min_by(value, ts) AS open, MAX(value) AS high,
+        |               MIN(value) AS low, max_by(value, ts) AS close
+        |        FROM events GROUP BY 1, 2)),
+        |r AS (
+        |  SELECT symbol, day, rn,
+        |         (open + close) / 2.0 AS ha_open,
+        |         (open + high + low + close) / 4.0 AS ha_close,
+        |         high, low
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.symbol, b.day, b.rn,
+        |         (r.ha_open + r.ha_close) / 2.0,
+        |         (b.open + b.high + b.low + b.close) / 4.0,
+        |         b.high, b.low
+        |  FROM b JOIN r ON b.symbol = r.symbol AND b.rn = r.rn + 1)
+        |SELECT symbol, day, ha_open,
+        |       GREATEST(high, ha_open, ha_close) AS ha_high,
+        |       LEAST(low, ha_open, ha_close) AS ha_low,
+        |       ha_close
+        |FROM r ORDER BY 1, 2""".stripMargin,
+    // tick-rule signs + volume-clock bars + trailing-bar flow toxicity;
+    // exact BIGINT sums until the single final double division
+    "q_vpin" ->
+      """WITH s AS (
+        |  SELECT event_type AS symbol, user_id AS volume,
+        |         CASE WHEN LAG(CAST(value AS DECIMAL(18,2))) OVER w IS NULL THEN 0
+        |              WHEN CAST(value AS DECIMAL(18,2))
+        |                   > LAG(CAST(value AS DECIMAL(18,2))) OVER w THEN 1
+        |              WHEN CAST(value AS DECIMAL(18,2))
+        |                   < LAG(CAST(value AS DECIMAL(18,2))) OVER w THEN -1
+        |              ELSE 0 END AS sgn,
+        |         COALESCE(SUM(user_id) OVER (PARTITION BY event_type
+        |             ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_cum
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT symbol, pre_cum // 10000 AS bar_id,
+        |         SUM(CASE WHEN sgn = 1 THEN volume ELSE 0 END) AS buy_vol,
+        |         SUM(CASE WHEN sgn = -1 THEN volume ELSE 0 END) AS sell_vol,
+        |         SUM(volume) AS total_vol
+        |  FROM s GROUP BY 1, 2)
+        |SELECT symbol, CAST(bar_id AS BIGINT) AS bar_id,
+        |       CAST(buy_vol AS BIGINT) AS buy_vol,
+        |       CAST(sell_vol AS BIGINT) AS sell_vol,
+        |       CAST(total_vol AS BIGINT) AS total_vol,
+        |       ROUND(CAST(SUM(ABS(buy_vol - sell_vol)) OVER wb AS DOUBLE)
+        |             / CAST(SUM(total_vol) OVER wb AS DOUBLE), 6) AS vpin
+        |FROM b
+        |WINDOW wb AS (PARTITION BY symbol ORDER BY bar_id
+        |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY 1, 2""".stripMargin,
     "q_drawdown" ->
       """SELECT event_id, event_type AS symbol,
         |       CASE WHEN run_max > 0 THEN value / run_max - 1.0 ELSE 0.0 END AS drawdown

@@ -165,6 +165,46 @@ object MarketOps {
       .orderBy("event_id")
   }
 
+  final case class HaBar(symbol: String, day: java.sql.Date, open: Double,
+      high: Double, low: Double, close: Double)
+  final case class HaOut(symbol: String, day: java.sql.Date, ha_open: Double,
+      ha_high: Double, ha_low: Double, ha_close: Double)
+
+  /** Heikin-Ashi smoothed candles over daily bars: ha_close is the
+    * bar's OHLC mean, ha_open the midpoint of the PREVIOUS Heikin-Ashi
+    * bar (genuinely recursive — seeded with the first bar's (open +
+    * close)/2), ha_high/ha_low the extremes over {high/low, ha_open,
+    * ha_close}. The recursion runs over BAR STATES (tiny per symbol)
+    * in one sorted-group pass, the barCascade posture; divisions are
+    * by powers of two (exact) and the sums run the identical
+    * left-associative IEEE op order as the oracle's recursive CTE, so
+    * doubles are bit-identical.
+    */
+  def heikinAshi(ticks: DataFrame): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("open"), col("high"),
+        col("low"), col("close"))
+      .as[HaBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        var prevOpen = 0.0; var prevClose = 0.0; var first = true
+        it.map { b =>
+          val haClose = (b.open + b.high + b.low + b.close) / 4.0
+          val haOpen =
+            if (first) { first = false; (b.open + b.close) / 2.0 }
+            else (prevOpen + prevClose) / 2.0
+          prevOpen = haOpen; prevClose = haClose
+          HaOut(sym, b.day, haOpen,
+            math.max(b.high, math.max(haOpen, haClose)),
+            math.min(b.low, math.min(haOpen, haClose)), haClose)
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
   final case class KamaIn(event_id: Long, symbol: String, ts_us: Long,
       price: Double, sc: Double)
   final case class KamaRow(event_id: Long, symbol: String, kama: Double)
@@ -676,6 +716,51 @@ object MarketOps {
         min(col("price")).as("low"),
         max_by(col("price"), col("ts")).as("close"),
         sum(col("volume")).as("bar_volume"))
+      .orderBy("symbol", "bar_id")
+  }
+
+  /** VPIN (volume-synchronized probability of informed trading,
+    * Easley/López de Prado/O'Hara): ticks are signed by the tick rule,
+    * grouped into volume-clock bars of `threshold` units, and VPIN at
+    * each bar is Σ|buy−sell| / Σtotal over the trailing `n` bars — the
+    * standard flow-toxicity metric on the volume clock.
+    *
+    * Composition of the chunked scaffolds: tick-rule sign via
+    * [[chunkedLag1]], pre-tick cumulative volume via the chunked
+    * prefix-sum (volumeBars shape) — ticks never cross a whole-symbol
+    * window. The trailing-bar window runs over BAR STATES (tiny per
+    * symbol: total volume / threshold rows), the barCascade posture.
+    * All arithmetic is integer/decimal until the single final double
+    * division → bit-identical across engines.
+    */
+  def vpin(ticks: DataFrame, threshold: Long, n: Int = 5): DataFrame = {
+    val t = chunkedLag1(ticks.withColumn("chunk_day", to_date(col("ts"))),
+      "price", "prev")
+    val sign = when(col("prev").isNull, 0L)
+      .when(col("price").cast(dec) > col("prev").cast(dec), 1L)
+      .when(col("price").cast(dec) < col("prev").cast(dec), -1L)
+      .otherwise(0L)
+    val offsets = t.groupBy(col("symbol"), col("chunk_day"))
+      .agg(sum(col("volume")).as("day_total"))
+      .select(col("symbol"), col("chunk_day"),
+        coalesce(sum(col("day_total")).over(priorDays), lit(0L)).as("cum_offset"))
+    val preCum = coalesce(
+      sum(col("volume")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L)) + col("cum_offset")
+    val bars = t.join(broadcast(offsets), Seq("symbol", "chunk_day"))
+      .withColumn("sgn", sign)
+      .withColumn("pre_cum", preCum)
+      .withColumn("bar_id", expr(s"pre_cum div $threshold"))
+      .groupBy(col("symbol"), col("bar_id"))
+      .agg(sum(when(col("sgn") === 1L, col("volume")).otherwise(0L)).as("buy_vol"),
+        sum(when(col("sgn") === -1L, col("volume")).otherwise(0L)).as("sell_vol"),
+        sum(col("volume")).as("total_vol"))
+    val wb = Window.partitionBy("symbol").orderBy("bar_id")
+      .rowsBetween(-(n - 1), 0)
+    bars.select(col("symbol"), col("bar_id"), col("buy_vol"), col("sell_vol"),
+        col("total_vol"),
+        round(sum(abs(col("buy_vol") - col("sell_vol"))).over(wb).cast("double") /
+          sum(col("total_vol")).over(wb).cast("double"), 6).as("vpin"))
       .orderBy("symbol", "bar_id")
   }
 

@@ -256,6 +256,24 @@ class MarketOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("heikin-ashi: extremes bracket the body, first open seeds at the midpoint") {
+    val ha = MarketOps.heikinAshi(ticks).cache()
+    assert(ha.filter(col("ha_high") < greatest(col("ha_open"), col("ha_close")) ||
+      col("ha_low") > least(col("ha_open"), col("ha_close"))).count() === 0)
+    // every (symbol, day) bar of the OHLC table appears exactly once
+    assert(ha.count() === MarketOps.ohlcDaily(ticks).count())
+    // first bar per symbol: ha_open = (open + close) / 2 of the raw bar
+    val firstDays = MarketOps.ohlcDaily(ticks)
+      .groupBy(col("symbol")).agg(min(col("day")).as("day"))
+    val firstBars = MarketOps.ohlcDaily(ticks).join(firstDays, Seq("symbol", "day"))
+      .select(col("symbol"), ((col("open") + col("close")) / 2.0).as("seed"))
+    val bad = ha.join(firstDays, Seq("symbol", "day"))
+      .join(firstBars, "symbol")
+      .filter(col("ha_open") =!= col("seed")).count()
+    assert(bad === 0)
+    ha.unpersist()
+  }
+
   test("stochastic %K in [0,100], %D within the K range it averages") {
     val st = MarketOps.stochastic(ticks, 14)
     assert(st.filter(col("pct_k") < 0 || col("pct_k") > 100).count() === 0)

@@ -350,6 +350,32 @@ class PrefixAggSpec extends AnyFunSuite {
     assertSame(MarketOps.downsample(ticks, 100), naive)
   }
 
+  test("vpin (chunked sign + prefix-sum bars) matches the naive plan bit-for-bit") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val prev = lag(col("price"), 1).over(tickOrder)
+    val sgn = when(prev.isNull, 0L)
+      .when(col("price").cast(dec) > prev.cast(dec), 1L)
+      .when(col("price").cast(dec) < prev.cast(dec), -1L)
+      .otherwise(0L)
+    val preCum = coalesce(
+      sum(col("volume")).over(tickOrder.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val bars = ticks.withColumn("sgn", sgn).withColumn("pre_cum", preCum)
+      .withColumn("bar_id", expr("pre_cum div 10000"))
+      .groupBy(col("symbol"), col("bar_id"))
+      .agg(sum(when(col("sgn") === 1L, col("volume")).otherwise(0L)).as("buy_vol"),
+        sum(when(col("sgn") === -1L, col("volume")).otherwise(0L)).as("sell_vol"),
+        sum(col("volume")).as("total_vol"))
+    val wb = Window.partitionBy("symbol").orderBy("bar_id").rowsBetween(-4, 0)
+    val naive = bars.select(col("symbol"), col("bar_id"), col("buy_vol"),
+      col("sell_vol"), col("total_vol"),
+      round(sum(abs(col("buy_vol") - col("sell_vol"))).over(wb).cast("double") /
+        sum(col("total_vol")).over(wb).cast("double"), 6).as("vpin"))
+    assertSame(MarketOps.vpin(ticks, 10000L, 5), naive)
+    val v = MarketOps.vpin(ticks, 10000L, 5)
+    assert(v.filter(col("vpin") < 0.0 || col("vpin") > 1.0).count() === 0)
+  }
+
   test("lateArrivals matches the single-window plan bit-for-bit") {
     val arrival = Window.partitionBy("symbol").orderBy("event_id")
     val maxPrior = max(unix_micros(col("ts")))

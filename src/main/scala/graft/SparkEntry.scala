@@ -128,6 +128,7 @@ object SparkEntry {
     "q_volume_bars" -> ((s, dir) => MarketOps.volumeBars(ticks(s, dir), 10000L)),
     "q_vpin" -> ((s, dir) => MarketOps.vpin(ticks(s, dir), 10000L, 5)),
     "q_heikin_ashi" -> ((s, dir) => MarketOps.heikinAshi(ticks(s, dir))),
+    "q_ordinal_patterns" -> ((s, dir) => MarketOps.ordinalPatterns(ticks(s, dir))),
     "q_drawdown" -> ((s, dir) => MarketOps.drawdown(ticks(s, dir))),
     "q_hopping_bars" -> ((s, dir) => MarketOps.hoppingBars(ticks(s, dir))),
     "q_zorder_scan" -> ((s, dir) => zorderScan(s, dir)),
@@ -922,6 +923,24 @@ object SparkEntry {
         |       min_by(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
         |       max_by(value, ts) AS close, CAST(SUM(user_id) AS BIGINT) AS bar_volume
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // weak-ordering signs of (p_{t-2}, p_{t-1}, p_t) encoded base-3;
+    // exact integer counts (the entropy's ln() would not be
+    // bit-identical across engines — counts are)
+    "q_ordinal_patterns" ->
+      """WITH t AS (
+        |  SELECT event_type AS symbol,
+        |         LAG(CAST(value AS DECIMAL(18,2)), 2) OVER w AS a,
+        |         LAG(CAST(value AS DECIMAL(18,2)), 1) OVER w AS b,
+        |         CAST(value AS DECIMAL(18,2)) AS c
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+        |SELECT symbol,
+        |       CAST((CASE WHEN b > a THEN 2 WHEN b < a THEN 0 ELSE 1 END) * 9
+        |          + (CASE WHEN c > b THEN 2 WHEN c < b THEN 0 ELSE 1 END) * 3
+        |          + (CASE WHEN c > a THEN 2 WHEN c < a THEN 0 ELSE 1 END)
+        |         AS BIGINT) AS pattern,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM t WHERE a IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // recursive CTE over daily bars (EMA pattern): identical
     // left-associative sums and power-of-two divisions on both engines
     "q_heikin_ashi" ->

@@ -764,6 +764,33 @@ object MarketOps {
       .orderBy("symbol", "bar_id")
   }
 
+  /** Ordinal-pattern census (the support of permutation entropy,
+    * Bandt–Pompe m=3): each tick is classified by the weak ordering of
+    * (p_{t−2}, p_{t−1}, p_t) — three decimal sign comparisons encoded
+    * base-3 — and patterns are counted per symbol. Counting instead of
+    * the entropy itself keeps everything EXACT INTEGERS (ln() is not
+    * bit-identical across engines); the ≤27-row census is the
+    * complexity fingerprint downstream tooling feeds into whatever log
+    * base it likes. Lags of the RAW price ride [[chunkedFrame]] with 2
+    * carries — carried prices are real values, so no layering concerns.
+    */
+  def ordinalPatterns(ticks: DataFrame, chunkRows: Long = 8192L): DataFrame = {
+    val (t, spec) = chunkedFrame(ticks, 2, chunkRows)
+    def s(x: Column, y: Column): Column =
+      when(x > y, 2L).when(x < y, 0L).otherwise(1L)
+    val pd = col("price").cast(dec)
+    t.select(col("symbol"), col("carry"),
+        lag(pd, 2).over(spec).as("a"), lag(pd, 1).over(spec).as("b"),
+        pd.as("c"))
+      .filter(!col("carry") && col("a").isNotNull)
+      .withColumn("pattern",
+        s(col("b"), col("a")) * 9 + s(col("c"), col("b")) * 3 +
+          s(col("c"), col("a")))
+      .groupBy(col("symbol"), col("pattern"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("symbol", "pattern")
+  }
+
   /** Running-peak drawdown per symbol: price / running max − 1.
     * Identical operands on both engines → bit-identical quotient
     * (emitted unrounded); an all-zero-price prefix yields 0.

@@ -376,6 +376,23 @@ class PrefixAggSpec extends AnyFunSuite {
     assert(v.filter(col("vpin") < 0.0 || col("vpin") > 1.0).count() === 0)
   }
 
+  test("ordinalPatterns (chunked raw-value lags) matches bit-for-bit") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    def s(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      when(x > y, 2L).when(x < y, 0L).otherwise(1L)
+    val pd = col("price").cast(dec)
+    val naive = ticks.select(col("symbol"),
+        lag(pd, 2).over(tickOrder).as("a"), lag(pd, 1).over(tickOrder).as("b"),
+        pd.as("c"))
+      .filter(col("a").isNotNull)
+      .withColumn("pattern",
+        s(col("b"), col("a")) * 9 + s(col("c"), col("b")) * 3 +
+          s(col("c"), col("a")))
+      .groupBy(col("symbol"), col("pattern"))
+      .agg(count(lit(1)).as("n"))
+    assertSame(MarketOps.ordinalPatterns(ticks, chunkRows = 64L), naive)
+  }
+
   test("lateArrivals matches the single-window plan bit-for-bit") {
     val arrival = Window.partitionBy("symbol").orderBy("event_id")
     val maxPrior = max(unix_micros(col("ts")))

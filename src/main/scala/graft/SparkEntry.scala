@@ -1477,16 +1477,17 @@ object SparkEntry {
         |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |         CAST(SUM(d) AS DOUBLE) AS sx, CAST(SUM(dl) AS DOUBLE) AS sy,
         |         CAST(SUM(d * dl) AS DOUBLE) AS sxy
-        |  FROM dd WHERE d IS NOT NULL AND dl IS NOT NULL GROUP BY 1)
-        |SELECT symbol, n_pairs,
-        |       ROUND((sxy - sx * sy / CAST(n_pairs AS DOUBLE))
-        |             / (CAST(n_pairs AS DOUBLE) - 1.0), 6) AS serial_cov,
-        |       CASE WHEN (sxy - sx * sy / CAST(n_pairs AS DOUBLE))
-        |                 / (CAST(n_pairs AS DOUBLE) - 1.0) < 0.0
-        |            THEN ROUND(SQRT(-((sxy - sx * sy / CAST(n_pairs AS DOUBLE))
-        |                 / (CAST(n_pairs AS DOUBLE) - 1.0))) * 2.0, 6)
+        |  FROM dd WHERE d IS NOT NULL AND dl IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT symbol, n_pairs,
+        |         CASE WHEN n_pairs > 1
+        |              THEN (sxy - sx * sy / CAST(n_pairs AS DOUBLE))
+        |                   / (CAST(n_pairs AS DOUBLE) - 1.0) END AS cov
+        |  FROM m)
+        |SELECT symbol, n_pairs, ROUND(cov, 6) AS serial_cov,
+        |       CASE WHEN cov < 0.0 THEN ROUND(SQRT(-cov) * 2.0, 6)
         |            ELSE 0.0 END AS roll_spread
-        |FROM m ORDER BY symbol""".stripMargin,
+        |FROM c ORDER BY symbol""".stripMargin,
     // rank-1 closes, exact decimal dollar volume; per-day ratios are
     // 6-dp decimals so the day average is order-free
     "q_amihud" ->

@@ -38,9 +38,13 @@ object EventAnalytics {
       .crossJoin(c.agg(count(lit(1)).as("n_click")))
       .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
       .select(col("n_view"), col("n_click"), col("n_purchase"),
-        round(col("n_click").cast("double") / col("n_view").cast("double"), 6)
+        // empty stages ⇒ NULL conversion rates (DuckDB's double 0/0 is
+        // NULL; unguarded Spark ANSI throws — ChunkedEdgeSpec)
+        round(when(col("n_view") > 0,
+          col("n_click").cast("double") / col("n_view").cast("double")), 6)
           .as("view_to_click"),
-        round(col("n_purchase").cast("double") / col("n_click").cast("double"), 6)
+        round(when(col("n_click") > 0,
+          col("n_purchase").cast("double") / col("n_click").cast("double")), 6)
           .as("click_to_purchase"))
   }
 

@@ -1147,7 +1147,11 @@ object MarketOps {
       sum(col("dl")).cast("double").as("sy"),
       sum(col("d") * col("dl")).cast("double").as("sxy"))
     val nd = col("n_pairs").cast("double")
-    val cov = (col("sxy") - col("sx") * col("sy") / nd) / (nd - 1.0)
+    // n_pairs = 1 ⇒ sample covariance undefined: NULL on both engines
+    // (DuckDB's double x/0 is NULL; unguarded Spark ANSI throws —
+    // caught by ChunkedEdgeSpec's single-pair symbols)
+    val cov = when(nd > 1.0,
+      (col("sxy") - col("sx") * col("sy") / nd) / (nd - 1.0))
     m.select(col("symbol"), col("n_pairs"),
         round(cov, 6).as("serial_cov"),
         when(cov < 0.0, round(sqrt(-cov) * 2.0, 6)).otherwise(0.0)

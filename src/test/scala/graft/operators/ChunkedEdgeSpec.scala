@@ -1,0 +1,253 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Adversarial data shapes for the chunked scaffolds — the sf tables
+  * are dense and well-behaved, so this spec feeds the shapes that
+  * break naive day-boundary logic: symbols with a single tick, 1-row
+  * days, multi-day gaps between active days, ticks exactly on midnight
+  * boundaries, duplicate (symbol, ts) pairs (event_id tiebreak), flat
+  * tapes, and negative prices. Every chunked operator must equal its
+  * monolithic-window formulation EXACTLY on all of them.
+  */
+class ChunkedEdgeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** (event_id, symbol, ts, price, volume) */
+  private lazy val edge: DataFrame = Seq(
+    // A: single tick, lonely symbol
+    (1L, "A", ts("2024-01-05 10:00:00"), 10.0, 5L),
+    // B: 1-row day, then a 3-day gap, then a dense day with dup ts
+    (2L, "B", ts("2024-01-01 23:59:59.999999"), 5.0, 1L),
+    (3L, "B", ts("2024-01-05 00:00:00"), 6.0, 2L),      // exact midnight
+    (4L, "B", ts("2024-01-05 00:00:00"), 4.0, 3L),      // dup ts, tiebreak
+    (5L, "B", ts("2024-01-05 00:30:00"), 6.5, 4L),      // inside 1h of midnight
+    (6L, "B", ts("2024-01-05 23:30:00"), 7.0, 5L),      // last hour (carry)
+    (7L, "B", ts("2024-01-06 00:15:00"), 3.0, 6L),      // frame reaches prior day
+    // C: flat tape across a boundary (zero changes everywhere)
+    (8L, "C", ts("2024-02-01 12:00:00"), 2.0, 7L),
+    (9L, "C", ts("2024-02-01 12:01:00"), 2.0, 8L),
+    (10L, "C", ts("2024-02-02 12:00:00"), 2.0, 9L),
+    // D: negative and zero prices over 1-row days
+    (11L, "D", ts("2024-03-01 01:00:00"), -1.5, 10L),
+    (12L, "D", ts("2024-03-02 01:00:00"), 0.0, 11L),
+    (13L, "D", ts("2024-03-03 01:00:00"), -2.5, 12L)
+  ).toDF("event_id", "symbol", "ts", "price", "volume")
+
+  private def tickOrder =
+    Window.partitionBy("symbol").orderBy(col("ts"), col("event_id"))
+
+  private def same(chunked: DataFrame, naive: DataFrame): Unit = {
+    val a = chunked.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val b = naive.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(a.length === b.length, s"row counts ${a.length} vs ${b.length}")
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+  }
+
+  test("runningVolume / drawdown / lateArrivals on adversarial shapes") {
+    same(MarketOps.runningVolume(edge),
+      edge.select(col("event_id"), col("symbol"),
+        sum(col("volume")).over(tickOrder.rowsBetween(Window.unboundedPreceding, 0))
+          .as("cum_volume")))
+    val runMax =
+      max(col("price")).over(tickOrder.rowsBetween(Window.unboundedPreceding, 0))
+    same(MarketOps.drawdown(edge),
+      edge.select(col("event_id"), col("symbol"), col("price"), runMax.as("run_max"))
+        .withColumn("drawdown",
+          when(col("run_max") > 0.0, col("price") / col("run_max") - 1.0)
+            .otherwise(0.0))
+        .select(col("event_id"), col("symbol"), col("drawdown")))
+    val arrival = Window.partitionBy("symbol").orderBy("event_id")
+    val maxPrior = max(unix_micros(col("ts")))
+      .over(arrival.rowsBetween(Window.unboundedPreceding, -1))
+    same(MarketOps.lateArrivals(edge, chunkRows = 3L),
+      edge.withColumn("late_us",
+          when(maxPrior.isNotNull && unix_micros(col("ts")) < maxPrior,
+            maxPrior - unix_micros(col("ts"))).otherwise(0L))
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_ticks"),
+          sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+          max(col("late_us")).as("max_late_us"),
+          sum(col("late_us")).as("sum_late_us")))
+  }
+
+  test("chunked lag ops (returns/obv/sessionize/gapStats) on adversarial shapes") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    same(MarketOps.returns(edge),
+      edge.withColumn("prev", lag(col("price"), 1).over(tickOrder))
+        .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+        .select(col("event_id"), col("symbol"),
+          (col("price") / col("prev") - 1).as("ret")))
+    val chg = col("price").cast(dec) - lag(col("price"), 1).over(tickOrder).cast(dec)
+    same(MarketOps.obv(edge),
+      edge.withColumn("chg", chg)
+        .select(col("event_id"), col("symbol"),
+          sum(when(col("chg") > 0, col("volume"))
+              .when(col("chg") < 0, -col("volume")).otherwise(lit(0L)))
+            .over(tickOrder.rowsBetween(Window.unboundedPreceding, 0)).as("obv")))
+    val gapUs = 30 * 60L * 1000000L
+    val prevTs = lag(col("ts"), 1).over(tickOrder)
+    same(MarketOps.sessionize(edge, 30),
+      edge.withColumn("is_new", when(prevTs.isNull ||
+          unix_micros(col("ts")) - unix_micros(prevTs) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("is_new")).over(tickOrder.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("event_id"), col("symbol"), col("session_id")))
+    val g = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(tickOrder))
+    same(MarketOps.gapStats(edge),
+      edge.withColumn("gap_us", g).filter(col("gap_us").isNotNull)
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_gaps"), max(col("gap_us")).as("max_gap_us"),
+          round(sum(col("gap_us")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("avg_gap_us"),
+          sum(when(col("gap_us") > 60 * 1000000L, 1L).otherwise(0L)).as("n_stale")))
+  }
+
+  test("chunkedFrame ops (sma/rsi/rollSpread/ordinal) on adversarial shapes") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    // chunkRows=3: every symbol except A spans multiple chunks
+    val w = tickOrder.rowsBetween(-1, 0)
+    same(MarketOps.sma(edge, 2, chunkRows = 3L),
+      edge.select(col("event_id"), col("symbol"),
+        (sum(col("price").cast(dec)).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("sma2")))
+    val chg = col("price").cast(dec) - lag(col("price"), 1).over(tickOrder).cast(dec)
+    val w14 = tickOrder.rowsBetween(-1, 0)
+    same(MarketOps.rsi(edge, 2, chunkRows = 3L),
+      edge.withColumn("chg", chg)
+        .withColumn("gain", when(col("chg") > 0, col("chg")).otherwise(lit(0).cast(dec)))
+        .withColumn("loss", when(col("chg") < 0, -col("chg")).otherwise(lit(0).cast(dec)))
+        .select(col("event_id"), col("symbol"),
+          when(sum(col("loss")).over(w14) === 0, lit(100.0))
+            .otherwise(round(lit(100.0) - lit(100.0) /
+              (lit(1.0) + sum(col("gain")).over(w14).cast("double") /
+                sum(col("loss")).over(w14).cast("double")), 4)).as("rsi2")))
+    val pd = col("price").cast(dec)
+    val withD = edge
+      .withColumn("d", pd - lag(pd, 1).over(tickOrder))
+      .withColumn("dl", lag(col("d"), 1).over(tickOrder))
+      .filter(col("d").isNotNull && col("dl").isNotNull)
+    val m = withD.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("d")).cast("double").as("sx"),
+      sum(col("dl")).cast("double").as("sy"),
+      sum(col("d") * col("dl")).cast("double").as("sxy"))
+    val nd = col("n_pairs").cast("double")
+    val cov = when(nd > 1.0,
+      (col("sxy") - col("sx") * col("sy") / nd) / (nd - 1.0))
+    same(MarketOps.rollSpread(edge, chunkRows = 3L),
+      m.select(col("symbol"), col("n_pairs"), round(cov, 6).as("serial_cov"),
+        when(cov < 0.0, round(sqrt(-cov) * 2.0, 6)).otherwise(0.0).as("roll_spread")))
+    def sgn(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      when(x > y, 2L).when(x < y, 0L).otherwise(1L)
+    same(MarketOps.ordinalPatterns(edge, chunkRows = 3L),
+      edge.select(col("symbol"),
+          lag(pd, 2).over(tickOrder).as("a"), lag(pd, 1).over(tickOrder).as("b"),
+          pd.as("c"))
+        .filter(col("a").isNotNull)
+        .withColumn("pattern",
+          sgn(col("b"), col("a")) * 9 + sgn(col("c"), col("b")) * 3 +
+            sgn(col("c"), col("a")))
+        .groupBy(col("symbol"), col("pattern"))
+        .agg(count(lit(1)).as("n")))
+  }
+
+  test("every single-table market operator survives the adversarial shapes") {
+    // rollSpread's unguarded (n−1) division ANSI-threw on single-pair
+    // symbols — this smoke sweep makes every operator prove it runs on
+    // 1-tick symbols, 1-row days, flat tapes, and negative prices
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "ohlcDaily" -> (MarketOps.ohlcDaily(_)),
+      "vwapDaily" -> (MarketOps.vwapDaily(_)),
+      "ema" -> (MarketOps.ema(_, 0.2)),
+      "macd" -> (MarketOps.macd(_)),
+      "heikinAshi" -> (MarketOps.heikinAshi(_)),
+      "kama" -> (MarketOps.kama(_, 10)),
+      "resampleHourly" -> (MarketOps.resampleHourly(_)),
+      "topNBySymbol" -> (MarketOps.topNBySymbol(_, 3)),
+      "volatility" -> (MarketOps.volatility(_)),
+      "rsi" -> (MarketOps.rsi(_)),
+      "bollinger" -> (MarketOps.bollinger(_)),
+      "obv" -> (MarketOps.obv(_)),
+      "zscoreOutliers" -> (MarketOps.zscoreOutliers(_)),
+      "priceHistogram" -> (MarketOps.priceHistogram(_)),
+      "twapDaily" -> (MarketOps.twapDaily(_)),
+      "volumeBars" -> (MarketOps.volumeBars(_, 10L)),
+      "vpin" -> (MarketOps.vpin(_, 10L)),
+      "ordinalPatterns" -> (MarketOps.ordinalPatterns(_)),
+      "drawdown" -> (MarketOps.drawdown(_)),
+      "hoppingBars" -> (MarketOps.hoppingBars(_)),
+      "rollingHourlyAvg" -> (MarketOps.rollingHourlyAvg(_)),
+      "stochastic" -> (MarketOps.stochastic(_)),
+      "donchian" -> (MarketOps.donchian(_)),
+      "atr" -> (MarketOps.atr(_)),
+      "candlePatterns" -> (MarketOps.candlePatterns(_)),
+      "downsample" -> (MarketOps.downsample(_, 10)),
+      "gapStats" -> (MarketOps.gapStats(_)),
+      "rollSpread" -> (MarketOps.rollSpread(_)),
+      "amihud" -> (MarketOps.amihud(_)),
+      "priceImpact" -> (MarketOps.priceImpact(_)),
+      "saxWords" -> (MarketOps.saxWords(_)),
+      "trend" -> (MarketOps.trend(_)),
+      "seasonality" -> (MarketOps.seasonality(_)),
+      "lateArrivals" -> (MarketOps.lateArrivals(_)),
+      "symbolCatalog" -> (MarketOps.symbolCatalog(_)),
+      "barCascade" -> (MarketOps.barCascade(_)),
+      "ofi" -> (MarketOps.ofi(_)),
+      "realizedVol" -> (MarketOps.realizedVol(_)),
+      "madOutliers" -> (MarketOps.madOutliers(_)),
+      "madOutliersApprox" -> (MarketOps.madOutliersApprox(_)),
+      "sessionize" -> (MarketOps.sessionize(_, 30)),
+      "returns" -> (MarketOps.returns(_)),
+      "runningVolume" -> (MarketOps.runningVolume(_)),
+      "sma" -> (MarketOps.sma(_, 20)))
+    ops.foreach { case (name, op) =>
+      try op(edge).collect()
+      catch { case e: Throwable =>
+        fail(s"$name threw on the adversarial fixture: ${e.getMessage.take(300)}")
+      }
+    }
+  }
+
+  test("event analytics ops survive the adversarial shapes") {
+    val ev = edge.select(col("event_id"), col("ts"),
+      col("volume").as("user_id"), col("symbol").as("event_type"),
+      col("price").as("value"), lit("").as("props"))
+    Seq[(String, DataFrame)](
+      "funnel" -> EventAnalytics.funnel(ev),
+      "retention" -> EventAnalytics.retention(ev),
+      "calendarHeatmap" -> EventAnalytics.calendarHeatmap(ev),
+      "islands" -> EventAnalytics.islands(ev),
+      "intervalOverlap(empty sides)" -> EventAnalytics.intervalOverlap(ev),
+      "intervalOverlap(A,B)" -> EventAnalytics.intervalOverlap(ev, "A", "B"),
+      "concurrency" -> EventAnalytics.concurrency(ev)
+    ).foreach { case (name, df) =>
+      try df.collect()
+      catch { case e: Throwable =>
+        fail(s"$name threw on the adversarial fixture: ${e.getMessage.take(300)}")
+      }
+    }
+  }
+
+  test("rollingHourlyAvg midnight-boundary carries on adversarial shapes") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val w = Window.partitionBy("symbol").orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0)
+    same(MarketOps.rollingHourlyAvg(edge),
+      edge.select(col("event_id"), col("symbol"),
+          unix_micros(col("ts")).as("ts_us"), col("price"))
+        .select(col("event_id"), col("symbol"),
+          (sum(col("price").cast(dec)).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double")).as("avg_1h")))
+  }
+}

@@ -2797,7 +2797,7 @@ object SparkEntry {
     "q_mixture_sample" ->
       """WITH q AS (
         |  SELECT source, doc_id,
-        |         CAST(FLOOR((CAST(substr(source, 4) AS INT) % 4 + 1) / 50.0 * 300)
+        |         CAST(FLOOR((TRY_CAST(substr(source, 4) AS INT) % 4 + 1) / 50.0 * 300)
         |              AS BIGINT) AS quota,
         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
         |                ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)), doc_id)

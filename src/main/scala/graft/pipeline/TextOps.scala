@@ -401,7 +401,10 @@ object TextOps {
     * partition; the quota math never touches the driver.
     */
   def mixtureSample(docs: DataFrame, total: Int = 300): DataFrame = {
-    val idx = expr("CAST(substring(source, 4) AS INT)")
+    // TRY_CAST: a source name without a numeric suffix gets a NULL
+    // quota (excluded from the mix) instead of failing the job
+    // (PipelineEdgeSpec; the oracle mirrors with DuckDB TRY_CAST)
+    val idx = expr("TRY_CAST(substring(source, 4) AS INT)")
     val quota = floor((pmod(idx, lit(4)) + 1).cast("double") / 50.0 * total)
       .cast("long")
     val rk = row_number().over(Window.partitionBy("source")

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Adversarial document shapes for the text/dedup pipeline — empty
+  * text, whitespace-only text, single-character docs, exact
+  * duplicates, a single-doc corpus slice: every operator must run
+  * without ANSI arithmetic errors (the rollSpread/funnel bug class:
+  * divisions whose DuckDB mirror is NULL but whose unguarded Spark
+  * form throws) and return sane row counts.
+  */
+class PipelineEdgeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val edgeDocs: DataFrame = Seq(
+    (1L, "", "en", "web"),                         // empty text
+    (2L, "   ", "en", "web"),                      // whitespace only
+    (3L, "x", "de", "books"),                      // single char
+    (4L, "the the the the the the", "en", "web"),  // pure repetition
+    (5L, "the the the the the the", "en", "code"), // exact duplicate
+    (6L, "Z", "fr", "books")                       // another 1-char
+  ).map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("text ops survive empty/degenerate documents") {
+    val ops: Seq[(String, DataFrame)] = Seq(
+      "qualityScore" -> TextOps.qualityScore(edgeDocs),
+      "tokenCount" -> TextOps.tokenCount(edgeDocs),
+      "langId" -> TextOps.langId(edgeDocs),
+      "langConfusion" -> TextOps.langConfusion(edgeDocs),
+      "repetitionRatio" -> TextOps.repetitionRatio(edgeDocs),
+      "stratifiedSample" -> TextOps.stratifiedSample(edgeDocs, 2),
+      "topTerms" -> TextOps.topTerms(edgeDocs),
+      "fingerprint" -> TextOps.fingerprint(edgeDocs),
+      "lexicalDiversity" -> TextOps.lexicalDiversity(edgeDocs),
+      "sourceMix" -> TextOps.sourceMix(edgeDocs),
+      "packBins" -> TextOps.packBins(edgeDocs),
+      "vocabCoverage" -> TextOps.vocabCoverage(edgeDocs, Seq(1, 2)),
+      "boilerplate" -> TextOps.boilerplate(edgeDocs),
+      "chunk" -> TextOps.chunk(edgeDocs),
+      "mixtureSample" -> TextOps.mixtureSample(edgeDocs, 4),
+      "trainSplit" -> TextOps.trainSplit(edgeDocs),
+      "collocations" -> TextOps.collocations(edgeDocs),
+      "contamination" -> TextOps.contamination(edgeDocs, col("source") === "books")
+    )
+    ops.foreach { case (name, df) =>
+      try df.collect()
+      catch { case e: Throwable =>
+        fail(s"$name threw on the adversarial corpus: ${e.getMessage.take(300)}")
+      }
+    }
+  }
+
+  test("dedup ops survive empty/degenerate documents") {
+    val ops: Seq[(String, DataFrame)] = Seq(
+      "exact" -> Dedup.exact(edgeDocs),
+      "minhashCandidates" -> Dedup.minhashCandidates(edgeDocs),
+      "simhash" -> Dedup.simhash(edgeDocs),
+      "simhashPairs" -> Dedup.simhashPairs(edgeDocs)
+    )
+    ops.foreach { case (name, df) =>
+      try df.collect()
+      catch { case e: Throwable =>
+        fail(s"$name threw on the adversarial corpus: ${e.getMessage.take(300)}")
+      }
+    }
+    // the exact-dup pair (4, 5) must be collapsed by exact dedup
+    assert(Dedup.exact(edgeDocs).count() === 5)
+  }
+
+  test("media synth/decode survive a single-doc corpus") {
+    val one = edgeDocs.filter(col("doc_id") === 3L)
+    assert(Multimodal.mediaMeta(spark, one).count() === 1)
+    assert(Multimodal.mediaFeatures(spark, one).count() === 1)
+    assert(Multimodal.frameSummary(spark, one).count() >= 1)
+  }
+}

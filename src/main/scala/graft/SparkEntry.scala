@@ -763,10 +763,15 @@ object SparkEntry {
       """SELECT event_type AS symbol, COUNT(*) AS n_ticks,
         |       CAST(SUM(user_id) AS BIGINT) AS total_volume
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // open/close keyed on the zero-padded (epoch_us, event_id) tie key
+    // (MarketOps.tieKey): deterministic under (symbol, ts) duplicates
     "q_ohlc_daily" ->
       """SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
-        |       min_by(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
-        |       max_by(value, ts) AS close,
+        |       min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                     || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS open,
+        |       MAX(value) AS high, MIN(value) AS low,
+        |       max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                     || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS close,
         |       CAST(SUM(user_id) AS BIGINT) AS volume, COUNT(*) AS n_ticks
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_vwap_daily" ->
@@ -913,15 +918,19 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_volume_bars" ->
       """WITH b AS (
-        |  SELECT event_type AS symbol, ts, value, user_id,
+        |  SELECT event_type AS symbol, ts, event_id, value, user_id,
         |         COALESCE(SUM(user_id) OVER (PARTITION BY event_type
         |             ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_cum
         |  FROM events)
         |SELECT symbol, CAST(pre_cum // 10000 AS BIGINT) AS bar_id,
         |       COUNT(*) AS n_ticks,
-        |       min_by(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
-        |       max_by(value, ts) AS close, CAST(SUM(user_id) AS BIGINT) AS bar_volume
+        |       min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                     || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS open,
+        |       MAX(value) AS high, MIN(value) AS low,
+        |       max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                     || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS close,
+        |       CAST(SUM(user_id) AS BIGINT) AS bar_volume
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // weak-ordering signs of (p_{t-2}, p_{t-1}, p_t) encoded base-3;
     // exact integer counts (the entropy's ln() would not be
@@ -948,8 +957,11 @@ object SparkEntry {
         |  SELECT symbol, day, open, high, low, close,
         |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
         |  FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
-        |               min_by(value, ts) AS open, MAX(value) AS high,
-        |               MIN(value) AS low, max_by(value, ts) AS close
+        |               min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                      || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS open,
+        |               MAX(value) AS high, MIN(value) AS low,
+        |               max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                      || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS close
         |        FROM events GROUP BY 1, 2)),
         |r AS (
         |  SELECT symbol, day, rn,
@@ -1109,7 +1121,8 @@ object SparkEntry {
         |FROM events ORDER BY user_id, symbol""".stripMargin,
     "q_stream_latest" ->
       """SELECT event_type AS symbol, epoch_us(MAX(ts)) AS last_ts_us,
-        |       max_by(value, ts) AS last_price
+        |       max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                     || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS last_price
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_enrich" ->
       """SELECT e.event_id, e.event_type AS symbol,
@@ -1225,7 +1238,9 @@ object SparkEntry {
         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
         |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
         |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
-        |         CAST(max_by(value, ts) AS DECIMAL(18,2)) AS c
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              AS DECIMAL(18,2)) AS c
         |  FROM events GROUP BY 1, 2),
         |tr AS (
         |  SELECT symbol, day,
@@ -1244,7 +1259,9 @@ object SparkEntry {
       // beta identity runs over exact, order-free sums (SURVEY §4)
       """WITH cl AS (
         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
-        |         CAST(max_by(value, ts) AS DECIMAL(18,2)) AS c
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              AS DECIMAL(18,2)) AS c
         |  FROM events GROUP BY 1, 2),
         |r0 AS (
         |  SELECT symbol, day, c,
@@ -1276,10 +1293,14 @@ object SparkEntry {
       // division); NULL lags fall through CASE to 0 in both engines
       """WITH b AS (
         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
-        |         CAST(min_by(value, ts) AS DECIMAL(18,2)) AS o,
+        |         CAST(min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              AS DECIMAL(18,2)) AS o,
         |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
         |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
-        |         CAST(max_by(value, ts) AS DECIMAL(18,2)) AS c
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              AS DECIMAL(18,2)) AS c
         |  FROM events GROUP BY 1, 2),
         |x AS (
         |  SELECT symbol, day, o, h, l, c, ABS(c - o) AS body,
@@ -1376,7 +1397,9 @@ object SparkEntry {
       // double op sequence as the Spark plan
       """WITH hourly AS (
         |  SELECT event_type AS symbol, date_trunc('hour', ts) AS h,
-        |         CAST(max_by(value, ts) AS DECIMAL(18,2)) AS p
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              AS DECIMAL(18,2)) AS p
         |  FROM events GROUP BY 1, 2),
         |a AS (SELECT h, p AS pa FROM hourly WHERE symbol = 'click'),
         |b AS (SELECT h, p AS pb FROM hourly WHERE symbol = 'view'),

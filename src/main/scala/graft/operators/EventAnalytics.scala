@@ -171,7 +171,7 @@ object EventAnalytics {
       .agg(sum(col("d")).as("day_total"))
       .select(col("symbol"), col("chunk_day"),
         coalesce(sum(col("day_total")).over(priorDays), lit(0L)).as("cum_offset"))
-    withDay.join(broadcast(offsets), Seq("symbol", "chunk_day"))
+    withDay.join(offsets, Seq("symbol", "chunk_day"))
       .withColumn("running",
         sum(col("d")).over(sweep.rowsBetween(Window.unboundedPreceding, 0))
           + col("cum_offset"))

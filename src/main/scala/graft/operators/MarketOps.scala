@@ -26,16 +26,31 @@ object MarketOps {
   /** Deterministic per-symbol tick order: ts with event_id tiebreak. */
   private def tickOrder = Window.partitionBy("symbol").orderBy(col("ts"), col("event_id"))
 
+  /** Deterministic min_by/max_by key for tick-level open/close picks:
+    * two ticks can share a (symbol, ts) after ns→µs truncation, and a
+    * bare min_by(price, ts) then picks an arbitrary one — for the
+    * recursive consumers (Heikin-Ashi) one divergent day-1 open would
+    * contaminate every later bar. A fixed-width zero-padded
+    * (epoch_us, event_id) string is totally ordered, unique, and
+    * engine-portable (DuckDB's min_by rejects struct keys; a packed
+    * BIGINT overflows), and lexicographic order == numeric order for
+    * non-negative fixed-width fields. Every oracle mirrors it verbatim.
+    */
+  private[operators] def tieKey: Column = concat(
+    lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+    lpad(col("event_id").cast("string"), 10, "0"))
+
   /** OHLC candlesticks per symbol per day.
-    * open/close via min_by/max_by on ts — one shuffle, no self-join.
+    * open/close via min_by/max_by on the deterministic [[tieKey]] —
+    * one shuffle, no self-join.
     */
   def ohlcDaily(ticks: DataFrame): DataFrame =
     ticks.groupBy(col("symbol"), to_date(col("ts")).as("day"))
       .agg(
-        min_by(col("price"), col("ts")).as("open"),
+        min_by(col("price"), tieKey).as("open"),
         max(col("price")).as("high"),
         min(col("price")).as("low"),
-        max_by(col("price"), col("ts")).as("close"),
+        max_by(col("price"), tieKey).as("close"),
         sum(col("volume")).as("volume"),
         count(lit(1)).as("n_ticks"))
       .orderBy("symbol", "day")
@@ -125,7 +140,7 @@ object MarketOps {
       .agg(count(lit(1)).as("c"))
       .select(col("symbol"), col("chunk_day"),
         coalesce(sum(col("c")).over(priorDays), lit(0L)).as("rn_off"))
-    t.join(broadcast(offsets), Seq("symbol", "chunk_day"))
+    t.join(offsets, Seq("symbol", "chunk_day"))
       .withColumn("rn",
         row_number().over(chunkOrder).cast("long") + col("rn_off"))
       .drop("chunk_day", "rn_off")
@@ -342,10 +357,16 @@ object MarketOps {
   // symbol count, the classic window scale-killer at 100 TB. The fix is
   // the two-level distributed prefix-sum: (1) the detail window
   // partitions by (symbol, day), so parallelism = symbols × active days;
-  // (2) per-(symbol, day) totals — a tiny table, one row per symbol-day,
-  // built with map-side partial aggregation — get a running offset over
-  // the day axis; (3) the offsets broadcast-join back onto the detail
-  // rows and add to the within-day running value. Integer sums are exact
+  // (2) per-(symbol, day) totals — one row per symbol-day, built with
+  // map-side partial aggregation — get a running offset over the day
+  // axis; (3) the offsets join back onto the detail rows and add to the
+  // within-day running value. The offsets join is deliberately
+  // UNHINTED: at test scale AQE broadcasts the tiny aggregate at
+  // runtime anyway (audited on the executed sf0.1 plans), while at
+  // 100 TB the table is symbols × active days rows (50k symbols ×
+  // 10 years ≈ 180M) — a forced broadcast() would OOM the driver where
+  // the unhinted join degrades gracefully to a shuffle join on the
+  // same (symbol, day) keys. Integer sums are exact
   // and double MAX is order-free, so every result is bit-identical to
   // the single-window plan (same CORRECTNESS hashes; PrefixAggSpec
   // asserts both the equivalence and the detail-side partitioning).
@@ -377,7 +398,7 @@ object MarketOps {
         lag(col("day_last"), 1)
           .over(Window.partitionBy("symbol").orderBy("chunk_day"))
           .as("prev_day_val"))
-    t.join(broadcast(dayLast), Seq("symbol", "chunk_day"))
+    t.join(dayLast, Seq("symbol", "chunk_day"))
       .withColumn(out, coalesce(lag(col(c), 1).over(chunkOrder), col("prev_day_val")))
       .drop("prev_day_val")
   }
@@ -391,7 +412,7 @@ object MarketOps {
       .agg(sum(col("volume")).as("day_total"))
       .select(col("symbol"), col("chunk_day"),
         coalesce(sum(col("day_total")).over(priorDays), lit(0L)).as("cum_offset"))
-    t.join(broadcast(offsets), Seq("symbol", "chunk_day"))
+    t.join(offsets, Seq("symbol", "chunk_day"))
       .select(col("event_id"), col("symbol"),
         (sum(col("volume")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, 0))
           + col("cum_offset")).as("cum_volume"))
@@ -509,7 +530,7 @@ object MarketOps {
       .agg(sum(col("sv")).as("day_total"))
       .select(col("symbol"), col("chunk_day"),
         coalesce(sum(col("day_total")).over(priorDays), lit(0L)).as("cum_offset"))
-    signed.join(broadcast(offsets), Seq("symbol", "chunk_day"))
+    signed.join(offsets, Seq("symbol", "chunk_day"))
       .select(col("event_id"), col("symbol"),
         (sum(col("sv")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, 0))
           + col("cum_offset")).as("obv"))
@@ -705,16 +726,16 @@ object MarketOps {
       sum(col("volume")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L)) + col("cum_offset")
     // integer div: cumulative volume exceeds double-exact range at scale
-    t.join(broadcast(offsets), Seq("symbol", "chunk_day"))
+    t.join(offsets, Seq("symbol", "chunk_day"))
       .withColumn("pre_cum", preCum)
       .withColumn("bar_id", expr(s"pre_cum div $threshold"))
       .groupBy(col("symbol"), col("bar_id"))
       .agg(
         count(lit(1)).as("n_ticks"),
-        min_by(col("price"), col("ts")).as("open"),
+        min_by(col("price"), tieKey).as("open"),
         max(col("price")).as("high"),
         min(col("price")).as("low"),
-        max_by(col("price"), col("ts")).as("close"),
+        max_by(col("price"), tieKey).as("close"),
         sum(col("volume")).as("bar_volume"))
       .orderBy("symbol", "bar_id")
   }
@@ -747,7 +768,7 @@ object MarketOps {
     val preCum = coalesce(
       sum(col("volume")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L)) + col("cum_offset")
-    val bars = t.join(broadcast(offsets), Seq("symbol", "chunk_day"))
+    val bars = t.join(offsets, Seq("symbol", "chunk_day"))
       .withColumn("sgn", sign)
       .withColumn("pre_cum", preCum)
       .withColumn("bar_id", expr(s"pre_cum div $threshold"))
@@ -807,7 +828,7 @@ object MarketOps {
         max(col("day_max")).over(priorDays).as("prior_max"))
     val withinMax =
       max(col("price")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, 0))
-    t.join(broadcast(offsets), Seq("symbol", "chunk_day"))
+    t.join(offsets, Seq("symbol", "chunk_day"))
       .withColumn("run_max", greatest(withinMax, col("prior_max")))
       .withColumn("drawdown",
         when(col("run_max") > 0.0, col("price") / col("run_max") - 1.0).otherwise(0.0))
@@ -959,7 +980,7 @@ object MarketOps {
     val dec6 = DecimalType(18, 6)
     val dayOrder = Window.partitionBy("symbol").orderBy("day")
     val closes = ticks.groupBy(col("symbol"), to_date(col("ts")).as("day"))
-      .agg(max_by(col("price"), col("ts")).cast(dec).as("c"))
+      .agg(max_by(col("price"), tieKey).cast(dec).as("c"))
     val rets = closes
       .withColumn("pc", lag(col("c"), 1).over(dayOrder))
       .filter(col("pc").isNotNull)
@@ -1044,7 +1065,7 @@ object MarketOps {
       k: Int = 20): DataFrame = {
     val sq = DecimalType(38, 12)
     val hourly = ticks.groupBy(col("symbol"), date_trunc("hour", col("ts")).as("h"))
-      .agg(max_by(col("price"), col("ts")).cast(dec).as("p"))
+      .agg(max_by(col("price"), tieKey).cast(dec).as("p"))
     val a = hourly.filter(col("symbol") === symA).select(col("h"), col("p").as("pa"))
     val b = hourly.filter(col("symbol") === symB).select(col("h"), col("p").as("pb"))
     val j = a.join(b, "h")
@@ -1329,7 +1350,7 @@ object MarketOps {
     val maxPrior = greatest(
       max(col("us")).over(arrival.rowsBetween(Window.unboundedPreceding, -1)),
       col("prior_max"))
-    t.join(broadcast(offsets), Seq("symbol", "chunk_id"))
+    t.join(offsets, Seq("symbol", "chunk_id"))
       .withColumn("late_us",
         when(maxPrior.isNotNull && col("us") < maxPrior,
           maxPrior - col("us")).otherwise(0L))
@@ -1387,16 +1408,9 @@ object MarketOps {
     * tie ambiguity above level 1).
     */
   def barCascade(ticks: DataFrame): DataFrame = {
-    // level-1 open/close tie-break: two ticks can share a (symbol, ts)
-    // after ns→µs truncation, and bare min_by(price, ts) picks an
-    // arbitrary one. A fixed-width zero-padded (epoch_us, event_id)
-    // string key is totally ordered and deterministic on both engines
-    // (DuckDB's min_by can't take a struct key; a packed BIGINT
-    // overflows). Levels 2/3 key on the previous level's GROUP BY
-    // column, which is unique per group — no tie-break needed there.
-    val tieKey = concat(
-      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-      lpad(col("event_id").cast("string"), 10, "0"))
+    // level-1 open/close tie-break: the shared [[tieKey]]. Levels 2/3
+    // key on the previous level's GROUP BY column, which is unique per
+    // group — no tie-break needed there.
     val minute = ticks
       .groupBy(col("symbol"), date_trunc("minute", col("ts")).as("m"))
       .agg(min_by(col("price"), tieKey).as("open"),
@@ -1619,7 +1633,7 @@ object MarketOps {
       .agg(sum(col("is_new")).as("day_total"))
       .select(col("symbol"), col("chunk_day"),
         coalesce(sum(col("day_total")).over(priorDays), lit(0L)).as("cum_offset"))
-    flagged.join(broadcast(offsets), Seq("symbol", "chunk_day"))
+    flagged.join(offsets, Seq("symbol", "chunk_day"))
       .select(col("event_id"), col("symbol"),
         (sum(col("is_new")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, 0))
           + col("cum_offset")).as("session_id"))

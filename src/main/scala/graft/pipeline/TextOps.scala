@@ -122,17 +122,33 @@ object TextOps {
     * predicted language, chosen by ranking on md5(doc_id) — a seedless,
     * engine-reproducible "random" order (both engines agree on the md5
     * hex of the same string). The standard way to carve a balanced
-    * training subset out of a skewed 100 TB corpus: one window per
-    * stratum, no global shuffle of the data itself.
+    * training subset out of a skewed 100 TB corpus.
+    *
+    * Selection runs as a map-side min-k partial aggregation
+    * ([[graft.functions.MinKAggregator]]), NOT a `row_number` window:
+    * the stratum key has ~5 distinct values, so a per-stratum window
+    * sort would drain an entire language's documents through one task
+    * at 100 TB. The aggregator's k-row buffers merge map-side and the
+    * shuffle carries k rows per stratum per map partition — identical
+    * ranking ((md5 asc, doc_id asc) == the window's order), same rows,
+    * same hashes.
     */
   def stratifiedSample(docs: DataFrame, perStratum: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("pred_lang")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    import graft.functions.MinKAggregator
+    import MinKAggregator.KD
+    val spark = docs.sparkSession
+    import spark.implicits._
     langId(docs)
-      .select(col("doc_id"), col("pred_lang"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= perStratum)
+      .select(col("pred_lang"), md5(col("doc_id").cast("string")).as("k"),
+        col("doc_id"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => KD(t._2, t._3))
+      .agg(MinKAggregator.minK(perStratum).toColumn.name("top"))
+      .toDF("pred_lang", "top")
+      .select(col("pred_lang"), posexplode(col("top")).as(Seq("i", "kd")))
+      .select(col("kd.id").as("doc_id"), col("pred_lang"),
+        (col("i") + 1).cast("long").as("rk"))
       .orderBy("pred_lang", "rk")
   }
 
@@ -302,14 +318,34 @@ object TextOps {
     * (sequence packing for training batches): docs are laid end-to-end
     * in doc_id order per source and a doc belongs to the bin its start
     * offset falls in. Pure BIGINT cumulative sums — exact everywhere.
-    * Partitioning by `source` keeps the running-offset window parallel
-    * at 100 TB (a single global cumsum would serialize on one task).
+    *
+    * The running offset is a doc_id-range CHUNKED prefix-sum (the
+    * MarketOps.lateArrivals pattern), not one unbounded window per
+    * source: sources number in the tens, so a per-source cumsum would
+    * drain a whole source's rows through one task at 100 TB. Chunk key
+    * = doc_id div chunkDocs (contiguous in the packing order); the
+    * within-chunk inclusive sum plus a running offset from the tiny
+    * per-(source, chunk) totals table is bit-identical to the
+    * monolithic window (integer sums are exact and associative).
+    * The offsets join carries no broadcast hint — AQE broadcasts it
+    * while it is small and degrades to a shuffle join when the
+    * chunk count outgrows the driver (SURVEY §3.5).
     */
-  def packBins(docs: DataFrame, binTokens: Int = 512): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    docs.select(col("source"), col("doc_id"),
+  def packBins(docs: DataFrame, binTokens: Int = 512,
+      chunkDocs: Long = 100000L): DataFrame = {
+    val t = docs.select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("toks"))
-      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("chunk_id", expr(s"doc_id div ${chunkDocs}L"))
+    val priorChunks = Window.partitionBy("source").orderBy("chunk_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("source"), col("chunk_id"))
+      .agg(sum(col("toks")).as("chunk_toks"))
+      .select(col("source"), col("chunk_id"),
+        coalesce(sum(col("chunk_toks")).over(priorChunks), lit(0L)).as("cum_off"))
+    val within = Window.partitionBy("source", "chunk_id").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t.join(offsets, Seq("source", "chunk_id"))
+      .withColumn("cum", sum(col("toks")).over(within) + col("cum_off"))
       .withColumn("bin", expr(s"(cum - toks) div $binTokens"))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
@@ -341,7 +377,15 @@ object TextOps {
         coalesce(sum(col("n_words")).over(bandOrd), lit(0L)).as("rank_off"),
         coalesce(sum(col("n_words") * col("c")).over(bandOrd), lit(0L)).as("tok_off"))
     val tot = counts.agg(sum(col("c")).as("total"))
+    // prune whole bands before the within-band ranking: only bands
+    // whose rank offset sits below the largest requested checkpoint can
+    // contribute a row, and rank_off is constant per band so dropping a
+    // band never shifts a survivor's row_number. Without this the c=1
+    // band — the bulk of a Zipfian vocabulary — would still drain
+    // through a single within-band task at 100 TB.
+    val maxRank = ranks.max.toLong
     counts.join(broadcast(offsets), Seq("c"))
+      .filter(col("rank_off") < lit(maxRank))
       .withColumn("top_n", col("rank_off") + withinRank)
       .withColumn("cum_tokens", col("tok_off") + withinRank * col("c"))
       .filter(col("top_n").isin(ranks.map(_.toLong): _*))
@@ -397,21 +441,40 @@ object TextOps {
     * (quota = floor(weight × total), weight keyed off the source id —
     * the "rebalance the training mix" step). Selection is a
     * deterministic md5 rank within each source, so the sample is
-    * reproducible across runs and engines. One window sort per source
-    * partition; the quota math never touches the driver.
+    * reproducible across runs and engines.
+    *
+    * Like [[stratifiedSample]], selection is a map-side min-k partial
+    * aggregation, not a per-source window sort (sources number in the
+    * tens — one window task would sort a whole source's documents at
+    * 100 TB). Every source's quota is bounded by floor(4/50 · total),
+    * so a single k covers all sources; the per-source quota, a pure
+    * function of the source name, is re-applied AFTER the k-row
+    * buffers collapse — the quota math never touches the driver.
     */
   def mixtureSample(docs: DataFrame, total: Int = 300): DataFrame = {
+    import graft.functions.MinKAggregator
+    import MinKAggregator.KD
+    val spark = docs.sparkSession
+    import spark.implicits._
     // TRY_CAST: a source name without a numeric suffix gets a NULL
     // quota (excluded from the mix) instead of failing the job
     // (PipelineEdgeSpec; the oracle mirrors with DuckDB TRY_CAST)
     val idx = expr("TRY_CAST(substring(source, 4) AS INT)")
     val quota = floor((pmod(idx, lit(4)) + 1).cast("double") / 50.0 * total)
       .cast("long")
-    val rk = row_number().over(Window.partitionBy("source")
-      .orderBy(md5(concat(lit("mix"), col("doc_id").cast("string"))),
-        col("doc_id"))).cast("long")
-    docs.withColumn("quota", quota)
-      .withColumn("rk", rk)
+    val kMax = math.max(math.floor(4.0 / 50.0 * total).toInt, 1)
+    docs.select(col("source"),
+        md5(concat(lit("mix"), col("doc_id").cast("string"))).as("k"),
+        col("doc_id"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => KD(t._2, t._3))
+      .agg(MinKAggregator.minK(kMax).toColumn.name("top"))
+      .toDF("source", "top")
+      .select(col("source"), posexplode(col("top")).as(Seq("i", "kd")))
+      .select(col("source"), (col("i") + 1).cast("long").as("rk"),
+        col("kd.id").as("doc_id"))
+      .withColumn("quota", quota)
       .filter(col("rk") <= col("quota"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_taken"), sum(col("doc_id")).as("sum_doc_id"),

@@ -340,11 +340,19 @@ object Streams {
     */
   def streamLatest(spark: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_stream_latest_").toString
+    // deterministic argmax under (symbol, ts) ties: the zero-padded
+    // (epoch_us, event_id) tie key (MarketOps.tieKey pattern) keys the
+    // per-batch pick AND travels with the delta so compaction re-picks
+    // by the globally-unique key, not the tie-prone timestamp alone
+    val key = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 10, "0"))
     val q = tickStream(spark, dir).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         batch.groupBy(col("symbol"))
           .agg(unix_micros(max(col("ts"))).as("last_ts_us"),
-            max_by(col("price"), col("ts")).as("last_price"))
+            max(key).as("last_key"),
+            max_by(col("price"), key).as("last_price"))
           .write.mode("append").parquet(s"$base/delta")
       }
       .option("checkpointLocation", s"$base/chk")
@@ -354,7 +362,7 @@ object Streams {
     spark.read.parquet(s"$base/delta")
       .groupBy(col("symbol"))
       .agg(max(col("last_ts_us")).as("last_ts_us"),
-        max_by(col("last_price"), col("last_ts_us")).as("last_price"))
+        max_by(col("last_price"), col("last_key")).as("last_price"))
       .orderBy("symbol")
   }
 

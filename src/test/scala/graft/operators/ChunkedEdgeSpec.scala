@@ -239,6 +239,28 @@ class ChunkedEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("ohlc-family open/close ties resolve by the (epoch_us, event_id) key") {
+    // two ticks share (symbol, ts): bare min_by/max_by(price, ts) could
+    // return either — the tieKey must pick the lowest/highest event_id.
+    // For the recursive heikinAshi a wrong day-1 pick would poison every
+    // later bar, so this is the regression fixture for the r6 ADVICE.
+    val t0 = ts("2024-01-02 10:00:00")
+    val tied = Seq(
+      (1L, "T", t0, 10.0, 1L),
+      (2L, "T", t0, 20.0, 1L),
+      (3L, "T", ts("2024-01-02 18:00:00"), 15.0, 1L),
+      (4L, "T", ts("2024-01-02 18:00:00"), 25.0, 1L)
+    ).toDF("event_id", "symbol", "ts", "price", "volume")
+    val bar = MarketOps.ohlcDaily(tied).collect().head
+    assert(bar.getAs[Double]("open") === 10.0)   // event_id 1, not 2
+    assert(bar.getAs[Double]("close") === 25.0)  // event_id 4, not 3
+    val ha = MarketOps.heikinAshi(tied).collect().head
+    assert(ha.getAs[Double]("ha_open") === (10.0 + 25.0) / 2.0)
+    assert(ha.getAs[Double]("ha_close") === (10.0 + 25.0 + 10.0 + 25.0) / 4.0)
+    val vb = MarketOps.volumeBars(tied, 100L).collect().head
+    assert(vb.getAs[Double]("open") === 10.0 && vb.getAs[Double]("close") === 25.0)
+  }
+
   test("rollingHourlyAvg midnight-boundary carries on adversarial shapes") {
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
     val w = Window.partitionBy("symbol").orderBy(col("ts_us"))

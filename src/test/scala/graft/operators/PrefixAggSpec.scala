@@ -101,6 +101,9 @@ class PrefixAggSpec extends AnyFunSuite {
   }
 
   test("volumeBars matches the single-window plan bit-for-bit") {
+    val tie = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 10, "0"))
     val preCum = coalesce(
       sum(col("volume")).over(tickOrder.rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
@@ -108,10 +111,10 @@ class PrefixAggSpec extends AnyFunSuite {
       .withColumn("bar_id", expr("pre_cum div 10000"))
       .groupBy(col("symbol"), col("bar_id"))
       .agg(count(lit(1)).as("n_ticks"),
-        min_by(col("price"), col("ts")).as("open"),
+        min_by(col("price"), tie).as("open"),
         max(col("price")).as("high"),
         min(col("price")).as("low"),
-        max_by(col("price"), col("ts")).as("close"),
+        max_by(col("price"), tie).as("close"),
         sum(col("volume")).as("bar_volume"))
     assertSame(MarketOps.volumeBars(ticks, 10000L), naive)
     detailWindowsArePartitionedByChunk(MarketOps.volumeBars(ticks, 10000L))

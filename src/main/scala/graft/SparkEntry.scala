@@ -128,6 +128,10 @@ object SparkEntry {
     "q_volume_bars" -> ((s, dir) => MarketOps.volumeBars(ticks(s, dir), 10000L)),
     "q_vpin" -> ((s, dir) => MarketOps.vpin(ticks(s, dir), 10000L, 5)),
     "q_heikin_ashi" -> ((s, dir) => MarketOps.heikinAshi(ticks(s, dir))),
+    "q_overnight_gaps" -> ((s, dir) => MarketOps.overnightGaps(ticks(s, dir))),
+    "q_volume_profile" -> ((s, dir) => MarketOps.volumeProfile(ticks(s, dir))),
+    "q_pivot_points" -> ((s, dir) => MarketOps.pivotPoints(ticks(s, dir))),
+    "q_cusum_events" -> ((s, dir) => MarketOps.cusumEvents(ticks(s, dir), 30.0)),
     "q_ordinal_patterns" -> ((s, dir) => MarketOps.ordinalPatterns(ticks(s, dir))),
     "q_drawdown" -> ((s, dir) => MarketOps.drawdown(ticks(s, dir))),
     "q_hopping_bars" -> ((s, dir) => MarketOps.hoppingBars(ticks(s, dir))),
@@ -289,6 +293,11 @@ object SparkEntry {
     "q_chunking" -> ((s, dir) => TextOps.chunk(Tables.documents(s, dir), 200, 150)),
     "q_mixture_sample" -> ((s, dir) =>
       TextOps.mixtureSample(Tables.documents(s, dir), 300)),
+    "q_weighted_sample" -> ((s, dir) =>
+      TextOps.weightedSample(Tables.documents(s, dir), 100)),
+    "q_token_fertility" -> ((s, dir) =>
+      TextOps.tokenFertility(Tables.documents(s, dir))),
+    "q_url_stats" -> ((s, dir) => TextOps.urlStats(Tables.documents(s, dir))),
     "q_collocations" -> ((s, dir) =>
       TextOps.collocations(Tables.documents(s, dir), 20)),
     "q_jsonl_roundtrip" -> ((s, dir) => jsonlRoundtrip(s, dir)),
@@ -352,6 +361,8 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir), 0L, 10)),
     "q_embed_dedup" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, dir), dim = 64, threshold = 0.25)),
+    "q_embed_outliers" -> ((s, dir) =>
+      Similarity.embedOutliers(Tables.embeddings(s, dir), 3)),
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
@@ -980,6 +991,112 @@ object SparkEntry {
         |       LEAST(low, ha_open, ha_close) AS ha_low,
         |       ha_close
         |FROM r ORDER BY 1, 2""".stripMargin,
+    // open-vs-prior-close in bp over the tie-keyed daily bars
+    "q_overnight_gaps" ->
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              AS DECIMAL(18,2)) AS o,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              AS DECIMAL(18,2)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT symbol, day, o,
+        |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+        |  FROM b)
+        |SELECT symbol, day, CAST(pc AS DOUBLE) AS prev_close,
+        |       CAST(o AS DOUBLE) AS open,
+        |       ROUND(CAST(o - pc AS DOUBLE) / CAST(pc AS DOUBLE) * 10000.0, 4)
+        |         AS gap_bp
+        |FROM g WHERE pc IS NOT NULL AND pc <> 0 ORDER BY 1, 2""".stripMargin,
+    // exact integer band assignment (a double value*100 cast would
+    // truncate 28.999999996 -> 28); POC = rank-1 by (volume, band)
+    "q_volume_profile" ->
+      """WITH bands AS (
+        |  SELECT event_type AS symbol,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000 AS band,
+        |         CAST(SUM(user_id) AS BIGINT) AS band_volume,
+        |         COUNT(*) AS n_ticks
+        |  FROM events GROUP BY 1, 2)
+        |SELECT symbol, band, band_volume, n_ticks,
+        |       ROUND(CAST(band_volume AS DOUBLE) /
+        |             CAST(SUM(band_volume) OVER (PARTITION BY symbol) AS DOUBLE), 6)
+        |         AS share,
+        |       CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY symbol
+        |                ORDER BY band_volume DESC, band) = 1
+        |            THEN 1 ELSE 0 END AS BIGINT) AS poc
+        |FROM bands ORDER BY 1, 2""".stripMargin,
+    // levels from the PREVIOUS day's tie-keyed bar; the decimal h+l+c
+    // sum is exact, /3.0 and the level arithmetic replay the identical
+    // double op order as the Spark plan
+    "q_pivot_points" ->
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              AS DECIMAL(18,2)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT symbol, day,
+        |         LAG(h) OVER w AS ph, LAG(l) OVER w AS pl, LAG(c) OVER w AS pc
+        |  FROM b WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+        |p AS (
+        |  SELECT symbol, day, ph, pl,
+        |         CAST(ph + pl + pc AS DOUBLE) / 3.0 AS pv
+        |  FROM x WHERE ph IS NOT NULL)
+        |SELECT symbol, day, ROUND(pv, 6) AS "pivot",
+        |       ROUND(2.0 * pv - CAST(pl AS DOUBLE), 6) AS r1,
+        |       ROUND(2.0 * pv - CAST(ph AS DOUBLE), 6) AS s1,
+        |       ROUND(pv + CAST(ph - pl AS DOUBLE), 6) AS r2,
+        |       ROUND(pv - CAST(ph - pl AS DOUBLE), 6) AS s2
+        |FROM p ORDER BY 1, 2""".stripMargin,
+    // CUSUM filter over tie-keyed daily closes — EXACT 2-dp decimal
+    // accumulate/compare/reset on both engines (DuckDB's GREATEST
+    // promotes to DOUBLE, exact for 2-dp values, cast back); the
+    // positive side wins when both thresholds trip in one step,
+    // mirroring the Scala check order
+    "q_cusum_events" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT symbol, day, c,
+        |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+        |  FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |               CAST(max_by(value,
+        |                    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                    || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |                    AS DECIMAL(18,2)) AS c
+        |        FROM events GROUP BY 1, 2)),
+        |r AS (
+        |  SELECT symbol, day, rn, c,
+        |         CAST(0 AS DECIMAL(18,2)) AS sp, CAST(0 AS DECIMAL(18,2)) AS sn,
+        |         0 AS side, CAST(0 AS DOUBLE) AS exc
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.symbol, b.day, b.rn, b.c,
+        |         CASE WHEN GREATEST(r.sp + (b.c - r.c), 0) > 30.00
+        |                   OR LEAST(r.sn + (b.c - r.c), 0) < -30.00
+        |              THEN CAST(0 AS DECIMAL(18,2))
+        |              ELSE CAST(GREATEST(r.sp + (b.c - r.c), 0) AS DECIMAL(18,2))
+        |         END,
+        |         CASE WHEN GREATEST(r.sp + (b.c - r.c), 0) > 30.00
+        |                   OR LEAST(r.sn + (b.c - r.c), 0) < -30.00
+        |              THEN CAST(0 AS DECIMAL(18,2))
+        |              ELSE CAST(LEAST(r.sn + (b.c - r.c), 0) AS DECIMAL(18,2))
+        |         END,
+        |         CASE WHEN GREATEST(r.sp + (b.c - r.c), 0) > 30.00 THEN 1
+        |              WHEN LEAST(r.sn + (b.c - r.c), 0) < -30.00 THEN -1
+        |              ELSE 0 END,
+        |         CASE WHEN GREATEST(r.sp + (b.c - r.c), 0) > 30.00
+        |              THEN CAST(GREATEST(r.sp + (b.c - r.c), 0) AS DOUBLE)
+        |              WHEN LEAST(r.sn + (b.c - r.c), 0) < -30.00
+        |              THEN CAST(LEAST(r.sn + (b.c - r.c), 0) AS DOUBLE)
+        |              ELSE 0.0 END
+        |  FROM b JOIN r ON b.symbol = r.symbol AND b.rn = r.rn + 1)
+        |SELECT symbol, day, CAST(side AS BIGINT) AS side, exc AS excursion
+        |FROM r WHERE side <> 0 ORDER BY 1, 2""".stripMargin,
     // tick-rule signs + volume-clock bars + trailing-bar flow toxicity;
     // exact BIGINT sums until the single final double division
     "q_vpin" ->
@@ -2830,6 +2947,75 @@ object SparkEntry {
         |       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
         |       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
         |FROM q WHERE rk <= quota GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact-integer priority sampling: 48-bit md5 fold // weight, k
+    // smallest — all BIGINT, no pow/log, engine-exact
+    "q_weighted_sample" ->
+      """WITH hx AS (
+        |  SELECT doc_id, source,
+        |         CAST(((TRY_CAST(substr(source, 4) AS INT) % 4) + 4) % 4 + 1
+        |              AS BIGINT) AS w,
+        |         list_reduce(list_transform(generate_series(1, 12),
+        |             i -> CAST(strpos('0123456789abcdef',
+        |                    substr(md5('wt' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+        |                  AS BIGINT)),
+        |           (a, b) -> a * 16 + b) AS h
+        |  FROM documents),
+        |top AS (
+        |  SELECT doc_id, source, w, h // w AS priority
+        |  FROM hx WHERE w IS NOT NULL
+        |  ORDER BY priority, doc_id LIMIT 100)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rk,
+        |       doc_id, source, w, priority
+        |FROM top ORDER BY rk""".stripMargin,
+    // langId argmax (descending CASE = struct-max tie rule) + both
+    // token counts in one pass; fertility = one rounded division of
+    // exact BIGINT sums
+    "q_token_fertility" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |         AS BIGINT) AS bpe,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('der','und','das'))) AS s_de,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of'))) AS s_en,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de'))) AS s_es,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('le','la','et'))) AS s_fr,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('de','le','shi'))) AS s_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT CASE WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr'
+        |              WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en'
+        |              ELSE 'de' END AS pred_lang, ws, bpe
+        |  FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM s))
+        |SELECT pred_lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        |       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+        |       ROUND(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 6)
+        |         AS fertility
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same deterministic URL injection schedule as the Spark side
+    // (q_redact pattern); domains via one capture-group extract
+    "q_url_stats" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text
+        |    || (CASE WHEN doc_id % 7 = 0
+        |             THEN ' see https://ex.io/a?b=1 plus http://cdn.ex.io/x.png'
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0
+        |             THEN ' docs at https://data.example.org/d/2' ELSE '' END)
+        |    || (CASE WHEN doc_id % 13 = 0
+        |             THEN ' mirror http://files.net/m' ELSE '' END) AS t
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^ ]+')) AS url
+        |  FROM aug)
+        |SELECT regexp_extract(url, 'https?://([^/ ]+)', 1) AS domain,
+        |       COUNT(*) AS n_urls,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_https
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_collocations" ->
       """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
         |p AS (SELECT unnest(CASE WHEN len(ws) >= 2
@@ -2953,6 +3139,36 @@ object SparkEntry {
         |FROM q8 e CROSS JOIN qq q
         |WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // per-label centroid-distance outliers in EXACT integer math:
+    // score = SUM_i (q_i*n - s_i)^2 = n^2*||q - mean||^2 over the
+    // shared int8 quantization — no float division anywhere
+    "q_embed_outliers" ->
+      s"""WITH vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |${duckQ8},
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |n AS (SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM embeddings GROUP BY 1),
+        |flat AS (
+        |  SELECT l.label, q.vec_id, UNNEST(q.qv) AS qc,
+        |         generate_subscripts(q.qv, 1) AS i
+        |  FROM q8 q JOIN lab l USING (vec_id)),
+        |s AS (SELECT label, i, CAST(SUM(qc) AS BIGINT) AS s
+        |      FROM flat GROUP BY 1, 2),
+        |d AS (
+        |  SELECT f.label, f.vec_id,
+        |         CAST(SUM((f.qc * n.n - s.s) * (f.qc * n.n - s.s)) AS BIGINT) AS d2n
+        |  FROM flat f
+        |  JOIN s ON f.label = s.label AND f.i = s.i
+        |  JOIN n ON f.label = n.label
+        |  GROUP BY 1, 2),
+        |r AS (SELECT label, vec_id, d2n,
+        |             ROW_NUMBER() OVER (PARTITION BY label
+        |               ORDER BY d2n DESC, vec_id) AS rk
+        |      FROM d)
+        |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, d2n
+        |FROM r WHERE rk <= 3 ORDER BY 1, 2""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |flat AS (

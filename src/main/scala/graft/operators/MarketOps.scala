@@ -1639,4 +1639,133 @@ object MarketOps {
           + col("cum_offset")).as("session_id"))
       .orderBy("event_id")
   }
+
+  /** Overnight gap report: each day's open vs the previous trading
+    * day's close, in (rounded) basis points — the gap-risk dashboard a
+    * close-to-open strategy runs every morning. Rides the daily OHLC
+    * aggregate (tie-keyed open/close picks), so the lag window runs
+    * over one row per symbol-day — tiny at any scale; the tick log
+    * shuffles once into the bars and never again.
+    */
+  def overnightGaps(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("day")
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        col("open").cast(dec).as("o"), col("close").cast(dec).as("c"))
+      .withColumn("prev_close", lag(col("c"), 1).over(w))
+      .filter(col("prev_close").isNotNull && col("prev_close") =!= 0)
+      .select(col("symbol"), col("day"),
+        col("prev_close").cast("double").as("prev_close"),
+        col("o").cast("double").as("open"),
+        round((col("o") - col("prev_close")).cast("double") /
+          col("prev_close").cast("double") * 10000.0, 4).as("gap_bp"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Volume profile: traded volume per fixed price band per symbol,
+    * with each band's corpus share and the point of control (the
+    * highest-volume band) flagged. Band assignment is exact integer
+    * math on 2-dp cents (a double `price*100` cast would truncate
+    * 28.999999996 → 28); one partial-agg shuffle of band states, then
+    * the share/POC windows run over the ≤(price range / width) band
+    * rows per symbol — an aggregate table, never ticks.
+    */
+  def volumeProfile(ticks: DataFrame, bandCents: Long = 1000L): DataFrame = {
+    val cents = (col("price").cast(dec) * 100).cast("long")
+    val bands = ticks
+      .withColumn("cents", cents)
+      .withColumn("band", expr(s"cents div ${bandCents}L"))
+      .groupBy(col("symbol"), col("band"))
+      .agg(sum(col("volume")).as("band_volume"), count(lit(1)).as("n_ticks"))
+    val sym = Window.partitionBy("symbol")
+    bands
+      .withColumn("total", sum(col("band_volume")).over(sym))
+      .withColumn("poc",
+        when(row_number().over(sym.orderBy(col("band_volume").desc,
+          col("band"))) === 1, 1L).otherwise(0L))
+      .select(col("symbol"), col("band"), col("band_volume"), col("n_ticks"),
+        round(col("band_volume").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        col("poc"))
+      .orderBy("symbol", "band")
+  }
+
+  /** Classic floor-trader pivot levels for each day, computed from the
+    * PREVIOUS day's high/low/close: P = (h+l+c)/3, R1 = 2P − l,
+    * S1 = 2P − h, R2 = P + (h − l), S2 = P − (h − l). The decimal
+    * h+l+c sum is exact; the single /3.0 division and the level
+    * arithmetic run the identical IEEE op order as the oracle, and
+    * 6-dp rounding absorbs nothing (the ops are reproducible) but
+    * keeps the column convention of SURVEY §4. Daily-bar sized — one
+    * tick shuffle into the OHLC aggregate, lags over symbol-day rows.
+    */
+  def pivotPoints(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("day")
+    val bars = ohlcDaily(ticks).select(col("symbol"), col("day"),
+      col("high").cast(dec).as("h"), col("low").cast(dec).as("l"),
+      col("close").cast(dec).as("c"))
+    val p = (col("ph") + col("pl") + col("pc")).cast("double") / 3.0
+    bars
+      .withColumn("ph", lag(col("h"), 1).over(w))
+      .withColumn("pl", lag(col("l"), 1).over(w))
+      .withColumn("pc", lag(col("c"), 1).over(w))
+      .filter(col("ph").isNotNull)
+      .withColumn("pivot", p)
+      .select(col("symbol"), col("day"), round(col("pivot"), 6).as("pivot"),
+        round(lit(2.0) * col("pivot") - col("pl").cast("double"), 6).as("r1"),
+        round(lit(2.0) * col("pivot") - col("ph").cast("double"), 6).as("s1"),
+        round(col("pivot") + (col("ph") - col("pl")).cast("double"), 6).as("r2"),
+        round(col("pivot") - (col("ph") - col("pl")).cast("double"), 6).as("s2"))
+      .orderBy("symbol", "day")
+  }
+
+  final case class CusumBar(symbol: String, day: java.sql.Date, c: java.math.BigDecimal)
+  final case class CusumEvent(symbol: String, day: java.sql.Date, side: Long,
+      excursion: Double)
+
+  /** CUSUM event filter on daily closes (the López de Prado event-based
+    * sampling rule): accumulate positive and negative close-to-close
+    * drifts, emit an event and reset when either side's accumulator
+    * clears the threshold. Genuinely recursive — a sorted-group pass
+    * over the daily-bar states (tiny per symbol), the heikinAshi
+    * posture. All arithmetic is EXACT 2-dp decimal (accumulate,
+    * compare, reset), so the oracle's recursive CTE reproduces it
+    * bit-for-bit with no float drift.
+    */
+  def cusumEvents(ticks: DataFrame, threshold: Double = 30.0): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    val h = java.math.BigDecimal.valueOf(threshold).setScale(2)
+    val zero = java.math.BigDecimal.ZERO.setScale(2)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .as[CusumBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        var prev: java.math.BigDecimal = null
+        var sPos = zero; var sNeg = zero
+        it.flatMap { b =>
+          val out =
+            if (prev == null) { prev = b.c; Iterator.empty }
+            else {
+              val d = b.c.subtract(prev)
+              prev = b.c
+              sPos = sPos.add(d).max(zero)
+              sNeg = sNeg.add(d).min(zero)
+              if (sPos.compareTo(h) > 0) {
+                val e = CusumEvent(sym, b.day, 1L, sPos.doubleValue)
+                sPos = zero; sNeg = zero
+                Iterator.single(e)
+              } else if (sNeg.compareTo(h.negate) < 0) {
+                val e = CusumEvent(sym, b.day, -1L, sNeg.doubleValue)
+                sPos = zero; sNeg = zero
+                Iterator.single(e)
+              } else Iterator.empty
+            }
+          out
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
 }

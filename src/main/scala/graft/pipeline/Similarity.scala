@@ -233,4 +233,54 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .orderBy("id_a", "id_b")
   }
+
+  /** Per-label embedding outliers — the "which vectors don't belong to
+    * their class" audit an embedding-quality pass runs before training
+    * a classifier or pruning a corpus. Works entirely in EXACT integer
+    * arithmetic on the int8-quantized vectors: for a label with n
+    * vectors and per-component sums s_i, each vector's score is
+    * Σ_i (q_i·n − s_i)² = n²·‖q − mean‖² — same ordering as the
+    * centroid distance, no float division anywhere, so both engines
+    * agree bit-for-bit (|q_i·n| ≤ 127n keeps every term far from
+    * BIGINT overflow for any realistic class size).
+    *
+    * Scale shape: component sums are one partial-agg shuffle of
+    * (label, i) cells; the per-label stats table (|labels| rows —
+    * class labels are bounded by design) broadcasts back onto the
+    * vector scan; and the per-label top-k runs as a map-side max-k
+    * typed aggregation ([[graft.functions.MaxKLongAggregator]]) — a
+    * rank window over partitionBy(label) would drain a whole class
+    * through one task, the exact hazard the r7 sampler rework removed.
+    */
+  def embedOutliers(emb: DataFrame, k: Int = 3): DataFrame = {
+    import graft.functions.MaxKLongAggregator
+    import MaxKLongAggregator.LK
+    reg(emb)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      quantizeI8(col("embedding")).as("qv"))
+    val nTab = q.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val sums = q.select(col("label"), posexplode(col("qv")).as(Seq("i", "qc")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("qc").cast("long")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+        x => x.getField("s")).as("sv"))
+    val d2n = expr(
+      "aggregate(zip_with(qv, sv, (a, b) -> (CAST(a AS BIGINT) * n - b) " +
+        "* (CAST(a AS BIGINT) * n - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    q.join(broadcast(sums.join(nTab, "label")), "label")
+      .withColumn("d2n", d2n)
+      .select(col("label"), col("d2n"), col("vec_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => LK(t._2, t._3))
+      .agg(MaxKLongAggregator.maxK(k).toColumn.name("top"))
+      .toDF("label", "top")
+      .select(col("label"), posexplode(col("top")).as(Seq("i", "lk")))
+      .select(col("label"), (col("i") + 1).cast("long").as("rk"),
+        col("lk.id").as("vec_id"), col("lk.k").as("d2n"))
+      .orderBy("label", "rk")
+  }
 }

@@ -58,15 +58,23 @@ object TextOps {
     "fr" -> Seq("le", "la", "et"),
     "zh" -> Seq("de", "le", "shi"))
 
-  def langId(docs: DataFrame): DataFrame = {
-    val words = split(col("text"), " ")
+  /** The language-ID argmax as a reusable column (ties resolve to the
+    * lexicographically largest language code — struct max semantics,
+    * mirrored by the oracle's descending CASE chain).
+    */
+  private[pipeline] def predLangCol: Column = {
     val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       val list = markers.map(w => s"'$w'").mkString(", ")
       struct(expr(s"size(filter(split(text, ' '), w -> w in ($list)))").as("score"),
         lit(lang).as("lang"))
     }
+    greatest(scores: _*).getField("lang")
+  }
+
+  def langId(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
     docs.select(col("doc_id"),
-        greatest(scores: _*).getField("lang").as("pred_lang"),
+        predLangCol.as("pred_lang"),
         size(words).cast("long").as("n_words"))
       .orderBy("doc_id")
   }
@@ -498,6 +506,87 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("min_doc_id"))
       .orderBy("split", "source")
+  }
+
+  /** Weighted corpus sampling by exact-integer priority keys (the
+    * Efraimidis–Spirakis shape made engine-exact): every doc draws a
+    * deterministic 48-bit "uniform" from md5("wt" || doc_id), its
+    * priority is that integer DIVIDED (integer div) by its source
+    * weight — heavier sources get systematically smaller priorities —
+    * and the global sample is the k smallest priorities. All BIGINT
+    * math, so both engines agree bit-for-bit (no pow/log, whose libm
+    * results differ in the last ulp).
+    *
+    * Scale shape: the global top-k plans as TakeOrderedAndProject —
+    * k rows per map partition, no global sort. The only window runs
+    * over the ≤k surviving rows (bounded by construction).
+    */
+  def weightedSample(docs: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // weight 1..4 keyed off the numeric source suffix; TRY_CAST drops
+    // malformed sources from the draw instead of failing the job
+    val idx = expr("TRY_CAST(substring(source, 4) AS INT)")
+    val w = (pmod(idx, lit(4)) + 1).cast("long")
+    val h = conv(substring(md5(concat(lit("wt"), col("doc_id").cast("string"))
+      .cast("binary")), 1, 12), 16, 10).cast("long")
+    docs.select(col("doc_id"), col("source"), w.as("w"), h.as("h"))
+      .filter(col("w").isNotNull)
+      .withColumn("priority", expr("h div w"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+      .withColumn("rk",
+        row_number().over(Window.orderBy("priority", "doc_id")).cast("long"))
+      .select(col("rk"), col("doc_id"), col("source"), col("w"), col("priority"))
+      .orderBy("rk")
+  }
+
+  /** Tokenizer fertility per predicted language: BPE-ish tokens per
+    * whitespace word — the "how expensive is this language for my
+    * tokenizer" dashboard every multilingual pipeline keeps. One scan
+    * (language score and both token counts in the same projection),
+    * one partial-agg shuffle of ≤|langs| counter rows; the ratio is a
+    * single rounded division of exact BIGINT sums.
+    */
+  def tokenFertility(docs: DataFrame): DataFrame =
+    docs.select(predLangCol.as("pred_lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe"))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"), sum(col("bpe")).as("bpe_tokens"))
+      .withColumn("fertility",
+        round(col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"), 6))
+      .orderBy("pred_lang")
+
+  /** Per-domain URL census over the corpus (the link-graph slice a
+    * crawl-quality audit starts from): extract every URL, reduce it to
+    * its host, count occurrences and distinct citing documents per
+    * host. The corpus is clean word soup, so URLs are injected on a
+    * deterministic doc_id schedule (the q_redact pattern) and the
+    * oracle reproduces the same augmentation. Extraction is per-row
+    * regexp builtins (Java∩RE2 subset); one partial-agg shuffle of
+    * (domain, counters).
+    */
+  def urlStats(docs: DataFrame): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        lit(" see https://ex.io/a?b=1 plus http://cdn.ex.io/x.png"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit(" docs at https://data.example.org/d/2")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit(" mirror http://files.net/m")).otherwise(lit("")))
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(aug, lit("https?://[^ ]+"), lit(0))).as("url"))
+      .select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), "https?://([^/ ]+)", 1).as("domain"),
+        when(col("url").startsWith("https://"), 1L).otherwise(0L).as("is_https"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("is_https")).as("n_https"))
+      .orderBy("domain")
   }
 
   /** Top-k adjacent-word collocations (the bigram-frequency pass a BPE

@@ -210,7 +210,11 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "sessionize" -> (MarketOps.sessionize(_, 30)),
       "returns" -> (MarketOps.returns(_)),
       "runningVolume" -> (MarketOps.runningVolume(_)),
-      "sma" -> (MarketOps.sma(_, 20)))
+      "sma" -> (MarketOps.sma(_, 20)),
+      "overnightGaps" -> (MarketOps.overnightGaps(_)),
+      "volumeProfile" -> (MarketOps.volumeProfile(_)),
+      "pivotPoints" -> (MarketOps.pivotPoints(_)),
+      "cusumEvents" -> (MarketOps.cusumEvents(_, 1.0)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+
+/** Semantic contracts of the r7 operators: gap/pivot/profile/CUSUM on
+  * the market side, weighted sampling / fertility / URL census /
+  * embedding outliers on the pipeline side. Each is checked against an
+  * independent formulation (a window-rank recount, a closed-form
+  * identity, or a hand-derivable fixture), not just for non-emptiness.
+  */
+class NewOpsR7Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val ticks = Tables.ticks(spark, sf)
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("overnightGaps: one row per (symbol, day) after the first; bp identity") {
+    val g = MarketOps.overnightGaps(ticks).cache()
+    val days = MarketOps.ohlcDaily(ticks).groupBy("symbol").count()
+    val gaps = g.groupBy("symbol").count()
+    val j = days.join(gaps.withColumnRenamed("count", "g"), "symbol")
+    assert(j.filter(col("g") =!= col("count") - 1).count() === 0)
+    // gap_bp reconstructs from the emitted prev_close/open
+    val bad = g.filter(
+      abs(col("gap_bp") -
+        round((col("open") - col("prev_close")) / col("prev_close") * 10000.0, 4))
+        > 1e-9)
+    assert(bad.count() === 0)
+  }
+
+  test("volumeProfile: shares sum to 1, exactly one POC per symbol, volume conserved") {
+    val p = MarketOps.volumeProfile(ticks).cache()
+    val bySym = p.groupBy("symbol")
+      .agg(sum("share").as("s"), sum("poc").as("np"), sum("band_volume").as("v"))
+      .collect()
+    bySym.foreach { r =>
+      assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-4)
+      assert(r.getAs[Long]("np") === 1L)
+    }
+    val total = ticks.agg(sum("volume")).head().getLong(0)
+    assert(p.agg(sum("band_volume")).head().getLong(0) === total)
+  }
+
+  test("pivotPoints: level ordering R2 >= R1 >= P >= S1 >= S2") {
+    // r1 − p = p − l ≥ 0 and r2 − r1 = (h − p) ≥ 0 for p = (h+l+c)/3
+    // with l ≤ c ≤ h — the classic level ladder must be monotone
+    val pp = MarketOps.pivotPoints(ticks)
+    assert(pp.filter(col("r2") < col("r1") || col("r1") < col("pivot") ||
+      col("pivot") < col("s1") || col("s1") < col("s2")).count() === 0)
+  }
+
+  test("cusumEvents: excursion clears the threshold with matching sign") {
+    val h = 5.0
+    val ev = MarketOps.cusumEvents(ticks, h).cache()
+    assert(ev.count() > 0, "threshold 5.0 should fire on sf0.001 closes")
+    assert(ev.filter(col("side") === 1L && col("excursion") <= h).count() === 0)
+    assert(ev.filter(col("side") === -1L && col("excursion") >= -h).count() === 0)
+    assert(ev.filter(!col("side").isin(1L, -1L)).count() === 0)
+  }
+
+  test("weightedSample: exactly k rows, priorities are the global minimum set") {
+    val ws = graft.pipeline.TextOps.weightedSample(docs, 50).cache()
+    assert(ws.count() === 50)
+    // rank order matches priority order with doc_id tiebreak
+    val rows = ws.orderBy("rk").collect()
+    val sorted = rows.sortBy(r => (r.getAs[Long]("priority"), r.getAs[Long]("doc_id")))
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq ===
+      sorted.map(_.getAs[Long]("doc_id")).toSeq)
+    // nothing outside the sample has a smaller priority than the cutoff
+    val idx = expr("TRY_CAST(substring(source, 4) AS INT)")
+    val w = (pmod(idx, lit(4)) + 1).cast("long")
+    val h = conv(substring(md5(concat(lit("wt"), col("doc_id").cast("string"))
+      .cast("binary")), 1, 12), 16, 10).cast("long")
+    val cutoff = rows.last.getAs[Long]("priority")
+    val below = docs.select(col("doc_id"), w.as("w"), h.as("h"))
+      .filter(col("w").isNotNull)
+      .withColumn("priority", expr("h div w"))
+      .filter(col("priority") < cutoff)
+    assert(below.count() <= 50)
+  }
+
+  test("tokenFertility: BIGINT sums reconcile with per-doc token counts") {
+    val f = graft.pipeline.TextOps.tokenFertility(docs).cache()
+    val perDoc = graft.pipeline.TextOps.tokenCount(docs)
+      .agg(sum("ws_tokens").as("ws"), sum("bpe_tokens").as("bpe")).head()
+    val agg = f.agg(sum("ws_tokens").as("ws"), sum("bpe_tokens").as("bpe")).head()
+    assert(agg.getAs[Long]("ws") === perDoc.getAs[Long]("ws"))
+    assert(agg.getAs[Long]("bpe") === perDoc.getAs[Long]("bpe"))
+    assert(f.filter(col("fertility") <= 0.0).count() === 0)
+  }
+
+  test("urlStats: exactly the injected domains, with consistent scheme counts") {
+    val u = graft.pipeline.TextOps.urlStats(docs).cache()
+    val domains = u.collect().map(_.getAs[String]("domain")).toSet
+    assert(domains === Set("ex.io", "cdn.ex.io", "data.example.org", "files.net"))
+    assert(u.filter(col("n_https") > col("n_urls")).count() === 0)
+    // cdn.ex.io and files.net are injected as http only
+    assert(u.filter(col("domain").isin("cdn.ex.io", "files.net"))
+      .filter(col("n_https") =!= 0L).count() === 0)
+  }
+
+  test("embedOutliers matches the rank-window formulation; plan has no Window") {
+    import graft.pipeline.Similarity
+    val out = Similarity.embedOutliers(emb, 3)
+    assert(out.queryExecution.analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "per-label top-k must be a max-k partial agg, not a rank window")
+    // independent recount: same exact-integer score, ranked by a window
+    val q = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      Similarity.quantizeI8(col("embedding")).as("qv"))
+    val nTab = q.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val sums = q.select(col("label"), posexplode(col("qv")).as(Seq("i", "qc")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("qc").cast("long")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+        x => x.getField("s")).as("sv"))
+    val d2n = expr(
+      "aggregate(zip_with(qv, sv, (a, b) -> (CAST(a AS BIGINT) * n - b) " +
+        "* (CAST(a AS BIGINT) * n - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    val naive = q.join(sums.join(nTab, "label"), "label")
+      .withColumn("d2n", d2n)
+      .withColumn("rk", row_number().over(Window.partitionBy("label")
+        .orderBy(col("d2n").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("label"), col("rk"), col("vec_id"), col("d2n"))
+    val a = out.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val b = naive.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+  }
+}

@@ -45,6 +45,9 @@ class PipelineEdgeSpec extends AnyFunSuite {
       "chunk" -> TextOps.chunk(edgeDocs),
       "mixtureSample" -> TextOps.mixtureSample(edgeDocs, 4),
       "trainSplit" -> TextOps.trainSplit(edgeDocs),
+      "weightedSample" -> TextOps.weightedSample(edgeDocs, 3),
+      "tokenFertility" -> TextOps.tokenFertility(edgeDocs),
+      "urlStats" -> TextOps.urlStats(edgeDocs),
       "collocations" -> TextOps.collocations(edgeDocs),
       "contamination" -> TextOps.contamination(edgeDocs, col("source") === "books")
     )

@@ -127,6 +127,9 @@ object SparkEntry {
     "q_twap_daily" -> ((s, dir) => MarketOps.twapDaily(ticks(s, dir))),
     "q_volume_bars" -> ((s, dir) => MarketOps.volumeBars(ticks(s, dir), 10000L)),
     "q_vpin" -> ((s, dir) => MarketOps.vpin(ticks(s, dir), 10000L, 5)),
+    "q_dollar_bars" -> ((s, dir) => MarketOps.dollarBars(ticks(s, dir), 50000000L)),
+    "q_higher_moments" -> ((s, dir) => MarketOps.higherMoments(ticks(s, dir))),
+    "q_stale_runs" -> ((s, dir) => MarketOps.staleRuns(ticks(s, dir))),
     "q_heikin_ashi" -> ((s, dir) => MarketOps.heikinAshi(ticks(s, dir))),
     "q_overnight_gaps" -> ((s, dir) => MarketOps.overnightGaps(ticks(s, dir))),
     "q_volume_profile" -> ((s, dir) => MarketOps.volumeProfile(ticks(s, dir))),
@@ -298,6 +301,16 @@ object SparkEntry {
     "q_token_fertility" -> ((s, dir) =>
       TextOps.tokenFertility(Tables.documents(s, dir))),
     "q_url_stats" -> ((s, dir) => TextOps.urlStats(Tables.documents(s, dir))),
+    "q_cross_source_dups" -> ((s, dir) => {
+      // the corpus has no natural cross-source dups — inject 3 shared
+      // texts on a deterministic doc_id schedule (q_redact pattern);
+      // the oracle reproduces the same augmentation
+      val aug = Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 41 === 0,
+          concat(lit("shared boilerplate block "),
+            (col("doc_id") % 3).cast("string"))).otherwise(col("text")))
+      Dedup.crossSourceLeakage(aug)
+    }),
     "q_collocations" -> ((s, dir) =>
       TextOps.collocations(Tables.documents(s, dir), 20)),
     "q_jsonl_roundtrip" -> ((s, dir) => jsonlRoundtrip(s, dir)),
@@ -943,6 +956,87 @@ object SparkEntry {
         |                     || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS close,
         |       CAST(SUM(user_id) AS BIGINT) AS bar_volume
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // volume-clock on traded VALUE: exact BIGINT dollar-cents
+    // (2-dp cents × integer volume), same prefix-sum shape as
+    // q_volume_bars, tie-keyed open/close
+    "q_dollar_bars" ->
+      """WITH b AS (
+        |  SELECT event_type AS symbol, ts, event_id, value, user_id,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * user_id AS dc,
+        |         COALESCE(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                           * user_id)
+        |             OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |           AS pre_cum
+        |  FROM events)
+        |SELECT symbol, CAST(pre_cum // 50000000 AS BIGINT) AS bar_id,
+        |       COUNT(*) AS n_ticks,
+        |       min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                     || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS open,
+        |       MAX(value) AS high, MIN(value) AS low,
+        |       max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                     || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS close,
+        |       CAST(SUM(user_id) AS BIGINT) AS bar_volume,
+        |       CAST(SUM(dc) AS BIGINT) AS bar_dollar_cents
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // 4-dp returns winsorized at ±100 so every power sum is an exact
+    // decimal; the moment identities replay Spark's double op order
+    // verbatim (left-associative, vr·√vr instead of pow)
+    "q_higher_moments" ->
+      """WITH p AS (
+        |  SELECT event_type AS symbol, value,
+        |         LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |           AS prev
+        |  FROM events),
+        |r AS (
+        |  SELECT symbol,
+        |         CAST(LEAST(GREATEST(
+        |              CAST(ROUND(value / prev - 1, 4) AS DECIMAL(12,4)),
+        |              -100), 100) AS DECIMAL(12,4)) AS r
+        |  FROM p WHERE prev IS NOT NULL AND prev <> 0),
+        |r2t AS (SELECT symbol, r, CAST(r * r AS DECIMAL(13,8)) AS r2 FROM r),
+        |m AS (
+        |  SELECT symbol, COUNT(*) AS n_rets,
+        |         CAST(SUM(r) AS DOUBLE) AS sx,
+        |         CAST(SUM(r2) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(r2 AS DECIMAL(20,8)) * r) AS DOUBLE) AS sxxx,
+        |         CAST(SUM(CAST(r2 AS DECIMAL(20,8)) * r2) AS DOUBLE) AS sxxxx,
+        |         CAST(COUNT(*) AS DOUBLE) AS nd
+        |  FROM r2t GROUP BY 1),
+        |mm AS (SELECT *, sx / nd AS mean FROM m),
+        |mv AS (SELECT *, sxx / nd - mean * mean AS vr FROM mm)
+        |SELECT symbol, n_rets,
+        |       ROUND(mean, 6) AS mean_ret, ROUND(vr, 6) AS var_ret,
+        |       CASE WHEN vr > 0.0 THEN
+        |         ROUND((sxxx / nd - 3.0 * mean * (sxx / nd)
+        |                + 2.0 * mean * mean * mean) / (vr * SQRT(vr)), 6)
+        |       END AS skewness,
+        |       CASE WHEN vr > 0.0 THEN
+        |         ROUND((sxxxx / nd - 4.0 * mean * (sxxx / nd)
+        |                + 6.0 * mean * mean * (sxx / nd)
+        |                - 3.0 * mean * mean * mean * mean) / (vr * vr) - 3.0, 6)
+        |       END AS excess_kurtosis
+        |FROM mv ORDER BY symbol""".stripMargin,
+    // unchanged-price run lengths: lag flag + prefix-sum run ids,
+    // exact 2-dp decimal equality
+    "q_stale_runs" ->
+      """WITH f AS (
+        |  SELECT event_type AS symbol, ts, event_id,
+        |         CASE WHEN LAG(value) OVER w IS NULL
+        |                   OR CAST(value AS DECIMAL(18,2))
+        |                      <> CAST(LAG(value) OVER w AS DECIMAL(18,2))
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT symbol,
+        |         SUM(is_new) OVER (PARTITION BY symbol ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM f),
+        |rl AS (SELECT symbol, run_id, COUNT(*) AS len FROM runs GROUP BY 1, 2)
+        |SELECT symbol, COUNT(*) AS n_runs, CAST(MAX(len) AS BIGINT) AS max_run,
+        |       CAST(SUM(len - 1) AS BIGINT) AS n_repeats
+        |FROM rl GROUP BY 1 ORDER BY 1""".stripMargin,
     // weak-ordering signs of (p_{t-2}, p_{t-1}, p_t) encoded base-3;
     // exact integer counts (the entropy's ln() would not be
     // bit-identical across engines — counts are)
@@ -2993,6 +3087,22 @@ object SparkEntry {
         |       ROUND(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 6)
         |         AS fertility
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same deterministic shared-text injection as the Spark side;
+    // leakage keyed on the md5 content hash
+    "q_cross_source_dups" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 41 = 0
+        |              THEN 'shared boilerplate block '
+        |                   || CAST(doc_id % 3 AS VARCHAR)
+        |              ELSE text END AS text
+        |  FROM documents),
+        |hs AS (SELECT md5(text) AS h, source, COUNT(*) AS c
+        |       FROM aug GROUP BY 1, 2),
+        |m AS (SELECT h FROM hs GROUP BY h HAVING COUNT(DISTINCT source) >= 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_leaked_docs,
+        |       COUNT(*) AS n_leaked_texts
+        |FROM hs JOIN m USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
     // same deterministic URL injection schedule as the Spark side
     // (q_redact pattern); domains via one capture-group extract
     "q_url_stats" ->

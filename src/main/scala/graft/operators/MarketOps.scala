@@ -740,6 +740,116 @@ object MarketOps {
       .orderBy("symbol", "bar_id")
   }
 
+  /** Dollar bars: the volume-clock generalization on TRADED VALUE — a
+    * new bar every `thresholdCents` of cumulative price×volume, the
+    * sampling clock that equalizes information per bar across price
+    * regimes (a $10 stock and a $400 stock tick the same clock).
+    * Identical chunked prefix-sum shape as [[volumeBars]]; the clock
+    * runs in exact BIGINT dollar-cents (2-dp price × integer volume —
+    * wraps only past ~9e18 cents ≈ $92 quadrillion of cumulative
+    * traded value per symbol, far beyond any market's history).
+    */
+  def dollarBars(ticks: DataFrame, thresholdCents: Long): DataFrame = {
+    val t = ticks
+      .withColumn("chunk_day", to_date(col("ts")))
+      .withColumn("dc",
+        ((col("price").cast(dec) * 100).cast("long")) * col("volume"))
+    val offsets = t.groupBy(col("symbol"), col("chunk_day"))
+      .agg(sum(col("dc")).as("day_total"))
+      .select(col("symbol"), col("chunk_day"),
+        coalesce(sum(col("day_total")).over(priorDays), lit(0L)).as("cum_offset"))
+    val preCum = coalesce(
+      sum(col("dc")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L)) + col("cum_offset")
+    t.join(offsets, Seq("symbol", "chunk_day"))
+      .withColumn("pre_cum", preCum)
+      .withColumn("bar_id", expr(s"pre_cum div ${thresholdCents}L"))
+      .groupBy(col("symbol"), col("bar_id"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        min_by(col("price"), tieKey).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), tieKey).as("close"),
+        sum(col("volume")).as("bar_volume"),
+        sum(col("dc")).as("bar_dollar_cents"))
+      .orderBy("symbol", "bar_id")
+  }
+
+  /** Higher return moments per symbol (skewness, excess kurtosis): the
+    * fat-tail dashboard risk teams keep next to [[volatility]].
+    * Returns are rounded to 4 dp, WINSORIZED at ±100 (a +10000% tick
+    * move is a data error, and the clip is what keeps Σr⁴ an exact
+    * DECIMAL sum at ANY row count — |r|≤100 ⇒ r⁴≤1e8, so a (38,16)
+    * accumulator holds ~1e14 rows with headroom), and re-summed as
+    * DECIMAL (the q_beta pattern): Σr, Σr², Σr³, Σr⁴ are exact
+    * order-free sums, and the closing moment identities run one fixed
+    * double op sequence both engines replay bit-for-bit (sqrt is
+    * IEEE-correctly-rounded, so var^1.5 = var·√var — no pow).
+    */
+  def higherMoments(ticks: DataFrame): DataFrame = {
+    val d4 = DecimalType(12, 4)
+    val d8 = DecimalType(13, 8)
+    val r0 = round(col("price") / col("prev") - 1, 4).cast(d4)
+    val rw = least(greatest(r0, lit(-100).cast(d4)), lit(100).cast(d4))
+    val withR =
+      chunkedLag1(ticks.withColumn("chunk_day", to_date(col("ts"))), "price", "prev")
+        .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+        .withColumn("r", rw)
+        .withColumn("r2", (col("r") * col("r")).cast(d8))
+    val m = withR.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n_rets"),
+      sum(col("r")).cast("double").as("sx"),
+      sum(col("r2")).cast("double").as("sxx"),
+      sum(col("r2") * col("r")).cast("double").as("sxxx"),
+      sum(col("r2") * col("r2")).cast("double").as("sxxxx"))
+    val nd = col("n_rets").cast("double")
+    val mean = col("sx") / nd
+    val vr = col("sxx") / nd - mean * mean
+    val m3 = col("sxxx") / nd - lit(3.0) * mean * (col("sxx") / nd) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("sxxxx") / nd - lit(4.0) * mean * (col("sxxx") / nd) +
+      lit(6.0) * mean * mean * (col("sxx") / nd) -
+      lit(3.0) * mean * mean * mean * mean
+    m.select(col("symbol"), col("n_rets"),
+        round(mean, 6).as("mean_ret"),
+        round(vr, 6).as("var_ret"),
+        when(vr > 0.0, round(m3 / (vr * sqrt(vr)), 6)).as("skewness"),
+        when(vr > 0.0, round(m4 / (vr * vr) - 3.0, 6)).as("excess_kurtosis"))
+      .orderBy("symbol")
+  }
+
+  /** Stale-price run report: per symbol, runs of consecutive ticks at
+    * an unchanged price — the feed-health metric that catches a stuck
+    * publisher or an untraded instrument. Change flags ride
+    * [[chunkedLag1]]; run ids are the sessionize-style chunked
+    * prefix-sum of the flags; per-run lengths then collapse to
+    * per-symbol stats (run states only — the longest window any task
+    * sees is one symbol-day).
+    */
+  def staleRuns(ticks: DataFrame): DataFrame = {
+    val t = ticks.withColumn("chunk_day", to_date(col("ts")))
+    val flagged = chunkedLag1(t, "price", "prev")
+      .withColumn("is_new",
+        when(col("prev").isNull ||
+          col("price").cast(dec) =!= col("prev").cast(dec), 1L).otherwise(0L))
+    val offsets = flagged.groupBy(col("symbol"), col("chunk_day"))
+      .agg(sum(col("is_new")).as("day_total"))
+      .select(col("symbol"), col("chunk_day"),
+        coalesce(sum(col("day_total")).over(priorDays), lit(0L)).as("cum_offset"))
+    flagged.join(offsets, Seq("symbol", "chunk_day"))
+      .withColumn("run_id",
+        sum(col("is_new")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, 0))
+          + col("cum_offset"))
+      .groupBy(col("symbol"), col("run_id"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("len")).as("max_run"),
+        sum(col("len") - 1).as("n_repeats"))
+      .orderBy("symbol")
+  }
+
   /** VPIN (volume-synchronized probability of informed trading,
     * Easley/López de Prado/O'Hara): ticks are signed by the tick rule,
     * grouped into volume-clock bars of `threshold` units, and VPIN at

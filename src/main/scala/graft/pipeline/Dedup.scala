@@ -264,4 +264,28 @@ object Dedup {
         contain(inter, size(col("sh_b"))).as("containment_b"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Cross-source duplicate leakage: per source, how many of its
+    * documents (and distinct texts) also appear verbatim under at
+    * least one OTHER source — the provenance audit that catches a
+    * crawler ingesting the same corpus twice under different labels
+    * (and the train/test-leak precursor when splits are cut by
+    * source). Everything is keyed on the md5 content hash: one
+    * (hash, source) partial aggregate, a hash-keyed self-join against
+    * the ≥2-source hash list, then per-source counters — text never
+    * shuffles, and no key has lower cardinality than the hash itself.
+    */
+  def crossSourceLeakage(docs: DataFrame): DataFrame = {
+    val perHS = docs
+      .groupBy(md5(col("text")).as("h"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val multi = perHS.groupBy(col("h"))
+      .agg(countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_sources") >= 2)
+    perHS.join(multi, "h")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_leaked_docs"),
+        count(lit(1)).as("n_leaked_texts"))
+      .orderBy("source")
+  }
 }

@@ -260,17 +260,21 @@ object Similarity {
     import spark.implicits._
     val q = emb.select(col("vec_id"), col("label").cast("long").as("label"),
       quantizeI8(col("embedding")).as("qv"))
-    val nTab = q.groupBy(col("label")).agg(count(lit(1)).as("n"))
-    val sums = q.select(col("label"), posexplode(col("qv")).as(Seq("i", "qc")))
+    // ONE stats scan: the per-(label, component) cell aggregate carries
+    // both the component sum and the vector count (every component of a
+    // vector appears exactly once, so any cell's count == n) — no
+    // separate COUNT pass over the corpus
+    val stats = q.select(col("label"), posexplode(col("qv")).as(Seq("i", "qc")))
       .groupBy(col("label"), col("i"))
-      .agg(sum(col("qc").cast("long")).as("s"))
+      .agg(sum(col("qc").cast("long")).as("s"), count(lit(1)).as("c"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
-        x => x.getField("s")).as("sv"))
+        x => x.getField("s")).as("sv"),
+        max(col("c")).as("n"))
     val d2n = expr(
       "aggregate(zip_with(qv, sv, (a, b) -> (CAST(a AS BIGINT) * n - b) " +
         "* (CAST(a AS BIGINT) * n - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
-    q.join(broadcast(sums.join(nTab, "label")), "label")
+    q.join(broadcast(stats), "label")
       .withColumn("d2n", d2n)
       .select(col("label"), col("d2n"), col("vec_id"))
       .as[(Long, Long, Long)]

@@ -214,7 +214,10 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "overnightGaps" -> (MarketOps.overnightGaps(_)),
       "volumeProfile" -> (MarketOps.volumeProfile(_)),
       "pivotPoints" -> (MarketOps.pivotPoints(_)),
-      "cusumEvents" -> (MarketOps.cusumEvents(_, 1.0)))
+      "cusumEvents" -> (MarketOps.cusumEvents(_, 1.0)),
+      "dollarBars" -> (MarketOps.dollarBars(_, 100L)),
+      "higherMoments" -> (MarketOps.higherMoments(_)),
+      "staleRuns" -> (MarketOps.staleRuns(_)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>

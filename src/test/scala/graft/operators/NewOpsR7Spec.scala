@@ -105,6 +105,97 @@ class NewOpsR7Spec extends AnyFunSuite {
       .filter(col("n_https") =!= 0L).count() === 0)
   }
 
+  private def tickOrder =
+    Window.partitionBy("symbol").orderBy(col("ts"), col("event_id"))
+
+  private def assertSame(a0: org.apache.spark.sql.DataFrame,
+      b0: org.apache.spark.sql.DataFrame): Unit = {
+    val a = a0.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val b = b0.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(a.length === b.length, s"row counts ${a.length} vs ${b.length}")
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+  }
+
+  test("dollarBars matches the single-window plan bit-for-bit") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val tie = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 10, "0"))
+    val dc = (col("price").cast(dec) * 100).cast("long") * col("volume")
+    val preCum = coalesce(
+      sum(dc).over(tickOrder.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val naive = ticks.withColumn("dc", dc).withColumn("pre_cum", preCum)
+      .withColumn("bar_id", expr("pre_cum div 500000"))
+      .groupBy(col("symbol"), col("bar_id"))
+      .agg(count(lit(1)).as("n_ticks"),
+        min_by(col("price"), tie).as("open"), max(col("price")).as("high"),
+        min(col("price")).as("low"), max_by(col("price"), tie).as("close"),
+        sum(col("volume")).as("bar_volume"),
+        sum(col("dc")).as("bar_dollar_cents"))
+    assertSame(MarketOps.dollarBars(ticks, 500000L), naive)
+  }
+
+  test("staleRuns matches the single-window plan bit-for-bit") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val prev = lag(col("price"), 1).over(tickOrder)
+    val isNew = when(prev.isNull ||
+      col("price").cast(dec) =!= prev.cast(dec), 1L).otherwise(0L)
+    val naive = ticks.withColumn("is_new", isNew)
+      .withColumn("run_id",
+        sum(col("is_new")).over(tickOrder.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("symbol"), col("run_id"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_runs"), max(col("len")).as("max_run"),
+        sum(col("len") - 1).as("n_repeats"))
+    assertSame(MarketOps.staleRuns(ticks), naive)
+  }
+
+  test("higherMoments matches the single-window lag formulation bit-for-bit") {
+    val d4 = org.apache.spark.sql.types.DecimalType(12, 4)
+    val d8 = org.apache.spark.sql.types.DecimalType(13, 8)
+    val prev = lag(col("price"), 1).over(tickOrder)
+    val r0 = round(col("price") / col("prev") - 1, 4).cast(d4)
+    val rw = least(greatest(r0, lit(-100).cast(d4)), lit(100).cast(d4))
+    val m = ticks.withColumn("prev", prev)
+      .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+      .withColumn("r", rw)
+      .withColumn("r2", (col("r") * col("r")).cast(d8))
+      .groupBy(col("symbol")).agg(
+        count(lit(1)).as("n_rets"),
+        sum(col("r")).cast("double").as("sx"),
+        sum(col("r2")).cast("double").as("sxx"),
+        sum(col("r2") * col("r")).cast("double").as("sxxx"),
+        sum(col("r2") * col("r2")).cast("double").as("sxxxx"))
+    val nd = col("n_rets").cast("double")
+    val mean = col("sx") / nd
+    val vr = col("sxx") / nd - mean * mean
+    val m3 = col("sxxx") / nd - lit(3.0) * mean * (col("sxx") / nd) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("sxxxx") / nd - lit(4.0) * mean * (col("sxxx") / nd) +
+      lit(6.0) * mean * mean * (col("sxx") / nd) -
+      lit(3.0) * mean * mean * mean * mean
+    val naive = m.select(col("symbol"), col("n_rets"),
+      round(mean, 6).as("mean_ret"), round(vr, 6).as("var_ret"),
+      when(vr > 0.0, round(m3 / (vr * sqrt(vr)), 6)).as("skewness"),
+      when(vr > 0.0, round(m4 / (vr * vr) - 3.0, 6)).as("excess_kurtosis"))
+    assertSame(MarketOps.higherMoments(ticks), naive)
+  }
+
+  test("crossSourceLeakage finds exactly the injected cross-source texts") {
+    import graft.TestSpark.spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta", "en", "a", 10L),
+      (2L, "alpha beta", "en", "b", 10L),   // leaked a<->b
+      (3L, "gamma", "en", "a", 5L),
+      (4L, "gamma", "en", "a", 5L),         // same-source dup: NOT leaked
+      (5L, "delta", "en", "c", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.pipeline.Dedup.crossSourceLeakage(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map("a" -> ((1L, 1L)), "b" -> ((1L, 1L))))
+  }
+
   test("embedOutliers matches the rank-window formulation; plan has no Window") {
     import graft.pipeline.Similarity
     val out = Similarity.embedOutliers(emb, 3)

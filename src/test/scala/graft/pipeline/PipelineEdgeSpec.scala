@@ -64,7 +64,8 @@ class PipelineEdgeSpec extends AnyFunSuite {
       "exact" -> Dedup.exact(edgeDocs),
       "minhashCandidates" -> Dedup.minhashCandidates(edgeDocs),
       "simhash" -> Dedup.simhash(edgeDocs),
-      "simhashPairs" -> Dedup.simhashPairs(edgeDocs)
+      "simhashPairs" -> Dedup.simhashPairs(edgeDocs),
+      "crossSourceLeakage" -> Dedup.crossSourceLeakage(edgeDocs)
     )
     ops.foreach { case (name, df) =>
       try df.collect()

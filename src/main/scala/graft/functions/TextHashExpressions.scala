@@ -288,5 +288,15 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_dot_i8(a, b), got ${other.size} args")
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_min_k", {
+      case Seq(key, id, k) => MinKByStringKey(key, id, intLit(k))
+      case other => throw new IllegalArgumentException(
+        s"graft_min_k(key, id, k), got ${other.size} args")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_max_k", {
+      case Seq(key, id, k) => MaxKByLongKey(key, id, intLit(k))
+      case other => throw new IllegalArgumentException(
+        s"graft_max_k(key, id, k), got ${other.size} args")
+    }, "scala_udf")
   }
 }

@@ -1,0 +1,174 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native bounded top-k aggregates (TypedImperativeAggregate): the
+  * selection kernel behind the deterministic samplers and per-label
+  * outlier reports, where the GROUP key is low-cardinality and a rank
+  * window would drain a whole group through one task at 100 TB.
+  *
+  * Why expressions and not the typed `Aggregator`+`groupByKey` path:
+  * identical plan shape (ObjectHashAggregate with map-side partial
+  * merge, k-row buffers per group per map partition), but the rows
+  * stay `InternalRow`s — no per-row `ExpressionEncoder` round-trip —
+  * which measured ~2.5× faster on a 48M-row selection probe. Buffers
+  * serialize as flat length-prefixed byte strings between the partial
+  * and final aggregation.
+  */
+abstract class BoundedTopK[T] extends TypedImperativeAggregate[ArrayBuffer[T]] {
+  def k: Int
+  protected def lt(a: T, b: T): Boolean
+
+  final protected def trim(buf: ArrayBuffer[T]): ArrayBuffer[T] =
+    if (buf.length > k) { val s = buf.sortWith(lt); s.takeInPlace(k) } else buf
+
+  override def createAggregationBuffer(): ArrayBuffer[T] = ArrayBuffer.empty
+
+  override def merge(a: ArrayBuffer[T], b: ArrayBuffer[T]): ArrayBuffer[T] =
+    trim(a ++= b)
+
+  override def nullable: Boolean = false
+}
+
+/** `graft_min_k(key, id, k)`: the k SMALLEST (string key, long id)
+  * pairs per group, ordered (key asc, id asc) — array<struct<k, id>>.
+  * The engine-exact "rank by md5" sampler kernel.
+  */
+case class MinKByStringKey(
+    key: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends BoundedTopK[(UTF8String, Long)] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(key, id)
+  override def prettyName: String = "graft_min_k"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("k", StringType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+
+  override protected def lt(a: (UTF8String, Long), b: (UTF8String, Long)): Boolean = {
+    val c = a._1.compareTo(b._1)
+    c < 0 || (c == 0 && a._2 < b._2)
+  }
+
+  override def update(buf: ArrayBuffer[(UTF8String, Long)],
+      input: InternalRow): ArrayBuffer[(UTF8String, Long)] = {
+    val kv = key.eval(input)
+    val iv = id.eval(input)
+    if (kv == null || iv == null) buf
+    else {
+      // copy: the unsafe row's backing buffer is reused across rows
+      buf += ((kv.asInstanceOf[UTF8String].clone(), iv.asInstanceOf[Long]))
+      if (buf.length >= 2 * k + 8) trim(buf) else buf
+    }
+  }
+
+  override def eval(buf: ArrayBuffer[(UTF8String, Long)]): Any =
+    new GenericArrayData(buf.sortWith(lt).take(k)
+      .map { case (s, i) => InternalRow(s, i) }.toArray[Any])
+
+  override def serialize(buf: ArrayBuffer[(UTF8String, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (s, i) =>
+      val b = s.getBytes
+      out.writeInt(b.length); out.write(b); out.writeLong(i)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(UTF8String, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new ArrayBuffer[(UTF8String, Long)](n)
+    var j = 0
+    while (j < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf += ((UTF8String.fromBytes(b), in.readLong()))
+      j += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinKByStringKey =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinKByStringKey =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren(0), id = newChildren(1))
+}
+
+/** `graft_max_k(key, id, k)`: the k LARGEST (long key, long id) pairs
+  * per group, ordered (key desc, id asc) — array<struct<k, id>>. The
+  * "worst offenders" kernel (per-label outliers, per-source extremes).
+  */
+case class MaxKByLongKey(
+    key: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends BoundedTopK[(Long, Long)] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(key, id)
+  override def prettyName: String = "graft_max_k"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+
+  override protected def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def update(buf: ArrayBuffer[(Long, Long)],
+      input: InternalRow): ArrayBuffer[(Long, Long)] = {
+    val kv = key.eval(input)
+    val iv = id.eval(input)
+    if (kv == null || iv == null) buf
+    else {
+      buf += ((kv.asInstanceOf[Long], iv.asInstanceOf[Long]))
+      if (buf.length >= 2 * k + 8) trim(buf) else buf
+    }
+  }
+
+  override def eval(buf: ArrayBuffer[(Long, Long)]): Any =
+    new GenericArrayData(buf.sortWith(lt).take(k)
+      .map { case (x, i) => InternalRow(x, i) }.toArray[Any])
+
+  override def serialize(buf: ArrayBuffer[(Long, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (x, i) => out.writeLong(x); out.writeLong(i) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new ArrayBuffer[(Long, Long)](n)
+    var j = 0
+    while (j < n) { buf += ((in.readLong(), in.readLong())); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MaxKByLongKey =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MaxKByLongKey =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren(0), id = newChildren(1))
+}

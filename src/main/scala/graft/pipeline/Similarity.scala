@@ -248,16 +248,13 @@ object Similarity {
     * (label, i) cells; the per-label stats table (|labels| rows —
     * class labels are bounded by design) broadcasts back onto the
     * vector scan; and the per-label top-k runs as a map-side max-k
-    * typed aggregation ([[graft.functions.MaxKLongAggregator]]) — a
-    * rank window over partitionBy(label) would drain a whole class
-    * through one task, the exact hazard the r7 sampler rework removed.
+    * partial aggregation (the native [[graft.functions.MaxKByLongKey]]
+    * expression) — a rank window over partitionBy(label) would drain a
+    * whole class through one task, the exact hazard the r7 sampler
+    * rework removed.
     */
   def embedOutliers(emb: DataFrame, k: Int = 3): DataFrame = {
-    import graft.functions.MaxKLongAggregator
-    import MaxKLongAggregator.LK
     reg(emb)
-    val spark = emb.sparkSession
-    import spark.implicits._
     val q = emb.select(col("vec_id"), col("label").cast("long").as("label"),
       quantizeI8(col("embedding")).as("qv"))
     // ONE stats scan: the per-(label, component) cell aggregate carries
@@ -276,12 +273,8 @@ object Similarity {
         "* (CAST(a AS BIGINT) * n - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
     q.join(broadcast(stats), "label")
       .withColumn("d2n", d2n)
-      .select(col("label"), col("d2n"), col("vec_id"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => LK(t._2, t._3))
-      .agg(MaxKLongAggregator.maxK(k).toColumn.name("top"))
-      .toDF("label", "top")
+      .groupBy(col("label"))
+      .agg(expr(s"graft_max_k(d2n, vec_id, $k)").as("top"))
       .select(col("label"), posexplode(col("top")).as(Seq("i", "lk")))
       .select(col("label"), (col("i") + 1).cast("long").as("rk"),
         col("lk.id").as("vec_id"), col("lk.k").as("d2n"))

@@ -130,6 +130,8 @@ object SparkEntry {
     "q_dollar_bars" -> ((s, dir) => MarketOps.dollarBars(ticks(s, dir), 50000000L)),
     "q_higher_moments" -> ((s, dir) => MarketOps.higherMoments(ticks(s, dir))),
     "q_stale_runs" -> ((s, dir) => MarketOps.staleRuns(ticks(s, dir))),
+    "q_intraday_vol" -> ((s, dir) => MarketOps.intradayVolCurve(ticks(s, dir))),
+    "q_size_histogram" -> ((s, dir) => MarketOps.sizeHistogram(ticks(s, dir))),
     "q_heikin_ashi" -> ((s, dir) => MarketOps.heikinAshi(ticks(s, dir))),
     "q_overnight_gaps" -> ((s, dir) => MarketOps.overnightGaps(ticks(s, dir))),
     "q_volume_profile" -> ((s, dir) => MarketOps.volumeProfile(ticks(s, dir))),
@@ -1017,6 +1019,37 @@ object SparkEntry {
         |                - 3.0 * mean * mean * mean * mean) / (vr * vr) - 3.0, 6)
         |       END AS excess_kurtosis
         |FROM mv ORDER BY symbol""".stripMargin,
+    // RMS of 4-dp winsorized returns per hour-of-day; exact decimal
+    // power sum, one IEEE-exact sqrt
+    "q_intraday_vol" ->
+      """WITH p AS (
+        |  SELECT event_type AS symbol, ts, value,
+        |         LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |           AS prev
+        |  FROM events),
+        |r AS (
+        |  SELECT symbol, CAST(hour(ts) AS BIGINT) AS hod,
+        |         CAST(LEAST(GREATEST(
+        |              CAST(ROUND(value / prev - 1, 4) AS DECIMAL(12,4)),
+        |              -100), 100) AS DECIMAL(12,4)) AS r
+        |  FROM p WHERE prev IS NOT NULL AND prev <> 0),
+        |m AS (
+        |  SELECT symbol, hod, COUNT(*) AS n_rets,
+        |         CAST(SUM(CAST(r * r AS DECIMAL(13,8))) AS DOUBLE) AS s2
+        |  FROM r GROUP BY 1, 2)
+        |SELECT symbol, hod, n_rets,
+        |       ROUND(SQRT(s2 / CAST(n_rets AS DOUBLE)), 6) AS rms_ret
+        |FROM m ORDER BY 1, 2""".stripMargin,
+    // power-of-two volume buckets via integer bit length (no float
+    // log2 boundary wobble)
+    "q_size_histogram" ->
+      """SELECT event_type AS symbol,
+        |       CAST(length(bin(user_id)) - 1 AS BIGINT) AS bucket,
+        |       COUNT(*) AS n_ticks, CAST(SUM(user_id) AS BIGINT) AS sum_volume,
+        |       CAST(MIN(user_id) AS BIGINT) AS min_volume,
+        |       CAST(MAX(user_id) AS BIGINT) AS max_volume
+        |FROM events WHERE user_id > 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // unchanged-price run lengths: lag flag + prefix-sum run ids,
     // exact 2-dp decimal equality
     "q_stale_runs" ->

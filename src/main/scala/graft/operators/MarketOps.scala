@@ -819,6 +819,44 @@ object MarketOps {
       .orderBy("symbol")
   }
 
+  /** Intraday volatility curve: per (symbol, hour-of-day) root-mean-
+    * square of tick returns — the U-shaped "volatility clock" every
+    * execution desk schedules around (distinct from [[seasonality]],
+    * which indexes price LEVELS by hour). Returns share
+    * [[higherMoments]]' 4-dp ±100-winsorized exact-decimal convention;
+    * Σr² is an exact decimal sum, and the single √(Σr²/n) closing op
+    * is IEEE-correctly-rounded on both engines. Chunked lag + one
+    * partial-agg shuffle of ≤24 rows per symbol.
+    */
+  def intradayVolCurve(ticks: DataFrame): DataFrame = {
+    val d4 = DecimalType(12, 4)
+    val d8 = DecimalType(13, 8)
+    val r0 = round(col("price") / col("prev") - 1, 4).cast(d4)
+    val rw = least(greatest(r0, lit(-100).cast(d4)), lit(100).cast(d4))
+    chunkedLag1(ticks.withColumn("chunk_day", to_date(col("ts"))), "price", "prev")
+      .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+      .withColumn("r2", (rw * rw).cast(d8))
+      .groupBy(col("symbol"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_rets"), sum(col("r2")).cast("double").as("s2"))
+      .select(col("symbol"), col("hod"), col("n_rets"),
+        round(sqrt(col("s2") / col("n_rets").cast("double")), 6).as("rms_ret"))
+      .orderBy("symbol", "hod")
+  }
+
+  /** Trade-size distribution: power-of-two volume buckets via integer
+    * BIT LENGTH (length(bin(v)) − 1 == floor(log2 v) exactly — a float
+    * log2 would wobble at the power-of-two boundaries), the standard
+    * lot-size profile read. One partial-agg shuffle of ≤64 bucket
+    * states per symbol.
+    */
+  def sizeHistogram(ticks: DataFrame): DataFrame =
+    ticks.filter(col("volume") > 0)
+      .withColumn("bucket", (length(bin(col("volume"))) - 1).cast("long"))
+      .groupBy(col("symbol"), col("bucket"))
+      .agg(count(lit(1)).as("n_ticks"), sum(col("volume")).as("sum_volume"),
+        min(col("volume")).as("min_volume"), max(col("volume")).as("max_volume"))
+      .orderBy("symbol", "bucket")
+
   /** Stale-price run report: per symbol, runs of consecutive ticks at
     * an unchanged price — the feed-health metric that catches a stuck
     * publisher or an untraded instrument. Change flags ride

@@ -217,7 +217,9 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "cusumEvents" -> (MarketOps.cusumEvents(_, 1.0)),
       "dollarBars" -> (MarketOps.dollarBars(_, 100L)),
       "higherMoments" -> (MarketOps.higherMoments(_)),
-      "staleRuns" -> (MarketOps.staleRuns(_)))
+      "staleRuns" -> (MarketOps.staleRuns(_)),
+      "intradayVolCurve" -> (MarketOps.intradayVolCurve(_)),
+      "sizeHistogram" -> (MarketOps.sizeHistogram(_)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>

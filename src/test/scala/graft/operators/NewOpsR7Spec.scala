@@ -182,6 +182,31 @@ class NewOpsR7Spec extends AnyFunSuite {
     assertSame(MarketOps.higherMoments(ticks), naive)
   }
 
+  test("intradayVolCurve matches the single-window lag formulation bit-for-bit") {
+    val d4 = org.apache.spark.sql.types.DecimalType(12, 4)
+    val d8 = org.apache.spark.sql.types.DecimalType(13, 8)
+    val r0 = round(col("price") / col("prev") - 1, 4).cast(d4)
+    val rw = least(greatest(r0, lit(-100).cast(d4)), lit(100).cast(d4))
+    val naive = ticks
+      .withColumn("prev", lag(col("price"), 1).over(tickOrder))
+      .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+      .withColumn("r2", (rw * rw).cast(d8))
+      .groupBy(col("symbol"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_rets"), sum(col("r2")).cast("double").as("s2"))
+      .select(col("symbol"), col("hod"), col("n_rets"),
+        round(sqrt(col("s2") / col("n_rets").cast("double")), 6).as("rms_ret"))
+    assertSame(MarketOps.intradayVolCurve(ticks), naive)
+  }
+
+  test("sizeHistogram buckets are exact floor(log2) and conserve volume") {
+    val h = MarketOps.sizeHistogram(ticks).cache()
+    // bucket b covers [2^b, 2^(b+1))
+    assert(h.filter(col("min_volume") < expr("CAST(pow(2, bucket) AS BIGINT)") ||
+      col("max_volume") >= expr("CAST(pow(2, bucket + 1) AS BIGINT)")).count() === 0)
+    val total = ticks.filter(col("volume") > 0).agg(sum("volume")).head().getLong(0)
+    assert(h.agg(sum("sum_volume")).head().getLong(0) === total)
+  }
+
   test("crossSourceLeakage finds exactly the injected cross-source texts") {
     import graft.TestSpark.spark.implicits._
     val d = Seq(

@@ -993,30 +993,36 @@ object SparkEntry {
         |r AS (
         |  SELECT symbol,
         |         CAST(LEAST(GREATEST(
-        |              CAST(ROUND(value / prev - 1, 4) AS DECIMAL(12,4)),
+        |              CAST(CAST(CASE WHEN (value / prev - 1) * 10000.0 >= 0
+        |                   THEN FLOOR((value / prev - 1) * 10000.0 + 0.5)
+        |                   ELSE CEIL((value / prev - 1) * 10000.0 - 0.5) END
+        |                   AS BIGINT) AS DECIMAL(12,0))
+        |              * CAST(0.0001 AS DECIMAL(5,4)),
         |              -100), 100) AS DECIMAL(12,4)) AS r
         |  FROM p WHERE prev IS NOT NULL AND prev <> 0),
         |r2t AS (SELECT symbol, r, CAST(r * r AS DECIMAL(13,8)) AS r2 FROM r),
         |m AS (
         |  SELECT symbol, COUNT(*) AS n_rets,
-        |         CAST(SUM(r) AS DOUBLE) AS sx,
-        |         CAST(SUM(r2) AS DOUBLE) AS sxx,
-        |         CAST(SUM(CAST(r2 AS DECIMAL(20,8)) * r) AS DOUBLE) AS sxxx,
-        |         CAST(SUM(CAST(r2 AS DECIMAL(20,8)) * r2) AS DOUBLE) AS sxxxx,
+        |         CAST(ROUND(SUM(r), 2) AS DOUBLE) AS sx,
+        |         CAST(ROUND(SUM(r2), 2) AS DOUBLE) AS sxx,
+        |         CAST(ROUND(SUM(CAST(r2 AS DECIMAL(20,8)) * r), 2) AS DOUBLE)
+        |           AS sxxx,
+        |         CAST(ROUND(SUM(CAST(r2 AS DECIMAL(20,8)) * r2), 2) AS DOUBLE)
+        |           AS sxxxx,
         |         CAST(COUNT(*) AS DOUBLE) AS nd
         |  FROM r2t GROUP BY 1),
         |mm AS (SELECT *, sx / nd AS mean FROM m),
         |mv AS (SELECT *, sxx / nd - mean * mean AS vr FROM mm)
         |SELECT symbol, n_rets,
-        |       ROUND(mean, 6) AS mean_ret, ROUND(vr, 6) AS var_ret,
+        |       mean AS mean_ret, vr AS var_ret,
         |       CASE WHEN vr > 0.0 THEN
-        |         ROUND((sxxx / nd - 3.0 * mean * (sxx / nd)
-        |                + 2.0 * mean * mean * mean) / (vr * SQRT(vr)), 6)
+        |         (sxxx / nd - 3.0 * mean * (sxx / nd)
+        |          + 2.0 * mean * mean * mean) / (vr * SQRT(vr))
         |       END AS skewness,
         |       CASE WHEN vr > 0.0 THEN
-        |         ROUND((sxxxx / nd - 4.0 * mean * (sxxx / nd)
-        |                + 6.0 * mean * mean * (sxx / nd)
-        |                - 3.0 * mean * mean * mean * mean) / (vr * vr) - 3.0, 6)
+        |         (sxxxx / nd - 4.0 * mean * (sxxx / nd)
+        |          + 6.0 * mean * mean * (sxx / nd)
+        |          - 3.0 * mean * mean * mean * mean) / (vr * vr) - 3.0
         |       END AS excess_kurtosis
         |FROM mv ORDER BY symbol""".stripMargin,
     // RMS of 4-dp winsorized returns per hour-of-day; exact decimal
@@ -1030,15 +1036,19 @@ object SparkEntry {
         |r AS (
         |  SELECT symbol, CAST(hour(ts) AS BIGINT) AS hod,
         |         CAST(LEAST(GREATEST(
-        |              CAST(ROUND(value / prev - 1, 4) AS DECIMAL(12,4)),
+        |              CAST(CAST(CASE WHEN (value / prev - 1) * 10000.0 >= 0
+        |                   THEN FLOOR((value / prev - 1) * 10000.0 + 0.5)
+        |                   ELSE CEIL((value / prev - 1) * 10000.0 - 0.5) END
+        |                   AS BIGINT) AS DECIMAL(12,0))
+        |              * CAST(0.0001 AS DECIMAL(5,4)),
         |              -100), 100) AS DECIMAL(12,4)) AS r
         |  FROM p WHERE prev IS NOT NULL AND prev <> 0),
         |m AS (
         |  SELECT symbol, hod, COUNT(*) AS n_rets,
-        |         CAST(SUM(CAST(r * r AS DECIMAL(13,8))) AS DOUBLE) AS s2
+        |         CAST(ROUND(SUM(CAST(r * r AS DECIMAL(13,8))), 2) AS DOUBLE) AS s2
         |  FROM r GROUP BY 1, 2)
         |SELECT symbol, hod, n_rets,
-        |       ROUND(SQRT(s2 / CAST(n_rets AS DOUBLE)), 6) AS rms_ret
+        |       SQRT(s2 / CAST(n_rets AS DOUBLE)) AS rms_ret
         |FROM m ORDER BY 1, 2""".stripMargin,
     // power-of-two volume buckets via integer bit length (no float
     // log2 boundary wobble)

@@ -787,22 +787,47 @@ object MarketOps {
     * double op sequence both engines replay bit-for-bit (sqrt is
     * IEEE-correctly-rounded, so var^1.5 = var·√var — no pow).
     */
-  def higherMoments(ticks: DataFrame): DataFrame = {
+  /** 4-dp winsorized tick return as an EXACT DECIMAL(12,4), quantized
+    * by the same explicit float op sequence on both engines
+    * (floor(s+0.5) / ceil(s−0.5) of s = ratio×1e4 — the QuantizeI8
+    * pattern): `ROUND(double, 4)` itself is engine-divergent when the
+    * true quotient sits exactly on a .5 boundary (200.01/200.00 − 1 =
+    * 0.00005 — real ticks at sf0.1; DuckDB float-scales, Spark rounds
+    * the exact binary value). floor/ceil are exact IEEE ops, so the
+    * quantized integer — and every decimal power sum built on it — is
+    * bit-identical across engines. Requires `prev` ≠ 0/NULL upstream.
+    */
+  private def winsorizedRet4: Column = {
     val d4 = DecimalType(12, 4)
+    val s = (col("price") / col("prev") - 1) * 10000.0
+    val q = when(s >= 0, floor(s + 0.5)).otherwise(ceil(s - 0.5))
+    val r = (q.cast("long").cast(DecimalType(12, 0)) *
+      lit(new java.math.BigDecimal("0.0001")).cast(DecimalType(5, 4))).cast(d4)
+    least(greatest(r, lit(-100).cast(d4)), lit(100).cast(d4))
+  }
+
+  def higherMoments(ticks: DataFrame): DataFrame = {
     val d8 = DecimalType(13, 8)
-    val r0 = round(col("price") / col("prev") - 1, 4).cast(d4)
-    val rw = least(greatest(r0, lit(-100).cast(d4)), lit(100).cast(d4))
+    val rw = winsorizedRet4
     val withR =
       chunkedLag1(ticks.withColumn("chunk_day", to_date(col("ts"))), "price", "prev")
         .filter(col("prev").isNotNull && col("prev") =!= 0.0)
         .withColumn("r", rw)
         .withColumn("r2", (col("r") * col("r")).cast(d8))
+    // round each exact decimal sum to 2 dp BEFORE the double cast: a
+    // high-magnitude decimal with many fractional digits (Σr⁴ reaches
+    // ~1e13·16dp at sf0.1) exceeds double's 53-bit mantissa, and the
+    // two engines' decimal→double conversions then differ by 1 ulp —
+    // enough to flip a 6-dp rounding boundary (caught by the sf0.1
+    // parity sweep). A 2-dp decimal below ~9e13 converts EXACTLY on
+    // both engines; the statistic shifts by ≤0.005/n, both engines
+    // shifting identically.
     val m = withR.groupBy(col("symbol")).agg(
       count(lit(1)).as("n_rets"),
-      sum(col("r")).cast("double").as("sx"),
-      sum(col("r2")).cast("double").as("sxx"),
-      sum(col("r2") * col("r")).cast("double").as("sxxx"),
-      sum(col("r2") * col("r2")).cast("double").as("sxxxx"))
+      round(sum(col("r")), 2).cast("double").as("sx"),
+      round(sum(col("r2")), 2).cast("double").as("sxx"),
+      round(sum(col("r2") * col("r")), 2).cast("double").as("sxxx"),
+      round(sum(col("r2") * col("r2")), 2).cast("double").as("sxxxx"))
     val nd = col("n_rets").cast("double")
     val mean = col("sx") / nd
     val vr = col("sxx") / nd - mean * mean
@@ -811,11 +836,17 @@ object MarketOps {
     val m4 = col("sxxxx") / nd - lit(4.0) * mean * (col("sxxx") / nd) +
       lit(6.0) * mean * mean * (col("sxx") / nd) -
       lit(3.0) * mean * mean * mean * mean
+    // RAW doubles out, NO final round: every input converts exactly
+    // and the identities run a mirrored IEEE op sequence, so the
+    // doubles are bit-identical across engines — while ROUND(double,6)
+    // itself is engine-divergent at float .5 boundaries (DuckDB scales
+    // by 1e6 in float, Spark rounds the exact binary value; the sf0.1
+    // parity sweep caught a real flip on var_ret pre-round-2)
     m.select(col("symbol"), col("n_rets"),
-        round(mean, 6).as("mean_ret"),
-        round(vr, 6).as("var_ret"),
-        when(vr > 0.0, round(m3 / (vr * sqrt(vr)), 6)).as("skewness"),
-        when(vr > 0.0, round(m4 / (vr * vr) - 3.0, 6)).as("excess_kurtosis"))
+        mean.as("mean_ret"),
+        vr.as("var_ret"),
+        when(vr > 0.0, m3 / (vr * sqrt(vr))).as("skewness"),
+        when(vr > 0.0, m4 / (vr * vr) - 3.0).as("excess_kurtosis"))
       .orderBy("symbol")
   }
 
@@ -829,17 +860,24 @@ object MarketOps {
     * partial-agg shuffle of ≤24 rows per symbol.
     */
   def intradayVolCurve(ticks: DataFrame): DataFrame = {
-    val d4 = DecimalType(12, 4)
     val d8 = DecimalType(13, 8)
-    val r0 = round(col("price") / col("prev") - 1, 4).cast(d4)
-    val rw = least(greatest(r0, lit(-100).cast(d4)), lit(100).cast(d4))
+    val rw = winsorizedRet4
     chunkedLag1(ticks.withColumn("chunk_day", to_date(col("ts"))), "price", "prev")
       .filter(col("prev").isNotNull && col("prev") =!= 0.0)
       .withColumn("r2", (rw * rw).cast(d8))
       .groupBy(col("symbol"), hour(col("ts")).cast("long").as("hod"))
-      .agg(count(lit(1)).as("n_rets"), sum(col("r2")).cast("double").as("s2"))
+      // round-2 before the cast: see higherMoments — keeps the
+      // decimal→double conversion exact on both engines
+      .agg(count(lit(1)).as("n_rets"),
+        round(sum(col("r2")), 2).cast("double").as("s2"))
+      // RAW double out, NO final round: s2 converts exactly, the
+      // division and sqrt are deterministic IEEE ops, so the doubles
+      // are bit-identical across engines — while a ROUND(double, 6)
+      // is engine-divergent exactly at float .5 boundaries (DuckDB
+      // scales by 1e6 in float, Spark rounds the exact binary value;
+      // the sf0.1 parity sweep caught a real flip)
       .select(col("symbol"), col("hod"), col("n_rets"),
-        round(sqrt(col("s2") / col("n_rets").cast("double")), 6).as("rms_ret"))
+        sqrt(col("s2") / col("n_rets").cast("double")).as("rms_ret"))
       .orderBy("symbol", "hod")
   }
 

@@ -155,7 +155,11 @@ class NewOpsR7Spec extends AnyFunSuite {
     val d4 = org.apache.spark.sql.types.DecimalType(12, 4)
     val d8 = org.apache.spark.sql.types.DecimalType(13, 8)
     val prev = lag(col("price"), 1).over(tickOrder)
-    val r0 = round(col("price") / col("prev") - 1, 4).cast(d4)
+    val sc = (col("price") / col("prev") - 1) * 10000.0
+    val qq = when(sc >= 0, floor(sc + 0.5)).otherwise(ceil(sc - 0.5))
+    val r0 = (qq.cast("long").cast(org.apache.spark.sql.types.DecimalType(12, 0)) *
+      lit(new java.math.BigDecimal("0.0001"))
+        .cast(org.apache.spark.sql.types.DecimalType(5, 4))).cast(d4)
     val rw = least(greatest(r0, lit(-100).cast(d4)), lit(100).cast(d4))
     val m = ticks.withColumn("prev", prev)
       .filter(col("prev").isNotNull && col("prev") =!= 0.0)
@@ -163,10 +167,10 @@ class NewOpsR7Spec extends AnyFunSuite {
       .withColumn("r2", (col("r") * col("r")).cast(d8))
       .groupBy(col("symbol")).agg(
         count(lit(1)).as("n_rets"),
-        sum(col("r")).cast("double").as("sx"),
-        sum(col("r2")).cast("double").as("sxx"),
-        sum(col("r2") * col("r")).cast("double").as("sxxx"),
-        sum(col("r2") * col("r2")).cast("double").as("sxxxx"))
+        round(sum(col("r")), 2).cast("double").as("sx"),
+        round(sum(col("r2")), 2).cast("double").as("sxx"),
+        round(sum(col("r2") * col("r")), 2).cast("double").as("sxxx"),
+        round(sum(col("r2") * col("r2")), 2).cast("double").as("sxxxx"))
     val nd = col("n_rets").cast("double")
     val mean = col("sx") / nd
     val vr = col("sxx") / nd - mean * mean
@@ -176,25 +180,30 @@ class NewOpsR7Spec extends AnyFunSuite {
       lit(6.0) * mean * mean * (col("sxx") / nd) -
       lit(3.0) * mean * mean * mean * mean
     val naive = m.select(col("symbol"), col("n_rets"),
-      round(mean, 6).as("mean_ret"), round(vr, 6).as("var_ret"),
-      when(vr > 0.0, round(m3 / (vr * sqrt(vr)), 6)).as("skewness"),
-      when(vr > 0.0, round(m4 / (vr * vr) - 3.0, 6)).as("excess_kurtosis"))
+      mean.as("mean_ret"), vr.as("var_ret"),
+      when(vr > 0.0, m3 / (vr * sqrt(vr))).as("skewness"),
+      when(vr > 0.0, m4 / (vr * vr) - 3.0).as("excess_kurtosis"))
     assertSame(MarketOps.higherMoments(ticks), naive)
   }
 
   test("intradayVolCurve matches the single-window lag formulation bit-for-bit") {
     val d4 = org.apache.spark.sql.types.DecimalType(12, 4)
     val d8 = org.apache.spark.sql.types.DecimalType(13, 8)
-    val r0 = round(col("price") / col("prev") - 1, 4).cast(d4)
+    val sc = (col("price") / col("prev") - 1) * 10000.0
+    val qq = when(sc >= 0, floor(sc + 0.5)).otherwise(ceil(sc - 0.5))
+    val r0 = (qq.cast("long").cast(org.apache.spark.sql.types.DecimalType(12, 0)) *
+      lit(new java.math.BigDecimal("0.0001"))
+        .cast(org.apache.spark.sql.types.DecimalType(5, 4))).cast(d4)
     val rw = least(greatest(r0, lit(-100).cast(d4)), lit(100).cast(d4))
     val naive = ticks
       .withColumn("prev", lag(col("price"), 1).over(tickOrder))
       .filter(col("prev").isNotNull && col("prev") =!= 0.0)
       .withColumn("r2", (rw * rw).cast(d8))
       .groupBy(col("symbol"), hour(col("ts")).cast("long").as("hod"))
-      .agg(count(lit(1)).as("n_rets"), sum(col("r2")).cast("double").as("s2"))
+      .agg(count(lit(1)).as("n_rets"),
+        round(sum(col("r2")), 2).cast("double").as("s2"))
       .select(col("symbol"), col("hod"), col("n_rets"),
-        round(sqrt(col("s2") / col("n_rets").cast("double")), 6).as("rms_ret"))
+        sqrt(col("s2") / col("n_rets").cast("double")).as("rms_ret"))
     assertSame(MarketOps.intradayVolCurve(ticks), naive)
   }
 

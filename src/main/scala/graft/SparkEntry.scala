@@ -794,10 +794,10 @@ object SparkEntry {
     "q_ohlc_daily" ->
       """SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
         |       min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |                     || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS open,
+        |                     || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS open,
         |       MAX(value) AS high, MIN(value) AS low,
         |       max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |                     || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS close,
+        |                     || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS close,
         |       CAST(SUM(user_id) AS BIGINT) AS volume, COUNT(*) AS n_ticks
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_vwap_daily" ->
@@ -952,10 +952,10 @@ object SparkEntry {
         |SELECT symbol, CAST(pre_cum // 10000 AS BIGINT) AS bar_id,
         |       COUNT(*) AS n_ticks,
         |       min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |                     || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS open,
+        |                     || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS open,
         |       MAX(value) AS high, MIN(value) AS low,
         |       max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |                     || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS close,
+        |                     || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS close,
         |       CAST(SUM(user_id) AS BIGINT) AS bar_volume
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // volume-clock on traded VALUE: exact BIGINT dollar-cents
@@ -974,10 +974,10 @@ object SparkEntry {
         |SELECT symbol, CAST(pre_cum // 50000000 AS BIGINT) AS bar_id,
         |       COUNT(*) AS n_ticks,
         |       min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |                     || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS open,
+        |                     || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS open,
         |       MAX(value) AS high, MIN(value) AS low,
         |       max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |                     || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS close,
+        |                     || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS close,
         |       CAST(SUM(user_id) AS BIGINT) AS bar_volume,
         |       CAST(SUM(dc) AS BIGINT) AS bar_dollar_cents
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -1106,10 +1106,10 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
         |  FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
         |               min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |                      || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS open,
+        |                      || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS open,
         |               MAX(value) AS high, MIN(value) AS low,
         |               max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |                      || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS close
+        |                      || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS close
         |        FROM events GROUP BY 1, 2)),
         |r AS (
         |  SELECT symbol, day, rn,
@@ -1133,10 +1133,10 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
         |         CAST(min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
         |              AS DECIMAL(18,2)) AS o,
         |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
         |              AS DECIMAL(18,2)) AS c
         |  FROM events GROUP BY 1, 2),
         |g AS (
@@ -1145,8 +1145,7 @@ object SparkEntry {
         |  FROM b)
         |SELECT symbol, day, CAST(pc AS DOUBLE) AS prev_close,
         |       CAST(o AS DOUBLE) AS open,
-        |       ROUND(CAST(o - pc AS DOUBLE) / CAST(pc AS DOUBLE) * 10000.0, 4)
-        |         AS gap_bp
+        |       CAST(o - pc AS DOUBLE) / CAST(pc AS DOUBLE) * 10000.0 AS gap_bp
         |FROM g WHERE pc IS NOT NULL AND pc <> 0 ORDER BY 1, 2""".stripMargin,
     // exact integer band assignment (a double value*100 cast would
     // truncate 28.999999996 -> 28); POC = rank-1 by (volume, band)
@@ -1158,8 +1157,8 @@ object SparkEntry {
         |         COUNT(*) AS n_ticks
         |  FROM events GROUP BY 1, 2)
         |SELECT symbol, band, band_volume, n_ticks,
-        |       ROUND(CAST(band_volume AS DOUBLE) /
-        |             CAST(SUM(band_volume) OVER (PARTITION BY symbol) AS DOUBLE), 6)
+        |       CAST(band_volume AS DOUBLE) /
+        |         CAST(SUM(band_volume) OVER (PARTITION BY symbol) AS DOUBLE)
         |         AS share,
         |       CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY symbol
         |                ORDER BY band_volume DESC, band) = 1
@@ -1174,7 +1173,7 @@ object SparkEntry {
         |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
         |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
         |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
         |              AS DECIMAL(18,2)) AS c
         |  FROM events GROUP BY 1, 2),
         |x AS (
@@ -1185,11 +1184,11 @@ object SparkEntry {
         |  SELECT symbol, day, ph, pl,
         |         CAST(ph + pl + pc AS DOUBLE) / 3.0 AS pv
         |  FROM x WHERE ph IS NOT NULL)
-        |SELECT symbol, day, ROUND(pv, 6) AS "pivot",
-        |       ROUND(2.0 * pv - CAST(pl AS DOUBLE), 6) AS r1,
-        |       ROUND(2.0 * pv - CAST(ph AS DOUBLE), 6) AS s1,
-        |       ROUND(pv + CAST(ph - pl AS DOUBLE), 6) AS r2,
-        |       ROUND(pv - CAST(ph - pl AS DOUBLE), 6) AS s2
+        |SELECT symbol, day, pv AS "pivot",
+        |       2.0 * pv - CAST(pl AS DOUBLE) AS r1,
+        |       2.0 * pv - CAST(ph AS DOUBLE) AS s1,
+        |       pv + CAST(ph - pl AS DOUBLE) AS r2,
+        |       pv - CAST(ph - pl AS DOUBLE) AS s2
         |FROM p ORDER BY 1, 2""".stripMargin,
     // CUSUM filter over tie-keyed daily closes — EXACT 2-dp decimal
     // accumulate/compare/reset on both engines (DuckDB's GREATEST
@@ -1203,7 +1202,7 @@ object SparkEntry {
         |  FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
         |               CAST(max_by(value,
         |                    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |                    || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |                    || lpad(CAST(event_id AS VARCHAR), 20, '0'))
         |                    AS DECIMAL(18,2)) AS c
         |        FROM events GROUP BY 1, 2)),
         |r AS (
@@ -1376,7 +1375,7 @@ object SparkEntry {
     "q_stream_latest" ->
       """SELECT event_type AS symbol, epoch_us(MAX(ts)) AS last_ts_us,
         |       max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |                     || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS last_price
+        |                     || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS last_price
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_enrich" ->
       """SELECT e.event_id, e.event_type AS symbol,
@@ -1493,7 +1492,7 @@ object SparkEntry {
         |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
         |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
         |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
         |              AS DECIMAL(18,2)) AS c
         |  FROM events GROUP BY 1, 2),
         |tr AS (
@@ -1514,7 +1513,7 @@ object SparkEntry {
       """WITH cl AS (
         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
         |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
         |              AS DECIMAL(18,2)) AS c
         |  FROM events GROUP BY 1, 2),
         |r0 AS (
@@ -1548,12 +1547,12 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
         |         CAST(min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
         |              AS DECIMAL(18,2)) AS o,
         |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
         |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
         |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
         |              AS DECIMAL(18,2)) AS c
         |  FROM events GROUP BY 1, 2),
         |x AS (
@@ -1652,7 +1651,7 @@ object SparkEntry {
       """WITH hourly AS (
         |  SELECT event_type AS symbol, date_trunc('hour', ts) AS h,
         |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |              || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
         |              AS DECIMAL(18,2)) AS p
         |  FROM events GROUP BY 1, 2),
         |a AS (SELECT h, p AS pa FROM hourly WHERE symbol = 'click'),
@@ -1926,10 +1925,10 @@ object SparkEntry {
       """WITH minute AS (
         |  SELECT event_type AS symbol, date_trunc('minute', ts) AS m,
         |         min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |                       || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS open,
+        |                       || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS open,
         |         MAX(value) AS high, MIN(value) AS low,
         |         max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-        |                       || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS close,
+        |                       || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS close,
         |         CAST(SUM(user_id) AS BIGINT) AS vol, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1, 2),
         |hour AS (

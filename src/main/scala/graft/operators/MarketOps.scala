@@ -35,10 +35,13 @@ object MarketOps {
     * engine-portable (DuckDB's min_by rejects struct keys; a packed
     * BIGINT overflows), and lexicographic order == numeric order for
     * non-negative fixed-width fields. Every oracle mirrors it verbatim.
+    * Both fields pad to 20: Spark/DuckDB lpad TRUNCATES longer inputs,
+    * so a 10-wide event_id pad would silently collide for ids ≥ 1e10 —
+    * 20 covers the full non-negative int64 range (max 19 digits).
     */
   private[operators] def tieKey: Column = concat(
     lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-    lpad(col("event_id").cast("string"), 10, "0"))
+    lpad(col("event_id").cast("string"), 20, "0"))
 
   /** OHLC candlesticks per symbol per day.
     * open/close via min_by/max_by on the deterministic [[tieKey]] —
@@ -1827,11 +1830,18 @@ object MarketOps {
   }
 
   /** Overnight gap report: each day's open vs the previous trading
-    * day's close, in (rounded) basis points — the gap-risk dashboard a
+    * day's close, in basis points — the gap-risk dashboard a
     * close-to-open strategy runs every morning. Rides the daily OHLC
     * aggregate (tie-keyed open/close picks), so the lag window runs
     * over one row per symbol-day — tiny at any scale; the tick log
     * shuffles once into the bars and never again.
+    *
+    * gap_bp is a RAW double with NO final round: the (o − pc) decimal
+    * difference is exact, both decimals convert to double identically
+    * (≤ 15 sig digits, correctly rounded), and the /·× op order is
+    * mirrored verbatim in the oracle — a trailing ROUND(…,4) would be
+    * the ONLY divergence (the 200.01/200.00 half-boundary class,
+    * SURVEY §4).
     */
   def overnightGaps(ticks: DataFrame): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy("day")
@@ -1843,8 +1853,8 @@ object MarketOps {
       .select(col("symbol"), col("day"),
         col("prev_close").cast("double").as("prev_close"),
         col("o").cast("double").as("open"),
-        round((col("o") - col("prev_close")).cast("double") /
-          col("prev_close").cast("double") * 10000.0, 4).as("gap_bp"))
+        ((col("o") - col("prev_close")).cast("double") /
+          col("prev_close").cast("double") * 10000.0).as("gap_bp"))
       .orderBy("symbol", "day")
   }
 
@@ -1855,6 +1865,11 @@ object MarketOps {
     * 28.999999996 → 28); one partial-agg shuffle of band states, then
     * the share/POC windows run over the ≤(price range / width) band
     * rows per symbol — an aggregate table, never ticks.
+    *
+    * share is a RAW double quotient of two exact BIGINTs (int→double
+    * conversion is correctly rounded and IEEE division identical on
+    * both engines) — no final round, which would be the only
+    * divergence (SURVEY §4 half-boundary class).
     */
   def volumeProfile(ticks: DataFrame, bandCents: Long = 1000L): DataFrame = {
     val cents = (col("price").cast(dec) * 100).cast("long")
@@ -1870,7 +1885,7 @@ object MarketOps {
         when(row_number().over(sym.orderBy(col("band_volume").desc,
           col("band"))) === 1, 1L).otherwise(0L))
       .select(col("symbol"), col("band"), col("band_volume"), col("n_ticks"),
-        round(col("band_volume").cast("double") / col("total").cast("double"), 6)
+        (col("band_volume").cast("double") / col("total").cast("double"))
           .as("share"),
         col("poc"))
       .orderBy("symbol", "band")
@@ -1880,10 +1895,12 @@ object MarketOps {
     * PREVIOUS day's high/low/close: P = (h+l+c)/3, R1 = 2P − l,
     * S1 = 2P − h, R2 = P + (h − l), S2 = P − (h − l). The decimal
     * h+l+c sum is exact; the single /3.0 division and the level
-    * arithmetic run the identical IEEE op order as the oracle, and
-    * 6-dp rounding absorbs nothing (the ops are reproducible) but
-    * keeps the column convention of SURVEY §4. Daily-bar sized — one
-    * tick shuffle into the OHLC aggregate, lags over symbol-day rows.
+    * arithmetic run the identical IEEE op order as the oracle, so the
+    * levels are emitted as RAW doubles with NO final round — a
+    * trailing ROUND(…,6) would be the only engine-divergent op when a
+    * level sits on a 6-dp half boundary (SURVEY §4). Daily-bar sized —
+    * one tick shuffle into the OHLC aggregate, lags over symbol-day
+    * rows.
     */
   def pivotPoints(ticks: DataFrame): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy("day")
@@ -1897,11 +1914,11 @@ object MarketOps {
       .withColumn("pc", lag(col("c"), 1).over(w))
       .filter(col("ph").isNotNull)
       .withColumn("pivot", p)
-      .select(col("symbol"), col("day"), round(col("pivot"), 6).as("pivot"),
-        round(lit(2.0) * col("pivot") - col("pl").cast("double"), 6).as("r1"),
-        round(lit(2.0) * col("pivot") - col("ph").cast("double"), 6).as("s1"),
-        round(col("pivot") + (col("ph") - col("pl")).cast("double"), 6).as("r2"),
-        round(col("pivot") - (col("ph") - col("pl")).cast("double"), 6).as("s2"))
+      .select(col("symbol"), col("day"), col("pivot"),
+        (lit(2.0) * col("pivot") - col("pl").cast("double")).as("r1"),
+        (lit(2.0) * col("pivot") - col("ph").cast("double")).as("s1"),
+        (col("pivot") + (col("ph") - col("pl")).cast("double")).as("r2"),
+        (col("pivot") - (col("ph") - col("pl")).cast("double")).as("s2"))
       .orderBy("symbol", "day")
   }
 

@@ -346,7 +346,7 @@ object Streams {
     // by the globally-unique key, not the tie-prone timestamp alone
     val key = concat(
       lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-      lpad(col("event_id").cast("string"), 10, "0"))
+      lpad(col("event_id").cast("string"), 20, "0"))
     val q = tickStream(spark, dir).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         batch.groupBy(col("symbol"))

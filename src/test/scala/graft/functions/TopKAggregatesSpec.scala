@@ -73,14 +73,17 @@ class TopKAggregatesSpec extends AnyFunSuite {
   }
 
   test("the lpad tie key's string order equals numeric (ts_us, event_id) order") {
+    // both fields pad to 20 — the full non-negative int64 range (19
+    // digits); lpad truncates longer inputs, so a narrower pad would
+    // silently collide for ids past its width (the r8 widening)
     val pair = for {
       ts <- Gen.chooseNum(0L, 4102444800000000L) // through year 2100, µs
-      id <- Gen.chooseNum(0L, 9999999999L)       // 10-digit cap
+      id <- Gen.chooseNum(0L, Long.MaxValue)     // full int64 range
     } yield (ts, id)
     val ps = (0 until 500).flatMap(i =>
       pair.apply(Gen.Parameters.default, Seed(i.toLong)))
     def key(t: (Long, Long)): String =
-      f"${t._1}%020d${t._2}%010d"
+      f"${t._1}%020d${t._2}%020d"
     val numeric = ps.sorted
     val lexical = ps.sortBy(key)
     assert(numeric === lexical)

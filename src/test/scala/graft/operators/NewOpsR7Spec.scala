@@ -120,7 +120,7 @@ class NewOpsR7Spec extends AnyFunSuite {
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
     val tie = concat(
       lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-      lpad(col("event_id").cast("string"), 10, "0"))
+      lpad(col("event_id").cast("string"), 20, "0"))
     val dc = (col("price").cast(dec) * 100).cast("long") * col("volume")
     val preCum = coalesce(
       sum(dc).over(tickOrder.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))

@@ -103,7 +103,7 @@ class PrefixAggSpec extends AnyFunSuite {
   test("volumeBars matches the single-window plan bit-for-bit") {
     val tie = concat(
       lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-      lpad(col("event_id").cast("string"), 10, "0"))
+      lpad(col("event_id").cast("string"), 20, "0"))
     val preCum = coalesce(
       sum(col("volume")).over(tickOrder.rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every SparkEntry query at the target scale
   * factor and prints one JSON line for the driver (BENCH_r{N}.json).
@@ -9,8 +9,21 @@ import org.apache.spark.sql.SparkSession
   * parquet-footer costs so per-query numbers reflect steady-state
   * execution, mirroring how the reference benchmarks ingest/scan after
   * the process is warm (/root/reference/cli.cpp:106-139).
+  *
+  * Every timed query evaluates through the `noop` sink, NOT `.count()`:
+  * count lets Catalyst prune computed output columns and final sorts,
+  * under-measuring projection-heavy queries (text normalize/redact/
+  * fingerprint pay their regex/hash work only when the columns are
+  * materialized). The noop write materializes every output column of
+  * every row and discards them — full-fidelity cost, zero sink IO.
   */
 object Bench {
+  private def deleteRec(p: String): Unit = graft.core.TempDirs.delete(p)
+
+  /** Full evaluation of every output column, no sink IO. */
+  private def evalFull(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -36,7 +49,7 @@ object Bench {
     Seq("q1_agg", "q_range_scan", "q_ohlc_daily", "q_ann_ivf",
         "q_bucketed_join", "q_stream_enrich", "q_stream_bars",
         "q_stream_stateful", "q_stream_topk").foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try evalFull(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => () }
     }
 
@@ -57,7 +70,7 @@ object Bench {
     val results = (batchQs ++ streamQs).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        val ok = scala.util.Try(fn(spark, sfDir).count()).isSuccess
+        val ok = scala.util.Try(evalFull(fn(spark, sfDir))).isSuccess
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) dt else -1.0
       }
@@ -82,20 +95,28 @@ object Bench {
       .select("symbol", "ts", "price", "volume")
     // daily partitioning: symbol×day write tasks (the production layout)
     // instead of one task per symbol, and date-directory pruning on scan
-    val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_warm_").toString
+    val warmDir = graft.core.TempDirs.scoped("graft_bench_warm_")
     new graft.tsdb.TickStore(spark, warmDir, dailyPartitions = true)
       .ingest(synth.limit(100000)) // JIT/codec warmup, untimed
-    // best-of-2 for the throughput probes too — the query suite got it
-    // in r5 but the probes stayed single-sample, and r6's "30% ingest
-    // regression" was exactly one noisy sample
+    // best-of-3 for the throughput probes — r8's uniform −14…−26% probe
+    // drift under ambient load was indistinguishable from a regression
+    // with best-of-2; the min of three is a materially tighter
+    // steady-state estimator for sub-second samples. Non-kept ingest
+    // dirs are deleted immediately (r8 leaked one full 2M-tick store
+    // copy per bench run).
     def ingestOnce(): (Double, String) = {
-      val dir = java.nio.file.Files.createTempDirectory("graft_bench_ingest_").toString
+      val dir = graft.core.TempDirs.scoped("graft_bench_ingest_")
       val t0 = System.nanoTime()
       new graft.tsdb.TickStore(spark, dir, dailyPartitions = true).ingest(synth)
       ((System.nanoTime() - t0) / 1e9, dir)
     }
+    def bestOf3(run: () => Double): Double =
+      math.min(run(), math.min(run(), run()))
+    def ingestDrop(): Double = {
+      val (t, dir) = ingestOnce(); deleteRec(dir); t
+    }
     val (ing1, ingestDir) = ingestOnce()
-    val ingestSec = math.min(ing1, ingestOnce()._1)
+    val ingestSec = math.min(ing1, math.min(ingestDrop(), ingestDrop()))
     def scanOnce(): (Double, Long) = {
       val t1 = System.nanoTime()
       val n = new graft.tsdb.TickStore(spark, ingestDir, dailyPartitions = true)
@@ -104,7 +125,7 @@ object Bench {
       ((System.nanoTime() - t1) / 1e9, n)
     }
     val (scan1, scanned) = scanOnce()
-    val scanSec = math.min(scan1, scanOnce()._1)
+    val scanSec = math.min(scan1, math.min(scanOnce()._1, scanOnce()._1))
     // many-symbol scale probe: the identical per-symbol rolling window
     // over a 5-symbol universe (parallelism capped at 5 partitions — the
     // demo data's shape) vs a 10k-symbol universe (spreads across all
@@ -120,8 +141,8 @@ object Bench {
       (System.nanoTime() - t) / 1e9
     }
     windowProbe(5) // JIT warmup, untimed
-    val win5Sec = math.min(windowProbe(5), windowProbe(5))
-    val win10kSec = math.min(windowProbe(10000), windowProbe(10000))
+    val win5Sec = bestOf3(() => windowProbe(5))
+    val win10kSec = bestOf3(() => windowProbe(10000))
     // cumulative-window scale probe — the r5 verdict's scale-killer,
     // measured directly: a ONE-symbol 4M-tick tape (9+ days) forces the
     // naive unbounded window to sort the symbol's ENTIRE history in a
@@ -145,21 +166,49 @@ object Bench {
       (System.nanoTime() - t) / 1e9
     }
     cumProbe(chunked = true) // JIT warmup, untimed
-    val cumChunkedSec = math.min(cumProbe(chunked = true), cumProbe(chunked = true))
-    val cumNaiveSec = math.min(cumProbe(chunked = false), cumProbe(chunked = false))
+    val cumChunkedSec = bestOf3(() => cumProbe(chunked = true))
+    val cumNaiveSec = bestOf3(() => cumProbe(chunked = false))
+
+    // warm serve-path latency (the reference's interactive `query`
+    // loop, cli.cpp:60-104): stage a 100k-tick store once, drive the
+    // Cli serve loop in-process — one cold query, then 200 warm
+    // point-range reads against the cached symbol; report the warm p50
+    // the README claims. Driver-tracked so a serve-path regression
+    // (cache loss, per-query replan) shows up in BENCH deltas.
+    val serveDir = graft.core.TempDirs.scoped("graft_bench_serve_")
+    val serveP50Ms: Double = {
+      val nWarm = 200
+      graft.Cli.run(spark, serveDir, Array("benchmark", "NVDA", "100000"))
+      val cmds = new StringBuilder("query NVDA 1700000000 1700000050\n")
+      (0 until nWarm).foreach { i =>
+        val start = 1700000000L + (i % 997)
+        cmds.append(s"query NVDA $start ${start + 50}\n")
+      }
+      cmds.append("exit\n")
+      val bout = new java.io.ByteArrayOutputStream()
+      graft.Cli.serve(spark, serveDir,
+        new java.io.BufferedReader(new java.io.StringReader(cmds.toString)),
+        new java.io.PrintStream(bout, true))
+      val warm = "\\(([\\d.]+) ms\\)".r.findAllMatchIn(bout.toString)
+        .map(_.group(1).toDouble).toVector.drop(1).sorted
+      if (warm.isEmpty) -1.0 else warm((0.50 * (warm.length - 1)).round.toInt)
+    }
+
+    deleteRec(warmDir); deleteRec(ingestDir); deleteRec(serveDir)
 
     val extra = s""""ingest_ticks_per_sec":${(nTicks / ingestSec).toLong},""" +
       s""""scan_ticks_per_sec":${(scanned / scanSec).toLong},""" +
       s""""win5_tps":${(nTicks / win5Sec).toLong},""" +
       s""""win10k_tps":${(nTicks / win10kSec).toLong},""" +
       s""""cumn_tps":${(cumTicks / cumNaiveSec).toLong},""" +
-      s""""cumc_tps":${(cumTicks / cumChunkedSec).toLong}"""
+      s""""cumc_tps":${(cumTicks / cumChunkedSec).toLong},""" +
+      f""""serve_p50_ms":$serveP50Ms%.3f"""
 
     // Per-query detail on its own line (does not start with {"metric" so
     // a `grep '^{"metric"'` still yields exactly one line), then a
-    // compact (<200 char) summary as the FINAL stdout line — the driver
-    // stores only a 2000-char stdout tail, so the parseable headline
-    // numbers must sit at the very end.
+    // compact summary as the FINAL stdout line — the driver stores only
+    // a 2000-char stdout tail, so the parseable headline numbers must
+    // sit at the very end.
     println(s"""{"per_query":$qs}""")
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir",$extra}""")
     spark.stop()

@@ -413,8 +413,7 @@ object SparkEntry {
     * is value-preserving, so the oracle is the equivalent direct scan.
     */
   private def ingestRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_tickstore_").toString
+    val path = graft.core.TempDirs.scoped("graft_tickstore_")
     val store = new TickStore(s, path)
     store.ingest(ticks(s, dir))
     store.queryRange("click",
@@ -517,7 +516,7 @@ object SparkEntry {
   private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val (liT, ordT) = bucketedCache.computeIfAbsent(
       (System.identityHashCode(s), dir), _ => {
-        val base = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
+        val base = graft.core.TempDirs.scoped("graft_bucketed_")
         val id = bucketedId.getAndIncrement()
         val li = s"graft_li_bucketed_$id"
         val ord = s"graft_ord_bucketed_$id"
@@ -550,7 +549,7 @@ object SparkEntry {
     */
   private def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val base = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+    val base = graft.core.TempDirs.scoped("graft_jsonl_")
     Tables.documents(s, dir).write.json(s"$base/docs")
     s.read.schema(StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
@@ -2566,8 +2565,8 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
-        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+        |  CAST(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0B]')) AS BIGINT)
         |       AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     // checksum = first 8 md5 hex digits as an integer (hex fold);
@@ -3109,8 +3108,8 @@ object SparkEntry {
     "q_token_fertility" ->
       """WITH s AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws,
-        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0B]'))
         |         AS BIGINT) AS bpe,
         |    len(list_filter(string_split(text, ' '), w -> w IN ('der','und','das'))) AS s_de,
         |    len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of'))) AS s_en,
@@ -3292,8 +3291,10 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     // per-label centroid-distance outliers in EXACT integer math:
-    // score = SUM_i (q_i*n - s_i)^2 = n^2*||q - mean||^2 over the
-    // shared int8 quantization — no float division anywhere
+    // score = SUM_i (q_i*n - s_i)^2 // n^2 = floor(||q - mean||^2) in
+    // quantized units over the shared int8 quantization — DuckDB's
+    // HUGEINT sum mirrors Spark's DECIMAL(38,0) accumulator, and the
+    // integral quotient always fits BIGINT (<= dim*254^2)
     "q_embed_outliers" ->
       s"""WITH vecs AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
@@ -3310,16 +3311,17 @@ object SparkEntry {
         |      FROM flat GROUP BY 1, 2),
         |d AS (
         |  SELECT f.label, f.vec_id,
-        |         CAST(SUM((f.qc * n.n - s.s) * (f.qc * n.n - s.s)) AS BIGINT) AS d2n
+        |         CAST(SUM((f.qc * n.n - s.s) * (f.qc * n.n - s.s))
+        |              // (CAST(n.n AS HUGEINT) * n.n) AS BIGINT) AS d2
         |  FROM flat f
         |  JOIN s ON f.label = s.label AND f.i = s.i
         |  JOIN n ON f.label = n.label
-        |  GROUP BY 1, 2),
-        |r AS (SELECT label, vec_id, d2n,
+        |  GROUP BY f.label, f.vec_id, n.n),
+        |r AS (SELECT label, vec_id, d2,
         |             ROW_NUMBER() OVER (PARTITION BY label
-        |               ORDER BY d2n DESC, vec_id) AS rk
+        |               ORDER BY d2 DESC, vec_id) AS rk
         |      FROM d)
-        |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, d2n
+        |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, d2
         |FROM r WHERE rk <= 3 ORDER BY 1, 2""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

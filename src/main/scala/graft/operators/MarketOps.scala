@@ -1553,8 +1553,11 @@ object MarketOps {
 
   /** Per-trade VWAP slippage: each purchase tick against its symbol's
     * daily VWAP, in (rounded) basis points. The VWAP ratio and the
-    * slippage quotient run identical double ops on both engines; the
-    * daily VWAP table broadcasts back onto the trade stream.
+    * slippage quotient run identical double ops on both engines. The
+    * (symbol, day) VWAP table is deliberately UNHINTED: AQE broadcasts
+    * it at every safe scale, and at 100 TB (50k symbols × years of
+    * days) it degrades to a shuffle join instead of a driver OOM —
+    * same policy as the chunked-scaffold offsets joins.
     */
   def slippage(ticks: DataFrame): DataFrame = {
     val vwap = ticks.groupBy(col("symbol"), to_date(col("ts")).as("day"))
@@ -1563,7 +1566,7 @@ object MarketOps {
     ticks.filter(col("symbol") === "purchase")
       .select(col("event_id"), col("symbol"), to_date(col("ts")).as("day"),
         col("price"))
-      .join(broadcast(vwap), Seq("symbol", "day"))
+      .join(vwap, Seq("symbol", "day"))
       .filter(col("vwap") =!= 0.0)
       .select(col("event_id"), col("day"), col("price"), col("vwap"),
         round((col("price") - col("vwap")) / col("vwap") * 10000.0, 4)
@@ -1885,7 +1888,10 @@ object MarketOps {
         when(row_number().over(sym.orderBy(col("band_volume").desc,
           col("band"))) === 1, 1L).otherwise(0L))
       .select(col("symbol"), col("band"), col("band_volume"), col("n_ticks"),
-        (col("band_volume").cast("double") / col("total").cast("double"))
+        // total CAN be 0 when every tick in a symbol has zero volume —
+        // ANSI Spark throws DIVIDE_BY_ZERO where DuckDB yields NULL
+        when(col("total") =!= 0L,
+          col("band_volume").cast("double") / col("total").cast("double"))
           .as("share"),
         col("poc"))
       .orderBy("symbol", "band")

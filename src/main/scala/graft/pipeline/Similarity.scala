@@ -238,11 +238,16 @@ object Similarity {
     * their class" audit an embedding-quality pass runs before training
     * a classifier or pruning a corpus. Works entirely in EXACT integer
     * arithmetic on the int8-quantized vectors: for a label with n
-    * vectors and per-component sums s_i, each vector's score is
-    * Σ_i (q_i·n − s_i)² = n²·‖q − mean‖² — same ordering as the
-    * centroid distance, no float division anywhere, so both engines
-    * agree bit-for-bit (|q_i·n| ≤ 127n keeps every term far from
-    * BIGINT overflow for any realistic class size).
+    * vectors and per-component sums s_i, the numerator
+    * Σ_i (q_i·n − s_i)² = n²·‖q − mean‖² accumulates in DECIMAL(38,0)
+    * (≤26 digits even at n = 3·10⁹ — int64 would overflow past ~1.5M
+    * vectors per label, and Spark 4 ANSI throws on long overflow), and
+    * the emitted score is the exact integral quotient
+    * d2 = Σ(q_i·n − s_i)² div n² = ⌊n²·‖q − mean‖²⌋/n² — the floored
+    * squared centroid distance in quantized units. d2 ≤ dim·254² ≈
+    * 4.1M always fits BIGINT, is comparable ACROSS labels of different
+    * sizes, and both engines compute it with the same exact integer
+    * ops, so ranking (d2 desc, vec_id asc) is bit-identical.
     *
     * Scale shape: component sums are one partial-agg shuffle of
     * (label, i) cells; the per-label stats table (|labels| rows —
@@ -268,16 +273,18 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
         x => x.getField("s")).as("sv"),
         max(col("c")).as("n"))
-    val d2n = expr(
-      "aggregate(zip_with(qv, sv, (a, b) -> (CAST(a AS BIGINT) * n - b) " +
-        "* (CAST(a AS BIGINT) * n - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    val d2nDec = expr(
+      "aggregate(zip_with(qv, sv, (a, b) -> (CAST(a AS DECIMAL(38,0)) * n - b) " +
+        "* (CAST(a AS DECIMAL(38,0)) * n - b)), CAST(0 AS DECIMAL(38,0)), " +
+        "(acc, x) -> acc + x)")
     q.join(broadcast(stats), "label")
-      .withColumn("d2n", d2n)
+      .withColumn("d2n_dec", d2nDec)
+      .withColumn("d2", expr("d2n_dec div (CAST(n AS DECIMAL(38,0)) * n)"))
       .groupBy(col("label"))
-      .agg(expr(s"graft_max_k(d2n, vec_id, $k)").as("top"))
+      .agg(expr(s"graft_max_k(d2, vec_id, $k)").as("top"))
       .select(col("label"), posexplode(col("top")).as(Seq("i", "lk")))
       .select(col("label"), (col("i") + 1).cast("long").as("rk"),
-        col("lk.id").as("vec_id"), col("lk.k").as("d2n"))
+        col("lk.id").as("vec_id"), col("lk.k").as("d2"))
       .orderBy("label", "rk")
   }
 }

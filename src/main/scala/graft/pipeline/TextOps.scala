@@ -41,9 +41,11 @@ object TextOps {
     */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        size(split(trim(col("text")), "[ \\t\\n\\r\\f\\x0B]+")).cast("long")
+          .as("ws_tokens"),
         size(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"))
+          lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]"), lit(0))).cast("long")
+          .as("bpe_tokens"))
       .orderBy("doc_id")
 
   /** Language-ID heuristic: score each candidate language by stopword
@@ -539,9 +541,11 @@ object TextOps {
     */
   def tokenFertility(docs: DataFrame): DataFrame =
     docs.select(predLangCol.as("pred_lang"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("ws"),
+        size(split(trim(col("text")), "[ \\t\\n\\r\\f\\x0B]+")).cast("long")
+          .as("ws"),
         size(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe"))
+          lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]"), lit(0))).cast("long")
+          .as("bpe"))
       .groupBy(col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ws")).as("ws_tokens"), sum(col("bpe")).as("bpe_tokens"))

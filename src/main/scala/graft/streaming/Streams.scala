@@ -97,7 +97,7 @@ object Streams {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val maxNs = spark.read.parquet(s"$dir/events.parquet")
         .agg(max(col("ts"))).head().getLong(0)
-      val base = Files.createTempDirectory("graft_stream_in_")
+      val base = Paths.get(graft.core.TempDirs.scoped("graft_stream_in_"))
       val in = Files.createDirectory(base.resolve("in"))
       Files.copy(Paths.get(dir, "events.parquet"), in.resolve("events.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
@@ -131,7 +131,7 @@ object Streams {
     * round-trip is value-preserving, so the oracle is the batch count.
     */
   def streamIngest(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_stream_ingest_").toString
+    val base = graft.core.TempDirs.scoped("graft_stream_ingest_")
     val q = tickStream(spark, dir).writeStream
       .format("parquet")
       .option("path", s"$base/data")
@@ -151,7 +151,7 @@ object Streams {
     * at 100 TB the rollup is ~4 orders of magnitude smaller.
     */
   def materializedBars(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_matbars_").toString
+    val base = graft.core.TempDirs.scoped("graft_matbars_")
     // sentinel past max: watermark (10 min behind) passes every real
     // hourly window end, flushing the full rollup
     val inDir = sentinelInput(spark, dir)
@@ -339,7 +339,7 @@ object Streams {
     * batch per-symbol last tick, which is the oracle.
     */
   def streamLatest(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_stream_latest_").toString
+    val base = graft.core.TempDirs.scoped("graft_stream_latest_")
     // deterministic argmax under (symbol, ts) ties: the zero-padded
     // (epoch_us, event_id) tie key (MarketOps.tieKey pattern) keys the
     // per-batch pick AND travels with the delta so compaction re-picks
@@ -378,7 +378,7 @@ object Streams {
     */
   def streamTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = Files.createTempDirectory("graft_stream_topk_").toString
+    val base = graft.core.TempDirs.scoped("graft_stream_topk_")
     val rankW = Window.partitionBy("symbol")
       .orderBy(col("price").desc, col("event_id"))
     val q = tickStream(spark, dir).writeStream

@@ -24,7 +24,7 @@ object IngestProbe {
 
     Seq("lz4", "uncompressed", "zstd").foreach { codec =>
       (1 to 2).foreach { round =>
-        val dir = java.nio.file.Files.createTempDirectory(s"probe_$codec").toString
+        val dir = graft.core.TempDirs.scoped(s"probe_$codec")
         val t0 = System.nanoTime()
         new graft.tsdb.TickStore(spark, dir, dailyPartitions = true, codec = codec)
           .ingest(synth)

@@ -24,7 +24,7 @@ object ServeLatency {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = Files.createTempDirectory("graft_serve_lat_").toString
+    val dir = graft.core.TempDirs.scoped("graft_serve_lat_")
     require(graft.Cli.run(spark, dir, Array("benchmark", "NVDA", ticks.toString)) == 0)
 
     // one cold query (first touch scans + caches the symbol), then

@@ -26,10 +26,15 @@ class NewOpsR7Spec extends AnyFunSuite {
     val gaps = g.groupBy("symbol").count()
     val j = days.join(gaps.withColumnRenamed("count", "g"), "symbol")
     assert(j.filter(col("g") =!= col("count") - 1).count() === 0)
-    // gap_bp reconstructs from the emitted prev_close/open
+    // gap_bp reconstructs from the emitted prev_close/open with the
+    // operator's exact op order: 2-dp doubles recover the DECIMAL(18,2)
+    // values exactly, the difference is taken in decimal, cast to
+    // double, then IEEE-divided — bit-identical to the raw emission.
     val bad = g.filter(
       abs(col("gap_bp") -
-        round((col("open") - col("prev_close")) / col("prev_close") * 10000.0, 4))
+        (col("open").cast("decimal(18,2)") -
+          col("prev_close").cast("decimal(18,2)")).cast("double") /
+          col("prev_close") * 10000.0)
         > 1e-9)
     assert(bad.count() === 0)
   }
@@ -246,15 +251,19 @@ class NewOpsR7Spec extends AnyFunSuite {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
         x => x.getField("s")).as("sv"))
+    // deliberately the PLAIN BIGINT path (safe at test scale): the
+    // operator's DECIMAL(38,0) accumulator + integral divide must land
+    // on the identical floored quotient
     val d2n = expr(
       "aggregate(zip_with(qv, sv, (a, b) -> (CAST(a AS BIGINT) * n - b) " +
         "* (CAST(a AS BIGINT) * n - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
     val naive = q.join(sums.join(nTab, "label"), "label")
       .withColumn("d2n", d2n)
+      .withColumn("d2", expr("d2n div (n * n)"))
       .withColumn("rk", row_number().over(Window.partitionBy("label")
-        .orderBy(col("d2n").desc, col("vec_id"))).cast("long"))
+        .orderBy(col("d2").desc, col("vec_id"))).cast("long"))
       .filter(col("rk") <= 3)
-      .select(col("label"), col("rk"), col("vec_id"), col("d2n"))
+      .select(col("label"), col("rk"), col("vec_id"), col("d2"))
     val a = out.collect().map(_.toSeq).sortBy(_.mkString("|"))
     val b = naive.collect().map(_.toSeq).sortBy(_.mkString("|"))
     assert(a.length === b.length)

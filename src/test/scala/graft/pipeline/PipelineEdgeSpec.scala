@@ -23,7 +23,9 @@ class PipelineEdgeSpec extends AnyFunSuite {
     (3L, "x", "de", "books"),                      // single char
     (4L, "the the the the the the", "en", "web"),  // pure repetition
     (5L, "the the the the the the", "en", "code"), // exact duplicate
-    (6L, "Z", "fr", "books")                       // another 1-char
+    (6L, "Z", "fr", "books"),                      // another 1-char
+    (7L, "a\u000Bb c\td", "en", "web")             // vertical tab: the
+      // Java-\s-vs-RE2 divergence char (CLAUDE.md regex parity rule)
   ).map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
     .toDF("doc_id", "text", "lang", "source", "n_chars")
 
@@ -74,7 +76,16 @@ class PipelineEdgeSpec extends AnyFunSuite {
       }
     }
     // the exact-dup pair (4, 5) must be collapsed by exact dedup
-    assert(Dedup.exact(edgeDocs).count() === 5)
+    assert(Dedup.exact(edgeDocs).count() === 6)
+  }
+
+  test("tokenCount treats \\x0B as whitespace via the explicit ASCII class") {
+    // "ab c\td" must split into 4 ws tokens on BOTH engines: the
+    // explicit class [ \t\n\r\f\x0B] is in the Java∩RE2 subset, whereas
+    // Java's \s matches \x0B and RE2's does not.
+    val r = TextOps.tokenCount(edgeDocs.filter(col("doc_id") === 7L)).head()
+    assert(r.getAs[Long]("ws_tokens") === 4L)
+    assert(r.getAs[Long]("bpe_tokens") === 4L)
   }
 
   test("media synth/decode survive a single-doc corpus") {

@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""sf>0.1 parity sweep: Spark vs DuckDB on a synthetic ~sf0.5 tick tape.
+
+The ROUND-half-boundary divergence class (SURVEY §4) was invisible at
+sf0.01 and only surfaced at sf0.1 — each scale-up exposes the next
+latent engine-divergence class, so this self-check runs the
+float-emitting tick family at ~5x sf0.1 without needing driver-side
+testdata. It synthesizes an adversarial events.parquet with pyarrow
+(TIMESTAMP(NANOS), like the real testdata; DuckDB cannot write NANOS),
+then reuses graft.Verify + tools/compare_oracle.py verbatim: both
+engines read the SAME file, so no closed-form generator mirror is
+needed, and a hash mismatch is a genuine engine divergence.
+
+Adversarial content (seeded, deterministic):
+- 2-dp grid prices with dense ±0.01 walks around 100/200/400 — exact
+  .5-decimal-boundary return quotients (the 200.01/200.00-1 class);
+- ~10% 4-dp prices (non-terminating quotients), ~0.1% exact zeros
+  (ANSI divide guards), zero volumes (volumeProfile share guard);
+- ~1% exact (symbol, ts) duplicate pairs (tie-key determinism).
+
+Excluded queries: q_ema / q_macd / q_kama / q_heikin_ashi /
+q_cusum_events — their recursive-CTE oracles are row-by-row in DuckDB
+(~minutes at 50k+ recursion rows); their recursions run on exact
+2-dp DECIMAL state (SURVEY §4), not the float-emission class this
+sweep targets.
+
+Usage: python3 tools/parity_sweep.py [--rows 500000] [--gen-only]
+"""
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# float-emitting / quantize-pattern tick family, non-recursive oracles
+FAMILY = """
+q_ohlc_daily q_vwap_daily q_twap_daily q_sma q_returns q_volatility
+q_realized_vol q_rsi q_bollinger q_stochastic q_atr q_donchian q_beta
+q_zscore q_drawdown q_obv q_autocorr q_roll_spread q_amihud
+q_price_impact q_trend q_seasonality q_slippage q_ofi q_vpin
+q_correlation q_leadlag q_pairs_spread q_mad_outliers q_higher_moments
+q_overnight_gaps q_volume_profile q_pivot_points q_intraday_vol
+q_size_histogram q_dollar_bars q_stale_runs q_ordinal_patterns
+q_downsample q_resample_hourly q_histogram q_gap_stats q_volume_bars
+""".split()
+
+OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "documents", "embeddings"]
+
+
+def gen_events(rows: int, out: str) -> None:
+    rng = np.random.default_rng(9)
+    types = np.array(["click", "purchase", "view", "signup", "error"])
+    event_type = types[rng.integers(0, 5, rows)]
+    # month-long tape, microsecond jitter, sorted append order
+    base_ns = np.int64(1704067200) * 1_000_000_000  # 2024-01-01 UTC
+    span_ns = np.int64(30 * 86400) * 1_000_000_000
+    ts = np.sort(base_ns + rng.integers(0, span_ns, rows, dtype=np.int64))
+    # ~1% exact (symbol, ts) ties: copy ts and type from the prior row
+    tie = rng.random(rows) < 0.01
+    tie[0] = False
+    idx = np.arange(rows)
+    prev = idx - 1
+    ts[tie] = ts[prev[tie]]
+    event_type[tie] = event_type[prev[tie]]
+    # 2-dp grid prices; dense ±0.01 walks around round levels hit the
+    # .5-decimal-boundary return quotients (200.01/200.00 - 1 = 5e-5)
+    cents = rng.integers(1, 50001, rows)
+    walk = rng.random(rows) < 0.30
+    level = np.array([10000, 20000, 40000])[rng.integers(0, 3, walk.sum())]
+    cents[walk] = level + rng.integers(-3, 4, walk.sum())
+    value = cents / 100.0
+    fourdp = rng.random(rows) < 0.10
+    value[fourdp] = np.round(value[fourdp] + rng.integers(1, 100, fourdp.sum()) / 10000.0, 4)
+    value[rng.random(rows) < 0.001] = 0.0
+    user_id = rng.integers(0, 1500, rows)
+    user_id[rng.random(rows) < 0.002] = 0  # zero volumes
+    event_id = rng.permutation(rows) + 1  # random w.r.t. ts: tie-key stress
+    props = np.char.add(np.char.add('{"k": ',
+        rng.integers(0, 100, rows).astype(str)), "}")
+    table = pa.table({
+        "event_id": pa.array(event_id, type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("ns")),
+        "user_id": pa.array(user_id, type=pa.int64()),
+        "event_type": pa.array(event_type, type=pa.string()),
+        "value": pa.array(value, type=pa.float64()),
+        "props": pa.array(props, type=pa.string()),
+    })
+    pq.write_table(table, out, version="2.6")  # 2.6 keeps NANOS
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=500_000)
+    ap.add_argument("--dir", default="/tmp/graft_sfbig")
+    ap.add_argument("--out", default="/tmp/verify_big")
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--gen-only", action="store_true")
+    args = ap.parse_args()
+
+    shutil.rmtree(args.dir, ignore_errors=True)
+    os.makedirs(args.dir)
+    gen_events(args.rows, f"{args.dir}/events.parquet")
+    for t in OTHER_TABLES:  # untouched by the family; linked so the
+        os.symlink(f"{args.base}/{t}.parquet",  # oracle views still bind
+                   f"{args.dir}/{t}.parquet")
+    print(f"[sweep] generated {args.rows} ticks at {args.dir}")
+    if args.gen_only:
+        return 0
+
+    shutil.rmtree(args.out, ignore_errors=True)
+    env = dict(os.environ,
+               SPARK_GRAFT_ONLY=",".join(FAMILY),
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    rc = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify {args.dir} {args.out}"],
+        cwd=REPO, env=env).returncode
+    if rc != 0:
+        print(f"[sweep] Verify failed rc={rc}")
+        return rc
+    return subprocess.run(
+        [sys.executable, f"{REPO}/tools/compare_oracle.py",
+         args.dir, args.out]).returncode
+
+
+if __name__ == "__main__":
+    sys.exit(main())

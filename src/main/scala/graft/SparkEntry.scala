@@ -1519,10 +1519,18 @@ object SparkEntry {
         |  SELECT symbol, day, c,
         |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
         |  FROM cl),
+        |-- 6-dp quantization via the shared float-op sequence (§4):
+        |-- identical double, scale 1e6, floor/ceil, rebuild decimal
         |r AS (
         |  SELECT symbol, day,
-        |         CAST(ROUND(CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE), 6)
-        |              AS DECIMAL(18,6)) AS y
+        |         CAST(CAST(CAST(CASE WHEN CAST(c - pc AS DOUBLE)
+        |                   / CAST(pc AS DOUBLE) * 1000000.0 >= 0
+        |              THEN FLOOR(CAST(c - pc AS DOUBLE)
+        |                   / CAST(pc AS DOUBLE) * 1000000.0 + 0.5)
+        |              ELSE CEIL(CAST(c - pc AS DOUBLE)
+        |                   / CAST(pc AS DOUBLE) * 1000000.0 - 0.5) END
+        |              AS BIGINT) AS DECIMAL(18,0))
+        |           * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS y
         |  FROM r0 WHERE pc IS NOT NULL),
         |bx AS (SELECT day, y AS x FROM r WHERE symbol = 'click'),
         |j AS (SELECT r.symbol, r.y, bx.x FROM r JOIN bx USING (day)),
@@ -1531,13 +1539,22 @@ object SparkEntry {
         |         CAST(COUNT(*) AS DOUBLE) AS n,
         |         CAST(SUM(x) AS DOUBLE) AS sx,
         |         CAST(SUM(y) AS DOUBLE) AS sy,
-        |         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
-        |         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |-- CAST one operand to DECIMAL(20,6): DuckDB multiplies two
+        |-- int64-stored DECIMAL(18)s in int64, which overflows for
+        |-- extreme (zero-price-adjacent) returns — the 20-digit cast
+        |-- forces the INT128 path (caught by the 500k parity sweep)
+        |         CAST(SUM(CAST(CAST(x AS DECIMAL(20,6)) * y
+        |              AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(CAST(x AS DECIMAL(20,6)) * x
+        |              AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
         |         CAST(COUNT(*) AS BIGINT) AS n_days
         |  FROM j GROUP BY 1)
         |SELECT symbol, n_days,
+        |-- 4-dp round: wide co-moment sums convert to double with a
+        |-- 1-ulp engine skew, making beta the stddev class (§4)
         |       CASE WHEN sxx - (sx * sx) / n <> 0.0
-        |            THEN (sxy - (sx * sy) / n) / (sxx - (sx * sx) / n)
+        |            THEN ROUND((sxy - (sx * sy) / n)
+        |                 / (sxx - (sx * sx) / n), 4)
         |       END AS beta
         |FROM s ORDER BY symbol""".stripMargin,
     "q_candle_patterns" ->
@@ -2021,13 +2038,22 @@ object SparkEntry {
         |r AS (SELECT symbol, price,
         |             LAG(price) OVER (PARTITION BY symbol ORDER BY bucket) AS prev
         |      FROM c),
-        |-- DECIMAL(19,6): int128 physical so the square can't overflow
-        |-- DuckDB's int64 multiply (values are identical to Spark's
-        |-- DECIMAL(12,6) path — both are exact at scale 12)
-        |rr AS (SELECT symbol, CAST(ROUND(price / prev - 1, 6) AS DECIMAL(19,6)) AS rr
+        |-- 6-dp quantization via the shared float-op sequence (§4):
+        |-- both engines scale the SAME double by 1e6, floor/ceil-round,
+        |-- and rebuild the decimal — bit-identical rr; DECIMAL(18,6)
+        |-- keeps the square within DuckDB's 38-digit multiply cap
+        |rr AS (SELECT symbol,
+        |         CAST(CAST(CAST(CASE WHEN (price / prev - 1) * 1000000.0 >= 0
+        |              THEN FLOOR((price / prev - 1) * 1000000.0 + 0.5)
+        |              ELSE CEIL((price / prev - 1) * 1000000.0 - 0.5) END
+        |              AS BIGINT) AS DECIMAL(18,0))
+        |           * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS rr
         |       FROM r WHERE prev IS NOT NULL AND prev <> 0)
         |SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_returns,
-        |       CAST(ROUND(SUM(rr * rr), 6) AS DOUBLE) AS realized_var,
+        |       -- DECIMAL(20,6) cast forces the INT128 multiply path
+        |       -- (int64 squares overflow on extreme returns, see q_beta)
+        |       CAST(ROUND(SUM(CAST(rr AS DECIMAL(20,6)) * rr), 6)
+        |            AS DOUBLE) AS realized_var,
         |       CAST(MAX(ABS(rr)) AS DOUBLE) AS max_abs_r
         |FROM rr GROUP BY 1 ORDER BY 1""".stripMargin,
     // same exact-decimal hourly rollup as q_correlation; corr rounded

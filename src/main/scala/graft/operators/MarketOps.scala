@@ -90,11 +90,17 @@ object MarketOps {
     * (PrefixAggSpec).
     */
   def sma(ticks: DataFrame, n: Int, chunkRows: Long = 8192L): DataFrame = {
-    val (t, spec) = chunkedFrame(ticks, n - 1, chunkRows)
-    val w = spec.rowsBetween(-(n - 1), 0)
+    val (t0, spec) = chunkedFrame(ticks, n - 1, chunkRows)
+    // prefix-sum sliding sum (see bollinger): exact decimal
+    // C_i − C_{i−n}, O(1)/row instead of O(n)
+    val run = spec.rowsBetween(Window.unboundedPreceding, 0)
+    val t = t0
+      .withColumn("cs", sum(col("price").cast(dec)).over(run))
+      .withColumn("cn", count(lit(1)).over(run))
+    def slide(c: Column): Column = c - coalesce(lag(c, n).over(spec), lit(0))
     t.select(col("event_id"), col("symbol"), col("carry"),
-        (sum(col("price").cast(dec)).over(w).cast("double") /
-          count(lit(1)).over(w).cast("double")).as(s"sma$n"))
+        (slide(col("cs")).cast("double") /
+          slide(col("cn")).cast("double")).as(s"sma$n"))
       .filter(!col("carry"))
       .select(col("event_id"), col("symbol"), col(s"sma$n"))
       .orderBy("event_id")
@@ -465,17 +471,22 @@ object MarketOps {
     // which itself lags one row — so carry n rows. The first carry's
     // chg is NULL-degraded (its lag is outside the chunk), but its
     // value only enters frames of other carries, never a real row.
-    val (t, spec) = chunkedFrame(ticks, n, chunkRows)
+    val (t0, spec) = chunkedFrame(ticks, n, chunkRows)
     val chg = col("price").cast(dec) - lag(col("price"), 1).over(spec).cast(dec)
-    val w = spec.rowsBetween(-(n - 1), 0)
-    t.withColumn("chg", chg)
+    // prefix-sum sliding sums (see bollinger): running gain/loss sums
+    // minus their n-row lag — exact decimal differences, O(1)/row
+    val run = spec.rowsBetween(Window.unboundedPreceding, 0)
+    val t = t0.withColumn("chg", chg)
       .withColumn("gain", when(col("chg") > 0, col("chg")).otherwise(lit(0).cast(dec)))
       .withColumn("loss", when(col("chg") < 0, -col("chg")).otherwise(lit(0).cast(dec)))
-      .select(col("event_id"), col("symbol"), col("carry"),
-        when(sum(col("loss")).over(w) === 0, lit(100.0))
+      .withColumn("cg", sum(col("gain")).over(run))
+      .withColumn("cl", sum(col("loss")).over(run))
+    def slide(c: Column): Column = c - coalesce(lag(c, n).over(spec), lit(0))
+    t.select(col("event_id"), col("symbol"), col("carry"),
+        when(slide(col("cl")) === 0, lit(100.0))
           .otherwise(round(lit(100.0) - lit(100.0) /
-            (lit(1.0) + sum(col("gain")).over(w).cast("double") /
-              sum(col("loss")).over(w).cast("double")), 4))
+            (lit(1.0) + slide(col("cg")).cast("double") /
+              slide(col("cl")).cast("double")), 4))
           .as(s"rsi$n"))
       .filter(!col("carry"))
       .select(col("event_id"), col("symbol"), col(s"rsi$n"))
@@ -493,12 +504,28 @@ object MarketOps {
   def bollinger(ticks: DataFrame, n: Int = 20, k: Double = 2.0,
       chunkRows: Long = 8192L): DataFrame = {
     val sqDec = DecimalType(38, 4)
-    val (t, spec) = chunkedFrame(ticks, n - 1, chunkRows)
-    val w = spec.rowsBetween(-(n - 1), 0)
-    val cnt = count(lit(1)).over(w).cast("double")
-    val s = sum(col("price").cast(dec)).over(w).cast("double")
-    val sq = sum((col("price").cast(dec) * col("price").cast(dec)).cast(sqDec))
-      .over(w).cast("double")
+    val (t0, spec) = chunkedFrame(ticks, n - 1, chunkRows)
+    // prefix-sum sliding windows: Spark re-evaluates a bounded
+    // rowsBetween(−(n−1), 0) frame per output row — O(n) decimal adds
+    // (and, inlined, O(n) decimal multiplies) per tick, 4.9 s at sf0.1
+    // once the noop-sink bench stopped letting count() prune it all.
+    // Running (unbounded-preceding) frames update incrementally, and
+    // the n-row sliding sum is the exact decimal difference
+    // C_i − C_{i−n} — bit-identical values (decimal adds/subtracts are
+    // exact), O(1) per row, same single sort (the follow-up lag window
+    // shares the partition/order). Min/max frames (stochastic,
+    // donchian) are not invertible and keep the direct frame.
+    val run = spec.rowsBetween(Window.unboundedPreceding, 0)
+    val t = t0
+      .withColumn("pd", col("price").cast(dec))
+      .withColumn("p2", (col("pd") * col("pd")).cast(sqDec))
+      .withColumn("cs", sum(col("pd")).over(run))
+      .withColumn("cq", sum(col("p2")).over(run))
+      .withColumn("cn", count(lit(1)).over(run))
+    def slide(c: Column): Column = c - coalesce(lag(c, n).over(spec), lit(0))
+    val cnt = slide(col("cn")).cast("double")
+    val s = slide(col("cs")).cast("double")
+    val sq = slide(col("cq")).cast("double")
     val mean = s / cnt
     val varRaw = (sq - (s * s) / cnt) / (cnt - lit(1.0))
     val sd = sqrt(when(cnt > 1 && varRaw > 0, varRaw).otherwise(lit(0.0)))
@@ -1170,11 +1197,18 @@ object MarketOps {
     val dayOrder = Window.partitionBy("symbol").orderBy("day")
     val closes = ticks.groupBy(col("symbol"), to_date(col("ts")).as("day"))
       .agg(max_by(col("price"), tieKey).cast(dec).as("c"))
+    // 6-dp quantization via the shared float-op sequence (§4, the
+    // realizedVol/winsorizedRet4 pattern): ROUND(double, 6) half-rounds
+    // divergently between engines on the quantization boundary
+    val sB = (col("c") - col("pc")).cast("double") /
+      col("pc").cast("double") * 1000000.0
+    val qB = when(sB >= 0, floor(sB + 0.5)).otherwise(ceil(sB - 0.5))
     val rets = closes
       .withColumn("pc", lag(col("c"), 1).over(dayOrder))
       .filter(col("pc").isNotNull)
       .select(col("symbol"), col("day"),
-        round((col("c") - col("pc")).cast("double") / col("pc").cast("double"), 6)
+        (qB.cast("long").cast(DecimalType(18, 0)) *
+          lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
           .cast(dec6).as("r"))
     val bench = rets.filter(col("symbol") === benchmark)
       .select(col("day"), col("r").as("x"))
@@ -1188,9 +1222,14 @@ object MarketOps {
         sum((col("x") * col("x")).cast(sq)).cast("double").as("sxx"),
         count(lit(1)).as("n_days"))
       .select(col("symbol"), col("n_days"),
+        // ROUND(…,4): the scale-12 co-moment sums exceed 15 significant
+        // digits on extreme tapes, so their decimal→double conversions
+        // carry an engine-dependent 1-ulp — beta is then a quotient of
+        // divergent inputs (the stddev class, §4), emitted 4-dp rounded
+        // like q_volatility/q_autocorr (500k parity sweep)
         when(col("sxx") - (col("sx") * col("sx")) / col("n") =!= 0.0,
-          (col("sxy") - (col("sx") * col("sy")) / col("n")) /
-            (col("sxx") - (col("sx") * col("sx")) / col("n"))).as("beta"))
+          round((col("sxy") - (col("sx") * col("sy")) / col("n")) /
+            (col("sxx") - (col("sx") * col("sx")) / col("n")), 4)).as("beta"))
       .orderBy("symbol")
   }
 
@@ -1675,10 +1714,20 @@ object MarketOps {
       .select(col("symbol"), col("bucket"), col("price"))
     val prev = lag(col("price"), 1)
       .over(Window.partitionBy("symbol").orderBy("bucket"))
+    // 6-dp quantization via the SHARED float-op sequence (winsorizedRet4
+    // pattern, §4): ROUND(double, 6) diverges when the scaled quotient
+    // half-rounds differently than the exact binary expansion — caught
+    // by the 500k-row parity sweep (one ≈100% return flipped a 6-dp
+    // boundary; sf0.1 never hit it). floor/ceil on the same double are
+    // exact IEEE ops, so the quantized rr is bit-identical both engines.
+    val s6 = (col("price") / col("prev") - 1.0) * 1000000.0
+    val q6 = when(s6 >= 0, floor(s6 + 0.5)).otherwise(ceil(s6 - 0.5))
     closes.withColumn("prev", prev)
       .filter(col("prev").isNotNull && col("prev") =!= 0.0)
       .withColumn("rr",
-        round(col("price") / col("prev") - 1.0, 6).cast(DecimalType(12, 6)))
+        (q6.cast("long").cast(DecimalType(18, 0)) *
+          lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+          .cast(DecimalType(18, 6)))
       .groupBy("symbol")
       // round the exact scale-12 sum to 6 dp BEFORE the double cast:
       // a 6-dp decimal converts with a single correctly-rounded

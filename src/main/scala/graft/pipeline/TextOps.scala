@@ -112,15 +112,16 @@ object TextOps {
     * engines — no hashing, so no cross-engine collision risk).
     */
   def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame = {
-    val words = split(col("text"), " ")
-    val grams = filter(
-      transform(words, (w, i) =>
-        when(i <= size(words) - n,
-          concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))),
-      g => g.isNotNull)
-    docs.select(col("doc_id"),
-        size(grams).cast("long").as("total_grams"),
-        size(array_distinct(grams)).cast("long").as("distinct_grams"))
+    // split PROJECTED into an attribute before the higher-order gram
+    // lambda (gramsOf contract): inlined, the interpreted lambda
+    // re-split the text at every element_at site — O(words²) splits
+    // per doc, 8.4 s → sub-second at sf0.1 (exposed when the bench
+    // moved to full noop-sink evaluation; .count() had pruned it all)
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), gramsOf(col("ws"), n).as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("total_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("distinct_grams"))
       .withColumn("rep_ratio",
         when(col("total_grams") > 0,
           round(lit(1.0) - col("distinct_grams") / col("total_grams").cast("double"), 6))

@@ -23,8 +23,11 @@ object QTime {
     args.foreach { name =>
       (1 to 2).foreach { round =>
         val t0 = System.nanoTime()
-        val n = SparkEntry_queries(name)(spark, sfDir).count()
-        println(f"QTIME $name%-24s run$round ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+        // noop sink, matching Bench: full evaluation of every output
+        // column (count() lets Catalyst prune computed columns)
+        SparkEntry_queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"QTIME $name%-24s run$round ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
     spark.stop()

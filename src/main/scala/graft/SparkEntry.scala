@@ -196,6 +196,15 @@ object SparkEntry {
       EventAnalytics.calendarHeatmap(Tables.events(s, dir))),
     "q_islands" -> ((s, dir) => EventAnalytics.islands(Tables.events(s, dir))),
     "q_concurrency" -> ((s, dir) => EventAnalytics.concurrency(Tables.events(s, dir))),
+    // ---- NEW r9 daily-bar indicator family + path analytics ----
+    "q_mfi" -> ((s, dir) => MarketOps.mfi(ticks(s, dir), 14)),
+    "q_cmf" -> ((s, dir) => MarketOps.cmf(ticks(s, dir), 20)),
+    "q_cci" -> ((s, dir) => MarketOps.cci(ticks(s, dir), 20)),
+    "q_ulcer" -> ((s, dir) => MarketOps.ulcerIndex(ticks(s, dir), 14)),
+    "q_variance_ratio" -> ((s, dir) => MarketOps.varianceRatio(ticks(s, dir), 5)),
+    "q_ichimoku" -> ((s, dir) => MarketOps.ichimoku(ticks(s, dir))),
+    "q_event_transitions" -> ((s, dir) =>
+      EventAnalytics.transitions(Tables.events(s, dir))),
 
     // ---- §2.3 relational/OLAP breadth ----
     "q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
@@ -315,6 +324,20 @@ object SparkEntry {
     }),
     "q_collocations" -> ((s, dir) =>
       TextOps.collocations(Tables.documents(s, dir), 20)),
+    "q_mojibake" -> ((s, dir) => {
+      // the synthetic corpus is clean — inject decode damage on a
+      // deterministic doc_id schedule (q_redact pattern): a U+FFFD, a
+      // C0 control byte, and a Ã-lead double-encoding signature; the
+      // oracle reproduces the same augmentation
+      val aug = Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 53 === 0,
+          concat(col("text"),
+            lit(" \u00C3\u00A9broken\uFFFD\u0001end")))
+          .otherwise(col("text")))
+      TextOps.mojibake(aug)
+    }),
+    "q_bigram_novelty" -> ((s, dir) =>
+      TextOps.bigramNovelty(Tables.documents(s, dir), 5)),
     "q_jsonl_roundtrip" -> ((s, dir) => jsonlRoundtrip(s, dir)),
     "q_contamination" -> ((s, dir) =>
       // every 97th doc plays the held-out benchmark; the oracle
@@ -1557,6 +1580,251 @@ object SparkEntry {
         |                 / (sxx - (sx * sx) / n), 4)
         |       END AS beta
         |FROM s ORDER BY symbol""".stripMargin,
+    "q_mfi" ->
+      // 3×TP = h+l+c (the /3 cancels in the ratio); DECIMAL(20,2)×
+      // DECIMAL(18,0) forces DuckDB's INT128 multiply (width 38 cap);
+      // ROUND(…,4) both engines — wide flow sums are the stddev class
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c,
+        |         CAST(SUM(user_id) AS BIGINT) AS vol
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT symbol, day, vol, h + l + c AS hlc,
+        |         LAG(h + l + c) OVER (PARTITION BY symbol ORDER BY day) AS prev
+        |  FROM b),
+        |g AS (
+        |  SELECT symbol, day,
+        |         CASE WHEN prev IS NOT NULL AND hlc > prev
+        |              THEN CAST(CAST(hlc AS DECIMAL(20,2))
+        |                   * CAST(vol AS DECIMAL(18,0)) AS DECIMAL(38,2))
+        |              ELSE CAST(0 AS DECIMAL(38,2)) END AS pos_f,
+        |         CASE WHEN prev IS NOT NULL AND hlc < prev
+        |              THEN CAST(CAST(hlc AS DECIMAL(20,2))
+        |                   * CAST(vol AS DECIMAL(18,0)) AS DECIMAL(38,2))
+        |              ELSE CAST(0 AS DECIMAL(38,2)) END AS neg_f
+        |  FROM f),
+        |s AS (
+        |  SELECT symbol, day,
+        |         SUM(pos_f) OVER w AS pos, SUM(neg_f) OVER w AS neg
+        |  FROM g WINDOW w AS (PARTITION BY symbol ORDER BY day
+        |                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, day,
+        |       CASE WHEN pos + neg <> 0
+        |            THEN ROUND(100.0 * CAST(pos AS DOUBLE)
+        |                 / CAST(pos + neg AS DOUBLE), 4)
+        |       END AS mfi14
+        |FROM s ORDER BY symbol, day""".stripMargin,
+    "q_cmf" ->
+      // multiplier quantized to 6 dp via the shared float-op sequence
+      // (§4); h = l contributes 0 (dodges the ANSI÷0 / NULL mismatch)
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c,
+        |         CAST(SUM(user_id) AS BIGINT) AS vol
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT symbol, day, vol,
+        |         2 * c - h - l AS num, h - l AS den FROM b),
+        |q AS (
+        |  SELECT symbol, day, vol,
+        |         CASE WHEN den <> 0 THEN
+        |           CAST(CAST(CAST(CASE WHEN CAST(num AS DOUBLE)
+        |                     / CAST(den AS DOUBLE) * 1000000.0 >= 0
+        |                THEN FLOOR(CAST(num AS DOUBLE)
+        |                     / CAST(den AS DOUBLE) * 1000000.0 + 0.5)
+        |                ELSE CEIL(CAST(num AS DOUBLE)
+        |                     / CAST(den AS DOUBLE) * 1000000.0 - 0.5) END
+        |                AS BIGINT) AS DECIMAL(18,0))
+        |             * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))
+        |           ELSE CAST(0 AS DECIMAL(18,6)) END AS mfm6
+        |  FROM m),
+        |v AS (SELECT symbol, day, vol,
+        |             CAST(CAST(mfm6 AS DECIMAL(20,6))
+        |                  * CAST(vol AS DECIMAL(18,0)) AS DECIMAL(38,6)) AS mfv
+        |      FROM q),
+        |s AS (SELECT symbol, day,
+        |             SUM(mfv) OVER w AS sflow, SUM(vol) OVER w AS svol
+        |      FROM v WINDOW w AS (PARTITION BY symbol ORDER BY day
+        |                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, day,
+        |       CASE WHEN svol <> 0
+        |            THEN ROUND(CAST(sflow AS DOUBLE) / CAST(svol AS DOUBLE), 4)
+        |       END AS cmf20
+        |FROM s ORDER BY symbol, day""".stripMargin,
+    "q_cci" ->
+      // exact-decimal mean deviation: each bar j exploded onto the 20
+      // target rows it participates in, equi-joined back on (symbol,
+      // rn); CCI = (m·hlc−S)·m·200/(3·D) — all decimals exact and raw
+      // magnitudes < 2^53, so conversions are exact and the two IEEE
+      // ops are identical → RAW doubles. CAST(m AS DECIMAL(3,0))
+      // keeps DuckDB products inside the 38-width INT128 path
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bars AS (
+        |  SELECT symbol, day, h + l + c AS hlc,
+        |         ROW_NUMBER() OVER o AS rn,
+        |         CAST(SUM(h + l + c) OVER w AS DECIMAL(38,2)) AS s,
+        |         COUNT(*) OVER w AS m
+        |  FROM b
+        |  WINDOW o AS (PARTITION BY symbol ORDER BY day),
+        |         w AS (PARTITION BY symbol ORDER BY day
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |c2 AS (
+        |  SELECT symbol AS c_symbol, hlc AS hlc_j,
+        |         UNNEST(range(rn, rn + 20)) AS trn
+        |  FROM bars),
+        |d AS (
+        |  SELECT b2.symbol, b2.rn, b2.day, b2.hlc, b2.s, b2.m,
+        |         SUM(ABS(CAST(c2.hlc_j * CAST(b2.m AS DECIMAL(3,0))
+        |             AS DECIMAL(38,2)) - b2.s)) AS d
+        |  FROM c2 JOIN bars b2 ON c2.c_symbol = b2.symbol AND c2.trn = b2.rn
+        |  GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT symbol, day,
+        |       CASE WHEN d <> 0 THEN
+        |         CAST(CAST(CAST(hlc * CAST(m AS DECIMAL(3,0)) AS DECIMAL(38,2))
+        |              - s AS DECIMAL(20,2)) * CAST(m AS DECIMAL(3,0)) AS DOUBLE)
+        |         / CAST(CAST(3 AS DECIMAL(2,0)) * CAST(d AS DECIMAL(20,2))
+        |                AS DOUBLE) * 200.0
+        |       END AS cci20
+        |FROM d ORDER BY symbol, day""".stripMargin,
+    "q_ulcer" ->
+      // drawdown fraction r ∈ (−1, 0] quantized to 6 dp (shared
+      // float-op sequence), squares re-summed as exact decimals; raw
+      // magnitudes « 2^53 so the final divide+√ is identical IEEE —
+      // RAW doubles, no trailing round
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (
+        |  SELECT symbol, day, c, MAX(c) OVER w AS mx
+        |  FROM b WINDOW w AS (PARTITION BY symbol ORDER BY day
+        |                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |r AS (
+        |  SELECT symbol, day,
+        |         CASE WHEN mx <> 0 THEN
+        |           CAST(CAST(CAST(CASE WHEN CAST(c - mx AS DOUBLE)
+        |                     / CAST(mx AS DOUBLE) * 1000000.0 >= 0
+        |                THEN FLOOR(CAST(c - mx AS DOUBLE)
+        |                     / CAST(mx AS DOUBLE) * 1000000.0 + 0.5)
+        |                ELSE CEIL(CAST(c - mx AS DOUBLE)
+        |                     / CAST(mx AS DOUBLE) * 1000000.0 - 0.5) END
+        |                AS BIGINT) AS DECIMAL(18,0))
+        |             * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))
+        |         END AS r6
+        |  FROM mx),
+        |sq AS (SELECT symbol, day,
+        |              CAST(CAST(r6 AS DECIMAL(20,6)) * r6 AS DECIMAL(38,12)) AS sq
+        |       FROM r)
+        |SELECT symbol, day,
+        |       100.0 * SQRT(CAST(SUM(sq) OVER w AS DOUBLE)
+        |             / CAST(COUNT(sq) OVER w AS DOUBLE)) AS ulcer14
+        |FROM sq WINDOW w AS (PARTITION BY symbol ORDER BY day
+        |                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |ORDER BY symbol, day""".stripMargin,
+    "q_variance_ratio" ->
+      // q-day returns as EXACT decimal prefix-sum differences of the
+      // 6-dp-quantized daily return series (the q_beta series);
+      // variances close in mirrored double op order, ROUND(…,4)
+      """WITH cl AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r0 AS (
+        |  SELECT symbol, day, c,
+        |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+        |  FROM cl),
+        |r AS (
+        |  SELECT symbol, day,
+        |         CAST(CAST(CAST(CASE WHEN CAST(c - pc AS DOUBLE)
+        |                   / CAST(pc AS DOUBLE) * 1000000.0 >= 0
+        |              THEN FLOOR(CAST(c - pc AS DOUBLE)
+        |                   / CAST(pc AS DOUBLE) * 1000000.0 + 0.5)
+        |              ELSE CEIL(CAST(c - pc AS DOUBLE)
+        |                   / CAST(pc AS DOUBLE) * 1000000.0 - 0.5) END
+        |              AS BIGINT) AS DECIMAL(18,0))
+        |           * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS r
+        |  FROM r0 WHERE pc IS NOT NULL AND pc <> 0),
+        |w1 AS (
+        |  SELECT symbol, day, r,
+        |         ROW_NUMBER() OVER o AS rn,
+        |         CAST(SUM(r) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING
+        |              AND CURRENT ROW) AS DECIMAL(38,6)) AS cum
+        |  FROM r WINDOW o AS (PARTITION BY symbol ORDER BY day)),
+        |w2 AS (
+        |  SELECT symbol, day, r, rn, cum,
+        |         CASE WHEN rn >= 5 THEN CAST(cum - COALESCE(
+        |              LAG(cum, 5) OVER (PARTITION BY symbol ORDER BY day),
+        |              CAST(0 AS DECIMAL(38,6))) AS DECIMAL(18,6)) END AS rq
+        |  FROM w1),
+        |s AS (
+        |  SELECT symbol,
+        |         CAST(COUNT(r) AS BIGINT) AS n_days,
+        |         CAST(COUNT(r) AS DOUBLE) AS n1,
+        |         CAST(SUM(r) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(CAST(r AS DECIMAL(20,6)) * r
+        |              AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+        |         CAST(COUNT(rq) AS DOUBLE) AS nq,
+        |         CAST(SUM(rq) AS DOUBLE) AS t1,
+        |         CAST(SUM(CAST(CAST(rq AS DECIMAL(20,6)) * rq
+        |              AS DECIMAL(38,12))) AS DOUBLE) AS t2
+        |  FROM w2 GROUP BY 1)
+        |SELECT symbol, n_days,
+        |       CASE WHEN nq > 0 AND s2 / n1 - (s1 / n1) * (s1 / n1) <> 0.0
+        |            THEN ROUND((t2 / nq - (t1 / nq) * (t1 / nq))
+        |                 / (5.0 * (s2 / n1 - (s1 / n1) * (s1 / n1))), 4)
+        |       END AS vr5
+        |FROM s ORDER BY symbol""".stripMargin,
+    "q_ichimoku" ->
+      // every line is (max+min)/2 over exact decimal extrema — the
+      // decimal sum converts to double exactly and halving is an
+      // exponent decrement; senkou A's (tenkan+kijun)/2 is one
+      // correctly-rounded IEEE add — raw doubles, no rounding
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT symbol, day, c,
+        |         CAST(MAX(h) OVER w9 + MIN(l) OVER w9 AS DOUBLE) / 2.0 AS tenkan,
+        |         CAST(MAX(h) OVER w26 + MIN(l) OVER w26 AS DOUBLE) / 2.0 AS kijun,
+        |         CAST(MAX(h) OVER w52 + MIN(l) OVER w52 AS DOUBLE) / 2.0 AS span_b0
+        |  FROM b
+        |  WINDOW w9 AS (PARTITION BY symbol ORDER BY day
+        |                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        |         w26 AS (PARTITION BY symbol ORDER BY day
+        |                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+        |         w52 AS (PARTITION BY symbol ORDER BY day
+        |                 ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, day, tenkan, kijun,
+        |       LAG((tenkan + kijun) / 2.0, 26) OVER o AS senkou_a,
+        |       LAG(span_b0, 26) OVER o AS senkou_b,
+        |       LEAD(CAST(c AS DOUBLE), 26) OVER o AS chikou
+        |FROM w WINDOW o AS (PARTITION BY symbol ORDER BY day)
+        |ORDER BY symbol, day""".stripMargin,
     "q_candle_patterns" ->
       // every test is a DECIMAL comparison (body*10 <= range, not a
       // division); NULL lags fall through CASE to 0 in both engines
@@ -2171,6 +2439,22 @@ object SparkEntry {
         |       CAST(MIN(CASE WHEN running = peak THEN t END) AS BIGINT) AS peak_at_us,
         |       CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_event_transitions" ->
+      // share is a RAW double quotient of two exact BIGINTs (the
+      // volumeProfile emission class); DuckDB's window SUM over
+      // BIGINT returns INT128 — cast before the division
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |         LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER
+        |         (PARTITION BY from_type) AS BIGINT) AS DOUBLE) AS share
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q2_min_supplier" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,
@@ -3202,6 +3486,63 @@ object SparkEntry {
         |      FROM w)
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "q_mojibake" ->
+      // marker-length-difference counting (replace with 'XX' vs 'X'):
+      // each match contributes exactly +1 in both engines even though
+      // Java length() counts UTF-16 units and DuckDB counts codepoints
+      // — the unmatched remainder cancels. chr(195)/chr(194) = the
+      // Ã/Â lead bytes of UTF-8-read-as-Latin-1; chr(65533) = U+FFFD;
+      // the C0 class excludes tab/newline/CR. 'g' flag: DuckDB
+      // replaces first-only by default, Spark replaces all
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 53 = 0
+        |              THEN text || ' ' || chr(195) || chr(169) || 'broken'
+        |                   || chr(65533) || chr(1) || 'end'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    length(regexp_replace(text, chr(65533), 'XX', 'g'))
+        |      - length(regexp_replace(text, chr(65533), 'X', 'g')) AS n_replacement,
+        |    length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', 'XX', 'g'))
+        |      - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', 'X', 'g'))
+        |      AS n_ctrl,
+        |    length(regexp_replace(text, '[' || chr(195) || chr(194) || ']', 'XX', 'g'))
+        |      - length(regexp_replace(text, '[' || chr(195) || chr(194) || ']', 'X', 'g'))
+        |      AS n_mojibake
+        |  FROM aug)
+        |SELECT doc_id,
+        |       CAST(n_replacement AS BIGINT) AS n_replacement,
+        |       CAST(n_ctrl AS BIGINT) AS n_ctrl,
+        |       CAST(n_mojibake AS BIGINT) AS n_mojibake,
+        |       CAST(CASE WHEN n_replacement + n_ctrl + n_mojibake > 0
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_bigram_novelty" ->
+      // exact BIGINT counters end to end; novelty is a RAW double
+      // quotient (volumeProfile emission class); docs with <2 words
+      // have no bigrams and drop out of both engines
+      """WITH w AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+        |               THEN list_transform(range(1, len(ws)),
+        |                      i -> ws[i] || ' ' || ws[i + 1])
+        |               ELSE CAST([] AS VARCHAR[]) END) AS pair
+        |      FROM w),
+        |pc AS (SELECT doc_id, pair, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM p GROUP BY 1, 2),
+        |cc AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS corpus_cnt
+        |       FROM pc GROUP BY 1),
+        |a AS (
+        |  SELECT pc.doc_id,
+        |         CAST(SUM(pc.cnt) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM(CASE WHEN cc.corpus_cnt < 5 THEN pc.cnt
+        |                       ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM pc JOIN cc USING (pair) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, n_rare,
+        |       CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS novelty
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q_lexical_diversity" ->
       // ratios of exact BIGINT token counts — no float accumulation;
       // DuckDB's INT128 sums cast to BIGINT/DOUBLE per SURVEY §4

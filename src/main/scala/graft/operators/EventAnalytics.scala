@@ -182,4 +182,30 @@ object EventAnalytics {
         (-col("m.nt")).as("peak_at_us"), col("n_intervals"))
       .orderBy("symbol")
   }
+
+  /** NEW r9: first-order Markov transition matrix over each user's
+    * event sequence — P(next event type | current), the
+    * clickstream-path summary beside [[funnel]]. One lead() window per
+    * user (high-cardinality key, so the rank-window rule allows it;
+    * the per-user partition is that user's own events), then a
+    * partial-agg shuffle of (from, to) counter rows — the matrix
+    * itself is |types|² tiny. Ties inside a user's stream break on
+    * event_id, mirrored in the oracle. share is a RAW double quotient
+    * of two exact BIGINTs (the volumeProfile emission class — int→
+    * double conversion correctly rounded, one IEEE division).
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val uo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val fromW = Window.partitionBy("from_type")
+    events.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(uo))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") /
+          sum(col("n")).over(fromW).cast("double")).as("share"))
+      .orderBy("from_type", "to_type")
+  }
 }

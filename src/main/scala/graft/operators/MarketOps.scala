@@ -2026,4 +2026,244 @@ object MarketOps {
       .toDF()
       .orderBy("symbol", "day")
   }
+
+  // === NEW r9: daily-bar indicator family ============================
+  // All six run on the [[ohlcDaily]] bar states (one tick shuffle into
+  // the OHLC aggregate; every window below is over symbol-day rows —
+  // a few thousand per symbol even at 10 years, so direct bounded
+  // frames are fine and the 100 TB cost is the single bar aggregate).
+
+  /** 6-dp quantization of a double via the shared float-op sequence
+    * (SURVEY §4, the betaDaily/realizedVol pattern): scale by 1e6,
+    * FLOOR(s+0.5)/CEIL(s−0.5), rebuild as DECIMAL(18,6). ROUND(d, 6)
+    * half-rounds divergently between engines on the boundary; this
+    * sequence is the identical IEEE ops on both.
+    */
+  private def quant6(s: Column): Column = {
+    val q = when(s >= 0, floor(s + 0.5)).otherwise(ceil(s - 0.5))
+    (q.cast("long").cast(DecimalType(18, 0)) *
+      lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+      .cast(DecimalType(18, 6))
+  }
+
+  /** Money Flow Index over daily bars: MFI(n) = 100·pos/(pos+neg)
+    * where pos/neg are the n-day sums of raw money flow (typical
+    * price × volume) on up/down days. Works on 3×TP = h+l+c (the /3
+    * cancels in the ratio) so the flow is an EXACT decimal
+    * (h+l+c)·volume — the DECIMAL(20,2) cast forces DuckDB's INT128
+    * multiply path (int64-stored decimal products overflow on extreme
+    * tapes, the q_beta class). Emitted ROUND(…,4): the window flow
+    * sums exceed 15 significant digits on large tapes, so their
+    * decimal→double conversions carry the 1-ulp engine skew (the
+    * stddev class, SURVEY §4).
+    */
+  def mfi(ticks: DataFrame, n: Int = 14): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val big = DecimalType(38, 2)
+    val t = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("volume"),
+        (col("high").cast(dec) + col("low").cast(dec) +
+          col("close").cast(dec)).as("hlc"))
+      .withColumn("prev", lag(col("hlc"), 1).over(dayOrder))
+      .withColumn("flow",
+        (col("hlc").cast(DecimalType(20, 2)) * col("volume")).cast(big))
+      .withColumn("pos_f", when(col("prev").isNotNull &&
+        col("hlc") > col("prev"), col("flow")).otherwise(lit(0).cast(big)))
+      .withColumn("neg_f", when(col("prev").isNotNull &&
+        col("hlc") < col("prev"), col("flow")).otherwise(lit(0).cast(big)))
+    t.select(col("symbol"), col("day"),
+        sum(col("pos_f")).over(w).as("pos"),
+        sum(col("neg_f")).over(w).as("neg"))
+      .select(col("symbol"), col("day"),
+        when(col("pos") + col("neg") =!= 0,
+          round(lit(100.0) * col("pos").cast("double") /
+            (col("pos") + col("neg")).cast("double"), 4)).as(s"mfi$n"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Chaikin Money Flow over daily bars: CMF(n) = Σ(MFM·vol)/Σvol with
+    * MFM = ((c−l)−(h−c))/(h−l) = (2c−h−l)/(h−l). The multiplier is the
+    * one true division — quantized to 6 dp via [[quant6]] so the
+    * money-flow volumes re-sum as EXACT decimals (order-free window
+    * sums); h = l contributes 0 by convention (and dodges the ANSI
+    * DIVIDE_BY_ZERO that DuckDB would map to NULL). Final quotient
+    * ROUND(…,4) — wide flow sums are the stddev class.
+    */
+  def cmf(ticks: DataFrame, n: Int = 20): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val t = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("volume"),
+        (lit(2) * col("close").cast(dec) - col("high").cast(dec) -
+          col("low").cast(dec)).as("num"),
+        (col("high").cast(dec) - col("low").cast(dec)).as("den"))
+      .withColumn("mfm6", when(col("den") =!= 0,
+        quant6(col("num").cast("double") / col("den").cast("double")
+          * 1000000.0)).otherwise(lit(0).cast(DecimalType(18, 6))))
+      .withColumn("mfv",
+        (col("mfm6").cast(DecimalType(20, 6)) * col("volume"))
+          .cast(DecimalType(38, 6)))
+    t.select(col("symbol"), col("day"),
+        sum(col("mfv")).over(w).as("sflow"),
+        sum(col("volume")).over(w).as("svol"))
+      .select(col("symbol"), col("day"),
+        when(col("svol") =!= 0,
+          round(col("sflow").cast("double") /
+            col("svol").cast("double"), 4)).as(s"cmf$n"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Commodity Channel Index over daily bars, EXACT-decimal mean
+    * deviation: with S = Σ_w(h+l+c) and m = |w|, the textbook
+    * CCI = (TP−SMA)/(0.015·MD) rescales to
+    * (m·hlc_i − S)·m·200 / (3·Σ_j|m·hlc_j − S|) — every term an exact
+    * decimal, ONE double division at the end, raw doubles both engines
+    * compute identically (all raw decimal magnitudes stay below 2^53,
+    * so the decimal→double conversions are exact).
+    *
+    * The mean-deviation sum references the CURRENT row's S inside the
+    * window — not expressible as a plain frame. Instead each bar j is
+    * exploded onto the n target rows it participates in and
+    * equi-joined back on (symbol, row_number): linear in bars (×n), no
+    * quadratic within-symbol pair blowup, all on bar states.
+    */
+  def cci(ticks: DataFrame, n: Int = 20): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val bars = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        (col("high").cast(dec) + col("low").cast(dec) +
+          col("close").cast(dec)).as("hlc"))
+      .withColumn("rn", row_number().over(dayOrder))
+      .withColumn("s", sum(col("hlc")).over(w).cast(DecimalType(38, 2)))
+      .withColumn("m", count(lit(1)).over(w))
+    val contrib = bars.select(col("symbol").as("c_symbol"),
+        col("hlc").as("hlc_j"),
+        explode(sequence(col("rn"), col("rn") + lit(n - 1))).as("trn"))
+    contrib.join(bars,
+        contrib("c_symbol") === bars("symbol") && contrib("trn") === bars("rn"))
+      .groupBy(col("symbol"), col("rn"), col("day"), col("hlc"),
+        col("s"), col("m"))
+      .agg(sum(abs((col("m") * col("hlc_j")).cast(DecimalType(38, 2)) -
+        col("s"))).as("d"))
+      .select(col("symbol"), col("day"),
+        when(col("d") =!= 0,
+          (((col("m") * col("hlc")).cast(DecimalType(38, 2)) - col("s"))
+            .cast(DecimalType(20, 2)) * col("m")).cast("double") /
+            (lit(3) * col("d")).cast("double") * 200.0).as(s"cci$n"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Ulcer Index over daily bars: UI(n) = 100·√(Σ_w r² / m) where r is
+    * the drawdown fraction (c − max_w c)/max_w c, 6-dp quantized via
+    * [[quant6]] so the squared terms re-sum as EXACT decimals. Prices
+    * are non-negative so r ∈ (−1, 0] and every raw decimal stays far
+    * below 2^53 — conversions exact, one IEEE divide + correctly-
+    * rounded √, emitted RAW (a trailing round would be the only
+    * divergent op, SURVEY §4). All-zero-price windows (max = 0) yield
+    * NULL under the ANSI divide guard.
+    */
+  def ulcerIndex(ticks: DataFrame, n: Int = 14): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("mx", max(col("c")).over(w))
+      .withColumn("r6", when(col("mx") =!= 0,
+        quant6((col("c") - col("mx")).cast("double") /
+          col("mx").cast("double") * 1000000.0)))
+      .withColumn("sq",
+        // (18,6)×(18,6) = (37,12) stays under Spark's 38 cap — EXACT;
+        // the INT128-forcing DECIMAL(20,6) cast lives only in the
+        // DuckDB oracle (in Spark it would push precision to 39 and
+        // trigger silent scale-reduction rounding)
+        (col("r6") * col("r6")).cast(DecimalType(38, 12)))
+      .select(col("symbol"), col("day"),
+        (lit(100.0) * sqrt(sum(col("sq")).over(w).cast("double") /
+          count(col("sq")).over(w).cast("double"))).as(s"ulcer$n"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Lo–MacKinlay variance ratio on daily closes:
+    * VR(q) = Var(r_q)/(q·Var(r_1)) over 6-dp-quantized daily returns
+    * ([[quant6]], the betaDaily series). The q-day returns are the
+    * EXACT decimal difference of the running prefix sum and its
+    * lag(q) — no re-summing of doubles; variances close over exact
+    * decimal Σr/Σr² (INT128-forced squares) in mirrored double op
+    * order, ROUND(…,4) (the stddev class). VR ≈ 1 under a random
+    * walk; <1 mean-reversion, >1 trending.
+    */
+  def varianceRatio(ticks: DataFrame, q: Int = 5): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val sq = DecimalType(38, 12)
+    val rets = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull && col("pc") =!= 0)
+      .select(col("symbol"), col("day"),
+        quant6((col("c") - col("pc")).cast("double") /
+          col("pc").cast("double") * 1000000.0).as("r"))
+      .withColumn("rn", row_number().over(dayOrder))
+      .withColumn("cum", sum(col("r")).over(
+        dayOrder.rowsBetween(Window.unboundedPreceding, 0))
+        .cast(DecimalType(38, 6)))
+    // rq fits DECIMAL(18,6) with ~20× headroom (|r| ≤ 5e4 even on the
+    // adversarial min-price tape, so |rq| ≤ 2.5e5 ≪ 1e12); narrowing
+    // keeps the square at (37,12) — exact under Spark's 38 cap (the
+    // INT128-forcing 20-digit casts live only in the DuckDB oracle)
+    val withQ = rets.withColumn("rq", when(col("rn") >= q,
+      (col("cum") - coalesce(lag(col("cum"), q).over(dayOrder),
+        lit(0).cast(DecimalType(38, 6)))).cast(DecimalType(18, 6))))
+    withQ.groupBy(col("symbol"))
+      .agg(count(col("r")).as("n_days"),
+        count(col("r")).cast("double").as("n1"),
+        sum(col("r")).cast("double").as("s1"),
+        sum((col("r") * col("r")).cast(sq)).cast("double").as("s2"),
+        count(col("rq")).cast("double").as("nq"),
+        sum(col("rq")).cast("double").as("t1"),
+        sum((col("rq") * col("rq")).cast(sq)).cast("double").as("t2"))
+      .select(col("symbol"), col("n_days"),
+        when(col("nq") > 0 &&
+          col("s2") / col("n1") - (col("s1") / col("n1")) *
+            (col("s1") / col("n1")) =!= 0.0,
+          round((col("t2") / col("nq") - (col("t1") / col("nq")) *
+            (col("t1") / col("nq"))) /
+            (lit(q.toDouble) * (col("s2") / col("n1") -
+              (col("s1") / col("n1")) * (col("s1") / col("n1")))), 4))
+          .as(s"vr$q"))
+      .orderBy("symbol")
+  }
+
+  /** Ichimoku Kinkō Hyō over daily bars: tenkan (9), kijun (26),
+    * senkou A/B shifted 26 forward (today's cloud comes from bars 26
+    * back — a lag), chikou (close shifted 26 back — a lead). Every
+    * line is (max+min)/2 over EXACT decimal extrema: the decimal sum
+    * converts to double exactly (raw « 2^53), halving is an exponent
+    * decrement (always exact), and senkou A's (tenkan+kijun)/2 is one
+    * correctly-rounded IEEE add both engines execute identically —
+    * raw doubles, no rounding anywhere. Partial windows at series
+    * start use the available bars (both engines agree); the 26-bar
+    * shifts produce the same leading/trailing NULLs.
+    */
+  def ichimoku(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    def mid(n: Int): Column = {
+      val w = dayOrder.rowsBetween(-(n - 1), 0)
+      (max(col("h")).over(w) + min(col("l")).over(w)).cast("double") / 2.0
+    }
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        col("high").cast(dec).as("h"), col("low").cast(dec).as("l"),
+        col("close").cast(dec).as("c"))
+      .withColumn("tenkan", mid(9))
+      .withColumn("kijun", mid(26))
+      .withColumn("span_b0", mid(52))
+      .select(col("symbol"), col("day"), col("tenkan"), col("kijun"),
+        lag((col("tenkan") + col("kijun")) / 2.0, 26).over(dayOrder)
+          .as("senkou_a"),
+        lag(col("span_b0"), 26).over(dayOrder).as("senkou_b"),
+        lead(col("c").cast("double"), 26).over(dayOrder).as("chikou"))
+      .orderBy("symbol", "day")
+  }
 }

@@ -600,4 +600,66 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("pair"))
       .limit(k)
+
+  /** NEW r9: encoding-anomaly (mojibake) detection — the corpus-hygiene
+    * pass that catches decode damage before training: U+FFFD
+    * replacement characters, C0 control bytes that survive no sane
+    * decoder (explicit class, NOT `\p{Cntrl}` — tab/newline/CR are
+    * legitimate), and the Ã/Â lead bytes of UTF-8-read-as-Latin-1
+    * double encoding. Counts use the marker-length-difference trick:
+    * replace every match with "XX" vs "X" and subtract the lengths —
+    * each match contributes exactly +1 in BOTH engines even though
+    * Java `length` counts UTF-16 units and DuckDB counts codepoints
+    * (the non-matched remainder cancels). Zero-shuffle scan
+    * projection; patterns stay in the Java∩RE2 subset.
+    */
+  def mojibake(docs: DataFrame): DataFrame = {
+    def nMatches(c: Column, pat: String): Column =
+      (length(regexp_replace(c, pat, "XX")) -
+        length(regexp_replace(c, pat, "X"))).cast("long")
+    docs.select(col("doc_id"),
+        nMatches(col("text"), "\uFFFD").as("n_replacement"),
+        nMatches(col("text"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("n_ctrl"),
+        nMatches(col("text"), "[\u00C3\u00C2]").as("n_mojibake"))
+      .select(col("doc_id"), col("n_replacement"), col("n_ctrl"),
+        col("n_mojibake"),
+        when(col("n_replacement") + col("n_ctrl") + col("n_mojibake") > 0,
+          1L).otherwise(0L).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** NEW r9: rare-bigram novelty — the log-free fluency/novelty proxy
+    * for a perplexity filter: the share of a document's adjacent-word
+    * bigrams that are corpus-rare (total count < minCount). Exact
+    * integers end to end; the share is a RAW double quotient of two
+    * BIGINTs (volumeProfile emission class). Docs with fewer than two
+    * words have no bigrams and drop out (both engines).
+    *
+    * Scale: bigrams pre-aggregate per (pair, doc) map-side, the corpus
+    * count is a second counter-only aggregate, and the join back runs
+    * on counter rows — AQE's skew-join splits the "of the"-class hot
+    * pairs, which is why this is a join and NOT a sum-over-pair window
+    * (one task per hot pair would eat millions of rows at 100 TB).
+    * The corpus text itself never shuffles.
+    */
+  def bigramNovelty(docs: DataFrame, minCount: Int = 5): DataFrame = {
+    val pc = docs.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"), explode(when(size(col("ws")) >= 2,
+        expr("transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .otherwise(lit(Array.empty[String]))).as("pair"))
+      .groupBy(col("doc_id"), col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+    val corpus = pc.groupBy(col("pair"))
+      .agg(sum(col("cnt")).cast("long").as("corpus_cnt"))
+    pc.join(corpus, "pair")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_bigrams"),
+        sum(when(col("corpus_cnt") < minCount, col("cnt")).otherwise(0L))
+          .cast("long").as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
 }

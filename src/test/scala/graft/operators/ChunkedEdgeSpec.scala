@@ -219,7 +219,13 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "higherMoments" -> (MarketOps.higherMoments(_)),
       "staleRuns" -> (MarketOps.staleRuns(_)),
       "intradayVolCurve" -> (MarketOps.intradayVolCurve(_)),
-      "sizeHistogram" -> (MarketOps.sizeHistogram(_)))
+      "sizeHistogram" -> (MarketOps.sizeHistogram(_)),
+      "mfi" -> (MarketOps.mfi(_)),
+      "cmf" -> (MarketOps.cmf(_)),
+      "cci" -> (MarketOps.cci(_)),
+      "ulcerIndex" -> (MarketOps.ulcerIndex(_)),
+      "varianceRatio" -> (MarketOps.varianceRatio(_)),
+      "ichimoku" -> (MarketOps.ichimoku(_)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>
@@ -239,7 +245,8 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "islands" -> EventAnalytics.islands(ev),
       "intervalOverlap(empty sides)" -> EventAnalytics.intervalOverlap(ev),
       "intervalOverlap(A,B)" -> EventAnalytics.intervalOverlap(ev, "A", "B"),
-      "concurrency" -> EventAnalytics.concurrency(ev)
+      "concurrency" -> EventAnalytics.concurrency(ev),
+      "transitions" -> EventAnalytics.transitions(ev)
     ).foreach { case (name, df) =>
       try df.collect()
       catch { case e: Throwable =>

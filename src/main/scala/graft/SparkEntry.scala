@@ -30,23 +30,23 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.1 reference TSDB surface ----
     "q_range_scan" -> ((s, dir) => {
-      // Filter on the raw nanosecond long so the time predicate reaches
-      // parquet row-group pruning (see Tables.eventsRaw). Bounds are
-      // whole seconds, so ns and truncated-us comparisons agree.
-      val loNs = 1704412800L * 1000000000L // 2024-01-05T00:00:00Z
-      val hiNs = 1705276800L * 1000000000L // 2024-01-15T00:00:00Z
+      // Filter on the stored TIMESTAMP_NTZ column with NTZ literals so
+      // the time predicate reaches parquet row-group pruning directly
+      // (see Tables.eventsRaw).
+      val lo = java.time.LocalDateTime.of(2024, 1, 5, 0, 0, 0)
+      val hi = java.time.LocalDateTime.of(2024, 1, 15, 0, 0, 0)
       Tables.eventsRaw(s, dir)
         .filter(col("event_type") === "click" &&
-          col("ts") >= loNs && col("ts") <= hiNs)
-        .select(expr("ts div 1000").as("ts_us"),
+          col("ts") >= lit(lo) && col("ts") <= lit(hi))
+        .select(unix_micros(col("ts").cast("timestamp")).as("ts_us"),
           col("value").as("price"), col("user_id").as("volume"))
         .orderBy("ts_us", "price", "volume")
     }),
     "q_range_scan_view" -> ((s, dir) => {
       // Same scan as q_range_scan but written against the FRIENDLY
-      // converted-timestamp view — the TimestampFilterPushdown
-      // optimizer rule rewrites the bounds onto the raw ns column so
-      // row-group pruning still happens (no hand-written raw filter).
+      // tz-cast timestamp view — the TimestampFilterPushdown optimizer
+      // rule rewrites the bounds onto the stored TIMESTAMP_NTZ column
+      // so row-group pruning still happens (no hand-written raw filter).
       graft.plans.GraftOptimizations.install(s)
       Tables.events(s, dir)
         .filter(col("event_type") === "click" &&

@@ -19,8 +19,16 @@ import org.apache.spark.sql.functions._
   * read in the row groups / columns a query touches.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Every timestamp column in the regenerated testdata is
+    // TIMESTAMP_NTZ; comparisons against session-zoned literals wrap
+    // the COLUMN in a cast, which V1 parquet pushdown cannot
+    // translate. The rewrite rule recovers row-group pruning for
+    // every such filter, so install it on whatever session is in use
+    // (idempotent; driver-created sessions have no extensions hook).
+    graft.plans.GraftOptimizations.install(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Canonical tick view: (event_id, symbol, ts, price, volume). */
   def ticks(spark: SparkSession, dir: String): DataFrame =
@@ -40,23 +48,23 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark does not map natively — read it as a raw nanosecond long
-    * (legacy conf) and truncate to microseconds, the same ns→us
-    * truncation DuckDB applies when scanning the file.
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. Every
+    * graft session pins `spark.sql.session.timeZone=UTC`, so the cast
+    * to the session-zoned TIMESTAMP is the identity on the stored µs
+    * value — the same instants DuckDB sees scanning the file as its
+    * (naive) TIMESTAMP.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+      .withColumn("ts", col("ts").cast("timestamp"))
 
-  /** Raw events with `ts` as the stored nanosecond long — predicates on
-    * this column push down to parquet row-group stats (the converted
-    * timestamp in [[events]] cannot). Time-critical scans filter here.
+  /** Raw events with `ts` as the stored TIMESTAMP_NTZ column —
+    * predicates on this column push down to parquet row-group stats
+    * directly (the tz-cast view in [[events]] needs the
+    * TimestampFilterPushdown rule to get there). Time-critical scans
+    * filter here with TIMESTAMP_NTZ literals.
     */
-  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-  }
 }

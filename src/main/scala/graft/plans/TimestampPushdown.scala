@@ -4,28 +4,34 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
-/** Optimizer rule: rewrite time-range predicates on the converted
-  * timestamp view of a raw nanosecond column into predicates on the
-  * raw column itself, so they reach parquet row-group pruning.
+/** Optimizer rule: rewrite time-range predicates on a converted
+  * timestamp view of the stored column into predicates on the stored
+  * column itself, so they reach parquet row-group pruning.
   *
-  * The `events` table stores TIMESTAMP(NANOS), which Spark reads as a
-  * raw long; the friendly view exposes
-  * `ts = timestamp_micros(ts_ns div 1000)`. A filter written against
-  * the view compares `MicrosToTimestamp(IntegralDivide(ts_ns, 1000))`
-  * with a timestamp literal — an expression the parquet source cannot
-  * push. This rule turns each such comparison into an equivalent raw
-  * bound (`ts_us >= T  ⟺  ts_ns >= T·1000`, `ts_us <= T  ⟺
-  * ts_ns <= T·1000 + 999`, …), which data-source filter pushdown then
-  * carries into row-group stats — the distributed analog of the
-  * reference's B+-tree range descent (/root/reference/bplus_tree.hpp),
-  * recovered automatically by the optimizer instead of by hand-written
-  * raw-column filters.
+  * Two view shapes are recovered — the distributed analog of the
+  * reference's B+-tree range descent
+  * (/root/reference/bplus_tree.hpp), done by the optimizer instead of
+  * hand-written raw-column filters:
   *
-  * Sound for non-negative raw values and positive timestamp literals
-  * (integral division truncates toward zero): both hold for real epoch
-  * nanos. Literals at/below epoch 0 are left untouched.
+  *  1. tz-cast view (current `events.parquet`, TIMESTAMP_MICROS with
+  *     isAdjustedToUTC=false → Spark TIMESTAMP_NTZ): the friendly view
+  *     is `ts.cast(TIMESTAMP)`. A filter against it compares
+  *     `Cast(ts_ntz, TIMESTAMP, zone)` with a timestamp literal —
+  *     which V1 parquet pushdown cannot translate (it only pushes
+  *     bare-attribute predicates). Under a fixed zero-offset zone
+  *     (graft pins session tz = UTC) the cast is the identity on the
+  *     stored µs value, so each comparison rewrites to the same
+  *     comparison on the NTZ column with an NTZ literal of the same
+  *     µs value. Non-UTC / DST zones are left untouched (wall-clock
+  *     mapping is not injective there).
+  *  2. ns→µs view (legacy TIMESTAMP(NANOS) files read as raw longs):
+  *     `ts = timestamp_micros(ts_ns div 1000)` rewrites to raw bounds
+  *     (`ts_us >= T ⟺ ts_ns >= T·1000`, `ts_us <= T ⟺
+  *     ts_ns <= T·1000 + 999`, …). Sound for non-negative raw values
+  *     and positive literals (integral division truncates toward
+  *     zero); literals at/below epoch 0 are left untouched.
   */
 object TimestampFilterPushdown extends Rule[LogicalPlan] {
 
@@ -34,6 +40,22 @@ object TimestampFilterPushdown extends Rule[LogicalPlan] {
     def unapply(e: Expression): Option[Expression] = e match {
       case MicrosToTimestamp(IntegralDivide(a, Literal(1000L, LongType), _))
           if a.dataType == LongType => Some(a)
+      case _ => None
+    }
+  }
+
+  /** Matches the session-tz cast view of a TIMESTAMP_NTZ column when
+    * the cast zone is a fixed zero-offset zone (UTC/GMT/+00:00) — the
+    * only case where NTZ→LTZ is the identity on the µs value.
+    */
+  private object NtzCastView {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case c @ Cast(a, TimestampType, _, _)
+          if a.dataType == TimestampNTZType && c.timeZoneId.exists { z =>
+            val rules = java.time.ZoneId.of(z).getRules
+            rules.isFixedOffset &&
+              rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+          } => Some(a)
       case _ => None
     }
   }
@@ -47,6 +69,19 @@ object TimestampFilterPushdown extends Rule[LogicalPlan] {
   }
 
   private def rewrite(e: Expression): Expression = e match {
+    // tz-cast view: identity on the µs value under a zero-offset zone,
+    // so every comparison shape rewrites in place
+    case b: BinaryComparison => (b.left, b.right) match {
+      case (NtzCastView(a), TsLit(t)) =>
+        b.withNewChildren(Seq(a, Literal(t, TimestampNTZType)))
+      case (TsLit(t), NtzCastView(a)) =>
+        b.withNewChildren(Seq(Literal(t, TimestampNTZType), a))
+      case _ => rewriteNs(b)
+    }
+    case other => other
+  }
+
+  private def rewriteNs(e: Expression): Expression = e match {
     case GreaterThanOrEqual(MicrosView(a), TsLit(t)) =>
       GreaterThanOrEqual(a, Literal(t * 1000L, LongType))
     case GreaterThan(MicrosView(a), TsLit(t)) =>

@@ -64,22 +64,21 @@ object Streams {
 
   private val rawEventsSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw long
+    StructField("ts", TimestampNTZType), // parquet TIMESTAMP(MICROS), isAdjustedToUTC=false
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def tickStreamFrom(spark: SparkSession, dir: String, glob: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def tickStreamFrom(spark: SparkSession, dir: String, glob: String): DataFrame =
     spark.readStream
       .schema(rawEventsSchema)
       .option("pathGlobFilter", glob)
       .parquet(dir)
       .select(col("event_id"), col("event_type").as("symbol"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+        // identity on the µs value under the pinned UTC session zone
+        col("ts").cast("timestamp").as("ts"),
         col("value").as("price"), col("user_id").as("volume"))
-  }
 
   private def tickStream(spark: SparkSession, dir: String): DataFrame =
     tickStreamFrom(spark, dir, "events.parquet")
@@ -94,17 +93,16 @@ object Streams {
 
   private def sentinelInput(spark: SparkSession, dir: String): String =
     sentinelCache.computeIfAbsent(dir, _ => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val maxNs = spark.read.parquet(s"$dir/events.parquet")
-        .agg(max(col("ts"))).head().getLong(0)
+      val maxTs = spark.read.parquet(s"$dir/events.parquet")
+        .agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0)
       val base = Paths.get(graft.core.TempDirs.scoped("graft_stream_in_"))
       val in = Files.createDirectory(base.resolve("in"))
       Files.copy(Paths.get(dir, "events.parquet"), in.resolve("events.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       import spark.implicits._
-      val sentNs = maxNs + 2L * 3600 * 1000000000L
+      val sentTs = maxTs.plusHours(2)
       val tmpOut = base.resolve("sent").toString
-      Seq((-1L, sentNs, 0L, SentinelSymbol, 0.0, ""))
+      Seq((-1L, sentTs, 0L, SentinelSymbol, 0.0, ""))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.parquet(tmpOut)
       val listing = Files.list(Paths.get(tmpOut))

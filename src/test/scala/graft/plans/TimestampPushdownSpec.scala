@@ -17,7 +17,7 @@ class TimestampPushdownSpec extends AnyFunSuite {
         col("ts") <= lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
   }
 
-  test("rule pushes converted-timestamp bounds to the raw ns column") {
+  test("rule pushes tz-cast timestamp bounds to the stored NTZ column") {
     val plan = viewScan.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
@@ -27,15 +27,43 @@ class TimestampPushdownSpec extends AnyFunSuite {
   }
 
   test("rewritten scan returns exactly the hand-written raw-filter rows") {
-    val loNs = 1704412800L * 1000000000L
-    val hiNs = 1704412800L * 1000000000L + (1705276800L - 1704412800L) * 1000000000L
+    val lo = java.time.LocalDateTime.of(2024, 1, 5, 0, 0, 0)
+    val hi = java.time.LocalDateTime.of(2024, 1, 15, 0, 0, 0)
     val raw = Tables.eventsRaw(spark, sf)
       .filter(col("event_type") === "click" &&
-        col("ts") >= loNs && col("ts") <= hiNs)
+        col("ts") >= lit(lo) && col("ts") <= lit(hi))
     assert(viewScan.count() === raw.count())
   }
 
-  test("boundary semantics: <= T admits raw values up to T·1000+999") {
+  test("tz-cast rewrite: comparison moves to the NTZ column, same µs value") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val a = AttributeReference("ts", TimestampNTZType)()
+    val cond = GreaterThanOrEqual(
+      Cast(a, TimestampType, Some("UTC")),
+      Literal(5000L, TimestampType))
+    val plan = org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(a))
+    val out = TimestampFilterPushdown(plan)
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter].condition
+    assert(out === GreaterThanOrEqual(a, Literal(5000L, TimestampNTZType)))
+  }
+
+  test("non-UTC cast zones are left untouched (wall mapping not injective)") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val a = AttributeReference("ts", TimestampNTZType)()
+    val cond = GreaterThanOrEqual(
+      Cast(a, TimestampType, Some("America/New_York")),
+      Literal(5000L, TimestampType))
+    val plan = org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(a))
+    val out = TimestampFilterPushdown(plan)
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter].condition
+    assert(out === cond)
+  }
+
+  test("boundary semantics: <= T admits raw ns values up to T·1000+999") {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.{LongType, TimestampType}
     val a = AttributeReference("ns", LongType)()

@@ -6,7 +6,8 @@ sf0.01 and only surfaced at sf0.1 — each scale-up exposes the next
 latent engine-divergence class, so this self-check runs the
 float-emitting tick family at ~5x sf0.1 without needing driver-side
 testdata. It synthesizes an adversarial events.parquet with pyarrow
-(TIMESTAMP(NANOS), like the real testdata; DuckDB cannot write NANOS),
+(TIMESTAMP(MICROS), isAdjustedToUTC=false — same physical schema as
+the r9-regenerated real testdata),
 then reuses graft.Verify + tools/compare_oracle.py verbatim: both
 engines read the SAME file, so no closed-form generator mirror is
 needed, and a hash mismatch is a genuine engine divergence.
@@ -60,9 +61,9 @@ def gen_events(rows: int, out: str) -> None:
     types = np.array(["click", "purchase", "view", "signup", "error"])
     event_type = types[rng.integers(0, 5, rows)]
     # month-long tape, microsecond jitter, sorted append order
-    base_ns = np.int64(1704067200) * 1_000_000_000  # 2024-01-01 UTC
-    span_ns = np.int64(30 * 86400) * 1_000_000_000
-    ts = np.sort(base_ns + rng.integers(0, span_ns, rows, dtype=np.int64))
+    base_us = np.int64(1704067200) * 1_000_000  # 2024-01-01 UTC
+    span_us = np.int64(30 * 86400) * 1_000_000
+    ts = np.sort(base_us + rng.integers(0, span_us, rows, dtype=np.int64))
     # ~1% exact (symbol, ts) ties: copy ts and type from the prior row
     tie = rng.random(rows) < 0.01
     tie[0] = False
@@ -87,13 +88,13 @@ def gen_events(rows: int, out: str) -> None:
         rng.integers(0, 100, rows).astype(str)), "}")
     table = pa.table({
         "event_id": pa.array(event_id, type=pa.int64()),
-        "ts": pa.array(ts, type=pa.timestamp("ns")),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
         "user_id": pa.array(user_id, type=pa.int64()),
         "event_type": pa.array(event_type, type=pa.string()),
         "value": pa.array(value, type=pa.float64()),
         "props": pa.array(props, type=pa.string()),
     })
-    pq.write_table(table, out, version="2.6")  # 2.6 keeps NANOS
+    pq.write_table(table, out, version="2.6")
 
 
 def main() -> int:

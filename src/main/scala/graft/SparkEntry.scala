@@ -205,6 +205,15 @@ object SparkEntry {
     "q_ichimoku" -> ((s, dir) => MarketOps.ichimoku(ticks(s, dir))),
     "q_event_transitions" -> ((s, dir) =>
       EventAnalytics.transitions(Tables.events(s, dir))),
+    // ---- NEW r9b momentum / regime / calendar family ----
+    "q_williams_r" -> ((s, dir) => MarketOps.williamsR(ticks(s, dir), 14)),
+    "q_roc" -> ((s, dir) => MarketOps.roc(ticks(s, dir), 10)),
+    "q_streaks" -> ((s, dir) => MarketOps.streaks(ticks(s, dir))),
+    "q_underwater" -> ((s, dir) => MarketOps.underwater(ticks(s, dir))),
+    "q_dow_returns" -> ((s, dir) => MarketOps.dowReturns(ticks(s, dir))),
+    "q_rfm" -> ((s, dir) => EventAnalytics.rfm(Tables.events(s, dir))),
+    "q_attribution" -> ((s, dir) =>
+      EventAnalytics.attribution(Tables.events(s, dir))),
 
     // ---- §2.3 relational/OLAP breadth ----
     "q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
@@ -338,6 +347,8 @@ object SparkEntry {
     }),
     "q_bigram_novelty" -> ((s, dir) =>
       TextOps.bigramNovelty(Tables.documents(s, dir), 5)),
+    "q_char_profile" -> ((s, dir) =>
+      TextOps.charClassProfile(Tables.documents(s, dir))),
     "q_jsonl_roundtrip" -> ((s, dir) => jsonlRoundtrip(s, dir)),
     "q_contamination" -> ((s, dir) =>
       // every 97th doc plays the held-out benchmark; the oracle
@@ -643,10 +654,13 @@ object SparkEntry {
       .map { case (ws, b) => s"($b, [${ws.mkString(", ")}])" }
       .mkString(", ")
 
+  // the trailing + 0.0 normalizes DuckDB's signed zero: its float-path
+  // ROUND keeps −0.0 when a tiny negative rounds to zero, while
+  // Spark's BigDecimal ROUND always yields +0.0 (SURVEY §4 r9 rule)
   private def duckCosine(a: String, b: String): String =
     s"""ROUND(list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]))
        |  / (SQRT(list_sum(list_transform($a, x -> x * x)))
-       |     * SQRT(list_sum(list_transform($b, x -> x * x)))), 4)""".stripMargin
+       |     * SQRT(list_sum(list_transform($b, x -> x * x)))), 4) + 0.0""".stripMargin
 
   private def duckBuckets(nBits: Int): String =
     s"""planes(bit, ws) AS (VALUES ${planesSql(nBits)}),
@@ -895,7 +909,7 @@ object SparkEntry {
         |           / CAST(COUNT(*) AS DOUBLE) AS p
         |  FROM events GROUP BY 1, 2)
         |SELECT a.symbol AS sym_a, b.symbol AS sym_b,
-        |       ROUND(corr(a.p, b.p), 4) AS price_corr, COUNT(*) AS n_hours
+        |       ROUND(corr(a.p, b.p), 4) + 0.0 AS price_corr, COUNT(*) AS n_hours
         |FROM hourly a JOIN hourly b ON a.h = b.h
         |WHERE a.symbol < b.symbol
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -1577,7 +1591,7 @@ object SparkEntry {
         |-- 1-ulp engine skew, making beta the stddev class (§4)
         |       CASE WHEN sxx - (sx * sx) / n <> 0.0
         |            THEN ROUND((sxy - (sx * sy) / n)
-        |                 / (sxx - (sx * sx) / n), 4)
+        |                 / (sxx - (sx * sx) / n), 4) + 0.0
         |       END AS beta
         |FROM s ORDER BY symbol""".stripMargin,
     "q_mfi" ->
@@ -1657,7 +1671,7 @@ object SparkEntry {
         |                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
         |SELECT symbol, day,
         |       CASE WHEN svol <> 0
-        |            THEN ROUND(CAST(sflow AS DOUBLE) / CAST(svol AS DOUBLE), 4)
+        |            THEN ROUND(CAST(sflow AS DOUBLE) / CAST(svol AS DOUBLE), 4) + 0.0
         |       END AS cmf20
         |FROM s ORDER BY symbol, day""".stripMargin,
     "q_cci" ->
@@ -1791,7 +1805,7 @@ object SparkEntry {
         |SELECT symbol, n_days,
         |       CASE WHEN nq > 0 AND s2 / n1 - (s1 / n1) * (s1 / n1) <> 0.0
         |            THEN ROUND((t2 / nq - (t1 / nq) * (t1 / nq))
-        |                 / (5.0 * (s2 / n1 - (s1 / n1) * (s1 / n1))), 4)
+        |                 / (5.0 * (s2 / n1 - (s1 / n1) * (s1 / n1))), 4) + 0.0
         |       END AS vr5
         |FROM s ORDER BY symbol""".stripMargin,
     "q_ichimoku" ->
@@ -1923,7 +1937,7 @@ object SparkEntry {
         |      WHERE symbol = 'view'),
         |l AS (SELECT unnest(generate_series(-2, 2)) AS lag_hours)
         |SELECT CAST(l.lag_hours AS BIGINT) AS lag_hours,
-        |       ROUND(corr(a.p_a, b.p_b), 4) AS lag_corr,
+        |       ROUND(corr(a.p_a, b.p_b), 4) + 0.0 AS lag_corr,
         |       CAST(COUNT(*) AS BIGINT) AS n_hours
         |FROM a CROSS JOIN l
         |JOIN b ON b.hu_b = a.hu + l.lag_hours * 3600000000
@@ -1958,7 +1972,7 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(spread) DESC, h)
         |        AS rk FROM s)
         |SELECT CAST(rk AS BIGINT) AS rk, epoch_us(h) AS hour_us,
-        |       ROUND(spread, 4) AS spread
+        |       ROUND(spread, 4) + 0.0 AS spread
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q_pack_bins" ->
       // a doc belongs to the bin its start offset falls in; all BIGINT
@@ -2044,7 +2058,7 @@ object SparkEntry {
         |              THEN (sxy - sx * sy / CAST(n_pairs AS DOUBLE))
         |                   / (CAST(n_pairs AS DOUBLE) - 1.0) END AS cov
         |  FROM m)
-        |SELECT symbol, n_pairs, ROUND(cov, 6) AS serial_cov,
+        |SELECT symbol, n_pairs, ROUND(cov, 6) + 0.0 AS serial_cov,
         |       CASE WHEN cov < 0.0 THEN ROUND(SQRT(-cov) * 2.0, 6)
         |            ELSE 0.0 END AS roll_spread
         |FROM c ORDER BY symbol""".stripMargin,
@@ -2096,7 +2110,7 @@ object SparkEntry {
         |       CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx = 0.0 THEN 0.0
         |            ELSE ROUND((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
         |                 / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
-        |                 * 10000.0, 6) END AS lambda_e4
+        |                 * 10000.0, 6) + 0.0 END AS lambda_e4
         |FROM m ORDER BY symbol""".stripMargin,
     // rank-based PAA discretization — every step integer/decimal-exact
     "q_sax" ->
@@ -2132,7 +2146,7 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT symbol, n,
         |       CASE WHEN n * sxx - sx * sx = 0.0 THEN 0.0
-        |            ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 24.0, 6)
+        |            ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 24.0, 6) + 0.0
         |       END AS slope_per_day,
         |       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0.0 THEN 0.0
         |            ELSE ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
@@ -2178,7 +2192,7 @@ object SparkEntry {
         |           / CAST(SUM(user_id) AS DOUBLE) AS vwap
         |  FROM events GROUP BY 1, 2)
         |SELECT e.event_id, CAST(e.ts AS DATE) AS day, e.value AS price, v.vwap,
-        |       ROUND((e.value - v.vwap) / v.vwap * 10000.0, 4) AS slippage_bp
+        |       ROUND((e.value - v.vwap) / v.vwap * 10000.0, 4) + 0.0 AS slippage_bp
         |FROM events e
         |JOIN vwap v ON v.symbol = e.event_type AND v.day = CAST(e.ts AS DATE)
         |WHERE e.event_type = 'purchase' AND v.vwap <> 0.0
@@ -2334,7 +2348,7 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2),
         |l AS (SELECT unnest(generate_series(1, 3)) AS lag_hours)
         |SELECT a.symbol, CAST(l.lag_hours AS BIGINT) AS lag_hours,
-        |       ROUND(corr(a.p, b.p), 4) AS acf,
+        |       ROUND(corr(a.p, b.p), 4) + 0.0 AS acf,
         |       CAST(COUNT(*) AS BIGINT) AS n_hours
         |FROM hourly a CROSS JOIN l
         |JOIN hourly b ON b.symbol = a.symbol
@@ -2455,6 +2469,184 @@ object SparkEntry {
         |       CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER
         |         (PARTITION BY from_type) AS BIGINT) AS DOUBLE) AS share
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q_williams_r" ->
+      // the stochastic class: exact decimal extrema, one double divide,
+      // RAW emission ((−100·num)/den in the same op order). Flat
+      // windows NULL both engines.
+      """WITH t AS (
+        |  SELECT event_id, event_type AS symbol, ts,
+        |         CAST(value AS DECIMAL(18,2)) AS p FROM events)
+        |SELECT event_id, symbol,
+        |       CASE WHEN MAX(p) OVER w > MIN(p) OVER w
+        |            THEN -100.0 * CAST(MAX(p) OVER w - p AS DOUBLE)
+        |                 / CAST(MAX(p) OVER w - MIN(p) OVER w AS DOUBLE)
+        |       END AS wr14
+        |FROM t
+        |WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+        |             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_roc" ->
+      // RAW emission: exact decimal numerator, (num/den)*100.0 in the
+      // same op order; zero/missing reference prices NULL both engines
+      """WITH t AS (
+        |  SELECT event_id, event_type AS symbol,
+        |         CAST(value AS DECIMAL(18,2)) AS p,
+        |         LAG(CAST(value AS DECIMAL(18,2)), 10) OVER
+        |           (PARTITION BY event_type ORDER BY ts, event_id) AS pn
+        |  FROM events)
+        |SELECT event_id, symbol,
+        |       CASE WHEN pn IS NOT NULL AND pn <> 0
+        |            THEN CAST(p - pn AS DOUBLE) / CAST(pn AS DOUBLE) * 100.0
+        |       END AS roc10
+        |FROM t ORDER BY event_id""".stripMargin,
+    "q_streaks" ->
+      // gaps-and-islands on exact decimal close comparisons; pure
+      // integer counting after that
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         max_by(CAST(value AS DECIMAL(18,2)),
+        |                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT symbol, day, c,
+        |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+        |  FROM b),
+        |e AS (
+        |  SELECT symbol, day,
+        |         CASE WHEN c > pc THEN CAST(1 AS BIGINT)
+        |              WHEN c < pc THEN CAST(-1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS dir
+        |  FROM d WHERE pc IS NOT NULL),
+        |g AS (
+        |  SELECT symbol, dir,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day)
+        |           AS BIGINT)
+        |         - CAST(ROW_NUMBER() OVER (PARTITION BY symbol, dir
+        |             ORDER BY day) AS BIGINT) AS grp
+        |  FROM e),
+        |r AS (
+        |  SELECT symbol, dir AS direction, CAST(COUNT(*) AS BIGINT) AS run_len
+        |  FROM g GROUP BY symbol, dir, grp)
+        |SELECT symbol, direction, run_len, CAST(COUNT(*) AS BIGINT) AS n_runs
+        |FROM r GROUP BY 1, 2, 3 ORDER BY symbol, direction, run_len""".stripMargin,
+    "q_underwater" ->
+      // peak day = latest day whose close equals the running max (MAX
+      // over a CASE — NULL-skipping both engines); integer datediff
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         max_by(CAST(value AS DECIMAL(18,2)),
+        |                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT symbol, day, c,
+        |         MAX(c) OVER w AS mx
+        |  FROM b WINDOW w AS (PARTITION BY symbol ORDER BY day
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT symbol, day,
+        |         MAX(CASE WHEN c = mx THEN day END) OVER
+        |           (PARTITION BY symbol ORDER BY day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_day
+        |  FROM m)
+        |SELECT symbol, day,
+        |       CAST(date_diff('day', peak_day, day) AS BIGINT) AS days_underwater
+        |FROM p ORDER BY symbol, day""".stripMargin,
+    "q_dow_returns" ->
+      // 6-dp float-op-sequence quantized returns (the varianceRatio
+      // series); mean = exact decimal sum over one double division,
+      // RAW. isodow mirrors Spark's weekday()+1 (1 = Monday).
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         max_by(CAST(value AS DECIMAL(18,2)),
+        |                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT symbol, day, c,
+        |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+        |  FROM b),
+        |r AS (
+        |  SELECT symbol, day,
+        |         CAST(CAST(CASE WHEN CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE)
+        |                             * 1000000.0 >= 0
+        |                   THEN FLOOR(CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE)
+        |                              * 1000000.0 + 0.5)
+        |                   ELSE CEIL(CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE)
+        |                             * 1000000.0 - 0.5) END
+        |              AS BIGINT) AS DECIMAL(18,0))
+        |         * CAST(0.000001 AS DECIMAL(7,6)) AS r
+        |  FROM d WHERE pc IS NOT NULL AND pc <> 0)
+        |SELECT symbol, CAST(isodow(day) AS BIGINT) AS iso_dow,
+        |       CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       CAST(CAST(SUM(r) AS DECIMAL(38,6)) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS avg_ret
+        |FROM r GROUP BY 1, 2 ORDER BY symbol, iso_dow""".stripMargin,
+    "q_rfm" ->
+      // recency against the corpus max day (one-row scalar), exact
+      // DECIMAL(12,2) monetary sum → double
+      """WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM events)
+        |SELECT user_id,
+        |       CAST(date_diff('day', MAX(CAST(ts AS DATE)),
+        |                      (SELECT ref_day FROM ref)) AS BIGINT)
+        |         AS recency_days,
+        |       CAST(COUNT(*) AS BIGINT) AS frequency,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_attribution" ->
+      // last preceding non-purchase via running MAX over a CASE'd row
+      // number (no IGNORE NULLS), resolved by an equi self-join
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, rn,
+        |         MAX(CASE WHEN event_type <> 'purchase' THEN rn END) OVER
+        |           (PARTITION BY user_id ORDER BY rn
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src_rn,
+        |         event_type
+        |  FROM t)
+        |SELECT s.event_type AS touch_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_conversions
+        |FROM p JOIN t s ON s.user_id = p.user_id AND s.rn = p.src_rn
+        |WHERE p.event_type = 'purchase' AND p.src_rn IS NOT NULL
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin,
+    "q_char_profile" ->
+      // replacement-length match counting (UTF-16 vs codepoint
+      // semantics cancel); ratios over the data's own n_chars
+      """WITH c AS (
+        |  SELECT source, n_chars,
+        |         CAST(len(regexp_replace(text, '[A-Z]', 'XX', 'g'))
+        |              - len(regexp_replace(text, '[A-Z]', 'X', 'g'))
+        |           AS BIGINT) AS nu,
+        |         CAST(len(regexp_replace(text, '[0-9]', 'XX', 'g'))
+        |              - len(regexp_replace(text, '[0-9]', 'X', 'g'))
+        |           AS BIGINT) AS nd,
+        |         CAST(len(regexp_replace(text, '[!-/:-@]', 'XX', 'g'))
+        |              - len(regexp_replace(text, '[!-/:-@]', 'X', 'g'))
+        |           AS BIGINT) AS np
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |         CAST(SUM(nu) AS BIGINT) AS n_upper,
+        |         CAST(SUM(nd) AS BIGINT) AS n_digit,
+        |         CAST(SUM(np) AS BIGINT) AS n_punct
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_docs, total_chars,
+        |       CASE WHEN total_chars <> 0 THEN
+        |         ROUND(CAST(n_upper AS DOUBLE) / CAST(total_chars AS DOUBLE), 6)
+        |       END AS upper_ratio,
+        |       CASE WHEN total_chars <> 0 THEN
+        |         ROUND(CAST(n_digit AS DOUBLE) / CAST(total_chars AS DOUBLE), 6)
+        |       END AS digit_ratio,
+        |       CASE WHEN total_chars <> 0 THEN
+        |         ROUND(CAST(n_punct AS DOUBLE) / CAST(total_chars AS DOUBLE), 6)
+        |       END AS punct_ratio
+        |FROM s ORDER BY source""".stripMargin,
     "q2_min_supplier" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,
@@ -3157,7 +3349,7 @@ object SparkEntry {
         |  FROM acc)
         |SELECT event_id, symbol, ROUND(mean, 4) AS sma, ROUND(sd, 4) AS sd,
         |       ROUND(mean + 2.0 * sd, 4) AS upper_band,
-        |       ROUND(mean - 2.0 * sd, 4) AS lower_band
+        |       ROUND(mean - 2.0 * sd, 4) + 0.0 AS lower_band
         |FROM sd ORDER BY event_id""".stripMargin,
     "q_obv" ->
       """WITH ch AS (
@@ -3598,7 +3790,8 @@ object SparkEntry {
          |sims AS (
          |  SELECT c.vec_id, c.nbr_id,
          |         ROUND(list_sum(list_transform(generate_series(1, 64),
-         |                 i -> va.ve[i] * vb.ve[i])) / (na.nrm * nb.nrm), 4) AS cos_sim
+         |                 i -> va.ve[i] * vb.ve[i])) / (na.nrm * nb.nrm), 4) + 0.0
+         |           AS cos_sim
          |  FROM cand c
          |  JOIN vecs va ON va.vec_id = c.vec_id
          |  JOIN vecs vb ON vb.vec_id = c.nbr_id
@@ -3626,7 +3819,7 @@ object SparkEntry {
          |  SELECT c.vec_id, c.nbr_id,
          |         ROUND(CAST(list_sum(list_transform(generate_series(1, 64),
          |                 i -> qa.qv[i] * qb.qv[i])) AS DOUBLE)
-         |           / (na.nrm * nb.nrm), 4) AS cos_sim
+         |           / (na.nrm * nb.nrm), 4) + 0.0 AS cos_sim
          |  FROM cand c
          |  JOIN q8 qa ON qa.vec_id = c.vec_id
          |  JOIN q8 qb ON qb.vec_id = c.nbr_id
@@ -3653,7 +3846,7 @@ object SparkEntry {
         |               i -> e.qv[i] * q.que[i])) AS DOUBLE)
         |         / (SQRT(CAST(list_sum(list_transform(e.qv, x -> x * x)) AS DOUBLE))
         |            * SQRT(CAST(list_sum(list_transform(q.que, x -> x * x)) AS DOUBLE))), 4)
-        |         AS cos_sim
+        |         + 0.0 AS cos_sim
         |FROM q8 e CROSS JOIN qq q
         |WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
@@ -3702,7 +3895,7 @@ object SparkEntry {
         |         SUM(CAST(f.x AS DOUBLE) * CAST(f.x AS DOUBLE)) AS n2,
         |         SUM(CAST(q.qe[f.i] AS DOUBLE) * CAST(q.qe[f.i] AS DOUBLE)) AS qn2
         |  FROM flat f, q GROUP BY f.vec_id)
-        |SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(qn2)), 4) AS cos_sim
+        |SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(qn2)), 4) + 0.0 AS cos_sim
         |FROM sums ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
   )
 }

@@ -208,4 +208,54 @@ object EventAnalytics {
           sum(col("n")).over(fromW).cast("double")).as("share"))
       .orderBy("from_type", "to_type")
   }
+
+  /** NEW r9b: RFM segmentation — per user, recency (days since last
+    * event, against the corpus max day), frequency (event count), and
+    * monetary value (exact DECIMAL(12,2) sum → double). The reference
+    * day is a one-row broadcast scalar (the [[graft.operators
+    * .Relational.aboveAvg]] crossJoin pattern); everything else is one
+    * groupBy(user_id) — a single shuffle of counter rows.
+    */
+  def rfm(events: DataFrame): DataFrame = {
+    val refDay = events.agg(max(to_date(col("ts"))).as("ref_day"))
+    events.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast(DecimalType(12, 2))).as("mon"))
+      .crossJoin(broadcast(refDay))
+      .select(col("user_id"),
+        datediff(col("ref_day"), col("last_day")).cast("long")
+          .as("recency_days"),
+        col("frequency"),
+        col("mon").cast("double").as("monetary"))
+      .orderBy("user_id")
+  }
+
+  /** NEW r9b: last-touch attribution — for every purchase, the
+    * event_type of the user's latest preceding non-purchase event,
+    * aggregated into conversion counts per touch type. The "latest
+    * preceding" pointer is a running MAX over a CASE'd row number
+    * (NULL-skipping in both engines — no IGNORE-NULLS dependence),
+    * resolved back to its type via an equi self-join on
+    * (user_id, rn). Windows partition on the high-cardinality
+    * user_id; ties inside a user's stream break on event_id.
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val uo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val t = events.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(uo).cast("long"))
+    val purchases = t
+      .withColumn("src_rn",
+        max(when(col("event_type") =!= "purchase", col("rn"))).over(
+          uo.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("event_type") === "purchase" && col("src_rn").isNotNull)
+    val sources = t.select(col("user_id").as("s_user"), col("rn").as("s_rn"),
+      col("event_type").as("touch_type"))
+    purchases.join(sources,
+        col("user_id") === col("s_user") && col("src_rn") === col("s_rn"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy("touch_type")
+  }
 }

@@ -2266,4 +2266,118 @@ object MarketOps {
         lead(col("c").cast("double"), 26).over(dayOrder).as("chikou"))
       .orderBy("symbol", "day")
   }
+
+  // === NEW r9b: momentum / regime / calendar family ==================
+
+  /** Williams %R per symbol: −100·(HH − c)/(HH − LL) over an n-tick
+    * window — the [[stochastic]] class with the complementary
+    * numerator. DECIMAL window extrema (exact, order-free), ONE double
+    * division, RAW emission (every operand converts exactly; the
+    * −100·x multiply and the divide are single IEEE ops both engines
+    * execute identically). Flat windows (HH = LL) yield NULL in both
+    * engines. Chunked-with-carry frame — no whole-symbol window task.
+    */
+  def williamsR(ticks: DataFrame, n: Int = 14, chunkRows: Long = 8192L): DataFrame = {
+    val (t, spec) = chunkedFrame(ticks, n - 1, chunkRows)
+    val w = spec.rowsBetween(-(n - 1), 0)
+    val hh = max(col("price").cast(dec)).over(w)
+    val ll = min(col("price").cast(dec)).over(w)
+    val r = when(hh > ll,
+      lit(-100.0) * (hh - col("price").cast(dec)).cast("double") /
+        (hh - ll).cast("double"))
+    t.select(col("event_id"), col("symbol"), col("carry"), r.as(s"wr$n"))
+      .filter(!col("carry"))
+      .select(col("event_id"), col("symbol"), col(s"wr$n"))
+      .orderBy("event_id")
+  }
+
+  /** n-tick rate of change (momentum): 100·(p − p_{−n})/p_{−n} per
+    * symbol. The numerator is an EXACT decimal difference; one double
+    * division then one ×100.0 multiply, mirrored op order — RAW
+    * emission. NULL for the first n ticks and across zero reference
+    * prices (ANSI divide guard; DuckDB maps x/0 to NULL — mirrored
+    * with an explicit CASE). Chunked lag — carry n rows.
+    */
+  def roc(ticks: DataFrame, n: Int = 10, chunkRows: Long = 8192L): DataFrame = {
+    val (t, spec) = chunkedFrame(ticks, n, chunkRows)
+    val pn = lag(col("price"), n).over(spec)
+    val r = when(pn.isNotNull && pn =!= 0.0,
+      (col("price").cast(dec) - pn.cast(dec)).cast("double") /
+        pn.cast(dec).cast("double") * 100.0)
+    t.select(col("event_id"), col("symbol"), col("carry"), r.as(s"roc$n"))
+      .filter(!col("carry"))
+      .select(col("event_id"), col("symbol"), col(s"roc$n"))
+      .orderBy("event_id")
+  }
+
+  /** Up/down streak census on daily closes: per symbol × direction
+    * (+1 up, −1 down, 0 flat) × run length, how many runs occurred —
+    * the gaps-and-islands grouping (rn − rn_within_direction is
+    * constant inside a run). Directions come from EXACT decimal close
+    * comparisons; everything else is integer counting. Windows are
+    * over symbol-day bars (few thousand rows per symbol even at 10
+    * years), keyed on the high-cardinality symbol.
+    */
+  def streaks(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val bars = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull)
+      .withColumn("dir",
+        when(col("c") > col("pc"), 1L)
+          .when(col("c") < col("pc"), -1L).otherwise(0L))
+      .withColumn("rn", row_number().over(dayOrder).cast("long"))
+      .withColumn("rnd", row_number().over(
+        Window.partitionBy("symbol", "dir").orderBy("day")).cast("long"))
+    bars.groupBy(col("symbol"), col("dir"), (col("rn") - col("rnd")).as("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("symbol"), col("dir").as("direction"), col("run_len"))
+      .agg(count(lit(1)).as("n_runs"))
+      .orderBy("symbol", "direction", "run_len")
+  }
+
+  /** Time underwater: for each symbol-day, days since the running-max
+    * close was last set (0 on new-high days) — the drawdown-duration
+    * companion of [[drawdown]]. The peak day is the LATEST day whose
+    * close equals the running max (MAX over a CASE — order-free,
+    * deterministic, NULL-skipping in both engines); the output is a
+    * pure integer date difference. Bar-level windows only.
+    */
+  def underwater(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val run = dayOrder.rowsBetween(Window.unboundedPreceding, 0)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("mx", max(col("c")).over(run))
+      .withColumn("peak_day",
+        max(when(col("c") === col("mx"), col("day"))).over(run))
+      .select(col("symbol"), col("day"),
+        datediff(col("day"), col("peak_day")).cast("long")
+          .as("days_underwater"))
+      .orderBy("symbol", "day")
+  }
+
+  /** Day-of-week return seasonality: mean 6-dp-quantized daily return
+    * ([[quant6]], the varianceRatio series) per symbol × ISO weekday
+    * (1 = Monday). The mean is an exact decimal sum over one double
+    * division — RAW emission. Spark's weekday() is 0-based Monday;
+    * +1 aligns it with DuckDB's isodow.
+    */
+  def dowReturns(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull && col("pc") =!= 0)
+      .select(col("symbol"), col("day"),
+        quant6((col("c") - col("pc")).cast("double") /
+          col("pc").cast("double") * 1000000.0).as("r"))
+      .groupBy(col("symbol"),
+        (weekday(col("day")) + 1).cast("long").as("iso_dow"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum(col("r")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_ret"))
+      .orderBy("symbol", "iso_dow")
+  }
 }

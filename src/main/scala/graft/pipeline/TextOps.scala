@@ -662,4 +662,38 @@ object TextOps {
           .as("novelty"))
       .orderBy("doc_id")
   }
+
+  /** NEW r9b: per-source character-class profile — corpus-hygiene
+    * ratios (uppercase, digit, ASCII-punctuation density) that flag
+    * shouty/tabular/boilerplate-heavy sources before training. Counts
+    * use the [[mojibake]] replacement-length trick (UTF-16-unit vs
+    * codepoint length semantics cancel in the difference); the
+    * denominator is the data's own n_chars column (identical in both
+    * engines by construction). Map-side counter aggregation on the
+    * low-cardinality source key — text never shuffles.
+    */
+  def charClassProfile(docs: DataFrame): DataFrame = {
+    def nMatches(c: Column, pat: String): Column =
+      (length(regexp_replace(c, pat, "XX")) -
+        length(regexp_replace(c, pat, "X"))).cast("long")
+    // ANSI divide guard (all-empty-doc source); non-negative, so the
+    // round carries no signed-zero hazard (SURVEY §4)
+    def ratio6(n: Column, d: Column): Column =
+      when(d =!= 0, round(n.cast("double") / d.cast("double"), 6))
+    docs.select(col("source"), col("n_chars"),
+        nMatches(col("text"), "[A-Z]").as("nu"),
+        nMatches(col("text"), "[0-9]").as("nd"),
+        nMatches(col("text"), "[!-/:-@]").as("np"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(col("nu")).cast("long").as("n_upper"),
+        sum(col("nd")).cast("long").as("n_digit"),
+        sum(col("np")).cast("long").as("n_punct"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        ratio6(col("n_upper"), col("total_chars")).as("upper_ratio"),
+        ratio6(col("n_digit"), col("total_chars")).as("digit_ratio"),
+        ratio6(col("n_punct"), col("total_chars")).as("punct_ratio"))
+      .orderBy("source")
+  }
 }

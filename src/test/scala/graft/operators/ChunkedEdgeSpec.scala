@@ -148,6 +148,20 @@ class ChunkedEdgeSpec extends AnyFunSuite {
     same(MarketOps.rollSpread(edge, chunkRows = 3L),
       m.select(col("symbol"), col("n_pairs"), round(cov, 6).as("serial_cov"),
         when(cov < 0.0, round(sqrt(-cov) * 2.0, 6)).otherwise(0.0).as("roll_spread")))
+    // r9b chunked ops vs monolithic windows
+    val wr2 = tickOrder.rowsBetween(-1, 0)
+    val hh = max(col("price").cast(dec)).over(wr2)
+    val ll = min(col("price").cast(dec)).over(wr2)
+    same(MarketOps.williamsR(edge, 2, chunkRows = 3L),
+      edge.select(col("event_id"), col("symbol"),
+        when(hh > ll, lit(-100.0) * (hh - col("price").cast(dec)).cast("double") /
+          (hh - ll).cast("double")).as("wr2")))
+    val p1 = lag(col("price"), 1).over(tickOrder)
+    same(MarketOps.roc(edge, 1, chunkRows = 3L),
+      edge.select(col("event_id"), col("symbol"),
+        when(p1.isNotNull && p1 =!= 0.0,
+          (col("price").cast(dec) - p1.cast(dec)).cast("double") /
+            p1.cast(dec).cast("double") * 100.0).as("roc1")))
     def sgn(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
       when(x > y, 2L).when(x < y, 0L).otherwise(1L)
     same(MarketOps.ordinalPatterns(edge, chunkRows = 3L),
@@ -225,7 +239,12 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "cci" -> (MarketOps.cci(_)),
       "ulcerIndex" -> (MarketOps.ulcerIndex(_)),
       "varianceRatio" -> (MarketOps.varianceRatio(_)),
-      "ichimoku" -> (MarketOps.ichimoku(_)))
+      "ichimoku" -> (MarketOps.ichimoku(_)),
+      "williamsR" -> (MarketOps.williamsR(_)),
+      "roc" -> (MarketOps.roc(_)),
+      "streaks" -> (MarketOps.streaks(_)),
+      "underwater" -> (MarketOps.underwater(_)),
+      "dowReturns" -> (MarketOps.dowReturns(_)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>

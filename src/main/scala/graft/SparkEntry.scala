@@ -211,6 +211,9 @@ object SparkEntry {
     "q_streaks" -> ((s, dir) => MarketOps.streaks(ticks(s, dir))),
     "q_underwater" -> ((s, dir) => MarketOps.underwater(ticks(s, dir))),
     "q_dow_returns" -> ((s, dir) => MarketOps.dowReturns(ticks(s, dir))),
+    "q_drawdown_episodes" -> ((s, dir) =>
+      MarketOps.drawdownEpisodes(ticks(s, dir), 3)),
+    "q_market_index" -> ((s, dir) => MarketOps.marketIndex(ticks(s, dir))),
     "q_rfm" -> ((s, dir) => EventAnalytics.rfm(Tables.events(s, dir))),
     "q_attribution" -> ((s, dir) =>
       EventAnalytics.attribution(Tables.events(s, dir))),
@@ -349,6 +352,14 @@ object SparkEntry {
       TextOps.bigramNovelty(Tables.documents(s, dir), 5)),
     "q_char_profile" -> ((s, dir) =>
       TextOps.charClassProfile(Tables.documents(s, dir))),
+    "q_pii_density" -> ((s, dir) =>
+      TextOps.piiDensity(Tables.documents(s, dir))),
+    "q_sentence_stats" -> ((s, dir) =>
+      TextOps.sentenceStats(Tables.documents(s, dir))),
+    "q_compression_ratio" -> ((s, dir) =>
+      TextOps.compressionRatio(Tables.documents(s, dir))),
+    "q_code_prose" -> ((s, dir) =>
+      TextOps.codeProse(Tables.documents(s, dir))),
     "q_jsonl_roundtrip" -> ((s, dir) => jsonlRoundtrip(s, dir)),
     "q_contamination" -> ((s, dir) =>
       // every 97th doc plays the held-out benchmark; the oracle
@@ -2583,6 +2594,141 @@ object SparkEntry {
         |       CAST(CAST(SUM(r) AS DECIMAL(38,6)) AS DOUBLE)
         |         / CAST(COUNT(*) AS DOUBLE) AS avg_ret
         |FROM r GROUP BY 1, 2 ORDER BY symbol, iso_dow""".stripMargin,
+    "q_drawdown_episodes" ->
+      // running-max value IS the episode key (non-decreasing);
+      // trough = earliest day at the episode min (MIN over CASE);
+      // depth a RAW double over exact decimal operands — rank order
+      // is bitwise-identical across engines
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         max_by(CAST(value AS DECIMAL(18,2)),
+        |                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT symbol, day, c,
+        |         MAX(c) OVER (PARTITION BY symbol ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+        |  FROM b),
+        |g AS (
+        |  SELECT *, MIN(c) OVER (PARTITION BY symbol, mx) AS minc FROM m),
+        |e AS (
+        |  SELECT symbol, mx, MIN(day) AS peak_day, MAX(day) AS last_day,
+        |         CAST(COUNT(*) AS BIGINT) AS n_days, MIN(minc) AS min_c,
+        |         MIN(CASE WHEN c = minc THEN day END) AS trough_day
+        |  FROM g GROUP BY 1, 2),
+        |d AS (
+        |  SELECT symbol, peak_day, trough_day, last_day, n_days,
+        |         CAST(min_c - mx AS DOUBLE) / CAST(mx AS DOUBLE) AS depth
+        |  FROM e WHERE min_c < mx AND mx <> 0),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY symbol
+        |    ORDER BY depth, peak_day) AS BIGINT) AS rk FROM d)
+        |SELECT symbol, rk, peak_day, trough_day, last_day, n_days, depth
+        |FROM r WHERE rk <= 3 ORDER BY symbol, rk""".stripMargin,
+    "q_market_index" ->
+      // equal-weight cross-sectional mean close, rebased to the first
+      // day's value (one-row scalar); raw doubles, mirrored op order
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         max_by(CAST(value AS DECIMAL(18,2)),
+        |                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_symbols,
+        |         CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |           AS mean_close
+        |  FROM b GROUP BY 1),
+        |base AS (SELECT mean_close AS base_close FROM d
+        |         ORDER BY day LIMIT 1)
+        |SELECT day, n_symbols, mean_close,
+        |       CASE WHEN base_close <> 0.0
+        |            THEN mean_close / base_close * 100.0 END AS index_100
+        |FROM d CROSS JOIN base ORDER BY day""".stripMargin,
+    "q_pii_density" ->
+      // the redact pattern classes, counted via the replacement-length
+      // trick; matches per kilochar with mirrored op order
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(regexp_replace(text, 'https?://[^ ]+', 'XX', 'g'))
+        |              - len(regexp_replace(text, 'https?://[^ ]+', 'X', 'g'))
+        |           AS BIGINT) AS n_url,
+        |         CAST(len(regexp_replace(text,
+        |                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                'XX', 'g'))
+        |              - len(regexp_replace(text,
+        |                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                'X', 'g'))
+        |           AS BIGINT) AS n_email,
+        |         CAST(len(regexp_replace(text,
+        |                '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', 'XX', 'g'))
+        |              - len(regexp_replace(text,
+        |                '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', 'X', 'g'))
+        |           AS BIGINT) AS n_ip
+        |  FROM documents)
+        |SELECT doc_id, n_url, n_email, n_ip,
+        |       CASE WHEN n_chars <> 0 THEN
+        |         ROUND(CAST(n_url + n_email + n_ip AS DOUBLE) * 1000.0
+        |               / CAST(n_chars AS DOUBLE), 6)
+        |       END AS pii_per_kchar
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_sentence_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |           AS n_sentences,
+        |         CAST(len(string_split_regex(trim(text),
+        |           '[ \t\n\r\f\x0B]+')) AS BIGINT) AS n_words
+        |  FROM documents)
+        |SELECT doc_id, n_sentences, n_words,
+        |       CASE WHEN n_sentences <> 0 THEN
+        |         ROUND(CAST(n_words AS DOUBLE)
+        |               / CAST(n_sentences AS DOUBLE), 6)
+        |       END AS words_per_sentence
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_compression_ratio" ->
+      """WITH t AS (
+        |  SELECT source, n_chars,
+        |         CAST(len(string_split_regex(trim(text),
+        |           '[ \t\n\r\f\x0B]+')) AS BIGINT) AS ws,
+        |         CAST(len(regexp_extract_all(lower(text),
+        |           '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0B]')) AS BIGINT) AS bpe
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |         CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        |         CAST(SUM(bpe) AS BIGINT) AS bpe_tokens
+        |  FROM t GROUP BY 1)
+        |SELECT source, n_docs, total_chars, ws_tokens, bpe_tokens,
+        |       CASE WHEN ws_tokens <> 0 THEN
+        |         ROUND(CAST(total_chars AS DOUBLE)
+        |               / CAST(ws_tokens AS DOUBLE), 6)
+        |       END AS chars_per_ws_token,
+        |       CASE WHEN bpe_tokens <> 0 THEN
+        |         ROUND(CAST(total_chars AS DOUBLE)
+        |               / CAST(bpe_tokens AS DOUBLE), 6)
+        |       END AS chars_per_bpe_token
+        |FROM s ORDER BY source""".stripMargin,
+    "q_code_prose" ->
+      // is_code decided by exact integer cross-multiplication — the
+      // flag never rides a float threshold
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(regexp_replace(text, '[{}()\[\];=<>]', 'XX', 'g'))
+        |              - len(regexp_replace(text, '[{}()\[\];=<>]', 'X', 'g'))
+        |           AS BIGINT) AS n_code_chars
+        |  FROM documents)
+        |SELECT doc_id, n_code_chars,
+        |       CASE WHEN n_chars <> 0 THEN
+        |         ROUND(CAST(n_code_chars AS DOUBLE)
+        |               / CAST(n_chars AS DOUBLE), 6)
+        |       END AS code_char_ratio,
+        |       CASE WHEN n_code_chars * 50 >= n_chars
+        |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+        |       END AS is_code
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_rfm" ->
       // recency against the corpus max day (one-row scalar), exact
       // DECIMAL(12,2) monetary sum → double

@@ -2358,6 +2358,65 @@ object MarketOps {
       .orderBy("symbol", "day")
   }
 
+  /** Top-k drawdown episodes per symbol: consecutive days sharing one
+    * running-max close form an episode (the running max is
+    * non-decreasing, so its value IS the group key — no flag
+    * prefix-sums needed); depth = (min close − peak)/peak as a RAW
+    * double over exact decimal operands. The trough day is the
+    * EARLIEST day attaining the episode minimum (MIN over a CASE
+    * against the group-windowed min — NULL-skipping, order-free).
+    * Ranking partitions on the high-cardinality symbol, ordered by
+    * the bitwise-identical depth with the peak day as tiebreak.
+    * Peak-only episodes (depth 0) are excluded.
+    */
+  def drawdownEpisodes(ticks: DataFrame, k: Int = 3): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val run = dayOrder.rowsBetween(Window.unboundedPreceding, 0)
+    val grpW = Window.partitionBy("symbol", "mx")
+    val eps = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("mx", max(col("c")).over(run))
+      .withColumn("minc", min(col("c")).over(grpW))
+      .groupBy(col("symbol"), col("mx"))
+      .agg(min(col("day")).as("peak_day"),
+        max(col("day")).as("last_day"),
+        count(lit(1)).as("n_days"),
+        min(col("minc")).as("min_c"),
+        min(when(col("c") === col("minc"), col("day"))).as("trough_day"))
+      .filter(col("min_c") < col("mx") && col("mx") =!= 0)
+      .withColumn("depth",
+        (col("min_c") - col("mx")).cast("double") / col("mx").cast("double"))
+    eps.withColumn("rk", row_number().over(
+        Window.partitionBy("symbol").orderBy(col("depth"), col("peak_day")))
+        .cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("symbol"), col("rk"), col("peak_day"), col("trough_day"),
+        col("last_day"), col("n_days"), col("depth"))
+      .orderBy("symbol", "rk")
+  }
+
+  /** Equal-weight cross-sectional index: per-day mean close across all
+    * symbols (exact decimal sum over one double division), rebased to
+    * 100 on the first day — the one cross-sectional aggregate beside
+    * the per-symbol family. The base is a one-row broadcast scalar
+    * (the aboveAvg pattern); the rebase is one IEEE divide + multiply
+    * on bitwise-identical raw doubles, emitted RAW.
+    */
+  def marketIndex(ticks: DataFrame): DataFrame = {
+    val daily = ohlcDaily(ticks)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_symbols"),
+        (sum(col("close").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("mean_close"))
+    val base = daily.orderBy("day").limit(1)
+      .select(col("mean_close").as("base_close"))
+    daily.crossJoin(broadcast(base))
+      .select(col("day"), col("n_symbols"), col("mean_close"),
+        when(col("base_close") =!= 0.0,
+          col("mean_close") / col("base_close") * 100.0).as("index_100"))
+      .orderBy("day")
+  }
+
   /** Day-of-week return seasonality: mean 6-dp-quantized daily return
     * ([[quant6]], the varianceRatio series) per symbol × ISO weekday
     * (1 = Monday). The mean is an exact decimal sum over one double

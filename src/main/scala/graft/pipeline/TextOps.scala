@@ -39,13 +39,16 @@ object TextOps {
   /** Token counting: whitespace tokens + a BPE-ish regex tokenization
     * (letter runs, digit runs, single punctuation marks).
     */
+  private[pipeline] def wsTokens(c: Column): Column =
+    size(split(trim(c), "[ \\t\\n\\r\\f\\x0B]+")).cast("long")
+  private[pipeline] def bpeTokens(c: Column): Column =
+    size(regexp_extract_all(lower(c),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]"), lit(0))).cast("long")
+
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        size(split(trim(col("text")), "[ \\t\\n\\r\\f\\x0B]+")).cast("long")
-          .as("ws_tokens"),
-        size(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]"), lit(0))).cast("long")
-          .as("bpe_tokens"))
+        wsTokens(col("text")).as("ws_tokens"),
+        bpeTokens(col("text")).as("bpe_tokens"))
       .orderBy("doc_id")
 
   /** Language-ID heuristic: score each candidate language by stopword
@@ -660,6 +663,91 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
         (col("n_rare").cast("double") / col("n_bigrams").cast("double"))
           .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** NEW r9c: PII density — per-doc counts of the [[redact]] pattern
+    * classes (URL / email / IPv4) via the replacement-length
+    * match-count trick, plus matches per kilochar. A scoring
+    * companion to redaction: rank sources by exposure before
+    * deciding to drop vs scrub. Zero-shuffle projection.
+    */
+  def piiDensity(docs: DataFrame): DataFrame = {
+    def nMatches(c: Column, pat: String): Column =
+      (length(regexp_replace(c, pat, "XX")) -
+        length(regexp_replace(c, pat, "X"))).cast("long")
+    docs.select(col("doc_id"), col("n_chars"),
+        nMatches(col("text"), "https?://[^ ]+").as("n_url"),
+        nMatches(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}").as("n_email"),
+        nMatches(col("text"),
+          "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b").as("n_ip"))
+      .select(col("doc_id"), col("n_url"), col("n_email"), col("n_ip"),
+        when(col("n_chars") =!= 0,
+          round((col("n_url") + col("n_email") + col("n_ip"))
+            .cast("double") * 1000.0 / col("n_chars").cast("double"), 6))
+          .as("pii_per_kchar"))
+      .orderBy("doc_id")
+  }
+
+  /** NEW r9c: sentence statistics — terminator-run sentence counts and
+    * words per sentence, the length-shape signal quality filters pair
+    * with [[qualityScore]]. Exact integer counts; one guarded ratio.
+    */
+  def sentenceStats(docs: DataFrame): DataFrame = {
+    val nSent = size(regexp_extract_all(col("text"),
+      lit("[.!?]+"), lit(0))).cast("long")
+    docs.select(col("doc_id"), nSent.as("n_sentences"),
+        wsTokens(col("text")).as("n_words"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"),
+        when(col("n_sentences") =!= 0,
+          round(col("n_words").cast("double") /
+            col("n_sentences").cast("double"), 6)).as("words_per_sentence"))
+      .orderBy("doc_id")
+  }
+
+  /** NEW r9c: tokenizer compression ratio per source — chars per
+    * whitespace token and per BPE-ish token (the corpus-level
+    * fertility view beside the per-language [[tokenFertility]]).
+    * Exact BIGINT sums, guarded 6-dp ratios, counter-only
+    * low-cardinality aggregation.
+    */
+  def compressionRatio(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("n_chars"),
+        wsTokens(col("text")).as("ws"), bpeTokens(col("text")).as("bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(col("ws")).cast("long").as("ws_tokens"),
+        sum(col("bpe")).cast("long").as("bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("ws_tokens"), col("bpe_tokens"),
+        when(col("ws_tokens") =!= 0,
+          round(col("total_chars").cast("double") /
+            col("ws_tokens").cast("double"), 6)).as("chars_per_ws_token"),
+        when(col("bpe_tokens") =!= 0,
+          round(col("total_chars").cast("double") /
+            col("bpe_tokens").cast("double"), 6)).as("chars_per_bpe_token"))
+      .orderBy("source")
+
+  /** NEW r9c: code-vs-prose detection — density of code-marker
+    * characters with the is_code flag decided by an EXACT integer
+    * cross-multiplication (n_code·50 ≥ n_chars ⟺ density ≥ 2%), so
+    * the flag never rides a float threshold. The ratio itself is
+    * informational (guarded 6-dp).
+    */
+  def codeProse(docs: DataFrame): DataFrame = {
+    def nMatches(c: Column, pat: String): Column =
+      (length(regexp_replace(c, pat, "XX")) -
+        length(regexp_replace(c, pat, "X"))).cast("long")
+    docs.select(col("doc_id"), col("n_chars"),
+        nMatches(col("text"), "[{}()\\[\\];=<>]").as("n_code_chars"))
+      .select(col("doc_id"), col("n_code_chars"),
+        when(col("n_chars") =!= 0,
+          round(col("n_code_chars").cast("double") /
+            col("n_chars").cast("double"), 6)).as("code_char_ratio"),
+        when(col("n_code_chars") * 50 >= col("n_chars"), 1L).otherwise(0L)
+          .as("is_code"))
       .orderBy("doc_id")
   }
 

@@ -244,7 +244,9 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "roc" -> (MarketOps.roc(_)),
       "streaks" -> (MarketOps.streaks(_)),
       "underwater" -> (MarketOps.underwater(_)),
-      "dowReturns" -> (MarketOps.dowReturns(_)))
+      "dowReturns" -> (MarketOps.dowReturns(_)),
+      "drawdownEpisodes" -> (MarketOps.drawdownEpisodes(_)),
+      "marketIndex" -> (MarketOps.marketIndex(_)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>

@@ -1,0 +1,155 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBD}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+import graft.pipeline.TextOps
+
+/** Semantic contracts of the r9c operators (drawdown episodes, market
+  * index, PII density, sentence stats, compression ratio, code-prose)
+  * against driver-side recomputations over the collected sf0.001 rows.
+  */
+class NewOpsR9cSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val bars: Map[String, Vector[(String, JBD)]] =
+    MarketOps.ohlcDaily(Tables.ticks(spark, sf))
+      .select(col("symbol"), col("day").cast("string"),
+        col("close").cast("decimal(18,2)"))
+      .collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getDecimal(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toVector)
+      .toMap.map(identity)
+
+  private lazy val docs: Array[(Long, String, String, Long)] =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  test("drawdownEpisodes: episodes partition the days; depths verified sequentially") {
+    val got = MarketOps.drawdownEpisodes(Tables.ticks(spark, sf), 3)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getDate(2).toString, r.getDate(3).toString, r.getDate(4).toString,
+          r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(got.nonEmpty)
+    for ((sym, bs) <- bars) {
+      // sequential episode reconstruction: split on running-max value
+      var mx: JBD = null
+      val eps = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[(String, JBD)]]
+      for ((d, c) <- bs) {
+        if (mx == null || c.compareTo(mx) > 0) {
+          mx = c; eps += scala.collection.mutable.ArrayBuffer((d, c))
+        } else eps.last += ((d, c))
+      }
+      val want = eps.toVector.flatMap { e =>
+        val peak = e.head._2
+        val minc = e.map(_._2).min
+        if (minc.compareTo(peak) < 0 && peak.signum != 0) {
+          val depth = minc.subtract(peak).doubleValue / peak.doubleValue
+          val trough = e.find(_._2.compareTo(minc) == 0).get._1
+          Some((e.head._1, trough, e.last._1, e.length.toLong, depth))
+        } else None
+      }.sortBy(e => (e._5, e._1)).take(3)
+      want.zipWithIndex.foreach { case (w, i) =>
+        assert(got((sym, i + 1L)) === w, s"$sym rank ${i + 1}")
+      }
+      assert(!got.contains((sym, want.length + 1L)), sym)
+    }
+  }
+
+  test("marketIndex: first day at 100 when nonzero; mean equals recompute") {
+    val byDay = bars.values.flatten.groupBy(_._1).view
+      .mapValues(_.map(_._2).toVector).toMap
+    val got = MarketOps.marketIndex(Tables.ticks(spark, sf))
+      .collect()
+      .map(r => (r.getDate(0).toString,
+        (r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got.keySet === byDay.keySet)
+    val firstDay = byDay.keys.min
+    val base = {
+      val cs = byDay(firstDay)
+      cs.foldLeft(JBD.ZERO)(_.add(_)).doubleValue / cs.length.toDouble
+    }
+    for ((d, cs) <- byDay) {
+      val mean = cs.foldLeft(JBD.ZERO)(_.add(_)).doubleValue / cs.length.toDouble
+      val idx = if (base != 0.0) Some(mean / base * 100.0) else None
+      assert(got(d) === ((cs.length.toLong, mean, idx)), d)
+    }
+    if (base != 0.0) assert(got(firstDay)._3 === Some(100.0))
+  }
+
+  test("piiDensity: counts match Scala regex scans") {
+    val got = TextOps.piiDensity(Tables.documents(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val url = "https?://[^ ]+".r
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b".r
+    for ((id, _, text, _) <- docs) {
+      val want = (url.findAllIn(text).size.toLong,
+        email.findAllIn(text).size.toLong,
+        ip.findAllIn(text).size.toLong)
+      assert(got(id) === want, s"doc $id")
+    }
+  }
+
+  test("sentenceStats: counts match Scala regex scans; ratio reconstructs") {
+    val got = TextOps.sentenceStats(Tables.documents(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val term = "[.!?]+".r
+    for ((id, _, text, _) <- docs) {
+      val ns = term.findAllIn(text).size.toLong
+      // Spark/DuckDB trim() strip SPACES only (not Java trim)
+      val spaceTrimmed = text.dropWhile(_ == ' ')
+        .reverse.dropWhile(_ == ' ').reverse
+      val nw = spaceTrimmed.split("[ \\t\\n\\r\\f\\x0B]+", -1).length.toLong
+      val ratio = if (ns != 0)
+        Some(BigDecimal(nw.toDouble / ns.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+      assert(got(id) === ((ns, nw, ratio)), s"doc $id")
+    }
+  }
+
+  test("compressionRatio: aggregates reconstruct from tokenCount") {
+    val tc = TextOps.tokenCount(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val got = TextOps.compressionRatio(Tables.documents(spark, sf))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    for ((src, ds) <- docs.groupBy(_._2)) {
+      val chars = ds.map(_._4).sum
+      val ws = ds.map(d => tc(d._1)._1).sum
+      val bpe = ds.map(d => tc(d._1)._2).sum
+      def r6(n: Long, d: Long): Double =
+        BigDecimal(n.toDouble / d.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(src) === ((ds.length.toLong, chars, ws, bpe,
+        r6(chars, ws), r6(chars, bpe))), src)
+    }
+  }
+
+  test("codeProse: flag equals the exact integer threshold") {
+    val got = TextOps.codeProse(Tables.documents(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(3)))).toMap
+    for ((id, _, text, nChars) <- docs) {
+      val n = text.count(c => "{}()[];=<>".contains(c)).toLong
+      assert(got(id) === ((n, if (n * 50 >= nChars) 1L else 0L)), s"doc $id")
+    }
+  }
+}

@@ -51,7 +51,14 @@ class PipelineEdgeSpec extends AnyFunSuite {
       "tokenFertility" -> TextOps.tokenFertility(edgeDocs),
       "urlStats" -> TextOps.urlStats(edgeDocs),
       "collocations" -> TextOps.collocations(edgeDocs),
-      "contamination" -> TextOps.contamination(edgeDocs, col("source") === "books")
+      "contamination" -> TextOps.contamination(edgeDocs, col("source") === "books"),
+      "mojibake" -> TextOps.mojibake(edgeDocs),
+      "bigramNovelty" -> TextOps.bigramNovelty(edgeDocs),
+      "charClassProfile" -> TextOps.charClassProfile(edgeDocs),
+      "piiDensity" -> TextOps.piiDensity(edgeDocs),
+      "sentenceStats" -> TextOps.sentenceStats(edgeDocs),
+      "compressionRatio" -> TextOps.compressionRatio(edgeDocs),
+      "codeProse" -> TextOps.codeProse(edgeDocs)
     )
     ops.foreach { case (name, df) =>
       try df.collect()

@@ -276,6 +276,11 @@ object SparkEntry {
       val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
       TextOps.editDistance(pairs, docs)
     }),
+    "q_edit_distance_banded" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      TextOps.editDistanceBanded(pairs, docs, 64)
+    }),
     "q_salted_join" -> ((s, dir) => {
       import org.apache.spark.sql.types.DecimalType
       val t = ticks(s, dir)
@@ -1383,6 +1388,15 @@ object SparkEntry {
     "q_edit_distance" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_edit_distance_banded" ->
+      // the oracle computes the FULL distance and applies the cutoff
+      // as a CASE — pinning the banded implementation's semantics
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CASE WHEN levenshtein(a.text, b.text) <= 64
+        |            THEN CAST(levenshtein(a.text, b.text) AS BIGINT)
+        |            ELSE CAST(-1 AS BIGINT) END AS edit_dist_k
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_salted_join" ->

@@ -143,6 +143,22 @@ class NewOpsR9cSpec extends AnyFunSuite {
     }
   }
 
+  test("editDistanceBanded: equals the full distance under the cutoff, -1 above") {
+    val d = Tables.documents(spark, sf)
+    val pairs = d.select(col("doc_id").as("doc_a"),
+      (col("doc_id") + 1).as("doc_b"))
+    val full = TextOps.editDistance(pairs, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val banded = TextOps.editDistanceBanded(pairs, d, 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(banded.keySet === full.keySet)
+    assert(banded.nonEmpty)
+    for ((k, v) <- full)
+      assert(banded(k) === (if (v <= 64) v else -1L), k)
+    // the cutoff actually bites on this corpus (both branches covered)
+    assert(banded.values.exists(_ == -1L) && banded.values.exists(_ >= 0L))
+  }
+
   test("codeProse: flag equals the exact integer threshold") {
     val got = TextOps.codeProse(Tables.documents(spark, sf))
       .collect()

@@ -214,6 +214,10 @@ object SparkEntry {
     "q_drawdown_episodes" -> ((s, dir) =>
       MarketOps.drawdownEpisodes(ticks(s, dir), 3)),
     "q_market_index" -> ((s, dir) => MarketOps.marketIndex(ticks(s, dir))),
+    "q_abnormal_volume" -> ((s, dir) =>
+      MarketOps.abnormalVolume(ticks(s, dir), 2.0)),
+    "q_top_paths" -> ((s, dir) =>
+      EventAnalytics.topPaths(Tables.events(s, dir), 20)),
     "q_rfm" -> ((s, dir) => EventAnalytics.rfm(Tables.events(s, dir))),
     "q_attribution" -> ((s, dir) =>
       EventAnalytics.attribution(Tables.events(s, dir))),
@@ -2743,6 +2747,42 @@ object SparkEntry {
         |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
         |       END AS is_code
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_abnormal_volume" ->
+      // the q_zscore shape on daily-bar volumes: exact BIGINT sums,
+      // DECIMAL(38,0) squares, mirrored double op order; the filter
+      // tests the ROUNDED z so the emitted set is boundary-stable
+      """WITH d AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(SUM(user_id) AS BIGINT) AS volume
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT symbol, CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(CAST(SUM(volume) AS BIGINT) AS DOUBLE) AS s,
+        |         CAST(SUM(CAST(CAST(volume AS DECIMAL(18,0))
+        |                       * CAST(volume AS DECIMAL(20,0))
+        |                  AS DECIMAL(38,0))) AS DOUBLE) AS sq
+        |  FROM d GROUP BY 1),
+        |sd AS (
+        |  SELECT symbol, s / n AS mean,
+        |         CASE WHEN n > 1.0 AND (sq - (s * s) / n) > 0
+        |              THEN SQRT((sq - (s * s) / n) / (n - 1.0)) END AS sd
+        |  FROM st)
+        |SELECT symbol, day, volume,
+        |       ROUND((CAST(volume AS DOUBLE) - mean) / sd, 4) AS vol_z
+        |FROM d JOIN sd USING (symbol)
+        |WHERE sd > 0 AND ABS(ROUND((CAST(volume AS DOUBLE) - mean) / sd, 4)) >= 2.0
+        |ORDER BY symbol, day""".stripMargin,
+    "q_top_paths" ->
+      """WITH p AS (
+        |  SELECT event_type AS e1,
+        |         LEAD(event_type, 1) OVER w AS e2,
+        |         LEAD(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path,
+        |       CAST(COUNT(*) AS BIGINT) AS n_paths
+        |FROM p WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
     "q_rfm" ->
       // recency against the corpus max day (one-row scalar), exact
       // DECIMAL(12,2) monetary sum → double

@@ -209,6 +209,27 @@ object EventAnalytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** NEW r9c: top event paths — the k most common 3-step event-type
+    * sequences across all user streams (two lead() windows per user,
+    * high-cardinality partitions), counted per path and globally
+    * top-k'd via orderBy+limit (TakeOrderedAndProject: each partition
+    * keeps its own top-k, no global sort). Ties break on the path
+    * string — a total order both engines share.
+    */
+  def topPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    val uo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(uo))
+      .withColumn("e3", lead(col("event_type"), 2).over(uo))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(k)
+  }
+
   /** NEW r9b: RFM segmentation — per user, recency (days since last
     * event, against the corpus max day), frequency (event count), and
     * monetary value (exact DECIMAL(12,2) sum → double). The reference

@@ -2358,6 +2358,36 @@ object MarketOps {
       .orderBy("symbol", "day")
   }
 
+  /** Abnormal-volume days: per symbol, days whose total volume
+    * z-scores ≥ zMin against that symbol's other days — the
+    * [[zscoreOutliers]] pattern lifted from ticks to daily-bar
+    * volumes (exact BIGINT day sums, DECIMAL(38,0) squares, mirrored
+    * double op order, ROUND(z, 4) both engines; the ≥ filter tests
+    * the ROUNDED value so the emitted set is sign/boundary-stable).
+    * Two counter-row aggregates + a broadcast per-symbol stats join.
+    */
+  def abnormalVolume(ticks: DataFrame, zMin: Double = 2.0): DataFrame = {
+    val vDec = DecimalType(18, 0)
+    val sqDec = DecimalType(38, 0)
+    val days = ohlcDaily(ticks).select(col("symbol"), col("day"), col("volume"))
+    val stats = days.groupBy(col("symbol")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("volume").cast(vDec)).cast("double").as("s"),
+      sum((col("volume").cast(vDec) * col("volume").cast(vDec)).cast(sqDec))
+        .cast("double").as("sq"))
+      .select(col("symbol"), (col("s") / col("n")).as("mean"),
+        when(col("n") > 1.0,
+          sqrt((col("sq") - (col("s") * col("s")) / col("n")) /
+            (col("n") - 1.0))).as("sd"))
+    days.join(broadcast(stats), "symbol")
+      .withColumn("vol_z",
+        when(col("sd") > 0 && !isnan(col("sd")),
+          round((col("volume").cast("double") - col("mean")) / col("sd"), 4)))
+      .filter(abs(col("vol_z")) >= zMin)
+      .select(col("symbol"), col("day"), col("volume"), col("vol_z"))
+      .orderBy("symbol", "day")
+  }
+
   /** Top-k drawdown episodes per symbol: consecutive days sharing one
     * running-max close form an episode (the running max is
     * non-decreasing, so its value IS the group key — no flag

@@ -246,7 +246,8 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "underwater" -> (MarketOps.underwater(_)),
       "dowReturns" -> (MarketOps.dowReturns(_)),
       "drawdownEpisodes" -> (MarketOps.drawdownEpisodes(_)),
-      "marketIndex" -> (MarketOps.marketIndex(_)))
+      "marketIndex" -> (MarketOps.marketIndex(_)),
+      "abnormalVolume" -> (MarketOps.abnormalVolume(_)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>
@@ -267,7 +268,10 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "intervalOverlap(empty sides)" -> EventAnalytics.intervalOverlap(ev),
       "intervalOverlap(A,B)" -> EventAnalytics.intervalOverlap(ev, "A", "B"),
       "concurrency" -> EventAnalytics.concurrency(ev),
-      "transitions" -> EventAnalytics.transitions(ev)
+      "transitions" -> EventAnalytics.transitions(ev),
+      "rfm" -> EventAnalytics.rfm(ev),
+      "attribution" -> EventAnalytics.attribution(ev),
+      "topPaths" -> EventAnalytics.topPaths(ev)
     ).foreach { case (name, df) =>
       try df.collect()
       catch { case e: Throwable =>

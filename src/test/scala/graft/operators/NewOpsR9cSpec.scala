@@ -168,4 +168,52 @@ class NewOpsR9cSpec extends AnyFunSuite {
       assert(got(id) === ((n, if (n * 50 >= nChars) 1L else 0L)), s"doc $id")
     }
   }
+
+  test("abnormalVolume: emitted set equals the per-symbol z recompute") {
+    val vols = MarketOps.ohlcDaily(Tables.ticks(spark, sf))
+      .select(col("symbol"), col("day").cast("string"), col("volume"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got = MarketOps.abnormalVolume(Tables.ticks(spark, sf), 2.0)
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val want = scala.collection.mutable.Map[(String, String), (Long, Double)]()
+    for ((sym, ds) <- vols.groupBy(_._1)) {
+      val n = ds.length.toDouble
+      val s = ds.map(d => new JBD(d._3)).foldLeft(JBD.ZERO)(_.add(_)).doubleValue
+      val sq = ds.map(d => new JBD(d._3).multiply(new JBD(d._3)))
+        .foldLeft(JBD.ZERO)(_.add(_)).doubleValue
+      if (n > 1.0) {
+        val sd = math.sqrt((sq - (s * s) / n) / (n - 1.0))
+        if (sd > 0 && !sd.isNaN) {
+          for ((_, day, v) <- ds) {
+            val z = BigDecimal((v.toDouble - s / n) / sd)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (math.abs(z) >= 2.0) want((sym, day)) = (v, z)
+          }
+        }
+      }
+    }
+    assert(got === want.toMap)
+  }
+
+  test("topPaths: equals a sequential path census top-20") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val counts = scala.collection.mutable.Map[String, Long]()
+    for ((_, es) <- events.groupBy(_._1)) {
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4)
+      for (w <- seq.sliding(3) if w.length == 3) {
+        val p = w.mkString(">")
+        counts(p) = counts.getOrElse(p, 0L) + 1L
+      }
+    }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = EventAnalytics.topPaths(Tables.events(spark, sf), 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
 }

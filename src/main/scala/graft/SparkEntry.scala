@@ -216,6 +216,7 @@ object SparkEntry {
     "q_market_index" -> ((s, dir) => MarketOps.marketIndex(ticks(s, dir))),
     "q_abnormal_volume" -> ((s, dir) =>
       MarketOps.abnormalVolume(ticks(s, dir), 2.0)),
+    "q_volume_curve" -> ((s, dir) => MarketOps.volumeCurve(ticks(s, dir))),
     "q_top_paths" -> ((s, dir) =>
       EventAnalytics.topPaths(Tables.events(s, dir), 20)),
     "q_rfm" -> ((s, dir) => EventAnalytics.rfm(Tables.events(s, dir))),
@@ -2772,6 +2773,21 @@ object SparkEntry {
         |FROM d JOIN sd USING (symbol)
         |WHERE sd > 0 AND ABS(ROUND((CAST(volume AS DOUBLE) - mean) / sd, 4)) >= 2.0
         |ORDER BY symbol, day""".stripMargin,
+    "q_volume_curve" ->
+      // share is a RAW double quotient of two exact BIGINTs; DuckDB's
+      // window SUM over BIGINT returns INT128 — cast before dividing
+      """WITH h AS (
+        |  SELECT event_type AS symbol, CAST(hour(ts) AS BIGINT) AS hod,
+        |         CAST(SUM(user_id) AS BIGINT) AS hour_volume
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, CAST(SUM(hour_volume) OVER (PARTITION BY symbol)
+        |    AS BIGINT) AS total FROM h)
+        |SELECT symbol, hod, hour_volume,
+        |       CASE WHEN total <> 0
+        |            THEN CAST(hour_volume AS DOUBLE) / CAST(total AS DOUBLE)
+        |       END AS vol_share
+        |FROM t ORDER BY symbol, hod""".stripMargin,
     "q_top_paths" ->
       """WITH p AS (
         |  SELECT event_type AS e1,

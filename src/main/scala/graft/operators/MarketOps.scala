@@ -2358,6 +2358,27 @@ object MarketOps {
       .orderBy("symbol", "day")
   }
 
+  /** Intraday volume curve: the share of a symbol's total volume
+    * landing in each hour of day (the U-shape liquidity profile an
+    * execution scheduler follows — the volume companion of
+    * [[intradayVolCurve]]). Exact BIGINT sums; the share is a RAW
+    * double quotient of two BIGINTs (volumeProfile emission class).
+    * The per-symbol total is a window over ≤24 counter rows.
+    */
+  def volumeCurve(ticks: DataFrame): DataFrame = {
+    val byHour = ticks
+      .groupBy(col("symbol"), hour(col("ts")).cast("long").as("hod"))
+      .agg(sum(col("volume")).cast("long").as("hour_volume"))
+    byHour
+      .withColumn("total",
+        sum(col("hour_volume")).over(Window.partitionBy("symbol")))
+      .select(col("symbol"), col("hod"), col("hour_volume"),
+        when(col("total") =!= 0,
+          col("hour_volume").cast("double") / col("total").cast("double"))
+          .as("vol_share"))
+      .orderBy("symbol", "hod")
+  }
+
   /** Abnormal-volume days: per symbol, days whose total volume
     * z-scores ≥ zMin against that symbol's other days — the
     * [[zscoreOutliers]] pattern lifted from ticks to daily-bar

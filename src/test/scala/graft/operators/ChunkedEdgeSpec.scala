@@ -247,7 +247,8 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "dowReturns" -> (MarketOps.dowReturns(_)),
       "drawdownEpisodes" -> (MarketOps.drawdownEpisodes(_)),
       "marketIndex" -> (MarketOps.marketIndex(_)),
-      "abnormalVolume" -> (MarketOps.abnormalVolume(_)))
+      "abnormalVolume" -> (MarketOps.abnormalVolume(_)),
+      "volumeCurve" -> (MarketOps.volumeCurve(_)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>

@@ -197,6 +197,29 @@ class NewOpsR9cSpec extends AnyFunSuite {
     assert(got === want.toMap)
   }
 
+  test("volumeCurve: shares sum to 1 per symbol and match the recompute") {
+    val ticksRaw = Tables.ticks(spark, sf)
+      .select(col("symbol"), hour(col("ts")).cast("long"), col("volume"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = MarketOps.volumeCurve(Tables.ticks(spark, sf))
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    for ((sym, ts) <- ticksRaw.groupBy(_._1)) {
+      val total = ts.map(_._3).sum
+      for ((hod, hs) <- ts.groupBy(_._2)) {
+        val hv = hs.map(_._3).sum
+        val share = if (total != 0) Some(hv.toDouble / total.toDouble) else None
+        assert(got((sym, hod)) === ((hv, share)), s"$sym $hod")
+      }
+      if (total != 0) {
+        val s = got.collect { case ((sy, _), (_, Some(sh))) if sy == sym => sh }.sum
+        assert(math.abs(s - 1.0) < 1e-9, sym)
+      }
+    }
+  }
+
   test("topPaths: equals a sequential path census top-20") {
     val events = Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")), col("event_id"),

@@ -217,6 +217,8 @@ object SparkEntry {
     "q_abnormal_volume" -> ((s, dir) =>
       MarketOps.abnormalVolume(ticks(s, dir), 2.0)),
     "q_volume_curve" -> ((s, dir) => MarketOps.volumeCurve(ticks(s, dir))),
+    "q_momentum_quartiles" -> ((s, dir) =>
+      MarketOps.momentumQuartiles(ticks(s, dir))),
     "q_top_paths" -> ((s, dir) =>
       EventAnalytics.topPaths(Tables.events(s, dir), 20)),
     "q_rfm" -> ((s, dir) => EventAnalytics.rfm(Tables.events(s, dir))),
@@ -2773,6 +2775,65 @@ object SparkEntry {
         |FROM d JOIN sd USING (symbol)
         |WHERE sd > 0 AND ABS(ROUND((CAST(volume AS DOUBLE) - mean) / sd, 4)) >= 2.0
         |ORDER BY symbol, day""".stripMargin,
+    "q_momentum_quartiles" ->
+      // weekly closes via max_by on the unique day; quant6 returns;
+      // ntile on (prev-week signal DESC, symbol) — the standard
+      // larger-first bucket split both engines share; guarded
+      // quartile means (DuckDB NULLs x/0, ANSI throws)
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         max_by(CAST(value AS DECIMAL(18,2)),
+        |                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT symbol, CAST(date_trunc('week', day) AS DATE) AS week,
+        |         max_by(c, day) AS c
+        |  FROM b GROUP BY 1, 2),
+        |p AS (
+        |  SELECT symbol, week, c,
+        |         LAG(c) OVER (PARTITION BY symbol ORDER BY week) AS pc
+        |  FROM w),
+        |r AS (
+        |  SELECT symbol, week,
+        |         CAST(CAST(CASE WHEN CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE)
+        |                             * 1000000.0 >= 0
+        |                   THEN FLOOR(CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE)
+        |                              * 1000000.0 + 0.5)
+        |                   ELSE CEIL(CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE)
+        |                             * 1000000.0 - 0.5) END
+        |              AS BIGINT) AS DECIMAL(18,0))
+        |         * CAST(0.000001 AS DECIMAL(7,6)) AS r
+        |  FROM p WHERE pc IS NOT NULL AND pc <> 0),
+        |s AS (
+        |  SELECT symbol, week, r,
+        |         LAG(r) OVER (PARTITION BY symbol ORDER BY week) AS sig
+        |  FROM r),
+        |n AS (
+        |  SELECT week, r,
+        |         CAST(ntile(4) OVER (PARTITION BY week
+        |           ORDER BY sig DESC, symbol) AS BIGINT) AS q
+        |  FROM s WHERE sig IS NOT NULL),
+        |a AS (
+        |  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+        |         SUM(CASE WHEN q = 1 THEN r END) AS ws,
+        |         COUNT(CASE WHEN q = 1 THEN 1 END) AS wn,
+        |         SUM(CASE WHEN q = 4 THEN r END) AS ls,
+        |         COUNT(CASE WHEN q = 4 THEN 1 END) AS lqn
+        |  FROM n GROUP BY 1)
+        |SELECT week, n_ranked,
+        |       CASE WHEN wn > 0
+        |            THEN CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) END
+        |         AS winner_ret,
+        |       CASE WHEN lqn > 0
+        |            THEN CAST(ls AS DOUBLE) / CAST(lqn AS DOUBLE) END
+        |         AS loser_ret,
+        |       (CASE WHEN wn > 0
+        |             THEN CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) END)
+        |       - (CASE WHEN lqn > 0
+        |               THEN CAST(ls AS DOUBLE) / CAST(lqn AS DOUBLE) END)
+        |         AS wml_spread
+        |FROM a ORDER BY week""".stripMargin,
     "q_volume_curve" ->
       // share is a RAW double quotient of two exact BIGINTs; DuckDB's
       // window SUM over BIGINT returns INT128 — cast before dividing

@@ -2358,6 +2358,53 @@ object MarketOps {
       .orderBy("symbol", "day")
   }
 
+  /** Weekly cross-sectional momentum backtest: rank symbols each week
+    * by the PREVIOUS week's return (no look-ahead), cut into
+    * quartiles (ntile — both engines use the standard larger-first
+    * bucket split, ordered on the exact quant6 signal with a symbol
+    * tiebreak), and report the realized winner-minus-loser quartile
+    * spread. Weekly closes are the last trading day's bar close
+    * (max_by on the unique day — deterministic); returns are quant6
+    * decimals, quartile means exact decimal sums over one double
+    * division each, the spread one further IEEE subtract — RAW.
+    * The per-week rank sorts all symbols in one task (inherent to a
+    * cross-sectional cut; 50k symbols/week is a small sort).
+    */
+  def momentumQuartiles(ticks: DataFrame): DataFrame = {
+    val symOrder = Window.partitionBy("symbol").orderBy("week")
+    val weekly = ohlcDaily(ticks)
+      .groupBy(col("symbol"),
+        date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(max_by(col("close").cast(dec), col("day")).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(symOrder))
+      .filter(col("pc").isNotNull && col("pc") =!= 0)
+      .withColumn("r", quant6((col("c") - col("pc")).cast("double") /
+        col("pc").cast("double") * 1000000.0))
+      .withColumn("sig", lag(col("r"), 1).over(symOrder))
+      .filter(col("sig").isNotNull)
+    weekly
+      .withColumn("q", ntile(4).over(
+        Window.partitionBy("week").orderBy(col("sig").desc, col("symbol")))
+        .cast("long"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(when(col("q") === 1L, col("r"))).as("ws"),
+        count(when(col("q") === 1L, lit(1))).as("wn"),
+        sum(when(col("q") === 4L, col("r"))).as("ls"),
+        count(when(col("q") === 4L, lit(1))).as("lqn"))
+      // quartile 4 is empty when a week ranks fewer than 4 symbols —
+      // guard the divisions (ANSI throws on double x/0; DuckDB NULLs)
+      .select(col("week"), col("n_ranked"),
+        when(col("wn") > 0,
+          col("ws").cast("double") / col("wn").cast("double"))
+          .as("winner_ret"),
+        when(col("lqn") > 0,
+          col("ls").cast("double") / col("lqn").cast("double"))
+          .as("loser_ret"))
+      .withColumn("wml_spread", col("winner_ret") - col("loser_ret"))
+      .orderBy("week")
+  }
+
   /** Intraday volume curve: the share of a symbol's total volume
     * landing in each hour of day (the U-shape liquidity profile an
     * execution scheduler follows — the volume companion of

@@ -248,7 +248,8 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "drawdownEpisodes" -> (MarketOps.drawdownEpisodes(_)),
       "marketIndex" -> (MarketOps.marketIndex(_)),
       "abnormalVolume" -> (MarketOps.abnormalVolume(_)),
-      "volumeCurve" -> (MarketOps.volumeCurve(_)))
+      "volumeCurve" -> (MarketOps.volumeCurve(_)),
+      "momentumQuartiles" -> (MarketOps.momentumQuartiles(_)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>

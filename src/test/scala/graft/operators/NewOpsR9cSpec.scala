@@ -25,6 +25,13 @@ class NewOpsR9cSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toVector)
       .toMap.map(identity)
 
+  /** The shared 6-dp float-op quantization (SURVEY §4). */
+  private def quant6(x: Double): JBD = {
+    val s = x * 1000000.0
+    val q = if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)
+    new JBD(q.toLong).movePointLeft(6)
+  }
+
   private lazy val docs: Array[(Long, String, String, Long)] =
     Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
@@ -218,6 +225,62 @@ class NewOpsR9cSpec extends AnyFunSuite {
         assert(math.abs(s - 1.0) < 1e-9, sym)
       }
     }
+  }
+
+  test("momentumQuartiles: equals a sequential rank-and-cut recompute") {
+    import java.time.{DayOfWeek, LocalDate}
+    import java.time.temporal.TemporalAdjusters
+    def weekOf(d: String): LocalDate =
+      LocalDate.parse(d).`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+    // weekly close = last trading day's close; weekly quant6 return;
+    // signal = previous week's return
+    val perSym = bars.map { case (sym, bs) =>
+      val weekly = bs.groupBy(b => weekOf(b._1)).toVector.sortBy(_._1)
+        .map { case (w, ds) => (w, ds.maxBy(_._1)._2) }
+      val rows = for (i <- 1 until weekly.length
+                      if weekly(i - 1)._2.signum != 0) yield {
+        val r = quant6(weekly(i)._2.subtract(weekly(i - 1)._2).doubleValue /
+          weekly(i - 1)._2.doubleValue)
+        (weekly(i)._1, r)
+      }
+      sym -> rows.toVector
+    }
+    // (week, symbol, r, sig) — sig is the previous RETURN ROW (row
+    // lag, matching the operator's lag(r, 1), not calendar adjacency)
+    val ranked = perSym.toVector.flatMap { case (sym, rows) =>
+      rows.indices.drop(1).map(i => (rows(i)._1, sym, rows(i)._2, rows(i - 1)._2))
+    }
+    val want = ranked.groupBy(_._1).map { case (w, rows) =>
+      val sorted = rows.sortBy { case (_, sym, _, sig) =>
+        (scala.math.BigDecimal(sig).unary_-, sym)
+      }
+      val n = sorted.length
+      val base = n / 4; val rem = n % 4
+      val qs = sorted.zipWithIndex.map { case (row, i) =>
+        // standard ntile: first rem buckets take base+1 rows
+        var acc = 0; var q = 0
+        var found = 0
+        for (b <- 1 to 4 if found == 0) {
+          val sz = base + (if (b <= rem) 1 else 0)
+          if (i < acc + sz) { q = b; found = 1 } else acc += sz
+        }
+        (row, q)
+      }
+      def mean(sel: Int): Option[Double] = {
+        val rs = qs.collect { case ((_, _, r, _), q) if q == sel => r }
+        if (rs.isEmpty) None
+        else Some(rs.foldLeft(JBD.ZERO)(_.add(_)).doubleValue / rs.length.toDouble)
+      }
+      w.toString -> ((n.toLong, mean(1), mean(4)))
+    }
+    val got = MarketOps.momentumQuartiles(Tables.ticks(spark, sf))
+      .collect()
+      .map(r => (r.getDate(0).toString, (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got.keySet === want.keySet)
+    assert(got.nonEmpty)
+    for ((w, v) <- want) assert(got(w) === v, w)
   }
 
   test("topPaths: equals a sequential path census top-20") {

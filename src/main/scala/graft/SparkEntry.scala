@@ -219,6 +219,7 @@ object SparkEntry {
     "q_volume_curve" -> ((s, dir) => MarketOps.volumeCurve(ticks(s, dir))),
     "q_momentum_quartiles" -> ((s, dir) =>
       MarketOps.momentumQuartiles(ticks(s, dir))),
+    "q_turnover_rank" -> ((s, dir) => MarketOps.turnoverRank(ticks(s, dir))),
     "q_top_paths" -> ((s, dir) =>
       EventAnalytics.topPaths(Tables.events(s, dir), 20)),
     "q_rfm" -> ((s, dir) => EventAnalytics.rfm(Tables.events(s, dir))),
@@ -372,6 +373,8 @@ object SparkEntry {
       TextOps.compressionRatio(Tables.documents(s, dir))),
     "q_code_prose" -> ((s, dir) =>
       TextOps.codeProse(Tables.documents(s, dir))),
+    "q_length_histogram" -> ((s, dir) =>
+      TextOps.lengthHistogram(Tables.documents(s, dir))),
     "q_jsonl_roundtrip" -> ((s, dir) => jsonlRoundtrip(s, dir)),
     "q_contamination" -> ((s, dir) =>
       // every 97th doc plays the held-out benchmark; the oracle
@@ -2834,6 +2837,31 @@ object SparkEntry {
         |               THEN CAST(ls AS DOUBLE) / CAST(lqn AS DOUBLE) END)
         |         AS wml_spread
         |FROM a ORDER BY week""".stripMargin,
+    "q_turnover_rank" ->
+      // notional sums via the INT128-forcing DECIMAL(20,2) cast (the
+      // q_beta class); share is a RAW decimal-quotient double
+      """WITH t AS (
+        |  SELECT event_type AS symbol, CAST(COUNT(*) AS BIGINT) AS n_ticks,
+        |         CAST(SUM(CAST(CAST(value AS DECIMAL(20,2)) * user_id
+        |                  AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS notional
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(notional) AS DECIMAL(38,2))
+        |          AS total_notional FROM t)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY CAST(notional AS DOUBLE) DESC,
+        |         symbol) AS BIGINT) AS rk,
+        |       symbol, n_ticks,
+        |       CAST(notional AS DOUBLE) AS turnover,
+        |       CASE WHEN total_notional <> 0
+        |            THEN CAST(notional AS DOUBLE)
+        |                 / CAST(total_notional AS DOUBLE) END AS turnover_share
+        |FROM t CROSS JOIN tot ORDER BY rk""".stripMargin,
+    "q_length_histogram" ->
+      """SELECT source,
+        |       CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin,
     "q_volume_curve" ->
       // share is a RAW double quotient of two exact BIGINTs; DuckDB's
       // window SUM over BIGINT returns INT128 — cast before dividing

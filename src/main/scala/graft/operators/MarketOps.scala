@@ -2358,6 +2358,32 @@ object MarketOps {
       .orderBy("symbol", "day")
   }
 
+  /** Dollar-turnover league table: symbols ranked by total traded
+    * notional (exact DECIMAL price×volume sums — the INT128-forcing
+    * cast lives in the oracle), with each symbol's share of corpus
+    * turnover as a RAW decimal-quotient double. One counter-row
+    * aggregate; the rank is a full sort of one row per symbol.
+    */
+  def turnoverRank(ticks: DataFrame): DataFrame = {
+    val t = ticks.groupBy(col("symbol"))
+      .agg(sum((col("price").cast(dec) * col("volume"))
+        .cast(DecimalType(38, 2))).as("notional"),
+        count(lit(1)).as("n_ticks"))
+    val total = t.agg(sum(col("notional")).cast(DecimalType(38, 2))
+      .as("total_notional"))
+    t.crossJoin(broadcast(total))
+      .select(col("symbol"), col("n_ticks"),
+        col("notional").cast("double").as("turnover"),
+        when(col("total_notional") =!= 0,
+          col("notional").cast("double") /
+            col("total_notional").cast("double")).as("turnover_share"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("turnover").desc, col("symbol"))).cast("long"))
+      .select(col("rk"), col("symbol"), col("n_ticks"), col("turnover"),
+        col("turnover_share"))
+      .orderBy("rk")
+  }
+
   /** Weekly cross-sectional momentum backtest: rank symbols each week
     * by the PREVIOUS week's return (no look-ahead), cut into
     * quartiles (ntile — both engines use the standard larger-first

@@ -769,6 +769,22 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** NEW r9c: doc-length histogram per source — power-of-two length
+    * buckets via the integer bit length (the sizeHistogram pattern:
+    * no float log2 boundary wobble), the length-distribution shape a
+    * curation pass reads before setting truncation thresholds. Pure
+    * integer counting on the low-cardinality source key.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        (length(bin(col("n_chars"))) - 1).cast("long").as("bucket"),
+        col("n_chars"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("source", "bucket")
+
   /** NEW r9b: per-source character-class profile — corpus-hygiene
     * ratios (uppercase, digit, ASCII-punctuation density) that flag
     * shouty/tabular/boilerplate-heavy sources before training. Counts

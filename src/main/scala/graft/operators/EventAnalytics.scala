@@ -222,7 +222,12 @@ object EventAnalytics {
         col("event_type"))
       .withColumn("e2", lead(col("event_type"), 1).over(uo))
       .withColumn("e3", lead(col("event_type"), 2).over(uo))
-      .filter(col("e3").isNotNull)
+      // all three legs filtered NOT NULL (not just e3): concat_ws SKIPS
+      // null elements while the oracle's '||' propagates them — a null
+      // event_type mid-triple would silently shorten the path string on
+      // one engine only
+      .filter(col("event_type").isNotNull && col("e2").isNotNull &&
+        col("e3").isNotNull)
       .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
         .as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
@@ -301,5 +306,77 @@ object EventAnalytics {
       .groupBy(col("touch_type"))
       .agg(count(lit(1)).as("n_conversions"))
       .orderBy("touch_type")
+  }
+
+  /** NEW r10: session statistics — the duration/size shape of the
+    * sessions [[graft.operators.MarketOps.sessionize]] produces:
+    * per (symbol, log2-duration-bucket) counts, event totals, and
+    * duration extrema. Buckets come from the exact bit-length trick
+    * (`length(bin(x)) − 1`, the length-histogram pattern) so no float
+    * ever touches the bucketing. One join of the session-id table back
+    * to tick timestamps on event_id, then counter-only aggregation.
+    */
+  def sessionStats(ticks: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val sessions = MarketOps.sessionize(ticks, gapMinutes)
+    val withTs = sessions.join(
+      ticks.select(col("event_id"), col("ts")), Seq("event_id"))
+    withTs.groupBy(col("symbol"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(max(col("ts"))).as("mx_us"),
+        unix_micros(min(col("ts"))).as("mn_us"))
+      // exact BIGINT div (both engines floor non-negative quotients)
+      .select(col("symbol"), col("n_events"),
+        expr("(mx_us - mn_us) div 1000000").as("dur_sec"))
+      .groupBy(col("symbol"),
+        (length(bin(col("dur_sec"))) - 1).cast("long").as("dur_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).cast("long").as("total_events"),
+        min(col("dur_sec")).as("min_dur_sec"),
+        max(col("dur_sec")).as("max_dur_sec"))
+      .orderBy("symbol", "dur_bucket")
+  }
+
+  /** NEW r10: activity concentration (Gini coefficient) over per-user
+    * event counts — the "how top-heavy is engagement" number every
+    * growth dashboard carries. The global rank of every user by
+    * activity uses the count-band scaffold (band = exact count value,
+    * sub-band = hash bucket): ranks come from bounded
+    * (count, sub-band) windows plus a tiny prefix-offset table — no
+    * global sort of all users — and Σ rank·count is invariant to
+    * tie order within a count so the oracle's simple ROW_NUMBER
+    * matches exactly. Moments in DECIMAL(38,0) (overflow-proof), one
+    * guarded ROUND(…,6) division.
+    */
+  def activityGini(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val u = events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .withColumn("sub", pmod(col("user_id"), lit(256L)))
+    val bandW = Window.partitionBy("cnt", "sub").orderBy("user_id")
+    val ranked0 = u.withColumn("rn", row_number().over(bandW).cast("long"))
+    val counts = u.groupBy(col("cnt"), col("sub")).agg(count(lit(1)).as("c"))
+    // tiny offsets table: |distinct counts| × 256 rows — the global
+    // window is over metadata-scale data, never the user population
+    val offW = Window.orderBy("cnt", "sub")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(offW), lit(0L)))
+      .select(col("cnt").as("c2"), col("sub").as("s2"), col("off"))
+    val ranked = ranked0.join(offsets,
+        ranked0("cnt") === offsets("c2") && ranked0("sub") === offsets("s2"))
+      .select(col("cnt"), (col("off") + col("rn")).as("rk"))
+    ranked.agg(
+        count(lit(1)).as("n_users"),
+        sum(col("cnt")).cast("long").as("total_events"),
+        sum(col("rk").cast(d38) * col("cnt")).cast(d38).as("s1"))
+      .select(col("n_users"), col("total_events"),
+        when(col("total_events") =!= 0 && col("n_users") =!= 0,
+          round((lit(2).cast(DecimalType(1, 0)) *
+              col("s1").cast(DecimalType(37, 0)) -
+              (col("n_users") + 1).cast(DecimalType(19, 0)) *
+                col("total_events").cast(DecimalType(19, 0))).cast("double") /
+            (col("n_users").cast(DecimalType(19, 0)) *
+              col("total_events").cast(DecimalType(19, 0))).cast("double"), 6))
+          .as("gini"))
   }
 }

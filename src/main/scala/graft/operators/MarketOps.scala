@@ -2372,13 +2372,17 @@ object MarketOps {
     val total = t.agg(sum(col("notional")).cast(DecimalType(38, 2))
       .as("total_notional"))
     t.crossJoin(broadcast(total))
-      .select(col("symbol"), col("n_ticks"),
+      .select(col("symbol"), col("n_ticks"), col("notional"),
         col("notional").cast("double").as("turnover"),
         when(col("total_notional") =!= 0,
           col("notional").cast("double") /
             col("total_notional").cast("double")).as("turnover_share"))
+      // rank on the EXACT decimal notional, not its double image: once
+      // totals pass ~15 significant digits the decimal→double conversion
+      // can differ by 1 ulp between engines and flip near-tie ranks;
+      // decimal comparison is exact on both (r10 ADVICE fix)
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("turnover").desc, col("symbol"))).cast("long"))
+        Window.orderBy(col("notional").desc, col("symbol"))).cast("long"))
       .select(col("rk"), col("symbol"), col("n_ticks"), col("turnover"),
         col("turnover_share"))
       .orderBy("rk")
@@ -2562,5 +2566,229 @@ object MarketOps {
         (sum(col("r")).cast("double") /
           count(lit(1)).cast("double")).as("avg_ret"))
       .orderBy("symbol", "iso_dow")
+  }
+
+  // ---- NEW r10 daily-bar indicator batch ----
+  // All ride the one ohlcDaily aggregate (one tick shuffle); windows
+  // run over BARS (one row per symbol-day — tiny at any scale).
+
+  /** NEW r10: Aroon indicator — 100·(n − days_since_extreme)/n over an
+    * n-bar frame. The argmax/argmin POSITION inside a window frame has
+    * no portable min_by-over-frame, so both engines take the MAX/MIN
+    * of a packed fixed-width (price-cents, bar-index) string over the
+    * frame and decode the index back out — total order, deterministic
+    * ties (high: most recent wins; low: most recent wins via the
+    * complemented index). Pure integer arithmetic into one exact-int
+    * division — RAW.
+    */
+  def aroon(ticks: DataFrame, n: Int = 14): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val cents = (c: Column) => (c.cast(dec) * 100).cast("bigint")
+    val t = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("high"), col("low"))
+      .withColumn("rn", row_number().over(dayOrder).cast("long"))
+      // high key: ties → larger rn (more recent) wins under MAX
+      .withColumn("hk", concat(
+        lpad(cents(col("high")).cast("string"), 20, "0"),
+        lpad(col("rn").cast("string"), 20, "0")))
+      // low key: ties → larger rn wins under MIN via the complement
+      .withColumn("lk", concat(
+        lpad(cents(col("low")).cast("string"), 20, "0"),
+        lpad((lit(1000000000000000L) - col("rn")).cast("string"), 20, "0")))
+    t.select(col("symbol"), col("day"), col("rn"),
+        max(col("hk")).over(w).as("mxh"),
+        min(col("lk")).over(w).as("mnl"))
+      .select(col("symbol"), col("day"),
+        (col("rn") - substring(col("mxh"), 21, 20).cast("long"))
+          .as("since_high"),
+        (col("rn") - (lit(1000000000000000L) -
+          substring(col("mnl"), 21, 20).cast("long"))).as("since_low"))
+      .select(col("symbol"), col("day"),
+        (lit(100.0) * (lit(n.toDouble) - col("since_high").cast("double")) /
+          lit(n.toDouble)).as("aroon_up"),
+        (lit(100.0) * (lit(n.toDouble) - col("since_low").cast("double")) /
+          lit(n.toDouble)).as("aroon_down"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r10: Vortex indicator — VI± = Σ|h−pl| resp. Σ|l−ph| over the
+    * n-bar Σ true range. Every movement term is an exact decimal
+    * |difference| (order-free window sums); greatest() of decimals is
+    * portable. Quotients are RAW doubles: the n-bar sums stay within
+    * exact double conversion at any corpus size (bounded by n × max
+    * price), and the division is one mirrored IEEE op.
+    */
+  def vortex(ticks: DataFrame, n: Int = 14): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val t = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        col("high").cast(dec).as("h"), col("low").cast(dec).as("l"),
+        col("close").cast(dec).as("c"))
+      .withColumn("ph", lag(col("h"), 1).over(dayOrder))
+      .withColumn("pl", lag(col("l"), 1).over(dayOrder))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull)
+      .withColumn("vmp", abs(col("h") - col("pl")))
+      .withColumn("vmm", abs(col("l") - col("ph")))
+      .withColumn("tr", greatest(col("h") - col("l"),
+        abs(col("h") - col("pc")), abs(col("l") - col("pc"))))
+    t.select(col("symbol"), col("day"),
+        sum(col("vmp")).over(w).as("svp"),
+        sum(col("vmm")).over(w).as("svm"),
+        sum(col("tr")).over(w).as("str"))
+      .select(col("symbol"), col("day"),
+        when(col("str") =!= 0,
+          col("svp").cast("double") / col("str").cast("double")).as("vi_plus"),
+        when(col("str") =!= 0,
+          col("svm").cast("double") / col("str").cast("double")).as("vi_minus"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r10: Chande Momentum Oscillator — 100·(Σgain − Σloss)/(Σgain
+    * + Σloss) over n bars, the un-smoothed RSI sibling. Gains/losses
+    * are exact decimal diffs; one guarded RAW quotient.
+    */
+  def cmo(ticks: DataFrame, n: Int = 14): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val zero = lit(0).cast(DecimalType(19, 2))
+    val t = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull)
+      .withColumn("gain", when(col("c") > col("pc"), col("c") - col("pc"))
+        .otherwise(zero))
+      .withColumn("loss", when(col("c") < col("pc"), col("pc") - col("c"))
+        .otherwise(zero))
+    t.select(col("symbol"), col("day"),
+        sum(col("gain")).over(w).as("g"),
+        sum(col("loss")).over(w).as("l"))
+      .select(col("symbol"), col("day"),
+        when(col("g") + col("l") =!= 0,
+          lit(100.0) * (col("g") - col("l")).cast("double") /
+            (col("g") + col("l")).cast("double")).as(s"cmo$n"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r10: Keltner channel (SMA flavor) — midline = n-bar mean
+    * typical price computed as Σ(h+l+c)/(3n) (ONE double division of
+    * an exact decimal sum — never a float window sum of per-day /3
+    * quotients), band = 2 × n-bar mean true range, same discipline.
+    * upper/lower are two further mirrored IEEE ops on those exact
+    * quotients — RAW.
+    */
+  def keltner(ticks: DataFrame, n: Int = 20): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val t = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        col("high").cast(dec).as("h"), col("low").cast(dec).as("l"),
+        col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull)
+      .withColumn("hlc", col("h") + col("l") + col("c"))
+      .withColumn("tr", greatest(col("h") - col("l"),
+        abs(col("h") - col("pc")), abs(col("l") - col("pc"))))
+    t.select(col("symbol"), col("day"),
+        sum(col("hlc")).over(w).as("shlc"),
+        sum(col("tr")).over(w).as("str"),
+        count(lit(1)).over(w).as("nb"))
+      .select(col("symbol"), col("day"),
+        (col("shlc").cast("double") /
+          (col("nb") * 3).cast("double")).as("mid"),
+        (col("str").cast("double") / col("nb").cast("double")).as("rng"))
+      .select(col("symbol"), col("day"), col("mid"),
+        (col("mid") + lit(2.0) * col("rng")).as("upper_band"),
+        (col("mid") - lit(2.0) * col("rng")).as("lower_band"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r10: accumulation/distribution line — running Σ of money-flow
+    * volume, MFV = CLV·vol with CLV = (2c−h−l)/(h−l) quantized to 6 dp
+    * via [[quant6]] (the cmf discipline) so the cumulative sum is an
+    * EXACT order-free decimal at any depth; h = l contributes 0.
+    * Emitted as DOUBLE (DuckDB's client layer converts decimal
+    * results to float64, so a decimal emission can't hash-compare);
+    * the conversion is engine-exact below 15 significant digits —
+    * the same documented residual class as the turnover league table.
+    */
+  def adLine(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val run = dayOrder.rowsBetween(Window.unboundedPreceding, 0)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("volume"),
+        (lit(2) * col("close").cast(dec) - col("high").cast(dec) -
+          col("low").cast(dec)).as("num"),
+        (col("high").cast(dec) - col("low").cast(dec)).as("den"))
+      .withColumn("clv6", when(col("den") =!= 0,
+        quant6(col("num").cast("double") / col("den").cast("double")
+          * 1000000.0)).otherwise(lit(0).cast(DecimalType(18, 6))))
+      .withColumn("mfv",
+        (col("clv6").cast(DecimalType(20, 6)) * col("volume"))
+          .cast(DecimalType(38, 6)))
+      .select(col("symbol"), col("day"),
+        sum(col("mfv")).over(run).cast("double").as("ad_line"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r10: Ease of Movement — per-bar EMV = midpoint move / box
+    * ratio, each bar's double quotient quantized to 6 dp ([[quant6]])
+    * so the n-bar mean re-sums as an exact decimal over ONE final
+    * division. Degenerate bars (h = l or zero volume) contribute 0 by
+    * convention on both engines.
+    */
+  def easeOfMovement(ticks: DataFrame, n: Int = 14): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val t = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("volume"),
+        col("high").cast(dec).as("h"), col("low").cast(dec).as("l"))
+      .withColumn("ph", lag(col("h"), 1).over(dayOrder))
+      .withColumn("pl", lag(col("l"), 1).over(dayOrder))
+      .filter(col("ph").isNotNull)
+      // distance = ((h+l) − (ph+pl))/2; box = (vol/10000)/(h−l);
+      // emv = distance/box = ((h+l)−(ph+pl))·(h−l)·10000 / (2·vol) —
+      // the decimal product stays width-38 (20+18, DuckDB's cap) and
+      // the ×10000 rides the float side of the mirrored op chain
+      .withColumn("emv6",
+        when(col("h") =!= col("l") && col("volume") =!= 0,
+          quant6(((col("h") + col("l") - col("ph") - col("pl"))
+              .cast(DecimalType(20, 2)) *
+              (col("h") - col("l")).cast(DecimalType(18, 2)))
+            .cast("double") * lit(10000.0)
+            / (col("volume") * 2).cast("double")
+            * 1000000.0))
+          .otherwise(lit(0).cast(DecimalType(18, 6))))
+    t.select(col("symbol"), col("day"),
+        sum(col("emv6")).over(w).as("semv"),
+        count(lit(1)).over(w).as("nb"))
+      .select(col("symbol"), col("day"),
+        (col("semv").cast("double") / col("nb").cast("double")).as(s"eom$n"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r10: Elder force index — FI = Δclose · volume (an EXACT
+    * decimal, no quantization needed) plus its n-bar mean (exact
+    * decimal sum, one double division). Both emissions convert
+    * exactly at bounded magnitudes — RAW.
+    */
+  def forceIndex(ticks: DataFrame, n: Int = 13): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val t = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("volume"),
+        col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull)
+      .withColumn("fi",
+        ((col("c") - col("pc")).cast(DecimalType(20, 2)) * col("volume"))
+          .cast(DecimalType(38, 2)))
+    t.select(col("symbol"), col("day"),
+        col("fi").cast("double").as("force_index"),
+        (sum(col("fi")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as(s"fi_sma$n"))
+      .orderBy("symbol", "day")
   }
 }

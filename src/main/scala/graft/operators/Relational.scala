@@ -630,18 +630,54 @@ object Relational {
     * ranking surface beyond rank/dense_rank/ntile in the base window
     * suite. The unique tie-break makes every rank deterministic; the
     * rank quotients are identical double ops on both engines.
+    *
+    * Scale shape (r10): `o_orderpriority` has ≤5 values, so a direct
+    * `Window.partitionBy(priority)` would drain ~1/5 of ALL orders
+    * through one sort task at 100 TB. Instead the global rank is built
+    * on the count-band scaffold (the vocabCoverage/chunked-prefix
+    * pattern): rows band by price range, rank WITHIN (priority, band)
+    * — bounded partitions — and per-band counts roll into exclusive
+    * prefix offsets on a tiny (|priorities|×|bands|)-row table whose
+    * join back is unhinted (AQE broadcasts at test SF, degrades to a
+    * shuffle join at 100 TB). rank = band offset + intra-band
+    * row_number is exactly the single-sort rank; with the unique
+    * (price, orderkey) order, percent_rank = (rank−1)/(n−1) and
+    * cume_dist = rank/n — the same IEEE divisions of exact integers
+    * both engines' built-ins evaluate. nth_value(3) over the full
+    * frame is just the rank-3 row's price per priority, joined back.
     */
   def windowExtras(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("o_orderpriority")
+    val base = Tables.orders(spark, dir).filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("band", floor(col("o_totalprice") / 100.0).cast("long"))
+    val bandW = Window.partitionBy("o_orderpriority", "band")
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables.orders(spark, dir).filter(col("o_orderkey") % 7 === 0)
+    val ranked0 = base.withColumn("rn", row_number().over(bandW).cast("long"))
+    // per-(priority, band) counts → exclusive running offsets + totals;
+    // the windows here run over the tiny counts aggregate, not the fact
+    val counts = base.groupBy(col("o_orderpriority"), col("band"))
+      .agg(count(lit(1)).as("c"))
+    val offW = Window.partitionBy("o_orderpriority").orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(offW), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("o_orderpriority")))
+      .select(col("o_orderpriority").as("p"), col("band").as("b"),
+        col("off"), col("n"))
+    val withRank = ranked0.join(offsets,
+        ranked0("o_orderpriority") === offsets("p") &&
+          ranked0("band") === offsets("b"))
+      .withColumn("rank", col("off") + col("rn"))
+    val third = withRank.filter(col("rank") === 3L)
+      .select(col("o_orderpriority").as("tp"),
+        col("o_totalprice").as("tprice"))
+    withRank.join(third, withRank("o_orderpriority") === third("tp"), "left")
       .select(col("o_orderkey"), col("o_orderpriority"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"),
-        coalesce(nth_value(col("o_totalprice"), 3).over(full), lit(-1.0))
-          .as("third_price"))
+        round(when(col("n") > 1L, (col("rank") - 1L).cast("double") /
+          (col("n") - 1L).cast("double")).otherwise(0.0), 6).as("pr"),
+        round(col("rank").cast("double") / col("n").cast("double"), 6).as("cd"),
+        coalesce(col("tprice"), lit(-1.0)).as("third_price"))
       .orderBy("o_orderkey")
   }
 

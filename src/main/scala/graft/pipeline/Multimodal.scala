@@ -207,43 +207,126 @@ object Multimodal {
     decodeFeatures(spark, synthesizeMedia(spark, docs)).toDF()
       .orderBy("doc_id")
 
-  final case class Frame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+  // ---- real video frame sampling (RIFF/AVI frame index) ----
+  //
+  // r10: the frame sampler was a fixed-size-slice stub; AVI is RIFF
+  // like WAV, and its `idx1` index chunk is a self-describing frame
+  // table (ckid, flags, offset, size per frame) — so keyframe sampling
+  // can be header-driven and REAL without any codec library. The
+  // synthesized container has the spec's structure (RIFF('AVI ') →
+  // LIST('movi') with '00dc' frame chunks → 'idx1' index whose offsets
+  // are relative to the 'movi' fourcc, AVIIF_KEYFRAME = 0x10), every
+  // parameter closed-form in doc_id so DuckDB oracles the decoder
+  // without reconstructing bytes.
 
-  /** Partition-wise frame sampling: treat the blob as fixed-size
-    * `frameBytes` frames and keep every `every`-th one — the video
-    * keyframe-sampling shape (decode stays stubbed; the slicing,
-    * fan-out row explosion, and executor-side execution are the real
-    * contract). Blobs never shuffle: sampling is map-side and only the
-    * sampled frames flow on.
+  private def aviFrames(id: Long): Int = (id % 24 + 6).toInt
+  private def aviFrameSize(id: Long, i: Int): Int =
+    (((id * 7 + i * 13) % 96) * 2 + 32).toInt // even → no RIFF pad byte
+
+  /** A structural RIFF/AVI: frame chunks inside LIST('movi') plus the
+    * `idx1` frame index. Every `3rd` frame is flagged AVIIF_KEYFRAME.
     */
-  def sampleFrames(spark: SparkSession, withBlob: DataFrame,
-      frameBytes: Int = 256, every: Int = 4): Dataset[Frame] = {
+  private def aviBytes(id: Long): Array[Byte] = {
+    val n = aviFrames(id)
+    val sizes = Array.tabulate(n)(aviFrameSize(id, _))
+    val moviSize = 4 + sizes.map(_ + 8).sum
+    val idxSize = 16 * n
+    val total = 12 + 8 + moviSize + 8 + idxSize
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(total - 8).put("AVI ".getBytes)
+    buf.put("LIST".getBytes).putInt(moviSize).put("movi".getBytes)
+    var i = 0
+    while (i < n) {
+      buf.put("00dc".getBytes).putInt(sizes(i))
+      var j = 0
+      while (j < sizes(i)) { buf.put(((id * 31 + i * 131 + j) % 251).toByte); j += 1 }
+      i += 1
+    }
+    buf.put("idx1".getBytes).putInt(idxSize)
+    var off = 4 // first '00dc' fourcc, relative to the 'movi' fourcc
+    i = 0
+    while (i < n) {
+      buf.put("00dc".getBytes).putInt(if (i % 3 == 0) 0x10 else 0)
+        .putInt(off).putInt(sizes(i))
+      off += 8 + sizes(i)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Deterministic video corpus: one structural AVI per document
+    * (map-side generation — the stand-in for stored payloads).
+    */
+  def synthesizeVideos(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, aviBytes(id))))
+      .toDF("doc_id", "blob")
+  }
+
+  final case class KeyFrame(doc_id: Long, frame_idx: Long, offset: Long,
+      frame_len: Long, byte_sum: Long)
+
+  /** REAL header-driven keyframe sampling: walks the top-level RIFF
+    * chunk list to find LIST('movi') and `idx1`, parses the 16-byte
+    * index entries, keeps AVIIF_KEYFRAME frames, and reads each
+    * sampled frame's actual bytes at its indexed offset — reducing
+    * them to an exact integer sum. A wrong index offset, entry stride,
+    * flag mask, or movi-relative base misses every hash. Blobs never
+    * shuffle: sampling is map-side; only the fixed-width frame table
+    * flows on.
+    */
+  def decodeFrameIndex(spark: SparkSession, withBlob: DataFrame): Dataset[KeyFrame] = {
     import spark.implicits._
     withBlob.select(col("doc_id").cast("long"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, blob) =>
-          val bytes = if (blob == null) Array.emptyByteArray else blob
-          val n = bytes.length
-          val nFrames = (n + frameBytes - 1) / frameBytes
-          (0 until nFrames by every).iterator.map { i =>
-            Frame(id, i.toLong,
-              bytes.slice(i * frameBytes, math.min(n, (i + 1) * frameBytes)))
+          val bb = java.nio.ByteBuffer.wrap(blob)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def fourcc(p: Int) = new String(blob, p, 4, "US-ASCII")
+          if (blob.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+            Iterator.empty
+          else {
+            var moviPos = -1 // position of the 'movi' fourcc
+            var idxPos = -1
+            var idxLen = 0
+            var pos = 12
+            while (pos + 8 <= blob.length) {
+              val ck = fourcc(pos)
+              val sz = bb.getInt(pos + 4)
+              if (ck == "LIST" && sz >= 4 && fourcc(pos + 8) == "movi")
+                moviPos = pos + 8
+              else if (ck == "idx1") { idxPos = pos + 8; idxLen = sz }
+              pos += 8 + sz + (sz & 1) // RIFF chunks pad to even
+            }
+            if (moviPos < 0 || idxPos < 0) Iterator.empty
+            else (0 until idxLen / 16).iterator.flatMap { k =>
+              val e = idxPos + k * 16
+              val flags = bb.getInt(e + 4)
+              val relOff = bb.getInt(e + 8)
+              val size = bb.getInt(e + 12)
+              if ((flags & 0x10) == 0) None // not a keyframe
+              else {
+                val payload = moviPos + relOff + 8 // past '00dc'+size
+                var sum = 0L
+                var j = 0
+                while (j < size) { sum += blob(payload + j) & 0xff; j += 1 }
+                Some(KeyFrame(id, k.toLong, payload.toLong, size.toLong, sum))
+              }
+            }
           }
         }
       }
   }
 
-  /** Sampled-frame summary: every 4th 256-byte frame with its length
-    * and md5 — engine-neutral digests, so the whole frame-sampling
-    * path is DuckDB-oracled (blob slicing via substring on both
-    * engines).
+  /** q_frame_sample: synthesize the AVI corpus, sample keyframes
+    * through the real idx1 parser. Offsets, sizes, and byte sums are
+    * closed-form in doc_id, so the oracle checks the whole index walk
+    * byte-for-byte.
     */
   def frameSummary(spark: SparkSession, docs: DataFrame): DataFrame =
-    sampleFrames(spark, attachBlob(docs)).toDF()
-      .select(col("doc_id"), col("frame_idx"),
-        length(col("frame")).cast("long").as("frame_len"),
-        md5(col("frame")).as("frame_md5"))
+    decodeFrameIndex(spark, synthesizeVideos(spark, docs)).toDF()
       .orderBy("doc_id", "frame_idx")
-
 }

@@ -818,4 +818,49 @@ object TextOps {
         ratio6(col("n_punct"), col("total_chars")).as("punct_ratio"))
       .orderBy("source")
   }
+
+  /** NEW r10: duplicated n-gram census — the k most repeated word
+    * n-grams across the corpus with occurrence and document counts,
+    * the memorization/boilerplate diagnostic a pretraining pipeline
+    * reads before setting dedup thresholds. Token arrays are projected
+    * ONCE before the positional transform (the gramsOf discipline —
+    * never split() inside an interpreted lambda); only (gram, counter)
+    * pairs shuffle after map-side partial aggregation, and the top-k
+    * is a TakeOrdered, never a global sort.
+    */
+  def dupNgrams(docs: DataFrame, n: Int = 6, k: Int = 20): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(when(size(col("ws")) >= n,
+        expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> array_join(slice(ws, i, $n), ' '))"))
+        .otherwise(lit(Array.empty[String]))).as("gram"))
+    grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") >= 2)
+      .orderBy(desc("n_occurrences"), col("gram"))
+      .limit(k)
+  }
+
+  /** NEW r10: hapax legomena census per source — vocabulary size, the
+    * number of once-seen words, and the hapax share of the vocabulary
+    * (Zipf's long tail made countable; a collapsed hapax share is a
+    * classic synthetic/over-deduped corpus smell). One (source, word)
+    * partial-agg shuffle of counter pairs; exact-int RAW quotient.
+    */
+  def hapax(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("f"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("f")).cast("long").as("total_tokens"))
+      .select(col("source"), col("vocab"), col("n_hapax"),
+        col("total_tokens"),
+        (col("n_hapax").cast("double") / col("vocab").cast("double"))
+          .as("hapax_share"))
+      .orderBy("source")
 }

@@ -117,9 +117,19 @@ object TimestampFilterPushdown extends Rule[LogicalPlan] {
   * so this goes through `extraOptimizations`.
   */
 object GraftOptimizations {
-  def install(spark: SparkSession): Unit = {
-    val existing = spark.experimental.extraOptimizations
-    if (!existing.contains(TimestampFilterPushdown))
-      spark.experimental.extraOptimizations = existing :+ TimestampFilterPushdown
-  }
+  // Tables.table() calls install on every read and test suites share one
+  // session across parallel suites — the check-then-set on
+  // extraOptimizations must not race (double registration is benign but
+  // unclean). Fast path: a concurrent installed-set per session; slow
+  // path: the read-modify-write serialized on this object.
+  private val installed = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  def install(spark: SparkSession): Unit =
+    if (!installed.contains(spark)) synchronized {
+      val existing = spark.experimental.extraOptimizations
+      if (!existing.contains(TimestampFilterPushdown))
+        spark.experimental.extraOptimizations = existing :+ TimestampFilterPushdown
+      installed.add(spark)
+    }
 }

@@ -49,6 +49,16 @@ class QueriesSpec extends AnyFunSuite {
   test("window extras: rank quotients in [0,1], third_price from the partition") {
     import org.apache.spark.sql.functions._
     val we = graft.operators.Relational.windowExtras(spark, sf).cache()
+    // scale guard (r10): no Window may partition the FACT rows by the
+    // ≤5-value priority key alone — priority-only windows are allowed
+    // solely over the tiny band-counts aggregate (count-band scaffold)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    we.queryExecution.analyzed.collect {
+      case w: LW if w.partitionSpec.map(_.references.map(_.name).mkString)
+          == Seq("o_orderpriority") =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          "priority-only window must run over the band-counts aggregate")
+    }
     assert(we.filter(col("pr") < 0 || col("pr") > 1 ||
       col("cd") <= 0 || col("cd") > 1).count() === 0)
     // third_price is either the sentinel or an actual price in the partition

@@ -1,0 +1,256 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBD}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+
+/** Semantic contracts of the r10 daily-bar indicator batch (Aroon,
+  * Vortex, CMO, Keltner, A/D line, EOM, force index) against
+  * driver-side recomputations over the collected sf0.001 bars.
+  */
+class NewOpsR10Spec extends AnyFunSuite {
+  import TestSpark._
+
+  // (day, high, low, close, volume) per symbol, day-ordered
+  private lazy val bars: Map[String, Vector[(String, JBD, JBD, JBD, Long)]] =
+    MarketOps.ohlcDaily(Tables.ticks(spark, sf))
+      .select(col("symbol"), col("day").cast("string"),
+        col("high").cast("decimal(18,2)"), col("low").cast("decimal(18,2)"),
+        col("close").cast("decimal(18,2)"), col("volume"))
+      .collect()
+      .map(r => (r.getString(0),
+        (r.getString(1), r.getDecimal(2), r.getDecimal(3), r.getDecimal(4),
+          r.getLong(5))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toVector)
+      .toMap.map(identity)
+
+  test("aroon: 0 on a fresh n-day extreme, values on the 100/n grid") {
+    val got = MarketOps.aroon(Tables.ticks(spark, sf), 14).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    val n = 14
+    for ((sym, bs) <- bars) {
+      bs.zipWithIndex.foreach { case ((d, h, l, _, _), i) =>
+        val frame = bs.slice(math.max(0, i - (n - 1)), i + 1)
+        // most recent max high / min low in the frame (ties → latest)
+        val sinceHigh = frame.size - 1 -
+          frame.lastIndexWhere(_._2.compareTo(frame.map(_._2).max) == 0)
+        val sinceLow = frame.size - 1 -
+          frame.lastIndexWhere(_._3.compareTo(frame.map(_._3).min) == 0)
+        val (up, down) = got((sym, d))
+        assert(up === 100.0 * (n - sinceHigh) / n, s"$sym $d aroon_up")
+        assert(down === 100.0 * (n - sinceLow) / n, s"$sym $d aroon_down")
+      }
+    }
+  }
+
+  test("vortex: vi_plus/vi_minus match a sequential recompute") {
+    val got = MarketOps.vortex(Tables.ticks(spark, sf), 14).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    for ((sym, bs) <- bars) {
+      val rows = bs.zip(bs.drop(1)).map { case ((_, ph, pl, pc, _), (d, h, l, _, _)) =>
+        val vmp = h.subtract(pl).abs
+        val vmm = l.subtract(ph).abs
+        val tr = Seq(h.subtract(l), h.subtract(pc).abs, l.subtract(pc).abs).max
+        (d, vmp, vmm, tr)
+      }
+      rows.zipWithIndex.foreach { case ((d, _, _, _), i) =>
+        val fr = rows.slice(math.max(0, i - 13), i + 1)
+        val svp = fr.map(_._2).reduce(_.add(_))
+        val svm = fr.map(_._3).reduce(_.add(_))
+        val str = fr.map(_._4).reduce(_.add(_))
+        val (vp, vm) = got((sym, d))
+        if (str.signum() != 0) {
+          assert(vp === svp.doubleValue() / str.doubleValue(), s"$sym $d vi+")
+          assert(vm === svm.doubleValue() / str.doubleValue(), s"$sym $d vi-")
+        }
+      }
+    }
+  }
+
+  test("cmo: bounded in [-100, 100] and matches the gain/loss recompute") {
+    val got = MarketOps.cmo(Tables.ticks(spark, sf), 14).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.nonEmpty)
+    assert(got.values.flatten.forall(v => v >= -100.0 && v <= 100.0))
+    for ((sym, bs) <- bars) {
+      val deltas = bs.zip(bs.drop(1)).map { case ((_, _, _, pc, _), (d, _, _, c, _)) =>
+        (d, c.subtract(pc))
+      }
+      deltas.zipWithIndex.foreach { case ((d, _), i) =>
+        val fr = deltas.slice(math.max(0, i - 13), i + 1)
+        val g = fr.map(_._2).filter(_.signum() > 0).foldLeft(JBD.ZERO)(_.add(_))
+        val l = fr.map(_._2).filter(_.signum() < 0)
+          .foldLeft(JBD.ZERO)((a, x) => a.add(x.negate))
+        val want = if (g.add(l).signum() == 0) None
+          else Some(100.0 * g.subtract(l).doubleValue() / g.add(l).doubleValue())
+        assert(got((sym, d)) === want, s"$sym $d cmo")
+      }
+    }
+  }
+
+  test("keltner: lower ≤ mid ≤ upper and band width is 4×mean-TR") {
+    val k = MarketOps.keltner(Tables.ticks(spark, sf), 20).cache()
+    assert(k.count() > 0)
+    assert(k.filter(col("lower_band") > col("mid") ||
+      col("mid") > col("upper_band")).count() === 0)
+    // upper − lower = 4 × rng ≥ 0, and mid is the midpoint exactly
+    val bad = k.filter(
+      abs(col("upper_band") + col("lower_band") - lit(2.0) * col("mid"))
+        > lit(1e-9)).count()
+    assert(bad === 0)
+    k.unpersist()
+  }
+
+  test("ad_line: running sum reconstructs from per-day quantized CLV increments") {
+    val got = MarketOps.adLine(Tables.ticks(spark, sf)).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    for ((sym, bs) <- bars) {
+      var run = JBD.ZERO
+      for ((d, h, l, c, vol) <- bs) {
+        val den = h.subtract(l)
+        val clv6 =
+          if (den.signum() == 0) JBD.ZERO
+          else {
+            val num = c.multiply(new JBD(2)).subtract(h).subtract(l)
+            val s = num.doubleValue() / den.doubleValue() * 1000000.0
+            val q = if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)
+            new JBD(q.toLong).movePointLeft(6)
+          }
+        run = run.add(clv6.multiply(new JBD(vol)))
+        assert(got((sym, d)) === run.doubleValue(), s"$sym $d ad_line")
+      }
+    }
+  }
+
+  test("force index: fi = Δclose·vol exactly; sma window mean matches") {
+    val got = MarketOps.forceIndex(Tables.ticks(spark, sf), 13).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    for ((sym, bs) <- bars) {
+      val fis = bs.zip(bs.drop(1)).map { case ((_, _, _, pc, _), (d, _, _, c, vol)) =>
+        (d, c.subtract(pc).multiply(new JBD(vol)))
+      }
+      fis.zipWithIndex.foreach { case ((d, fi), i) =>
+        val fr = fis.slice(math.max(0, i - 12), i + 1)
+        val (gfi, gsma) = got((sym, d))
+        assert(gfi === fi.doubleValue(), s"$sym $d fi")
+        val s = fr.map(_._2).reduce(_.add(_))
+        assert(gsma === s.doubleValue() / fr.size, s"$sym $d fi_sma")
+      }
+    }
+  }
+
+  test("sessionStats: bucket totals partition the tick log; buckets are bit lengths") {
+    val ticks = Tables.ticks(spark, sf)
+    val st = EventAnalytics.sessionStats(ticks, 30).cache()
+    assert(st.count() > 0)
+    val totalEvents = st.agg(sum("total_events")).collect()(0).getLong(0)
+    assert(totalEvents === ticks.count())
+    val bad = st.filter(col("dur_bucket") < 0 ||
+      col("min_dur_sec") > col("max_dur_sec") ||
+      // bucket b holds durations in [2^b, 2^(b+1)) (and 0 → bucket 0)
+      col("max_dur_sec") >= pow(lit(2.0), col("dur_bucket") + 1) ||
+      (col("dur_bucket") > 0 &&
+        col("min_dur_sec") < pow(lit(2.0), col("dur_bucket")))).count()
+    assert(bad === 0)
+    st.unpersist()
+  }
+
+  test("activityGini: matches the exact sorted-rank recompute") {
+    val events = Tables.events(spark, sf)
+    val row = EventAnalytics.activityGini(events).collect()(0)
+    val counts = events.groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(x => (x._2, x._1))
+    val n = counts.length
+    val total = counts.map(_._2).sum
+    val s1 = counts.zipWithIndex.map { case ((_, c), i) =>
+      BigInt(i + 1) * BigInt(c) }.sum
+    val want = (BigInt(2) * s1 - BigInt(n + 1) * BigInt(total)).toDouble /
+      (BigInt(n) * BigInt(total)).toDouble
+    assert(row.getLong(0) === n.toLong)
+    assert(row.getLong(1) === total)
+    assert(row.getDouble(2) === BigDecimal(want)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) < 1.0)
+  }
+
+  test("dupNgrams: counts match a driver-side recompute; all entries repeated") {
+    val docs = Tables.documents(spark, sf)
+    val got = graft.pipeline.TextOps.dupNgrams(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall(_._2 >= 2))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val all = texts.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      (0 to ws.length - 6).map(i => (ws.slice(i, i + 6).mkString(" "), id))
+    }
+    val byGram = all.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).distinct.length.toLong))
+      .toMap
+    got.foreach { case (g, n, nd) =>
+      assert(byGram(g) === ((n, nd)), s"gram '$g'")
+    }
+    // the top-20 really are the most frequent (with (count desc, gram) order)
+    val want = byGram.toSeq.filter(_._2._1 >= 2)
+      .sortBy { case (g, (c, _)) => (-c, g) }.take(20).map(_._1)
+    assert(got.map(_._1).toSeq === want)
+  }
+
+  test("hapax: per-source vocabulary and hapax counts match a recompute") {
+    val docs = Tables.documents(spark, sf)
+    val got = graft.pipeline.TextOps.hapax(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val bySource = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues { rows =>
+        val words = rows.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        val freq = words.groupBy(identity).view.mapValues(_.length).toMap
+        val vocab = freq.size.toLong
+        val hap = freq.count(_._2 == 1).toLong
+        (vocab, hap, words.length.toLong, hap.toDouble / vocab)
+      }.toMap
+    assert(got.keySet === bySource.keySet)
+    got.foreach { case (s, v) => assert(v === bySource(s), s"source $s") }
+  }
+
+  test("eom: degenerate bars contribute zero; sign tracks midpoint moves") {
+    val e = MarketOps.easeOfMovement(Tables.ticks(spark, sf), 14).cache()
+    assert(e.count() > 0)
+    // recompute per-day emv6 sequentially and check the window mean
+    val got = e.collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString), r.getDouble(2))).toMap
+    for ((sym, bs) <- bars) {
+      val emvs = bs.zip(bs.drop(1)).map { case ((_, ph, pl, _, _), (d, h, l, _, vol)) =>
+        val emv6 =
+          if (h.compareTo(l) == 0 || vol == 0L) JBD.ZERO
+          else {
+            val prod = h.add(l).subtract(ph).subtract(pl)
+              .multiply(h.subtract(l))
+            val s = prod.doubleValue() * 10000.0 / (vol * 2).toDouble * 1000000.0
+            val q = if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)
+            new JBD(q.toLong).movePointLeft(6)
+          }
+        (d, emv6)
+      }
+      emvs.zipWithIndex.foreach { case ((d, _), i) =>
+        val fr = emvs.slice(math.max(0, i - 13), i + 1)
+        val m = fr.map(_._2).reduce(_.add(_)).doubleValue() / fr.size
+        assert(got((sym, d)) === m, s"$sym $d eom")
+      }
+    }
+    e.unpersist()
+  }
+}

@@ -71,6 +71,41 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI keyframe sampling equals a brute recompute from the idx1 bytes") {
+    val blobs = Multimodal.synthesizeVideos(spark, docs.limit(30))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val decoded = Multimodal.frameSummary(spark, docs.limit(30))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toVector)
+      .toMap
+    assert(decoded.keySet === blobs.keySet)
+    blobs.foreach { case (id, bytes) =>
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // independent walk: idx1 sits after the movi LIST; movi fourcc at 20
+      assert(new String(bytes, 8, 4) === "AVI ")
+      assert(new String(bytes, 20, 4) === "movi")
+      val moviSize = bb.getInt(16)
+      val idxPos = 20 + moviSize + 8 // past LIST data + idx1 header
+      assert(new String(bytes, idxPos - 8, 4) === "idx1")
+      val n = bb.getInt(idxPos - 4) / 16
+      val expect = (0 until n).flatMap { k =>
+        val e = idxPos + k * 16
+        if ((bb.getInt(e + 4) & 0x10) == 0) None
+        else {
+          val off = 20 + bb.getInt(e + 8) + 8
+          val sz = bb.getInt(e + 12)
+          val sum = (0 until sz).map(j => (bytes(off + j) & 0xff).toLong).sum
+          Some((k.toLong, off.toLong, sz.toLong, sum))
+        }
+      }.toVector
+      assert(decoded(id) === expect, s"doc $id keyframe table mismatch")
+      // keyframes are a strict subset: every 3rd frame only
+      assert(expect.map(_._1) === (0L until n.toLong by 3L).toVector)
+    }
+  }
+
   test("synthesized containers are well-formed (sizes match headers)") {
     val bad = Multimodal.synthesizeMedia(spark, docs)
       .select(col("doc_id"), length(col("blob")).as("len"), col("blob"))

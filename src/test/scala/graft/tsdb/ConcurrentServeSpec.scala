@@ -1,0 +1,147 @@
+package graft.tsdb
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Concurrent ingest + serve — the reference's one genuinely
+  * distinctive design point is a background writer with reader-writer
+  * locks so queries run WHILE ticks append
+  * (/root/reference/timeseries_db.hpp:13-17, column_storage.cpp lock
+  * usage). Graft's analog is structural, not lock-based: every batch
+  * for one symbol lands as ONE parquet file (the ingest path
+  * repartitions by symbol, so a symbol's batch is written by a single
+  * task), files become visible only via the commit protocol's rename,
+  * and readers list the directory fresh per query — so a read
+  * concurrent with a write sees either the whole batch or none of it,
+  * never a torn file and never a partial batch.
+  *
+  * These tests drive a real writer thread against a live reader and
+  * assert exactly that contract, plus serve-loop freshness (the
+  * read-through cache refreshes after an insert).
+  */
+class ConcurrentServeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  private def batchDf(sym: String, startSec: Long, n: Int) = {
+    import org.apache.spark.sql.functions._
+    spark.range(n).select(
+      lit(sym).as("symbol"),
+      timestamp_seconds(lit(startSec) + col("id")).as("ts"),
+      (lit(100.0) + col("id") % 50).as("price"),
+      (col("id") % 900 + 100).as("volume"))
+  }
+
+  test("reads concurrent with batch appends never observe a partial batch") {
+    val dir = Files.createTempDirectory("conc_serve_").toString
+    val store = new TickStore(spark, dir)
+    val batch = 1000
+    val nBatches = 6
+    store.ingest(batchDf("CONC", 1700000000L, batch)) // initial commit
+
+    // committed counts the writer has fully landed, in commit order
+    val committed = new ConcurrentLinkedQueue[Long]()
+    committed.add(batch.toLong)
+    val failed = new AtomicBoolean(false)
+    val started = new CountDownLatch(1)
+    val writer = new Thread(() => {
+      started.countDown()
+      try {
+        var i = 1
+        while (i <= nBatches) {
+          store.ingest(batchDf("CONC", 1700000000L + i * batch, batch))
+          committed.add(((i + 1) * batch).toLong)
+          i += 1
+        }
+      } catch { case _: Throwable => failed.set(true) }
+    })
+    writer.start()
+    started.await()
+
+    // reader: fresh directory listing per query (new DataFrame each
+    // call) racing the writer's commits
+    var observations = List.empty[Long]
+    while (writer.isAlive) {
+      observations ::= store.count("CONC")
+    }
+    writer.join()
+    assert(!failed.get, "writer thread failed")
+    observations ::= store.count("CONC") // final read after last commit
+
+    val allowed = (1 to nBatches + 1).map(_.toLong * batch).toSet
+    val bad = observations.filterNot(allowed.contains)
+    assert(bad.isEmpty,
+      s"reads saw partial batches: ${bad.distinct.sorted.mkString(", ")} " +
+        s"(allowed: whole multiples of $batch)")
+    // observations were collected newest-first: commit order is
+    // monotone, so the reversed list must be non-decreasing
+    val inOrder = observations.reverse
+    assert(inOrder.zip(inOrder.tail).forall { case (a, b) => a <= b },
+      "observed counts went backwards across commits")
+    assert(inOrder.last === (nBatches + 1).toLong * batch)
+    graft.core.TempDirs.delete(dir)
+  }
+
+  test("serve loop answers warm reads correctly while a writer appends") {
+    val dir = Files.createTempDirectory("conc_serve_loop_").toString
+    val store = new TickStore(spark, dir)
+    store.ingest(batchDf("NVDA", 1700000000L, 2000))
+
+    val stop = new AtomicBoolean(false)
+    val writer = new Thread(() => {
+      var i = 0
+      while (!stop.get && i < 50) {
+        store.ingest(batchDf("INGQ", 1700000000L + i * 500L, 500))
+        i += 1
+      }
+    })
+    writer.start()
+
+    // 40 warm point-range reads on the served symbol under write load
+    val cmds = new StringBuilder()
+    (0 until 40).foreach { i =>
+      val s = 1700000000L + (i % 100)
+      cmds.append(s"query NVDA $s ${s + 10}\n")
+    }
+    cmds.append("count NVDA\nexit\n")
+    val bout = new java.io.ByteArrayOutputStream()
+    graft.Cli.serve(spark, dir,
+      new java.io.BufferedReader(new java.io.StringReader(cmds.toString)),
+      new java.io.PrintStream(bout, true))
+    stop.set(true)
+    writer.join()
+
+    val out = bout.toString
+    // every range read returns the exact 11 ticks of its window (the
+    // served symbol's data is stable; the concurrent load is on INGQ)
+    val founds = "Found (\\d+) results:".r.findAllMatchIn(out)
+      .map(_.group(1).toInt).toVector
+    assert(founds.length === 40)
+    assert(founds.forall(_ === 11), s"range sizes under load: ${founds.distinct}")
+    assert(out.contains("Count: 2000"))
+    graft.core.TempDirs.delete(dir)
+  }
+
+  test("serve cache refreshes after insert (read-your-writes)") {
+    val dir = Files.createTempDirectory("conc_serve_rw_").toString
+    val store = new TickStore(spark, dir)
+    store.ingest(batchDf("AMD", 1700000000L, 100))
+    val cmds = "count AMD\ninsert AMD 1700009999 42.50 777\ncount AMD\n" +
+      "query AMD 1700009999 1700009999\nexit\n"
+    val bout = new java.io.ByteArrayOutputStream()
+    graft.Cli.serve(spark, dir,
+      new java.io.BufferedReader(new java.io.StringReader(cmds)),
+      new java.io.PrintStream(bout, true))
+    val out = bout.toString
+    assert(out.contains("Count: 100"))
+    assert(out.contains("Count: 101"))
+    assert(out.contains("Price: 42.50 Volume: 777"))
+    graft.core.TempDirs.delete(dir)
+  }
+}

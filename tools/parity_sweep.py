@@ -53,6 +53,7 @@ q_mfi q_cmf q_cci q_ulcer q_variance_ratio q_ichimoku
 q_williams_r q_roc q_dow_returns q_underwater q_streaks
 q_drawdown_episodes q_market_index q_abnormal_volume q_volume_curve
 q_momentum_quartiles q_turnover_rank
+q_aroon q_vortex q_cmo q_keltner q_ad_line q_eom q_force_index
 """.split()
 
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",

@@ -239,6 +239,12 @@ object SparkEntry {
     "q_ad_line" -> ((s, dir) => MarketOps.adLine(ticks(s, dir))),
     "q_eom" -> ((s, dir) => MarketOps.easeOfMovement(ticks(s, dir), 14)),
     "q_force_index" -> ((s, dir) => MarketOps.forceIndex(ticks(s, dir), 13)),
+    // ---- NEW r10b microstructure census batch ----
+    "q_tick_size" -> ((s, dir) => MarketOps.tickSizeEstimate(ticks(s, dir))),
+    "q_price_clustering" -> ((s, dir) =>
+      MarketOps.priceClustering(ticks(s, dir))),
+    "q_burst_census" -> ((s, dir) => MarketOps.burstCensus(ticks(s, dir))),
+    "q_benford" -> ((s, dir) => MarketOps.benfordVolumes(ticks(s, dir))),
 
     // ---- §2.3 relational/OLAP breadth ----
     "q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
@@ -1726,6 +1732,76 @@ object SparkEntry {
         |            THEN ROUND(CAST(sflow AS DOUBLE) / CAST(svol AS DOUBLE), 4) + 0.0
         |       END AS cmf20
         |FROM s ORDER BY symbol, day""".stripMargin,
+    "q_tick_size" ->
+      // GCD is order-free, so DuckDB's seed-with-first list_reduce
+      // over an unordered list equals the graft_gcd aggregate exactly
+      """WITH t AS (
+        |  SELECT event_type AS symbol, ts, event_id,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (
+        |  SELECT symbol,
+        |         abs(cents - LAG(cents) OVER (PARTITION BY symbol
+        |             ORDER BY ts, event_id)) AS dc
+        |  FROM t),
+        |f AS (SELECT symbol, dc FROM d WHERE dc IS NOT NULL AND dc > 0)
+        |SELECT symbol,
+        |       CAST(list_reduce(list(dc), (a, b) -> gcd(a, b)) AS BIGINT)
+        |         AS tick_size_cents,
+        |       CAST(COUNT(*) AS BIGINT) AS n_price_moves
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_price_clustering" ->
+      // modular integer counting; shares are RAW exact-int quotients
+      """WITH c AS (
+        |  SELECT event_type AS symbol,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (
+        |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_trades,
+        |         CAST(SUM(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_integer,
+        |         CAST(SUM(CASE WHEN cents % 50 = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_half,
+        |         CAST(SUM(CASE WHEN cents % 25 = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_quarter,
+        |         CAST(SUM(CASE WHEN cents % 10 = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_dime
+        |  FROM c GROUP BY 1)
+        |SELECT symbol, n_trades,
+        |       CAST(n_integer AS DOUBLE) / CAST(n_trades AS DOUBLE)
+        |         AS integer_share,
+        |       CAST(n_half AS DOUBLE) / CAST(n_trades AS DOUBLE) AS half_share,
+        |       CAST(n_quarter AS DOUBLE) / CAST(n_trades AS DOUBLE)
+        |         AS quarter_share,
+        |       CAST(n_dime AS DOUBLE) / CAST(n_trades AS DOUBLE) AS dime_share
+        |FROM g ORDER BY symbol""".stripMargin,
+    "q_burst_census" ->
+      // two counter aggregations; mean is one RAW division
+      """WITH s AS (
+        |  SELECT event_type AS symbol, date_trunc('second', ts) AS sec,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_active_seconds,
+        |       CAST(SUM(n) AS BIGINT) AS n_ticks,
+        |       CAST(MAX(n) AS BIGINT) AS peak_tps,
+        |       CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS mean_tps
+        |FROM s GROUP BY 1 ORDER BY symbol""".stripMargin,
+    "q_benford" ->
+      // first significant digit via string head (exact on positive
+      // longs); the share window runs over 9 counter rows per symbol
+      """WITH d AS (
+        |  SELECT event_type AS symbol,
+        |         CAST(substring(CAST(user_id AS VARCHAR), 1, 1) AS BIGINT)
+        |           AS first_digit
+        |  FROM events WHERE user_id > 0),
+        |g AS (
+        |  SELECT symbol, first_digit, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1, 2)
+        |SELECT symbol, first_digit, n,
+        |       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY symbol)
+        |            AS DOUBLE) AS digit_share
+        |FROM g ORDER BY symbol, first_digit""".stripMargin,
     "q_session_stats" ->
       // the q_sessionize chain aggregated to (symbol, session) then
       // bucketed by the exact bit-length trick (length-histogram

@@ -298,5 +298,10 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_max_k(key, id, k), got ${other.size} args")
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_gcd", {
+      case Seq(x) => GcdAggregate(x)
+      case other => throw new IllegalArgumentException(
+        s"graft_gcd(x), got ${other.size} args")
+    }, "scala_udf")
   }
 }

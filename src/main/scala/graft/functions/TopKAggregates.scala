@@ -172,3 +172,58 @@ case class MaxKByLongKey(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(key = newChildren(0), id = newChildren(1))
 }
+
+/** `graft_gcd(x)`: the greatest common divisor of all non-null longs in
+  * the group (0 for an empty group — gcd's identity). Spark has no GCD
+  * aggregate and composing one from HOFs would need a driver collect;
+  * as a TypedImperativeAggregate the state is ONE long, map-side
+  * partials merge associatively, and the whole reduction is
+  * shuffle-minimal. The effective-tick-size estimator's kernel:
+  * gcd of all positive price increments.
+  */
+case class GcdAggregate(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_gcd"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  private def gcd(a: Long, b: Long): Long = {
+    var x = math.abs(a); var y = math.abs(b)
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  }
+
+  override def createAggregationBuffer(): Array[Long] = Array(0L)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) buf(0) = gcd(buf(0), v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    a(0) = gcd(a(0), b(0)); a
+  }
+
+  override def eval(buf: Array[Long]): Any = buf(0)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(8)
+    out.putLong(buf(0)); out.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    Array(java.nio.ByteBuffer.wrap(bytes).getLong())
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GcdAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GcdAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}

@@ -2791,4 +2791,97 @@ object MarketOps {
           count(lit(1)).over(w).cast("double")).as(s"fi_sma$n"))
       .orderBy("symbol", "day")
   }
+
+  // ---- NEW r10b microstructure census batch (pure integer parity) ----
+
+  /** NEW r10b: effective tick size — per symbol, the GCD of every
+    * positive price increment in cents (the price-grid estimator a
+    * feed-quality monitor runs: a 5¢-grid instrument whose feed shows
+    * 1¢ moves is mis-scaled). Spark has no GCD aggregate, so this is
+    * the custom `graft_gcd` TypedImperativeAggregate (one-long state,
+    * associative map-side partials); the lag rides [[chunkedLag1]] —
+    * no whole-symbol window. DuckDB mirrors with
+    * list_reduce(list(...), gcd) — order-free, so the unordered list
+    * is safe.
+    */
+  def tickSizeEstimate(ticks: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(ticks.sparkSession)
+    val t = ticks
+      .withColumn("chunk_day", to_date(col("ts")))
+      .withColumn("cents", (col("price").cast(dec) * 100).cast("bigint"))
+    chunkedLag1(t, "cents", "prev_cents")
+      .withColumn("dc", abs(col("cents") - col("prev_cents")))
+      .filter(col("dc").isNotNull && col("dc") > 0)
+      .groupBy(col("symbol"))
+      .agg(expr("graft_gcd(dc)").as("tick_size_cents"),
+        count(lit(1)).as("n_price_moves"))
+      .orderBy("symbol")
+  }
+
+  /** NEW r10b: price-clustering census — the share of trades printing
+    * on integer / half / quarter / dime price points per symbol (the
+    * classic round-number magnetism diagnostic). Pure modular integer
+    * counting; shares are RAW exact-int quotients.
+    */
+  def priceClustering(ticks: DataFrame): DataFrame = {
+    def share(n: Column, d: Column): Column =
+      n.cast("double") / d.cast("double")
+    ticks
+      .select(col("symbol"),
+        (col("price").cast(dec) * 100).cast("bigint").as("cents"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(when(pmod(col("cents"), lit(100L)) === 0, 1L).otherwise(0L))
+          .as("n_integer"),
+        sum(when(pmod(col("cents"), lit(50L)) === 0, 1L).otherwise(0L))
+          .as("n_half"),
+        sum(when(pmod(col("cents"), lit(25L)) === 0, 1L).otherwise(0L))
+          .as("n_quarter"),
+        sum(when(pmod(col("cents"), lit(10L)) === 0, 1L).otherwise(0L))
+          .as("n_dime"))
+      .select(col("symbol"), col("n_trades"),
+        share(col("n_integer"), col("n_trades")).as("integer_share"),
+        share(col("n_half"), col("n_trades")).as("half_share"),
+        share(col("n_quarter"), col("n_trades")).as("quarter_share"),
+        share(col("n_dime"), col("n_trades")).as("dime_share"))
+      .orderBy("symbol")
+  }
+
+  /** NEW r10b: burst census — per symbol, the peak and shape of
+    * per-second message rates (the quote-stuffing / feed-burst
+    * monitor). Two counter aggregations, all exact integers; the mean
+    * is one RAW division.
+    */
+  def burstCensus(ticks: DataFrame): DataFrame =
+    ticks
+      .groupBy(col("symbol"), date_trunc("second", col("ts")).as("sec"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_active_seconds"),
+        sum(col("n")).cast("long").as("n_ticks"),
+        max(col("n")).as("peak_tps"))
+      .select(col("symbol"), col("n_active_seconds"), col("n_ticks"),
+        col("peak_tps"),
+        (col("n_ticks").cast("double") /
+          col("n_active_seconds").cast("double")).as("mean_tps"))
+      .orderBy("symbol")
+
+  /** NEW r10b: Benford first-digit census of trade sizes — the
+    * anomaly screen auditors run on reported volumes. First
+    * significant digit via string head (exact on positive longs);
+    * counts and one RAW share quotient per (symbol, digit).
+    */
+  def benfordVolumes(ticks: DataFrame): DataFrame = {
+    val perSym = Window.partitionBy("symbol")
+    ticks.filter(col("volume") > 0)
+      .select(col("symbol"),
+        substring(col("volume").cast("string"), 1, 1).cast("long")
+          .as("first_digit"))
+      .groupBy(col("symbol"), col("first_digit"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("symbol"), col("first_digit"), col("n"),
+        (col("n").cast("double") /
+          sum(col("n")).over(perSym).cast("double")).as("digit_share"))
+      .orderBy("symbol", "first_digit")
+  }
 }

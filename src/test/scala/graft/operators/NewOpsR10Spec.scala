@@ -151,6 +151,76 @@ class NewOpsR10Spec extends AnyFunSuite {
     }
   }
 
+  // (symbol, ts_us, event_id, cents, volume) in (ts, event_id) order
+  private lazy val tickRows: Map[String, Vector[(Long, Long, Long, Long)]] =
+    Tables.ticks(spark, sf)
+      .select(col("symbol"), unix_micros(col("ts")).as("us"), col("event_id"),
+        (col("price").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        col("volume"))
+      .collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(t => (t._1, t._2)).toVector)
+      .toMap.map(identity)
+
+  test("tickSizeEstimate: graft_gcd equals a driver-side fold over cent diffs") {
+    val got = MarketOps.tickSizeEstimate(Tables.ticks(spark, sf)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    for ((sym, rows) <- tickRows) {
+      val diffs = rows.zip(rows.drop(1))
+        .map { case ((_, _, c1, _), (_, _, c2, _)) => math.abs(c2 - c1) }
+        .filter(_ > 0)
+      if (diffs.nonEmpty)
+        assert(got(sym) === ((diffs.foldLeft(0L)(gcd), diffs.size.toLong)),
+          s"symbol $sym")
+    }
+  }
+
+  test("priceClustering: modular shares match a recompute and nest correctly") {
+    val got = MarketOps.priceClustering(Tables.ticks(spark, sf)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    for ((sym, rows) <- tickRows) {
+      val n = rows.size.toLong
+      def share(m: Long) = rows.count(_._3 % m == 0).toDouble / n
+      assert(got(sym) === ((n, share(100), share(50), share(25), share(10))),
+        s"symbol $sym")
+      // integer prints ⊆ half ⊆ quarter-or-half... (100 | 50 | 25·2, 10·5)
+      val (_, i, h, _, d) = got(sym)
+      assert(i <= h && h <= d + 1.0) // integer ⊆ half; dime bound sanity
+    }
+  }
+
+  test("burstCensus: per-second peaks match a recompute") {
+    val got = MarketOps.burstCensus(Tables.ticks(spark, sf)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    for ((sym, rows) <- tickRows) {
+      val bySec = rows.groupBy(_._1 / 1000000L).view.mapValues(_.size.toLong)
+      val secs = bySec.size.toLong
+      val total = rows.size.toLong
+      assert(got(sym) ===
+        ((secs, total, bySec.values.max, total.toDouble / secs)), s"$sym")
+    }
+  }
+
+  test("benfordVolumes: digit counts match; shares sum to 1 per symbol") {
+    val got = MarketOps.benfordVolumes(Tables.ticks(spark, sf)).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+    for ((sym, rows) <- tickRows) {
+      val pos = rows.filter(_._4 > 0)
+      val byDigit = pos.groupBy(_._4.toString.head.asDigit.toLong).view
+        .mapValues(_.size.toLong).toMap
+      val mine = got.filter(_._1._1 == sym)
+      assert(mine.map(x => x._1._2 -> x._2._1).toMap === byDigit, s"$sym")
+      assert(math.abs(mine.map(_._2._2).sum - 1.0) < 1e-9, s"$sym shares")
+    }
+  }
+
   test("sessionStats: bucket totals partition the tick log; buckets are bit lengths") {
     val ticks = Tables.ticks(spark, sf)
     val st = EventAnalytics.sessionStats(ticks, 30).cache()

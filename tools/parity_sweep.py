@@ -54,6 +54,8 @@ q_williams_r q_roc q_dow_returns q_underwater q_streaks
 q_drawdown_episodes q_market_index q_abnormal_volume q_volume_curve
 q_momentum_quartiles q_turnover_rank
 q_aroon q_vortex q_cmo q_keltner q_ad_line q_eom q_force_index
+q_tick_size q_price_clustering q_burst_census q_benford
+q_session_stats q_activity_gini
 """.split()
 
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",

@@ -245,6 +245,9 @@ object SparkEntry {
       MarketOps.priceClustering(ticks(s, dir))),
     "q_burst_census" -> ((s, dir) => MarketOps.burstCensus(ticks(s, dir))),
     "q_benford" -> ((s, dir) => MarketOps.benfordVolumes(ticks(s, dir))),
+    "q_pareto" -> ((s, dir) => Relational.paretoRevenue(s, dir)),
+    "q_ltv_cohort" -> ((s, dir) => Relational.ltvCohort(s, dir)),
+    "q_basket_pairs" -> ((s, dir) => Relational.basketPairs(s, dir, 20)),
 
     // ---- §2.3 relational/OLAP breadth ----
     "q1_agg" -> ((s, dir) => Relational.q1(s, dir)),
@@ -1732,6 +1735,69 @@ object SparkEntry {
         |            THEN ROUND(CAST(sflow AS DOUBLE) / CAST(svol AS DOUBLE), 4) + 0.0
         |       END AS cmf20
         |FROM s ORDER BY symbol, day""".stripMargin,
+    "q_ltv_cohort" ->
+      // exact integer month arithmetic; exact decimal revenue sums
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders),
+        |f AS (
+        |  SELECT o_custkey,
+        |         CAST(date_trunc('month', MIN(od)) AS DATE) AS cohort_month
+        |  FROM o GROUP BY 1)
+        |SELECT f.cohort_month,
+        |       CAST((year(od) * 12 + month(od))
+        |            - (year(cohort_month) * 12 + month(cohort_month))
+        |            AS BIGINT) AS month_offset,
+        |       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(CAST(SUM(price) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+        |FROM o JOIN f ON o.o_custkey = f.o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_basket_pairs" ->
+      // per-order pair expansion; (count desc, pair) total order
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "q_pareto" ->
+      // band order is monotone in revenue, so the scaffold's rank
+      // equals this single ROW_NUMBER; exact integer ceilings for the
+      // top-k thresholds; shares are RAW exact-decimal quotients
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |              AS DECIMAL(12,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT rev, CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey)
+        |              AS BIGINT) AS rk
+        |  FROM c),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |         CAST(SUM(rev) AS DECIMAL(38,2)) AS total_rev
+        |  FROM r),
+        |s AS (
+        |  SELECT r.rk, r.rev, t.n_customers, t.total_rev,
+        |         (t.n_customers + 99) // 100 AS k1,
+        |         (t.n_customers + 9) // 10 AS k10
+        |  FROM r CROSS JOIN t)
+        |SELECT n_customers, CAST(total_rev AS DOUBLE) AS total_rev,
+        |       CASE WHEN total_rev <> 0 THEN
+        |         CAST(CAST(SUM(CASE WHEN rk <= k1 THEN rev
+        |                            ELSE CAST(0 AS DECIMAL(12,2)) END)
+        |                   AS DECIMAL(38,2)) AS DOUBLE)
+        |           / CAST(total_rev AS DOUBLE) END AS top1pct_share,
+        |       CASE WHEN total_rev <> 0 THEN
+        |         CAST(CAST(SUM(CASE WHEN rk <= k10 THEN rev
+        |                            ELSE CAST(0 AS DECIMAL(12,2)) END)
+        |                   AS DECIMAL(38,2)) AS DOUBLE)
+        |           / CAST(total_rev AS DOUBLE) END AS top10pct_share
+        |FROM s GROUP BY n_customers, total_rev, k1, k10""".stripMargin,
     "q_tick_size" ->
       // GCD is order-free, so DuckDB's seed-with-first list_reduce
       // over an unordered list equals the graft_gcd aggregate exactly

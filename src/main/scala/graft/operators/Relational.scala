@@ -705,6 +705,103 @@ object Relational {
         col("g_level"), col("n"), col("sum_qty"), col("sum_price"))
       .orderBy("g_level", "returnflag_g", "linestatus_g")
 
+  /** NEW r10: revenue concentration (Pareto report) — the share of
+    * total order revenue carried by the top 1% / 10% of customers.
+    * The global customer rank by revenue uses the count-band scaffold
+    * (band = floor(rev/1000); band is MONOTONE in revenue, so
+    * (band desc, rev desc, custkey) is exactly the (rev desc, custkey)
+    * total order and the oracle's single ROW_NUMBER matches): ranks
+    * come from bounded per-band windows plus a tiny prefix-offset
+    * table — no global customer sort. Threshold indices are exact
+    * integer ceilings ((n+99) div 100); shares are RAW quotients of
+    * exact decimal sums (engine-exact ≤15 sig digits — the turnover
+    * residual class).
+    */
+  def paretoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.orders(spark, dir).groupBy(col("o_custkey"))
+      .agg(sum(d("o_totalprice")).cast(dec).as("rev"))
+    val banded = c.withColumn("band", floor(col("rev") / 1000).cast("long"))
+    val bandW = Window.partitionBy("band")
+      .orderBy(col("rev").desc, col("o_custkey"))
+    val ranked0 = banded.withColumn("rn", row_number().over(bandW).cast("long"))
+    val counts = banded.groupBy(col("band")).agg(count(lit(1)).as("c"))
+    val offW = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(offW), lit(0L)))
+      .select(col("band").as("b2"), col("off"))
+    val ranked = ranked0.join(offsets, col("band") === col("b2"))
+      .select(col("rev"), (col("off") + col("rn")).as("rk"))
+    val tot = ranked.agg(count(lit(1)).as("n_customers"),
+      sum(col("rev")).cast(DecimalType(38, 2)).as("total_rev"))
+    val z = lit(0).cast(dec)
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("k1", expr("(n_customers + 99) div 100"))
+      .withColumn("k10", expr("(n_customers + 9) div 10"))
+      .groupBy(col("n_customers"), col("total_rev"), col("k1"), col("k10"))
+      .agg(
+        sum(when(col("rk") <= col("k1"), col("rev")).otherwise(z))
+          .cast(DecimalType(38, 2)).as("top1_rev"),
+        sum(when(col("rk") <= col("k10"), col("rev")).otherwise(z))
+          .cast(DecimalType(38, 2)).as("top10_rev"))
+      .select(col("n_customers"),
+        col("total_rev").cast("double").as("total_rev"),
+        // ANSI ÷0 guard: an all-zero-revenue tape must yield NULL
+        // shares, not a throw (DuckDB maps the same case to NULL)
+        when(col("total_rev") =!= 0,
+          col("top1_rev").cast("double") / col("total_rev").cast("double"))
+          .as("top1pct_share"),
+        when(col("total_rev") =!= 0,
+          col("top10_rev").cast("double") / col("total_rev").cast("double"))
+          .as("top10pct_share"))
+  }
+
+  /** NEW r10b: customer LTV cohort triangle — revenue per
+    * (first-order month, months-since-first) cell, the lifetime-value
+    * view every subscription/commerce dashboard carries. Month
+    * arithmetic is exact integers (year·12+month); revenue is an
+    * exact decimal sum over one double cast. The per-customer cohort
+    * table joins back unhinted (AQE broadcasts at test SF, shuffles
+    * at scale).
+    */
+  def ltvCohort(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      to_date(col("o_orderdate")).as("od"), d("o_totalprice").as("price"))
+    val f = o.groupBy(col("o_custkey"))
+      .agg(trunc(min(col("od")), "month").as("cohort_month"))
+    o.join(f, "o_custkey")
+      .withColumn("month_offset",
+        ((year(col("od")) * 12 + month(col("od"))) -
+          (year(col("cohort_month")) * 12 + month(col("cohort_month"))))
+          .cast("long"))
+      .groupBy(col("cohort_month"), col("month_offset"))
+      .agg(count_distinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("revenue"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
+  /** NEW r10b: market-basket pair affinity — the k part pairs most
+    * often co-ordered (ORDER-key self-join with part_a < part_b; the
+    * shared subplan keeps ONE exchange, per-order pair expansion is
+    * bounded by items-per-order so the blowup is linear in orders,
+    * not quadratic in parts). Counter shuffle + TakeOrdered top-k
+    * with a (count desc, pair) total order.
+    */
+  def basketPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(desc("n_orders"), col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   /** UNPIVOT: the per-returnflag measure sums melted into long-form
     * (measure, value) rows — the wide→long reshape every BI export
     * needs. Aggregation happens FIRST (exact decimal sums, one

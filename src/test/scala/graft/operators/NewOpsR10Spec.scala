@@ -28,6 +28,33 @@ class NewOpsR10Spec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toVector)
       .toMap.map(identity)
 
+  test("r10 tick family survives the adversarial edge tape (ANSI ÷0 / degenerate shapes)") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // single-tick symbol, flat tape (h=l), zero volume, zero/negative
+    // prices, duplicate (symbol, ts) — the ÷0-guard fixture classes
+    val edge = Seq(
+      (1L, "A", ts("2024-01-05 10:00:00"), 10.0, 5L),
+      (2L, "B", ts("2024-01-01 10:00:00"), 2.0, 0L),
+      (3L, "B", ts("2024-01-01 10:01:00"), 2.0, 0L),
+      (4L, "B", ts("2024-01-02 10:00:00"), 2.0, 1L),
+      (5L, "C", ts("2024-02-01 01:00:00"), 0.0, 3L),
+      (6L, "C", ts("2024-02-01 01:00:00"), -1.5, 4L),
+      (7L, "C", ts("2024-02-02 01:00:00"), 0.0, 5L)
+    ).toDF("event_id", "symbol", "ts", "price", "volume")
+    val fams = Seq[org.apache.spark.sql.DataFrame](
+      MarketOps.aroon(edge, 14), MarketOps.vortex(edge, 14),
+      MarketOps.cmo(edge, 14), MarketOps.keltner(edge, 20),
+      MarketOps.adLine(edge), MarketOps.easeOfMovement(edge, 14),
+      MarketOps.forceIndex(edge, 13), MarketOps.tickSizeEstimate(edge),
+      MarketOps.priceClustering(edge), MarketOps.burstCensus(edge),
+      MarketOps.benfordVolumes(edge), EventAnalytics.sessionStats(edge, 30))
+    fams.foreach(df => df.collect()) // must not throw (ANSI ÷0, nulls)
+    // flat tape: A/D and EOM degenerate bars contribute zero, not NULL/throw
+    val ad = MarketOps.adLine(edge).filter(col("symbol") === "B").collect()
+    assert(ad.forall(_.getDouble(2) === 0.0))
+  }
+
   test("aroon: 0 on a fresh n-day extreme, values on the 100/n grid") {
     val got = MarketOps.aroon(Tables.ticks(spark, sf), 14).collect()
       .map(r => ((r.getString(0), r.getDate(1).toString),
@@ -219,6 +246,56 @@ class NewOpsR10Spec extends AnyFunSuite {
       assert(mine.map(x => x._1._2 -> x._2._1).toMap === byDigit, s"$sym")
       assert(math.abs(mine.map(_._2._2).sum - 1.0) < 1e-9, s"$sym shares")
     }
+  }
+
+  test("paretoRevenue: shares match the exact sorted recompute") {
+    val row = Relational.paretoRevenue(spark, sf).collect()(0)
+    val revs = graft.core.Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(12,2)").as("rev"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+      .sortBy { case (k, r) => (r.negate, k) } // rev desc, custkey asc
+    val n = revs.length
+    val total = revs.map(_._2).reduce(_.add(_))
+    def topShare(k: Int): Double =
+      revs.take(k).map(_._2).reduce(_.add(_)).doubleValue() /
+        total.doubleValue()
+    assert(row.getLong(0) === n.toLong)
+    assert(row.getDouble(1) === total.doubleValue())
+    assert(row.getDouble(2) === topShare((n + 99) / 100))
+    assert(row.getDouble(3) === topShare((n + 9) / 10))
+    assert(row.getDouble(2) <= row.getDouble(3))
+  }
+
+  test("ltvCohort: cell totals partition the order log; offsets are non-negative") {
+    val lc = Relational.ltvCohort(spark, sf).cache()
+    val orders = graft.core.Tables.orders(spark, sf)
+    assert(lc.agg(sum("n_orders")).collect()(0).getLong(0) === orders.count())
+    assert(lc.filter(col("month_offset") < 0).count() === 0)
+    // offset-0 cells count every customer exactly once across cohorts
+    val atZero = lc.filter(col("month_offset") === 0)
+      .agg(sum("n_customers")).collect()(0).getLong(0)
+    assert(atZero === orders.select("o_custkey").distinct().count())
+    lc.unpersist()
+  }
+
+  test("basketPairs: counts match a driver-side pair recompute") {
+    val got = Relational.basketPairs(spark, sf, 20).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case ((a, b), _) => a < b })
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (pair, n) => assert(pairCounts(pair) === n, s"$pair") }
+    val want = pairCounts.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(20).map(_._1)
+    assert(got.map(_._1).toSeq === want)
   }
 
   test("sessionStats: bucket totals partition the tick log; buckets are bit lengths") {

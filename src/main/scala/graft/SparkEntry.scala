@@ -464,6 +464,8 @@ object SparkEntry {
       Similarity.embeddingNearDups(Tables.embeddings(s, dir), dim = 64, threshold = 0.25)),
     "q_embed_outliers" -> ((s, dir) =>
       Similarity.embedOutliers(Tables.embeddings(s, dir), 3)),
+    "q_centroid_dist" -> ((s, dir) =>
+      Similarity.centroidDistances(Tables.embeddings(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
@@ -4705,6 +4707,37 @@ object SparkEntry {
         |      FROM d)
         |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, d2
         |FROM r WHERE rk <= 3 ORDER BY 1, 2""".stripMargin,
+    "q_centroid_dist" ->
+      // exact-int numerator over quantized components; sqrt is
+      // bit-identical (IEEE), the quotient non-terminating → ROUND 4
+      s"""WITH vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |${duckQ8},
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |flat AS (
+        |  SELECT l.label, UNNEST(q.qv) AS qc,
+        |         generate_subscripts(q.qv, 1) AS i
+        |  FROM q8 q JOIN lab l USING (vec_id)),
+        |s AS (SELECT label, i, CAST(SUM(qc) AS BIGINT) AS s,
+        |             CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM flat GROUP BY 1, 2),
+        |n AS (SELECT label, MAX(c) AS n FROM s GROUP BY 1),
+        |p AS (
+        |  SELECT sa.label AS label_a, sb.label AS label_b,
+        |         sa.s * nb.n - sb.s * na.n AS d, na.n AS na, nb.n AS nb
+        |  FROM s sa JOIN s sb ON sa.i = sb.i AND sa.label < sb.label
+        |  JOIN n na ON na.label = sa.label
+        |  JOIN n nb ON nb.label = sb.label),
+        |g AS (
+        |  SELECT label_a, label_b, na, nb,
+        |         CAST(SUM(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0)))
+        |              AS DECIMAL(38,0)) AS nsum
+        |  FROM p GROUP BY 1, 2, 3, 4)
+        |SELECT label_a, label_b, na AS n_a, nb AS n_b,
+        |       ROUND(SQRT(CAST(nsum AS DOUBLE)) / CAST(na * nb AS DOUBLE), 4)
+        |         AS centroid_dist
+        |FROM g ORDER BY label_a, label_b""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |flat AS (

@@ -287,4 +287,41 @@ object Similarity {
         col("lk.id").as("vec_id"), col("lk.k").as("d2"))
       .orderBy("label", "rk")
   }
+
+  /** NEW r10: per-label centroid distance matrix — the embedding-space
+    * drift/separation report (how far apart class centroids sit, the
+    * first diagnostic for label noise and collapsed clusters). Exact
+    * integer algebra over the quantized components: the mean-distance
+    * numerator Σᵢ(Sₐᵢ·n_b − S_bᵢ·nₐ)² is an exact DECIMAL(38,0) (no
+    * float sums of float32 components anywhere), and the only float
+    * ops are one bit-identical sqrt and one division — ROUND(…,4)
+    * emission (non-terminating quotient, no half-grid hazard). The
+    * label×label join runs over ONE aggregate row per label.
+    */
+  def centroidDistances(emb: DataFrame): DataFrame = {
+    reg(emb)
+    val q = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      quantizeI8(col("embedding")).as("qv"))
+    val sv = q.select(col("label"), posexplode(col("qv")).as(Seq("i", "qc")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("qc").cast("long")).as("s"), count(lit(1)).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+        x => x.getField("s")).as("sv"),
+        max(col("c")).as("n"))
+    val a = sv.select(col("label").as("label_a"), col("sv").as("sva"),
+      col("n").as("na"))
+    val b = sv.select(col("label").as("label_b"), col("sv").as("svb"),
+      col("n").as("nb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .withColumn("nsum", expr(
+        "aggregate(zip_with(sva, svb, (x, y) -> " +
+          "CAST(x * nb - y * na AS DECIMAL(19,0))), " +
+          "CAST(0 AS DECIMAL(38,0)), (acc, d) -> acc + d * d)"))
+      .select(col("label_a"), col("label_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(sqrt(col("nsum").cast("double")) /
+          (col("na") * col("nb")).cast("double"), 4).as("centroid_dist"))
+      .orderBy("label_a", "label_b")
+  }
 }

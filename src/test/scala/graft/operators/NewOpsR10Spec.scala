@@ -248,6 +248,30 @@ class NewOpsR10Spec extends AnyFunSuite {
     }
   }
 
+  test("centroidDistances: matches a driver-side exact-int recompute") {
+    import graft.pipeline.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.centroidDistances(emb).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.nonEmpty)
+    val qv = emb.select(col("label").cast("long"),
+        Similarity.quantizeI8(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1).toArray))
+    val byLabel = qv.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (((a, b), (na, nb, dist)) <- got) {
+      val va = byLabel(a); val vb = byLabel(b)
+      assert(na === va.length.toLong && nb === vb.length.toLong)
+      val sa = va.transpose.map(_.map(_.toLong).sum)
+      val sb = vb.transpose.map(_.map(_.toLong).sum)
+      val nsum = sa.zip(sb)
+        .map { case (x, y) => val d = BigInt(x * nb - y * na); d * d }.sum
+      val want = BigDecimal(math.sqrt(nsum.toDouble) / (na * nb).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(dist === want, s"pair ($a,$b)")
+    }
+  }
+
   test("paretoRevenue: shares match the exact sorted recompute") {
     val row = Relational.paretoRevenue(spark, sf).collect()(0)
     val revs = graft.core.Tables.orders(spark, sf)

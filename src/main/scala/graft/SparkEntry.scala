@@ -240,6 +240,10 @@ object SparkEntry {
     "q_eom" -> ((s, dir) => MarketOps.easeOfMovement(ticks(s, dir), 14)),
     "q_force_index" -> ((s, dir) => MarketOps.forceIndex(ticks(s, dir), 13)),
     // ---- NEW r10b microstructure census batch ----
+    "q_adx" -> ((s, dir) => MarketOps.adxDaily(ticks(s, dir))),
+    "q_trix" -> ((s, dir) => MarketOps.trixDaily(ticks(s, dir))),
+    "q_elder_ray" -> ((s, dir) => MarketOps.elderRay(ticks(s, dir))),
+    "q_mass_index" -> ((s, dir) => MarketOps.massIndex(ticks(s, dir), 25)),
     "q_tick_size" -> ((s, dir) => MarketOps.tickSizeEstimate(ticks(s, dir))),
     "q_price_clustering" -> ((s, dir) =>
       MarketOps.priceClustering(ticks(s, dir))),
@@ -1800,6 +1804,170 @@ object SparkEntry {
         |                   AS DECIMAL(38,2)) AS DOUBLE)
         |           / CAST(total_rev AS DOUBLE) END AS top10pct_share
         |FROM s GROUP BY n_customers, total_rev, k1, k10""".stripMargin,
+    "q_elder_ray" ->
+      // α = 2/14 is NOT exact binary — BOTH engines compute 2.0/14.0
+      // and 1.0 − 2.0/14.0 at runtime (identical IEEE ops, never a
+      // pre-folded literal); EMA recursion then RAW h/l differences
+      """WITH RECURSIVE b AS (
+        |  SELECT symbol, day, h, l, c,
+        |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+        |  FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |               CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |               CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |               CAST(max_by(value,
+        |                    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                    || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |                    AS DECIMAL(18,2)) AS c
+        |        FROM events GROUP BY 1, 2)),
+        |r AS (
+        |  SELECT symbol, rn, day, h, l, CAST(c AS DOUBLE) AS e
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.symbol, b.rn, b.day, b.h, b.l,
+        |         (2.0 / 14.0) * CAST(b.c AS DOUBLE)
+        |           + (1.0 - 2.0 / 14.0) * r.e
+        |  FROM b JOIN r ON b.symbol = r.symbol AND b.rn = r.rn + 1)
+        |SELECT symbol, day, e AS ema13,
+        |       CAST(h AS DOUBLE) - e AS bull_power,
+        |       CAST(l AS DOUBLE) - e AS bear_power
+        |FROM r ORDER BY symbol, day""".stripMargin,
+    "q_mass_index" ->
+      // per-bar EMA ratio quantized to integer micro-units (shared
+      // FLOOR/CEIL sequence) → the 25-bar sum is an exact LONG window
+      // over one final ÷1e6; α = 0.2/0.8 exactly representable
+      """WITH RECURSIVE b AS (
+        |  SELECT symbol, day, rng,
+        |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+        |  FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |               CAST(MAX(value) AS DECIMAL(18,2))
+        |                 - CAST(MIN(value) AS DECIMAL(18,2)) AS rng
+        |        FROM events GROUP BY 1, 2)),
+        |r AS (
+        |  SELECT symbol, rn, day, CAST(rng AS DOUBLE) AS e1,
+        |         CAST(rng AS DOUBLE) AS e2
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT symbol, rn, day, e1n AS e1, e2n AS e2
+        |  FROM (
+        |    SELECT b.symbol, b.rn, b.day,
+        |           0.2 * CAST(b.rng AS DOUBLE) + 0.8 * r.e1 AS e1n,
+        |           0.2 * e1n + 0.8 * r.e2 AS e2n
+        |    FROM b JOIN r ON b.symbol = r.symbol AND b.rn = r.rn + 1)),
+        |m AS (
+        |  SELECT symbol, day,
+        |         CAST(CASE WHEN ratio * 1000000.0 >= 0
+        |              THEN FLOOR(ratio * 1000000.0 + 0.5)
+        |              ELSE CEIL(ratio * 1000000.0 - 0.5) END AS BIGINT) AS micro
+        |  FROM (SELECT symbol, day,
+        |               CASE WHEN e2 <> 0 THEN e1 / e2 ELSE 0.0 END AS ratio
+        |        FROM r))
+        |SELECT symbol, day,
+        |       CAST(SUM(micro) OVER (PARTITION BY symbol ORDER BY day
+        |            ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         / 1000000.0 AS mass25
+        |FROM m ORDER BY symbol, day""".stripMargin,
+    "q_trix" ->
+      // α = 0.125 and 0.875 are exactly representable, so the three
+      // chained EMA streams are bit-identical; lateral aliases chain
+      // the stages within the recursive arm (each smooths the
+      // CURRENT upper-stage value); ROC over LAG(e3), RAW
+      """WITH RECURSIVE b AS (
+        |  SELECT symbol, day, c,
+        |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+        |  FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |               CAST(max_by(value,
+        |                    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                    || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |                    AS DECIMAL(18,2)) AS c
+        |        FROM events GROUP BY 1, 2)),
+        |r AS (
+        |  SELECT symbol, rn, day, CAST(c AS DOUBLE) AS e1,
+        |         CAST(c AS DOUBLE) AS e2, CAST(c AS DOUBLE) AS e3
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT symbol, rn, day, e1n AS e1, e2n AS e2, e3n AS e3
+        |  FROM (
+        |    SELECT b.symbol, b.rn, b.day,
+        |           0.125 * CAST(b.c AS DOUBLE) + 0.875 * r.e1 AS e1n,
+        |           0.125 * e1n + 0.875 * r.e2 AS e2n,
+        |           0.125 * e2n + 0.875 * r.e3 AS e3n
+        |    FROM b JOIN r ON b.symbol = r.symbol AND b.rn = r.rn + 1))
+        |SELECT symbol, day, e3,
+        |       CASE WHEN pe3 IS NOT NULL AND pe3 <> 0
+        |            THEN 100.0 * (e3 - pe3) / pe3 END AS trix
+        |FROM (SELECT symbol, day, e3,
+        |             LAG(e3) OVER (PARTITION BY symbol ORDER BY day) AS pe3
+        |      FROM r)
+        |ORDER BY symbol, day""".stripMargin,
+    "q_adx" ->
+      // three chained Wilder recursions; derived-table recursive arms
+      // keep the CTE arity fixed while lateral aliases rebuild the
+      // NEW-state DI/DX inline — the identical float op stream as the
+      // Spark sorted-group pass (RAW emission, q_heikin_ashi class)
+      """WITH RECURSIVE b AS (
+        |  SELECT symbol, day, h, l, c,
+        |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+        |  FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |               CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |               CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |               CAST(max_by(value,
+        |                    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                    || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |                    AS DECIMAL(18,2)) AS c
+        |        FROM events GROUP BY 1, 2)),
+        |d AS (
+        |  SELECT symbol, day, rn,
+        |         CASE WHEN up > down AND up > 0 THEN up ELSE 0.0 END AS pdm,
+        |         CASE WHEN down > up AND down > 0 THEN down ELSE 0.0 END AS mdm,
+        |         tr
+        |  FROM (
+        |    SELECT symbol, day, rn,
+        |           CAST(h - LAG(h) OVER w AS DOUBLE) AS up,
+        |           CAST(LAG(l) OVER w - l AS DOUBLE) AS down,
+        |           CAST(CAST(greatest(h - l, abs(h - LAG(c) OVER w),
+        |                abs(l - LAG(c) OVER w)) AS DECIMAL(18,2))
+        |                AS DOUBLE) AS tr
+        |    FROM b WINDOW w AS (PARTITION BY symbol ORDER BY day))
+        |  WHERE up IS NOT NULL),
+        |r AS (
+        |  SELECT symbol, rn, day, s_tr, s_pdm, s_mdm,
+        |         CASE WHEN di_p + di_m <> 0
+        |              THEN 100.0 * abs(di_p - di_m) / (di_p + di_m)
+        |              ELSE 0.0 END AS adx
+        |  FROM (
+        |    SELECT symbol, rn, day, tr AS s_tr, pdm AS s_pdm, mdm AS s_mdm,
+        |           CASE WHEN s_tr <> 0 THEN 100.0 * s_pdm / s_tr
+        |                ELSE 0.0 END AS di_p,
+        |           CASE WHEN s_tr <> 0 THEN 100.0 * s_mdm / s_tr
+        |                ELSE 0.0 END AS di_m
+        |    FROM d WHERE rn = 2)
+        |  UNION ALL
+        |  SELECT symbol, rn, day, s_tr, s_pdm, s_mdm,
+        |         (padx * 13.0 + CASE WHEN di_p + di_m <> 0
+        |              THEN 100.0 * abs(di_p - di_m) / (di_p + di_m)
+        |              ELSE 0.0 END) / 14.0 AS adx
+        |  FROM (
+        |    SELECT d.symbol, d.rn, d.day,
+        |           r.s_tr - r.s_tr / 14.0 + d.tr AS s_tr,
+        |           r.s_pdm - r.s_pdm / 14.0 + d.pdm AS s_pdm,
+        |           r.s_mdm - r.s_mdm / 14.0 + d.mdm AS s_mdm,
+        |           r.adx AS padx,
+        |           CASE WHEN r.s_tr - r.s_tr / 14.0 + d.tr <> 0
+        |                THEN 100.0 * (r.s_pdm - r.s_pdm / 14.0 + d.pdm)
+        |                     / (r.s_tr - r.s_tr / 14.0 + d.tr)
+        |                ELSE 0.0 END AS di_p,
+        |           CASE WHEN r.s_tr - r.s_tr / 14.0 + d.tr <> 0
+        |                THEN 100.0 * (r.s_mdm - r.s_mdm / 14.0 + d.mdm)
+        |                     / (r.s_tr - r.s_tr / 14.0 + d.tr)
+        |                ELSE 0.0 END AS di_m
+        |    FROM d JOIN r ON d.symbol = r.symbol AND d.rn = r.rn + 1))
+        |SELECT symbol, day,
+        |       CASE WHEN s_tr <> 0 THEN 100.0 * s_pdm / s_tr
+        |            ELSE 0.0 END AS plus_di,
+        |       CASE WHEN s_tr <> 0 THEN 100.0 * s_mdm / s_tr
+        |            ELSE 0.0 END AS minus_di,
+        |       adx
+        |FROM r ORDER BY symbol, day""".stripMargin,
     "q_tick_size" ->
       // GCD is order-free, so DuckDB's seed-with-first list_reduce
       // over an unordered list equals the graft_gcd aggregate exactly

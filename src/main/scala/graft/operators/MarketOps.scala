@@ -2792,6 +2792,194 @@ object MarketOps {
       .orderBy("symbol", "day")
   }
 
+  final case class AdxBar(symbol: String, day: java.sql.Date,
+      h: java.math.BigDecimal, l: java.math.BigDecimal,
+      c: java.math.BigDecimal)
+  final case class AdxOut(symbol: String, day: java.sql.Date,
+      plus_di: Double, minus_di: Double, adx: Double)
+
+  /** NEW r10b: Average Directional Index (Wilder) over daily bars —
+    * the classic trend-strength triple (+DI/−DI/ADX). Three chained
+    * Wilder-smoothing recursions (s ← s − s/14 + x, recursion-seeded
+    * at the first diff bar) run as ONE sorted-group pass per symbol
+    * with O(1) state (the MACD/Heikin-Ashi shape); directional moves
+    * and true range are exact decimal differences converted once, so
+    * the float recursion streams are bit-identical to the oracle's
+    * recursive CTE (identical op order, RAW emission — no ROUND
+    * anywhere).
+    */
+  def adxDaily(ticks: DataFrame): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("high").cast(dec).as("h"),
+        col("low").cast(dec).as("l"), col("close").cast(dec).as("c"))
+      .as[AdxBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        var ph: java.math.BigDecimal = null
+        var pl: java.math.BigDecimal = null
+        var pc: java.math.BigDecimal = null
+        var sTr = 0.0; var sPdm = 0.0; var sMdm = 0.0; var adxV = 0.0
+        var started = false
+        it.flatMap { b =>
+          val out: Iterator[AdxOut] =
+            if (ph == null) Iterator.empty
+            else {
+              val up = b.h.subtract(ph).doubleValue()
+              val down = pl.subtract(b.l).doubleValue()
+              val pdm = if (up > down && up > 0) up else 0.0
+              val mdm = if (down > up && down > 0) down else 0.0
+              val tr = Seq(b.h.subtract(b.l), b.h.subtract(pc).abs,
+                b.l.subtract(pc).abs).max.doubleValue()
+              if (!started) {
+                started = true
+                sTr = tr; sPdm = pdm; sMdm = mdm
+                val diP = if (sTr != 0) 100.0 * sPdm / sTr else 0.0
+                val diM = if (sTr != 0) 100.0 * sMdm / sTr else 0.0
+                adxV = if (diP + diM != 0)
+                  100.0 * math.abs(diP - diM) / (diP + diM) else 0.0
+              } else {
+                sTr = sTr - sTr / 14.0 + tr
+                sPdm = sPdm - sPdm / 14.0 + pdm
+                sMdm = sMdm - sMdm / 14.0 + mdm
+                val diP = if (sTr != 0) 100.0 * sPdm / sTr else 0.0
+                val diM = if (sTr != 0) 100.0 * sMdm / sTr else 0.0
+                val dx = if (diP + diM != 0)
+                  100.0 * math.abs(diP - diM) / (diP + diM) else 0.0
+                adxV = (adxV * 13.0 + dx) / 14.0
+              }
+              val diP = if (sTr != 0) 100.0 * sPdm / sTr else 0.0
+              val diM = if (sTr != 0) 100.0 * sMdm / sTr else 0.0
+              Iterator.single(AdxOut(sym, b.day, diP, diM, adxV))
+            }
+          ph = b.h; pl = b.l; pc = b.c
+          out
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
+  final case class TrixBar(symbol: String, day: java.sql.Date,
+      c: java.math.BigDecimal)
+  final case class TrixOut(symbol: String, day: java.sql.Date,
+      e3: Double, trix: Option[Double])
+
+  /** NEW r10b: TRIX — 1-day rate of change of a TRIPLE-smoothed EMA
+    * of the daily close (n = 15 → α = 0.125, exactly representable in
+    * binary so the smoothing constants carry zero parse skew). Three
+    * chained EMAs run in one sorted-group pass (each stage smooths
+    * the CURRENT value of the stage above — mirrored via lateral
+    * aliases in the oracle's recursive CTE); the ROC runs on e3 and
+    * its lag with identical op order. RAW emission.
+    */
+  def trixDaily(ticks: DataFrame): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .as[TrixBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        var e1 = 0.0; var e2 = 0.0; var e3 = 0.0
+        var first = true
+        var havePrev = false
+        var pe3 = 0.0
+        it.map { b =>
+          val c = b.c.doubleValue()
+          if (first) { first = false; e1 = c; e2 = c; e3 = c }
+          else {
+            havePrev = true; pe3 = e3
+            e1 = 0.125 * c + 0.875 * e1
+            e2 = 0.125 * e1 + 0.875 * e2
+            e3 = 0.125 * e2 + 0.875 * e3
+          }
+          val trix =
+            if (!havePrev || pe3 == 0.0) None
+            else Some(100.0 * (e3 - pe3) / pe3)
+          TrixOut(sym, b.day, e3, trix)
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
+  final case class ErBar(symbol: String, day: java.sql.Date,
+      h: java.math.BigDecimal, l: java.math.BigDecimal,
+      c: java.math.BigDecimal)
+  final case class ErOut(symbol: String, day: java.sql.Date,
+      ema13: Double, bull_power: Double, bear_power: Double)
+
+  /** NEW r10b: Elder Ray — bull/bear power (high/low minus a 13-day
+    * EMA of the close). α = 2/14 is NOT exactly representable, so BOTH
+    * engines compute it at runtime as 2.0/14.0 (identical IEEE
+    * division → identical constant; the pre-folded-literal trap from
+    * SURVEY §4). One sorted-group EMA pass; RAW emission.
+    */
+  def elderRay(ticks: DataFrame): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("high").cast(dec).as("h"),
+        col("low").cast(dec).as("l"), col("close").cast(dec).as("c"))
+      .as[ErBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        val a = 2.0 / 14.0
+        var e = 0.0
+        var first = true
+        it.map { b =>
+          val c = b.c.doubleValue()
+          if (first) { first = false; e = c }
+          else e = a * c + (1.0 - a) * e
+          ErOut(sym, b.day, e, b.h.doubleValue() - e, b.l.doubleValue() - e)
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
+  final case class MiBar(symbol: String, day: java.sql.Date,
+      h: java.math.BigDecimal, l: java.math.BigDecimal)
+  final case class MiRow(symbol: String, day: java.sql.Date, micro: Long)
+
+  /** NEW r10b: Mass Index — Σ over 25 bars of the EMA9(h−l)/EMA9(EMA9)
+    * ratio. The per-bar ratio is a float quotient, so it quantizes to
+    * 6-dp integer micro-units (the shared FLOOR/CEIL sequence) and the
+    * 25-bar window sum runs over exact LONGs — order-free — with one
+    * final ÷10⁶ division. α = 0.2/0.8 are exactly representable.
+    */
+  def massIndex(ticks: DataFrame, n: Int = 25): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    val rows = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("high").cast(dec).as("h"),
+        col("low").cast(dec).as("l"))
+      .as[MiBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        var e1 = 0.0; var e2 = 0.0
+        var first = true
+        it.map { b =>
+          val rng = b.h.subtract(b.l).doubleValue()
+          if (first) { first = false; e1 = rng; e2 = rng }
+          else { e1 = 0.2 * rng + 0.8 * e1; e2 = 0.2 * e1 + 0.8 * e2 }
+          val ratio = if (e2 != 0.0) e1 / e2 else 0.0
+          val s = ratio * 1000000.0
+          val q = if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)
+          MiRow(sym, b.day, q.toLong)
+        }
+      }
+      .toDF()
+    val w = Window.partitionBy("symbol").orderBy("day")
+      .rowsBetween(-(n - 1), 0)
+    rows.select(col("symbol"), col("day"),
+        (sum(col("micro")).over(w).cast("double") / 1000000.0)
+          .as(s"mass$n"))
+      .orderBy("symbol", "day")
+  }
+
   // ---- NEW r10b microstructure census batch (pure integer parity) ----
 
   /** NEW r10b: effective tick size — per symbol, the GCD of every

@@ -48,7 +48,9 @@ class NewOpsR10Spec extends AnyFunSuite {
       MarketOps.adLine(edge), MarketOps.easeOfMovement(edge, 14),
       MarketOps.forceIndex(edge, 13), MarketOps.tickSizeEstimate(edge),
       MarketOps.priceClustering(edge), MarketOps.burstCensus(edge),
-      MarketOps.benfordVolumes(edge), EventAnalytics.sessionStats(edge, 30))
+      MarketOps.benfordVolumes(edge), EventAnalytics.sessionStats(edge, 30),
+      MarketOps.adxDaily(edge), MarketOps.trixDaily(edge),
+      MarketOps.elderRay(edge), MarketOps.massIndex(edge, 25))
     fams.foreach(df => df.collect()) // must not throw (ANSI ÷0, nulls)
     // flat tape: A/D and EOM degenerate bars contribute zero, not NULL/throw
     val ad = MarketOps.adLine(edge).filter(col("symbol") === "B").collect()
@@ -246,6 +248,79 @@ class NewOpsR10Spec extends AnyFunSuite {
       assert(mine.map(x => x._1._2 -> x._2._1).toMap === byDigit, s"$sym")
       assert(math.abs(mine.map(_._2._2).sum - 1.0) < 1e-9, s"$sym shares")
     }
+  }
+
+  test("trixDaily: triple-EMA recompute matches; first bar has NULL trix") {
+    val got = MarketOps.trixDaily(Tables.ticks(spark, sf)).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    for ((sym, bs) <- bars) {
+      var e1 = 0.0; var e2 = 0.0; var e3 = 0.0; var pe3 = 0.0
+      var first = true; var havePrev = false
+      for ((d, _, _, c, _) <- bs) {
+        val cv = c.doubleValue()
+        if (first) { first = false; e1 = cv; e2 = cv; e3 = cv }
+        else {
+          havePrev = true; pe3 = e3
+          e1 = 0.125 * cv + 0.875 * e1
+          e2 = 0.125 * e1 + 0.875 * e2
+          e3 = 0.125 * e2 + 0.875 * e3
+        }
+        val trix = if (!havePrev || pe3 == 0.0) None
+          else Some(100.0 * (e3 - pe3) / pe3)
+        assert(got((sym, d)) === ((e3, trix)), s"$sym $d")
+      }
+    }
+  }
+
+  test("elderRay: EMA recompute matches; bull ≥ bear everywhere") {
+    val got = MarketOps.elderRay(Tables.ticks(spark, sf)).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val a = 2.0 / 14.0
+    for ((sym, bs) <- bars) {
+      var e = 0.0; var first = true
+      for ((d, h, l, c, _) <- bs) {
+        if (first) { first = false; e = c.doubleValue() }
+        else e = a * c.doubleValue() + (1.0 - a) * e
+        val (ge, gb, gr) = got((sym, d))
+        assert(ge === e, s"$sym $d ema")
+        assert(gb === h.doubleValue() - e && gr === l.doubleValue() - e)
+        assert(gb >= gr)
+      }
+    }
+  }
+
+  test("massIndex: quantized ratio sum matches the sequential recompute") {
+    val got = MarketOps.massIndex(Tables.ticks(spark, sf), 25).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString), r.getDouble(2))).toMap
+    for ((sym, bs) <- bars) {
+      var e1 = 0.0; var e2 = 0.0; var first = true
+      val micros = bs.map { case (d, h, l, _, _) =>
+        val rng = h.subtract(l).doubleValue()
+        if (first) { first = false; e1 = rng; e2 = rng }
+        else { e1 = 0.2 * rng + 0.8 * e1; e2 = 0.2 * e1 + 0.8 * e2 }
+        val ratio = if (e2 != 0.0) e1 / e2 else 0.0
+        val s = ratio * 1000000.0
+        (d, (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toLong)
+      }
+      micros.zipWithIndex.foreach { case ((d, _), i) =>
+        val sumM = micros.slice(math.max(0, i - 24), i + 1).map(_._2).sum
+        assert(got((sym, d)) === sumM.toDouble / 1000000.0, s"$sym $d")
+      }
+    }
+  }
+
+  test("adxDaily: DI/ADX bounded in [0,100]; one row per diff bar") {
+    val a = MarketOps.adxDaily(Tables.ticks(spark, sf)).cache()
+    val barCount = bars.values.map(_.size - 1).sum
+    assert(a.count() === barCount.toLong)
+    val bad = a.filter(col("plus_di") < 0 || col("plus_di") > 100 ||
+      col("minus_di") < 0 || col("minus_di") > 100 ||
+      col("adx") < 0 || col("adx") > 100).count()
+    assert(bad === 0)
+    a.unpersist()
   }
 
   test("centroidDistances: matches a driver-side exact-int recompute") {

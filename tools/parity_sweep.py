@@ -55,7 +55,7 @@ q_drawdown_episodes q_market_index q_abnormal_volume q_volume_curve
 q_momentum_quartiles q_turnover_rank
 q_aroon q_vortex q_cmo q_keltner q_ad_line q_eom q_force_index
 q_tick_size q_price_clustering q_burst_census q_benford
-q_session_stats q_activity_gini
+q_session_stats q_activity_gini q_adx q_trix q_elder_ray q_mass_index
 """.split()
 
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",

@@ -243,6 +243,9 @@ object SparkEntry {
     "q_adx" -> ((s, dir) => MarketOps.adxDaily(ticks(s, dir))),
     "q_trix" -> ((s, dir) => MarketOps.trixDaily(ticks(s, dir))),
     "q_elder_ray" -> ((s, dir) => MarketOps.elderRay(ticks(s, dir))),
+    "q_parabolic_sar" -> ((s, dir) => MarketOps.parabolicSar(ticks(s, dir))),
+    "q_chandelier" -> ((s, dir) => MarketOps.chandelierExit(ticks(s, dir), 22)),
+    "q_risk_ratios" -> ((s, dir) => MarketOps.riskRatios(ticks(s, dir))),
     "q_mass_index" -> ((s, dir) => MarketOps.massIndex(ticks(s, dir), 25)),
     "q_tick_size" -> ((s, dir) => MarketOps.tickSizeEstimate(ticks(s, dir))),
     "q_price_clustering" -> ((s, dir) =>
@@ -1804,6 +1807,170 @@ object SparkEntry {
         |                   AS DECIMAL(38,2)) AS DOUBLE)
         |           / CAST(total_rev AS DOUBLE) END AS top10pct_share
         |FROM s GROUP BY n_customers, total_rev, k1, k10""".stripMargin,
+    "q_risk_ratios" ->
+      // the RAW sqrt family (§4 r10: sqrt is bit-identical across
+      // engines): exact decimal moments (INT128-forced squares), then
+      // mirrored division/sqrt/ratio chains with NO round anywhere;
+      // max drawdown is the order-free MIN of exact-operand quotients
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         max_by(CAST(value AS DECIMAL(18,2)),
+        |                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT symbol, day, c,
+        |         LAG(c) OVER o AS pc,
+        |         MAX(c) OVER (o ROWS UNBOUNDED PRECEDING) AS mx
+        |  FROM b WINDOW o AS (PARTITION BY symbol ORDER BY day)),
+        |r AS (
+        |  SELECT symbol,
+        |         CASE WHEN mx <> 0
+        |              THEN CAST(c - mx AS DOUBLE) / CAST(mx AS DOUBLE)
+        |              ELSE 0.0 END AS dd,
+        |         CASE WHEN pc IS NOT NULL AND pc <> 0 THEN
+        |           CAST(CAST(CASE WHEN CAST(c - pc AS DOUBLE)
+        |                               / CAST(pc AS DOUBLE)
+        |                               * 1000000.0 >= 0
+        |                     THEN FLOOR(CAST(c - pc AS DOUBLE)
+        |                                / CAST(pc AS DOUBLE)
+        |                                * 1000000.0 + 0.5)
+        |                     ELSE CEIL(CAST(c - pc AS DOUBLE)
+        |                               / CAST(pc AS DOUBLE)
+        |                               * 1000000.0 - 0.5) END
+        |                AS BIGINT) AS DECIMAL(18,0))
+        |           * CAST(0.000001 AS DECIMAL(7,6)) END AS r
+        |  FROM d),
+        |a AS (
+        |  SELECT symbol,
+        |         CAST(COUNT(r) AS BIGINT) AS n_days,
+        |         CAST(SUM(r) AS DECIMAL(38,6)) AS s1,
+        |         CAST(SUM(CAST(CAST(r AS DECIMAL(20,6))
+        |                  * CAST(r AS DECIMAL(18,6))
+        |                  AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s2,
+        |         CAST(SUM(CASE WHEN r < 0
+        |                  THEN CAST(CAST(r AS DECIMAL(20,6))
+        |                       * CAST(r AS DECIMAL(18,6))
+        |                       AS DECIMAL(38,12))
+        |                  ELSE CAST(0 AS DECIMAL(38,12)) END)
+        |              AS DECIMAL(38,12)) AS d2,
+        |         MIN(dd) AS max_drawdown
+        |  FROM r GROUP BY 1),
+        |m AS (
+        |  SELECT symbol, n_days,
+        |         CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_ret,
+        |         CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |           - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |             * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) AS var0,
+        |         CAST(d2 AS DOUBLE) / CAST(n_days AS DOUBLE) AS dvar,
+        |         max_drawdown
+        |  FROM a WHERE n_days > 0)
+        |SELECT symbol, n_days, mean_ret,
+        |       SQRT(greatest(var0, 0.0)) AS std_ret,
+        |       SQRT(dvar) AS downside_dev,
+        |       CASE WHEN SQRT(greatest(var0, 0.0)) <> 0
+        |            THEN mean_ret / SQRT(greatest(var0, 0.0)) END AS sharpe,
+        |       CASE WHEN SQRT(dvar) <> 0
+        |            THEN mean_ret / SQRT(dvar) END AS sortino,
+        |       max_drawdown,
+        |       CASE WHEN max_drawdown <> 0
+        |            THEN mean_ret / -max_drawdown END AS calmar
+        |FROM m ORDER BY symbol""".stripMargin,
+    "q_chandelier" ->
+      // exact DECIMAL rolling extrema + Wilder ATR recursion (sum
+      // form s←s−s/22+tr, averaged at emission); combined bands are
+      // two mirrored IEEE ops — RAW
+      """WITH RECURSIVE b AS (
+        |  SELECT symbol, day, h, l, c,
+        |         MAX(h) OVER v AS hh, MIN(l) OVER v AS ll,
+        |         LAG(c) OVER o AS pc,
+        |         ROW_NUMBER() OVER o AS rn
+        |  FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |               CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |               CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |               CAST(max_by(value,
+        |                    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                    || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |                    AS DECIMAL(18,2)) AS c
+        |        FROM events GROUP BY 1, 2)
+        |  WINDOW o AS (PARTITION BY symbol ORDER BY day),
+        |         v AS (PARTITION BY symbol ORDER BY day
+        |               ROWS BETWEEN 21 PRECEDING AND CURRENT ROW)),
+        |d AS (
+        |  SELECT symbol, day, rn, hh, ll,
+        |         CAST(CAST(greatest(h - l, abs(h - pc), abs(l - pc))
+        |              AS DECIMAL(18,2)) AS DOUBLE) AS tr
+        |  FROM b WHERE pc IS NOT NULL),
+        |r AS (
+        |  SELECT symbol, rn, day, hh, ll, tr AS s
+        |  FROM d WHERE rn = 2
+        |  UNION ALL
+        |  SELECT d.symbol, d.rn, d.day, d.hh, d.ll,
+        |         r.s - r.s / 22.0 + d.tr
+        |  FROM d JOIN r ON d.symbol = r.symbol AND d.rn = r.rn + 1)
+        |SELECT symbol, day, atr,
+        |       CAST(hh AS DOUBLE) - 3.0 * atr AS chand_long,
+        |       CAST(ll AS DOUBLE) + 3.0 * atr AS chand_short
+        |FROM (SELECT symbol, day, hh, ll, s / 22.0 AS atr FROM r)
+        |ORDER BY symbol, day""".stripMargin,
+    "q_parabolic_sar" ->
+      // four-variable stop-and-reverse state machine; every branch
+      // mirrored (reversal, SAR advance, EP improvement, AF cap via
+      // least()); decimal extremes via CASE (never decimal
+      // LEAST/GREATEST — the §4 promotion trap); RAW
+      """WITH RECURSIVE b AS (
+        |  SELECT symbol, day, h, l, c,
+        |         LAG(h) OVER o AS ph, LAG(l) OVER o AS pl,
+        |         LAG(c) OVER o AS pc,
+        |         ROW_NUMBER() OVER o AS rn
+        |  FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |               CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |               CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |               CAST(max_by(value,
+        |                    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                    || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |                    AS DECIMAL(18,2)) AS c
+        |        FROM events GROUP BY 1, 2)
+        |  WINDOW o AS (PARTITION BY symbol ORDER BY day)),
+        |r AS (
+        |  SELECT symbol, rn, day, trend, sar, ep, af FROM (
+        |    SELECT symbol, rn, day,
+        |           CASE WHEN c >= pc THEN 1 ELSE -1 END AS trend,
+        |           CAST(CASE WHEN c >= pc
+        |                THEN (CASE WHEN pl < l THEN pl ELSE l END)
+        |                ELSE (CASE WHEN ph > h THEN ph ELSE h END) END
+        |                AS DOUBLE) AS sar,
+        |           CAST(CASE WHEN c >= pc
+        |                THEN (CASE WHEN ph > h THEN ph ELSE h END)
+        |                ELSE (CASE WHEN pl < l THEN pl ELSE l END) END
+        |                AS DOUBLE) AS ep,
+        |           0.02 AS af
+        |    FROM b WHERE rn = 2)
+        |  UNION ALL
+        |  SELECT symbol, rn, day, trend, sar, ep, af FROM (
+        |    SELECT b.symbol, b.rn, b.day,
+        |           CAST(b.h AS DOUBLE) AS hh, CAST(b.l AS DOUBLE) AS ll,
+        |           r.sar + r.af * (r.ep - r.sar) AS cand,
+        |           CASE WHEN r.trend = 1 AND ll < cand THEN -1
+        |                WHEN r.trend = -1 AND hh > cand THEN 1
+        |                ELSE r.trend END AS trend,
+        |           CASE WHEN (r.trend = 1 AND ll < cand)
+        |                  OR (r.trend = -1 AND hh > cand) THEN r.ep
+        |                ELSE cand END AS sar,
+        |           CASE WHEN r.trend = 1 AND ll < cand THEN ll
+        |                WHEN r.trend = -1 AND hh > cand THEN hh
+        |                WHEN r.trend = 1 AND hh > r.ep THEN hh
+        |                WHEN r.trend = -1 AND ll < r.ep THEN ll
+        |                ELSE r.ep END AS ep,
+        |           CASE WHEN (r.trend = 1 AND ll < cand)
+        |                  OR (r.trend = -1 AND hh > cand) THEN 0.02
+        |                WHEN (r.trend = 1 AND hh > r.ep)
+        |                  OR (r.trend = -1 AND ll < r.ep)
+        |                THEN least(r.af + 0.02, 0.2)
+        |                ELSE r.af END AS af
+        |    FROM b JOIN r ON b.symbol = r.symbol AND b.rn = r.rn + 1))
+        |SELECT symbol, day, CAST(trend AS BIGINT) AS trend, sar
+        |FROM r ORDER BY symbol, day""".stripMargin,
     "q_elder_ray" ->
       // α = 2/14 is NOT exact binary — BOTH engines compute 2.0/14.0
       // and 1.0 − 2.0/14.0 at runtime (identical IEEE ops, never a

@@ -2980,6 +2980,185 @@ object MarketOps {
       .orderBy("symbol", "day")
   }
 
+  final case class SarBar(symbol: String, day: java.sql.Date,
+      h: java.math.BigDecimal, l: java.math.BigDecimal,
+      c: java.math.BigDecimal)
+  final case class SarOut(symbol: String, day: java.sql.Date,
+      trend: Long, sar: Double)
+
+  /** NEW r10b: Parabolic SAR (Wilder stop-and-reverse, the simplified
+    * no-two-bar-clamp variant documented here) — a four-variable state
+    * machine (trend, SAR, extreme point, acceleration factor with
+    * AF += 0.02 capped at 0.2) per symbol, run as one sorted-group
+    * pass. Seeded at bar 2: trend from the close comparison, SAR/EP
+    * from the two-bar extremes (decimal min/max via CASE — never a
+    * decimal LEAST/GREATEST near the oracle). Every branch and float
+    * op is mirrored in the recursive CTE; RAW emission.
+    */
+  def parabolicSar(ticks: DataFrame): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("high").cast(dec).as("h"),
+        col("low").cast(dec).as("l"), col("close").cast(dec).as("c"))
+      .as[SarBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        var pb: SarBar = null
+        var started = false
+        var trend = 0L; var sar = 0.0; var ep = 0.0; var af = 0.0
+        it.flatMap { b =>
+          val out: Iterator[SarOut] =
+            if (pb == null) Iterator.empty
+            else if (!started) {
+              started = true
+              trend = if (b.c.compareTo(pb.c) >= 0) 1L else -1L
+              if (trend == 1L) {
+                sar = (if (pb.l.compareTo(b.l) < 0) pb.l else b.l).doubleValue()
+                ep = (if (pb.h.compareTo(b.h) > 0) pb.h else b.h).doubleValue()
+              } else {
+                sar = (if (pb.h.compareTo(b.h) > 0) pb.h else b.h).doubleValue()
+                ep = (if (pb.l.compareTo(b.l) < 0) pb.l else b.l).doubleValue()
+              }
+              af = 0.02
+              Iterator.single(SarOut(sym, b.day, trend, sar))
+            } else {
+              val hh = b.h.doubleValue()
+              val ll = b.l.doubleValue()
+              val cand = sar + af * (ep - sar)
+              if (trend == 1L) {
+                if (ll < cand) { trend = -1L; sar = ep; ep = ll; af = 0.02 }
+                else {
+                  sar = cand
+                  if (hh > ep) { af = math.min(af + 0.02, 0.2); ep = hh }
+                }
+              } else {
+                if (hh > cand) { trend = 1L; sar = ep; ep = hh; af = 0.02 }
+                else {
+                  sar = cand
+                  if (ll < ep) { af = math.min(af + 0.02, 0.2); ep = ll }
+                }
+              }
+              Iterator.single(SarOut(sym, b.day, trend, sar))
+            }
+          pb = b
+          out
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
+  final case class ChBar(symbol: String, day: java.sql.Date,
+      h: java.math.BigDecimal, l: java.math.BigDecimal,
+      c: java.math.BigDecimal, hh: java.math.BigDecimal,
+      ll: java.math.BigDecimal)
+  final case class ChOut(symbol: String, day: java.sql.Date,
+      atr: Double, chand_long: Double, chand_short: Double)
+
+  /** NEW r10b: Chandelier Exit — the ATR-trailed stop pair
+    * (HH(n) − 3·ATR and LL(n) + 3·ATR). Rolling extrema are exact
+    * DECIMAL window max/min over n bars; the Wilder ATR
+    * (s ← s − s/n + tr, recursion-seeded) runs in the same
+    * sorted-group pass that combines them — window first, recursion
+    * second, both mirrored. RAW emission.
+    */
+  def chandelierExit(ticks: DataFrame, n: Int = 22): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val nd = n.toDouble
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("high").cast(dec).as("h"),
+        col("low").cast(dec).as("l"), col("close").cast(dec).as("c"))
+      .withColumn("hh", max(col("h")).over(w))
+      .withColumn("ll", min(col("l")).over(w))
+      .as[ChBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        var pc: java.math.BigDecimal = null
+        var sAtr = 0.0
+        var started = false
+        it.flatMap { b =>
+          val out: Iterator[ChOut] =
+            if (pc == null) Iterator.empty
+            else {
+              val tr = Seq(b.h.subtract(b.l), b.h.subtract(pc).abs,
+                b.l.subtract(pc).abs).max.doubleValue()
+              if (!started) { started = true; sAtr = tr }
+              else sAtr = sAtr - sAtr / nd + tr
+              val atr = sAtr / nd
+              Iterator.single(ChOut(sym, b.day, atr,
+                b.hh.doubleValue() - 3.0 * atr,
+                b.ll.doubleValue() + 3.0 * atr))
+            }
+          pc = b.c
+          out
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r10b: risk-adjusted return ratios — per-symbol Sharpe,
+    * Sortino (target-0 downside deviation), and Calmar (mean over
+    * |max drawdown|) on quant6 daily returns. The FIRST of the RAW
+    * sqrt family: §4-r10 measured sqrt bit-identical across engines
+    * (IEEE-mandated), so variance → std needs no ROUND — moments are
+    * exact decimal sums (INT128-forced squares in the oracle), every
+    * division/sqrt/ratio a mirrored IEEE op. Return sums stay far
+    * below 15 significant digits at any realistic tape depth (r ≤ ~1
+    * in 6-dp units), so the decimal→double conversions are exact.
+    * max drawdown is the order-free MIN of per-day exact-operand
+    * quotients.
+    */
+  def riskRatios(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val run = dayOrder.rowsBetween(Window.unboundedPreceding, 0)
+    val sq38 = DecimalType(38, 12)
+    val bars = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .withColumn("mx", max(col("c")).over(run))
+      .withColumn("dd", when(col("mx") =!= 0,
+        (col("c") - col("mx")).cast("double") / col("mx").cast("double"))
+        .otherwise(0.0))
+      .withColumn("r", when(col("pc").isNotNull && col("pc") =!= 0,
+        quant6((col("c") - col("pc")).cast("double") /
+          col("pc").cast("double") * 1000000.0)))
+    // (19,6)×(18,6) → precision exactly 38, scale 12: Spark keeps the
+    // full 12-dp square EXACT (a (20,6) operand would push precision
+    // to 39 and the allowPrecisionLoss rule silently rounds scale to
+    // 11 — caught by the oracle hash in r10)
+    val sq = (col("r").cast(DecimalType(19, 6)) * col("r")).cast(sq38)
+    bars.groupBy(col("symbol")).agg(
+        count(col("r")).as("n_days"),
+        sum(col("r")).as("s1"),
+        sum(sq).as("s2"),
+        sum(when(col("r") < 0, sq).otherwise(lit(0).cast(sq38))).as("d2"),
+        min(col("dd")).as("max_drawdown"))
+      .filter(col("n_days") > 0)
+      .withColumn("mean_ret",
+        col("s1").cast("double") / col("n_days").cast("double"))
+      .withColumn("var0",
+        col("s2").cast("double") / col("n_days").cast("double") -
+          col("mean_ret") * col("mean_ret"))
+      .withColumn("std_ret", sqrt(greatest(col("var0"), lit(0.0))))
+      .withColumn("downside_dev",
+        sqrt(col("d2").cast("double") / col("n_days").cast("double")))
+      .select(col("symbol"), col("n_days"), col("mean_ret"),
+        col("std_ret"), col("downside_dev"),
+        when(col("std_ret") =!= 0, col("mean_ret") / col("std_ret"))
+          .as("sharpe"),
+        when(col("downside_dev") =!= 0,
+          col("mean_ret") / col("downside_dev")).as("sortino"),
+        col("max_drawdown"),
+        when(col("max_drawdown") =!= 0,
+          col("mean_ret") / -col("max_drawdown")).as("calmar"))
+      .orderBy("symbol")
+  }
+
   // ---- NEW r10b microstructure census batch (pure integer parity) ----
 
   /** NEW r10b: effective tick size — per symbol, the GCD of every

@@ -50,7 +50,9 @@ class NewOpsR10Spec extends AnyFunSuite {
       MarketOps.priceClustering(edge), MarketOps.burstCensus(edge),
       MarketOps.benfordVolumes(edge), EventAnalytics.sessionStats(edge, 30),
       MarketOps.adxDaily(edge), MarketOps.trixDaily(edge),
-      MarketOps.elderRay(edge), MarketOps.massIndex(edge, 25))
+      MarketOps.elderRay(edge), MarketOps.massIndex(edge, 25),
+      MarketOps.parabolicSar(edge), MarketOps.chandelierExit(edge, 22),
+      MarketOps.riskRatios(edge))
     fams.foreach(df => df.collect()) // must not throw (ANSI ÷0, nulls)
     // flat tape: A/D and EOM degenerate bars contribute zero, not NULL/throw
     val ad = MarketOps.adLine(edge).filter(col("symbol") === "B").collect()
@@ -308,6 +310,99 @@ class NewOpsR10Spec extends AnyFunSuite {
       micros.zipWithIndex.foreach { case ((d, _), i) =>
         val sumM = micros.slice(math.max(0, i - 24), i + 1).map(_._2).sum
         assert(got((sym, d)) === sumM.toDouble / 1000000.0, s"$sym $d")
+      }
+    }
+  }
+
+  test("riskRatios: moments match an exact-decimal recompute (sqrt family)") {
+    val got = MarketOps.riskRatios(Tables.ticks(spark, sf)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(7)))).toMap
+    for ((sym, bs) <- bars) {
+      // quant6 returns as exact BigDecimals (micro-units as BigInt)
+      val micros = bs.zip(bs.drop(1)).flatMap { case ((_, _, _, pc, _), (_, _, _, c, _)) =>
+        if (pc.signum() == 0) None
+        else {
+          val s = c.subtract(pc).doubleValue() / pc.doubleValue() * 1000000.0
+          Some(BigInt((if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toLong))
+        }
+      }
+      val n = micros.size
+      val s1 = micros.sum                        // 1e6 scale
+      val s2 = micros.map(m => m * m).sum        // 1e12 scale
+      val mean = (BigDecimal(s1) / BigDecimal(1000000)).toDouble / n
+      val varr = (BigDecimal(s2) / BigDecimal(10).pow(12)).toDouble / n -
+        mean * mean
+      val (gn, gm, gs, _, gmdd) = got(sym)
+      assert(gn === n.toLong, sym)
+      assert(gm === mean, s"$sym mean")
+      assert(gs === math.sqrt(math.max(varr, 0.0)), s"$sym std")
+      // drawdown: min over days of (c − runmax)/runmax
+      var mx = bs.head._4
+      val mdd = bs.map { case (_, _, _, c, _) =>
+        if (c.compareTo(mx) > 0) mx = c
+        c.subtract(mx).doubleValue() / mx.doubleValue()
+      }.min
+      assert(gmdd === mdd, s"$sym mdd")
+    }
+  }
+
+  test("chandelierExit: bands bracket the ATR recompute") {
+    val got = MarketOps.chandelierExit(Tables.ticks(spark, sf), 22).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    for ((sym, bs) <- bars) {
+      var s = 0.0; var started = false
+      bs.zip(bs.drop(1)).zipWithIndex.foreach {
+        case (((_, _, _, pc, _), (d, h, l, _, _)), i) =>
+          val tr = Seq(h.subtract(l), h.subtract(pc).abs,
+            l.subtract(pc).abs).max.doubleValue()
+          if (!started) { started = true; s = tr }
+          else s = s - s / 22.0 + tr
+          val atr = s / 22.0
+          // frame covers bars [i+1-21, i+1] of the full bar list
+          val frame = bs.slice(math.max(0, i + 1 - 21), i + 2)
+          val hh = frame.map(_._2).max.doubleValue()
+          val ll = frame.map(_._3).min.doubleValue()
+          assert(got((sym, d)) ===
+            ((atr, hh - 3.0 * atr, ll + 3.0 * atr)), s"$sym $d")
+      }
+    }
+  }
+
+  test("parabolicSar: state machine matches the sequential recompute") {
+    val got = MarketOps.parabolicSar(Tables.ticks(spark, sf)).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    for ((sym, bs) <- bars) {
+      var trend = 0L; var sar = 0.0; var ep = 0.0; var af = 0.0
+      var started = false
+      bs.zip(bs.drop(1)).foreach { case ((_, ph, pl, pc, _), (d, h, l, c, _)) =>
+        if (!started) {
+          started = true
+          trend = if (c.compareTo(pc) >= 0) 1L else -1L
+          if (trend == 1L) {
+            sar = (if (pl.compareTo(l) < 0) pl else l).doubleValue()
+            ep = (if (ph.compareTo(h) > 0) ph else h).doubleValue()
+          } else {
+            sar = (if (ph.compareTo(h) > 0) ph else h).doubleValue()
+            ep = (if (pl.compareTo(l) < 0) pl else l).doubleValue()
+          }
+          af = 0.02
+        } else {
+          val hh = h.doubleValue(); val ll = l.doubleValue()
+          val cand = sar + af * (ep - sar)
+          if (trend == 1L) {
+            if (ll < cand) { trend = -1L; sar = ep; ep = ll; af = 0.02 }
+            else { sar = cand
+              if (hh > ep) { af = math.min(af + 0.02, 0.2); ep = hh } }
+          } else {
+            if (hh > cand) { trend = 1L; sar = ep; ep = hh; af = 0.02 }
+            else { sar = cand
+              if (ll < ep) { af = math.min(af + 0.02, 0.2); ep = ll } }
+          }
+        }
+        assert(got((sym, d)) === ((trend, sar)), s"$sym $d")
       }
     }
   }

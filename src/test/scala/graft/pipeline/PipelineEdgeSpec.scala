@@ -59,7 +59,9 @@ class PipelineEdgeSpec extends AnyFunSuite {
       "sentenceStats" -> TextOps.sentenceStats(edgeDocs),
       "compressionRatio" -> TextOps.compressionRatio(edgeDocs),
       "codeProse" -> TextOps.codeProse(edgeDocs),
-      "lengthHistogram" -> TextOps.lengthHistogram(edgeDocs)
+      "lengthHistogram" -> TextOps.lengthHistogram(edgeDocs),
+      "dupNgrams" -> TextOps.dupNgrams(edgeDocs),
+      "hapax" -> TextOps.hapax(edgeDocs)
     )
     ops.foreach { case (name, df) =>
       try df.collect()

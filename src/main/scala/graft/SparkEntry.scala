@@ -246,6 +246,8 @@ object SparkEntry {
     "q_parabolic_sar" -> ((s, dir) => MarketOps.parabolicSar(ticks(s, dir))),
     "q_chandelier" -> ((s, dir) => MarketOps.chandelierExit(ticks(s, dir), 22)),
     "q_risk_ratios" -> ((s, dir) => MarketOps.riskRatios(ticks(s, dir))),
+    "q_supertrend" -> ((s, dir) => MarketOps.superTrend(ticks(s, dir))),
+    "q_coppock" -> ((s, dir) => MarketOps.coppock(ticks(s, dir))),
     "q_mass_index" -> ((s, dir) => MarketOps.massIndex(ticks(s, dir), 25)),
     "q_tick_size" -> ((s, dir) => MarketOps.tickSizeEstimate(ticks(s, dir))),
     "q_price_clustering" -> ((s, dir) =>
@@ -1807,6 +1809,108 @@ object SparkEntry {
         |                   AS DECIMAL(38,2)) AS DOUBLE)
         |           / CAST(total_rev AS DOUBLE) END AS top10pct_share
         |FROM s GROUP BY n_customers, total_rev, k1, k10""".stripMargin,
+    "q_supertrend" ->
+      // ATR-band state machine with ratcheting final bands and the
+      // close-cross trend flip — every branch and float op mirrored;
+      // supertrend = flb (up) / fub (down); RAW
+      """WITH RECURSIVE b AS (
+        |  SELECT symbol, day, h, l, c,
+        |         LAG(c) OVER o AS pc,
+        |         ROW_NUMBER() OVER o AS rn
+        |  FROM (SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |               CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |               CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |               CAST(max_by(value,
+        |                    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                    || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |                    AS DECIMAL(18,2)) AS c
+        |        FROM events GROUP BY 1, 2)
+        |  WINDOW o AS (PARTITION BY symbol ORDER BY day)),
+        |d AS (
+        |  SELECT symbol, day, rn,
+        |         CAST(h + l AS DOUBLE) / 2.0 AS mid,
+        |         CAST(c AS DOUBLE) AS cd, CAST(pc AS DOUBLE) AS pcd,
+        |         CAST(CAST(greatest(h - l, abs(h - pc), abs(l - pc))
+        |              AS DECIMAL(18,2)) AS DOUBLE) AS tr
+        |  FROM b WHERE pc IS NOT NULL),
+        |r AS (
+        |  SELECT symbol, rn, day, s, fub, flb,
+        |         CASE WHEN cd > fub THEN 1 ELSE -1 END AS dir
+        |  FROM (
+        |    SELECT symbol, rn, day, cd, tr AS s,
+        |           mid + 3.0 * (tr / 10.0) AS fub,
+        |           mid - 3.0 * (tr / 10.0) AS flb
+        |    FROM d WHERE rn = 2)
+        |  UNION ALL
+        |  SELECT symbol, rn, day, s, fub, flb,
+        |         CASE WHEN pdir = -1
+        |              THEN (CASE WHEN cd > fub THEN 1 ELSE -1 END)
+        |              ELSE (CASE WHEN cd < flb THEN -1 ELSE 1 END)
+        |         END AS dir
+        |  FROM (
+        |    SELECT d.symbol, d.rn, d.day, d.cd, r.dir AS pdir,
+        |           r.s - r.s / 10.0 + d.tr AS s,
+        |           d.mid + 3.0 * ((r.s - r.s / 10.0 + d.tr) / 10.0) AS ub,
+        |           d.mid - 3.0 * ((r.s - r.s / 10.0 + d.tr) / 10.0) AS lb,
+        |           CASE WHEN d.mid + 3.0 * ((r.s - r.s / 10.0 + d.tr) / 10.0)
+        |                       < r.fub
+        |                  OR d.pcd > r.fub
+        |                THEN d.mid + 3.0 * ((r.s - r.s / 10.0 + d.tr) / 10.0)
+        |                ELSE r.fub END AS fub,
+        |           CASE WHEN d.mid - 3.0 * ((r.s - r.s / 10.0 + d.tr) / 10.0)
+        |                       > r.flb
+        |                  OR d.pcd < r.flb
+        |                THEN d.mid - 3.0 * ((r.s - r.s / 10.0 + d.tr) / 10.0)
+        |                ELSE r.flb END AS flb
+        |    FROM d JOIN r ON d.symbol = r.symbol AND d.rn = r.rn + 1))
+        |SELECT symbol, day, CAST(dir AS BIGINT) AS dir,
+        |       CASE WHEN dir = 1 THEN flb ELSE fub END AS supertrend
+        |FROM r ORDER BY symbol, day""".stripMargin,
+    "q_coppock" ->
+      // ROC14+ROC11 per bar quantized to integer micro-units → the
+      // triangular WMA10 is an EXACT integer dot product over one
+      // final ÷(55·10⁶); bar-level lags on the filtered return rows
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(max_by(value,
+        |              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT symbol, day, c,
+        |         LAG(c, 14) OVER o AS c14, LAG(c, 11) OVER o AS c11
+        |  FROM b WINDOW o AS (PARTITION BY symbol ORDER BY day)),
+        |q AS (
+        |  SELECT symbol, day,
+        |         CAST(CASE WHEN (100.0 * CAST(c - c14 AS DOUBLE)
+        |                         / CAST(c14 AS DOUBLE)
+        |                         + 100.0 * CAST(c - c11 AS DOUBLE)
+        |                         / CAST(c11 AS DOUBLE)) * 1000000.0 >= 0
+        |              THEN FLOOR((100.0 * CAST(c - c14 AS DOUBLE)
+        |                          / CAST(c14 AS DOUBLE)
+        |                          + 100.0 * CAST(c - c11 AS DOUBLE)
+        |                          / CAST(c11 AS DOUBLE)) * 1000000.0 + 0.5)
+        |              ELSE CEIL((100.0 * CAST(c - c14 AS DOUBLE)
+        |                         / CAST(c14 AS DOUBLE)
+        |                         + 100.0 * CAST(c - c11 AS DOUBLE)
+        |                         / CAST(c11 AS DOUBLE)) * 1000000.0 - 0.5) END
+        |              AS BIGINT) AS mi
+        |  FROM g
+        |  WHERE c14 IS NOT NULL AND c14 <> 0
+        |    AND c11 IS NOT NULL AND c11 <> 0),
+        |w AS (
+        |  SELECT symbol, day,
+        |         mi * 10 + LAG(mi, 1) OVER o * 9 + LAG(mi, 2) OVER o * 8
+        |           + LAG(mi, 3) OVER o * 7 + LAG(mi, 4) OVER o * 6
+        |           + LAG(mi, 5) OVER o * 5 + LAG(mi, 6) OVER o * 4
+        |           + LAG(mi, 7) OVER o * 3 + LAG(mi, 8) OVER o * 2
+        |           + LAG(mi, 9) OVER o * 1 AS wsum,
+        |         LAG(mi, 9) OVER o AS m9
+        |  FROM q WINDOW o AS (PARTITION BY symbol ORDER BY day))
+        |SELECT symbol, day,
+        |       CAST(wsum AS DOUBLE) / 55000000.0 AS coppock
+        |FROM w WHERE m9 IS NOT NULL ORDER BY symbol, day""".stripMargin,
     "q_risk_ratios" ->
       // the RAW sqrt family (§4 r10: sqrt is bit-identical across
       // engines): exact decimal moments (INT128-forced squares), then

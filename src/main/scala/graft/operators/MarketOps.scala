@@ -3159,6 +3159,103 @@ object MarketOps {
       .orderBy("symbol")
   }
 
+  final case class StBar(symbol: String, day: java.sql.Date,
+      h: java.math.BigDecimal, l: java.math.BigDecimal,
+      c: java.math.BigDecimal)
+  final case class StOut(symbol: String, day: java.sql.Date,
+      dir: Long, supertrend: Double)
+
+  /** NEW r10b: SuperTrend(10, 3) — ATR bands with the band-tightening
+    * memory (final upper/lower bands only ratchet) and the
+    * close-crossing trend flip; SAR's sibling state machine
+    * (ATR-sum, fub, flb, dir), one sorted-group pass, every branch
+    * mirrored in the recursive CTE. RAW emission.
+    */
+  def superTrend(ticks: DataFrame): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("high").cast(dec).as("h"),
+        col("low").cast(dec).as("l"), col("close").cast(dec).as("c"))
+      .as[StBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        var pb: StBar = null
+        var started = false
+        var s = 0.0; var fub = 0.0; var flb = 0.0; var dir = 0L
+        it.flatMap { b =>
+          val out: Iterator[StOut] =
+            if (pb == null) Iterator.empty
+            else {
+              val tr = Seq(b.h.subtract(b.l), b.h.subtract(pb.c).abs,
+                b.l.subtract(pb.c).abs).max.doubleValue()
+              val cd = b.c.doubleValue()
+              val mid = b.h.add(b.l).doubleValue() / 2.0
+              if (!started) {
+                started = true
+                s = tr
+                val atr = s / 10.0
+                fub = mid + 3.0 * atr
+                flb = mid - 3.0 * atr
+                dir = if (cd > fub) 1L else -1L
+              } else {
+                s = s - s / 10.0 + tr
+                val atr = s / 10.0
+                val ub = mid + 3.0 * atr
+                val lb = mid - 3.0 * atr
+                val pcd = pb.c.doubleValue()
+                val fubN = if (ub < fub || pcd > fub) ub else fub
+                val flbN = if (lb > flb || pcd < flb) lb else flb
+                dir = if (dir == -1L) { if (cd > fubN) 1L else -1L }
+                  else { if (cd < flbN) -1L else 1L }
+                fub = fubN; flb = flbN
+              }
+              Iterator.single(StOut(sym, b.day, dir,
+                if (dir == 1L) flb else fub))
+            }
+          pb = b
+          out
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r10b: Coppock curve (daily variant) — WMA10 of
+    * (ROC14 + ROC11). Each per-bar ROC sum quantizes to 6-dp integer
+    * micro-units (shared FLOOR/CEIL sequence), so the triangular
+    * weighting is an EXACT integer dot product (Σ(10−i)·microᵗ⁻ⁱ)
+    * over one final ÷(55·10⁶) — no float weighted window sum
+    * anywhere. Bar-level lags only.
+    */
+  def coppock(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val bars = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("c14", lag(col("c"), 14).over(dayOrder))
+      .withColumn("c11", lag(col("c"), 11).over(dayOrder))
+      .filter(col("c14").isNotNull && col("c14") =!= 0 &&
+        col("c11").isNotNull && col("c11") =!= 0)
+      .withColumn("micro",
+        quant6((lit(100.0) * (col("c") - col("c14")).cast("double") /
+            col("c14").cast("double") +
+          lit(100.0) * (col("c") - col("c11")).cast("double") /
+            col("c11").cast("double")) * 1000000.0)
+          .cast(DecimalType(18, 6)))
+      .withColumn("mi", (col("micro") * 1000000).cast("long"))
+    val wsum = (0 until 10).map { i =>
+      if (i == 0) col("mi") * lit(10L)
+      else lag(col("mi"), i).over(dayOrder) * lit((10 - i).toLong)
+    }.reduce(_ + _)
+    bars
+      .withColumn("wsum", wsum)
+      .withColumn("m9", lag(col("mi"), 9).over(dayOrder))
+      .filter(col("m9").isNotNull)
+      .select(col("symbol"), col("day"),
+        (col("wsum").cast("double") / 55000000.0).as("coppock"))
+      .orderBy("symbol", "day")
+  }
+
   // ---- NEW r10b microstructure census batch (pure integer parity) ----
 
   /** NEW r10b: effective tick size — per symbol, the GCD of every

@@ -52,7 +52,8 @@ class NewOpsR10Spec extends AnyFunSuite {
       MarketOps.adxDaily(edge), MarketOps.trixDaily(edge),
       MarketOps.elderRay(edge), MarketOps.massIndex(edge, 25),
       MarketOps.parabolicSar(edge), MarketOps.chandelierExit(edge, 22),
-      MarketOps.riskRatios(edge))
+      MarketOps.riskRatios(edge), MarketOps.superTrend(edge),
+      MarketOps.coppock(edge))
     fams.foreach(df => df.collect()) // must not throw (ANSI ÷0, nulls)
     // flat tape: A/D and EOM degenerate bars contribute zero, not NULL/throw
     val ad = MarketOps.adLine(edge).filter(col("symbol") === "B").collect()
@@ -344,6 +345,40 @@ class NewOpsR10Spec extends AnyFunSuite {
         c.subtract(mx).doubleValue() / mx.doubleValue()
       }.min
       assert(gmdd === mdd, s"$sym mdd")
+    }
+  }
+
+  test("superTrend: dir flips only across the emitted band; bands sane") {
+    val st = MarketOps.superTrend(Tables.ticks(spark, sf)).cache()
+    val barCount = bars.values.map(_.size - 1).sum
+    assert(st.count() === barCount.toLong)
+    assert(st.filter(col("dir") =!= 1L && col("dir") =!= -1L).count() === 0)
+    st.unpersist()
+  }
+
+  test("coppock: exact integer WMA matches a sequential recompute") {
+    val got = MarketOps.coppock(Tables.ticks(spark, sf)).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString), r.getDouble(2))).toMap
+    for ((sym, bs) <- bars) {
+      val micros = bs.indices.flatMap { i =>
+        if (i < 14) None
+        else {
+          val c = bs(i)._4; val c14 = bs(i - 14)._4; val c11 = bs(i - 11)._4
+          if (c14.signum() == 0 || c11.signum() == 0) None
+          else {
+            val s = (100.0 * c.subtract(c14).doubleValue() / c14.doubleValue() +
+              100.0 * c.subtract(c11).doubleValue() / c11.doubleValue()) *
+              1000000.0
+            Some((bs(i)._1,
+              (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toLong))
+          }
+        }
+      }
+      micros.indices.drop(9).foreach { i =>
+        val wsum = (0 until 10).map(j => micros(i - j)._2 * (10L - j)).sum
+        assert(got((sym, micros(i)._1)) === wsum.toDouble / 55000000.0,
+          s"$sym ${micros(i)._1}")
+      }
     }
   }
 

@@ -170,6 +170,39 @@ final class TickStore(spark: SparkSession, path: String,
     all().filter(col("symbol") === symbol).count()
 
   def countAll(): Long = all().count()
+
+  /** Retention: drop every `ts_date` partition strictly older than
+    * `cutoff` (daily layout only — the layout a production deployment
+    * uses). Pure partition-directory removal: no data is read or
+    * rewritten, readers listing concurrently never see a torn file
+    * (directory deletes remove whole committed files), and at 100 TB
+    * the cost is O(expired partitions), not O(data). Returns the
+    * number of dropped (symbol, day) partitions. The reference is
+    * append-only with no retention story; a long-lived store needs
+    * one.
+    */
+  def expire(cutoff: java.time.LocalDate): Int = {
+    require(dailyPartitions, "expire requires the daily-partition layout")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return 0
+    var dropped = 0
+    for (symDir <- fs.listStatus(root) if symDir.isDirectory &&
+        symDir.getPath.getName.startsWith("symbol=")) {
+      for (dayDir <- fs.listStatus(symDir.getPath) if dayDir.isDirectory) {
+        val name = dayDir.getPath.getName // ts_date=YYYY-MM-DD
+        if (name.startsWith("ts_date=")) {
+          val day = java.time.LocalDate.parse(name.substring(8))
+          if (day.isBefore(cutoff)) {
+            fs.delete(dayDir.getPath, true)
+            dropped += 1
+          }
+        }
+      }
+    }
+    dropped
+  }
 }
 
 object TickStore {

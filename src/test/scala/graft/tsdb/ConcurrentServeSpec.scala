@@ -128,6 +128,32 @@ class ConcurrentServeSpec extends AnyFunSuite {
     graft.core.TempDirs.delete(dir)
   }
 
+  test("expire drops only strictly-older daily partitions; readers stay consistent") {
+    val dir = Files.createTempDirectory("expire_spec_").toString
+    val store = new TickStore(spark, dir, dailyPartitions = true)
+    // three calendar days of ticks, two symbols
+    val daySec = 86400L
+    val base = 1700006400L // 2023-11-15 00:00 UTC + margin
+    Seq(0L, 1L, 2L).foreach { d =>
+      store.ingest(batchDf("AAA", base + d * daySec, 100))
+      store.ingest(batchDf("BBB", base + d * daySec, 50))
+    }
+    assert(store.countAll() === 450L)
+    val day1 = java.time.Instant.ofEpochSecond(base + daySec)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val dropped = store.expire(day1) // drop day 0 only
+    assert(dropped === 2, s"expected 2 partitions dropped, got $dropped")
+    assert(store.countAll() === 300L)
+    assert(store.count("AAA") === 200L && store.count("BBB") === 100L)
+    // remaining data all at-or-after the cutoff
+    val minTs = store.all().agg(org.apache.spark.sql.functions.min("ts"))
+      .collect()(0).getTimestamp(0).getTime / 1000L
+    assert(minTs >= base + daySec)
+    // idempotent: nothing further to drop
+    assert(store.expire(day1) === 0)
+    graft.core.TempDirs.delete(dir)
+  }
+
   test("serve cache refreshes after insert (read-your-writes)") {
     val dir = Files.createTempDirectory("conc_serve_rw_").toString
     val store = new TickStore(spark, dir)

@@ -248,6 +248,7 @@ object SparkEntry {
     "q_risk_ratios" -> ((s, dir) => MarketOps.riskRatios(ticks(s, dir))),
     "q_supertrend" -> ((s, dir) => MarketOps.superTrend(ticks(s, dir))),
     "q_coppock" -> ((s, dir) => MarketOps.coppock(ticks(s, dir))),
+    "q_inter_arrival" -> ((s, dir) => MarketOps.interArrival(ticks(s, dir))),
     "q_mass_index" -> ((s, dir) => MarketOps.massIndex(ticks(s, dir), 25)),
     "q_tick_size" -> ((s, dir) => MarketOps.tickSizeEstimate(ticks(s, dir))),
     "q_price_clustering" -> ((s, dir) =>
@@ -1809,6 +1810,22 @@ object SparkEntry {
         |                   AS DECIMAL(38,2)) AS DOUBLE)
         |           / CAST(total_rev AS DOUBLE) END AS top10pct_share
         |FROM s GROUP BY n_customers, total_rev, k1, k10""".stripMargin,
+    "q_inter_arrival" ->
+      // log2-millisecond buckets via the exact bit-length trick;
+      // pure integer counting (gap 0 → bucket 0)
+      """WITH g AS (
+        |  SELECT event_type AS symbol,
+        |         epoch_us(ts) - epoch_us(LAG(ts) OVER
+        |           (PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+        |  FROM events),
+        |b AS (
+        |  SELECT symbol, gap_us,
+        |         CAST(length(bin(gap_us // 1000)) - 1 AS BIGINT) AS ms_bucket
+        |  FROM g WHERE gap_us IS NOT NULL)
+        |SELECT symbol, ms_bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+        |       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        |FROM b GROUP BY 1, 2 ORDER BY symbol, ms_bucket""".stripMargin,
     "q_supertrend" ->
       // ATR-band state machine with ratcheting final bands and the
       // close-cross trend flip — every branch and float op mirrored;

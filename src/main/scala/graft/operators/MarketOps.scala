@@ -3256,6 +3256,28 @@ object MarketOps {
       .orderBy("symbol", "day")
   }
 
+  /** NEW r10b: inter-arrival time distribution — per symbol, the
+    * log2-millisecond-bucket histogram of gaps between consecutive
+    * ticks (the arrival-process shape a feed monitor watches: a
+    * bimodal histogram means bursts + dead air). Gaps ride
+    * [[chunkedLag1]] — no whole-symbol window; buckets use the exact
+    * bit-length trick; pure integer counting.
+    */
+  def interArrival(ticks: DataFrame): DataFrame = {
+    val t = ticks.withColumn("chunk_day", to_date(col("ts")))
+    chunkedLag1(t, "ts", "prev_ts")
+      .filter(col("prev_ts").isNotNull)
+      .select(col("symbol"),
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+      .select(col("symbol"), col("gap_us"),
+        (length(bin(expr("gap_us div 1000"))) - 1).cast("long").as("ms_bucket"))
+      .groupBy(col("symbol"), col("ms_bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy("symbol", "ms_bucket")
+  }
+
   // ---- NEW r10b microstructure census batch (pure integer parity) ----
 
   /** NEW r10b: effective tick size — per symbol, the GCD of every

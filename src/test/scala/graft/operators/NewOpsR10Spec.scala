@@ -53,7 +53,7 @@ class NewOpsR10Spec extends AnyFunSuite {
       MarketOps.elderRay(edge), MarketOps.massIndex(edge, 25),
       MarketOps.parabolicSar(edge), MarketOps.chandelierExit(edge, 22),
       MarketOps.riskRatios(edge), MarketOps.superTrend(edge),
-      MarketOps.coppock(edge))
+      MarketOps.coppock(edge), MarketOps.interArrival(edge))
     fams.foreach(df => df.collect()) // must not throw (ANSI ÷0, nulls)
     // flat tape: A/D and EOM degenerate bars contribute zero, not NULL/throw
     val ad = MarketOps.adLine(edge).filter(col("symbol") === "B").collect()
@@ -346,6 +346,21 @@ class NewOpsR10Spec extends AnyFunSuite {
       }.min
       assert(gmdd === mdd, s"$sym mdd")
     }
+  }
+
+  test("interArrival: gap counts partition the tick log; buckets are bit lengths") {
+    val ia = MarketOps.interArrival(Tables.ticks(spark, sf)).cache()
+    val gapTotal = ia.agg(sum("n_gaps")).collect()(0).getLong(0)
+    val ticksN = Tables.ticks(spark, sf).count()
+    val symN = Tables.ticks(spark, sf).select("symbol").distinct().count()
+    assert(gapTotal === ticksN - symN) // one fewer gap than ticks per symbol
+    val bad = ia.filter(col("ms_bucket") < 0 ||
+      col("min_gap_us") > col("max_gap_us") ||
+      col("max_gap_us") >= pow(lit(2.0), col("ms_bucket") + 1) * 1000.0 ||
+      (col("ms_bucket") > 0 &&
+        col("min_gap_us") < pow(lit(2.0), col("ms_bucket")) * 1000.0)).count()
+    assert(bad === 0)
+    ia.unpersist()
   }
 
   test("superTrend: dir flips only across the emitted band; bands sane") {

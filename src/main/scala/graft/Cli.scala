@@ -92,10 +92,14 @@ object Cli {
     * analog of the reference's warm in-memory B+ tree
     * (/root/reference/bplus_tree.hpp:76-95), populated by ONE pruned
     * Spark scan per symbol and then answering range reads with a
-    * driver-side binary search.
+    * driver-side binary search. r11: BOUNDED — the cache holds only
+    * the symbol's trailing `windowDays` of ticks (`fromSec` marks the
+    * window start; `total` is the symbol's full tick count, cached so
+    * `count` stays warm); reads that reach past the window fall
+    * through to a partition/row-group-pruned Spark scan.
     */
-  private final case class SymCache(ts: Array[Long], price: Array[Double],
-      volume: Array[Long]) {
+  private final case class SymCache(fromSec: Long, total: Long,
+      ts: Array[Long], price: Array[Double], volume: Array[Long]) {
     /** First index with ts >= key (lower bound). */
     def lowerBound(key: Long): Int = {
       var lo = 0; var hi = ts.length
@@ -105,6 +109,10 @@ object Cli {
       }
       lo
     }
+    /** The cache holds the symbol's ENTIRE history (window covered
+      * everything) — any range/last read can be served warm.
+      */
+    def complete: Boolean = total == ts.length.toLong
   }
 
   /** Interactive serving loop — the mitigation for Spark's per-process
@@ -118,9 +126,20 @@ object Cli {
     * store for interactive point reads). First touch of a symbol pays
     * one partition-pruned Spark scan; every later query/last/count on
     * it is a driver-side binary search — sub-millisecond, matching the
-    * reference's in-process latency class. At 100 TB the cache is
-    * bounded per symbol (a symbol's tail fits driver memory; evict LRU
-    * or bound by time window in a long-lived deployment).
+    * reference's in-process latency class.
+    *
+    * r11 — the cache is BOUNDED on both axes (a hot symbol's
+    * multi-year tape does not fit a driver at 100 TB):
+    *  - TIME: only the trailing `windowDays` days (relative to the
+    *    symbol's newest tick) load per symbol
+    *    (`GRAFT_SERVE_WINDOW_DAYS`, default 365). Range/last reads
+    *    that reach past the cached window fall through to a pruned
+    *    Spark scan (cold but correct); `count` serves from a full
+    *    count cached at warm time.
+    *  - SYMBOLS: at most `maxSymbols` symbols stay cached
+    *    (`GRAFT_SERVE_MAX_SYMBOLS`, default 64), LRU-evicted via an
+    *    access-ordered LinkedHashMap — the warm set follows the query
+    *    mix; an evicted symbol pays one re-warm scan on next touch.
     *
     * Protocol (one command per line, results + `(N ms)` timing):
     * {{{
@@ -132,17 +151,43 @@ object Cli {
     * }}}
     */
   def serve(spark: SparkSession, dataDir: String,
-      in: java.io.BufferedReader, out: java.io.PrintStream): Unit = {
+      in: java.io.BufferedReader, out: java.io.PrintStream,
+      windowDays: Int =
+        sys.env.get("GRAFT_SERVE_WINDOW_DAYS").map(_.toInt).getOrElse(365),
+      maxSymbols: Int =
+        sys.env.get("GRAFT_SERVE_MAX_SYMBOLS").map(_.toInt).getOrElse(64)): Unit = {
     val store = new TickStore(spark, dataDir)
-    val cache = scala.collection.mutable.Map.empty[String, SymCache]
-    def warm(sym: String): SymCache = cache.getOrElseUpdate(sym, {
-      // one symbol-pruned, ts-sorted scan; everything after is local
-      // (bounds: epoch 0 .. 9999-12-31, inside timestamp micro range)
-      val rows = store.queryRange(sym, new java.sql.Timestamp(0L),
-        new java.sql.Timestamp(253402300799000L)).collect()
-      SymCache(rows.map(_.getTimestamp(1).getTime / 1000L),
-        rows.map(_.getDouble(2)), rows.map(_.getLong(3)))
-    })
+    val cache = new java.util.LinkedHashMap[String, SymCache](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, SymCache]): Boolean =
+        size() > maxSymbols
+    }
+    def warm(sym: String): SymCache = {
+      val hit = cache.get(sym)
+      if (hit != null) hit
+      else {
+        // newest tick (one pruned tail read) anchors the time window;
+        // the full count is cached so `count` stays warm
+        val total = store.count(sym)
+        val loaded =
+          if (total == 0L)
+            SymCache(0L, 0L, Array.empty, Array.empty, Array.empty)
+          else {
+            val maxSec = store.queryLast(sym, 1).collect()(0)
+              .getTimestamp(1).getTime / 1000L
+            val fromSec = maxSec - windowDays.toLong * 86400L
+            // one symbol-pruned, ts-sorted scan of the window only
+            val rows = store.queryRange(sym,
+              new java.sql.Timestamp(fromSec * 1000L),
+              new java.sql.Timestamp(maxSec * 1000L)).collect()
+            SymCache(fromSec, total,
+              rows.map(_.getTimestamp(1).getTime / 1000L),
+              rows.map(_.getDouble(2)), rows.map(_.getLong(3)))
+          }
+        cache.put(sym, loaded)
+        loaded
+      }
+    }
     def printSlice(c: SymCache, from: Int, until: Int): Unit = {
       var i = from
       while (i < until) {
@@ -164,25 +209,48 @@ object Cli {
           case "exit" | "quit" => done = true
           case "query" if a.length == 4 =>
             val c = warm(a(1))
-            val from = c.lowerBound(a(2).toLong)
-            val until = c.lowerBound(a(3).toLong + 1) // inclusive end
-            out.println(s"Found ${until - from} results:")
-            printSlice(c, from, until)
+            val startSec = a(2).toLong
+            if (c.complete || startSec >= c.fromSec) {
+              val from = c.lowerBound(startSec)
+              val until = c.lowerBound(a(3).toLong + 1) // inclusive end
+              out.println(s"Found ${until - from} results:")
+              printSlice(c, from, until)
+            } else {
+              // range reaches past the cached window — pruned cold scan
+              val rows = store.queryRange(a(1), ts(startSec),
+                ts(a(3).toLong)).collect()
+              out.println(s"Found ${rows.length} results:")
+              rows.foreach { r =>
+                out.println(f"Timestamp: ${r.getTimestamp(1).getTime / 1000} " +
+                  f"Price: ${r.getDouble(2)}%.2f Volume: ${r.getLong(3)}")
+              }
+            }
             out.println(f"(${(System.nanoTime() - t0) / 1e6}%.2f ms)")
           case "last" if a.length == 3 =>
             val c = warm(a(1))
-            val n = math.min(a(2).toInt, c.ts.length)
-            out.println(s"Last $n ticks for ${a(1)}:")
-            // newest first, matching the one-shot `last` command
-            var i = c.ts.length - 1
-            while (i >= c.ts.length - n) {
-              out.println(f"Timestamp: ${c.ts(i)} Price: ${c.price(i)}%.2f " +
-                f"Volume: ${c.volume(i)}")
-              i -= 1
+            val n0 = a(2).toInt
+            if (c.complete || n0 <= c.ts.length) {
+              val n = math.min(n0, c.ts.length)
+              out.println(s"Last $n ticks for ${a(1)}:")
+              // newest first, matching the one-shot `last` command
+              var i = c.ts.length - 1
+              while (i >= c.ts.length - n) {
+                out.println(f"Timestamp: ${c.ts(i)} Price: ${c.price(i)}%.2f " +
+                  f"Volume: ${c.volume(i)}")
+                i -= 1
+              }
+            } else {
+              // deeper than the cached window — pruned cold scan
+              val rows = store.queryLast(a(1), n0).collect()
+              out.println(s"Last ${rows.length} ticks for ${a(1)}:")
+              rows.foreach { r =>
+                out.println(f"Timestamp: ${r.getTimestamp(1).getTime / 1000} " +
+                  f"Price: ${r.getDouble(2)}%.2f Volume: ${r.getLong(3)}")
+              }
             }
             out.println(f"(${(System.nanoTime() - t0) / 1e6}%.2f ms)")
           case "count" if a.length == 2 =>
-            out.println(s"Count: ${warm(a(1)).ts.length}")
+            out.println(s"Count: ${warm(a(1)).total}")
             out.println(f"(${(System.nanoTime() - t0) / 1e6}%.2f ms)")
           case "insert" if a.length == 5 =>
             store.append(a(1), ts(a(2).toLong), a(3).toDouble, a(4).toLong)

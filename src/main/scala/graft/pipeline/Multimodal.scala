@@ -283,37 +283,51 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, blob) =>
-          val bb = java.nio.ByteBuffer.wrap(blob)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          def fourcc(p: Int) = new String(blob, p, 4, "US-ASCII")
-          if (blob.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
-            Iterator.empty
+          // hardened against hostile containers (r11 ADVICE): null blobs,
+          // negative/overlong chunk sizes (which would stall or overrun
+          // the walk), and index entries pointing outside the blob all
+          // yield "no frames" instead of an NPE / infinite loop / AIOOBE
+          if (blob == null || blob.length < 12) Iterator.empty
           else {
-            var moviPos = -1 // position of the 'movi' fourcc
-            var idxPos = -1
-            var idxLen = 0
-            var pos = 12
-            while (pos + 8 <= blob.length) {
-              val ck = fourcc(pos)
-              val sz = bb.getInt(pos + 4)
-              if (ck == "LIST" && sz >= 4 && fourcc(pos + 8) == "movi")
-                moviPos = pos + 8
-              else if (ck == "idx1") { idxPos = pos + 8; idxLen = sz }
-              pos += 8 + sz + (sz & 1) // RIFF chunks pad to even
-            }
-            if (moviPos < 0 || idxPos < 0) Iterator.empty
-            else (0 until idxLen / 16).iterator.flatMap { k =>
-              val e = idxPos + k * 16
-              val flags = bb.getInt(e + 4)
-              val relOff = bb.getInt(e + 8)
-              val size = bb.getInt(e + 12)
-              if ((flags & 0x10) == 0) None // not a keyframe
-              else {
-                val payload = moviPos + relOff + 8 // past '00dc'+size
-                var sum = 0L
-                var j = 0
-                while (j < size) { sum += blob(payload + j) & 0xff; j += 1 }
-                Some(KeyFrame(id, k.toLong, payload.toLong, size.toLong, sum))
+            val bb = java.nio.ByteBuffer.wrap(blob)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            def fourcc(p: Int) = new String(blob, p, 4, "US-ASCII")
+            if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") Iterator.empty
+            else {
+              var moviPos = -1 // position of the 'movi' fourcc
+              var idxPos = -1
+              var idxLen = 0
+              var pos = 12
+              var ok = true
+              while (ok && pos + 8 <= blob.length) {
+                val ck = fourcc(pos)
+                val sz = bb.getInt(pos + 4)
+                if (sz < 0 || sz > blob.length - (pos + 8)) ok = false
+                else {
+                  if (ck == "LIST" && sz >= 4 && fourcc(pos + 8) == "movi")
+                    moviPos = pos + 8
+                  else if (ck == "idx1") { idxPos = pos + 8; idxLen = sz }
+                  pos += 8 + sz + (sz & 1) // RIFF chunks pad to even
+                }
+              }
+              if (moviPos < 0 || idxPos < 0 || idxLen < 0 ||
+                  idxLen > blob.length - idxPos) Iterator.empty
+              else (0 until idxLen / 16).iterator.flatMap { k =>
+                val e = idxPos + k * 16
+                val flags = bb.getInt(e + 4)
+                val relOff = bb.getInt(e + 8)
+                val size = bb.getInt(e + 12)
+                val payload = moviPos.toLong + relOff.toLong + 8L // past '00dc'+size
+                if ((flags & 0x10) == 0) None // not a keyframe
+                else if (size < 0 || payload < 0 ||
+                    payload + size > blob.length) None // truncated/hostile entry
+                else {
+                  val p = payload.toInt
+                  var sum = 0L
+                  var j = 0
+                  while (j < size) { sum += blob(p + j) & 0xff; j += 1 }
+                  Some(KeyFrame(id, k.toLong, payload, size.toLong, sum))
+                }
               }
             }
           }

@@ -174,34 +174,65 @@ final class TickStore(spark: SparkSession, path: String,
   /** Retention: drop every `ts_date` partition strictly older than
     * `cutoff` (daily layout only — the layout a production deployment
     * uses). Pure partition-directory removal: no data is read or
-    * rewritten, readers listing concurrently never see a torn file
-    * (directory deletes remove whole committed files), and at 100 TB
-    * the cost is O(expired partitions), not O(data). Returns the
-    * number of dropped (symbol, day) partitions. The reference is
-    * append-only with no retention story; a long-lived store needs
-    * one.
+    * rewritten, readers LISTING concurrently never see a torn file
+    * (directory deletes remove whole committed files) — though a query
+    * whose file listing was planned BEFORE the delete can still hit
+    * FileNotFoundException when it executes, the standard caveat of
+    * any partition-drop on an immutable-file store. At 100 TB the cost
+    * is O(expired partitions), not O(data): one glob listing round
+    * (glob `symbol=&#42;/ts_date=&#42;` — a bulk prefix list on an
+    * object store, not one RPC per symbol directory) and the
+    * expired-directory
+    * deletes issued from a small thread pool, both independent of tick
+    * count. Unparseable partition names (a null-ts
+    * `__HIVE_DEFAULT_PARTITION__`, foreign directories) are skipped,
+    * never fatal mid-delete. Returns the number of dropped
+    * (symbol, day) partitions. The reference is append-only with no
+    * retention story; a long-lived store needs one.
     */
-  def expire(cutoff: java.time.LocalDate): Int = {
+  def expire(cutoff: java.time.LocalDate, parallelism: Int = 16): Int = {
     require(dailyPartitions, "expire requires the daily-partition layout")
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return 0
-    var dropped = 0
-    for (symDir <- fs.listStatus(root) if symDir.isDirectory &&
-        symDir.getPath.getName.startsWith("symbol=")) {
-      for (dayDir <- fs.listStatus(symDir.getPath) if dayDir.isDirectory) {
-        val name = dayDir.getPath.getName // ts_date=YYYY-MM-DD
-        if (name.startsWith("ts_date=")) {
-          val day = java.time.LocalDate.parse(name.substring(8))
-          if (day.isBefore(cutoff)) {
-            fs.delete(dayDir.getPath, true)
-            dropped += 1
-          }
-        }
-      }
+    val dayDirs = fs.globStatus(
+      new org.apache.hadoop.fs.Path(root, "symbol=*/ts_date=*"))
+    if (dayDirs == null) return 0
+    val expired = dayDirs.iterator.filter(_.isDirectory).flatMap { d =>
+      val name = d.getPath.getName // ts_date=YYYY-MM-DD
+      scala.util.Try(java.time.LocalDate.parse(name.substring(8))).toOption
+        .filter(_.isBefore(cutoff)).map(_ => d.getPath)
+    }.toVector
+    if (expired.isEmpty) 0
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(parallelism, expired.size)))
+      try {
+        val dropped = new java.util.concurrent.atomic.AtomicInteger(0)
+        expired.map { p =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              if (fs.delete(p, true)) dropped.incrementAndGet()
+          })
+        }.foreach(_.get())
+        dropped.get()
+      } finally pool.shutdown()
     }
-    dropped
+  }
+
+  /** Symbol-level retention for EITHER layout: drop a delisted
+    * symbol's entire partition subtree (the non-daily layout has no
+    * time axis in its directory structure, so time-based expiry there
+    * would be a rewrite — but whole-symbol removal is still a pure
+    * O(1)-listing directory delete). Returns true iff the symbol
+    * existed.
+    */
+  def dropSymbol(symbol: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path, s"symbol=$symbol")
+    val fs = dir.getFileSystem(conf)
+    fs.exists(dir) && fs.delete(dir, true)
   }
 }
 

@@ -106,6 +106,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeFrameIndex survives hostile blobs (r11 guards: null, negative sizes, truncation)") {
+    import spark.implicits._
+    def le(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    val riff = "RIFF".getBytes ++ le(100) ++ "AVI ".getBytes
+    val hostile: Seq[(Long, Array[Byte])] = Seq(
+      1L -> null, // null blob
+      2L -> Array[Byte](1, 2, 3), // too short
+      3L -> (riff ++ "LIST".getBytes ++ le(-8) ++ "movi".getBytes), // negative chunk size (was an infinite loop)
+      4L -> (riff ++ "LIST".getBytes ++ le(1 << 30) ++ "movi".getBytes), // overlong chunk
+      // index entry whose payload points past the end of the blob
+      5L -> (riff ++ "LIST".getBytes ++ le(4) ++ "movi".getBytes ++
+        "idx1".getBytes ++ le(16) ++
+        "00dc".getBytes ++ le(0x10) ++ le(500) ++ le(64)))
+    val df = hostile.toDF("doc_id", "blob")
+    // no NPE / infinite loop / out-of-bounds read; nothing decodes
+    assert(Multimodal.decodeFrameIndex(spark, df).collect().isEmpty)
+  }
+
   test("synthesized containers are well-formed (sizes match headers)") {
     val bad = Multimodal.synthesizeMedia(spark, docs)
       .select(col("doc_id"), length(col("blob")).as("len"), col("blob"))

@@ -151,7 +151,65 @@ class ConcurrentServeSpec extends AnyFunSuite {
     assert(minTs >= base + daySec)
     // idempotent: nothing further to drop
     assert(store.expire(day1) === 0)
+    // r11 hardening: an unparseable partition name (null-ts default
+    // partition, foreign dirs) is skipped, never fatal mid-delete
+    val weird = new java.io.File(
+      s"$dir/symbol=AAA/ts_date=__HIVE_DEFAULT_PARTITION__")
+    assert(weird.mkdirs())
+    assert(store.expire(day1.plusDays(10)) === 4) // days 1+2, both symbols
+    assert(weird.exists(), "unparseable partition must survive expire")
     graft.core.TempDirs.delete(dir)
+  }
+
+  test("bounded serve cache: time-window + LRU, cold ranges fall through correctly") {
+    val dir = Files.createTempDirectory("bounded_serve_").toString
+    val store = new TickStore(spark, dir)
+    val daySec = 86400L
+    val base = 1700006400L
+    // three calendar days × 50 ticks for WND, one day for OTH
+    Seq(0L, 1L, 2L).foreach(d => store.ingest(batchDf("WND", base + d * daySec, 50)))
+    store.ingest(batchDf("OTH", base, 30))
+    val cmds = Seq(
+      s"count WND",                                  // full count despite window
+      s"query WND $base ${base + 10}",               // day-0 range: COLD path
+      s"query WND ${base + 2 * daySec} ${base + 2 * daySec + 10}", // warm window
+      s"last WND 120",                               // deeper than cache: COLD
+      s"last WND 5",                                 // warm
+      s"count OTH",                                  // second symbol evicts WND (maxSymbols=1)
+      s"count WND",                                  // re-warm after eviction, still correct
+      "exit").mkString("\n") + "\n"
+    val bout = new java.io.ByteArrayOutputStream()
+    // windowDays=1 → cache holds ~day 1 tail + day 2 (51 of 150 ticks)
+    graft.Cli.serve(spark, dir,
+      new java.io.BufferedReader(new java.io.StringReader(cmds)),
+      new java.io.PrintStream(bout, true), windowDays = 1, maxSymbols = 1)
+    val out = bout.toString
+    val counts = "Count: (\\d+)".r.findAllMatchIn(out).map(_.group(1).toInt).toVector
+    assert(counts === Vector(150, 30, 150), s"counts: $counts")
+    val founds = "Found (\\d+) results:".r.findAllMatchIn(out)
+      .map(_.group(1).toInt).toVector
+    assert(founds === Vector(11, 11), s"range sizes: $founds")
+    val lasts = "Last (\\d+) ticks".r.findAllMatchIn(out)
+      .map(_.group(1).toInt).toVector
+    assert(lasts === Vector(120, 5), s"last sizes: $lasts")
+    // the deep `last` really returned day-0 ticks (past the cached window)
+    assert(out.contains(s"Timestamp: ${base + 49} "), "cold last must reach day 0")
+    graft.core.TempDirs.delete(dir)
+  }
+
+  test("dropSymbol removes a symbol subtree on either layout") {
+    for (daily <- Seq(false, true)) {
+      val dir = Files.createTempDirectory(s"drop_sym_${daily}_").toString
+      val store = new TickStore(spark, dir, dailyPartitions = daily)
+      store.ingest(batchDf("AAA", 1700006400L, 40))
+      store.ingest(batchDf("BBB", 1700006400L, 60))
+      assert(store.dropSymbol("AAA"))
+      assert(!store.dropSymbol("AAA")) // already gone
+      assert(!store.dropSymbol("NOPE"))
+      assert(store.countAll() === 60L)
+      assert(store.count("BBB") === 60L)
+      graft.core.TempDirs.delete(dir)
+    }
   }
 
   test("serve cache refreshes after insert (read-your-writes)") {

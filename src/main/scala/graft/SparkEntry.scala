@@ -255,6 +255,7 @@ object SparkEntry {
       MarketOps.priceClustering(ticks(s, dir))),
     "q_burst_census" -> ((s, dir) => MarketOps.burstCensus(ticks(s, dir))),
     "q_benford" -> ((s, dir) => MarketOps.benfordVolumes(ticks(s, dir))),
+    "q_range_vol" -> ((s, dir) => MarketOps.rangeVol(ticks(s, dir))),
     "q_pareto" -> ((s, dir) => Relational.paretoRevenue(s, dir)),
     "q_ltv_cohort" -> ((s, dir) => Relational.ltvCohort(s, dir)),
     "q_basket_pairs" -> ((s, dir) => Relational.basketPairs(s, dir, 20)),
@@ -458,6 +459,7 @@ object SparkEntry {
       Similarity.knnJoinI8(Tables.embeddings(s, dir), dim = 64, k = 3)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "q_lexical_diversity" -> ((s, dir) => TextOps.lexicalDiversity(Tables.documents(s, dir))),
+    "q_token_entropy" -> ((s, dir) => TextOps.tokenEntropy(Tables.documents(s, dir))),
     "q_source_mix" -> ((s, dir) => TextOps.sourceMix(Tables.documents(s, dir))),
     "q_boilerplate" -> ((s, dir) => TextOps.boilerplate(Tables.documents(s, dir), 3, 20)),
     "q_pack_bins" -> ((s, dir) => TextOps.packBins(Tables.documents(s, dir), 512)),
@@ -718,6 +720,36 @@ object SparkEntry {
       .map { case (ws, b) => s"($b, [${ws.mkString(", ")}])" }
       .mkString(", ")
 
+  /** Table-tagged planes for the amplified (multi-table) LSH path:
+    * one independent seeded matrix per hash table (seed 42 + t,
+    * matching [[graft.pipeline.Similarity.lshBucket]]'s table arg).
+    */
+  private def planesSqlMulti(nBits: Int, tables: Int): String =
+    (0 until tables).flatMap { t =>
+      graft.functions.VectorMath.hyperplanes(64, nBits, 42 + t).zipWithIndex
+        .map { case (ws, b) => s"($t, $b, [${ws.mkString(", ")}])" }
+    }.mkString(", ")
+
+  /** Multi-table bucket CTEs (amplified LSH): per-(vec, table) bucket
+    * ids from the table-tagged planes, same ROUND(proj, 6) sign rule
+    * as [[duckBuckets]]. Defines `buckets(vec_id, tbl, bucket)` and
+    * `vecs`.
+    */
+  private def duckBucketsMulti(nBits: Int, tables: Int): String =
+    s"""planes(tbl, bit, ws) AS (VALUES ${planesSqlMulti(nBits, tables)}),
+       |proj AS (
+       |  SELECT e.vec_id, p.tbl, p.bit,
+       |         list_sum(list_transform(generate_series(1, 64),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.ws[i] AS DOUBLE))) AS proj
+       |  FROM embeddings e CROSS JOIN planes p),
+       |buckets AS (
+       |  SELECT vec_id, tbl,
+       |         CAST(SUM(CASE WHEN ROUND(proj, 6) > 0 THEN CAST(1 AS BIGINT) << bit
+       |                       ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1, 2),
+       |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |         FROM embeddings)""".stripMargin
+
   // the trailing + 0.0 normalizes DuckDB's signed zero: its float-path
   // ROUND keeps −0.0 when a tiny negative rounds to zero, while
   // Spark's BigDecimal ROUND always yields +0.0 (SURVEY §4 r9 rule)
@@ -787,6 +819,19 @@ object SparkEntry {
     */
   private def ivfDim: Int =
     graft.pipeline.IvfIndex.lastCentroids.map(_.head.length).getOrElse(64)
+
+  /** 6-dp quantization of a double expression via the shared float-op
+    * sequence — the SQL mirror of MarketOps.quant6 (SURVEY §4: scale
+    * by 1e6, FLOOR(s+0.5)/CEIL(s−0.5), rebuild DECIMAL(18,6); the
+    * identical IEEE ops on both engines, immune to ROUND's divergent
+    * half-rounding).
+    */
+  private def duckQ6(x: String): String =
+    s"""CAST(CAST(CAST(CASE WHEN $x * 1000000.0 >= 0
+       |  THEN FLOOR($x * 1000000.0 + 0.5)
+       |  ELSE CEIL($x * 1000000.0 - 0.5) END
+       |  AS BIGINT) AS DECIMAL(18,0))
+       |  * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))""".stripMargin
 
   /** Seed-with-first polynomial codepoint hash mod p — the DuckDB
     * mirror of [[graft.functions.TextHash.charPoly]].
@@ -1667,6 +1712,47 @@ object SparkEntry {
         |                 / (sxx - (sx * sx) / n), 4) + 0.0
         |       END AS beta
         |FROM s ORDER BY symbol""".stripMargin,
+    "q_range_vol" ->
+      // §4 libm discipline: every per-bar ln term 6-dp quantized via
+      // the shared float-op sequence, (19,6)×(18,6)→(38,12) exact
+      // squares (INT128 on DuckDB, in-width on Spark), 8-dp decimal
+      // round before the (then-exact) double conversion, then mirrored
+      // IEEE division/sqrt — RAW emission (sqrt is correctly rounded)
+      s"""WITH b AS (
+         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+         |         MAX(value) AS h, MIN(value) AS l,
+         |         min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+         |              || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS o,
+         |         max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+         |              || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS c
+         |  FROM events GROUP BY 1, 2),
+         |f AS (SELECT * FROM b WHERE l > 0),
+         |t AS (SELECT symbol,
+         |        ${duckQ6("ln(h / l)")} AS u,
+         |        ${duckQ6("ln(c / o)")} AS v,
+         |        ${duckQ6("ln(h / c)")} AS hc,
+         |        ${duckQ6("ln(h / o)")} AS ho,
+         |        ${duckQ6("ln(l / c)")} AS lc,
+         |        ${duckQ6("ln(l / o)")} AS lo
+         |      FROM f),
+         |a AS (SELECT symbol,
+         |        CAST(COUNT(*) AS BIGINT) AS n_days,
+         |        ROUND(SUM(CAST(CAST(u AS DECIMAL(19,6)) * u AS DECIMAL(38,12))), 8) AS su,
+         |        ROUND(SUM(CAST(CAST(v AS DECIMAL(19,6)) * v AS DECIMAL(38,12))), 8) AS sv,
+         |        ROUND(SUM(CAST(CAST(hc AS DECIMAL(19,6)) * ho AS DECIMAL(38,12))
+         |              + CAST(CAST(lc AS DECIMAL(19,6)) * lo AS DECIMAL(38,12))), 8) AS srs
+         |      FROM t GROUP BY 1)
+         |SELECT symbol, n_days,
+         |       SQRT(CAST(su AS DOUBLE)
+         |            / (CAST(n_days AS DOUBLE) * 2.772588722239781)) AS park_vol,
+         |       CASE WHEN (0.5 * CAST(su AS DOUBLE)
+         |                  - 0.3862943611198906 * CAST(sv AS DOUBLE))
+         |                 / CAST(n_days AS DOUBLE) >= 0
+         |            THEN SQRT((0.5 * CAST(su AS DOUBLE)
+         |                  - 0.3862943611198906 * CAST(sv AS DOUBLE))
+         |                 / CAST(n_days AS DOUBLE)) END AS gk_vol,
+         |       SQRT(CAST(srs AS DOUBLE) / CAST(n_days AS DOUBLE)) AS rs_vol
+         |FROM a ORDER BY symbol""".stripMargin,
     "q_mfi" ->
       // 3×TP = h+l+c (the /3 cancels in the ratio); DECIMAL(20,2)×
       // DECIMAL(18,0) forces DuckDB's INT128 multiply (width 38 cap);
@@ -2433,9 +2519,11 @@ object SparkEntry {
         |  FROM b),
         |k AS (
         |  SELECT symbol, day, rn,
-        |         lpad(CAST(CAST(h * 100 AS BIGINT) AS VARCHAR), 20, '0')
+        |         lpad(CAST(CAST(h * 100 AS BIGINT)
+        |                   + 5000000000000000000 AS VARCHAR), 20, '0')
         |           || lpad(CAST(rn AS VARCHAR), 20, '0') AS hk,
-        |         lpad(CAST(CAST(l * 100 AS BIGINT) AS VARCHAR), 20, '0')
+        |         lpad(CAST(CAST(l * 100 AS BIGINT)
+        |                   + 5000000000000000000 AS VARCHAR), 20, '0')
         |           || lpad(CAST(1000000000000000 - rn AS VARCHAR), 20, '0') AS lk
         |  FROM t),
         |m AS (
@@ -4552,15 +4640,20 @@ object SparkEntry {
          |SELECT id_a, id_b, cos_sim FROM sims
          |WHERE cos_sim >= 0.25 ORDER BY id_a, id_b""".stripMargin,
     "q_ann_lsh" ->
-      s"""WITH ${duckBuckets(8)},
-         |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+      // amplified LSH (r11): 10 independent hash tables OR'd, each
+      // multi-probed at Hamming distance 1 — candidates are DISTINCT
+      // vec_ids matching ANY (table, probe-bucket) pair, mirroring the
+      // Spark side's broadcast semi join
+      s"""WITH ${duckBucketsMulti(8, 10)},
+         |qb AS (SELECT tbl, bucket FROM buckets WHERE vec_id = 0),
          |probes AS (
-         |  SELECT DISTINCT xor(qb.bucket, m.m) AS bucket
+         |  SELECT DISTINCT qb.tbl, xor(qb.bucket, m.m) AS bucket
          |  FROM qb CROSS JOIN (VALUES (0), (1), (2), (4), (8), (16), (32),
          |                             (64), (128)) m(m)),
          |q AS (SELECT ve AS qe FROM vecs WHERE vec_id = 0),
          |cand AS (
-         |  SELECT b.vec_id FROM buckets b JOIN probes p ON b.bucket = p.bucket
+         |  SELECT DISTINCT b.vec_id FROM buckets b
+         |  JOIN probes p ON b.tbl = p.tbl AND b.bucket = p.bucket
          |  WHERE b.vec_id <> 0)
          |SELECT c.vec_id AS vec_id, ${duckCosine("v.ve", "q.qe")} AS cos_sim
          |FROM cand c JOIN vecs v ON v.vec_id = c.vec_id CROSS JOIN q
@@ -5015,6 +5108,25 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, n_rare,
         |       CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS novelty
         |FROM a ORDER BY doc_id""".stripMargin,
+    "q_token_entropy" ->
+      // §4 libm discipline: each p·ln(p) term is 6-dp quantized via
+      // the shared float-op sequence (ln is 1-ulp divergent; log2
+      // would be worse — DuckDB's is native, Spark's is ln/ln2), the
+      // per-doc sum is an exact order-free decimal, bits = one
+      // mirrored division by the ln2 literal, +0.0 signed-zero
+      // normalizer
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
+         |t AS (SELECT doc_id, c,
+         |        CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM c),
+         |q AS (SELECT doc_id, n,
+         |        ${duckQ6("CAST(c AS DOUBLE) / CAST(n AS DOUBLE) " +
+                    "* ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))")} AS term
+         |      FROM t)
+         |SELECT doc_id, MAX(n) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |       -CAST(SUM(term) AS DOUBLE) / 0.6931471805599453 + 0.0 AS entropy
+         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_lexical_diversity" ->
       // ratios of exact BIGINT token counts — no float accumulation;
       // DuckDB's INT128 sums cast to BIGINT/DOUBLE per SURVEY §4

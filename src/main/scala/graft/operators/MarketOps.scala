@@ -159,6 +159,57 @@ object MarketOps {
   final case class Tick(event_id: Long, symbol: String, ts_us: Long, price: Double)
   final case class EmaRow(event_id: Long, symbol: String, ema: Double)
 
+  /** Bounded monotonic deque over (rn, value) for O(1)-amortized
+    * sliding-window extrema (r11): each row is pushed once and popped
+    * at most once, so an n-row rolling min/max costs O(1)/row instead
+    * of WindowExec's O(n)/row frame re-evaluation — the r10 verdict's
+    * last local-perf lever for the non-invertible min/max indicator
+    * family (donchian/stochastic/williams %R). Values are price CENTS
+    * (exact longs from the DECIMAL(18,2) cast), so extrema selection is
+    * integer comparison and bit-identical to the decimal window
+    * extrema it replaces; `cents.toDouble / 100.0` is the identical
+    * correctly-rounded value Spark's compact Decimal.toDouble
+    * (unscaled/10^scale in double) produced before.
+    */
+  private final class MonoDeque(n: Int, takeMin: Boolean) {
+    private val cap = n + 1
+    private val rns = new Array[Long](cap)
+    private val vs = new Array[Long](cap)
+    private var head = 0L
+    private var tail = 0L // live entries in [head, tail)
+    @inline private def at(i: Long): Int = (i % cap).toInt
+    def push(rn: Long, v: Long): Unit = {
+      while (tail > head &&
+          (if (takeMin) v <= vs(at(tail - 1)) else v >= vs(at(tail - 1))))
+        tail -= 1
+      rns(at(tail)) = rn; vs(at(tail)) = v; tail += 1
+      while (rns(at(head)) <= rn - n) head += 1
+    }
+    def extreme: Long = vs(at(head))
+  }
+
+  /** Chunked-scaffold row for the deque passes: the [[chunkedFrame]]
+    * output projected to (identity, chunk key, order, carry flag,
+    * exact price cents).
+    */
+  final case class MmIn(event_id: Long, symbol: String, chunk_id: Long,
+      rn: Long, carry: Boolean, cents: Long)
+  final case class DonchianRow(event_id: Long, symbol: String,
+      upper_ch: Double, lower_ch: Double, mid_ch: Double)
+  final case class StochRow(event_id: Long, symbol: String,
+      pct_k: Option[Double], pct_d: Option[Double])
+  final case class WrRow(event_id: Long, symbol: String, wr: Option[Double])
+
+  /** Project the chunked scaffold to [[MmIn]] (cents are exact: 2-dp
+    * decimal × 100 → long).
+    */
+  private def mmInput(ticks: DataFrame, carryRows: Int,
+      chunkRows: Long): DataFrame = {
+    val (t0, _) = chunkedFrame(ticks, carryRows, chunkRows)
+    t0.select(col("event_id"), col("symbol"), col("chunk_id"), col("rn"),
+      col("carry"), (col("price").cast(dec) * 100).cast("long").as("cents"))
+  }
+
   /** Exponential moving average per symbol — the genuinely recursive
     * form (ema_k = a·p_k + (1-a)·ema_{k-1}, seeded with the first
     * price).
@@ -1118,23 +1169,45 @@ object MarketOps {
     // LAYERED chunking: pct_d lags pct_k by up to 2 rows, and pct_k
     // needs an (n−1)-row frame — carry (n−1)+2 rows so the last two
     // carries (the only ones whose pct_k feeds a real row's pct_d)
-    // still see their full frames.
-    val (t, spec) = chunkedFrame(ticks, n + 1, chunkRows)
-    val w = spec.rowsBetween(-(n - 1), 0)
-    val hhv = max(col("price").cast(dec)).over(w)
-    val llv = min(col("price").cast(dec)).over(w)
-    // emitted UNROUNDED (SURVEY §4): every operand is an exact decimal
-    // or a quotient both engines compute with identical IEEE ops
-    val k = when(hhv > llv,
-      lit(100.0) * (col("price").cast(dec) - llv).cast("double") /
-        (hhv - llv).cast("double"))
-    t.select(col("event_id"), col("symbol"), col("chunk_id"), col("rn"),
-        col("carry"), k.as("pct_k"))
-      .select(col("event_id"), col("symbol"), col("carry"), col("pct_k"),
-        ((col("pct_k") + lag(col("pct_k"), 1).over(spec)
-          + lag(col("pct_k"), 2).over(spec)) / 3.0).as("pct_d"))
-      .filter(!col("carry"))
-      .select(col("event_id"), col("symbol"), col("pct_k"), col("pct_d"))
+    // still see their full frames. r11: extrema come from monotonic
+    // deques in ONE sorted-group pass over the (symbol, chunk) groups
+    // (O(1)/row — see [[MonoDeque]]) instead of O(n)/row window
+    // frames; the %D lag ring rides the same pass. Emission mirrors
+    // the window formulation operand-for-operand: cents differences
+    // ARE the decimal differences, toDouble/100.0 IS the decimal
+    // double cast, and ((k + k₁) + k₂)/3.0 keeps the left-assoc sum —
+    // bit-identical (ChunkedEdgeSpec's monolithic-window fixture).
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    mmInput(ticks, n + 1, chunkRows)
+      .as[MmIn]
+      .groupByKey(r => (r.symbol, r.chunk_id))
+      .flatMapSortedGroups(col("rn")) { case ((sym, _), it) =>
+        val mx = new MonoDeque(n, takeMin = false)
+        val mn = new MonoDeque(n, takeMin = true)
+        var k1: java.lang.Double = null
+        var k2: java.lang.Double = null
+        it.flatMap { r =>
+          mx.push(r.rn, r.cents); mn.push(r.rn, r.cents)
+          val hh = mx.extreme; val ll = mn.extreme
+          val k: java.lang.Double =
+            if (hh > ll)
+              100.0 * ((r.cents - ll).toDouble / 100.0) /
+                ((hh - ll).toDouble / 100.0)
+            else null
+          val d: java.lang.Double =
+            if (k != null && k1 != null && k2 != null)
+              ((k.doubleValue + k1.doubleValue) + k2.doubleValue) / 3.0
+            else null
+          val out =
+            if (r.carry) Iterator.empty
+            else Iterator.single(StochRow(r.event_id, sym,
+              Option(k).map(_.doubleValue), Option(d).map(_.doubleValue)))
+          k2 = k1; k1 = k
+          out
+        }
+      }
+      .toDF()
       .orderBy("event_id")
   }
 
@@ -1143,17 +1216,30 @@ object MarketOps {
     * decimals exactly before the single double halving.
     */
   def donchian(ticks: DataFrame, n: Int = 20, chunkRows: Long = 8192L): DataFrame = {
-    val (t, spec) = chunkedFrame(ticks, n - 1, chunkRows)
-    val w = spec.rowsBetween(-(n - 1), 0)
-    val up = max(col("price").cast(dec)).over(w)
-    val lo = min(col("price").cast(dec)).over(w)
-    t.select(col("event_id"), col("symbol"), col("carry"),
-        up.cast("double").as("upper_ch"),
-        lo.cast("double").as("lower_ch"),
-        ((up + lo).cast("double") / 2.0).as("mid_ch"))
-      .filter(!col("carry"))
-      .select(col("event_id"), col("symbol"), col("upper_ch"),
-        col("lower_ch"), col("mid_ch"))
+    // r11: monotonic-deque sorted-group pass (O(1)/row) replacing the
+    // O(n)/row direct min/max frames; cents arithmetic is the decimal
+    // arithmetic (exact), and (upC + loC).toDouble/100.0 equals the
+    // exact-decimal-sum double cast — bit-identical emissions.
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    mmInput(ticks, n - 1, chunkRows)
+      .as[MmIn]
+      .groupByKey(r => (r.symbol, r.chunk_id))
+      .flatMapSortedGroups(col("rn")) { case ((sym, _), it) =>
+        val mx = new MonoDeque(n, takeMin = false)
+        val mn = new MonoDeque(n, takeMin = true)
+        it.flatMap { r =>
+          mx.push(r.rn, r.cents); mn.push(r.rn, r.cents)
+          if (r.carry) Iterator.empty
+          else {
+            val up = mx.extreme; val lo = mn.extreme
+            Iterator.single(DonchianRow(r.event_id, sym,
+              up.toDouble / 100.0, lo.toDouble / 100.0,
+              (up + lo).toDouble / 100.0 / 2.0))
+          }
+        }
+      }
+      .toDF()
       .orderBy("event_id")
   }
 
@@ -2046,6 +2132,63 @@ object MarketOps {
       .cast(DecimalType(18, 6))
   }
 
+  /** NEW r11: range-based volatility estimators over daily bars —
+    * Parkinson, Garman–Klass, and Rogers–Satchell, the OHLC-range
+    * family a market-data user expects next to close-close realized
+    * vol (each extracts ~5× more information per bar than
+    * close-to-close). Per symbol over the full tape:
+    *   σ²_P  = Σ(ln(h/l))² / (4·ln2·n)
+    *   σ²_GK = (0.5·Σ(ln(h/l))² − (2ln2−1)·Σ(ln(c/o))²) / n
+    *   σ²_RS = Σ(ln(h/c)ln(h/o) + ln(l/c)ln(l/o)) / n
+    *
+    * Engine-parity posture (the §4-r10 libm rule: ln differs by 1 ulp
+    * between JVM and DuckDB on ~2e-4 of inputs, so ln output must
+    * never feed a RAW emission or an order-dependent float sum): each
+    * per-bar ln term is 6-dp QUANTIZED via the shared float-op
+    * sequence ([[quant6]]) into DECIMAL(18,6); squares/products run
+    * (19,6)×(18,6) → (38,12) (exact on both engines, CLAUDE.md width
+    * rule), sums are order-free exact decimals rounded to 8 dp before
+    * the (then-exact) double conversion, and every remaining op —
+    * division, the 4ln2 / 2ln2−1 double literals, sqrt (IEEE
+    * correctly-rounded, bit-identical) — is a mirrored IEEE sequence,
+    * so the emission is RAW with no divergent final round. Bars with
+    * non-positive lows are excluded on both engines (ln domain).
+    * GK's variance is mathematically ≥ 0.1137·σ²_P ≥ 0 (|ln(c/o)| ≤
+    * ln(h/l), preserved by monotone quantization) — the sqrt guard is
+    * belt-and-braces, mirrored.
+    *
+    * One bar aggregate + one tiny per-symbol aggregate — no windows,
+    * no shuffle beyond the OHLC rollup; scale cost is the bar rollup.
+    */
+  def rangeVol(ticks: DataFrame): DataFrame = {
+    def sq(a: Column, b: Column): Column =
+      (a.cast(DecimalType(19, 6)) * b).cast(DecimalType(38, 12))
+    val bars = ohlcDaily(ticks).filter(col("low") > 0.0)
+    val t = bars.select(col("symbol"),
+      quant6(log(col("high") / col("low")) * 1000000.0).as("u"),
+      quant6(log(col("close") / col("open")) * 1000000.0).as("v"),
+      quant6(log(col("high") / col("close")) * 1000000.0).as("hc"),
+      quant6(log(col("high") / col("open")) * 1000000.0).as("ho"),
+      quant6(log(col("low") / col("close")) * 1000000.0).as("lc"),
+      quant6(log(col("low") / col("open")) * 1000000.0).as("lo"))
+    val a = t.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n_days"),
+      sum(sq(col("u"), col("u"))).as("su"),
+      sum(sq(col("v"), col("v"))).as("sv"),
+      sum((sq(col("hc"), col("ho")) + sq(col("lc"), col("lo")))
+        .cast(DecimalType(38, 12))).as("srs"))
+    val nD = col("n_days").cast("double")
+    val suD = round(col("su"), 8).cast("double")
+    val svD = round(col("sv"), 8).cast("double")
+    val srsD = round(col("srs"), 8).cast("double")
+    val gkv = (lit(0.5) * suD - lit(0.3862943611198906) * svD) / nD
+    a.select(col("symbol"), col("n_days"),
+        sqrt(suD / (nD * 2.772588722239781)).as("park_vol"),
+        when(gkv >= 0, sqrt(gkv)).as("gk_vol"),
+        sqrt(srsD / nD).as("rs_vol"))
+      .orderBy("symbol")
+  }
+
   /** Money Flow Index over daily bars: MFI(n) = 100·pos/(pos+neg)
     * where pos/neg are the n-day sums of raw money flow (typical
     * price × volume) on up/down days. Works on 3×TP = h+l+c (the /3
@@ -2278,16 +2421,33 @@ object MarketOps {
     * engines. Chunked-with-carry frame — no whole-symbol window task.
     */
   def williamsR(ticks: DataFrame, n: Int = 14, chunkRows: Long = 8192L): DataFrame = {
-    val (t, spec) = chunkedFrame(ticks, n - 1, chunkRows)
-    val w = spec.rowsBetween(-(n - 1), 0)
-    val hh = max(col("price").cast(dec)).over(w)
-    val ll = min(col("price").cast(dec)).over(w)
-    val r = when(hh > ll,
-      lit(-100.0) * (hh - col("price").cast(dec)).cast("double") /
-        (hh - ll).cast("double"))
-    t.select(col("event_id"), col("symbol"), col("carry"), r.as(s"wr$n"))
-      .filter(!col("carry"))
-      .select(col("event_id"), col("symbol"), col(s"wr$n"))
+    // r11: deque pass (see [[donchian]]); −100·a/b mirrors the window
+    // formulation's (−100.0 · cast(hh−p)) / cast(hh−ll) op order.
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    mmInput(ticks, n - 1, chunkRows)
+      .as[MmIn]
+      .groupByKey(r => (r.symbol, r.chunk_id))
+      .flatMapSortedGroups(col("rn")) { case ((sym, _), it) =>
+        val mx = new MonoDeque(n, takeMin = false)
+        val mn = new MonoDeque(n, takeMin = true)
+        it.flatMap { r =>
+          mx.push(r.rn, r.cents); mn.push(r.rn, r.cents)
+          if (r.carry) Iterator.empty
+          else {
+            val hh = mx.extreme; val ll = mn.extreme
+            val wr: java.lang.Double =
+              if (hh > ll)
+                -100.0 * ((hh - r.cents).toDouble / 100.0) /
+                  ((hh - ll).toDouble / 100.0)
+              else null
+            Iterator.single(WrRow(r.event_id, sym,
+              Option(wr).map(_.doubleValue)))
+          }
+        }
+      }
+      .toDF()
+      .withColumnRenamed("wr", s"wr$n")
       .orderBy("event_id")
   }
 
@@ -2584,7 +2744,14 @@ object MarketOps {
   def aroon(ticks: DataFrame, n: Int = 14): DataFrame = {
     val dayOrder = Window.partitionBy("symbol").orderBy("day")
     val w = dayOrder.rowsBetween(-(n - 1), 0)
-    val cents = (c: Column) => (c.cast(dec) * 100).cast("bigint")
+    // cents are biased by +5e18 before packing: lpad of a NEGATIVE
+    // cents value orders lexicographically wrong (lpad('-50') >
+    // lpad('-40')), so the raw key would pick the wrong extremum on
+    // negative-price tapes. The bias keeps every key a fixed 19-digit
+    // positive integer (|cents| ≤ 1e14 for DECIMAL(12,2) prices), where
+    // lexicographic == numeric. (r11 ADVICE fix; oracle mirrors.)
+    val cents = (c: Column) =>
+      (c.cast(dec) * 100).cast("bigint") + 5000000000000000000L
     val t = ohlcDaily(ticks)
       .select(col("symbol"), col("day"), col("high"), col("low"))
       .withColumn("rn", row_number().over(dayOrder).cast("long"))
@@ -3050,50 +3217,53 @@ object MarketOps {
   }
 
   final case class ChBar(symbol: String, day: java.sql.Date,
-      h: java.math.BigDecimal, l: java.math.BigDecimal,
-      c: java.math.BigDecimal, hh: java.math.BigDecimal,
-      ll: java.math.BigDecimal)
+      hc: Long, lc: Long, cc: Long)
   final case class ChOut(symbol: String, day: java.sql.Date,
       atr: Double, chand_long: Double, chand_short: Double)
 
   /** NEW r10b: Chandelier Exit — the ATR-trailed stop pair
-    * (HH(n) − 3·ATR and LL(n) + 3·ATR). Rolling extrema are exact
-    * DECIMAL window max/min over n bars; the Wilder ATR
-    * (s ← s − s/n + tr, recursion-seeded) runs in the same
-    * sorted-group pass that combines them — window first, recursion
-    * second, both mirrored. RAW emission.
+    * (HH(n) − 3·ATR and LL(n) + 3·ATR). r11: the rolling HH/LL now
+    * come from [[MonoDeque]]s over exact price cents INSIDE the same
+    * sorted-group pass as the Wilder ATR recursion (s ← s − s/n + tr)
+    * — one exchange, one sort, O(1)/row, no window at all. Cents
+    * arithmetic ≡ the decimal window extrema it replaces (integer
+    * compares; centsToDouble/100.0 is the identical compact-decimal
+    * double cast). RAW emission.
     */
   def chandelierExit(ticks: DataFrame, n: Int = 22): DataFrame = {
     val spark0 = ticks.sparkSession
     import spark0.implicits._
-    val dayOrder = Window.partitionBy("symbol").orderBy("day")
-    val w = dayOrder.rowsBetween(-(n - 1), 0)
     val nd = n.toDouble
+    val cents = (c: Column) => (c.cast(dec) * 100).cast("long")
     ohlcDaily(ticks)
-      .select(col("symbol"), col("day"), col("high").cast(dec).as("h"),
-        col("low").cast(dec).as("l"), col("close").cast(dec).as("c"))
-      .withColumn("hh", max(col("h")).over(w))
-      .withColumn("ll", min(col("l")).over(w))
+      .select(col("symbol"), col("day"), cents(col("high")).as("hc"),
+        cents(col("low")).as("lc"), cents(col("close")).as("cc"))
       .as[ChBar]
       .groupByKey(_.symbol)
       .flatMapSortedGroups(col("day")) { (sym, it) =>
-        var pc: java.math.BigDecimal = null
+        val mxH = new MonoDeque(n, takeMin = false)
+        val mnL = new MonoDeque(n, takeMin = true)
+        var i = 0L
+        var pc = Long.MinValue
         var sAtr = 0.0
         var started = false
         it.flatMap { b =>
+          i += 1
+          mxH.push(i, b.hc); mnL.push(i, b.lc)
           val out: Iterator[ChOut] =
-            if (pc == null) Iterator.empty
+            if (pc == Long.MinValue) Iterator.empty
             else {
-              val tr = Seq(b.h.subtract(b.l), b.h.subtract(pc).abs,
-                b.l.subtract(pc).abs).max.doubleValue()
+              val tr = math.max(b.hc - b.lc,
+                math.max(math.abs(b.hc - pc), math.abs(b.lc - pc)))
+                .toDouble / 100.0
               if (!started) { started = true; sAtr = tr }
               else sAtr = sAtr - sAtr / nd + tr
               val atr = sAtr / nd
               Iterator.single(ChOut(sym, b.day, atr,
-                b.hh.doubleValue() - 3.0 * atr,
-                b.ll.doubleValue() + 3.0 * atr))
+                mxH.extreme.toDouble / 100.0 - 3.0 * atr,
+                mnL.extreme.toDouble / 100.0 + 3.0 * atr))
             }
-          pc = b.c
+          pc = b.cc
           out
         }
       }

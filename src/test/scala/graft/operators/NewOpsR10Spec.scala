@@ -60,6 +60,23 @@ class NewOpsR10Spec extends AnyFunSuite {
     assert(ad.forall(_.getDouble(2) === 0.0))
   }
 
+  test("aroon picks the true extremum on negative-price tapes (r11 key-bias fix)") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // two same-digit-width negative prices: the UNBIASED lpad key
+    // ordered lpad('-50') > lpad('-40'), flipping the frame argmax
+    val tape = Seq(
+      (1L, "D", ts("2024-03-01 10:00:00"), -0.40, 1L),
+      (2L, "D", ts("2024-03-02 10:00:00"), -0.50, 1L)
+    ).toDF("event_id", "symbol", "ts", "price", "volume")
+    val rows = MarketOps.aroon(tape, 14).collect()
+      .map(r => r.getDate(1).toString -> (r.getDouble(2), r.getDouble(3))).toMap
+    // day 2: high extreme is -0.40 one bar back, low extreme is the
+    // fresh -0.50 → up = 100·13/14, down = 100
+    assert(rows("2024-03-02")._1 === 100.0 * 13.0 / 14.0, "aroon_up")
+    assert(rows("2024-03-02")._2 === 100.0, "aroon_down")
+  }
+
   test("aroon: 0 on a fresh n-day extreme, values on the 100/n grid") {
     val got = MarketOps.aroon(Tables.ticks(spark, sf), 14).collect()
       .map(r => ((r.getString(0), r.getDate(1).toString),

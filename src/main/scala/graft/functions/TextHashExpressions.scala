@@ -275,8 +275,9 @@ object GraftFunctions {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_bucket", {
       case Seq(v, d, n) => LshBucket(v, intLit(d), intLit(n))
+      case Seq(v, d, n, s) => LshBucket(v, intLit(d), intLit(n), intLit(s))
       case other => throw new IllegalArgumentException(
-        s"graft_lsh_bucket(vec, dim, nBits), got ${other.size} args")
+        s"graft_lsh_bucket(vec, dim, nBits[, seed]), got ${other.size} args")
     }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_quantize_i8", {
       case Seq(v) => QuantizeI8(v)

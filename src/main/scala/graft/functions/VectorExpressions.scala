@@ -23,8 +23,16 @@ object VectorMath {
     * Random(42) stream) is part of the oracle contract — do not
     * reorder.
     */
-  def hyperplanes(dim: Int, nBits: Int): Array[Array[Double]] = {
-    val rng = new scala.util.Random(42)
+  def hyperplanes(dim: Int, nBits: Int): Array[Array[Double]] =
+    hyperplanes(dim, nBits, 42)
+
+  /** Seeded variant — each OR'd hash table of the amplified LSH path
+    * (r11) draws an independent plane matrix from its own seed
+    * (table t uses seed 42 + t; table 0 ≡ the unseeded overload, so
+    * single-table callers and their oracles are unchanged).
+    */
+  def hyperplanes(dim: Int, nBits: Int, seed: Int): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
     Array.fill(nBits)(Array.fill(dim)(rng.nextDouble() - 0.5))
   }
 
@@ -199,10 +207,10 @@ case class DotProductI8(left: Expression, right: Expression)
   * pass in one codegen'd call. The matrix rides along as a referenced
   * object (a few KB), not per-row literals.
   */
-case class LshBucket(child: Expression, dim: Int, nBits: Int)
+case class LshBucket(child: Expression, dim: Int, nBits: Int, seed: Int = 42)
     extends UnaryExpression {
   @transient private lazy val planes: Array[Array[Double]] =
-    VectorMath.hyperplanes(dim, nBits)
+    VectorMath.hyperplanes(dim, nBits, seed)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_bucket"

@@ -96,9 +96,12 @@ object Similarity {
     * projection is rounded to 6 decimals before the sign test so the
     * bucket bit can't flip on engine-specific last-ulp summation
     * differences (the oracle applies the same ROUND(proj, 6)).
+    * `table` selects an independent plane matrix (seed 42 + table) for
+    * the OR'd amplification of [[lshTopK]]; table 0 is the matrix every
+    * single-table caller has always used.
     */
-  def lshBucket(vec: Column, dim: Int, nBits: Int): Column =
-    call_function("graft_lsh_bucket", vec, lit(dim), lit(nBits))
+  def lshBucket(vec: Column, dim: Int, nBits: Int, table: Int = 0): Column =
+    call_function("graft_lsh_bucket", vec, lit(dim), lit(nBits), lit(42 + table))
 
   /** Assign every vector an LSH bucket; ANN = equi-join on bucket then
     * exact cosine within bucket (plus optional multi-probe in later
@@ -110,25 +113,48 @@ object Similarity {
       lshBucket(col("embedding"), dim, nBits).as("bucket"))
   }
 
-  /** ANN top-k via LSH buckets with multi-probe: candidates come from
-    * the query's bucket plus every bucket at Hamming distance 1 in
-    * sign-bit space (`nBits + 1` probes) — the standard recall fix for
-    * sign-LSH without growing the table. Probe list is tiny and
-    * broadcast; the scan stays an equi-join on bucket id.
+  /** ANN top-k via AMPLIFIED sign-LSH (r11): `tables` independent
+    * hash tables (each its own seeded hyperplane matrix), candidates
+    * OR'd across tables, each table additionally multi-probed at
+    * Hamming distance 1 (`nBits + 1` probes/table). Classic LSH
+    * amplification: a true neighbor is missed only if EVERY table
+    * misses it, so recall ≈ 1 − (1 − r₁)^L for per-table recall r₁ —
+    * measured (tools/RecallProbe): recall@10 0.24 → 0.74+ on the
+    * bench corpus (0.22 → 0.72 at sf0.001) at the default 10 tables,
+    * with candidates ~30% of this weakly-clustered corpus (cheaper
+    * than IVF@nprobe=8's 50% cell coverage for comparable recall).
+    *
+    * Plan shape: ONE corpus scan computes all `tables` bucket ids
+    * (codegen'd, no shuffle); the probe list (`tables × (nBits+1)`
+    * rows) broadcasts into a nested-loop LEFT SEMI join — semi, so a
+    * vector matching several tables is emitted once, with no
+    * distinct-shuffle; then one cosine per candidate and a global
+    * top-k (TakeOrderedAndProject). At 100 TB the bucket columns
+    * would be persisted at ingest; everything downstream of the scan
+    * is proportional to candidates, not corpus.
     */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, dim: Int, nBits: Int = 8,
-      multiProbe: Boolean = true): DataFrame = {
-    val bucketed = lshBuckets(emb, dim, nBits)
-    val qRow = bucketed.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qe"), col("bucket"))
-    val probes =
-      if (multiProbe)
-        qRow.select(col("qe"), explode(array(
-          (col("bucket") +: (0 until nBits).map(b =>
-            col("bucket").bitwiseXOR(1L << b))): _*)).as("bucket"))
-      else qRow
+      multiProbe: Boolean = true, tables: Int = 10): DataFrame = {
+    reg(emb)
+    val bcols = (0 until tables).map(t =>
+      lshBucket(col("embedding"), dim, nBits, t).as(s"b$t"))
+    val bucketed = emb.select(
+      (col("vec_id") +: col("embedding").as("embedding") +: bcols): _*)
+    val masks = if (multiProbe) 0L +: (0 until nBits).map(b => 1L << b)
+                else Seq(0L)
+    val probes = bucketed.filter(col("vec_id") === queryId)
+      .select(explode(array((for {
+        t <- 0 until tables; m <- masks
+      } yield struct(lit(t).as("t"),
+        col(s"b$t").bitwiseXOR(m).as("bucket"))): _*)).as("p"))
+      .select(col("p.t").as("t"), col("p.bucket").as("bucket"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    val bucketArr = array((0 until tables).map(t => col(s"b$t")): _*)
     bucketed.filter(col("vec_id") =!= queryId)
-      .join(broadcast(probes), "bucket")
+      .join(broadcast(probes),
+        element_at(bucketArr, col("t") + 1) === col("bucket"), "left_semi")
+      .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))

@@ -14,13 +14,16 @@ import graft.core.Tables
   * floors are regression gates, not statistical hopes.
   *
   * Context for the absolute numbers: the synthetic embeddings are only
-  * weakly clustered, so top-10 cosines sit low and sign-LSH bucket
-  * agreement is correspondingly weak — measured multi-probe recall at
-  * the production nBits=8 is 0.22 (vs 0.04 single-probe) on this
-  * corpus. The floors freeze those measurements; the MONOTONE
-  * invariants (multi-probe ⊇ single-probe, IVF recall grows with
-  * nprobe) are corpus-independent and are the real contract: recall is
-  * a knob you buy with candidates scanned, and the knob must work.
+  * weakly clustered, so top-10 cosines sit low and single-table
+  * sign-LSH agreement is correspondingly weak — measured multi-probe
+  * recall at nBits=8 with ONE table is 0.22 on this corpus. The r11
+  * amplified path (10 independent OR'd hash tables, each multi-probed)
+  * measures 0.72 here and 0.74 at the bench corpus
+  * (tools/RecallProbe). The floors freeze those measurements; the
+  * MONOTONE invariants (multi-probe ⊇ single-probe per table, more
+  * tables ⊇ fewer tables, IVF recall grows with nprobe) are
+  * corpus-independent and are the real contract: recall is a knob you
+  * buy with candidates scanned, and the knob must work.
   */
 class RecallSpec extends AnyFunSuite {
   import TestSpark._
@@ -45,12 +48,25 @@ class RecallSpec extends AnyFunSuite {
     val multi = recallOf(q => Similarity.lshTopK(emb, q, K, dim, multiProbe = true))
     val single = recallOf(q => Similarity.lshTopK(emb, q, K, dim, multiProbe = false))
     // multi-probe candidates are a strict superset (own bucket + every
-    // Hamming-1 bucket), so its recall can never be lower
+    // Hamming-1 bucket, per table), so its recall can never be lower
     assert(multi >= single,
       s"multi-probe recall $multi < single-probe recall $single")
-    // measured on the deterministic corpus: 0.22 vs 0.04 — the probe
-    // set buys ~5x recall for ~9x candidates at nBits=8
-    assert(multi >= 0.2, s"multi-probe recall@10 $multi below measured floor 0.2")
+    // the r10 verdict's gate: amplified LSH must clear 0.6 (measured
+    // 0.72 on this corpus at the default 10 tables, vs 0.22 for the
+    // single-table r10 path)
+    assert(multi >= 0.65, s"amplified recall@10 $multi below floor 0.65")
+  }
+
+  test("table amplification is monotone: more OR'd tables never lose recall") {
+    val byTables = Seq(1, 4, 10).map(t =>
+      t -> recallOf(q => Similarity.lshTopK(emb, q, K, dim, tables = t)))
+    byTables.sliding(2).foreach { case Seq((t1, r1), (t2, r2)) =>
+      assert(r2 >= r1, s"recall fell from $r1 (tables=$t1) to $r2 (tables=$t2)")
+    }
+    // amplification must buy something real over one table (0.22 → 0.72
+    // measured): require a strict, sizable lift
+    assert(byTables.last._2 >= byTables.head._2 + 0.2,
+      s"amplification lift too small: $byTables")
   }
 
   test("int8-quantized cosine ranking tracks the float ranking closely") {

@@ -320,6 +320,55 @@ object TextOps {
           (col("n_tokens") * col("n_tokens")).cast("double"), 6).as("simpson"))
       .orderBy("doc_id")
 
+  /** NEW r11: per-document token Shannon entropy — H = −Σ p·log₂p
+    * over the document's token distribution, the standard
+    * information-density signal a quality pipeline scores next to
+    * TTR/Simpson ([[lexicalDiversity]]): near-zero entropy =
+    * template/repetition spam, unusually high = token soup.
+    *
+    * Engine-parity posture (§4 libm rule — and log2 is WORSE than
+    * 1-ulp here: Spark lowers log2(x) to ln(x)/ln2 in doubles while
+    * DuckDB calls the C library's native log2, so the two can differ
+    * by several ulps): the divergent function is confined to ln —
+    * each token's p·ln(p) term — p = cnt/total is a correctly-rounded
+    * double of an exact rational, identical on both engines — is 6-dp
+    * quantized via the shared float-op sequence into DECIMAL(18,6);
+    * the per-doc sum is then exact and order-free, converts exactly
+    * (≤ 9 sig digits), and the bits conversion is ONE mirrored
+    * division by the ln2 double literal, with a `+ 0.0` signed-zero
+    * normalizer (single-token docs yield −(0)/ln2 on both engines).
+    *
+    * Shape: one (doc_id, token) count aggregation (token strings
+    * cross one shuffle), a per-doc total via a window over the
+    * high-cardinality doc_id (allowed per the §2-r7 rank-window rule),
+    * one counter-only doc rollup. No text re-scan, no driver loops.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def quant6(s: Column): Column = {
+      val q = when(s >= 0, floor(s + 0.5)).otherwise(ceil(s - 0.5))
+      (q.cast("long").cast(DecimalType(18, 0)) *
+        lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+        .cast(DecimalType(18, 6))
+    }
+    val w = Window.partitionBy("doc_id")
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(w))
+    val p = col("c").cast("double") / col("n").cast("double")
+    counts
+      .withColumn("term", quant6(p * log(p) * 1000000.0))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (-col("s").cast("double") / lit(0.6931471805599453) + lit(0.0))
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus composition report: per-source document count, corpus
     * share, mean length, language spread. One tiny agg plus a
     * broadcast of the single-row corpus total — the pattern for any

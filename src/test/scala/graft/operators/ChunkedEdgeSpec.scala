@@ -156,6 +156,20 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       edge.select(col("event_id"), col("symbol"),
         when(hh > ll, lit(-100.0) * (hh - col("price").cast(dec)).cast("double") /
           (hh - ll).cast("double")).as("wr2")))
+    // r11 deque rework: donchian/stochastic must still equal the
+    // monolithic decimal-window formulation bit for bit
+    same(MarketOps.donchian(edge, 2, chunkRows = 3L),
+      edge.select(col("event_id"), col("symbol"),
+        hh.cast("double").as("upper_ch"), ll.cast("double").as("lower_ch"),
+        ((hh + ll).cast("double") / 2.0).as("mid_ch")))
+    val pk = when(hh > ll,
+      lit(100.0) * (col("price").cast(dec) - ll).cast("double") /
+        (hh - ll).cast("double"))
+    same(MarketOps.stochastic(edge, 2, chunkRows = 4L), // carry n+1=3 < chunkRows
+      edge.select(col("event_id"), col("symbol"), col("ts"), pk.as("pct_k"))
+        .select(col("event_id"), col("symbol"), col("pct_k"),
+          ((col("pct_k") + lag(col("pct_k"), 1).over(tickOrder)
+            + lag(col("pct_k"), 2).over(tickOrder)) / 3.0).as("pct_d")))
     val p1 = lag(col("price"), 1).over(tickOrder)
     same(MarketOps.roc(edge, 1, chunkRows = 3L),
       edge.select(col("event_id"), col("symbol"),
@@ -250,7 +264,8 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "abnormalVolume" -> (MarketOps.abnormalVolume(_)),
       "volumeCurve" -> (MarketOps.volumeCurve(_)),
       "momentumQuartiles" -> (MarketOps.momentumQuartiles(_)),
-      "turnoverRank" -> (MarketOps.turnoverRank(_)))
+      "turnoverRank" -> (MarketOps.turnoverRank(_)),
+      "rangeVol" -> (MarketOps.rangeVol(_)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>

@@ -57,7 +57,7 @@ q_aroon q_vortex q_cmo q_keltner q_ad_line q_eom q_force_index
 q_tick_size q_price_clustering q_burst_census q_benford
 q_session_stats q_activity_gini q_adx q_trix q_elder_ray q_mass_index
 q_parabolic_sar q_chandelier q_risk_ratios q_supertrend q_coppock
-q_inter_arrival
+q_inter_arrival q_range_vol
 """.split()
 
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",

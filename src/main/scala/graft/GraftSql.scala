@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL front-end (r11): one call makes the whole engine reachable from
+  * `spark.sql(...)` for a non-Scala user — the reference is CLI-only,
+  * so any SQL surface is strictly additive to its capabilities.
+  *
+  *  - every testdata table registers as a temp view under its natural
+  *    name (`ticks`, `events`, `documents`, `embeddings`, and the
+  *    TPC-H-ish relational tables), with the same canonical schemas
+  *    the Scala operators consume ([[graft.core.Tables]] — including
+  *    the NTZ→session-zone ts cast on `events`/`ticks`);
+  *  - every custom Catalyst expression registers in the session's
+  *    FunctionRegistry ([[graft.functions.GraftFunctions.register]]):
+  *    `graft_minhash`, `graft_simhash`, `graft_fingerprint`,
+  *    `graft_zorder`, `graft_dot`, `graft_sig_match`,
+  *    `graft_lsh_bucket`, `graft_quantize_i8`, `graft_dot_i8`,
+  *    `graft_min_k`, `graft_max_k`, `graft_gcd` — all codegen'd, so a
+  *    SQL user pays the same per-row cost as the Scala API.
+  *
+  * Declarative operators (OHLC, VWAP, top-N, sessionize, SMA,
+  * donchian, brute-force ANN, TPC-H shapes, …) are then plain SQL over
+  * these views; SqlSurfaceSpec pins representative families to the
+  * DataFrame path bit for bit. Operators whose semantics live in typed
+  * passes (EMA/SAR recursions) or custom plans (native as-of) remain
+  * Scala-API — the same split every SQL engine draws between queries
+  * and stored procedures.
+  */
+object GraftSql {
+  /** Names registered as temp views by [[register]]. */
+  val views: Seq[String] = Seq("ticks", "events", "documents", "embeddings",
+    "lineitem", "orders", "customer", "part", "supplier", "nation", "region")
+
+  /** Register all graft views over `dir` plus the custom function
+    * suite into `spark`'s session catalog/registry.
+    */
+  def register(spark: SparkSession, dir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.core.Tables
+    Tables.ticks(spark, dir).createOrReplaceTempView("ticks")
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    Seq("lineitem", "orders", "customer", "part", "supplier", "nation",
+      "region").foreach { t =>
+      Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+  }
+}

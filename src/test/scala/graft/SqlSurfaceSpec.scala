@@ -1,0 +1,180 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r11 SQL front-end contract: after `GraftSql.register`, a
+  * SQL-only user can reproduce representative operators from every
+  * §2 family — market analytics, relational, text, similarity (via
+  * the registered codegen'd `graft_*` functions) — through
+  * `spark.sql` text, matching the DataFrame path EXACTLY (same rows,
+  * same bits; results compared as canonical sorted row strings).
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val registered: Unit = GraftSql.register(spark, sf)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Vector[String] =
+    df.collect().map(_.toSeq.map {
+      case null => "∅"
+      case d: Double => java.lang.Double.doubleToRawLongBits(d).toString
+      case x => x.toString
+    }.mkString("|")).sorted.toVector
+
+  private def same(sql: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    registered
+    val a = rows(spark.sql(sql))
+    val b = rows(df)
+    assert(a.length === b.length, s"row counts ${a.length} vs ${b.length}")
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+  }
+
+  private val tieKey =
+    "lpad(CAST(unix_micros(ts) AS STRING), 20, '0') || lpad(CAST(event_id AS STRING), 20, '0')"
+
+  test("OHLC daily candlesticks via SQL") {
+    same(
+      s"""SELECT symbol, to_date(ts) AS day,
+         |       min_by(price, $tieKey) AS open, max(price) AS high,
+         |       min(price) AS low, max_by(price, $tieKey) AS close,
+         |       sum(volume) AS volume, count(1) AS n_ticks
+         |FROM ticks GROUP BY 1, 2""".stripMargin,
+      graft.operators.MarketOps.ohlcDaily(graft.core.Tables.ticks(spark, sf)))
+  }
+
+  test("VWAP via SQL") {
+    same(
+      """SELECT symbol, to_date(ts) AS day,
+        |       round(CAST(sum(CAST(price AS DECIMAL(18,2)) * volume) AS DOUBLE)
+        |             / CAST(sum(volume) AS DOUBLE), 6) AS vwap
+        |FROM ticks GROUP BY 1, 2""".stripMargin,
+      graft.operators.MarketOps.vwapDaily(graft.core.Tables.ticks(spark, sf)))
+  }
+
+  test("top-N per symbol via SQL window") {
+    same(
+      """SELECT symbol, CAST(rn AS BIGINT) AS rn, event_id, price FROM (
+        |  SELECT symbol, event_id, price,
+        |         row_number() OVER (PARTITION BY symbol
+        |                            ORDER BY price DESC, event_id) AS rn
+        |  FROM ticks) WHERE rn <= 3""".stripMargin,
+      graft.operators.MarketOps.topNBySymbol(
+        graft.core.Tables.ticks(spark, sf), 3))
+  }
+
+  test("donchian channel via SQL window equals the deque operator bit for bit") {
+    same(
+      """SELECT event_id, symbol,
+        |       CAST(mx AS DOUBLE) AS upper_ch, CAST(mn AS DOUBLE) AS lower_ch,
+        |       CAST(mx + mn AS DOUBLE) / 2.0 AS mid_ch
+        |FROM (
+        |  SELECT event_id, symbol,
+        |         max(CAST(price AS DECIMAL(18,2))) OVER w AS mx,
+        |         min(CAST(price AS DECIMAL(18,2))) OVER w AS mn
+        |  FROM ticks
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |""".stripMargin,
+      graft.operators.MarketOps.donchian(graft.core.Tables.ticks(spark, sf), 20))
+  }
+
+  test("brute-force cosine ANN via the registered graft_dot function") {
+    same(
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       round(graft_dot(embedding, qe) /
+        |             (sqrt(graft_dot(embedding, embedding))
+        |              * sqrt(graft_dot(qe, qe))), 4) AS cos_sim
+        |FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+      graft.pipeline.Similarity.bruteForceTopK(
+        graft.core.Tables.embeddings(spark, sf), 0L, 10))
+  }
+
+  test("document fingerprint via the registered graft_fingerprint function") {
+    same(
+      "SELECT doc_id, graft_fingerprint(text) AS fingerprint FROM documents",
+      graft.pipeline.TextOps.fingerprint(
+        graft.core.Tables.documents(spark, sf)))
+  }
+
+  test("int8 quantization + exact integer dot via SQL functions") {
+    same(
+      """SELECT vec_id,
+        |       graft_dot_i8(graft_quantize_i8(embedding),
+        |                    graft_quantize_i8(embedding)) AS self_dot
+        |FROM embeddings""".stripMargin,
+      {
+        import org.apache.spark.sql.functions._
+        val emb = graft.core.Tables.embeddings(spark, sf)
+        graft.functions.GraftFunctions.register(spark)
+        emb.select(col("vec_id"),
+          graft.pipeline.Similarity.dotI8(
+            graft.pipeline.Similarity.quantizeI8(col("embedding")),
+            graft.pipeline.Similarity.quantizeI8(col("embedding")))
+            .as("self_dot"))
+      })
+  }
+
+  test("TPC-H Q1 pricing summary via SQL") {
+    same(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base,
+        |       CAST(count(1) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= date'1998-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+      {
+        import org.apache.spark.sql.functions._
+        graft.core.Tables.lineitem(spark, sf)
+          .filter(col("l_shipdate") <= lit(java.sql.Date.valueOf("1998-09-02")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+            sum(col("l_extendedprice")).cast("double").as("sum_base"),
+            count(lit(1)).as("count_order"))
+      })
+  }
+
+  test("token entropy via SQL matches the operator") {
+    same(
+      """WITH c AS (
+        |  SELECT doc_id, w, count(1) AS c
+        |  FROM (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2),
+        |t AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM c),
+        |q AS (SELECT doc_id, n,
+        |        CAST(CAST(CASE WHEN CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |                * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 >= 0
+        |             THEN floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |                * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+        |             ELSE ceil(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |                * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 - 0.5)
+        |             END AS BIGINT) AS DECIMAL(18,0))
+        |          * CAST(0.000001 AS DECIMAL(7,6)) AS term
+        |      FROM t)
+        |SELECT doc_id, max(n) AS n_tokens, count(1) AS n_distinct,
+        |       -CAST(sum(term) AS DOUBLE) / 0.6931471805599453 + 0.0 AS entropy
+        |FROM q GROUP BY doc_id""".stripMargin,
+      graft.pipeline.TextOps.tokenEntropy(
+        graft.core.Tables.documents(spark, sf)))
+  }
+
+  test("sessionization via SQL gaps-and-islands equals the chunked operator") {
+    same(
+      """WITH flagged AS (
+        |  SELECT event_id, symbol, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR (unix_micros(ts) - unix_micros(lag(ts) OVER w))
+        |                   > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM ticks
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id))
+        |SELECT event_id, symbol,
+        |       CAST(sum(is_new) OVER (PARTITION BY symbol ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS session_id
+        |FROM flagged""".stripMargin,
+      graft.operators.MarketOps.sessionize(
+        graft.core.Tables.ticks(spark, sf), 30))
+  }
+}

@@ -75,6 +75,21 @@ object Bench {
     // per round was ~6% of the suite total for a query no production
     // pipeline would run at scale.
     val timedQs = batchQs.filterNot(_._1 == "q_edit_distance") ++ streamQs
+    // r11 (r10 verdict item 7): the driver's single bench run can carry
+    // an ambient-load artifact that best-of-2 alone doesn't kill (r10's
+    // q_roll_spread read 13.6 s vs 0.84 s idle — a 16× false alarm). A
+    // committed per-query baseline (tools/bench_baseline.json, refreshed
+    // each round from an idle run) arms a targeted retry: any query
+    // whose best-of-2 lands >3× its baseline gets two more samples
+    // after a short settle, min kept. Steady-state queries never pay.
+    val baseline: Map[String, Double] = {
+      val f = new java.io.File("tools/bench_baseline.json")
+      if (!f.exists()) Map.empty
+      else "\"(q[0-9a-z_]+)\"\\s*:\\s*([0-9.]+)".r
+        .findAllMatchIn(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
     val results = timedQs.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -84,7 +99,15 @@ object Bench {
       }
       val a = once()
       val b = once()
-      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      val best = if (a < 0) b else if (b < 0) a else math.min(a, b)
+      val vetted = baseline.get(name) match {
+        case Some(prev) if best > 3.0 * prev && best > 0.5 =>
+          Thread.sleep(200) // let a transient stall drain
+          val extra = Seq(once(), once()).filter(_ >= 0)
+          (best +: extra).min
+        case _ => best
+      }
+      name -> vetted
     }
     val qs = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -166,15 +166,14 @@ object Cli {
       val hit = cache.get(sym)
       if (hit != null) hit
       else {
-        // newest tick (one pruned tail read) anchors the time window;
-        // the full count is cached so `count` stays warm
-        val total = store.count(sym)
+        // ONE pruned stats scan anchors the time window (count + max
+        // ts fused); the full count is cached so `count` stays warm
+        val (total, maxTs) = store.symbolStats(sym)
         val loaded =
           if (total == 0L)
             SymCache(0L, 0L, Array.empty, Array.empty, Array.empty)
           else {
-            val maxSec = store.queryLast(sym, 1).collect()(0)
-              .getTimestamp(1).getTime / 1000L
+            val maxSec = maxTs.get.getTime / 1000L
             val fromSec = maxSec - windowDays.toLong * 86400L
             // one symbol-pruned, ts-sorted scan of the window only
             val rows = store.queryRange(sym,

@@ -256,6 +256,23 @@ object SparkEntry {
     "q_burst_census" -> ((s, dir) => MarketOps.burstCensus(ticks(s, dir))),
     "q_benford" -> ((s, dir) => MarketOps.benfordVolumes(ticks(s, dir))),
     "q_range_vol" -> ((s, dir) => MarketOps.rangeVol(ticks(s, dir))),
+    "q_ppo" -> ((s, dir) => MarketOps.ppo(ticks(s, dir))),
+    "q_dpo" -> ((s, dir) => MarketOps.dpo(ticks(s, dir), 20)),
+    "q_bop" -> ((s, dir) => MarketOps.balanceOfPower(ticks(s, dir))),
+    "q_ultimate_osc" -> ((s, dir) => MarketOps.ultimateOsc(ticks(s, dir))),
+    "q_hull_ma" -> ((s, dir) => MarketOps.hullMa(ticks(s, dir))),
+    "q_kst" -> ((s, dir) => MarketOps.kst(ticks(s, dir))),
+    "q_breadth" -> ((s, dir) => MarketOps.breadth(ticks(s, dir))),
+    "q_mcclellan" -> ((s, dir) => MarketOps.mcclellan(ticks(s, dir))),
+    "q_cs_spread" -> ((s, dir) => MarketOps.corwinSchultz(ticks(s, dir))),
+    "q_time_to_convert" -> ((s, dir) =>
+      EventAnalytics.timeToConvert(Tables.events(s, dir))),
+    "q_renko" -> ((s, dir) => MarketOps.renko(ticks(s, dir))),
+    "q_zigzag" -> ((s, dir) => MarketOps.zigzag(ticks(s, dir))),
+    "q_window_funnel" -> ((s, dir) =>
+      EventAnalytics.windowFunnel(Tables.events(s, dir))),
+    "q_engagement_l28" -> ((s, dir) =>
+      EventAnalytics.engagementL28(Tables.events(s, dir))),
     "q_pareto" -> ((s, dir) => Relational.paretoRevenue(s, dir)),
     "q_ltv_cohort" -> ((s, dir) => Relational.ltvCohort(s, dir)),
     "q_basket_pairs" -> ((s, dir) => Relational.basketPairs(s, dir, 20)),
@@ -345,6 +362,10 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.nearDupClusters(docs, Dedup.minhashCandidates(docs))
+    }),
+    "q_dup_cluster_sizes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusterSizes(docs, Dedup.minhashCandidates(docs))
     }),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "q_token_count" -> ((s, dir) => TextOps.tokenCount(Tables.documents(s, dir))),
@@ -460,6 +481,8 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "q_lexical_diversity" -> ((s, dir) => TextOps.lexicalDiversity(Tables.documents(s, dir))),
     "q_token_entropy" -> ((s, dir) => TextOps.tokenEntropy(Tables.documents(s, dir))),
+    "q_surprisal" -> ((s, dir) => TextOps.unigramSurprisal(Tables.documents(s, dir))),
+    "q_freq_spectrum" -> ((s, dir) => TextOps.freqSpectrum(Tables.documents(s, dir))),
     "q_source_mix" -> ((s, dir) => TextOps.sourceMix(Tables.documents(s, dir))),
     "q_boilerplate" -> ((s, dir) => TextOps.boilerplate(Tables.documents(s, dir), 3, 20)),
     "q_pack_bins" -> ((s, dir) => TextOps.packBins(Tables.documents(s, dir), 512)),
@@ -832,6 +855,42 @@ object SparkEntry {
        |  ELSE CEIL($x * 1000000.0 - 0.5) END
        |  AS BIGINT) AS DECIMAL(18,0))
        |  * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))""".stripMargin
+
+  /** Daily OHLC bars (tie-keyed open/close) — the shared FROM body of
+    * the r11 bar-indicator oracles.
+    */
+  private val duckDailyBars: String =
+    // NOTE: this snippet interpolates into stripMargin oracle strings,
+    // so no line may START with the `||` concat operator (the outer
+    // stripMargin would eat one pipe) — concat stays at line ends
+    """SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+      |       CAST(min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+      |            lpad(CAST(event_id AS VARCHAR), 20, '0')) AS DECIMAL(18,2)) AS o,
+      |       CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+      |       CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+      |       CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+      |            lpad(CAST(event_id AS VARCHAR), 20, '0')) AS DECIMAL(18,2)) AS c
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Integer-weighted lag dot product in DECIMAL(38,0) (the Hull MA
+    * WMA numerators): Σ (n−i)·lag(src, i) over window `w`.
+    */
+  private def duckWsum(n: Int, src: String): String =
+    (0 until n).map { i =>
+      val c = if (i == 0) src else s"LAG($src, $i) OVER w"
+      s"CAST($c AS DECIMAL(38,0)) * ${n - i}"
+    }.mkString(" + ")
+
+  /** KST micro-unit ROC(n): quant6(100·(c − cₙ)/cₙ)·10⁶ as BIGINT,
+    * NULL when the lag is missing or zero. Expects window `w`
+    * (PARTITION BY symbol ORDER BY day) in scope.
+    */
+  private def duckKstMicro(n: Int): String = {
+    val cn = s"LAG(c, $n) OVER w"
+    val roc = s"100.0 * CAST(c - $cn AS DOUBLE) / CAST($cn AS DOUBLE)"
+    s"""CASE WHEN $cn IS NOT NULL AND $cn <> 0
+       |  THEN CAST(${duckQ6(roc)} * 1000000 AS BIGINT) END""".stripMargin
+  }
 
   /** Seed-with-first polynomial codepoint hash mod p — the DuckDB
     * mirror of [[graft.functions.TextHash.charPoly]].
@@ -1737,10 +1796,10 @@ object SparkEntry {
          |      FROM f),
          |a AS (SELECT symbol,
          |        CAST(COUNT(*) AS BIGINT) AS n_days,
-         |        ROUND(SUM(CAST(CAST(u AS DECIMAL(19,6)) * u AS DECIMAL(38,12))), 8) AS su,
-         |        ROUND(SUM(CAST(CAST(v AS DECIMAL(19,6)) * v AS DECIMAL(38,12))), 8) AS sv,
-         |        ROUND(SUM(CAST(CAST(hc AS DECIMAL(19,6)) * ho AS DECIMAL(38,12))
-         |              + CAST(CAST(lc AS DECIMAL(19,6)) * lo AS DECIMAL(38,12))), 8) AS srs
+         |        ROUND(SUM(CAST(CAST(u AS DECIMAL(19,6)) * u AS DECIMAL(30,12))), 8) AS su,
+         |        ROUND(SUM(CAST(CAST(v AS DECIMAL(19,6)) * v AS DECIMAL(30,12))), 8) AS sv,
+         |        ROUND(SUM(CAST(CAST(hc AS DECIMAL(19,6)) * ho AS DECIMAL(30,12))
+         |              + CAST(CAST(lc AS DECIMAL(19,6)) * lo AS DECIMAL(30,12))), 8) AS srs
          |      FROM t GROUP BY 1)
          |SELECT symbol, n_days,
          |       SQRT(CAST(su AS DOUBLE)
@@ -1753,6 +1812,371 @@ object SparkEntry {
          |                 / CAST(n_days AS DOUBLE)) END AS gk_vol,
          |       SQRT(CAST(srs AS DOUBLE) / CAST(n_days AS DOUBLE)) AS rs_vol
          |FROM a ORDER BY symbol""".stripMargin,
+    "q_ppo" ->
+      // α = 2/13, 2/27 are NOT exact binary — both engines compute
+      // them at runtime (§4 pre-folded-literal rule); two-column EMA
+      // recursion, then mirrored RAW ratio ops
+      s"""WITH RECURSIVE b AS (
+         |  SELECT symbol, day, c,
+         |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+         |  FROM (${duckDailyBars})),
+         |r AS (
+         |  SELECT symbol, rn, day, CAST(c AS DOUBLE) AS ef,
+         |         CAST(c AS DOUBLE) AS es
+         |  FROM b WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.symbol, b.rn, b.day,
+         |         (2.0 / 13.0) * CAST(b.c AS DOUBLE)
+         |           + (1.0 - 2.0 / 13.0) * r.ef,
+         |         (2.0 / 27.0) * CAST(b.c AS DOUBLE)
+         |           + (1.0 - 2.0 / 27.0) * r.es
+         |  FROM b JOIN r ON b.symbol = r.symbol AND b.rn = r.rn + 1)
+         |SELECT symbol, day, ef AS ema_fast, es AS ema_slow,
+         |       CASE WHEN es <> 0.0 THEN 100.0 * (ef - es) / es END AS ppo
+         |FROM r ORDER BY symbol, day""".stripMargin,
+    "q_dpo" ->
+      // exact integer identity (n·c_shift − Σc)/n: decimal operands,
+      // one RAW double division; full windows only
+      s"""WITH b AS (${duckDailyBars}),
+         |t AS (
+         |  SELECT symbol, day, LAG(c, 11) OVER w AS cs,
+         |         SUM(c) OVER (PARTITION BY symbol ORDER BY day
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s,
+         |         COUNT(*) OVER (PARTITION BY symbol ORDER BY day
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS cnt
+         |  FROM b WINDOW w AS (PARTITION BY symbol ORDER BY day))
+         |SELECT symbol, day, CAST(cs * 20 - s AS DOUBLE) / 20.0 AS dpo20
+         |FROM t WHERE cs IS NOT NULL AND cnt = 20
+         |ORDER BY symbol, day""".stripMargin,
+    "q_bop" ->
+      // exact decimal differences, one RAW division; flat bars → NULL
+      s"""SELECT symbol, day,
+         |       CASE WHEN h > l
+         |            THEN CAST(c - o AS DOUBLE) / CAST(h - l AS DOUBLE)
+         |       END AS bop
+         |FROM (${duckDailyBars}) ORDER BY symbol, day""".stripMargin,
+    "q_ultimate_osc" ->
+      // BP/TR via decimal CASE (never decimal LEAST/GREATEST — DuckDB
+      // promotes those to DOUBLE); order-free decimal window sums,
+      // exact-operand divisions, mirrored blend — RAW
+      s"""WITH b AS (${duckDailyBars}),
+         |p AS (SELECT symbol, day, h, l, c,
+         |        LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |      FROM b),
+         |g AS (SELECT symbol, day,
+         |        c - (CASE WHEN l < pc THEN l ELSE pc END) AS bp,
+         |        (CASE WHEN h > pc THEN h ELSE pc END)
+         |          - (CASE WHEN l < pc THEN l ELSE pc END) AS tr
+         |      FROM p WHERE pc IS NOT NULL),
+         |s AS (SELECT symbol, day,
+         |        SUM(bp) OVER w7 AS s7b, SUM(tr) OVER w7 AS s7t,
+         |        SUM(bp) OVER w14 AS s14b, SUM(tr) OVER w14 AS s14t,
+         |        SUM(bp) OVER w28 AS s28b, SUM(tr) OVER w28 AS s28t,
+         |        COUNT(*) OVER w28 AS cnt28
+         |      FROM g WINDOW
+         |        w7 AS (PARTITION BY symbol ORDER BY day
+         |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+         |        w14 AS (PARTITION BY symbol ORDER BY day
+         |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         |        w28 AS (PARTITION BY symbol ORDER BY day
+         |               ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, day,
+         |       CASE WHEN cnt28 = 28 AND s7t <> 0 AND s14t <> 0 AND s28t <> 0
+         |            THEN 100.0 *
+         |                 (4.0 * (CAST(s7b AS DOUBLE) / CAST(s7t AS DOUBLE))
+         |                  + 2.0 * (CAST(s14b AS DOUBLE) / CAST(s14t AS DOUBLE))
+         |                  + (CAST(s28b AS DOUBLE) / CAST(s28t AS DOUBLE))) / 7.0
+         |       END AS ultimate_osc
+         |FROM s ORDER BY symbol, day""".stripMargin,
+    "q_hull_ma" ->
+      // exact integer WMA composition over cents: numerators in
+      // DECIMAL(38,0), common denominator 12240, ONE RAW division
+      s"""WITH b AS (
+         |  SELECT symbol, day, CAST(c * 100 AS BIGINT) AS cents
+         |  FROM (${duckDailyBars})),
+         |t AS (
+         |  SELECT symbol, day, cents,
+         |         ${duckWsum(8, "cents")} AS ws8,
+         |         ${duckWsum(16, "cents")} AS ws16,
+         |         LAG(cents, 18) OVER w AS ok
+         |  FROM b WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+         |d AS (
+         |  SELECT symbol, day, ok,
+         |         CAST(ws8 * 68 - ws16 * 9 AS DECIMAL(38,0)) AS dnum
+         |  FROM t),
+         |hh AS (
+         |  SELECT symbol, day, ok,
+         |         ${duckWsum(4, "dnum")} AS hsum
+         |  FROM d WINDOW w AS (PARTITION BY symbol ORDER BY day))
+         |SELECT symbol, day, CAST(hsum AS DOUBLE) / 1224000.0 AS hma16
+         |FROM hh WHERE ok IS NOT NULL ORDER BY symbol, day""".stripMargin,
+    "q_kst" ->
+      // daily variant (5/8/10/15 × 5/5/5/8 — 30-day tapes; identical
+      // structure): ROCs quantized to integer micro-units via the
+      // shared FLOOR/CEIL sequence; exact LONG window sums folded over
+      // the common denominator 40·10⁶ — one RAW division
+      s"""WITH b AS (SELECT symbol, day, c FROM (${duckDailyBars})),
+         |m AS (
+         |  SELECT symbol, day,
+         |         ${duckKstMicro(5)} AS m5,
+         |         ${duckKstMicro(8)} AS m8,
+         |         ${duckKstMicro(10)} AS m10,
+         |         ${duckKstMicro(15)} AS m15
+         |  FROM b WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+         |s AS (
+         |  SELECT symbol, day,
+         |         SUM(m5) OVER w5 AS s1, COUNT(m5) OVER w5 AS c1,
+         |         SUM(m8) OVER w5 AS s2, COUNT(m8) OVER w5 AS c2,
+         |         SUM(m10) OVER w5 AS s3, COUNT(m10) OVER w5 AS c3,
+         |         SUM(m15) OVER w8 AS s4, COUNT(m15) OVER w8 AS c4
+         |  FROM m WINDOW
+         |    w5 AS (PARTITION BY symbol ORDER BY day
+         |           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |    w8 AS (PARTITION BY symbol ORDER BY day
+         |           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, day,
+         |       CAST(s1 * 8 + s2 * 16 + s3 * 24 + s4 * 20 AS DOUBLE)
+         |         / 40000000.0 AS kst
+         |FROM s WHERE c1 = 5 AND c2 = 5 AND c3 = 5 AND c4 = 8
+         |ORDER BY symbol, day""".stripMargin,
+    "q_breadth" ->
+      // exact integer counting per day; TRIN as a mirrored chain of
+      // three divisions over exactly-converting counts (never the
+      // int64-overflow-prone cross-product form); A/D line over the
+      // metadata-scale day series
+      """WITH b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c,
+        |         CAST(SUM(user_id) AS BIGINT) AS volume
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT symbol, day, c, volume,
+        |        LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc FROM b),
+        |f AS (SELECT * FROM p WHERE pc IS NOT NULL),
+        |d AS (SELECT day,
+        |        CAST(SUM(CASE WHEN c > pc THEN 1 ELSE 0 END) AS BIGINT) AS advancers,
+        |        CAST(SUM(CASE WHEN c < pc THEN 1 ELSE 0 END) AS BIGINT) AS decliners,
+        |        CAST(SUM(CASE WHEN c = pc THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+        |        CAST(SUM(CASE WHEN c > pc THEN volume ELSE 0 END) AS BIGINT) AS adv_vol,
+        |        CAST(SUM(CASE WHEN c < pc THEN volume ELSE 0 END) AS BIGINT) AS dec_vol
+        |      FROM f GROUP BY 1)
+        |SELECT day, advancers, decliners, unchanged, adv_vol, dec_vol,
+        |       CAST(SUM(advancers - decliners) OVER (ORDER BY day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS ad_line,
+        |       CASE WHEN decliners <> 0 AND adv_vol <> 0 AND dec_vol <> 0
+        |            THEN (CAST(advancers AS DOUBLE) / CAST(decliners AS DOUBLE))
+        |                 / (CAST(adv_vol AS DOUBLE) / CAST(dec_vol AS DOUBLE))
+        |       END AS trin
+        |FROM d ORDER BY day""".stripMargin,
+    "q_mcclellan" ->
+      // α = 2/20, 2/40 runtime-computed (not exact binary); the net
+      // series is one row per day, so the recursion is depth-|days|
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT symbol, day, c,
+        |        LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc FROM b),
+        |n AS (SELECT day,
+        |        CAST(SUM(CASE WHEN c > pc THEN 1 ELSE 0 END)
+        |             - SUM(CASE WHEN c < pc THEN 1 ELSE 0 END) AS BIGINT) AS net
+        |      FROM p WHERE pc IS NOT NULL GROUP BY 1),
+        |nd AS (SELECT day, net, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM n),
+        |r AS (
+        |  SELECT rn, day, net, CAST(net AS DOUBLE) AS e19,
+        |         CAST(net AS DOUBLE) AS e39
+        |  FROM nd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT nd.rn, nd.day, nd.net,
+        |         (2.0 / 20.0) * CAST(nd.net AS DOUBLE)
+        |           + (1.0 - 2.0 / 20.0) * r.e19,
+        |         (2.0 / 40.0) * CAST(nd.net AS DOUBLE)
+        |           + (1.0 - 2.0 / 40.0) * r.e39
+        |  FROM nd JOIN r ON nd.rn = r.rn + 1)
+        |SELECT day, net, e19 AS ema19, e39 AS ema39, e19 - e39 AS mcclellan
+        |FROM r ORDER BY day""".stripMargin,
+    "q_cs_spread" ->
+      // §4 libm recipe end-to-end: quant6'd ln terms, (30,12) exact
+      // squares, runtime √2 denominators, and a 4-dp FLOOR/CEIL
+      // quantization over the exp-crossing spread (never ROUND)
+      s"""WITH b AS (
+         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+         |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+         |         CAST(MIN(value) AS DECIMAL(18,2)) AS l
+         |  FROM events GROUP BY 1, 2),
+         |p AS (SELECT symbol, day, h, l,
+         |        LAG(h) OVER w AS ph, LAG(l) OVER w AS pl
+         |      FROM (SELECT * FROM b WHERE l > 0)
+         |      WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+         |f AS (SELECT symbol, day, h, l, ph, pl,
+         |        CASE WHEN h > ph THEN h ELSE ph END AS h2,
+         |        CASE WHEN l < pl THEN l ELSE pl END AS l2
+         |      FROM p WHERE ph IS NOT NULL),
+         |q AS (SELECT symbol, day,
+         |        ${duckQ6("ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))")} AS u1,
+         |        ${duckQ6("ln(CAST(ph AS DOUBLE) / CAST(pl AS DOUBLE))")} AS u2,
+         |        ${duckQ6("ln(CAST(h2 AS DOUBLE) / CAST(l2 AS DOUBLE))")} AS ug
+         |      FROM f),
+         |t AS (SELECT symbol, day,
+         |        CAST(CAST(u1 AS DECIMAL(19,6)) * u1 AS DECIMAL(30,12))
+         |          + CAST(CAST(u2 AS DECIMAL(19,6)) * u2 AS DECIMAL(30,12)) AS beta,
+         |        CAST(CAST(ug AS DECIMAL(19,6)) * ug AS DECIMAL(30,12)) AS gamma
+         |      FROM q),
+         |a AS (SELECT symbol, day,
+         |        (SQRT(2.0 * CAST(beta AS DOUBLE)) - SQRT(CAST(beta AS DOUBLE)))
+         |          / (3.0 - 2.0 * SQRT(2.0))
+         |          - SQRT(CAST(gamma AS DOUBLE) / (3.0 - 2.0 * SQRT(2.0))) AS alpha
+         |      FROM t),
+         |s AS (SELECT symbol, day,
+         |        2.0 * (EXP(alpha) - 1.0) / (1.0 + EXP(alpha)) AS sr FROM a)
+         |SELECT symbol, day,
+         |       CAST(CAST(CASE WHEN sr * 10000.0 >= 0
+         |                      THEN FLOOR(sr * 10000.0 + 0.5)
+         |                      ELSE CEIL(sr * 10000.0 - 0.5) END
+         |                 AS BIGINT) AS DOUBLE) / 10000.0 AS cs_spread
+         |FROM s ORDER BY symbol, day""".stripMargin,
+    "q_renko" ->
+      // pure-integer brick state machine: explicit floor/ceil division
+      // identities over truncating int division (DuckDB `//` and
+      // Spark `div` both truncate toward zero) — hash-exact recursion
+      """WITH RECURSIVE b0 AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(CAST(max_by(value,
+        |              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) * 100 AS BIGINT) AS cc
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT symbol, day, cc,
+        |        ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+        |      FROM b0),
+        |anch AS (SELECT symbol, cc AS anchor FROM b WHERE rn = 1),
+        |r AS (
+        |  SELECT symbol, rn, day, CAST(0 AS BIGINT) AS level,
+        |         CAST(0 AS BIGINT) AS n_bricks, CAST(0 AS BIGINT) AS direction
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT symbol, rn, day, nl, ABS(nl - level),
+        |         CAST(CASE WHEN nl > level THEN 1 WHEN nl < level THEN -1
+        |              ELSE 0 END AS BIGINT)
+        |  FROM (
+        |    SELECT fc.symbol, fc.rn, fc.day, r.level,
+        |           CASE WHEN fc.fd > r.level THEN fc.fd
+        |                WHEN fc.cd < r.level THEN fc.cd ELSE r.level END AS nl
+        |    FROM (
+        |      SELECT b1.symbol, b1.rn, b1.day,
+        |             CASE WHEN dx % 100 = 0 THEN dx // 100
+        |                  WHEN dx < 0 THEN dx // 100 - 1
+        |                  ELSE dx // 100 END AS fd,
+        |             CASE WHEN dx % 100 = 0 THEN dx // 100
+        |                  WHEN dx > 0 THEN dx // 100 + 1
+        |                  ELSE dx // 100 END AS cd
+        |      FROM (SELECT b2.symbol, b2.rn, b2.day, b2.cc - a.anchor AS dx
+        |            FROM b b2 JOIN anch a ON b2.symbol = a.symbol) b1) fc
+        |    JOIN r ON fc.symbol = r.symbol AND fc.rn = r.rn + 1))
+        |SELECT symbol, day, level, n_bricks, direction
+        |FROM r ORDER BY symbol, day""".stripMargin,
+    "q_zigzag" ->
+      // pure-integer swing state machine (dir, extreme): the 5%
+      // threshold is the exact rational 1/20 → 20c vs 19/21·ext
+      // integer tests; branch ORDER mirrors the Scala pass exactly
+      // (extend-checks BEFORE flip-checks — they can overlap on
+      // negative-price tapes)
+      """WITH RECURSIVE b0 AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(CAST(max_by(value,
+        |              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) * 100 AS BIGINT) AS cc
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT symbol, day, cc,
+        |        ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+        |      FROM b0),
+        |r AS (
+        |  SELECT symbol, rn, day, CAST(1 AS BIGINT) AS dir, cc AS ext,
+        |         CAST(0 AS BIGINT) AS fired, CAST(0 AS BIGINT) AS piv,
+        |         CAST(0 AS BIGINT) AS pdir
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.symbol, s.rn, s.day, s.ndir, s.nxt, s.fired, s.piv, s.pdir
+        |  FROM (
+        |    SELECT fc.symbol, fc.rn, fc.day,
+        |           CASE WHEN fc.up_flip THEN CAST(-1 AS BIGINT)
+        |                WHEN fc.dn_flip THEN CAST(1 AS BIGINT)
+        |                ELSE fc.dir END AS ndir,
+        |           CASE WHEN fc.up_ext OR fc.dn_ext OR fc.up_flip OR fc.dn_flip
+        |                THEN fc.cc ELSE fc.ext END AS nxt,
+        |           CAST(CASE WHEN fc.up_flip OR fc.dn_flip THEN 1 ELSE 0 END
+        |                AS BIGINT) AS fired,
+        |           CASE WHEN fc.up_flip OR fc.dn_flip THEN fc.ext
+        |                ELSE CAST(0 AS BIGINT) END AS piv,
+        |           CAST(CASE WHEN fc.up_flip THEN 1 WHEN fc.dn_flip THEN -1
+        |                ELSE 0 END AS BIGINT) AS pdir
+        |    FROM (
+        |      SELECT b.symbol, b.rn, b.day, b.cc, r.dir, r.ext,
+        |             r.dir = 1 AND b.cc > r.ext AS up_ext,
+        |             r.dir = 1 AND NOT (b.cc > r.ext)
+        |               AND 20 * b.cc <= 19 * r.ext AS up_flip,
+        |             r.dir = -1 AND b.cc < r.ext AS dn_ext,
+        |             r.dir = -1 AND NOT (b.cc < r.ext)
+        |               AND 20 * b.cc >= 21 * r.ext AS dn_flip
+        |      FROM b JOIN r ON b.symbol = r.symbol AND b.rn = r.rn + 1) fc) s)
+        |SELECT symbol, day, CAST(piv AS DOUBLE) / 100.0 AS pivot_price, pdir AS pivot_dir
+        |FROM r WHERE fired = 1 ORDER BY symbol, day""".stripMargin,
+    "q_window_funnel" ->
+      // greedy-from-first-view staged funnel with an exact integer
+      // epoch-µs window constraint (documented semantics, mirrored)
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1),
+        |d AS (
+        |  SELECT v.user_id,
+        |         CASE WHEN p.t_purchase IS NOT NULL
+        |                   AND epoch_us(p.t_purchase) - epoch_us(v.t_view)
+        |                       <= 3600000000 THEN 3
+        |              WHEN c.t_click IS NOT NULL
+        |                   AND epoch_us(c.t_click) - epoch_us(v.t_view)
+        |                       <= 3600000000 THEN 2
+        |              ELSE 1 END AS depth
+        |  FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |         LEFT JOIN p ON v.user_id = p.user_id)
+        |SELECT CAST(depth AS BIGINT) AS depth,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_time_to_convert" ->
+      // exact integer minutes into log2 buckets via the bit-length
+      // trick — no float log anywhere
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase, MIN(v.t_view) AS t_view2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.t_view GROUP BY 1),
+        |d AS (SELECT epoch_us(t_purchase) - epoch_us(t_view2) AS delta_us FROM p)
+        |SELECT CAST(length(bin(delta_us // 60000000)) - 1 AS BIGINT) AS min_bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_engagement_l28" ->
+      """WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+        |days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |act AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS days_active
+        |  FROM days CROSS JOIN a
+        |  WHERE date_diff('day', day, max_day) < 28 GROUP BY 1)
+        |SELECT days_active, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM act GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mfi" ->
       // 3×TP = h+l+c (the /3 cancels in the ratio); DECIMAL(20,2)×
       // DECIMAL(18,0) forces DuckDB's INT128 multiply (width 38 cap);
@@ -4606,6 +5030,20 @@ object SparkEntry {
          |       CAST(CASE WHEN MIN(lab) = doc THEN 1 ELSE 0 END AS BIGINT)
          |         AS is_survivor
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "q_dup_cluster_sizes" ->
+      // counter composition over the same label-propagation fixpoint
+      s"""WITH RECURSIVE $duckMinhashCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |          UNION SELECT doc_b, doc_a FROM prs),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst),
+         |labels AS (SELECT doc, MIN(lab) AS cluster_id FROM reach GROUP BY 1),
+         |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+         |          FROM labels GROUP BY 1)
+         |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH $duckSimhashCtes
          |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
@@ -5127,6 +5565,31 @@ object SparkEntry {
          |SELECT doc_id, MAX(n) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_distinct,
          |       -CAST(SUM(term) AS DOUBLE) / 0.6931471805599453 + 0.0 AS entropy
          |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_surprisal" ->
+      // §4 libm discipline: p_w is an exact-rational double (identical
+      // both engines), each c·ln(p_w) term quant6'd, exact decimal
+      // sums, mirrored ÷N ÷ln2 chain with the signed-zero normalizer
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |dw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM w GROUP BY 1, 2),
+         |cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM dw GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(cw) AS BIGINT) AS total FROM cw),
+         |t AS (SELECT dw.doc_id, dw.c,
+         |        ${duckQ6("CAST(dw.c AS DOUBLE) " +
+                    "* ln(CAST(cw.cw AS DOUBLE) / CAST(tt.total AS DOUBLE))")} AS term
+         |      FROM dw JOIN cw USING (w) CROSS JOIN tt)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |       -CAST(SUM(term) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         |         / 0.6931471805599453 + 0.0 AS surprisal_bits
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_freq_spectrum" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1),
+        |k AS (SELECT CASE WHEN c <= 10 THEN c ELSE 11 END AS k, c FROM c)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       CAST(SUM(c) AS BIGINT) AS n_occurrences
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lexical_diversity" ->
       // ratios of exact BIGINT token counts — no float accumulation;
       // DuckDB's INT128 sums cast to BIGINT/DOUBLE per SURVEY §4

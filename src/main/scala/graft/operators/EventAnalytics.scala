@@ -379,4 +379,76 @@ object EventAnalytics {
               col("total_events").cast(DecimalType(19, 0))).cast("double"), 6))
           .as("gini"))
   }
+
+  /** NEW r11: time-to-conversion distribution — per converting user,
+    * minutes from their FIRST view to their first purchase at-or-after
+    * it, bucketed on the exact log2 grid (the bit-length trick — no
+    * float log anywhere): how long the funnel actually takes, the
+    * companion metric to [[funnel]]'s how-many. Two (user, min-ts)
+    * aggregates on the user_id shuffle + integer bucketing.
+    */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"), min("t_view").as("t_view2"))
+    p.select(col("user_id"),
+        ((unix_micros(col("t_purchase")) - unix_micros(col("t_view2")))
+          .cast("long")).as("delta_us"))
+      .select((length(bin(expr("delta_us div 60000000"))) - 1).cast("long")
+        .as("min_bucket"))
+      .groupBy(col("min_bucket"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("min_bucket")
+  }
+
+  /** NEW r11: L28 engagement histogram — how many users were active
+    * on exactly d of the trailing 28 days (relative to the corpus max
+    * day): the engagement-depth curve behind DAU/MAU stickiness. One
+    * (user, day) dedup shuffle, a broadcast single-row max-day anchor,
+    * then counter-only rollups.
+    */
+  def engagementL28(events: DataFrame): DataFrame = {
+    val anchor = events.agg(max(to_date(col("ts"))).as("max_day"))
+    val days = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    days.crossJoin(broadcast(anchor))
+      .filter(datediff(col("max_day"), col("day")) < 28)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("days_active"))
+      .groupBy(col("days_active"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("days_active")
+  }
+
+  /** NEW r11: windowed funnel — the [[funnel]] stages constrained to
+    * complete within `windowMinutes` of the user's FIRST view
+    * (ClickHouse-windowFunnel-style depth, greedy-from-first-view
+    * semantics, documented and mirrored): depth 3 = purchased in
+    * window, 2 = clicked in window, 1 = viewed only. Exact integer
+    * epoch-µs comparisons; same staged min-aggregate shape as funnel.
+    */
+  def windowFunnel(events: DataFrame, windowMinutes: Long = 60L): DataFrame = {
+    val winUs = windowMinutes * 60L * 1000000L
+    val v = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"), min("t_view").as("tv"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t_purchase").isNotNull &&
+          unix_micros(col("t_purchase")) - unix_micros(col("t_view")) <= winUs, 3L)
+          .when(col("t_click").isNotNull &&
+            unix_micros(col("t_click")) - unix_micros(col("t_view")) <= winUs, 2L)
+          .otherwise(1L).as("depth"))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("depth")
+  }
 }

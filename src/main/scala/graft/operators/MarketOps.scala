@@ -2161,8 +2161,13 @@ object MarketOps {
     * no shuffle beyond the OHLC rollup; scale cost is the bar rollup.
     */
   def rangeVol(ticks: DataFrame): DataFrame = {
+    // squares land in (30,12), NOT (38,12): adding two width-38
+    // decimals exceeds precision 38, where Spark TRIMS THE SCALE
+    // (allowPrecisionLoss) while DuckDB keeps it — (30,12)+(30,12) →
+    // (31,12) stays in-width and exact on both engines. |ln terms| are
+    // bounded far below the 18 integer digits (30,12) allows.
     def sq(a: Column, b: Column): Column =
-      (a.cast(DecimalType(19, 6)) * b).cast(DecimalType(38, 12))
+      (a.cast(DecimalType(19, 6)) * b).cast(DecimalType(30, 12))
     val bars = ohlcDaily(ticks).filter(col("low") > 0.0)
     val t = bars.select(col("symbol"),
       quant6(log(col("high") / col("low")) * 1000000.0).as("u"),
@@ -2175,8 +2180,7 @@ object MarketOps {
       count(lit(1)).as("n_days"),
       sum(sq(col("u"), col("u"))).as("su"),
       sum(sq(col("v"), col("v"))).as("sv"),
-      sum((sq(col("hc"), col("ho")) + sq(col("lc"), col("lo")))
-        .cast(DecimalType(38, 12))).as("srs"))
+      sum(sq(col("hc"), col("ho")) + sq(col("lc"), col("lo"))).as("srs"))
     val nD = col("n_days").cast("double")
     val suD = round(col("su"), 8).cast("double")
     val svD = round(col("sv"), 8).cast("double")
@@ -3539,5 +3543,433 @@ object MarketOps {
         (col("n").cast("double") /
           sum(col("n")).over(perSym).cast("double")).as("digit_share"))
       .orderBy("symbol", "first_digit")
+  }
+
+  // === NEW r11 daily-bar indicator batch ============================
+  // All ride the one ohlcDaily aggregate; windows/recursions run over
+  // BAR rows (one per symbol-day — tiny at any scale).
+
+  final case class PpoBar(symbol: String, day: java.sql.Date,
+      c: java.math.BigDecimal)
+  final case class PpoOut(symbol: String, day: java.sql.Date,
+      ema_fast: Double, ema_slow: Double, ppo: Option[Double])
+
+  /** NEW r11: Percentage Price Oscillator — MACD's scale-free sibling:
+    * 100·(EMA12 − EMA26)/EMA26 over daily closes, comparable ACROSS
+    * symbols (a $5 and a $500 stock read on the same axis). Both
+    * recursions run in ONE sorted-group pass ([[macd]] shape); α =
+    * 2/13, 2/27 are NOT exact binary, so both engines compute them at
+    * runtime (§4 pre-folded-literal rule). RAW — every op is a
+    * mirrored IEEE step off the same recursion state.
+    */
+  def ppo(ticks: DataFrame): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .as[PpoBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        val af = 2.0 / 13.0
+        val as = 2.0 / 27.0
+        var ef = 0.0
+        var es = 0.0
+        var first = true
+        it.map { b =>
+          val c = b.c.doubleValue()
+          if (first) { first = false; ef = c; es = c }
+          else {
+            ef = af * c + (1.0 - af) * ef
+            es = as * c + (1.0 - as) * es
+          }
+          PpoOut(sym, b.day, ef, es,
+            if (es != 0.0) Some(100.0 * (ef - es) / es) else None)
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r11: Detrended Price Oscillator — close displaced back
+    * (n/2 + 1) bars minus the n-bar SMA, isolating the sub-n cycle
+    * from the trend. Emission is the exact integer identity
+    * (n·c_shift − Σc)/n: decimal operands, ONE double division — RAW.
+    * Full windows only (count gate, mirrored).
+    */
+  def dpo(ticks: DataFrame, n: Int = 20): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val shift = n / 2 + 1
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("cs", lag(col("c"), shift).over(dayOrder))
+      .withColumn("s", sum(col("c")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cs").isNotNull && col("cnt") === n)
+      .select(col("symbol"), col("day"),
+        ((col("cs") * n - col("s")).cast("double") / n.toDouble).as(s"dpo$n"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r11: Balance of Power — (close − open)/(high − low) per bar,
+    * the intrabar buyer/seller pressure gauge. Exact decimal
+    * differences, one RAW double division; flat bars (h = l) yield
+    * NULL on both engines.
+    */
+  def balanceOfPower(ticks: DataFrame): DataFrame =
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        when(col("high").cast(dec) > col("low").cast(dec),
+          (col("close").cast(dec) - col("open").cast(dec)).cast("double") /
+            (col("high").cast(dec) - col("low").cast(dec)).cast("double"))
+          .as("bop"))
+      .orderBy("symbol", "day")
+
+  /** NEW r11: Ultimate Oscillator (7/14/28) — Williams' three-horizon
+    * buying-pressure blend: avg_k = ΣBP/ΣTR over k bars, UO =
+    * 100·(4·avg7 + 2·avg14 + avg28)/7. BP = c − min(l, prev_c) and
+    * TR = max(h, prev_c) − min(l, prev_c) are exact decimal CASE
+    * expressions (never decimal LEAST/GREATEST — DuckDB promotes
+    * those to DOUBLE, the §4 r10 vortex/keltner trap); the window
+    * sums are order-free decimals, each avg is one exact-operand
+    * division, and the final blend is a mirrored IEEE chain — RAW.
+    * Full 28-bar windows with nonzero TR sums only (mirrored gate).
+    */
+  def ultimateOsc(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    def w(n: Int) = dayOrder.rowsBetween(-(n - 1), 0)
+    val t = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("high").cast(dec).as("h"),
+        col("low").cast(dec).as("l"), col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull)
+      .withColumn("mn", when(col("l") < col("pc"), col("l")).otherwise(col("pc")))
+      .withColumn("mx", when(col("h") > col("pc"), col("h")).otherwise(col("pc")))
+      .withColumn("bp", col("c") - col("mn"))
+      .withColumn("tr", col("mx") - col("mn"))
+    val t2 = t
+      .withColumn("s7b", sum(col("bp")).over(w(7)))
+      .withColumn("s7t", sum(col("tr")).over(w(7)))
+      .withColumn("s14b", sum(col("bp")).over(w(14)))
+      .withColumn("s14t", sum(col("tr")).over(w(14)))
+      .withColumn("s28b", sum(col("bp")).over(w(28)))
+      .withColumn("s28t", sum(col("tr")).over(w(28)))
+      .withColumn("cnt28", count(lit(1)).over(w(28)))
+    val uo = lit(100.0) *
+      (lit(4.0) * (col("s7b").cast("double") / col("s7t").cast("double")) +
+        lit(2.0) * (col("s14b").cast("double") / col("s14t").cast("double")) +
+        (col("s28b").cast("double") / col("s28t").cast("double"))) / lit(7.0)
+    t2.select(col("symbol"), col("day"),
+        when(col("cnt28") === 28 && col("s7t") =!= 0 &&
+          col("s14t") =!= 0 && col("s28t") =!= 0, uo).as("ultimate_osc"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r11: Hull moving average, HMA(16) — the low-lag WMA
+    * composition WMA₄(2·WMA₈ − WMA₁₆) on daily closes. Runs entirely
+    * in EXACT integer algebra: closes become cents, each WMA numerator
+    * is an integer-weighted lag dot product in DECIMAL(38,0), and the
+    * three-layer composition folds into one numerator over the common
+    * denominator 12240 (2·WMA₈ − WMA₁₆ = (68·ws₈ − 9·ws₁₆)/1224,
+    * then the 4-3-2-1 outer weights over ×10, ×100 for cents→price
+    * units) — ONE double division at
+    * emission, RAW, no float weighted sums anywhere (the [[coppock]]
+    * discipline). Emits once all lags exist (rn ≥ 19).
+    */
+  def hullMa(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val big = DecimalType(38, 0)
+    val t = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        (col("close").cast(dec) * 100).cast("long").as("cents"))
+    def wsum(n: Int): Column = (0 until n).map { i =>
+      val c = if (i == 0) col("cents") else lag(col("cents"), i).over(dayOrder)
+      c.cast(big) * lit((n - i).toLong)
+    }.reduce(_ + _).cast(big)
+    val t2 = t
+      .withColumn("ws8", wsum(8))
+      .withColumn("ws16", wsum(16))
+      .withColumn("dnum", (col("ws8") * 68 - col("ws16") * 9).cast(big))
+    val hsum = (0 until 4).map { i =>
+      val d = if (i == 0) col("dnum") else lag(col("dnum"), i).over(dayOrder)
+      d.cast(big) * lit((4 - i).toLong)
+    }.reduce(_ + _).cast(big)
+    t2.withColumn("ok", lag(col("cents"), 18).over(dayOrder).isNotNull)
+      .withColumn("hsum", hsum)
+      .filter(col("ok"))
+      .select(col("symbol"), col("day"),
+        (col("hsum").cast("double") / 1224000.0).as("hma16"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r11: market breadth report — per trading day across ALL
+    * symbols: advancers/decliners/unchanged (exact decimal close
+    * comparisons vs the prior bar), up-volume/down-volume, the
+    * cumulative advance–decline line, and the Arms Index (TRIN) =
+    * (adv/dec)/(advVol/decVol). Pure integer counting into exact-long
+    * day rows; TRIN is a mirrored chain of three divisions over
+    * exactly-converting counts (never the cross-product form, which
+    * could overflow int64 at scale). The running A/D line is a window
+    * over the DAY SERIES — one row per trading day, metadata scale at
+    * any corpus size (the marketIndex posture).
+    */
+  def breadth(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val t = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"),
+        col("volume"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull)
+    val byDay = t.groupBy(col("day")).agg(
+      sum(when(col("c") > col("pc"), 1L).otherwise(0L)).as("advancers"),
+      sum(when(col("c") < col("pc"), 1L).otherwise(0L)).as("decliners"),
+      sum(when(col("c") === col("pc"), 1L).otherwise(0L)).as("unchanged"),
+      sum(when(col("c") > col("pc"), col("volume")).otherwise(0L)).as("adv_vol"),
+      sum(when(col("c") < col("pc"), col("volume")).otherwise(0L)).as("dec_vol"))
+    val daySeries = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val trin = (col("advancers").cast("double") / col("decliners").cast("double")) /
+      (col("adv_vol").cast("double") / col("dec_vol").cast("double"))
+    byDay
+      .withColumn("ad_line",
+        sum(col("advancers") - col("decliners")).over(daySeries))
+      .select(col("day"), col("advancers"), col("decliners"), col("unchanged"),
+        col("adv_vol"), col("dec_vol"), col("ad_line"),
+        when(col("decliners") =!= 0 && col("adv_vol") =!= 0 &&
+          col("dec_vol") =!= 0, trin).as("trin"))
+      .orderBy("day")
+  }
+
+  final case class McIn(day: java.sql.Date, net: Long)
+  final case class McOut(day: java.sql.Date, net: Long,
+      ema19: Double, ema39: Double, mcclellan: Double)
+
+  /** NEW r11: McClellan Oscillator — EMA19 − EMA39 of daily net
+    * advancers (advancers − decliners across all symbols), the
+    * classic breadth-momentum gauge. The net series is ONE row per
+    * trading day (metadata scale), so the two-accumulator recursion
+    * runs in a single sorted group; α = 2/20, 2/39+1=2/40 are not
+    * exact binary → runtime-computed on both engines (§4). RAW.
+    */
+  def mcclellan(ticks: DataFrame): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull)
+      .groupBy(col("day"))
+      .agg((sum(when(col("c") > col("pc"), 1L).otherwise(0L)) -
+        sum(when(col("c") < col("pc"), 1L).otherwise(0L))).as("net"))
+      .as[McIn]
+      .groupByKey(_ => 0)
+      .flatMapSortedGroups(col("day")) { (_, it) =>
+        val a19 = 2.0 / 20.0
+        val a39 = 2.0 / 40.0
+        var e19 = 0.0
+        var e39 = 0.0
+        var first = true
+        it.map { d =>
+          val x = d.net.toDouble
+          if (first) { first = false; e19 = x; e39 = x }
+          else {
+            e19 = a19 * x + (1.0 - a19) * e19
+            e39 = a39 * x + (1.0 - a39) * e39
+          }
+          McOut(d.day, d.net, e19, e39, e19 - e39)
+        }
+      }
+      .toDF()
+      .orderBy("day")
+  }
+
+  /** NEW r11: Corwin–Schultz high–low spread estimator — the
+    * bid-ask-spread-from-daily-bars estimator (JF 2012) every
+    * microstructure desk runs when quote data is missing:
+    * β = Σ over a 2-day pair of (ln(h/l))², γ = (ln(H₂/L₂))² over the
+    * pair's composite range, α = (√(2β)−√β)/(3−2√2) − √(γ/(3−2√2)),
+    * S = 2(e^α−1)/(1+e^α). Engine parity is the full §4 libm recipe:
+    * ln terms quant6'd and squared exactly in decimals (the
+    * [[rangeVol]] discipline), every later op a mirrored IEEE step
+    * over exactly-converting operands (√2 and the denominators are
+    * RUNTIME-computed, sqrt is bit-identical), and the final
+    * spread — which crosses the 1-ulp-divergent exp — is 4-dp
+    * quantized via the shared FLOOR/CEIL sequence, never ROUND.
+    * Negative estimates are kept (standard practice reports them;
+    * clamping is the caller's choice). Bars with non-positive lows
+    * are excluded on both engines.
+    */
+  def corwinSchultz(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    // (30,12) squares: in-width exact addition on both engines (see
+    // the rangeVol width note)
+    def sq(a: Column): Column =
+      (a.cast(DecimalType(19, 6)) * a).cast(DecimalType(30, 12))
+    val t = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("high").cast(dec).as("h"),
+        col("low").cast(dec).as("l"))
+      .filter(col("l") > 0)
+      .withColumn("ph", lag(col("h"), 1).over(dayOrder))
+      .withColumn("pl", lag(col("l"), 1).over(dayOrder))
+      .filter(col("ph").isNotNull)
+      .withColumn("h2", when(col("h") > col("ph"), col("h")).otherwise(col("ph")))
+      .withColumn("l2", when(col("l") < col("pl"), col("l")).otherwise(col("pl")))
+      .withColumn("beta",
+        sq(quant6(log(col("h").cast("double") / col("l").cast("double")) * 1000000.0)) +
+          sq(quant6(log(col("ph").cast("double") / col("pl").cast("double")) * 1000000.0)))
+      .withColumn("gamma",
+        sq(quant6(log(col("h2").cast("double") / col("l2").cast("double")) * 1000000.0)))
+    val bD = col("beta").cast("double")
+    val gD = col("gamma").cast("double")
+    val den = lit(3.0) - lit(2.0) * sqrt(lit(2.0))
+    val alpha = (sqrt(lit(2.0) * bD) - sqrt(bD)) / den - sqrt(gD / den)
+    val sRaw = lit(2.0) * (exp(alpha) - lit(1.0)) / (lit(1.0) + exp(alpha))
+    val s4 = sRaw * 10000.0
+    val q4 = when(s4 >= 0, floor(s4 + 0.5)).otherwise(ceil(s4 - 0.5)).cast("long")
+    t.select(col("symbol"), col("day"),
+        (q4.cast("double") / 10000.0).as("cs_spread"))
+      .orderBy("symbol", "day")
+  }
+
+  final case class ZzOut(symbol: String, day: java.sql.Date,
+      pivot_price: Double, pivot_dir: Long)
+
+  /** NEW r11: ZigZag pivots — the swing-high/low extraction behind
+    * pattern scanners and Elliott/harmonic tooling: in an uptrend the
+    * running extreme ratchets up with each higher close; the first
+    * close retracing ≥ 5% from it CONFIRMS the extreme as a swing
+    * high (emitted at the confirming bar) and flips the trend, and
+    * symmetrically for lows. The 5% threshold is the exact rational
+    * 1/20, so both reversal tests are pure integer-cents comparisons
+    * (20·c ≤ 19·ext, 20·c ≥ 21·ext) — a hash-exact integer state
+    * machine (dir, extreme) per symbol, one sorted-group pass,
+    * mirrored by a recursive-CTE oracle. Seeds in an uptrend from the
+    * first close (documented convention; the seed pivot itself is not
+    * emitted). Emission: `pivot_dir` +1 = swing HIGH confirmed,
+    * −1 = swing LOW confirmed.
+    */
+  def zigzag(ticks: DataFrame): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        (col("close").cast(dec) * 100).cast("long").as("cc"))
+      .as[RkBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        var dir = 0L // 0 = unseeded
+        var ext = 0L
+        it.flatMap { b =>
+          if (dir == 0L) { dir = 1L; ext = b.cc; Iterator.empty }
+          else if (dir == 1L) {
+            if (b.cc > ext) { ext = b.cc; Iterator.empty }
+            else if (20L * b.cc <= 19L * ext) {
+              val piv = ext; dir = -1L; ext = b.cc
+              Iterator.single(ZzOut(sym, b.day, piv.toDouble / 100.0, 1L))
+            } else Iterator.empty
+          } else {
+            if (b.cc < ext) { ext = b.cc; Iterator.empty }
+            else if (20L * b.cc >= 21L * ext) {
+              val piv = ext; dir = 1L; ext = b.cc
+              Iterator.single(ZzOut(sym, b.day, piv.toDouble / 100.0, -1L))
+            } else Iterator.empty
+          }
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
+  final case class RkBar(symbol: String, day: java.sql.Date, cc: Long)
+  final case class RkOut(symbol: String, day: java.sql.Date,
+      level: Long, n_bricks: Long, direction: Long)
+
+  /** NEW r11: Renko brick levels from daily closes — price-driven
+    * (not time-driven) charting: the level moves only in whole
+    * `brickCents` steps, up when the close clears the next brick
+    * boundary, down when it clears the one below; sideways noise
+    * inside a brick is invisible. Per bar: the post-bar level (in
+    * bricks relative to the symbol's first close), how many bricks
+    * printed, and the direction. PURE INTEGER state machine over
+    * cents — floor/ceil divisions are explicit truncating-division
+    * identities mirrored on both engines (DuckDB `//` and Spark `div`
+    * both truncate toward zero), so the recursion is hash-exact with
+    * no float anywhere. One sorted-group pass per symbol; the oracle
+    * is a recursive CTE over the same integer state.
+    */
+  def renko(ticks: DataFrame, brickCents: Long = 100L): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        (col("close").cast(dec) * 100).cast("long").as("cc"))
+      .as[RkBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        var anchor = 0L
+        var level = 0L
+        var first = true
+        it.map { b =>
+          if (first) {
+            first = false; anchor = b.cc; level = 0L
+            RkOut(sym, b.day, 0L, 0L, 0L)
+          } else {
+            val dx = b.cc - anchor
+            val fd = Math.floorDiv(dx, brickCents)
+            val cd = -Math.floorDiv(-dx, brickCents)
+            val nl = if (fd > level) fd else if (cd < level) cd else level
+            val out = RkOut(sym, b.day, nl, math.abs(nl - level),
+              java.lang.Long.signum(nl - level).toLong)
+            level = nl
+            out
+          }
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r11: Know Sure Thing — Pring's four-horizon smoothed-ROC
+    * blend, daily variant with compressed horizons (n, m, w) =
+    * (5,5,1)(8,5,2)(10,5,3)(15,8,4): the classic 10/15/20/30 ×
+    * 10/10/10/15 spec needs 45 bars of history and the test tapes
+    * carry 30 trading days — the structure (four quantized-ROC SMAs,
+    * 1-2-3-4 weights) is identical. Each ROC quantizes to integer
+    * micro-units via the shared FLOOR/CEIL sequence (float quotients
+    * never accumulate), the SMAs become exact LONG window sums, and
+    * the denominators fold into the single identity
+    * (8·s₁ + 16·s₂ + 24·s₃ + 20·s₄)/(40·10⁶) — ONE double division,
+    * RAW. Full windows only (per-window micro counts, mirrored).
+    */
+  def kst(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val t0 = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+    def micro(n: Int): Column = {
+      val cn = lag(col("c"), n).over(dayOrder)
+      when(cn.isNotNull && cn =!= 0,
+        (quant6(lit(100.0) * (col("c") - cn).cast("double") /
+          cn.cast("double") * 1000000.0) * 1000000).cast("long"))
+    }
+    val t = t0
+      .withColumn("m5", micro(5)).withColumn("m8", micro(8))
+      .withColumn("m10", micro(10)).withColumn("m15", micro(15))
+    def w(n: Int) = dayOrder.rowsBetween(-(n - 1), 0)
+    val t2 = t
+      .withColumn("s1", sum(col("m5")).over(w(5)))
+      .withColumn("c1", count(col("m5")).over(w(5)))
+      .withColumn("s2", sum(col("m8")).over(w(5)))
+      .withColumn("c2", count(col("m8")).over(w(5)))
+      .withColumn("s3", sum(col("m10")).over(w(5)))
+      .withColumn("c3", count(col("m10")).over(w(5)))
+      .withColumn("s4", sum(col("m15")).over(w(8)))
+      .withColumn("c4", count(col("m15")).over(w(8)))
+    t2.filter(col("c1") === 5 && col("c2") === 5 && col("c3") === 5 &&
+        col("c4") === 8)
+      .select(col("symbol"), col("day"),
+        ((col("s1") * 8 + col("s2") * 16 + col("s3") * 24 + col("s4") * 20)
+          .cast("double") / 40000000.0).as("kst"))
+      .orderBy("symbol", "day")
   }
 }

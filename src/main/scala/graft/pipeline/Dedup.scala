@@ -288,4 +288,17 @@ object Dedup {
         count(lit(1)).as("n_leaked_texts"))
       .orderBy("source")
   }
+
+  /** NEW r11: near-dup cluster-size histogram — the dedup QA report
+    * (how much of the corpus is singletons vs 2-doc pairs vs big
+    * template families; a fat tail means the LSH bands or the corpus
+    * need a look). Pure counter composition over [[nearDupClusters]].
+    */
+  def clusterSizes(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    nearDupClusters(docs, pairs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy("sz")
+  }
 }

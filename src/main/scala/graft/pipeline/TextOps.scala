@@ -369,6 +369,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** NEW r11: per-document unigram surprisal — the mean information
+    * content of a document's tokens under the corpus unigram model,
+    * −(1/N)Σ_w c_w·ln(p_w)/ln2 bits/token: the cheapest perplexity
+    * proxy a quality pipeline runs (template spam scores low, token
+    * soup scores high) without any trained LM.
+    *
+    * Parity: p_w = corpus_count/total is a correctly-rounded double of
+    * an exact rational (identical both engines); each c_dw·ln(p_w)
+    * term is 6-dp quantized (§4 libm — ln is divergent), the per-doc
+    * sum is an exact order-free decimal, and the bits conversion is
+    * two mirrored divisions (÷N, ÷ln2-literal) with the +0.0
+    * signed-zero normalizer.
+    *
+    * Shape: one (doc, token) count shuffle; the corpus unigram table
+    * joins on the token hash (the word table is ≪ corpus); the
+    * single-row total broadcasts. Text crosses one exchange as tokens.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def quant6(s: Column): Column = {
+      val q = when(s >= 0, floor(s + 0.5)).otherwise(ceil(s - 0.5))
+      (q.cast("long").cast(DecimalType(18, 0)) *
+        lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+        .cast(DecimalType(18, 6))
+    }
+    val dw = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val corpus = dw.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+    val total = corpus.agg(sum(col("cw")).as("total"))
+    val p = col("cw").cast("double") / col("total").cast("double")
+    dw.join(corpus, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("term", quant6(col("c").cast("double") * log(p) * 1000000.0))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (-col("s").cast("double") / col("n_tokens").cast("double") /
+          lit(0.6931471805599453) + lit(0.0)).as("surprisal_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** NEW r11: token frequency spectrum — for k = 1..10 and an 11+
+    * overflow bucket, how many distinct tokens occur exactly k times
+    * corpus-wide, and how many occurrences they account for. The
+    * freq-of-freq curve is the first corpus-health diagnostic (a
+    * healthy natural corpus is near-Zipfian: ~half the vocabulary is
+    * hapax); pure integer counting — counts shuffle, text doesn't
+    * (beyond the token exchange).
+    */
+  def freqSpectrum(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(when(col("c") <= 10, col("c")).otherwise(11L).as("k"),
+        col("c"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_occurrences"))
+      .orderBy("k")
+
   /** Corpus composition report: per-source document count, corpus
     * share, mean length, language spread. One tiny agg plus a
     * broadcast of the single-row corpus total — the pattern for any

@@ -133,6 +133,18 @@ final class TickStore(spark: SparkSession, path: String,
   def queryLast(symbol: String, n: Int): DataFrame =
     all().filter(col("symbol") === symbol).orderBy(col("ts").desc).limit(n)
 
+  /** One pruned scan returning (tick count, newest ts) for a symbol —
+    * the serve cache's warm-time anchor (fusing the count and the
+    * tail read halves the cold-path job count).
+    */
+  def symbolStats(symbol: String): (Long, Option[java.sql.Timestamp]) = {
+    // functions.count spelled out: TickStore.count(symbol) shadows it
+    val r = all().filter(col("symbol") === symbol)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        max(col("ts")).as("mx")).head()
+    (r.getLong(0), Option(r.getTimestamp(1)))
+  }
+
   /** Compact each partition's accumulated small files (streaming and
     * per-batch appends leave one file per micro-batch) into `filesPer`
     * time-sorted files per partition. Uses dynamic partition overwrite

@@ -265,7 +265,18 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "volumeCurve" -> (MarketOps.volumeCurve(_)),
       "momentumQuartiles" -> (MarketOps.momentumQuartiles(_)),
       "turnoverRank" -> (MarketOps.turnoverRank(_)),
-      "rangeVol" -> (MarketOps.rangeVol(_)))
+      "rangeVol" -> (MarketOps.rangeVol(_)),
+      "ppo" -> (MarketOps.ppo(_)),
+      "dpo" -> (MarketOps.dpo(_)),
+      "balanceOfPower" -> (MarketOps.balanceOfPower(_)),
+      "ultimateOsc" -> (MarketOps.ultimateOsc(_)),
+      "hullMa" -> (MarketOps.hullMa(_)),
+      "kst" -> (MarketOps.kst(_)),
+      "breadth" -> (MarketOps.breadth(_)),
+      "mcclellan" -> (MarketOps.mcclellan(_)),
+      "corwinSchultz" -> (MarketOps.corwinSchultz(_)),
+      "renko" -> (MarketOps.renko(_)),
+      "zigzag" -> (MarketOps.zigzag(_)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>

@@ -58,6 +58,8 @@ q_tick_size q_price_clustering q_burst_census q_benford
 q_session_stats q_activity_gini q_adx q_trix q_elder_ray q_mass_index
 q_parabolic_sar q_chandelier q_risk_ratios q_supertrend q_coppock
 q_inter_arrival q_range_vol
+q_ppo q_dpo q_bop q_ultimate_osc q_hull_ma q_kst q_breadth q_mcclellan
+q_cs_spread q_renko q_zigzag
 """.split()
 
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",

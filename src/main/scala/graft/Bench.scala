@@ -83,8 +83,16 @@ object Bench {
     // whose best-of-2 lands >3× its baseline gets two more samples
     // after a short settle, min kept. Steady-state queries never pay.
     val baseline: Map[String, Double] = {
-      val f = new java.io.File("tools/bench_baseline.json")
-      if (!f.exists()) Map.empty
+      // GRAFT_BENCH_BASELINE overrides the repo-relative default so a
+      // run from a foreign CWD doesn't silently disable the retry; an
+      // absent file is announced once on stderr (r12 ADVICE).
+      val f = sys.env.get("GRAFT_BENCH_BASELINE").map(new java.io.File(_))
+        .getOrElse(new java.io.File("tools/bench_baseline.json"))
+      if (!f.exists()) {
+        System.err.println(s"[graft] bench: baseline ${f.getPath} not " +
+          "found — ambient-load retry disabled for this run")
+        Map.empty
+      }
       else "\"(q[0-9a-z_]+)\"\\s*:\\s*([0-9.]+)".r
         .findAllMatchIn(new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))

@@ -175,10 +175,15 @@ object Cli {
           else {
             val maxSec = maxTs.get.getTime / 1000L
             val fromSec = maxSec - windowDays.toLong * 86400L
-            // one symbol-pruned, ts-sorted scan of the window only
+            // one symbol-pruned, ts-sorted scan of the window only.
+            // End bound is the UNTRUNCATED max ts: on µs-resolution
+            // stores a whole-second end would silently drop the
+            // newest fractional second while `total` counts it
+            // (r12 ADVICE) — queryRange filters ts <= end, so the
+            // true max is the correct inclusive bound.
             val rows = store.queryRange(sym,
               new java.sql.Timestamp(fromSec * 1000L),
-              new java.sql.Timestamp(maxSec * 1000L)).collect()
+              maxTs.get).collect()
             SymCache(fromSec, total,
               rows.map(_.getTimestamp(1).getTime / 1000L),
               rows.map(_.getDouble(2)), rows.map(_.getLong(3)))

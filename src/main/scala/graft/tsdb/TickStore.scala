@@ -221,15 +221,26 @@ final class TickStore(spark: SparkSession, path: String,
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, math.min(parallelism, expired.size)))
       try {
-        val dropped = new java.util.concurrent.atomic.AtomicInteger(0)
-        expired.map { p =>
-          pool.submit(new Runnable {
-            def run(): Unit =
-              if (fs.delete(p, true)) dropped.incrementAndGet()
+        // Each delete's outcome is captured in a Try: one transient FS
+        // failure must not abort the sweep mid-foreach and lose the
+        // dropped count (r12 ADVICE) — successes are counted, failures
+        // aggregated and reported once, never fatal.
+        val results = expired.map { p =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = fs.delete(p, true)
           })
-        }.foreach(_.get())
-        dropped.get()
-      } finally pool.shutdown()
+        }.map(f => scala.util.Try(f.get()))
+        val dropped = results.count(_ == scala.util.Success(true))
+        val failures = results.collect { case scala.util.Failure(e) => e }
+        if (failures.nonEmpty)
+          System.err.println(s"[graft] expire: ${failures.size}/" +
+            s"${expired.size} partition deletes failed (first: " +
+            s"${failures.head.getMessage}); $dropped dropped this sweep")
+        dropped
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      }
     }
   }
 

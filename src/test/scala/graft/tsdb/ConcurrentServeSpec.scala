@@ -212,6 +212,37 @@ class ConcurrentServeSpec extends AnyFunSuite {
     }
   }
 
+  test("warm cache covers the newest fractional second (sub-second stores)") {
+    val dir = Files.createTempDirectory("subsec_serve_").toString
+    val store = new TickStore(spark, dir)
+    import org.apache.spark.sql.functions._
+    // 100 ticks spaced 250 ms apart — the newest ticks sit INSIDE a
+    // fractional second (base+24.25/.50/.75). Before the r12 fix the
+    // warm scan's end bound truncated max ts to whole seconds, so the
+    // cache silently dropped every tick after base+24.000 while the
+    // cached total still counted them.
+    val base = 1700000000L
+    store.ingest(spark.range(100).select(
+      lit("SUB").as("symbol"),
+      timestamp_millis(lit(base * 1000L) + col("id") * 250L).as("ts"),
+      (lit(10.0) + col("id")).as("price"),
+      (col("id") + 1L).as("volume")))
+    val cmds = s"count SUB\nlast SUB 3\nquery SUB ${base + 24} ${base + 24}\nexit\n"
+    val bout = new java.io.ByteArrayOutputStream()
+    graft.Cli.serve(spark, dir,
+      new java.io.BufferedReader(new java.io.StringReader(cmds)),
+      new java.io.PrintStream(bout, true))
+    val out = bout.toString
+    assert(out.contains("Count: 100"))
+    // warm `last 3` must surface the true newest tick (id 99, price 109)
+    assert(out.contains("Price: 109.00"), s"newest fractional-second tick missing:\n$out")
+    // second base+24 holds ids 96..99 (24.00/.25/.50/.75) → 4 ticks
+    val founds = "Found (\\d+) results:".r.findAllMatchIn(out)
+      .map(_.group(1).toInt).toVector
+    assert(founds === Vector(4), s"range sizes: $founds")
+    graft.core.TempDirs.delete(dir)
+  }
+
   test("serve cache refreshes after insert (read-your-writes)") {
     val dir = Files.createTempDirectory("conc_serve_rw_").toString
     val store = new TickStore(spark, dir)

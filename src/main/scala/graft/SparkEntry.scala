@@ -211,6 +211,16 @@ object SparkEntry {
     "q_streaks" -> ((s, dir) => MarketOps.streaks(ticks(s, dir))),
     "q_underwater" -> ((s, dir) => MarketOps.underwater(ticks(s, dir))),
     "q_dow_returns" -> ((s, dir) => MarketOps.dowReturns(ticks(s, dir))),
+    // ---- NEW r12 daily-bar + statistical batch ----
+    "q_chaikin_osc" -> ((s, dir) => MarketOps.chaikinOsc(ticks(s, dir))),
+    "q_golden_cross" -> ((s, dir) => MarketOps.goldenCross(ticks(s, dir))),
+    "q_runs_test" -> ((s, dir) => MarketOps.runsTest(ticks(s, dir))),
+    "q_gap_fill_rate" -> ((s, dir) => MarketOps.gapFillRate(ticks(s, dir))),
+    "q_turn_of_month" -> ((s, dir) => MarketOps.turnOfMonth(ticks(s, dir))),
+    "q_pv_corr" -> ((s, dir) => MarketOps.priceVolumeCorr(ticks(s, dir))),
+    "q_vol_of_vol" -> ((s, dir) => MarketOps.volOfVol(ticks(s, dir))),
+    "q_mean_reversion" -> ((s, dir) => MarketOps.meanReversion(ticks(s, dir))),
+    "q_vpt" -> ((s, dir) => MarketOps.vpt(ticks(s, dir))),
     "q_drawdown_episodes" -> ((s, dir) =>
       MarketOps.drawdownEpisodes(ticks(s, dir), 3)),
     "q_market_index" -> ((s, dir) => MarketOps.marketIndex(ticks(s, dir))),
@@ -4081,6 +4091,275 @@ object SparkEntry {
         |       CAST(CAST(SUM(r) AS DECIMAL(38,6)) AS DOUBLE)
         |         / CAST(COUNT(*) AS DOUBLE) AS avg_ret
         |FROM r GROUP BY 1, 2 ORDER BY symbol, iso_dow""".stripMargin,
+    // ---- NEW r12 daily-bar + statistical batch ----
+    "q_chaikin_osc" ->
+      // A/D line exactly as q_ad_line (CLV quant6, exact decimal mfv
+      // sums, ONE double conversion), then a mirrored double EMA
+      // recursion with runtime α arithmetic (2.0/4.0, 2.0/11.0)
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+        |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c,
+        |         CAST(SUM(user_id) AS BIGINT) AS vol
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT symbol, day, vol,
+        |         2 * c - h - l AS num, h - l AS den FROM b),
+        |q AS (
+        |  SELECT symbol, day, vol,
+        |         CASE WHEN den <> 0 THEN
+        |           CAST(CAST(CAST(CASE WHEN CAST(num AS DOUBLE)
+        |                     / CAST(den AS DOUBLE) * 1000000.0 >= 0
+        |                THEN FLOOR(CAST(num AS DOUBLE)
+        |                     / CAST(den AS DOUBLE) * 1000000.0 + 0.5)
+        |                ELSE CEIL(CAST(num AS DOUBLE)
+        |                     / CAST(den AS DOUBLE) * 1000000.0 - 0.5) END
+        |                AS BIGINT) AS DECIMAL(18,0))
+        |             * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))
+        |           ELSE CAST(0 AS DECIMAL(18,6)) END AS clv6
+        |  FROM m),
+        |v AS (SELECT symbol, day,
+        |             CAST(CAST(clv6 AS DECIMAL(20,6))
+        |                  * CAST(vol AS DECIMAL(18,0)) AS DECIMAL(38,6)) AS mfv
+        |      FROM q),
+        |a AS (
+        |  SELECT symbol, day,
+        |         CAST(SUM(mfv) OVER (PARTITION BY symbol ORDER BY day
+        |              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ad,
+        |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+        |  FROM v),
+        |r AS (
+        |  SELECT symbol, rn, day, ad, ad AS ef, ad AS es
+        |  FROM a WHERE rn = 1
+        |  UNION ALL
+        |  SELECT a.symbol, a.rn, a.day, a.ad,
+        |         (2.0 / 4.0) * a.ad + (1.0 - 2.0 / 4.0) * r.ef,
+        |         (2.0 / 11.0) * a.ad + (1.0 - 2.0 / 11.0) * r.es
+        |  FROM a JOIN r ON a.symbol = r.symbol AND a.rn = r.rn + 1)
+        |SELECT symbol, day, ad AS ad_line, ef - es AS chaikin_osc
+        |FROM r ORDER BY symbol, day""".stripMargin,
+    "q_golden_cross" ->
+      // sign(s5/5 − s20/20) = sign(4·s5 − s20): exact decimal window
+      // sums, no float compare anywhere
+      s"""WITH b AS (${duckDailyBars}),
+         |t AS (
+         |  SELECT symbol, day,
+         |         SUM(c) OVER (PARTITION BY symbol ORDER BY day
+         |           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s5,
+         |         SUM(c) OVER (PARTITION BY symbol ORDER BY day
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s20,
+         |         COUNT(*) OVER (PARTITION BY symbol ORDER BY day
+         |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS cnt
+         |  FROM b),
+         |d AS (SELECT symbol, day, s5 * 4 - s20 AS d FROM t WHERE cnt = 20),
+         |x AS (SELECT symbol, day, d,
+         |             LAG(d) OVER (PARTITION BY symbol ORDER BY day) AS pd
+         |      FROM d)
+         |SELECT symbol, day,
+         |       CASE WHEN d > 0 THEN 'golden' ELSE 'death' END AS signal
+         |FROM x
+         |WHERE pd IS NOT NULL
+         |  AND ((pd <= 0 AND d > 0) OR (pd >= 0 AND d < 0))
+         |ORDER BY symbol, day""".stripMargin,
+    "q_runs_test" ->
+      // pure integer inputs; z is a mirrored IEEE chain (sqrt is
+      // correctly rounded) → ROUND(…,4) + signed-zero guard; the
+      // va > 0 clause sits LAST so And short-circuits the n = 1 case
+      s"""WITH b AS (${duckDailyBars}),
+         |d AS (SELECT symbol, day, c,
+         |             LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |      FROM b),
+         |s AS (SELECT symbol, day,
+         |             CASE WHEN c > pc THEN 1 ELSE -1 END AS s
+         |      FROM d WHERE pc IS NOT NULL AND c <> pc),
+         |t AS (SELECT symbol, s,
+         |             LAG(s) OVER (PARTITION BY symbol ORDER BY day) AS ps
+         |      FROM s),
+         |agg AS (
+         |  SELECT symbol,
+         |         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         |         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         |         CAST(SUM(CASE WHEN ps IS NOT NULL AND s <> ps
+         |                       THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+         |  FROM t GROUP BY 1),
+         |f AS (
+         |  SELECT symbol, n_up, n_down, runs,
+         |         CAST(n_up + n_down AS DOUBLE) AS n,
+         |         CAST(n_up * n_down * 2 AS DOUBLE) AS p
+         |  FROM agg)
+         |SELECT symbol, n_up, n_down, runs,
+         |       CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down > 1
+         |                 AND p * (p - n) / (n * n * (n - 1.0)) > 0
+         |            THEN ROUND((CAST(runs AS DOUBLE) - (p / n + 1.0))
+         |                   / SQRT(p * (p - n) / (n * n * (n - 1.0))), 4) + 0.0
+         |       END AS z
+         |FROM f ORDER BY symbol""".stripMargin,
+    "q_gap_fill_rate" ->
+      // exact decimal compares + integer counts; one ROUND(…,4) true
+      // division per side, NULL when that side has no gaps
+      s"""WITH b AS (${duckDailyBars}),
+         |d AS (SELECT symbol, day, o, h, l,
+         |             LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |      FROM b),
+         |agg AS (
+         |  SELECT symbol,
+         |         CAST(SUM(CASE WHEN o > pc THEN 1 ELSE 0 END) AS BIGINT) AS gaps_up,
+         |         CAST(SUM(CASE WHEN o > pc AND l <= pc THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS filled_up,
+         |         CAST(SUM(CASE WHEN o < pc THEN 1 ELSE 0 END) AS BIGINT) AS gaps_down,
+         |         CAST(SUM(CASE WHEN o < pc AND h >= pc THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS filled_down
+         |  FROM d WHERE pc IS NOT NULL GROUP BY 1)
+         |SELECT symbol, gaps_up, filled_up, gaps_down, filled_down,
+         |       CASE WHEN gaps_up > 0
+         |            THEN ROUND(CAST(filled_up AS DOUBLE)
+         |                   / CAST(gaps_up AS DOUBLE), 4) END AS fill_rate_up,
+         |       CASE WHEN gaps_down > 0
+         |            THEN ROUND(CAST(filled_down AS DOUBLE)
+         |                   / CAST(gaps_down AS DOUBLE), 4) END AS fill_rate_down
+         |FROM agg ORDER BY symbol""".stripMargin,
+    "q_turn_of_month" ->
+      // the q_dow_returns emission keyed by day-of-month
+      s"""WITH b AS (SELECT symbol, day, c FROM (${duckDailyBars})),
+         |d AS (
+         |  SELECT symbol, day, c,
+         |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |  FROM b),
+         |r AS (
+         |  SELECT symbol, day,
+         |         ${duckQ6("CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE)")} AS r
+         |  FROM d WHERE pc IS NOT NULL AND pc <> 0)
+         |SELECT symbol, CAST(date_part('day', day) AS BIGINT) AS dom,
+         |       CAST(COUNT(*) AS BIGINT) AS n_days,
+         |       CAST(CAST(SUM(r) AS DECIMAL(38,6)) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS avg_ret
+         |FROM r GROUP BY 1, 2 ORDER BY symbol, dom""".stripMargin,
+    "q_pv_corr" ->
+      // exact decimal co-moment sums (width-18/19 products force
+      // INT128); the correlation is the stddev class — mirrored
+      // conversions, ROUND(…,4) + signed-zero guard
+      s"""WITH cl AS (
+         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+         |         max_by(CAST(value AS DECIMAL(18,2)),
+         |                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+         |                || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS c,
+         |         CAST(SUM(user_id) AS BIGINT) AS vol
+         |  FROM events GROUP BY 1, 2),
+         |d AS (
+         |  SELECT symbol, day, c, vol,
+         |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc,
+         |         LAG(vol) OVER (PARTITION BY symbol ORDER BY day) AS pv
+         |  FROM cl),
+         |r AS (
+         |  SELECT symbol, day,
+         |         ${duckQ6("CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE)")} AS r,
+         |         vol - pv AS dv
+         |  FROM d WHERE pc IS NOT NULL AND pc <> 0),
+         |a AS (
+         |  SELECT symbol,
+         |         CAST(COUNT(*) AS BIGINT) AS n_days,
+         |         CAST(COUNT(*) AS DOUBLE) AS n,
+         |         CAST(SUM(r) AS DOUBLE) AS sx,
+         |         CAST(CAST(SUM(dv) AS BIGINT) AS DOUBLE) AS sy,
+         |         CAST(SUM(CAST(r * CAST(dv AS DECIMAL(19,0))
+         |              AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         |         CAST(SUM(CAST(r * r AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         |         CAST(SUM(CAST(CAST(dv AS DECIMAL(18,0))
+         |              * CAST(dv AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+         |              AS DOUBLE) AS syy
+         |  FROM r GROUP BY 1)
+         |SELECT symbol, n_days,
+         |       CASE WHEN n > 1.0 AND sxx - sx * sx / n > 0.0
+         |                 AND syy - sy * sy / n > 0.0
+         |            THEN ROUND((sxy - sx * sy / n)
+         |                   / SQRT((sxx - sx * sx / n)
+         |                          * (syy - sy * sy / n)), 4) + 0.0
+         |       END AS pv_corr
+         |FROM a ORDER BY symbol""".stripMargin,
+    "q_vol_of_vol" ->
+      // per-day Parkinson term quant6(ln(h/l)) re-sums exactly; the
+      // cross-day stddev is the §4 stddev class (ROUND 4, +0.0)
+      s"""WITH b AS (SELECT symbol, day, h, l FROM (${duckDailyBars})
+         |           WHERE h > 0 AND l > 0),
+         |u AS (
+         |  SELECT symbol,
+         |         ${duckQ6("ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))")} AS u
+         |  FROM b),
+         |a AS (
+         |  SELECT symbol,
+         |         CAST(COUNT(*) AS BIGINT) AS n_days,
+         |         CAST(COUNT(*) AS DOUBLE) AS n,
+         |         CAST(SUM(u) AS DOUBLE) AS s,
+         |         CAST(SUM(CAST(u * u AS DECIMAL(38,12))) AS DOUBLE) AS sq
+         |  FROM u GROUP BY 1)
+         |SELECT symbol, n_days,
+         |       CASE WHEN n > 1.0 THEN
+         |         ROUND(SQRT(CASE WHEN (sq - s * s / n) / (n - 1.0) > 0.0
+         |                         THEN (sq - s * s / n) / (n - 1.0)
+         |                         ELSE 0.0 END), 4) + 0.0
+         |       END AS vol_of_vol
+         |FROM a ORDER BY symbol""".stripMargin,
+    "q_mean_reversion" ->
+      // the q_beta co-moment machinery self-lagged: AR(1) slope over
+      // 6-dp quantized daily returns, stddev-class emission
+      s"""WITH b AS (SELECT symbol, day, c FROM (${duckDailyBars})),
+         |d AS (
+         |  SELECT symbol, day, c,
+         |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |  FROM b),
+         |r AS (
+         |  SELECT symbol, day,
+         |         ${duckQ6("CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE)")} AS r
+         |  FROM d WHERE pc IS NOT NULL AND pc <> 0),
+         |p AS (
+         |  SELECT symbol, r,
+         |         LAG(r) OVER (PARTITION BY symbol ORDER BY day) AS x
+         |  FROM r),
+         |a AS (
+         |  SELECT symbol,
+         |         CAST(COUNT(*) AS BIGINT) AS n_days,
+         |         CAST(COUNT(*) AS DOUBLE) AS n,
+         |         CAST(SUM(x) AS DOUBLE) AS sx,
+         |         CAST(SUM(r) AS DOUBLE) AS sy,
+         |         CAST(SUM(CAST(x * r AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         |         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+         |  FROM p WHERE x IS NOT NULL GROUP BY 1)
+         |SELECT symbol, n_days,
+         |       CASE WHEN n > 1.0 AND sxx - sx * sx / n <> 0.0
+         |            THEN ROUND((sxy - sx * sy / n)
+         |                   / (sxx - sx * sx / n), 4) + 0.0
+         |       END AS ar1_phi
+         |FROM a ORDER BY symbol""".stripMargin,
+    "q_vpt" ->
+      // winsorized 4-dp scaled-BIGINT returns (the q_higher_moments
+      // quantization), integer-exact running sum, ONE mirrored /1e4
+      """WITH pr AS (
+        |  SELECT event_id, event_type AS symbol, ts, user_id AS volume,
+        |         value AS price,
+        |         LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |           AS prev
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, symbol, ts, volume,
+        |         CASE WHEN prev IS NOT NULL AND prev <> 0 THEN
+        |           CAST(CAST(LEAST(GREATEST(
+        |                CAST(CAST(CASE WHEN (price / prev - 1) * 10000.0 >= 0
+        |                     THEN FLOOR((price / prev - 1) * 10000.0 + 0.5)
+        |                     ELSE CEIL((price / prev - 1) * 10000.0 - 0.5) END
+        |                     AS BIGINT) AS DECIMAL(12,0))
+        |                * CAST(0.0001 AS DECIMAL(5,4)),
+        |                -100), 100) AS DECIMAL(12,4)) * 10000 AS BIGINT)
+        |         ELSE 0 END AS r4u
+        |  FROM pr)
+        |SELECT event_id, symbol,
+        |       CAST(SUM(CAST(CAST(r4u AS DECIMAL(7,0))
+        |              * CAST(volume AS DECIMAL(19,0)) AS DECIMAL(27,0)))
+        |            OVER (PARTITION BY symbol ORDER BY ts, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 10000.0 AS vpt
+        |FROM r ORDER BY event_id""".stripMargin,
     "q_drawdown_episodes" ->
       // running-max value IS the episode key (non-decreasing);
       // trough = earliest day at the episode min (MIN over CASE);

@@ -3972,4 +3972,295 @@ object MarketOps {
           .cast("double") / 40000000.0).as("kst"))
       .orderBy("symbol", "day")
   }
+
+  // ---- NEW r12 daily-bar batch: oscillator, crossover, and
+  // distribution diagnostics. All ride the one ohlcDaily aggregate
+  // (one tick shuffle); per-symbol day windows are bounded (bars, not
+  // ticks) at any scale.
+
+  final case class ChaikinIn(symbol: String, day: java.sql.Date, ad: Double)
+  final case class ChaikinOut(symbol: String, day: java.sql.Date,
+      ad_line: Double, chaikin_osc: Double)
+
+  /** NEW r12: Chaikin Oscillator — EMA(span 3) − EMA(span 10) of the
+    * accumulation/distribution line, the A/D momentum gauge. The A/D
+    * input reuses the [[adLine]] emission exactly (CLV quantized to
+    * 6 dp, money-flow volumes re-summed as exact decimals, one final
+    * double conversion), so the EMA recursion's input doubles are
+    * bit-identical across engines; the recursion itself mirrors the
+    * runtime α arithmetic (2.0/4.0, 2.0/11.0 — never pre-folded
+    * literals) via the [[ppo]] sorted-group pattern.
+    */
+  def chaikinOsc(ticks: DataFrame): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    adLine(ticks)
+      .select(col("symbol"), col("day"), col("ad_line").as("ad"))
+      .as[ChaikinIn]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        val af = 2.0 / 4.0   // span-3 fast EMA
+        val as = 2.0 / 11.0  // span-10 slow EMA
+        var ef = 0.0
+        var es = 0.0
+        var first = true
+        it.map { b =>
+          if (first) { first = false; ef = b.ad; es = b.ad }
+          else {
+            ef = af * b.ad + (1.0 - af) * ef
+            es = as * b.ad + (1.0 - as) * es
+          }
+          ChaikinOut(sym, b.day, b.ad, ef - es)
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r12: moving-average crossover signals — the golden/death
+    * cross census every charting user runs. SMA5 vs SMA20 of daily
+    * closes compared WITHOUT division: sign(s5/5 − s20/20) =
+    * sign(4·s5 − s20) over exact decimal window sums, so the signal
+    * days are integer-exact on both engines (no float compare).
+    * Emits only the crossing days: 'golden' when the fast average
+    * crosses at-or-above from below, 'death' for the mirror.
+    */
+  def goldenCross(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    def w(n: Int) = dayOrder.rowsBetween(-(n - 1), 0)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("s5", sum(col("c")).over(w(5)))
+      .withColumn("s20", sum(col("c")).over(w(20)))
+      .withColumn("cnt", count(lit(1)).over(w(20)))
+      .filter(col("cnt") === 20)
+      .withColumn("d", col("s5") * 4 - col("s20"))
+      .withColumn("pd", lag(col("d"), 1).over(dayOrder))
+      .filter(col("pd").isNotNull &&
+        ((col("pd") <= 0 && col("d") > 0) || (col("pd") >= 0 && col("d") < 0)))
+      .select(col("symbol"), col("day"),
+        when(col("d") > 0, lit("golden")).otherwise(lit("death"))
+          .as("signal"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r12: Wald–Wolfowitz runs test on daily return signs — is the
+    * up/down sequence random? R = observed runs, μ = 2·n₁·n₂/n + 1,
+    * σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)); z = (R−μ)/σ. Inputs are pure
+    * integers (flat days dropped), the z chain is mirrored IEEE ops
+    * (sqrt is correctly-rounded — §4 libm rule), ROUND(…,4) + signed-
+    * zero guard. Degenerate series (all one sign, n < 2) emit NULL z.
+    */
+  def runsTest(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val signs = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull && col("c") =!= col("pc"))
+      .withColumn("s", when(col("c") > col("pc"), lit(1)).otherwise(lit(-1)))
+      .withColumn("ps", lag(col("s"), 1).over(dayOrder))
+    val agg = signs.groupBy("symbol").agg(
+      sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_up"),
+      sum(when(col("s") === -1, 1L).otherwise(0L)).as("n_down"),
+      (sum(when(col("ps").isNotNull && col("s") =!= col("ps"), 1L)
+        .otherwise(0L)) + 1L).as("runs"))
+    val n = (col("n_up") + col("n_down")).cast("double")
+    val p = (col("n_up") * col("n_down") * 2L).cast("double")
+    val mu = p / n + lit(1.0)
+    val va = p * (p - n) / (n * n * (n - lit(1.0)))
+    agg.select(col("symbol"), col("n_up"), col("n_down"), col("runs"),
+        when(col("n_up") > 0 && col("n_down") > 0 &&
+             col("n_up") + col("n_down") > 1 && va > 0,
+          round((col("runs").cast("double") - mu) / sqrt(va), 4) + lit(0.0))
+          .as("z"))
+      .orderBy("symbol")
+  }
+
+  /** NEW r12: overnight gap-fill census — of the days that opened away
+    * from the prior close, how often did price revisit it intraday
+    * (gap up fills when low ≤ prev close; gap down when high ≥)?
+    * Exact decimal compares, integer counts, one ROUND(…,4) true
+    * division per rate (NULL when a side has no gaps).
+    */
+  def gapFillRate(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("open").cast(dec).as("o"),
+        col("high").cast(dec).as("h"), col("low").cast(dec).as("l"),
+        col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull)
+      .groupBy("symbol")
+      .agg(
+        sum(when(col("o") > col("pc"), 1L).otherwise(0L)).as("gaps_up"),
+        sum(when(col("o") > col("pc") && col("l") <= col("pc"), 1L)
+          .otherwise(0L)).as("filled_up"),
+        sum(when(col("o") < col("pc"), 1L).otherwise(0L)).as("gaps_down"),
+        sum(when(col("o") < col("pc") && col("h") >= col("pc"), 1L)
+          .otherwise(0L)).as("filled_down"))
+      .select(col("symbol"), col("gaps_up"), col("filled_up"),
+        col("gaps_down"), col("filled_down"),
+        when(col("gaps_up") > 0,
+          round(col("filled_up").cast("double") /
+            col("gaps_up").cast("double"), 4)).as("fill_rate_up"),
+        when(col("gaps_down") > 0,
+          round(col("filled_down").cast("double") /
+            col("gaps_down").cast("double"), 4)).as("fill_rate_down"))
+      .orderBy("symbol")
+  }
+
+  /** NEW r12: turn-of-month seasonality — average daily return by
+    * day-of-month, the calendar-effect companion of [[dowReturns]]
+    * (same 6-dp quantized return series, same exact-decimal-sum /
+    * one-division RAW emission).
+    */
+  def turnOfMonth(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull && col("pc") =!= 0)
+      .select(col("symbol"), col("day"),
+        quant6((col("c") - col("pc")).cast("double") /
+          col("pc").cast("double") * 1000000.0).as("r"))
+      .groupBy(col("symbol"), dayofmonth(col("day")).cast("long").as("dom"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum(col("r")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_ret"))
+      .orderBy("symbol", "dom")
+  }
+
+  /** Shared daily 6-dp-quantized close-to-close return series (the
+    * [[betaDaily]] quantization): (symbol, day, r DECIMAL(18,6)).
+    */
+  private def dailyRet6(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    ticks.groupBy(col("symbol"), to_date(col("ts")).as("day"))
+      .agg(max_by(col("price"), tieKey).cast(dec).as("c"),
+        sum(col("volume")).as("vol"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .withColumn("pv", lag(col("vol"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull && col("pc") =!= 0)
+      .select(col("symbol"), col("day"),
+        quant6((col("c") - col("pc")).cast("double") /
+          col("pc").cast("double") * 1000000.0).as("r"),
+        (col("vol") - col("pv")).as("dv"))
+  }
+
+  /** NEW r12: daily price–volume correlation per symbol — Pearson corr
+    * of (6-dp quantized daily return, daily volume change). The
+    * co-moment sums are exact decimals (returns at scale 6, volume
+    * deltas as width-18/19 decimal products forcing INT128 in DuckDB);
+    * the correlation is the stddev class (§4): mirrored IEEE chain over
+    * the converted sums, ROUND(…,4) + signed-zero guard.
+    */
+  def priceVolumeCorr(ticks: DataFrame): DataFrame = {
+    val sq12 = DecimalType(38, 12)
+    val agg = dailyRet6(ticks).groupBy("symbol").agg(
+      count(lit(1)).as("n_days"),
+      count(lit(1)).cast("double").as("n"),
+      sum(col("r")).cast("double").as("sx"),
+      sum(col("dv")).cast("double").as("sy"),
+      sum((col("r") * col("dv").cast(DecimalType(19, 0)))
+        .cast(DecimalType(38, 6))).cast("double").as("sxy"),
+      sum((col("r") * col("r")).cast(sq12)).cast("double").as("sxx"),
+      sum((col("dv").cast(DecimalType(18, 0)) *
+        col("dv").cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
+        .cast("double").as("syy"))
+    val cn = col("sxy") - col("sx") * col("sy") / col("n")
+    val dx = col("sxx") - col("sx") * col("sx") / col("n")
+    val dy = col("syy") - col("sy") * col("sy") / col("n")
+    agg.select(col("symbol"), col("n_days"),
+        when(col("n") > 1.0 && dx > 0.0 && dy > 0.0,
+          round(cn / sqrt(dx * dy), 4) + lit(0.0)).as("pv_corr"))
+      .orderBy("symbol")
+  }
+
+  /** NEW r12: volatility of volatility — the sample stddev ACROSS days
+    * of the per-day Parkinson range term u = quant6(ln(high/low)), a
+    * second-moment regime gauge. u re-sums as exact decimals (the
+    * [[rangeVol]] series); the stddev is the §4 stddev class: mirrored
+    * conversion + ROUND(…,4).
+    */
+  def volOfVol(ticks: DataFrame): DataFrame = {
+    val sq12 = DecimalType(38, 12)
+    val u = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        col("high").cast(dec).as("h"), col("low").cast(dec).as("l"))
+      .filter(col("h") > 0 && col("l") > 0)
+      .select(col("symbol"),
+        quant6(log(col("h").cast("double") / col("l").cast("double"))
+          * 1000000.0).as("u"))
+    val agg = u.groupBy("symbol").agg(
+      count(lit(1)).as("n_days"),
+      count(lit(1)).cast("double").as("n"),
+      sum(col("u")).cast("double").as("s"),
+      sum((col("u") * col("u")).cast(sq12)).cast("double").as("sq"))
+    val va = (col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1.0)
+    agg.select(col("symbol"), col("n_days"),
+        when(col("n") > 1.0,
+          round(sqrt(when(va > 0.0, va).otherwise(lit(0.0))), 4) + lit(0.0))
+          .as("vol_of_vol"))
+      .orderBy("symbol")
+  }
+
+  /** NEW r12: AR(1) mean-reversion coefficient — the OLS slope of the
+    * daily return on its own lag (φ < 0 ⇒ reverting, φ > 0 ⇒
+    * trending; the Engle–Granger step-2 statistic applied to single
+    * names). Same exact-decimal co-moment machinery as [[betaDaily]],
+    * same stddev-class ROUND(…,4) emission.
+    */
+  def meanReversion(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val sq12 = DecimalType(38, 12)
+    val pairs = dailyRet6(ticks)
+      .withColumn("x", lag(col("r"), 1).over(dayOrder))
+      .filter(col("x").isNotNull)
+    val agg = pairs.groupBy("symbol").agg(
+      count(lit(1)).as("n_days"),
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("r")).cast("double").as("sy"),
+      sum((col("x") * col("r")).cast(sq12)).cast("double").as("sxy"),
+      sum((col("x") * col("x")).cast(sq12)).cast("double").as("sxx"))
+    val dx = col("sxx") - col("sx") * col("sx") / col("n")
+    agg.select(col("symbol"), col("n_days"),
+        when(col("n") > 1.0 && dx =!= 0.0,
+          round((col("sxy") - col("sx") * col("sy") / col("n")) / dx, 4)
+            + lit(0.0)).as("ar1_phi"))
+      .orderBy("symbol")
+  }
+
+  /** NEW r12: volume-price trend — the percentage-return sibling of
+    * [[obv]]: running Σ volume·ret where ret is the 4-dp WINSORIZED
+    * tick return ([[winsorizedRet4]]; 0 on a zero/NULL previous price
+    * by convention). Same distributed prefix-aggregation scaffold as
+    * obv (chunked within-day windows + per-day totals broadcast
+    * back). All arithmetic is INTEGER-exact: the return rides as a
+    * scaled BIGINT (1e-4 units), per-tick products and running sums
+    * are scale-0 decimals — scale-0 decimal addition has no
+    * precision-39 scale-trim cliff (§4 r11) — and ONE mirrored
+    * division by 1e4 converts at emission.
+    */
+  def vpt(ticks: DataFrame): DataFrame = {
+    val t = ticks.withColumn("chunk_day", to_date(col("ts")))
+    val contrib = chunkedLag1(t, "price", "prev")
+      .withColumn("r4u",
+        when(col("prev").isNotNull && col("prev") =!= 0,
+          (winsorizedRet4 * 10000).cast("long")).otherwise(lit(0L)))
+      .withColumn("pv",
+        (col("r4u").cast(DecimalType(7, 0)) *
+          col("volume").cast(DecimalType(19, 0))).cast(DecimalType(27, 0)))
+    val offsets = contrib.groupBy(col("symbol"), col("chunk_day"))
+      .agg(sum(col("pv")).as("day_total"))
+      .select(col("symbol"), col("chunk_day"),
+        coalesce(sum(col("day_total")).over(priorDays),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0)))
+          .as("cum_offset"))
+    contrib.join(offsets, Seq("symbol", "chunk_day"))
+      .select(col("event_id"), col("symbol"),
+        ((sum(col("pv")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, 0))
+          + col("cum_offset")).cast("double") / 10000.0).as("vpt"))
+      .orderBy("event_id")
+  }
 }

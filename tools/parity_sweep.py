@@ -60,6 +60,8 @@ q_parabolic_sar q_chandelier q_risk_ratios q_supertrend q_coppock
 q_inter_arrival q_range_vol
 q_ppo q_dpo q_bop q_ultimate_osc q_hull_ma q_kst q_breadth q_mcclellan
 q_cs_spread q_renko q_zigzag
+q_chaikin_osc q_golden_cross q_runs_test q_gap_fill_rate
+q_turn_of_month q_pv_corr q_vol_of_vol q_mean_reversion q_vpt
 """.split()
 
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.{ChangeData, EventAnalytics, MarketOps, Relational}
-import graft.pipeline.{Dedup, Similarity, TextOps}
+import graft.pipeline.{Dedup, KMeansOps, Similarity, TextOps}
 import graft.tsdb.TickStore
 
 /** Driver contract — see SURVEY.md §2 for the capability each query
@@ -412,6 +412,18 @@ object SparkEntry {
             (col("doc_id") % 3).cast("string"))).otherwise(col("text")))
       Dedup.crossSourceLeakage(aug)
     }),
+    // ---- NEW r12 text / clustering / events / OLAP batch ----
+    "q_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(Tables.documents(s, dir))),
+    "q_pair_lift" -> ((s, dir) => TextOps.pairLift(Tables.documents(s, dir))),
+    "q_df_stopwords" -> ((s, dir) =>
+      TextOps.dfStopwords(Tables.documents(s, dir))),
+    "q_kmeans_embed" -> ((s, dir) =>
+      KMeansOps.kmeansCensus(Tables.embeddings(s, dir))),
+    "q_anomaly_days" -> ((s, dir) =>
+      EventAnalytics.anomalyDays(Tables.events(s, dir))),
+    "q_audience_overlap" -> ((s, dir) =>
+      EventAnalytics.audienceOverlap(Tables.events(s, dir))),
+    "q_skyline" -> ((s, dir) => Relational.skyline(s, dir)),
     "q_collocations" -> ((s, dir) =>
       TextOps.collocations(Tables.documents(s, dir), 20)),
     "q_mojibake" -> ((s, dir) => {
@@ -5759,6 +5771,222 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END)
         |            AS BIGINT) AS n_https
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ---- NEW r12 text / clustering / events / OLAP batch ----
+    "q_zipf_slope" ->
+      // per-source top-100 by (count desc, word asc) — the engine-
+      // neutral ranking the graft_min_k packed key reproduces; ln
+      // terms quant6'd (the tokenEntropy libm discipline), slope is
+      // the stddev class (ROUND 4, +0.0)
+      s"""WITH words AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+         |c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM words GROUP BY 1, 2),
+         |r AS (SELECT source, cnt,
+         |             ROW_NUMBER() OVER (PARTITION BY source
+         |                                ORDER BY cnt DESC, w) AS rk
+         |      FROM c QUALIFY rk <= 100),
+         |q AS (SELECT source,
+         |             ${duckQ6("ln(CAST(rk AS DOUBLE))")} AS x,
+         |             ${duckQ6("ln(CAST(cnt AS DOUBLE))")} AS y
+         |      FROM r),
+         |a AS (SELECT source,
+         |             CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |             CAST(COUNT(*) AS DOUBLE) AS n,
+         |             CAST(SUM(x) AS DOUBLE) AS sx,
+         |             CAST(SUM(y) AS DOUBLE) AS sy,
+         |             CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         |             CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+         |      FROM q GROUP BY 1)
+         |SELECT source, n_terms,
+         |       CASE WHEN n > 1.0 AND sxx - sx * sx / n <> 0.0
+         |            THEN ROUND((sxy - sx * sy / n)
+         |                   / (sxx - sx * sx / n), 4) + 0.0
+         |       END AS zipf_slope
+         |FROM a ORDER BY source""".stripMargin,
+    "q_pair_lift" ->
+      // lift = n_ab·N/(n_a·n_b): exact-int inputs through one mirrored
+      // double chain; ranked on the RAW double (bit-identical), ties
+      // broken by (w1, w2); emission ROUND(…,4)
+      """WITH ws AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |           i -> [ws[i], ws[i + 1]])) AS pr
+        |  FROM ws WHERE len(ws) >= 2),
+        |bgc AS (
+        |  SELECT pr[1] AS w1, pr[2] AS w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |u AS (SELECT unnest(ws) AS w FROM ws),
+        |uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM u GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM u),
+        |j AS (
+        |  SELECT b.w1, b.w2, b.n_ab, a.n_w AS n_a, c.n_w AS n_b,
+        |         (CAST(b.n_ab AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+        |           / (CAST(a.n_w AS DOUBLE) * CAST(c.n_w AS DOUBLE)) AS lift_raw
+        |  FROM bgc b JOIN uc a ON a.w = b.w1 JOIN uc c ON c.w = b.w2
+        |  CROSS JOIN tot t)
+        |SELECT w1, w2, n_ab, n_a, n_b, ROUND(lift_raw, 4) AS lift
+        |FROM j ORDER BY lift_raw DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q_df_stopwords" ->
+      // document-frequency top-20 (df desc, word asc), one ROUND(…,4)
+      // division of exact counts
+      """WITH dw AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |dfc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM dw GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |       FROM documents)
+        |SELECT w AS word, df, n_docs,
+        |       ROUND(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) AS df_share
+        |FROM dfc CROSS JOIN nd
+        |ORDER BY df DESC, word LIMIT 20""".stripMargin,
+    "q_kmeans_embed" ->
+      // transparent 2-round Lloyd from the deterministic vec_id<4 init:
+      // assignment = rounded-argmin (the q_ann_ivf rule), centroid
+      // update = quant6 mean of quant6 components (exact decimal sums)
+      // — the whole iteration re-derived independently by both engines
+      s"""WITH vecs AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, ve AS c
+         |       FROM vecs WHERE vec_id < 4),
+         |d1 AS (
+         |  SELECT v.vec_id, ct.cluster,
+         |         ROUND(list_sum(list_transform(generate_series(1, len(v.ve)),
+         |           i -> (v.ve[i] - ct.c[i]) * (v.ve[i] - ct.c[i]))), 6) AS d
+         |  FROM vecs v CROSS JOIN c0 ct),
+         |a1 AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                              ORDER BY d, cluster) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |m1p AS (
+         |  SELECT a.cluster, unnest(generate_series(1, len(v.ve))) AS pos,
+         |         v.ve AS ve
+         |  FROM a1 a JOIN vecs v USING (vec_id)),
+         |m1q AS (SELECT cluster, pos, ${duckQ6("ve[pos]")} AS qv FROM m1p),
+         |m1 AS (SELECT cluster, pos, SUM(qv) AS s, COUNT(*) AS n
+         |       FROM m1q GROUP BY 1, 2),
+         |c1 AS (
+         |  SELECT cluster,
+         |         list(CAST(${duckQ6("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")}
+         |              AS DOUBLE) ORDER BY pos) AS c
+         |  FROM m1 GROUP BY 1),
+         |d2 AS (
+         |  SELECT v.vec_id, ct.cluster,
+         |         ROUND(list_sum(list_transform(generate_series(1, len(v.ve)),
+         |           i -> (v.ve[i] - ct.c[i]) * (v.ve[i] - ct.c[i]))), 6) AS d
+         |  FROM vecs v CROSS JOIN c1 ct),
+         |a2 AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                              ORDER BY d, cluster) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |m2p AS (
+         |  SELECT a.cluster, unnest(generate_series(1, len(v.ve))) AS pos,
+         |         v.ve AS ve
+         |  FROM a2 a JOIN vecs v USING (vec_id)),
+         |m2q AS (SELECT cluster, pos, ${duckQ6("ve[pos]")} AS qv FROM m2p),
+         |m2 AS (SELECT cluster, pos, SUM(qv) AS s, COUNT(*) AS n
+         |       FROM m2q GROUP BY 1, 2),
+         |c2 AS (
+         |  SELECT cluster,
+         |         list(CAST(${duckQ6("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")}
+         |              AS DOUBLE) ORDER BY pos) AS c
+         |  FROM m2 GROUP BY 1),
+         |d3 AS (
+         |  SELECT v.vec_id, ct.cluster,
+         |         ROUND(list_sum(list_transform(generate_series(1, len(v.ve)),
+         |           i -> (v.ve[i] - ct.c[i]) * (v.ve[i] - ct.c[i]))), 6) AS d
+         |  FROM vecs v CROSS JOIN c2 ct),
+         |a3 AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                              ORDER BY d, cluster) AS rn
+         |    FROM d3) WHERE rn = 1)
+         |SELECT CAST(cluster AS BIGINT) AS cluster,
+         |       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |       CAST(MIN(vec_id) AS BIGINT) AS exemplar
+         |FROM a3 GROUP BY 1 ORDER BY cluster""".stripMargin,
+    "q_anomaly_days" ->
+      // trailing 7-observation window (current day excluded); integer
+      // counts, DECIMAL squares (long² overflows ANSI at scale),
+      // stddev-class z with the ROUNDED value driving the filter
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, n_events,
+        |         COUNT(*) OVER w AS cnt7,
+        |         CAST(SUM(n_events) OVER w AS BIGINT) AS s,
+        |         SUM(CAST(CAST(n_events AS DECIMAL(18,0))
+        |             * CAST(n_events AS DECIMAL(18,0)) AS DECIMAL(37,0)))
+        |           OVER w AS sq
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        |  SELECT event_type, day, n_events,
+        |         CAST(s AS DOUBLE) / 7.0 AS mean,
+        |         SQRT(CASE WHEN (CAST(sq AS DOUBLE)
+        |                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 7.0)
+        |                / (7.0 - 1.0) > 0.0
+        |              THEN (CAST(sq AS DOUBLE)
+        |                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 7.0)
+        |                / (7.0 - 1.0) ELSE 0.0 END) AS sd
+        |  FROM t WHERE cnt7 = 7),
+        |z AS (
+        |  SELECT event_type, day, n_events,
+        |         CASE WHEN sd > 0.0
+        |              THEN ROUND((CAST(n_events AS DOUBLE) - mean) / sd, 4)
+        |                     + 0.0 END AS z
+        |  FROM f)
+        |SELECT event_type, day, n_events, z FROM z
+        |WHERE z IS NOT NULL AND ABS(z) >= 2.0
+        |ORDER BY event_type, day""".stripMargin,
+    "q_audience_overlap" ->
+      // ONE distinct (type, user) projection feeds sizes and both
+      // self-join sides; jaccard = one ROUND(…,4) of exact counts
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        |       FROM du GROUP BY 1),
+        |it AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM du a JOIN du b ON a.user_id = b.user_id
+        |                     AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n_users AS users_a, sb.n_users AS users_b,
+        |       n_both,
+        |       ROUND(CAST(n_both AS DOUBLE)
+        |         / CAST(sa.n_users + sb.n_users - n_both AS DOUBLE), 4)
+        |         AS jaccard
+        |FROM it
+        |JOIN sz sa ON sa.event_type = it.type_a
+        |JOIN sz sb ON sb.event_type = it.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q_skyline" ->
+      // kept ⟺ price = dmax(date) ∧ price > suffix-max of later dates;
+      // exact decimal compares, no all-pairs join
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS p
+        |  FROM orders),
+        |dm AS (SELECT odate, MAX(p) AS dmax FROM o GROUP BY 1),
+        |sx AS (
+        |  SELECT odate, dmax,
+        |         MAX(dmax) OVER (ORDER BY odate DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS later_max
+        |  FROM dm)
+        |SELECT o.o_orderkey, o.odate, CAST(o.p AS DOUBLE) AS o_totalprice
+        |FROM o JOIN sx USING (odate)
+        |WHERE o.p = sx.dmax
+        |  AND (sx.later_max IS NULL OR o.p > sx.later_max)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_collocations" ->
       """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
         |p AS (SELECT unnest(CASE WHEN len(ws) >= 2

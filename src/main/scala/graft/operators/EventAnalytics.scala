@@ -451,4 +451,72 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("depth")
   }
+
+  /** NEW r12: event-volume anomaly days — per event type, days whose
+    * count sits ≥ `zMin` sample stddevs from the TRAILING 7-day
+    * mean (current day excluded, full trailing weeks only): the
+    * monitoring query every feed operator runs. Counts are integers,
+    * squares go through DECIMAL(18,0)² (long² would overflow under
+    * ANSI on 100 TB day counts), z is a mirrored IEEE chain with
+    * stddev-class ROUND(…,4)+0.0; the filter compares the ROUNDED z
+    * so the row set is engine-deterministic.
+    */
+  def anomalyDays(events: DataFrame, zMin: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    val t = daily
+      .withColumn("cnt7", count(lit(1)).over(w))
+      .withColumn("s", sum(col("n_events")).over(w))
+      .withColumn("sq", sum((col("n_events").cast(DecimalType(18, 0)) *
+        col("n_events").cast(DecimalType(18, 0))).cast(DecimalType(37, 0)))
+        .over(w))
+      .filter(col("cnt7") === 7)
+    val n = lit(7.0)
+    val sd = col("sd")
+    t.withColumn("mean", col("s").cast("double") / n)
+      .withColumn("va",
+        (col("sq").cast("double") - col("s").cast("double") *
+          col("s").cast("double") / n) / (n - lit(1.0)))
+      .withColumn("sd", sqrt(when(col("va") > 0.0, col("va")).otherwise(lit(0.0))))
+      .withColumn("z", when(sd > 0.0,
+        round((col("n_events").cast("double") - col("mean")) / sd, 4)
+          + lit(0.0)))
+      .filter(col("z").isNotNull && abs(col("z")) >= zMin)
+      .select(col("event_type"), col("day"), col("n_events"), col("z"))
+      .orderBy("event_type", "day")
+  }
+
+  /** NEW r12: audience overlap matrix — Jaccard similarity of the
+    * distinct-user bases of every event-type pair (the feature-
+    * adoption overlap report). ONE distinct (type, user) projection
+    * feeds both self-join sides (shared exchange, the basketPairs
+    * shape) and the per-type sizes; user_id is the high-cardinality
+    * join key so the shuffle is skew-free, and the pair table is
+    * |types|² rows. Jaccard = one ROUND(…,4) division of exact
+    * counts.
+    */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val du = events.select(col("event_type"), col("user_id")).distinct()
+    val sizes = du.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    val inter = du.as("a").join(du.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(sizes.select(col("event_type").as("type_a"),
+        col("n_users").as("users_a")), "type_a")
+      .join(sizes.select(col("event_type").as("type_b"),
+        col("n_users").as("users_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+        col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("users_a") + col("users_b") - col("n_both")).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
 }

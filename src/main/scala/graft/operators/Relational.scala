@@ -819,4 +819,32 @@ object Relational {
         Array(col("sum_qty"), col("sum_price"), col("sum_disc"), col("sum_tax")),
         "measure", "value")
       .orderBy("l_returnflag", "measure")
+
+  /** NEW r12: skyline (Pareto frontier) of orders on (order date ↑,
+    * total price ↑): an order survives iff no other order is at least
+    * as recent AND at least as expensive with one strict — the classic
+    * two-attribute dominance query, distributed WITHOUT an all-pairs
+    * join: per-date maxima (one fact shuffle on the bounded date key)
+    * + a strictly-later suffix max over the tiny date table, then a
+    * broadcast-back semi-filter (AQE-chosen, unhinted). All compares
+    * run on exact decimals. kept ⟺ price = dmax(date) ∧ price >
+    * max(dmax over later dates) — same-date same-price ties all
+    * survive (neither dominates).
+    */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"),
+        d("o_totalprice").as("p"))
+    val dmax = o.groupBy(col("odate")).agg(max(col("p")).as("dmax"))
+    val later = Window.orderBy(col("odate").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sfx = dmax.withColumn("later_max", max(col("dmax")).over(later))
+    o.join(sfx, "odate")
+      .filter(col("p") === col("dmax") &&
+        (col("later_max").isNull || col("p") > col("later_max")))
+      .select(col("o_orderkey"), col("odate"),
+        col("p").cast("double").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Transparent Lloyd k-means over the embedding table — the semantic-
+  * clustering pass a training-data pipeline runs for topic balancing /
+  * coverage audits (cluster-then-sample curation). Unlike
+  * [[IvfIndex]] (whose ML-fitted centroids are opaque inputs the
+  * oracle merely re-consumes), every step here is ENGINE-NEUTRAL and
+  * re-derivable from the data alone, so an independent engine
+  * reproduces the full iteration bit-for-bit:
+  *
+  *  - init: centroids = the embeddings of `vec_id` 0..k−1 (deterministic,
+  *    content-free);
+  *  - assign: argmin of squared-L2 distance ROUND(…,6), ties to the
+  *    lower cluster id (the IvfIndex assignment rule);
+  *  - update: each centroid component is the 6-dp-quantized mean of
+  *    6-dp-quantized member components — the sums are exact decimals,
+  *    so the new centroids are exact 6-dp values on both engines (the
+  *    §4 quantization discipline applied to Lloyd's step). A cluster
+  *    that loses all members drops out (no empty-cluster re-seed),
+  *    identically on both engines.
+  *
+  * Scale posture: per iteration ONE scan of the embedding table
+  * (assignment is a codegen'd expression over k inlined centroids — a
+  * broadcast-free map), one (cluster, component) partial-agg shuffle of
+  * k·dim counter rows, and a k·dim-row driver collect (the standard
+  * k-means driver-held-model pattern; k·dim ≈ 256 doubles here). Text
+  * and embeddings never shuffle.
+  */
+object KMeansOps {
+
+  private def quant6(s: Column): Column = {
+    val q = when(s >= 0, floor(s + 0.5)).otherwise(ceil(s - 0.5))
+    (q.cast("long").cast(DecimalType(18, 0)) *
+      lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+      .cast(DecimalType(18, 6))
+  }
+
+  /** Squared L2 distance to a constant centroid, folded in index order
+    * (mirrors DuckDB's list_sum over the same term order), rounded to
+    * 6 digits — the IvfIndex assignment rule.
+    */
+  private def sqDist(ve: Column, c: Array[Double]): Column =
+    round(aggregate(
+      zip_with(ve, typedLit(c.toSeq), (v, w) => (v - w) * (v - w)),
+      lit(0.0), (acc, x) => acc + x), 6)
+
+  /** `iters` Lloyd rounds from the deterministic init, then the final
+    * cluster census: (cluster, n_vectors, exemplar = min vec_id).
+    */
+  def kmeansCensus(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+    val ve = transform(col("embedding"), _.cast("double"))
+    var cents: Seq[(Int, Array[Double])] = emb.filter(col("vec_id") < k)
+      .orderBy("vec_id").select(col("vec_id"), ve.as("v")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+    def assign: DataFrame = {
+      val cell = array_min(array(cents.map { case (i, c) =>
+        struct(sqDist(ve, c).as("d"), lit(i).as("c"))
+      }: _*)).getField("c")
+      emb.select(col("vec_id"), col("embedding"), cell.as("cluster"))
+    }
+    for (_ <- 1 to iters) {
+      val comps = assign
+        .select(col("cluster"), posexplode(ve).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(quant6(col("v") * 1000000.0)).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"), col("pos"),
+          quant6(col("s").cast("double") / col("n").cast("double")
+            * 1000000.0).cast("double").as("m"))
+      cents = comps.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (c, rows) => (c, rows.sortBy(_._2).map(_._3).toArray) }
+    }
+    assign.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("exemplar"))
+      .select(col("cluster").cast("long").as("cluster"), col("n_vectors"),
+        col("exemplar"))
+      .orderBy("cluster")
+  }
+}

@@ -971,4 +971,117 @@ object TextOps {
         (col("n_hapax").cast("double") / col("vocab").cast("double"))
           .as("hapax_share"))
       .orderBy("source")
+
+  /** The shared 6-dp quantization (SURVEY §4; expects s = value·1e6). */
+  private def quant6(s: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = when(s >= 0, floor(s + 0.5)).otherwise(ceil(s - 0.5))
+    (q.cast("long").cast(DecimalType(18, 0)) *
+      lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+      .cast(DecimalType(18, 6))
+  }
+
+  /** NEW r12: Zipf slope per source — the OLS slope of quant6(ln count)
+    * on quant6(ln rank) over each source's top-k tokens, the classic
+    * corpus-health power-law check (natural text ≈ −1; templated or
+    * synthetic corpora drift off it). Per-source top-k by (count desc,
+    * word asc) rides `graft_min_k` on a complement-packed string key —
+    * k rows per source per map partition, NEVER a vocab sort under a
+    * low-cardinality window (the §3.5 sampler rule). The ln terms are
+    * 6-dp quantized (the tokenEntropy libm discipline), the co-moment
+    * sums exact decimals, the slope stddev-class ROUND(…,4).
+    */
+  def zipfSlope(docs: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val counts = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    // (count desc, word asc) == min over lpad(1e18−count, 18) || word;
+    // counts are < 1e18 so the complement stays an 18-digit positive
+    // integer where lexicographic == numeric
+    val packed = concat(
+      lpad((lit(999999999999999999L) - col("cnt")).cast("string"), 18, "0"),
+      col("w"))
+    val ranked = counts
+      .select(col("source"), packed.as("mk"), lit(0L).as("id0"))
+      .groupBy(col("source"))
+      .agg(expr(s"graft_min_k(mk, id0, $k)").as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("i", "kd")))
+      .select(col("source"), (col("i") + 1).cast("long").as("rk"),
+        (lit(999999999999999999L) -
+          substring(col("kd.k"), 1, 18).cast("long")).as("cnt"))
+    val x = quant6(log(col("rk").cast("double")) * 1000000.0)
+    val y = quant6(log(col("cnt").cast("double")) * 1000000.0)
+    val sq12 = DecimalType(38, 12)
+    val a = ranked.select(col("source"), x.as("x"), y.as("y"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_terms"),
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(sq12)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(sq12)).cast("double").as("sxx"))
+    val dx = col("sxx") - col("sx") * col("sx") / col("n")
+    a.select(col("source"), col("n_terms"),
+        when(col("n") > 1.0 && dx =!= 0.0,
+          round((col("sxy") - col("sx") * col("sy") / col("n")) / dx, 4)
+            + lit(0.0)).as("zipf_slope"))
+      .orderBy("source")
+  }
+
+  /** NEW r12: collocation lift — the top-k adjacent word pairs by
+    * observed/expected ratio lift = n_ab·N/(n_a·n_b) (the exp of PMI,
+    * libm-free: pure integer counts through ONE mirrored double
+    * chain), min-support gated. Complements [[collocations]] (raw
+    * frequency surfaces stopword pairs; lift surfaces genuinely
+    * associated pairs). Ranking runs on the RAW double (bit-identical
+    * across engines — exact-int inputs, identical IEEE ops) with a
+    * (w1, w2) tiebreak; emission is ROUND(…,4).
+    */
+  def pairLift(docs: DataFrame, k: Int = 20, minCount: Long = 5L): DataFrame = {
+    val ws = docs.select(split(lower(col("text")), " ").as("ws"))
+    val pairs = ws
+      .select(explode(when(size(col("ws")) >= 2,
+        expr("transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2))"))
+        .otherwise(expr("array()"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val total = uni.agg(sum(col("n_w")).as("n_total"))
+    val lift = (col("n_ab").cast("double") * col("n_total").cast("double")) /
+      (col("n_a").cast("double") * col("n_b").cast("double"))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_raw", lift)
+      .orderBy(col("lift_raw").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("lift_raw"), 4).as("lift"))
+  }
+
+  /** NEW r12: corpus-derived stopword table — the k highest-document-
+    * frequency tokens with their df share, the data-driven stopword
+    * discovery pass (the flip side of [[hapax]]). Global top-k =
+    * TakeOrderedAndProject (map-side k rows); share is one ROUND(…,4)
+    * true division of exact counts.
+    */
+  def dfStopwords(docs: DataFrame, k: Int = 20): DataFrame = {
+    val df = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+        .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    df.crossJoin(broadcast(nDocs))
+      .orderBy(col("df").desc, col("w"))
+      .limit(k)
+      .select(col("w").as("word"), col("df"), col("n_docs"),
+        round(col("df").cast("double") / col("n_docs").cast("double"), 4)
+          .as("df_share"))
+  }
 }

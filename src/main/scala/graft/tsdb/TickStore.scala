@@ -145,35 +145,6 @@ final class TickStore(spark: SparkSession, path: String,
     (r.getLong(0), Option(r.getTimestamp(1)))
   }
 
-  /** Compact each partition's accumulated small files (streaming and
-    * per-batch appends leave one file per micro-batch) into `filesPer`
-    * time-sorted files per partition. Uses dynamic partition overwrite
-    * so untouched partitions are left alone; at 100 TB this runs
-    * per-partition as routine maintenance, exactly like the
-    * reference's chunked file preallocation amortizes its write cost
-    * (/root/reference/README.md:81-83).
-    */
-  def compact(): Unit = {
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val partCols = if (dailyPartitions) Seq("symbol", "ts_date") else Seq("symbol")
-      // localCheckpoint breaks lineage so overwriting the source path
-      // is safe (no lazy re-read of overwritten files)
-      val data = raw().localCheckpoint()
-      data
-        .repartition(partCols.map(col): _*)
-        .sortWithinPartitions("ts")
-        .write.mode(SaveMode.Overwrite).option("compression", codec)
-        .partitionBy(partCols: _*).parquet(path)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
-  }
-
   /** Tick count — reference `get_count`
     * (/root/reference/timeseries_db.hpp:44). Metadata-only at the parquet
     * level (row-group counts), no column IO.
@@ -242,6 +213,75 @@ final class TickStore(spark: SparkSession, path: String,
         pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
       }
     }
+  }
+
+  /** Small-file compaction — the maintenance pass every append-only
+    * store needs (each [[ingest]]/[[append]] commit lands at least one
+    * file per touched partition, so a high-frequency writer fragments
+    * the store and scan/listing cost grows with FILE count, not data).
+    * Rewrites every partition holding more than `maxFiles` data files
+    * into ONE ts-sorted file via Spark's DYNAMIC partition overwrite:
+    * only fragmented partitions are replaced (untouched partitions'
+    * files are not rewritten, listed, or read), each swap goes through
+    * the commit protocol, and the rewrite re-sorts by ts so row-group
+    * pruning stays tight after heavy out-of-order appends.
+    *
+    * At 100 TB: the fragmented-partition discovery is ONE glob listing
+    * (bulk prefix list on an object store, the expire pattern); the
+    * rewrite reads and writes only the fragmented partitions'
+    * bytes — cost O(fragmented data), independent of store size. The
+    * partition filter is a disjunction of per-symbol conjunctions, so
+    * directory-level pruning applies to the read side too. Same
+    * concurrent-reader caveat as [[expire]]: a query planned before
+    * the swap can hit a vanished file — the standard caveat of any
+    * rewrite on an immutable-file store.
+    *
+    * Returns the number of partitions compacted.
+    */
+  def compact(maxFiles: Int = 1): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return 0
+    val pattern = if (dailyPartitions) "symbol=*/ts_date=*" else "symbol=*"
+    val dirs = fs.globStatus(new org.apache.hadoop.fs.Path(root, pattern))
+    if (dirs == null) return 0
+    def dataFiles(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val fragged = dirs.iterator.filter(_.isDirectory)
+      .map(_.getPath).filter(dataFiles(_) > maxFiles).toVector
+    if (fragged.isEmpty) return 0
+    // partition filter: per-symbol conjunctions OR'd — stays in the
+    // partition-pruning subset of Catalyst filters on both axes
+    val filter: org.apache.spark.sql.Column =
+      if (dailyPartitions)
+        fragged.groupBy(_.getParent.getName.stripPrefix("symbol="))
+          .map { case (sym, ps) =>
+            col("symbol") === sym &&
+              col("ts_date").isin(ps.map(p => java.sql.Date.valueOf(
+                p.getName.stripPrefix("ts_date="))): _*)
+          }.reduce(_ || _)
+      else
+        col("symbol").isin(
+          fragged.map(_.getName.stripPrefix("symbol=")): _*)
+    val parts: Seq[String] =
+      if (dailyPartitions) Seq("symbol", "ts_date") else Seq("symbol")
+    // localCheckpoint materializes ONLY the fragmented partitions'
+    // rows (bounded by the fragmented data, not store size) and breaks
+    // lineage so the overwrite cannot lazily re-read the files it is
+    // replacing
+    val data = raw().filter(filter).localCheckpoint()
+    data
+      .repartition(parts.map(col): _*)
+      .sortWithinPartitions("ts")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", codec)
+      .partitionBy(parts: _*).parquet(path)
+    fragged.size
   }
 
   /** Symbol-level retention for EITHER layout: drop a delisted

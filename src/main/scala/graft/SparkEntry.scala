@@ -221,6 +221,13 @@ object SparkEntry {
     "q_vol_of_vol" -> ((s, dir) => MarketOps.volOfVol(ticks(s, dir))),
     "q_mean_reversion" -> ((s, dir) => MarketOps.meanReversion(ticks(s, dir))),
     "q_vpt" -> ((s, dir) => MarketOps.vpt(ticks(s, dir))),
+    "q_klinger" -> ((s, dir) => MarketOps.klinger(ticks(s, dir))),
+    "q_nvi_pvi" -> ((s, dir) => MarketOps.nviPvi(ticks(s, dir))),
+    "q_vol_cone" -> ((s, dir) => MarketOps.volCone(ticks(s, dir))),
+    "q_new_returning" -> ((s, dir) =>
+      EventAnalytics.newVsReturning(Tables.events(s, dir))),
+    "q_bigram_entropy" -> ((s, dir) =>
+      TextOps.bigramEntropy(Tables.documents(s, dir))),
     "q_drawdown_episodes" -> ((s, dir) =>
       MarketOps.drawdownEpisodes(ticks(s, dir), 3)),
     "q_market_index" -> ((s, dir) => MarketOps.marketIndex(ticks(s, dir))),
@@ -4372,6 +4379,186 @@ object SparkEntry {
         |            OVER (PARTITION BY symbol ORDER BY ts, event_id
         |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 10000.0 AS vpt
         |FROM r ORDER BY event_id""".stripMargin,
+    "q_klinger" -> {
+      // the (trend, cm) state machine on exact decimals; VF and both
+      // EMAs are mirrored double chains with runtime α (2/35, 2/56);
+      // expressions repeated inline (the recursive arm cannot alias)
+      val trendB = "CASE WHEN b.hlc > b.phlc THEN 1 ELSE -1 END"
+      val cmB = s"CASE WHEN ($trendB) = r.trend THEN r.cm + b.dm " +
+        "ELSE b.dmp + b.dm END"
+      def vf(cm: String, trend: String) =
+        s"""CASE WHEN ($cm) <> 0 THEN CAST(b.vol AS DOUBLE)
+           |  * ABS(2.0 * (CAST(b.dm AS DOUBLE) / CAST(($cm) AS DOUBLE) - 1.0))
+           |  * ($trend) * 100.0 ELSE 0.0 END""".stripMargin
+      val seedTrend = "CASE WHEN b.hlc > b.phlc THEN 1 ELSE -1 END"
+      val seedCm = "b.dmp + b.dm"
+      s"""WITH RECURSIVE b0 AS (
+         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+         |         CAST(MAX(value) AS DECIMAL(18,2)) AS h,
+         |         CAST(MIN(value) AS DECIMAL(18,2)) AS l,
+         |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+         |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+         |              AS DECIMAL(18,2)) AS c,
+         |         CAST(SUM(user_id) AS BIGINT) AS vol
+         |  FROM events GROUP BY 1, 2),
+         |b AS (
+         |  SELECT symbol, day, vol,
+         |         h + l + c AS hlc, LAG(h + l + c) OVER w AS phlc,
+         |         h - l AS dm, LAG(h - l) OVER w AS dmp,
+         |         ROW_NUMBER() OVER w AS rn
+         |  FROM b0 WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+         |r AS (
+         |  SELECT b.symbol, b.rn, b.day,
+         |         CAST($seedTrend AS BIGINT) AS trend,
+         |         $seedCm AS cm,
+         |         ${vf(seedCm, seedTrend)} AS ef,
+         |         ${vf(seedCm, seedTrend)} AS es
+         |  FROM b WHERE b.rn = 2
+         |  UNION ALL
+         |  SELECT b.symbol, b.rn, b.day,
+         |         CAST($trendB AS BIGINT),
+         |         $cmB,
+         |         (2.0 / 35.0) * (${vf(cmB, trendB)})
+         |           + (1.0 - 2.0 / 35.0) * r.ef,
+         |         (2.0 / 56.0) * (${vf(cmB, trendB)})
+         |           + (1.0 - 2.0 / 56.0) * r.es
+         |  FROM b JOIN r ON b.symbol = r.symbol AND b.rn = r.rn + 1)
+         |SELECT symbol, day, trend, ef - es AS kvo
+         |FROM r ORDER BY symbol, day""".stripMargin
+    },
+    "q_nvi_pvi" ->
+      // sequential multiplicative recursion in mirrored doubles from
+      // the 1000.0 base; zero prev close keeps both indices unchanged
+      """WITH RECURSIVE b AS (
+        |  SELECT symbol, day, c, vol,
+        |         LAG(c) OVER w AS pc, LAG(vol) OVER w AS pvol,
+        |         ROW_NUMBER() OVER w AS rn
+        |  FROM (
+        |    SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |           CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |                AS DECIMAL(18,2)) AS c,
+        |           CAST(SUM(user_id) AS BIGINT) AS vol
+        |    FROM events GROUP BY 1, 2)
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+        |r AS (
+        |  SELECT symbol, rn, day,
+        |         CASE WHEN pc <> 0 AND vol < pvol
+        |              THEN 1000.0 * (1.0 + CAST(c - pc AS DOUBLE)
+        |                                     / CAST(pc AS DOUBLE))
+        |              ELSE 1000.0 END AS nvi,
+        |         CASE WHEN pc <> 0 AND vol > pvol
+        |              THEN 1000.0 * (1.0 + CAST(c - pc AS DOUBLE)
+        |                                     / CAST(pc AS DOUBLE))
+        |              ELSE 1000.0 END AS pvi
+        |  FROM b WHERE rn = 2
+        |  UNION ALL
+        |  SELECT b.symbol, b.rn, b.day,
+        |         CASE WHEN b.pc <> 0 AND b.vol < b.pvol
+        |              THEN r.nvi * (1.0 + CAST(b.c - b.pc AS DOUBLE)
+        |                                    / CAST(b.pc AS DOUBLE))
+        |              ELSE r.nvi END,
+        |         CASE WHEN b.pc <> 0 AND b.vol > b.pvol
+        |              THEN r.pvi * (1.0 + CAST(b.c - b.pc AS DOUBLE)
+        |                                    / CAST(b.pc AS DOUBLE))
+        |              ELSE r.pvi END
+        |  FROM b JOIN r ON b.symbol = r.symbol AND b.rn = r.rn + 1)
+        |SELECT symbol, day, nvi, pvi FROM r ORDER BY symbol, day""".stripMargin,
+    "q_vol_cone" -> {
+      // per-window variance from exact decimal sums (bit-identical
+      // doubles → order-free MIN/MAX); mean over re-quantized vols
+      def horizon(h: Int) =
+        s"""SELECT symbol, CAST($h AS BIGINT) AS horizon,
+           |       SQRT(CASE WHEN (sq - s * s / $h.0) / ($h.0 - 1.0) > 0.0
+           |                 THEN (sq - s * s / $h.0) / ($h.0 - 1.0)
+           |                 ELSE 0.0 END) AS vol
+           |FROM (
+           |  SELECT symbol, COUNT(*) OVER w AS cnt,
+           |         CAST(SUM(r) OVER w AS DOUBLE) AS s,
+           |         CAST(SUM(CAST(r * r AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sq
+           |  FROM ret
+           |  WINDOW w AS (PARTITION BY symbol ORDER BY day
+           |               ROWS BETWEEN ${h - 1} PRECEDING AND CURRENT ROW))
+           |WHERE cnt = $h""".stripMargin
+      s"""WITH cl AS (
+         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+         |         max_by(CAST(value AS DECIMAL(18,2)),
+         |                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+         |                || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS c
+         |  FROM events GROUP BY 1, 2),
+         |d AS (
+         |  SELECT symbol, day, c,
+         |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |  FROM cl),
+         |ret AS (
+         |  SELECT symbol, day,
+         |         ${duckQ6("CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE)")} AS r
+         |  FROM d WHERE pc IS NOT NULL AND pc <> 0),
+         |cone AS (
+         |${horizon(5)}
+         |UNION ALL
+         |${horizon(10)}
+         |UNION ALL
+         |${horizon(20)})
+         |SELECT symbol, horizon, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |       MIN(vol) AS vol_min, MAX(vol) AS vol_max,
+         |       CAST(SUM(${duckQ6("vol")}) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS vol_mean
+         |FROM cone GROUP BY 1, 2 ORDER BY symbol, horizon""".stripMargin
+    },
+    "q_new_returning" ->
+      // growth accounting: first-day table + per-day user dedup;
+      // share is one ROUND(…,4) of exact counts
+      """WITH fd AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS dau,
+        |       CAST(SUM(CASE WHEN first_day = day THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS new_users,
+        |       CAST(COUNT(*) - SUM(CASE WHEN first_day = day THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS returning,
+        |       ROUND(CAST(SUM(CASE WHEN first_day = day THEN 1 ELSE 0 END)
+        |               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS new_share
+        |FROM d JOIN fd USING (user_id)
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_bigram_entropy" ->
+      // the tokenEntropy libm discipline at source level, twice
+      // (tokens + adjacent pairs), one mirrored ÷ln2 each, conditional
+      // entropy as the difference of the two mirrored doubles
+      s"""WITH ws AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         |uni AS (SELECT source, unnest(ws) AS g FROM ws),
+         |uc AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM uni GROUP BY 1, 2),
+         |un AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM uc GROUP BY 1),
+         |uq AS (SELECT uc.source, un.n,
+         |              ${duckQ6("CAST(c AS DOUBLE) / CAST(n AS DOUBLE) " +
+                           "* ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))")} AS term
+         |       FROM uc JOIN un ON un.source = uc.source),
+         |uh AS (SELECT source, MAX(n) AS n_tokens,
+         |              -CAST(SUM(term) AS DOUBLE) / 0.6931471805599453 + 0.0
+         |                AS h_tokens
+         |       FROM uq GROUP BY 1),
+         |bg AS (
+         |  SELECT source,
+         |         unnest(list_transform(generate_series(1, len(ws) - 1),
+         |           i -> ws[i] || ' ' || ws[i + 1])) AS g
+         |  FROM ws WHERE len(ws) >= 2),
+         |bc AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM bg GROUP BY 1, 2),
+         |bn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM bc GROUP BY 1),
+         |bq AS (SELECT bc.source, bn.n,
+         |              ${duckQ6("CAST(c AS DOUBLE) / CAST(n AS DOUBLE) " +
+                           "* ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))")} AS term
+         |       FROM bc JOIN bn ON bn.source = bc.source),
+         |bh AS (SELECT source, MAX(n) AS n_bigrams,
+         |              -CAST(SUM(term) AS DOUBLE) / 0.6931471805599453 + 0.0
+         |                AS h_bigrams
+         |       FROM bq GROUP BY 1)
+         |SELECT uh.source, n_tokens, n_bigrams, h_tokens, h_bigrams,
+         |       h_bigrams - h_tokens AS h_cond
+         |FROM uh JOIN bh ON bh.source = uh.source
+         |ORDER BY uh.source""".stripMargin,
     "q_drawdown_episodes" ->
       // running-max value IS the episode key (non-decreasing);
       // trough = earliest day at the episode min (MIN over CASE);

@@ -489,6 +489,29 @@ object EventAnalytics {
       .orderBy("event_type", "day")
   }
 
+  /** NEW r12: growth accounting — per day, how many active users are
+    * brand NEW (their first-ever event is that day) vs returning: the
+    * new/returning split behind every growth dashboard. Two counter
+    * shuffles on user_id ((user, first day) + per-day (user) dedup),
+    * then day-level counters; the share is one ROUND(…,4) division.
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+    val daily = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    daily.join(firstDay, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("first_day") === col("day"), 1L).otherwise(0L))
+          .as("new_users"))
+      .select(col("day"), col("dau"), col("new_users"),
+        (col("dau") - col("new_users")).as("returning"),
+        round(col("new_users").cast("double") / col("dau").cast("double"), 4)
+          .as("new_share"))
+      .orderBy("day")
+  }
+
   /** NEW r12: audience overlap matrix — Jaccard similarity of the
     * distinct-user bases of every event-type pair (the feature-
     * adoption overlap report). ONE distinct (type, user) projection

@@ -4231,6 +4231,152 @@ object MarketOps {
       .orderBy("symbol")
   }
 
+  final case class KlBar(symbol: String, day: java.sql.Date,
+      h: java.math.BigDecimal, l: java.math.BigDecimal,
+      c: java.math.BigDecimal, vol: Long)
+  final case class KlOut(symbol: String, day: java.sql.Date,
+      trend: Long, kvo: Double)
+
+  /** NEW r12: Klinger Volume Oscillator — EMA34 − EMA55 of the volume
+    * force VF = volume·|2·(dm/cm − 1)|·trend·100, where trend flips on
+    * the high+low+close sum and cm accumulates daily ranges within a
+    * trend leg (reset to dmₚ + dm on a flip). The (trend, cm) state
+    * machine runs on EXACT decimals (trend compares and cm sums never
+    * touch floats), VF and both EMAs are mirrored double chains with
+    * runtime α (2/35, 2/56). Seed convention (documented, mirrored):
+    * the first computable bar (rn = 2) takes cm = dm₁ + dm₂ and seeds
+    * both EMAs with its VF. Flat legs (cm = 0) contribute VF = 0.
+    */
+  def klinger(ticks: DataFrame): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("high").cast(dec).as("h"),
+        col("low").cast(dec).as("l"), col("close").cast(dec).as("c"),
+        col("volume").as("vol"))
+      .as[KlBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        val af = 2.0 / 35.0
+        val as = 2.0 / 56.0
+        var pb: KlBar = null
+        var started = false
+        var trend = 0L
+        var cm = java.math.BigDecimal.ZERO
+        var ef = 0.0; var es = 0.0
+        it.flatMap { b =>
+          val out: Iterator[KlOut] =
+            if (pb == null) Iterator.empty
+            else {
+              val hlc = b.h.add(b.l).add(b.c)
+              val phlc = pb.h.add(pb.l).add(pb.c)
+              val t = if (hlc.compareTo(phlc) > 0) 1L else -1L
+              val dm = b.h.subtract(b.l)
+              val dmp = pb.h.subtract(pb.l)
+              cm = if (!started || t != trend) dmp.add(dm) else cm.add(dm)
+              trend = t
+              val vf =
+                if (cm.signum() == 0) 0.0
+                else b.vol.toDouble *
+                  math.abs(2.0 * (dm.doubleValue() / cm.doubleValue() - 1.0)) *
+                  t.toDouble * 100.0
+              if (!started) { started = true; ef = vf; es = vf }
+              else {
+                ef = af * vf + (1.0 - af) * ef
+                es = as * vf + (1.0 - as) * es
+              }
+              Iterator.single(KlOut(sym, b.day, trend, ef - es))
+            }
+          pb = b
+          out
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
+  final case class NpBar(symbol: String, day: java.sql.Date,
+      c: java.math.BigDecimal, vol: Long)
+  final case class NpOut(symbol: String, day: java.sql.Date,
+      nvi: Double, pvi: Double)
+
+  /** NEW r12: Negative / Positive Volume Indices — the multiplicative
+    * recursion family (Fosback): NVI compounds the daily return only
+    * on volume-DOWN days, PVI only on volume-UP days, both from 1000.
+    * The float products are sequential by construction; both engines
+    * run the IDENTICAL per-step op chain (ret from exact decimals, one
+    * multiply per update) so the doubles stay bit-identical — RAW
+    * emission, recursive-CTE oracle. A zero previous close keeps both
+    * indices unchanged (mirrored guard).
+    */
+  def nviPvi(ticks: DataFrame): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"),
+        col("volume").as("vol"))
+      .as[NpBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        var pb: NpBar = null
+        var nvi = 1000.0
+        var pvi = 1000.0
+        it.flatMap { b =>
+          val out: Iterator[NpOut] =
+            if (pb == null) Iterator.empty
+            else {
+              if (pb.c.signum() != 0) {
+                val ret = b.c.subtract(pb.c).doubleValue() / pb.c.doubleValue()
+                if (b.vol < pb.vol) nvi = nvi * (1.0 + ret)
+                if (b.vol > pb.vol) pvi = pvi * (1.0 + ret)
+              }
+              Iterator.single(NpOut(sym, b.day, nvi, pvi))
+            }
+          pb = b
+          out
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r12: volatility cone — the term structure of realized
+    * volatility: for each horizon h ∈ {5, 10, 20} bars, the sample
+    * stddev of quant6 daily returns over EVERY full h-bar window, then
+    * the per-(symbol, horizon) envelope (min / mean / max of the
+    * rolling vols) a desk plots against option-implied vol. Each
+    * window's variance comes from exact decimal sums (bit-identical
+    * doubles), so min/max are order-free RAW; the mean re-quantizes
+    * each vol to 6 dp first so its sum is exact (one RAW division).
+    */
+  def volCone(ticks: DataFrame, horizons: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    val sq12 = DecimalType(38, 12)
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val rets = dailyRet6(ticks).select(col("symbol"), col("day"), col("r"))
+    val perH = horizons.map { h =>
+      val w = dayOrder.rowsBetween(-(h - 1), 0)
+      val t = rets
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("s", sum(col("r")).over(w))
+        .withColumn("sq", sum((col("r") * col("r")).cast(sq12)).over(w))
+        .filter(col("cnt") === h)
+      val va = (col("sq").cast("double") -
+        col("s").cast("double") * col("s").cast("double") / h.toDouble) /
+        (h.toDouble - 1.0)
+      t.select(col("symbol"), lit(h.toLong).as("horizon"),
+        sqrt(when(va > 0.0, va).otherwise(lit(0.0))).as("vol"))
+    }
+    perH.reduce(_.unionByName(_))
+      .withColumn("vol6", quant6(col("vol") * 1000000.0))
+      .groupBy(col("symbol"), col("horizon"))
+      .agg(count(lit(1)).as("n_windows"),
+        min(col("vol")).as("vol_min"),
+        max(col("vol")).as("vol_max"),
+        (sum(col("vol6")).cast("double") /
+          count(lit(1)).cast("double")).as("vol_mean"))
+      .orderBy("symbol", "horizon")
+  }
+
   /** NEW r12: volume-price trend — the percentage-return sibling of
     * [[obv]]: running Σ volume·ret where ret is the 4-dp WINSORIZED
     * tick return ([[winsorizedRet4]]; 0 on a zero/NULL previous price

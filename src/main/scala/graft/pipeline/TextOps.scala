@@ -1065,6 +1065,46 @@ object TextOps {
         round(col("lift_raw"), 4).as("lift"))
   }
 
+  /** NEW r12: bigram (conditional) entropy per source — H₂ over the
+    * adjacent-pair distribution, H₁ over tokens, and the conditional
+    * next-token entropy H₂ − H₁: the sequence-predictability gauge
+    * that separates natural prose from templated/looped corpora
+    * (memorization risk). Both entropies follow the tokenEntropy libm
+    * discipline exactly — p·ln(p) terms quantized to 6 dp so the
+    * per-source sums are exact decimals, ONE division by the ln 2
+    * literal at emission; per-source totals ride a tiny unhinted
+    * join (AQE-broadcast), counters only after the first shuffle.
+    */
+  def bigramEntropy(docs: DataFrame): DataFrame = {
+    def entropyOf(counts: DataFrame, key: String): DataFrame = {
+      val totals = counts.groupBy(col("source"))
+        .agg(sum(col("c")).as("n"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      counts.join(totals, "source")
+        .withColumn("term", quant6(p * log(p) * 1000000.0))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as(s"n_$key"),
+          sum(col("term")).as("s"))
+        .select(col("source"), col(s"n_$key"),
+          (-col("s").cast("double") / lit(0.6931471805599453) + lit(0.0))
+            .as(s"h_$key"))
+    }
+    val ws = docs.select(col("source"), split(col("text"), " ").as("ws"))
+    val uni = ws.select(col("source"), explode(col("ws")).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+    val bi = ws
+      .select(col("source"), explode(when(size(col("ws")) >= 2,
+        expr("transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .otherwise(expr("array()"))).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+    entropyOf(uni, "tokens").join(entropyOf(bi, "bigrams"), "source")
+      .select(col("source"), col("n_tokens"), col("n_bigrams"),
+        col("h_tokens"), col("h_bigrams"),
+        (col("h_bigrams") - col("h_tokens")).as("h_cond"))
+      .orderBy("source")
+  }
+
   /** NEW r12: corpus-derived stopword table — the k highest-document-
     * frequency tokens with their df share, the data-driven stopword
     * discovery pass (the flip side of [[hapax]]). Global top-k =

@@ -225,6 +225,84 @@ class NewOpsR12Spec extends AnyFunSuite {
     }
   }
 
+  test("klinger runs the documented (trend, cm) state machine + EMA pair") {
+    val got = MarketOps.klinger(Tables.ticks(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    for ((sym, bs) <- bars) {
+      val af = 2.0 / 35.0; val as = 2.0 / 56.0
+      var trend = 0L
+      var cm = BigDecimal(0)
+      var ef = 0.0; var es = 0.0; var started = false
+      val want = bs.sliding(2).collect { case Array(p, c) =>
+        // exact cents via BigDecimal of the 2-dp doubles
+        def d2(x: Double) = BigDecimal(math.round(x * 100)) / 100
+        val hlc = d2(c._3) + d2(c._4) + d2(c._5)
+        val phlc = d2(p._3) + d2(p._4) + d2(p._5)
+        val t = if (hlc > phlc) 1L else -1L
+        val dm = d2(c._3) - d2(c._4)
+        val dmp = d2(p._3) - d2(p._4)
+        cm = if (!started || t != trend) dmp + dm else cm + dm
+        trend = t
+        val vf = if (cm == 0) 0.0
+          else c._6.toDouble *
+            math.abs(2.0 * (dm.toDouble / cm.toDouble - 1.0)) *
+            t.toDouble * 100.0
+        if (!started) { started = true; ef = vf; es = vf }
+        else { ef = af * vf + (1.0 - af) * ef; es = as * vf + (1.0 - as) * es }
+        (trend, ef - es)
+      }.toSeq
+      assert(got(sym).toSeq === want, sym)
+    }
+  }
+
+  test("nviPvi compounds returns only on the documented volume legs") {
+    val got = MarketOps.nviPvi(Tables.ticks(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (r.getDouble(2), r.getDouble(3))))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    for ((sym, bs) <- bars) {
+      var nvi = 1000.0; var pvi = 1000.0
+      val want = bs.sliding(2).collect { case Array(p, c) =>
+        def d2(x: Double) = BigDecimal(math.round(x * 100)) / 100
+        if (d2(p._5) != 0) {
+          val ret = (d2(c._5) - d2(p._5)).toDouble / d2(p._5).toDouble
+          if (c._6 < p._6) nvi = nvi * (1.0 + ret)
+          if (c._6 > p._6) pvi = pvi * (1.0 + ret)
+        }
+        (nvi, pvi)
+      }.toSeq
+      assert(got(sym).toSeq === want, sym)
+      // index sanity: strictly positive for sane tapes
+      assert(got(sym).forall(t => t._1 > 0 && t._2 > 0), sym)
+    }
+  }
+
+  test("volCone envelopes match per-window stddev recomputes") {
+    val got = MarketOps.volCone(Tables.ticks(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    for ((sym, bs) <- bars; h <- Seq(5, 10, 20)) {
+      val rets = ret6micro(bs)
+      if (rets.length >= h) {
+        val vols = rets.sliding(h).map { w =>
+          val s = w.map(BigInt(_)).sum.toDouble / 1e6
+          val sq = w.map(x => BigInt(x) * BigInt(x)).sum.toDouble / 1e12
+          val va = (sq - s * s / h.toDouble) / (h.toDouble - 1.0)
+          math.sqrt(math.max(va, 0.0))
+        }.toSeq
+        val mean = vols.map(v => BigInt(q6micro(v))).sum.toDouble / 1e6 /
+          vols.size.toDouble
+        val (n, mn, mx, m) = got((sym, h.toLong))
+        assert(n === vols.size.toLong, s"$sym h$h n")
+        assert(mn === vols.min && mx === vols.max, s"$sym h$h extremes")
+        assert(m === mean, s"$sym h$h mean")
+      } else assert(!got.contains((sym, h.toLong)), s"$sym h$h")
+    }
+  }
+
   test("turnOfMonth groups the dowReturns series by day-of-month") {
     val got = MarketOps.turnOfMonth(Tables.ticks(spark, sf)).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))

@@ -188,6 +188,54 @@ class NewOpsR12bSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("newVsReturning partitions each day's actives by first-ever day") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val firstDay = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = ev.map(t => (t._2, t._1)).distinct.groupBy(_._1).toSeq
+      .map { case (day, us) =>
+        val nu = us.count(u => firstDay(u._2) == day).toLong
+        val dau = us.size.toLong
+        (day, dau, nu, dau - nu,
+          BigDecimal(nu.toDouble / dau.toDouble)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy(_._1)
+    val got = EventAnalytics.newVsReturning(Tables.events(spark, sf))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === want)
+    // growth-accounting invariant: day-1 actives are all new
+    assert(got.head._2 === got.head._3)
+  }
+
+  test("bigramEntropy reproduces the quantized p·ln(p) sums per source") {
+    def entropy(counts: Map[String, Long]): (Long, Double) = {
+      val n = counts.values.sum
+      val micro = counts.values.map { c =>
+        val p = c.toDouble / n.toDouble
+        q6micro(p * math.log(p))
+      }.sum
+      (n, -(micro.toDouble / 1e6) / 0.6931471805599453 + 0.0)
+    }
+    val bySource = docs.groupBy(_._2)
+    val got = TextOps.bigramEntropy(Tables.documents(spark, sf)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    for ((src, ds) <- bySource) {
+      val toks = ds.map(_._3.split(" ", -1))
+      val uni = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val bi = toks.filter(_.length >= 2)
+        .flatMap(a => a.sliding(2).map(p => p(0) + " " + p(1)))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val (n1, h1) = entropy(uni)
+      val (n2, h2) = entropy(bi)
+      assert(got(src) === ((n1, n2, h1, h2, h2 - h1)), src)
+      // conditional entropy can't exceed the bigram entropy
+      assert(h2 - h1 <= h2 + 1e-12, src)
+    }
+  }
+
   test("skyline equals the brute-force O(n^2) dominance frontier") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), to_date(col("o_orderdate")).cast("string"),

@@ -62,6 +62,8 @@ q_ppo q_dpo q_bop q_ultimate_osc q_hull_ma q_kst q_breadth q_mcclellan
 q_cs_spread q_renko q_zigzag
 q_chaikin_osc q_golden_cross q_runs_test q_gap_fill_rate
 q_turn_of_month q_pv_corr q_vol_of_vol q_mean_reversion q_vpt
+q_klinger q_nvi_pvi q_vol_cone q_new_returning q_anomaly_days
+q_audience_overlap
 """.split()
 
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",

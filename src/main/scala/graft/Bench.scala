@@ -281,7 +281,7 @@ object Bench {
     // brute-force ranking on RecallSpec's fixed 5-query panel, at the
     // bench SF — a recall regression now shows in BENCH diffs, not just
     // as a spec failure at sf0.001 (r9 verdict item).
-    val (ivfRecall, lshRecall) = {
+    val (ivfRecall, lshRecall, pqRecall) = {
       val emb = graft.core.Tables.embeddings(spark, sfDir).cache()
       val qids = Seq(0L, 7L, 42L, 99L, 250L)
       def ids(df: DataFrame): Set[Long] =
@@ -297,8 +297,10 @@ object Bench {
         graft.pipeline.Similarity.ivfTopK(emb, q, 10, nprobe = 8))
       val lsh = recallOf(q =>
         graft.pipeline.Similarity.lshTopK(emb, q, 10, 64, multiProbe = true))
+      val pq = recallOf(q =>
+        graft.pipeline.Similarity.pqTopK(emb, q, 10))
       emb.unpersist()
-      (ivf, lsh)
+      (ivf, lsh, pq)
     }
 
     deleteRec(warmDir); deleteRec(ingestDir); deleteRec(serveDir)
@@ -313,7 +315,8 @@ object Bench {
       f""""serve_cold_ms":$serveColdMs%.1f,""" +
       f""""serve_p50_ingest_ms":$serveUnderIngestP50Ms%.3f,""" +
       f""""ivf_recall10":$ivfRecall%.2f,""" +
-      f""""lsh_recall10":$lshRecall%.2f"""
+      f""""lsh_recall10":$lshRecall%.2f,""" +
+      f""""pq_recall10":$pqRecall%.2f"""
 
     // Per-query detail on its own line (does not start with {"metric" so
     // a `grep '^{"metric"'` still yields exactly one line), then a

@@ -28,6 +28,9 @@ object Cli {
       |  graft.Cli last <symbol> <count>
       |  graft.Cli benchmark <symbol> <tick_count>
       |  graft.Cli import <symbol> <csv_file>
+      |  graft.Cli compact [max_files]   # merge fragmented partitions
+      |  graft.Cli expire <cutoff_date>  # drop days before cutoff (daily layout)
+      |  graft.Cli drop <symbol>         # remove a delisted symbol
       |  graft.Cli serve                 # interactive loop, warm session""".stripMargin)
 
   private def ts(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000L)
@@ -79,6 +82,21 @@ object Cli {
         store.importCsv(args(2), args(1))
         println(s"Imported ${store.count(args(1))} ticks from ${args(2)} for symbol ${args(1)}")
         0
+      case "compact" if args.length <= 2 =>
+        // maintenance trio: the operational commands a long-lived
+        // store needs beyond the reference's read/write surface
+        val maxFiles = if (args.length == 2) args(1).toInt else 1
+        val n = store.compact(maxFiles)
+        println(s"Compacted $n fragmented partition(s)")
+        0
+      case "expire" if args.length == 2 =>
+        val daily = new TickStore(spark, dataDir, dailyPartitions = true)
+        val n = daily.expire(java.time.LocalDate.parse(args(1)))
+        println(s"Expired $n partition(s) before ${args(1)}")
+        0
+      case "drop" if args.length == 2 =>
+        if (store.dropSymbol(args(1))) { println(s"Dropped ${args(1)}"); 0 }
+        else { println(s"No such symbol: ${args(1)}"); 1 }
       case "serve" =>
         serve(spark, dataDir, Console.in, Console.out)
         0

@@ -426,6 +426,8 @@ object SparkEntry {
       TextOps.dfStopwords(Tables.documents(s, dir))),
     "q_kmeans_embed" -> ((s, dir) =>
       KMeansOps.kmeansCensus(Tables.embeddings(s, dir))),
+    "q_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir), 0L, 10)),
     "q_anomaly_days" -> ((s, dir) =>
       EventAnalytics.anomalyDays(Tables.events(s, dir))),
     "q_audience_overlap" -> ((s, dir) =>
@@ -6097,6 +6099,76 @@ object SparkEntry {
          |       CAST(COUNT(*) AS BIGINT) AS n_vectors,
          |       CAST(MIN(vec_id) AS BIGINT) AS exemplar
          |FROM a3 GROUP BY 1 ORDER BY cluster""".stripMargin,
+    "q_ann_pq" -> {
+      // PQ re-derived end-to-end from the raw embeddings (the
+      // q_kmeans_embed discipline per sub-space): codebook init =
+      // vec_id<16 sub-vectors, ONE Lloyd round with quant6 means,
+      // rounded-argmin codes, quant6 ADC table, left-assoc 8-term
+      // lookup sum, shortlist 200 → exact cosine re-rank
+      val m = 8; val sub = 8; val cb = 16; val short = 200
+      def jcte(j: Int): String = {
+        val lo = j * sub + 1
+        s"""sv$j AS (SELECT vec_id,
+           |  list_transform(generate_series($lo, ${lo + sub - 1}), i -> ve[i]) AS sv
+           |  FROM vecs),
+           |i$j AS (SELECT CAST(vec_id AS INT) AS cell, sv AS c
+           |        FROM sv$j WHERE vec_id < $cb),
+           |d$j AS (
+           |  SELECT v.vec_id, ct.cell,
+           |         ROUND(list_sum(list_transform(generate_series(1, $sub),
+           |           i -> (v.sv[i] - ct.c[i]) * (v.sv[i] - ct.c[i]))), 6) AS d
+           |  FROM sv$j v CROSS JOIN i$j ct),
+           |a$j AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |           ROW_NUMBER() OVER (PARTITION BY vec_id
+           |                              ORDER BY d, cell) AS rn
+           |    FROM d$j) WHERE rn = 1),
+           |mp$j AS (
+           |  SELECT a.cell, unnest(generate_series(1, $sub)) AS pos, v.sv AS sv
+           |  FROM a$j a JOIN sv$j v USING (vec_id)),
+           |mq$j AS (SELECT cell, pos, ${duckQ6("sv[pos]")} AS qv FROM mp$j),
+           |mm$j AS (SELECT cell, pos, SUM(qv) AS s, COUNT(*) AS n
+           |         FROM mq$j GROUP BY 1, 2),
+           |c$j AS (
+           |  SELECT cell,
+           |         list(CAST(${duckQ6("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")}
+           |              AS DOUBLE) ORDER BY pos) AS c
+           |  FROM mm$j GROUP BY 1),
+           |e$j AS (
+           |  SELECT vec_id, cell AS code FROM (
+           |    SELECT v.vec_id, ct.cell,
+           |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           |             ROUND(list_sum(list_transform(generate_series(1, $sub),
+           |               i -> (v.sv[i] - ct.c[i]) * (v.sv[i] - ct.c[i]))), 6),
+           |             ct.cell) AS rn
+           |    FROM sv$j v CROSS JOIN c$j ct) WHERE rn = 1),
+           |t$j AS (
+           |  SELECT ct.cell,
+           |         CAST(${duckQ6(s"list_sum(list_transform(generate_series(1, $sub), " +
+                      s"i -> (ct.c[i] - q.qv[${lo - 1} + i]) * (ct.c[i] - q.qv[${lo - 1} + i])))")}
+           |           AS DOUBLE) AS t
+           |  FROM c$j ct CROSS JOIN q)""".stripMargin
+      }
+      val joins = (0 until m).map(j =>
+        s"JOIN e$j ON e$j.vec_id = v.vec_id JOIN t$j ON t$j.cell = e$j.code")
+        .mkString("\n  ")
+      val distSum = (0 until m).map(j => s"t$j.t").mkString(" + ")
+      s"""WITH vecs AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |  FROM embeddings),
+         |q AS (SELECT ve AS qv FROM vecs WHERE vec_id = 0),
+         |${(0 until m).map(jcte).mkString(",\n")},
+         |adc AS (
+         |  SELECT v.vec_id, $distSum AS adc
+         |  FROM vecs v
+         |  $joins
+         |  WHERE v.vec_id <> 0),
+         |short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT $short)
+         |SELECT s.vec_id, ${duckCosine("v.ve", "q.qv")} AS cos_sim
+         |FROM short s JOIN vecs v USING (vec_id) CROSS JOIN q
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    },
     "q_anomaly_days" ->
       // trailing 7-observation window (current day excluded); integer
       // counts, DECIMAL squares (long² overflows ANSI at scale),

@@ -34,6 +34,32 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.run(spark, dir, Array("nope")) === 1)
   }
 
+  test("maintenance commands: compact, expire, drop") {
+    val mdir = Files.createTempDirectory("cli_maint_").toString
+    // two commits for one symbol → fragmented; compact merges them
+    assert(Cli.run(spark, mdir, Array("insert", "AAA", "1700006400", "10.00", "1")) === 0)
+    assert(Cli.run(spark, mdir, Array("insert", "AAA", "1700006401", "11.00", "2")) === 0)
+    assert(Cli.run(spark, mdir, Array("compact")) === 0)
+    val files = new java.io.File(s"$mdir/symbol=AAA").listFiles
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(files === 1)
+    assert(new graft.tsdb.TickStore(spark, mdir).count("AAA") === 2)
+    // drop removes the symbol; second drop reports failure
+    assert(Cli.run(spark, mdir, Array("drop", "AAA")) === 0)
+    assert(Cli.run(spark, mdir, Array("drop", "AAA")) === 1)
+    // expire on a daily-layout store
+    val edir = Files.createTempDirectory("cli_expire_").toString
+    val daily = new graft.tsdb.TickStore(spark, edir, dailyPartitions = true)
+    import org.apache.spark.sql.functions._
+    daily.ingest(spark.range(2).select(lit("BBB").as("symbol"),
+      timestamp_seconds(lit(1700006400L) + col("id") * 86400L).as("ts"),
+      lit(5.0).as("price"), lit(1L).as("volume")))
+    assert(Cli.run(spark, edir, Array("expire", "2023-11-16")) === 0)
+    assert(daily.countAll() === 1)
+    graft.core.TempDirs.delete(mdir)
+    graft.core.TempDirs.delete(edir)
+  }
+
   test("serve answers repeated queries on a warm cached session") {
     val sdir = Files.createTempDirectory("cli_serve_").toString
     assert(Cli.run(spark, sdir, Array("benchmark", "NVDA", "5000")) === 0)

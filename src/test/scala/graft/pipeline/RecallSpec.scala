@@ -57,6 +57,19 @@ class RecallSpec extends AnyFunSuite {
     assert(multi >= 0.65, s"amplified recall@10 $multi below floor 0.65")
   }
 
+  test("PQ shortlist + re-rank holds its floor; full shortlist equals brute") {
+    // exactness degeneracy: when the ADC shortlist covers the whole
+    // corpus, the re-rank IS the brute-force ranking — bit-identical
+    val n = emb.count().toInt
+    queryIds.take(2).foreach { q =>
+      assert(ids(Similarity.pqTopK(emb, q, K, shortlist = n)) ===
+        ids(Similarity.bruteForceTopK(emb, q, K)), s"query $q")
+    }
+    // the default shortlist (200) must hold its measured floor
+    val pq = recallOf(q => Similarity.pqTopK(emb, q, K))
+    assert(pq >= 0.60, s"PQ recall@10 $pq below floor 0.60")
+  }
+
   test("table amplification is monotone: more OR'd tables never lose recall") {
     val byTables = Seq(1, 4, 10).map(t =>
       t -> recallOf(q => Similarity.lshTopK(emb, q, K, dim, tables = t)))

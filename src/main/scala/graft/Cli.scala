@@ -28,6 +28,7 @@ object Cli {
       |  graft.Cli last <symbol> <count>
       |  graft.Cli benchmark <symbol> <tick_count>
       |  graft.Cli import <symbol> <csv_file>
+      |  graft.Cli stats                 # per-partition file/byte report
       |  graft.Cli compact [max_files]   # merge fragmented partitions
       |  graft.Cli expire <cutoff_date>  # drop days before cutoff (daily layout)
       |  graft.Cli drop <symbol>         # remove a delisted symbol
@@ -81,6 +82,14 @@ object Cli {
       case "import" if args.length == 3 =>
         store.importCsv(args(2), args(1))
         println(s"Imported ${store.count(args(1))} ticks from ${args(2)} for symbol ${args(1)}")
+        0
+      case "stats" if args.length == 1 =>
+        val st = store.stats()
+        st.foreach { case (p, n, b) =>
+          println(f"$p%-32s $n%5d file(s) $b%12d bytes")
+        }
+        println(s"${st.size} partition(s), ${st.map(_._2).sum} file(s), " +
+          s"${st.map(_._3.toDouble).sum.toLong} bytes total")
         0
       case "compact" if args.length <= 2 =>
         // maintenance trio: the operational commands a long-lived

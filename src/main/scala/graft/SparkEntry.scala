@@ -224,10 +224,28 @@ object SparkEntry {
     "q_klinger" -> ((s, dir) => MarketOps.klinger(ticks(s, dir))),
     "q_nvi_pvi" -> ((s, dir) => MarketOps.nviPvi(ticks(s, dir))),
     "q_vol_cone" -> ((s, dir) => MarketOps.volCone(ticks(s, dir))),
+    // ---- NEW r12b indicator + association batch ----
+    "q_vwma" -> ((s, dir) => MarketOps.vwma(ticks(s, dir), 20)),
+    "q_awesome_osc" -> ((s, dir) => MarketOps.awesomeOsc(ticks(s, dir))),
+    "q_spearman" -> ((s, dir) => MarketOps.spearmanMatrix(ticks(s, dir))),
+    "q_tsi" -> ((s, dir) => MarketOps.tsi(ticks(s, dir))),
     "q_new_returning" -> ((s, dir) =>
       EventAnalytics.newVsReturning(Tables.events(s, dir))),
     "q_bigram_entropy" -> ((s, dir) =>
       TextOps.bigramEntropy(Tables.documents(s, dir))),
+    "q_readability" -> ((s, dir) =>
+      TextOps.readability(Tables.documents(s, dir))),
+    "q_word_len_hist" -> ((s, dir) =>
+      TextOps.wordLenHist(Tables.documents(s, dir))),
+    "q_entry_exit" -> ((s, dir) =>
+      EventAnalytics.entryExit(Tables.events(s, dir))),
+    "q_anchored_vwap" -> ((s, dir) => MarketOps.anchoredVwap(ticks(s, dir))),
+    "q_markov_stationary" -> ((s, dir) =>
+      EventAnalytics.markovStationary(Tables.events(s, dir))),
+    "q_omega" -> ((s, dir) => MarketOps.omegaRatio(ticks(s, dir))),
+    "q_info_ratio" -> ((s, dir) => MarketOps.informationRatio(ticks(s, dir))),
+    "q_norm_hist" -> ((s, dir) =>
+      Similarity.normHistogram(Tables.embeddings(s, dir))),
     "q_drawdown_episodes" -> ((s, dir) =>
       MarketOps.drawdownEpisodes(ticks(s, dir), 3)),
     "q_market_index" -> ((s, dir) => MarketOps.marketIndex(ticks(s, dir))),
@@ -376,6 +394,8 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), 3)),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir))),
+    "q_minhash_calibration" -> ((s, dir) =>
+      Dedup.minhashCalibration(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.nearDupClusters(docs, Dedup.minhashCandidates(docs))
@@ -4162,6 +4182,120 @@ object SparkEntry {
         |  FROM a JOIN r ON a.symbol = r.symbol AND a.rn = r.rn + 1)
         |SELECT symbol, day, ad AS ad_line, ef - es AS chaikin_osc
         |FROM r ORDER BY symbol, day""".stripMargin,
+    "q_vwma" ->
+      // exact decimal window sums ((18,2)×(18,0) product, width 37),
+      // one quant6'd division; zero-volume windows NULL on both
+      s"""SELECT event_id, event_type AS symbol,
+         |       CASE WHEN SUM(user_id) OVER w <> 0 THEN
+         |         CAST(${duckQ6(
+               """(CAST(SUM(CAST(value AS DECIMAL(18,2))
+                 |       * CAST(user_id AS DECIMAL(18,0))) OVER w AS DOUBLE)
+                 |       / CAST(SUM(user_id) OVER w AS DOUBLE))"""
+                 .stripMargin)} AS DOUBLE)
+         |       END AS vwma20
+         |FROM events
+         |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+         |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
+    "q_awesome_osc" ->
+      // exact decimal (h+l) window sums, compressed 5/20 horizons (the
+      // KST 30-bar-tape precedent); the /2 midpoint folds into the
+      // final divisors (Σ/10, Σ/40) — two exact-operand double
+      // divisions and a subtraction, RAW emission
+      s"""WITH b AS (${duckDailyBars}),
+         |t AS (SELECT symbol, day, h + l AS hl FROM b),
+         |w AS (
+         |  SELECT symbol, day,
+         |         SUM(hl) OVER w5 AS s5,
+         |         SUM(hl) OVER w20 AS s20,
+         |         COUNT(*) OVER w20 AS n20
+         |  FROM t
+         |  WINDOW w5 AS (PARTITION BY symbol ORDER BY day
+         |                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |         w20 AS (PARTITION BY symbol ORDER BY day
+         |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, day,
+         |       CAST(s5 AS DOUBLE) / 10.0 - CAST(s20 AS DOUBLE) / 40.0
+         |         AS awesome
+         |FROM w WHERE n20 = 20 ORDER BY symbol, day""".stripMargin,
+    "q_spearman" ->
+      // quant6 daily returns (the dailyRet6 series), ROW_NUMBER ranks
+      // with the (return, day) tie policy, integer Σd², one quant4'd
+      // division — no ROUND anywhere (rational values can sit on .5)
+      s"""WITH cl AS (
+         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+         |         max_by(CAST(value AS DECIMAL(18,2)),
+         |                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+         |                || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS c
+         |  FROM events GROUP BY 1, 2),
+         |d AS (
+         |  SELECT symbol, day, c,
+         |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |  FROM cl),
+         |r AS (
+         |  SELECT symbol, day,
+         |         ${duckQ6("CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE)")} AS r
+         |  FROM d WHERE pc IS NOT NULL AND pc <> 0),
+         |j AS (
+         |  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.day,
+         |         a.r AS ra, b.r AS rb
+         |  FROM r a JOIN r b USING (day) WHERE a.symbol < b.symbol),
+         |k AS (
+         |  SELECT sym_a, sym_b,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY sym_a, sym_b
+         |              ORDER BY ra, day) AS BIGINT) AS rka,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY sym_a, sym_b
+         |              ORDER BY rb, day) AS BIGINT) AS rkb
+         |  FROM j),
+         |a AS (
+         |  SELECT sym_a, sym_b, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |         CAST(SUM((rka - rkb) * (rka - rkb)) AS BIGINT) AS s2
+         |  FROM k GROUP BY 1, 2)
+         |SELECT sym_a, sym_b, n_days,
+         |       CAST(CAST(CASE WHEN (1.0 - CAST(s2 * 6 AS DOUBLE)
+         |              / CAST(n_days * (n_days * n_days - 1) AS DOUBLE))
+         |              * 10000.0 >= 0
+         |            THEN FLOOR((1.0 - CAST(s2 * 6 AS DOUBLE)
+         |              / CAST(n_days * (n_days * n_days - 1) AS DOUBLE))
+         |              * 10000.0 + 0.5)
+         |            ELSE CEIL((1.0 - CAST(s2 * 6 AS DOUBLE)
+         |              / CAST(n_days * (n_days * n_days - 1) AS DOUBLE))
+         |              * 10000.0 - 0.5) END AS BIGINT) AS DOUBLE)
+         |         / 10000.0 AS rho
+         |FROM a WHERE n_days > 1 ORDER BY sym_a, sym_b""".stripMargin,
+    "q_tsi" ->
+      // exact decimal momentum (one exact double conversion), the
+      // four-state double-EMA chain with runtime α arithmetic; the new
+      // e1m/e1a re-inline their own expression (same IEEE value as
+      // Spark's stored variable); mirrored 100·num/den emission
+      s"""WITH RECURSIVE b AS (${duckDailyBars}),
+         |m0 AS (
+         |  SELECT symbol, day,
+         |         CAST(c - LAG(c) OVER (PARTITION BY symbol ORDER BY day)
+         |              AS DOUBLE) AS mom
+         |  FROM b),
+         |m AS (
+         |  SELECT symbol, day, mom,
+         |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+         |  FROM m0 WHERE mom IS NOT NULL),
+         |r AS (
+         |  SELECT symbol, rn, day, mom,
+         |         mom AS e1m, mom AS e2m, ABS(mom) AS e1a, ABS(mom) AS e2a
+         |  FROM m WHERE rn = 1
+         |  UNION ALL
+         |  SELECT a.symbol, a.rn, a.day, a.mom,
+         |         (2.0 / 26.0) * a.mom + (1.0 - 2.0 / 26.0) * r.e1m,
+         |         (2.0 / 14.0) * ((2.0 / 26.0) * a.mom
+         |           + (1.0 - 2.0 / 26.0) * r.e1m)
+         |           + (1.0 - 2.0 / 14.0) * r.e2m,
+         |         (2.0 / 26.0) * ABS(a.mom) + (1.0 - 2.0 / 26.0) * r.e1a,
+         |         (2.0 / 14.0) * ((2.0 / 26.0) * ABS(a.mom)
+         |           + (1.0 - 2.0 / 26.0) * r.e1a)
+         |           + (1.0 - 2.0 / 14.0) * r.e2a
+         |  FROM m a JOIN r ON a.symbol = r.symbol AND a.rn = r.rn + 1)
+         |SELECT symbol, day,
+         |       CASE WHEN e2a <> 0 THEN 100.0 * e2m / e2a ELSE 0.0 END AS tsi
+         |FROM r ORDER BY symbol, day""".stripMargin,
     "q_golden_cross" ->
       // sign(s5/5 − s20/20) = sign(4·s5 − s20): exact decimal window
       // sums, no float compare anywhere
@@ -4640,6 +4774,227 @@ object SparkEntry {
         |               / CAST(n_chars AS DOUBLE), 6)
         |       END AS pii_per_kchar
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_readability" ->
+      // exact integer words / sentence-runs / vowel-group syllables
+      // (replace-length trick; DuckDB needs the 'g' flag), mirrored
+      // double chain with literal coefficients — RAW, guarded
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text),
+        |           '[ \t\n\r\f\x0B]+')) AS BIGINT) AS n_words,
+        |         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |           AS n_sentences,
+        |         CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'XX', 'g'))
+        |              - length(regexp_replace(lower(text), '[aeiouy]+', 'X', 'g'))
+        |              AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |       CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+        |         206.835
+        |           - 1.015 * (CAST(n_words AS DOUBLE)
+        |                      / CAST(n_sentences AS DOUBLE))
+        |           - 84.6 * (CAST(n_syllables AS DOUBLE)
+        |                     / CAST(n_words AS DOUBLE))
+        |       END AS flesch,
+        |       CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+        |         0.39 * (CAST(n_words AS DOUBLE)
+        |                 / CAST(n_sentences AS DOUBLE))
+        |           + 11.8 * (CAST(n_syllables AS DOUBLE)
+        |                     / CAST(n_words AS DOUBLE))
+        |           - 15.59
+        |       END AS fk_grade
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_word_len_hist" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(text),
+        |    '[ \t\n\r\f\x0B]+')) AS w
+        |  FROM documents)
+        |SELECT CAST(length(w) AS BIGINT) AS word_len,
+        |       CAST(COUNT(*) AS BIGINT) AS n_words
+        |FROM w WHERE length(w) > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_omega" ->
+      // exact decimal gain/loss sums over the quant6 return series,
+      // one RAW division; loss-free tapes NULL
+      s"""WITH cl AS (
+         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+         |         max_by(CAST(value AS DECIMAL(18,2)),
+         |                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+         |                || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS c
+         |  FROM events GROUP BY 1, 2),
+         |d AS (
+         |  SELECT symbol, day, c,
+         |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |  FROM cl),
+         |r AS (
+         |  SELECT symbol,
+         |         ${duckQ6("CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE)")} AS r
+         |  FROM d WHERE pc IS NOT NULL AND pc <> 0),
+         |a AS (
+         |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |         SUM(CASE WHEN r > 0 THEN r
+         |                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS gain,
+         |         SUM(CASE WHEN r < 0 THEN -r
+         |                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS loss
+         |  FROM r GROUP BY 1)
+         |SELECT symbol, n_days,
+         |       CAST(gain AS DOUBLE) AS gain_sum,
+         |       CAST(loss AS DOUBLE) AS loss_sum,
+         |       CASE WHEN loss <> 0
+         |            THEN CAST(gain AS DOUBLE) / CAST(loss AS DOUBLE)
+         |       END AS omega
+         |FROM a ORDER BY symbol""".stripMargin,
+    "q_info_ratio" ->
+      // quant6 benchmark leg (cross-sectional mean), exact decimal
+      // active-return moments ((18,6)² = (37,12)), stddev-class
+      // ROUND(…,4) + signed-zero guard
+      s"""WITH cl AS (
+         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+         |         max_by(CAST(value AS DECIMAL(18,2)),
+         |                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+         |                || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS c
+         |  FROM events GROUP BY 1, 2),
+         |d AS (
+         |  SELECT symbol, day, c,
+         |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |  FROM cl),
+         |r AS (
+         |  SELECT symbol, day,
+         |         ${duckQ6("CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE)")} AS r
+         |  FROM d WHERE pc IS NOT NULL AND pc <> 0),
+         |i AS (
+         |  SELECT day,
+         |         ${duckQ6("(CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))")}
+         |           AS idx6
+         |  FROM r GROUP BY 1),
+         |a AS (
+         |  SELECT r.symbol, CAST(r.r - i.idx6 AS DECIMAL(18,6)) AS a
+         |  FROM r JOIN i USING (day)),
+         |g AS (
+         |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |         CAST(COUNT(*) AS DOUBLE) AS n,
+         |         CAST(SUM(a) AS DOUBLE) AS sa,
+         |         CAST(SUM(CAST(a * a AS DECIMAL(38,12))) AS DOUBLE) AS saa
+         |  FROM a GROUP BY 1)
+         |SELECT symbol, n_days,
+         |       CASE WHEN n > 1.0
+         |                 AND (saa - sa * sa / n) / (n - 1.0) > 0.0
+         |            THEN ROUND((sa / n)
+         |                   / SQRT((saa - sa * sa / n) / (n - 1.0)), 4) + 0.0
+         |       END AS info_ratio
+         |FROM g ORDER BY symbol""".stripMargin,
+    "q_norm_hist" ->
+      // component-exact 1e-3 quantization (shared FLOOR/CEIL on the
+      // identical float→double widening), exact long norm² re-sum,
+      // exact 1e-3-wide norm² bins (`//` ≡ Spark `div` on BIGINT)
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(CASE WHEN CAST(x AS DOUBLE) * 1000.0 >= 0
+        |         THEN FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5)
+        |         ELSE CEIL(CAST(x AS DOUBLE) * 1000.0 - 0.5) END
+        |         AS BIGINT)) AS qs
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id,
+        |         CAST(list_sum(list_transform(qs, y -> y * y)) AS BIGINT)
+        |           AS norm2_u6
+        |  FROM q)
+        |SELECT CAST(norm2_u6 // 1000 AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |       CAST(MIN(norm2_u6) AS BIGINT) AS min_norm2_u6,
+        |       CAST(MAX(norm2_u6) AS BIGINT) AS max_norm2_u6
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_anchored_vwap" ->
+      // day-anchored running Σ(price·vol)/Σvol: the anchor day is the
+      // window partition; exact decimal sums, one quant6'd division
+      s"""SELECT event_id, event_type AS symbol,
+         |       CASE WHEN SUM(user_id) OVER w <> 0 THEN
+         |         CAST(${duckQ6(
+               """(CAST(SUM(CAST(value AS DECIMAL(18,2))
+                 |       * CAST(user_id AS DECIMAL(18,0))) OVER w AS DOUBLE)
+                 |       / CAST(SUM(user_id) OVER w AS DOUBLE))"""
+                 .stripMargin)} AS DOUBLE)
+         |       END AS avwap
+         |FROM events
+         |WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+         |             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+         |ORDER BY event_id""".stripMargin,
+    "q_markov_stationary" ->
+      // two transparent power-iteration rounds over the quant6'd
+      // row-stochastic transition matrix: u1 = exact decimal column
+      // sums (uniform start), round-2 weights are u1 itself —
+      // (19,6)×(18,6) products landed in (30,12) (§4 r11 rule) — and
+      // π₁ = u1/k, π₂ = v2/k emit through ONE double division each
+      s"""WITH t AS (
+         |  SELECT event_type AS from_type,
+         |         LEAD(event_type) OVER (PARTITION BY user_id
+         |                                ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |c AS (
+         |  SELECT from_type, to_type, COUNT(*) AS n
+         |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |p AS (
+         |  SELECT from_type, to_type,
+         |         ${duckQ6("(CAST(n AS DOUBLE) / CAST(SUM(n) OVER " +
+                 "(PARTITION BY from_type) AS DOUBLE))")} AS p6
+         |  FROM c),
+         |u1 AS (
+         |  SELECT to_type, CAST(SUM(p6) AS DECIMAL(28,6)) AS u1
+         |  FROM p GROUP BY 1),
+         |v2 AS (
+         |  SELECT p.to_type,
+         |         SUM(CAST(CAST(COALESCE(u.u1, 0) AS DECIMAL(19,6)) * p.p6
+         |             AS DECIMAL(30,12))) AS v2
+         |  FROM p LEFT JOIN u1 u ON u.to_type = p.from_type
+         |  GROUP BY 1),
+         |k AS (SELECT CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS k
+         |      FROM events)
+         |SELECT u1.to_type AS event_type,
+         |       CAST(u1.u1 AS DOUBLE) / k.k AS p1,
+         |       CAST(v2.v2 AS DOUBLE) / k.k AS p2
+         |FROM u1 JOIN v2 ON u1.to_type = v2.to_type CROSS JOIN k
+         |ORDER BY 1""".stripMargin,
+    "q_entry_exit" ->
+      // 30-min-gap user sessions (lag + flag prefix sum), entry/exit
+      // via min_by/max_by on the zero-padded tie key, integer counts
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM t),
+        |g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f),
+        |s AS (
+        |  SELECT user_id, session_id,
+        |         min_by(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS entry_type,
+        |         max_by(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS exit_type,
+        |         COUNT(*) AS n_events
+        |  FROM g GROUP BY 1, 2),
+        |e AS (
+        |  SELECT entry_type AS event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n_entries,
+        |         CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_bounces
+        |  FROM s GROUP BY 1),
+        |x AS (
+        |  SELECT exit_type AS event_type, CAST(COUNT(*) AS BIGINT) AS n_exits
+        |  FROM s GROUP BY 1)
+        |SELECT COALESCE(e.event_type, x.event_type) AS event_type,
+        |       COALESCE(n_entries, 0) AS n_entries,
+        |       COALESCE(n_exits, 0) AS n_exits,
+        |       COALESCE(n_bounces, 0) AS n_bounces
+        |FROM e FULL OUTER JOIN x ON e.event_type = x.event_type
+        |ORDER BY 1""".stripMargin,
     "q_sentence_stats" ->
       """WITH s AS (
         |  SELECT doc_id,
@@ -5498,6 +5853,52 @@ object SparkEntry {
          |JOIN sigs sa ON sa.doc_id = p.doc_a
          |JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.pi = sa.pi
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_minhash_calibration" -> {
+      // per-pair exact Jaccard quantized to 1e-6 micro longs (shared
+      // FLOOR/CEIL), bucketed by the exact signature-agreement count
+      val jr = "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) " +
+        "/ CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) " +
+        "* 1000000.0"
+      s"""WITH $duckMinhashCtes,
+         |mm AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS m
+         |  FROM prs p
+         |  JOIN sigs sa ON sa.doc_id = p.doc_a
+         |  JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.pi = sa.pi
+         |  GROUP BY 1, 2),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           generate_series(1, len(string_split(text, ' ')) - 2),
+         |           i -> string_split(text, ' ')[i] || ' ' ||
+         |                string_split(text, ' ')[i+1] || ' ' ||
+         |                string_split(text, ' ')[i+2])) AS s
+         |  FROM documents),
+         |j AS (
+         |  SELECT mm.m,
+         |         CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+         |              THEN CAST(CASE WHEN $jr >= 0
+         |                        THEN FLOOR($jr + 0.5)
+         |                        ELSE CEIL($jr - 0.5) END AS BIGINT)
+         |              ELSE 0 END AS jmicro
+         |  FROM mm
+         |  JOIN sh a ON a.doc_id = mm.doc_a
+         |  JOIN sh b ON b.doc_id = mm.doc_b),
+         |g AS (
+         |  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |         CAST(SUM(jmicro) AS BIGINT) AS sj,
+         |         MIN(jmicro) AS mnj, MAX(jmicro) AS mxj
+         |  FROM j GROUP BY 1)
+         |SELECT m, n_pairs,
+         |       CAST(m AS DOUBLE) / 16 AS est_jaccard,
+         |       CAST(sj AS DOUBLE) / 1000000.0 / CAST(n_pairs AS DOUBLE)
+         |         AS mean_jaccard,
+         |       CAST(mnj AS DOUBLE) / 1000000.0 AS min_jaccard,
+         |       CAST(mxj AS DOUBLE) / 1000000.0 AS max_jaccard
+         |FROM g ORDER BY m""".stripMargin
+    },
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $duckMinhashCtes,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs

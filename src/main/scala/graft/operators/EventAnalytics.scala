@@ -336,6 +336,108 @@ object EventAnalytics {
       .orderBy("symbol", "dur_bucket")
   }
 
+  /** 6-dp quantization via the shared float-op sequence (the
+    * MarketOps.quant6 discipline — SURVEY §4): scale by 1e6,
+    * FLOOR(s+0.5)/CEIL(s−0.5), rebuild DECIMAL(18,6).
+    */
+  private def quant6(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val q = when(s >= 0, floor(s + 0.5)).otherwise(ceil(s - 0.5))
+    (q.cast("long").cast(DecimalType(18, 0)) *
+      lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+      .cast(DecimalType(18, 6))
+  }
+
+  /** NEW r12b: Markov stationary-distribution estimate — two
+    * transparent power-iteration rounds of the event-type transition
+    * chain (the PageRank-lite "where does a user stream settle"
+    * report; the [[transitions]] matrix is WHERE, this is HOW MUCH).
+    * The k-means-census discipline: both rounds are re-derived by the
+    * oracle from the raw events, nothing is fitted offline.
+    *
+    * Engine-exact arithmetic: the row-stochastic matrix entries are
+    * quant6'd DECIMAL(18,6); round 1 starts uniform, so π₁ ∝ the
+    * exact decimal column sums u₁ (π₁ = u₁/k); round 2 re-weights by
+    * u₁ itself — (19,6)×(18,6) → (38,12) products landed in (30,12)
+    * (§4 r11 addition-cliff rule), still exact — and π₂ = v₂/k emits
+    * through ONE mirrored double division each. States that are never
+    * a transition TARGET drop out (sources only); mass entering
+    * absorbing states leaves the reported vector — both documented,
+    * deterministic on both engines. Everything past the one
+    * user-window pass is ≤|types|²-row metadata.
+    */
+  def markovStationary(events: DataFrame): DataFrame = {
+    val uo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val fromW = Window.partitionBy("from_type")
+    val p = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(uo))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("from_type"), col("to_type"),
+        quant6(col("n").cast("double") /
+          sum(col("n")).over(fromW).cast("double") * 1000000.0).as("p6"))
+    val u1 = p.groupBy(col("to_type"))
+      .agg(sum(col("p6")).cast(DecimalType(28, 6)).as("u1"))
+    val v2 = p
+      .join(u1.select(col("to_type").as("from_type"), col("u1")), Seq("from_type"),
+        "left")
+      .withColumn("w",
+        coalesce(col("u1"), lit(java.math.BigDecimal.ZERO)).cast(DecimalType(19, 6)))
+      .groupBy(col("to_type"))
+      .agg(sum((col("w") * col("p6")).cast(DecimalType(30, 12))).as("v2"))
+    val k = events.agg(countDistinct(col("event_type")).cast("double").as("k"))
+    u1.join(v2, Seq("to_type"))
+      .crossJoin(k)
+      .select(col("to_type").as("event_type"),
+        (col("u1").cast("double") / col("k")).as("p1"),
+        (col("v2").cast("double") / col("k")).as("p2"))
+      .orderBy("event_type")
+  }
+
+  /** NEW r12b: session entry/exit census — per event type: how often
+    * it opens a session, closes one, and is a single-event (bounce)
+    * session, over 30-minute-gap user sessions (the landing/exit-page
+    * report every product dashboard carries). Sessions come from a
+    * per-user lag + gap-flag prefix sum (windows partition on the
+    * high-cardinality user_id — the [[attribution]] posture); entry
+    * and exit resolve via min_by/max_by on the zero-padded
+    * (epoch_us, event_id) tie key (the ohlc discipline — duplicate
+    * timestamps inside a user stream are real). The per-session table
+    * collapses through two counter aggregations on the ≤|types| key
+    * and one tiny full-outer join — pure integer outputs.
+    */
+  def entryExit(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val uo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val tk = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 20, "0"))
+    val t = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(uo))
+      .withColumn("is_new", when(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+        .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(uo.rowsBetween(Window.unboundedPreceding, 0)))
+    val sess = t.groupBy(col("user_id"), col("session_id"))
+      .agg(min_by(col("event_type"), tk).as("entry_type"),
+        max_by(col("event_type"), tk).as("exit_type"),
+        count(lit(1)).as("n_events"))
+    val e = sess.groupBy(col("entry_type").as("event_type"))
+      .agg(count(lit(1)).as("n_entries"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+    val x = sess.groupBy(col("exit_type").as("event_type"))
+      .agg(count(lit(1)).as("n_exits"))
+    e.join(x, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_entries"), lit(0L)).as("n_entries"),
+        coalesce(col("n_exits"), lit(0L)).as("n_exits"),
+        coalesce(col("n_bounces"), lit(0L)).as("n_bounces"))
+      .orderBy("event_type")
+  }
+
   /** NEW r10: activity concentration (Gini coefficient) over per-user
     * event counts — the "how top-heavy is engagement" number every
     * growth dashboard carries. The global rank of every user by

@@ -4409,4 +4409,229 @@ object MarketOps {
           + col("cum_offset")).cast("double") / 10000.0).as("vpt"))
       .orderBy("event_id")
   }
+
+  /** 4-dp quantization of a double via the shared float-op sequence —
+    * the [[quant6]] discipline at report precision, emitted directly
+    * as DOUBLE (scale, FLOOR/CEIL, one division by 1e4 — identical
+    * IEEE ops on both engines; ROUND(d, 4) half-rounds divergently on
+    * exact .5 boundaries, which purely RATIONAL statistics like a
+    * rank correlation can actually hit).
+    */
+  private def quant4(x: Column): Column = {
+    val s = x * 10000.0
+    val q = when(s >= 0, floor(s + 0.5)).otherwise(ceil(s - 0.5))
+    q.cast("long").cast("double") / 10000.0
+  }
+
+  /** NEW r12b: volume-weighted moving average — the 20-tick VWMA a
+    * chartist overlays when plain SMA ignores participation. Rides the
+    * [[chunkedFrame]] scaffold with invertible running sums (the
+    * bollinger r9 rework): running Σ(price·vol) and Σvol minus their
+    * lag(n) — exact decimal differences, O(1)/row, no whole-symbol
+    * window. The (18,2)×(18,0) product is width 37 (≤38 on both
+    * engines, §4 width rule); the emission is one [[quant6]]'d
+    * division (zero-volume windows emit NULL — ANSI guard).
+    */
+  def vwma(ticks: DataFrame, n: Int = 20, chunkRows: Long = 8192L): DataFrame = {
+    val (t0, spec) = chunkedFrame(ticks, n - 1, chunkRows)
+    val run = spec.rowsBetween(Window.unboundedPreceding, 0)
+    val t = t0
+      .withColumn("cpv", sum(col("price").cast(dec) *
+        col("volume").cast(DecimalType(18, 0))).over(run))
+      .withColumn("cv", sum(col("volume")).over(run))
+    def slide(c: Column): Column = c - coalesce(lag(c, n).over(spec), lit(0))
+    t.select(col("event_id"), col("symbol"), col("carry"),
+        when(slide(col("cv")) =!= 0,
+          quant6(slide(col("cpv")).cast("double") /
+            slide(col("cv")).cast("double") * 1000000.0).cast("double"))
+          .as(s"vwma$n"))
+      .filter(!col("carry"))
+      .select(col("event_id"), col("symbol"), col(s"vwma$n"))
+      .orderBy("event_id")
+  }
+
+  /** NEW r12b: Awesome Oscillator (Bill Williams) — SMA(fast) −
+    * SMA(slow) of the bar midpoint (high+low)/2 on daily bars,
+    * compressed 5/20 (the classic 5/34 needs 34 bars, the tapes carry
+    * 30 — the KST precedent; identical structure). The window sums
+    * stay exact DECIMAL over (h+l) and the halving folds into the
+    * final divisors (Σ/2·fast, Σ/2·slow), so the emission is two
+    * exact-operand double divisions and one subtraction — mirrored
+    * IEEE ops, RAW emission (no round, §4). Defined from the
+    * `slow`-th bar on.
+    */
+  def awesomeOsc(ticks: DataFrame, fast: Int = 5, slow: Int = 20): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        (col("high").cast(dec) + col("low").cast(dec)).as("hl"))
+      .withColumn("sf", sum(col("hl")).over(dayOrder.rowsBetween(-(fast - 1), 0)))
+      .withColumn("ss", sum(col("hl")).over(dayOrder.rowsBetween(-(slow - 1), 0)))
+      .withColumn("ns", count(lit(1)).over(dayOrder.rowsBetween(-(slow - 1), 0)))
+      .filter(col("ns") === slow)
+      .select(col("symbol"), col("day"),
+        (col("sf").cast("double") / (2.0 * fast) -
+          col("ss").cast("double") / (2.0 * slow)).as("awesome"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r12b: Spearman rank correlation matrix — the robust sibling
+    * of [[correlationMatrix]]: monotone association of two symbols'
+    * daily return series, immune to the outlier days that dominate
+    * Pearson. Returns are the shared 6-dp-quantized [[dailyRet6]]
+    * series; within each pair the two sides are ranked by
+    * ROW_NUMBER over (return, day) — a fixed deterministic tie policy
+    * both engines mirror exactly (average-rank ties would need float
+    * rank arithmetic) — and ρ = 1 − 6·Σd²/(n(n²−1)) is pure integer
+    * arithmetic until one final division, [[quant4]]'d. The pair join
+    * runs on the tiny daily rollup (symbols × days), never raw ticks;
+    * rank windows partition per pair over calendar-bounded rows.
+    */
+  def spearmanMatrix(ticks: DataFrame): DataFrame = {
+    val r = dailyRet6(ticks).select(col("symbol"), col("day"), col("r"))
+    val a = r.select(col("symbol").as("sym_a"), col("day"), col("r").as("ra"))
+    val b = r.select(col("symbol").as("sym_b"), col("day"), col("r").as("rb"))
+    val pw = Window.partitionBy("sym_a", "sym_b")
+    a.join(b, "day").filter(col("sym_a") < col("sym_b"))
+      .withColumn("rka",
+        row_number().over(pw.orderBy(col("ra"), col("day"))).cast("long"))
+      .withColumn("rkb",
+        row_number().over(pw.orderBy(col("rb"), col("day"))).cast("long"))
+      .withColumn("d", col("rka") - col("rkb"))
+      .groupBy("sym_a", "sym_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("d") * col("d")).cast("long").as("s2"))
+      .filter(col("n_days") > 1)
+      .select(col("sym_a"), col("sym_b"), col("n_days"),
+        quant4(lit(1.0) - (col("s2") * 6L).cast("double") /
+          (col("n_days") * (col("n_days") * col("n_days") - 1L))
+            .cast("double")).as("rho"))
+      .orderBy("sym_a", "sym_b")
+  }
+
+  /** NEW r12b: anchored VWAP — the running day-anchored
+    * Σ(price·vol)/Σvol every intraday trader tracks (resets at the
+    * session open). The anchor day IS the window partition, so this
+    * is chunk-parallel by construction — no whole-symbol window, no
+    * carry scaffold: (symbol, day) partitions are calendar-bounded.
+    * Exact decimal running sums ((18,2)×(18,0) width-37 products),
+    * one quant6'd division per tick, zero-volume prefix NULL guard.
+    */
+  def anchoredVwap(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol", "anchor_day")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ticks.withColumn("anchor_day", to_date(col("ts")))
+      .select(col("event_id"), col("symbol"),
+        sum(col("price").cast(dec) * col("volume").cast(DecimalType(18, 0)))
+          .over(w).as("cpv"),
+        sum(col("volume")).over(w).as("cv"))
+      .select(col("event_id"), col("symbol"),
+        when(col("cv") =!= 0,
+          quant6(col("cpv").cast("double") / col("cv").cast("double")
+            * 1000000.0).cast("double")).as("avwap"))
+      .orderBy("event_id")
+  }
+
+  /** NEW r12b: Omega ratio at threshold 0 — Σ positive / Σ |negative|
+    * quant6 daily returns, the gain/loss asymmetry gauge that (unlike
+    * Sharpe) uses the whole return distribution. Pure exact decimal
+    * sums over the shared [[dailyRet6]] series, both legs also emitted
+    * (exact decimal → double), ONE raw division; loss-free tapes emit
+    * NULL omega (ANSI guard, mirrored).
+    */
+  def omegaRatio(ticks: DataFrame): DataFrame = {
+    val z = lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6))
+    dailyRet6(ticks).groupBy("symbol").agg(
+        count(lit(1)).as("n_days"),
+        sum(when(col("r") > 0, col("r")).otherwise(z)).as("gain"),
+        sum(when(col("r") < 0, -col("r")).otherwise(z)).as("loss"))
+      .select(col("symbol"), col("n_days"),
+        col("gain").cast("double").as("gain_sum"),
+        col("loss").cast("double").as("loss_sum"),
+        when(col("loss") =!= 0,
+          col("gain").cast("double") / col("loss").cast("double"))
+          .as("omega"))
+      .orderBy("symbol")
+  }
+
+  /** NEW r12b: information ratio vs the equal-weight market index —
+    * mean/stddev of the ACTIVE daily return (symbol return minus the
+    * cross-sectional mean return that day), the "is this symbol's
+    * excess persistent" gauge beside [[betaDaily]]. The benchmark leg
+    * is quant6'd (mean of quant6 returns, one double division →
+    * shared FLOOR/CEIL), actives re-sum as exact decimals with
+    * (18,6)×(18,6) → (37,12) squares, and the emission is the §4
+    * stddev class: mirrored IEEE chain, ROUND(…,4) + signed-zero
+    * guard. The day rollup is tiny; both aggregation keys are
+    * calendar/symbol-bounded.
+    */
+  def informationRatio(ticks: DataFrame): DataFrame = {
+    val sq12 = DecimalType(38, 12)
+    val r = dailyRet6(ticks).select(col("symbol"), col("day"), col("r"))
+    val idx = r.groupBy("day").agg(
+      quant6(sum(col("r")).cast("double") / count(lit(1)).cast("double")
+        * 1000000.0).as("idx6"))
+    val a = r.join(idx, "day")
+      .select(col("symbol"),
+        (col("r") - col("idx6")).cast(DecimalType(18, 6)).as("a"))
+    val agg = a.groupBy("symbol").agg(
+      count(lit(1)).as("n_days"),
+      count(lit(1)).cast("double").as("n"),
+      sum(col("a")).cast("double").as("sa"),
+      sum((col("a") * col("a")).cast(sq12)).cast("double").as("saa"))
+    val va = (col("saa") - col("sa") * col("sa") / col("n")) /
+      (col("n") - 1.0)
+    agg.select(col("symbol"), col("n_days"),
+        when(col("n") > 1.0 && va > 0.0,
+          round((col("sa") / col("n")) / sqrt(va), 4) + lit(0.0))
+          .as("info_ratio"))
+      .orderBy("symbol")
+  }
+
+  final case class TsiIn(symbol: String, day: java.sql.Date, mom: Double)
+  final case class TsiOut(symbol: String, day: java.sql.Date, tsi: Double)
+
+  /** NEW r12b: True Strength Index (Blau) — double-smoothed momentum:
+    * 100·EMA13(EMA25(Δc)) / EMA13(EMA25(|Δc|)). Momentum is the exact
+    * DECIMAL close-to-close difference (one exact double conversion),
+    * the four-state EMA chain mirrors the runtime α arithmetic
+    * (2.0/26.0, 2.0/14.0) via the [[chaikinOsc]] sorted-group pattern,
+    * both recursions seed at the first momentum bar, and the emission
+    * is one mirrored 100·num/den division (flat-tape zero denominator
+    * emits 0 on both engines). Defined from the 2nd bar on.
+    */
+  def tsi(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull)
+      .select(col("symbol"), col("day"),
+        (col("c") - col("pc")).cast("double").as("mom"))
+      .as[TsiIn]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        val a25 = 2.0 / 26.0
+        val a13 = 2.0 / 14.0
+        var e1m = 0.0; var e2m = 0.0; var e1a = 0.0; var e2a = 0.0
+        var first = true
+        it.map { b =>
+          val am = math.abs(b.mom)
+          if (first) {
+            first = false; e1m = b.mom; e2m = b.mom; e1a = am; e2a = am
+          } else {
+            e1m = a25 * b.mom + (1.0 - a25) * e1m
+            e2m = a13 * e1m + (1.0 - a13) * e2m
+            e1a = a25 * am + (1.0 - a25) * e1a
+            e2a = a13 * e1a + (1.0 - a13) * e2a
+          }
+          TsiOut(sym, b.day, if (e2a != 0.0) 100.0 * e2m / e2a else 0.0)
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
 }

@@ -101,6 +101,53 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** NEW r12b: MinHash calibration report — the threshold-tuning
+    * table a dedup operator reads before picking a similarity cutoff:
+    * LSH candidate pairs grouped by signature-agreement count m
+    * (0..k), each bucket reporting its pair count, the implied
+    * estimate m/k, and the EXACT n-gram Jaccard statistics of its
+    * pairs. If the mean exact Jaccard in the m=12 bucket is 0.4, a
+    * 0.75-estimate cutoff is not the 0.75 the operator thinks it is —
+    * this is the dedup-quality QA beside the recall panel.
+    *
+    * Engine parity: m is integer-safe (est·k is exact — k=16 is a
+    * power of two); each pair's exact Jaccard quantizes to 1e-6 micro
+    * longs (shared FLOOR/CEIL), bucket means are exact long sums over
+    * two mirrored divisions, min/max re-emit through one /1e6. Scale:
+    * rides the existing candidate machinery (one banded exchange,
+    * never all-pairs) plus two shingle joins on candidate doc_ids.
+    */
+  def minhashCalibration(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
+    val pairs = minhashCandidates(docs, n, k)
+      .select(col("doc_a"), col("doc_b"),
+        (col("est_jaccard") * k).cast("long").as("m"))
+    val sh = shingles(docs, n)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("long")
+    val ratio = inter.cast("double") / uni.cast("double") * 1000000.0
+    val micro = when(uni > 0,
+      when(ratio >= 0, floor(ratio + 0.5)).otherwise(ceil(ratio - 0.5))
+        .cast("long")).otherwise(0L)
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")),
+        "doc_b")
+      .select(col("m"), micro.as("jmicro"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jmicro")).as("sj"),
+        min(col("jmicro")).as("mnj"),
+        max(col("jmicro")).as("mxj"))
+      .select(col("m"), col("n_pairs"),
+        (col("m").cast("double") / k).as("est_jaccard"),
+        (col("sj").cast("double") / 1000000.0 /
+          col("n_pairs").cast("double")).as("mean_jaccard"),
+        (col("mnj").cast("double") / 1000000.0).as("min_jaccard"),
+        (col("mxj").cast("double") / 1000000.0).as("max_jaccard"))
+      .orderBy("m")
+  }
+
   /** SimHash: 64-bit signature where bit j = sign of the sum over words
     * of (+1/-1 depending on bit j of the word hash). Near-dups have small
     * Hamming distance. Single-pass [[graft.functions.SimHash64]]

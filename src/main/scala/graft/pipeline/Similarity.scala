@@ -351,6 +351,32 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
+  /** NEW r12b: embedding norm histogram — the corpus-QA distribution
+    * of vector L2 norms (un-normalized batches, dead/zero vectors, and
+    * scale drift between embedding versions all show here first).
+    * Engine-exact with NO float accumulation: each component quantizes
+    * to an exact 1e-3-unit integer (shared FLOOR/CEIL sequence on the
+    * identical float→double widening), norm² re-sums those as exact
+    * longs (1e-6 units), and buckets are exact 1e-3-wide norm² bins
+    * (integer `div` — both engines floor non-negative quotients), so
+    * a properly unit-normalized corpus lands in the 1000-bucket and
+    * every drifted vector shows beside it. One counter-aggregation
+    * shuffle on the bounded bucket key.
+    */
+  def normHistogram(emb: DataFrame): DataFrame = {
+    val q3 = "CAST(CASE WHEN CAST(x AS DOUBLE) * 1000.0 >= 0 " +
+      "THEN FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) " +
+      "ELSE CEILING(CAST(x AS DOUBLE) * 1000.0 - 0.5) END AS BIGINT)"
+    val norm2 = expr(s"aggregate(transform(embedding, x -> $q3), " +
+      "CAST(0 AS BIGINT), (acc, y) -> acc + y * y)")
+    emb.select(col("vec_id"), norm2.as("norm2_u6"))
+      .groupBy(expr("norm2_u6 div 1000").as("bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("norm2_u6")).as("min_norm2_u6"),
+        max(col("norm2_u6")).as("max_norm2_u6"))
+      .orderBy("bucket")
+  }
+
   /** NEW r12: product-quantization shortlist + exact re-rank — the
     * memory-bandwidth scale path beyond int8: each vector compresses
     * to `m` sub-space codebook codes (m bytes/vector at cb ≤ 256 —

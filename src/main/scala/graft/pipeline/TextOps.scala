@@ -832,6 +832,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** NEW r12b: Flesch readability — reading ease + Flesch–Kincaid
+    * grade per doc from three exact integer counts: whitespace words
+    * (the [[wsTokens]] convention), terminator-run sentences (the
+    * [[sentenceStats]] convention), and syllables approximated as
+    * maximal `[aeiouy]+` vowel groups (the standard dictionary-free
+    * heuristic; counted with the replace-length trick — stays in
+    * codegen). The emission is a mirrored double chain over the exact
+    * ints (two divisions, literal coefficients) — RAW, no round;
+    * degenerate docs (no words / no sentences) emit NULL on both
+    * engines (ANSI guard). Zero-shuffle scalar pipeline.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    def nMatches(c: Column, pat: String): Column =
+      (length(regexp_replace(c, pat, "XX")) -
+        length(regexp_replace(c, pat, "X"))).cast("long")
+    val w = wsTokens(col("text"))
+    val s = size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+      .cast("long")
+    val syl = nMatches(lower(col("text")), "[aeiouy]+")
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    docs.select(col("doc_id"), w.as("n_words"), s.as("n_sentences"),
+        syl.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"),
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
+  /** NEW r12b: corpus word-length histogram — the length distribution
+    * of whitespace tokens (mojibake, tokenizer-stress, and
+    * concatenation-artifact detector: a hump past length 25 in prose
+    * means glued words). Explode + counter aggregation on the bounded
+    * length key — map-side partials collapse each partition to
+    * ≤ max-length rows, so the shuffle is counters, never words.
+    */
+  def wordLenHist(docs: DataFrame): DataFrame =
+    docs.select(explode(split(trim(col("text")),
+        "[ \\t\\n\\r\\f\\x0B]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(length(col("w")).cast("long").as("word_len"))
+      .agg(count(lit(1)).as("n_words"))
+      .orderBy("word_len")
+
   /** NEW r9c: tokenizer compression ratio per source — chars per
     * whitespace token and per BPE-ish token (the corpus-level
     * fertility view beside the per-language [[tokenFertility]]).

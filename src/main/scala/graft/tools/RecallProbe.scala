@@ -44,6 +44,13 @@ object RecallProbe {
     }
     val rIvf = recallOf(q => graft.pipeline.Similarity.ivfTopK(emb, q, 10, nprobe = 8))
     println(f"ivf nprobe=8 recall@10=$rIvf%.2f")
+    for (short <- Seq(200, 400, 600)) {
+      val t0 = System.nanoTime()
+      val r = recallOf(q =>
+        graft.pipeline.Similarity.pqTopK(emb, q, 10, shortlist = short))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"pq shortlist=$short%-4d recall@10=$r%.2f (${100.0 * short / n}%.1f%% of corpus) ${sec}%.1f s")
+    }
     spark.stop()
   }
 }

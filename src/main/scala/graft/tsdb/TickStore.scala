@@ -238,6 +238,32 @@ final class TickStore(spark: SparkSession, path: String,
     *
     * Returns the number of partitions compacted.
     */
+  /** NEW r12b: storage statistics — per-partition (data-file count,
+    * bytes) from ONE glob listing: the fragmentation report `compact`
+    * acts on, surfaced as an operational command. Driver-side
+    * O(partitions) metadata only; no data file is ever opened.
+    */
+  def stats(): Seq[(String, Int, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Seq.empty
+    val pattern = if (dailyPartitions) "symbol=*/ts_date=*" else "symbol=*"
+    val dirs = fs.globStatus(new org.apache.hadoop.fs.Path(root, pattern))
+    if (dirs == null) return Seq.empty
+    dirs.iterator.filter(_.isDirectory).map { d =>
+      val files = fs.listStatus(d.getPath).filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val rel =
+        if (dailyPartitions)
+          d.getPath.getParent.getName + "/" + d.getPath.getName
+        else d.getPath.getName
+      (rel, files.length, files.map(_.getLen).sum)
+    }.toSeq.sortBy(_._1)
+  }
+
   def compact(maxFiles: Int = 1): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)

@@ -39,7 +39,13 @@ class CliSpec extends AnyFunSuite {
     // two commits for one symbol → fragmented; compact merges them
     assert(Cli.run(spark, mdir, Array("insert", "AAA", "1700006400", "10.00", "1")) === 0)
     assert(Cli.run(spark, mdir, Array("insert", "AAA", "1700006401", "11.00", "2")) === 0)
+    // stats sees the fragmentation compact is about to fix
+    val pre = new graft.tsdb.TickStore(spark, mdir).stats()
+    assert(pre.map(_._1) === Seq("symbol=AAA") && pre.head._2 === 2)
+    assert(pre.head._3 > 0L)
+    assert(Cli.run(spark, mdir, Array("stats")) === 0)
     assert(Cli.run(spark, mdir, Array("compact")) === 0)
+    assert(new graft.tsdb.TickStore(spark, mdir).stats().head._2 === 1)
     val files = new java.io.File(s"$mdir/symbol=AAA").listFiles
       .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
     assert(files === 1)

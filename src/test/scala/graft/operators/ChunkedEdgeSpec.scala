@@ -121,6 +121,21 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       edge.select(col("event_id"), col("symbol"),
         (sum(col("price").cast(dec)).over(w).cast("double") /
           count(lit(1)).over(w).cast("double")).as("sma2")))
+    // r12b vwma: chunked invertible sums vs the monolithic window +
+    // inline quant6 (exact decimal products, zero-volume guard)
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val d76 = org.apache.spark.sql.types.DecimalType(7, 6)
+    val d186 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val pvS = sum(col("price").cast(dec) * col("volume").cast(d18)).over(w)
+    val vS = sum(col("volume")).over(w)
+    val vr = pvS.cast("double") / vS.cast("double") * 1000000.0
+    val vq = when(vr >= 0, floor(vr + 0.5)).otherwise(ceil(vr - 0.5))
+    same(MarketOps.vwma(edge, 2, chunkRows = 3L),
+      edge.select(col("event_id"), col("symbol"),
+        when(vS =!= 0,
+          (vq.cast("long").cast(d18) *
+            lit(new java.math.BigDecimal("0.000001")).cast(d76))
+            .cast(d186).cast("double")).as("vwma2")))
     val chg = col("price").cast(dec) - lag(col("price"), 1).over(tickOrder).cast(dec)
     val w14 = tickOrder.rowsBetween(-1, 0)
     same(MarketOps.rsi(edge, 2, chunkRows = 3L),
@@ -276,7 +291,14 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "mcclellan" -> (MarketOps.mcclellan(_)),
       "corwinSchultz" -> (MarketOps.corwinSchultz(_)),
       "renko" -> (MarketOps.renko(_)),
-      "zigzag" -> (MarketOps.zigzag(_)))
+      "zigzag" -> (MarketOps.zigzag(_)),
+      "vwma" -> (MarketOps.vwma(_)),
+      "awesomeOsc" -> (MarketOps.awesomeOsc(_)),
+      "spearmanMatrix" -> (MarketOps.spearmanMatrix(_)),
+      "tsi" -> (MarketOps.tsi(_)),
+      "anchoredVwap" -> (MarketOps.anchoredVwap(_)),
+      "omegaRatio" -> (MarketOps.omegaRatio(_)),
+      "informationRatio" -> (MarketOps.informationRatio(_)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>
@@ -301,7 +323,9 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "rfm" -> EventAnalytics.rfm(ev),
       "attribution" -> EventAnalytics.attribution(ev),
       "topPaths" -> EventAnalytics.topPaths(ev),
-      "activeUsers" -> EventAnalytics.activeUsers(ev)
+      "activeUsers" -> EventAnalytics.activeUsers(ev),
+      "entryExit" -> EventAnalytics.entryExit(ev),
+      "markovStationary" -> EventAnalytics.markovStationary(ev)
     ).foreach { case (name, df) =>
       try df.collect()
       catch { case e: Throwable =>

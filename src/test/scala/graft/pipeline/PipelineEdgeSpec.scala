@@ -61,7 +61,9 @@ class PipelineEdgeSpec extends AnyFunSuite {
       "codeProse" -> TextOps.codeProse(edgeDocs),
       "lengthHistogram" -> TextOps.lengthHistogram(edgeDocs),
       "dupNgrams" -> TextOps.dupNgrams(edgeDocs),
-      "hapax" -> TextOps.hapax(edgeDocs)
+      "hapax" -> TextOps.hapax(edgeDocs),
+      "readability" -> TextOps.readability(edgeDocs),
+      "wordLenHist" -> TextOps.wordLenHist(edgeDocs)
     )
     ops.foreach { case (name, df) =>
       try df.collect()
@@ -77,7 +79,8 @@ class PipelineEdgeSpec extends AnyFunSuite {
       "minhashCandidates" -> Dedup.minhashCandidates(edgeDocs),
       "simhash" -> Dedup.simhash(edgeDocs),
       "simhashPairs" -> Dedup.simhashPairs(edgeDocs),
-      "crossSourceLeakage" -> Dedup.crossSourceLeakage(edgeDocs)
+      "crossSourceLeakage" -> Dedup.crossSourceLeakage(edgeDocs),
+      "minhashCalibration" -> Dedup.minhashCalibration(edgeDocs)
     )
     ops.foreach { case (name, df) =>
       try df.collect()

@@ -64,6 +64,8 @@ q_chaikin_osc q_golden_cross q_runs_test q_gap_fill_rate
 q_turn_of_month q_pv_corr q_vol_of_vol q_mean_reversion q_vpt
 q_klinger q_nvi_pvi q_vol_cone q_new_returning q_anomaly_days
 q_audience_overlap
+q_vwma q_awesome_osc q_spearman q_tsi q_anchored_vwap
+q_markov_stationary q_entry_exit q_omega q_info_ratio
 """.split()
 
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",

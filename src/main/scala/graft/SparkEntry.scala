@@ -6505,8 +6505,8 @@ object SparkEntry {
       // q_kmeans_embed discipline per sub-space): codebook init =
       // vec_id<16 sub-vectors, ONE Lloyd round with quant6 means,
       // rounded-argmin codes, quant6 ADC table, left-assoc 8-term
-      // lookup sum, shortlist 200 → exact cosine re-rank
-      val m = 8; val sub = 8; val cb = 16; val short = 200
+      // lookup sum, shortlist 400 → exact cosine re-rank
+      val m = 8; val sub = 8; val cb = 16; val short = 400
       def jcte(j: Int): String = {
         val lo = j * sub + 1
         s"""sv$j AS (SELECT vec_id,

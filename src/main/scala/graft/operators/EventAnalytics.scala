@@ -425,16 +425,25 @@ object EventAnalytics {
       .agg(min_by(col("event_type"), tk).as("entry_type"),
         max_by(col("event_type"), tk).as("exit_type"),
         count(lit(1)).as("n_events"))
-    val e = sess.groupBy(col("entry_type").as("event_type"))
-      .agg(count(lit(1)).as("n_entries"),
-        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
-    val x = sess.groupBy(col("exit_type").as("event_type"))
-      .agg(count(lit(1)).as("n_exits"))
-    e.join(x, Seq("event_type"), "full_outer")
-      .select(col("event_type"),
-        coalesce(col("n_entries"), lit(0L)).as("n_entries"),
-        coalesce(col("n_exits"), lit(0L)).as("n_exits"),
-        coalesce(col("n_bounces"), lit(0L)).as("n_bounces"))
+    // each session emits an entry-role and an exit-role row, then ONE
+    // counter aggregation — no full-outer join (a FULL OUTER can never
+    // broadcast, and even a tiny SortMergeJoin is a needless stage);
+    // structs are built in their own projection (generator+struct
+    // aliases in one projection strips the field names — KMeans split)
+    sess
+      .select(array(
+        struct(col("entry_type").as("event_type"),
+          lit(1L).as("e"), lit(0L).as("x"),
+          when(col("n_events") === 1, 1L).otherwise(0L).as("b")),
+        struct(col("exit_type").as("event_type"),
+          lit(0L).as("e"), lit(1L).as("x"), lit(0L).as("b"))).as("rs"))
+      .select(explode(col("rs")).as("r"))
+      .select(col("r.event_type").as("event_type"), col("r.e").as("e"),
+        col("r.x").as("x"), col("r.b").as("b"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("e")).cast("long").as("n_entries"),
+        sum(col("x")).cast("long").as("n_exits"),
+        sum(col("b")).cast("long").as("n_bounces"))
       .orderBy("event_type")
   }
 

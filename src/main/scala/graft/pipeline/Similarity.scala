@@ -383,8 +383,9 @@ object Similarity {
     * 32× smaller than float32), the query ranks the WHOLE corpus by
     * an ADC table-lookup sum (no vector arithmetic per candidate, m
     * lookups + m−1 adds), and only the `shortlist` best candidates
-    * pay an exact cosine. Measured on the bench corpus: shortlist 200
-    * (10% of vectors) recovers recall@10 = 0.8 — brute quality at a
+    * pay an exact cosine. Measured on the bench corpus: shortlist 400
+    * (20% of vectors) recovers recall@10 = 0.88 — above the IVF path
+    * (0.80) at a
     * fraction of the scan bandwidth, and at 100 TB the code table +
     * codebooks are what fits in RAM when the float corpus cannot.
     *
@@ -396,7 +397,7 @@ object Similarity {
     * both rankings from the raw embeddings alone.
     */
   def pqTopK(emb: DataFrame, queryId: Long, k: Int = 10,
-      shortlist: Int = 200, m: Int = 8, cb: Int = 16): DataFrame = {
+      shortlist: Int = 400, m: Int = 8, cb: Int = 16): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     reg(emb)
     def quant6(s: Column): Column = {

@@ -67,7 +67,7 @@ class RecallSpec extends AnyFunSuite {
     }
     // the default shortlist (200) must hold its measured floor
     val pq = recallOf(q => Similarity.pqTopK(emb, q, K))
-    assert(pq >= 0.60, s"PQ recall@10 $pq below floor 0.60")
+    assert(pq >= 0.75, s"PQ recall@10 $pq below floor 0.75")
   }
 
   test("table amplification is monotone: more OR'd tables never lose recall") {

@@ -243,6 +243,12 @@ object SparkEntry {
     "q_markov_stationary" -> ((s, dir) =>
       EventAnalytics.markovStationary(Tables.events(s, dir))),
     "q_omega" -> ((s, dir) => MarketOps.omegaRatio(ticks(s, dir))),
+    "q_sign_autocorr" -> ((s, dir) => MarketOps.signAutocorr(ticks(s, dir))),
+    "q_candle_anatomy" -> ((s, dir) => MarketOps.candleAnatomy(ticks(s, dir))),
+    "q_session_cooccur" -> ((s, dir) =>
+      EventAnalytics.sessionCooccurrence(Tables.events(s, dir))),
+    "q_dedup_impact" -> ((s, dir) =>
+      Dedup.dedupImpact(Tables.documents(s, dir))),
     "q_info_ratio" -> ((s, dir) => MarketOps.informationRatio(ticks(s, dir))),
     "q_norm_hist" -> ((s, dir) =>
       Similarity.normHistogram(Tables.embeddings(s, dir))),
@@ -4812,6 +4818,134 @@ object SparkEntry {
         |SELECT CAST(length(w) AS BIGINT) AS word_len,
         |       CAST(COUNT(*) AS BIGINT) AS n_words
         |FROM w WHERE length(w) > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sign_autocorr" ->
+      // tick-rule signs from exact decimal compares, integer ±1 dot,
+      // ONE raw division of exact longs per (symbol, lag) cell
+      """WITH t AS (
+        |  SELECT event_type AS symbol, ts, event_id,
+        |         CAST(value AS DECIMAL(18,2)) AS p
+        |  FROM events),
+        |d AS (
+        |  SELECT symbol, ts, event_id,
+        |         CASE WHEN p - LAG(p) OVER w > 0 THEN 1
+        |              WHEN p - LAG(p) OVER w < 0 THEN -1 ELSE 0 END AS s
+        |  FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+        |l AS (
+        |  SELECT symbol, s,
+        |         LAG(s, 1) OVER w AS s1, LAG(s, 2) OVER w AS s2,
+        |         LAG(s, 3) OVER w AS s3
+        |  FROM d WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+        |u AS (
+        |  SELECT symbol, 1 AS lag_n, s AS a, s1 AS b FROM l
+        |  UNION ALL SELECT symbol, 2, s, s2 FROM l
+        |  UNION ALL SELECT symbol, 3, s, s3 FROM l)
+        |SELECT symbol, CAST(lag_n AS BIGINT) AS lag_n,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(CAST(SUM(a * b) AS BIGINT) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS sign_ac
+        |FROM u WHERE a <> 0 AND b IS NOT NULL AND b <> 0
+        |GROUP BY 1, 2 ORDER BY symbol, lag_n""".stripMargin,
+    "q_candle_anatomy" ->
+      // quant6'd body/wick shares of the bar range (flat bars out),
+      // exact share re-sums, raw mean divisions; doji via the exact
+      // integer cross-multiplication; decimal extremes via CASE
+      s"""WITH b AS (${duckDailyBars}),
+         |f AS (
+         |  SELECT symbol, o, h, l, c, h - l AS rng,
+         |         CASE WHEN c >= o THEN c - o ELSE o - c END AS body,
+         |         CASE WHEN o > c THEN o ELSE c END AS hi,
+         |         CASE WHEN o < c THEN o ELSE c END AS lo
+         |  FROM b WHERE h > l),
+         |s AS (
+         |  SELECT symbol,
+         |         ${duckQ6("CAST(body AS DOUBLE) / CAST(rng AS DOUBLE)")} AS bs,
+         |         ${duckQ6("CAST(h - hi AS DOUBLE) / CAST(rng AS DOUBLE)")} AS us,
+         |         ${duckQ6("CAST(lo - l AS DOUBLE) / CAST(rng AS DOUBLE)")} AS ls,
+         |         CASE WHEN body * 20 <= rng THEN 1 ELSE 0 END AS doji
+         |  FROM f)
+         |SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_bars,
+         |       CAST(SUM(doji) AS BIGINT) AS n_doji,
+         |       CAST(SUM(bs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |         AS avg_body_share,
+         |       CAST(SUM(us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |         AS avg_upper_share,
+         |       CAST(SUM(ls) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |         AS avg_lower_share
+         |FROM s GROUP BY 1 ORDER BY symbol""".stripMargin,
+    "q_session_cooccur" ->
+      // the entry/exit session CTEs → ONE distinct (user, session,
+      // type) projection feeding pair join, per-type counts, and the
+      // session total; lift = exact counts through mirrored doubles
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM t),
+        |g AS (
+        |  SELECT user_id, event_type,
+        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f),
+        |st AS (SELECT DISTINCT user_id, session_id, event_type FROM g),
+        |pt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM st GROUP BY 1),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS total
+        |       FROM (SELECT DISTINCT user_id, session_id FROM st)),
+        |pr AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM st a
+        |  JOIN st b ON a.user_id = b.user_id
+        |           AND a.session_id = b.session_id
+        |           AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, pr.n_both, pa.n AS n_a, pb.n AS n_b,
+        |       CAST(pr.n_both AS DOUBLE) * CAST(ns.total AS DOUBLE)
+        |         / (CAST(pa.n AS DOUBLE) * CAST(pb.n AS DOUBLE)) AS lift
+        |FROM pr
+        |JOIN pt pa ON pa.event_type = pr.type_a
+        |JOIN pt pb ON pb.event_type = pr.type_b
+        |CROSS JOIN ns
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q_dedup_impact" ->
+      // exact survivors (min doc_id per content hash) + the label
+      // propagation fixpoint, counted per source; raw ratio divisions
+      s"""WITH RECURSIVE $duckMinhashCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |          UNION SELECT doc_b, doc_a FROM prs),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst),
+         |labels AS (SELECT doc, MIN(lab) AS cluster_id FROM reach GROUP BY 1),
+         |nr AS (SELECT doc AS doc_id,
+         |              CASE WHEN cluster_id = doc THEN 1 ELSE 0 END AS nr
+         |       FROM labels),
+         |ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |m AS (
+         |  SELECT d.doc_id, d.source,
+         |         CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ex,
+         |         COALESCE(nr.nr, 0) AS nr
+         |  FROM documents d
+         |  LEFT JOIN ex e ON e.doc_id = d.doc_id
+         |  LEFT JOIN nr ON nr.doc_id = d.doc_id),
+         |g AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(ex) AS BIGINT) AS n_exact_kept,
+         |         CAST(SUM(nr) AS BIGINT) AS n_near_kept
+         |  FROM m GROUP BY 1)
+         |SELECT source, n_docs, n_exact_kept, n_near_kept,
+         |       CAST(n_exact_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |         AS exact_retention,
+         |       CAST(n_near_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |         AS near_retention
+         |FROM g ORDER BY source""".stripMargin,
     "q_omega" ->
       // exact decimal gain/loss sums over the quant6 return series,
       // one RAW division; loss-free tapes NULL

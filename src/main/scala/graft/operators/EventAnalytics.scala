@@ -407,13 +407,15 @@ object EventAnalytics {
     * collapses through two counter aggregations on the ≤|types| key
     * and one tiny full-outer join — pure integer outputs.
     */
-  def entryExit(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  /** (user_id, event_id, ts, event_type, session_id) under the
+    * `gapMinutes`-gap session definition — the per-user lag + flag
+    * prefix sum shared by [[entryExit]] and [[sessionCooccurrence]]
+    * (windows partition on the high-cardinality user_id).
+    */
+  private def userSessions(events: DataFrame, gapMinutes: Int): DataFrame = {
     val uo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes * 60L * 1000000L
-    val tk = concat(
-      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-      lpad(col("event_id").cast("string"), 20, "0"))
-    val t = events
+    events
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(uo))
       .withColumn("is_new", when(col("prev_ts").isNull ||
@@ -421,6 +423,52 @@ object EventAnalytics {
         .otherwise(0L))
       .withColumn("session_id",
         sum(col("is_new")).over(uo.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("prev_ts", "is_new")
+  }
+
+  /** NEW r12c: session co-occurrence matrix — for every event-type
+    * pair (a < b): the number of user sessions containing BOTH, plus
+    * the lift n_both·total/(n_a·n_b) (the "which features are used
+    * together in one sitting" report — [[audienceOverlap]]'s
+    * session-granularity sibling). ONE distinct (user, session, type)
+    * projection feeds both self-join sides, the per-type counts, and
+    * the session total (shared exchange, the basketPairs shape); the
+    * join key (user, session) is high-cardinality and skew-free;
+    * output is ≤|types|² rows. Lift converts each exact count to
+    * double FIRST (no int64 product overflow at scale), then three
+    * mirrored IEEE ops — RAW.
+    */
+  def sessionCooccurrence(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val st = userSessions(events, gapMinutes)
+      .select(col("user_id"), col("session_id"), col("event_type"))
+      .distinct()
+    val perType = st.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val nSess = st.select(col("user_id"), col("session_id")).distinct()
+      .agg(count(lit(1)).as("total"))
+    st.as("a").join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_id") === col("b.session_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(perType.select(col("event_type").as("type_a"), col("n").as("n_a")),
+        "type_a")
+      .join(perType.select(col("event_type").as("type_b"), col("n").as("n_b")),
+        "type_b")
+      .crossJoin(nSess)
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        (col("n_both").cast("double") * col("total").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  def entryExit(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val tk = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 20, "0"))
+    val t = userSessions(events, gapMinutes)
     val sess = t.groupBy(col("user_id"), col("session_id"))
       .agg(min_by(col("event_type"), tk).as("entry_type"),
         max_by(col("event_type"), tk).as("exit_type"),

@@ -4589,6 +4589,88 @@ object MarketOps {
       .orderBy("symbol")
   }
 
+  /** NEW r12c: tick-sign autocorrelation — E[s_t·s_{t−ℓ}] of tick-rule
+    * signs for lags 1..3, over pairs where both signs are nonzero (the
+    * order-splitting / momentum-vs-reversal microstructure gauge
+    * beside [[ofi]]). Signs are exact decimal compares, the dot is an
+    * integer ±1 sum, and the emission is ONE raw division of two
+    * exact longs (correctly rounded identically on both engines — no
+    * round). Lags ride the [[chunkedFrame]] scaffold (carry 4 covers
+    * lag 3 + the layered price lag); the lag rows unpivot via the
+    * two-step struct explode into a counter aggregation on the
+    * (symbol, lag) key.
+    */
+  def signAutocorr(ticks: DataFrame, chunkRows: Long = 8192L): DataFrame = {
+    val (t0, spec) = chunkedFrame(ticks, 4, chunkRows)
+    val chg = col("price").cast(dec) - lag(col("price"), 1).over(spec).cast(dec)
+    val lagged = t0
+      .withColumn("s", when(chg > 0, 1L).when(chg < 0, -1L).otherwise(0L))
+      .withColumn("s1", lag(col("s"), 1).over(spec))
+      .withColumn("s2", lag(col("s"), 2).over(spec))
+      .withColumn("s3", lag(col("s"), 3).over(spec))
+      .filter(!col("carry"))
+    lagged
+      .select(col("symbol"), array(
+        struct(lit(1L).as("lag_n"), col("s").as("a"), col("s1").as("b")),
+        struct(lit(2L).as("lag_n"), col("s").as("a"), col("s2").as("b")),
+        struct(lit(3L).as("lag_n"), col("s").as("a"), col("s3").as("b")))
+        .as("ps"))
+      .select(col("symbol"), explode(col("ps")).as("p"))
+      .select(col("symbol"), col("p.lag_n").as("lag_n"),
+        col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= 0 && col("b").isNotNull && col("b") =!= 0)
+      .groupBy(col("symbol"), col("lag_n"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a") * col("b")).cast("long").as("dot"))
+      .select(col("symbol"), col("lag_n"), col("n_pairs"),
+        (col("dot").cast("double") / col("n_pairs").cast("double"))
+          .as("sign_ac"))
+      .orderBy("symbol", "lag_n")
+  }
+
+  /** NEW r12c: candlestick anatomy census — per symbol over daily
+    * bars: mean body / upper-wick / lower-wick shares of the bar range
+    * and a 5%-body doji count (the "what do this instrument's candles
+    * look like" shape report behind [[candlePatterns]]). Flat bars
+    * (h = l) are excluded (the shares are undefined); each share is
+    * quant6'd (one guarded division on exact decimals) and re-summed
+    * exactly, the means are single raw divisions, and the doji flag is
+    * an exact integer cross-multiplication (20·|c−o| ≤ (h−l)), never a
+    * float threshold. Decimal extremes via CASE, not greatest (DuckDB
+    * promotes DECIMAL greatest to DOUBLE — §4 r10).
+    */
+  def candleAnatomy(ticks: DataFrame): DataFrame = {
+    val b = ohlcDaily(ticks)
+      .select(col("symbol"),
+        col("open").cast(dec).as("o"), col("high").cast(dec).as("h"),
+        col("low").cast(dec).as("l"), col("close").cast(dec).as("c"))
+      .filter(col("h") > col("l"))
+      .withColumn("rng", col("h") - col("l"))
+      .withColumn("body",
+        when(col("c") >= col("o"), col("c") - col("o"))
+          .otherwise(col("o") - col("c")))
+      .withColumn("hi", when(col("o") > col("c"), col("o")).otherwise(col("c")))
+      .withColumn("lo", when(col("o") < col("c"), col("o")).otherwise(col("c")))
+    def share(num: Column): Column =
+      quant6(num.cast("double") / col("rng").cast("double") * 1000000.0)
+    b.select(col("symbol"),
+        share(col("body")).as("bs"),
+        share(col("h") - col("hi")).as("us"),
+        share(col("lo") - col("l")).as("ls"),
+        when(col("body") * 20 <= col("rng"), 1L).otherwise(0L).as("doji"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(col("bs")).cast("double").as("sb"),
+        sum(col("us")).cast("double").as("su"),
+        sum(col("ls")).cast("double").as("sl"),
+        sum(col("doji")).cast("long").as("n_doji"))
+      .select(col("symbol"), col("n_bars"), col("n_doji"),
+        (col("sb") / col("n_bars").cast("double")).as("avg_body_share"),
+        (col("su") / col("n_bars").cast("double")).as("avg_upper_share"),
+        (col("sl") / col("n_bars").cast("double")).as("avg_lower_share"))
+      .orderBy("symbol")
+  }
+
   final case class TsiIn(symbol: String, day: java.sql.Date, mom: Double)
   final case class TsiOut(symbol: String, day: java.sql.Date, tsi: Double)
 

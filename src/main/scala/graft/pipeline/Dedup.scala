@@ -148,6 +148,38 @@ object Dedup {
       .orderBy("m")
   }
 
+  /** NEW r12c: dedup impact by source — per source: document count,
+    * exact-dedup survivors (min doc_id of each content hash), near-dup
+    * cluster survivors, and the retention ratios (the
+    * "how much of each slice does dedup keep" report a data-mixture
+    * owner reads before re-weighting sources). Pure composition of
+    * [[exact]]'s hash groups and [[nearDupClusters]]'s label
+    * propagation; joins key on doc_id (high-cardinality, skew-free),
+    * output is one row per source; ratios are single raw divisions of
+    * exact longs.
+    */
+  def dedupImpact(docs: DataFrame): DataFrame = {
+    val exactSurv = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("ex"))
+    val near = nearDupClusters(docs, minhashCandidates(docs))
+      .select(col("doc_id"), col("is_survivor").as("nr"))
+    docs.select(col("doc_id"), col("source"))
+      .join(exactSurv, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("ex"), lit(0L))).cast("long").as("n_exact_kept"),
+        sum(coalesce(col("nr"), lit(0L))).cast("long").as("n_near_kept"))
+      .select(col("source"), col("n_docs"), col("n_exact_kept"),
+        col("n_near_kept"),
+        (col("n_exact_kept").cast("double") / col("n_docs").cast("double"))
+          .as("exact_retention"),
+        (col("n_near_kept").cast("double") / col("n_docs").cast("double"))
+          .as("near_retention"))
+      .orderBy("source")
+  }
+
   /** SimHash: 64-bit signature where bit j = sign of the sum over words
     * of (+1/-1 depending on bit j of the word hash). Near-dups have small
     * Hamming distance. Single-pass [[graft.functions.SimHash64]]

@@ -298,7 +298,9 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "tsi" -> (MarketOps.tsi(_)),
       "anchoredVwap" -> (MarketOps.anchoredVwap(_)),
       "omegaRatio" -> (MarketOps.omegaRatio(_)),
-      "informationRatio" -> (MarketOps.informationRatio(_)))
+      "informationRatio" -> (MarketOps.informationRatio(_)),
+      "signAutocorr" -> (MarketOps.signAutocorr(_)),
+      "candleAnatomy" -> (MarketOps.candleAnatomy(_)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>
@@ -325,7 +327,8 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "topPaths" -> EventAnalytics.topPaths(ev),
       "activeUsers" -> EventAnalytics.activeUsers(ev),
       "entryExit" -> EventAnalytics.entryExit(ev),
-      "markovStationary" -> EventAnalytics.markovStationary(ev)
+      "markovStationary" -> EventAnalytics.markovStationary(ev),
+      "sessionCooccurrence" -> EventAnalytics.sessionCooccurrence(ev)
     ).foreach { case (name, df) =>
       try df.collect()
       catch { case e: Throwable =>

@@ -221,6 +221,157 @@ class NewOpsR12cSpec extends AnyFunSuite {
     }
   }
 
+  test("signAutocorr matches an exact integer recompute for lags 1..3") {
+    val ticks = Tables.ticks(spark, sf)
+      .select(col("symbol"), col("ts"), col("event_id"), col("price"))
+      .collect()
+      .map { r =>
+        val t = r.getTimestamp(1)
+        val us = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+        (r.getString(0), (us, r.getLong(2), math.round(r.getDouble(3) * 100)))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(t => (t._1, t._2)))
+      .toMap
+    val got = MarketOps.signAutocorr(Tables.ticks(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    var cells = 0
+    for ((sym, ts) <- ticks) {
+      val cents = ts.map(_._3)
+      val signs = cents.indices.map { i =>
+        if (i == 0) 0L
+        else java.lang.Long.signum(cents(i) - cents(i - 1)).toLong
+      }
+      for (l <- 1 to 3) {
+        val pairs = (l until signs.length)
+          .map(i => (signs(i), signs(i - l)))
+          .filter { case (a, b) => a != 0 && b != 0 }
+        if (pairs.nonEmpty) {
+          val dot = pairs.map { case (a, b) => a * b }.sum
+          assert(got((sym, l.toLong)) ===
+            ((pairs.length.toLong, dot.toDouble / pairs.length.toDouble)),
+            s"$sym lag $l")
+          cells += 1
+        } else assert(!got.contains((sym, l.toLong)), s"$sym lag $l empty")
+      }
+    }
+    assert(cells === got.size)
+    assert(cells > 0)
+  }
+
+  test("candleAnatomy matches the quant6 share recompute; shares sum to ~1") {
+    val got = MarketOps.candleAnatomy(Tables.ticks(spark, sf)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    for ((sym, bs) <- bars) {
+      val live = bs.filter(b => b._3 > b._4)
+      if (live.nonEmpty) {
+        def q6m(num: Long, den: Long): Long = {
+          val s = num.toDouble / den.toDouble * 1000000.0
+          (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toLong
+        }
+        var sb = 0L; var su = 0L; var sl = 0L; var doji = 0L
+        for ((_, o, h, l, c, _) <- live) {
+          val rng = h - l
+          val body = math.abs(c - o)
+          val hi = math.max(o, c)
+          val lo = math.min(o, c)
+          sb += q6m(body, rng); su += q6m(h - hi, rng); sl += q6m(lo - l, rng)
+          if (body * 20 <= rng) doji += 1
+        }
+        val n = live.length
+        def mean(s: Long): Double =
+          new java.math.BigDecimal(s).movePointLeft(6).doubleValue() /
+            n.toDouble
+        val (gn, gd, gb, gu, gl) = got(sym)
+        assert((gn, gd) === ((n.toLong, doji)), sym)
+        assert((gb, gu, gl) === ((mean(sb), mean(su), mean(sl))), sym)
+        // anatomy sanity: the three shares partition the range
+        assert(math.abs(gb + gu + gl - 1.0) < 0.001, s"$sym shares")
+      } else assert(!got.contains(sym), sym)
+    }
+  }
+
+  test("sessionCooccurrence matches a driver-side session recompute") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .collect()
+      .map { r =>
+        val t = r.getTimestamp(2)
+        val us = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+        (r.getLong(0), (us, r.getLong(1), r.getString(3)))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(t => (t._1, t._2)))
+      .toMap
+    val gapUs = 30L * 60L * 1000000L
+    // session → distinct type set
+    val sessTypes = evs.values.flatMap { es =>
+      var out = Vector.empty[Set[String]]
+      var cur = Set.empty[String]
+      var lastUs = Long.MinValue
+      var open = false
+      for (e <- es) {
+        if (!open || e._1 - lastUs > gapUs) {
+          if (open) out :+= cur
+          cur = Set(e._3); open = true
+        } else cur += e._3
+        lastUs = e._1
+      }
+      if (open) out :+= cur
+      out
+    }.toSeq
+    val total = sessTypes.size.toLong
+    val perType = sessTypes.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val types = perType.keys.toSeq.sorted
+    val want = (for {
+      ai <- types.indices; bi <- (ai + 1) until types.length
+      nBoth = sessTypes.count(s => s(types(ai)) && s(types(bi))).toLong
+      if nBoth > 0
+    } yield (types(ai), types(bi)) -> ((nBoth, perType(types(ai)),
+      perType(types(bi)),
+      nBoth.toDouble * total.toDouble /
+        (perType(types(ai)).toDouble * perType(types(bi)).toDouble)))).toMap
+    val got = EventAnalytics.sessionCooccurrence(Tables.events(spark, sf))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("dedupImpact counts exact and near survivors per source") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val exactKeep = docs.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    // union-find over the LSH candidate pairs
+    val pairs = graft.pipeline.Dedup.minhashCandidates(
+        Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nearKeep = docs.map(_._1).filter(d => find(d) == d).toSet
+    val want = docs.groupBy(_._3).map { case (src, ds) =>
+      val n = ds.length.toLong
+      val ex = ds.count(d => exactKeep(d._1)).toLong
+      val nr = ds.count(d => nearKeep(d._1)).toLong
+      src -> ((n, ex, nr, ex.toDouble / n.toDouble, nr.toDouble / n.toDouble))
+    }
+    val got = graft.pipeline.Dedup.dedupImpact(Tables.documents(spark, sf))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got === want)
+  }
+
   test("minhashCalibration buckets candidates by agreement with exact jaccard") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

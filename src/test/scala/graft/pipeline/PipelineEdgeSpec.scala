@@ -80,7 +80,8 @@ class PipelineEdgeSpec extends AnyFunSuite {
       "simhash" -> Dedup.simhash(edgeDocs),
       "simhashPairs" -> Dedup.simhashPairs(edgeDocs),
       "crossSourceLeakage" -> Dedup.crossSourceLeakage(edgeDocs),
-      "minhashCalibration" -> Dedup.minhashCalibration(edgeDocs)
+      "minhashCalibration" -> Dedup.minhashCalibration(edgeDocs),
+      "dedupImpact" -> Dedup.dedupImpact(edgeDocs)
     )
     ops.foreach { case (name, df) =>
       try df.collect()

@@ -66,6 +66,7 @@ q_klinger q_nvi_pvi q_vol_cone q_new_returning q_anomaly_days
 q_audience_overlap
 q_vwma q_awesome_osc q_spearman q_tsi q_anchored_vwap
 q_markov_stationary q_entry_exit q_omega q_info_ratio
+q_sign_autocorr q_candle_anatomy q_session_cooccur
 """.split()
 
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",

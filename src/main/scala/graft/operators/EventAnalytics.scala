@@ -439,9 +439,17 @@ object EventAnalytics {
     * mirrored IEEE ops — RAW.
     */
   def sessionCooccurrence(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    // localCheckpoint: the three consumers (pair join, per-type counts,
+    // session total) need DIFFERENT column subsets, so column pruning
+    // rewrites each leg's subplan and ReusedExchange cannot fire —
+    // without the checkpoint the user-window session pass would run
+    // three times over raw events (audited). The materialized table is
+    // sessions × types-per-session rows — far smaller than the events
+    // it summarizes (the nearDupClusters lineage-truncation precedent).
     val st = userSessions(events, gapMinutes)
       .select(col("user_id"), col("session_id"), col("event_type"))
       .distinct()
+      .localCheckpoint()
     val perType = st.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val nSess = st.select(col("user_id"), col("session_id")).distinct()
       .agg(count(lit(1)).as("total"))

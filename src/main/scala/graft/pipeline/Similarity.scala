@@ -415,37 +415,74 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
     val ve = transform(col("embedding"), _.cast("double"))
-    def subCol(j: Int): Column = slice(ve, j * sub + 1, sub)
-    def sqd(veC: Column, c: Array[Double]): Column =
-      round(aggregate(
-        zip_with(veC, typedLit(c.toSeq), (v, w) => (v - w) * (v - w)),
-        lit(0.0), (acc, x) => acc + x), 6)
+    // the m sub-vectors PROJECTED ONCE as attributes: every argmin
+    // evaluates cb interpreted zip_with folds per sub-space, and an
+    // inlined slice(transform(embedding)) would be recomputed inside
+    // every one of those lambdas (the TextOps.gramsOf trap — measured
+    // 4.9 s for this query at sf0.1 before the projection);
+    // CollapseProject keeps the boundary (expensive + multi-ref)
+    val withSubs = emb.select(
+      col("vec_id") +: col("embedding") +:
+        (0 until m).map(j => slice(ve, j * sub + 1, sub).as(s"v$j")): _*)
+    // per-sub-space cell assignment: distances to ALL candidates via
+    // ONE transform lambda over a literal centroid matrix (16 inlined
+    // per-candidate fold trees made Catalyst analysis itself the
+    // bottleneck — 128 subtrees per projection); argmin = first
+    // position of the min, which IS the tie-to-lowest-cell policy the
+    // oracle's ROW_NUMBER (ORDER BY d, cell) mirrors, with positions
+    // mapped through the literal cell-id list (cells can go empty
+    // after the Lloyd round). Identical per-candidate arithmetic —
+    // the same (v−w)² sequential fold, ROUND(…,6).
+    def codeCol(j: Int, cents: Seq[(Int, Array[Double])]): Column = {
+      val dists = transform(typedLit(cents.map(_._2.toSeq)),
+        c => round(aggregate(
+          zip_with(col(s"v$j"), c, (v, w) => (v - w) * (v - w)),
+          lit(0.0), (acc, x) => acc + x), 6))
+      element_at(typedLit(cents.map(_._1)),
+        array_position(dists, array_min(dists)).cast("int"))
+    }
     // codebook init: sub-vectors of the first cb vectors (driver-held
     // model — cb × dim doubles)
     val initRows = emb.filter(col("vec_id") < cb).orderBy("vec_id")
       .select(ve.as("v")).collect()
       .map(_.getSeq[Double](0).toArray)
+    // ONE Lloyd round for ALL m sub-spaces in a single corpus pass:
+    // every row computes its m per-sub-space argmin cells, explodes
+    // into (j, cell) legs, and posexplode (a second, separate
+    // projection — one generator per select, and the structs are
+    // built a projection earlier so CleanupAliases can't strip their
+    // field names) yields the (j, cell, pos, v) mean terms for one
+    // grouped aggregation. Identical values to m separate jobs (the
+    // decimal sums are order-free over the same element multisets) at
+    // 1/m the job count — this was the whole-suite's slowest query
+    // (4.9 s) as 8 sequential aggregations.
+    val cellCols = (0 until m).map { j =>
+      val init = initRows.zipWithIndex
+        .map { case (r, i) => (i, r.slice(j * sub, j * sub + sub)) }
+      struct(lit(j).as("j"), codeCol(j, init).as("cell"))
+    }
+    val meanRows = withSubs
+      .select(array(cellCols: _*).as("cs"),
+        array((0 until m).map(j => col(s"v$j")): _*).as("vs"))
+      .select(explode(col("cs")).as("c"), col("vs"))
+      .select(col("c.j").as("j"), col("c.cell").as("cell"),
+        posexplode(element_at(col("vs"), col("c.j") + 1))
+          .as(Seq("pos", "v")))
+      .groupBy(col("j"), col("cell"), col("pos"))
+      .agg(sum(quant6(col("v") * 1000000.0)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("j"), col("cell"), col("pos"),
+        quant6(col("s").cast("double") / col("n").cast("double")
+          * 1000000.0).cast("double").as("mc"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
     val codebooks: IndexedSeq[Seq[(Int, Array[Double])]] =
       (0 until m).map { j =>
-        val init = initRows.map(_.slice(j * sub, j * sub + sub))
-        val cell = array_min(array(init.zipWithIndex.map { case (c, i) =>
-          struct(sqd(subCol(j), c).as("d"), lit(i).as("c"))
-        }: _*)).getField("c")
-        // two-step select: a generator in the same projection as the
-        // argmin struct triggers CleanupAliases and strips the struct
-        // field names (the KMeansOps assign/update split, same reason)
-        emb.select(col("embedding"), cell.as("cell"))
-          .select(col("cell"), posexplode(subCol(j)).as(Seq("pos", "v")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(sum(quant6(col("v") * 1000000.0)).as("s"),
-            count(lit(1)).as("n"))
-          .select(col("cell"), col("pos"),
-            quant6(col("s").cast("double") / col("n").cast("double")
-              * 1000000.0).cast("double").as("mc"))
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-          .groupBy(_._1).toSeq.sortBy(_._1)
-          .map { case (c, rows) => (c, rows.sortBy(_._2).map(_._3).toArray) }
+        meanRows.filter(_._1 == j)
+          .groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (c, rows) =>
+            (c, rows.sortBy(_._3).map(_._4).toArray)
+          }
       }
     // ADC tables: per (sub-space, cell) the quant6'd squared distance
     // of the refined centroid to the query sub-vector (driver-side,
@@ -466,12 +503,9 @@ object Similarity {
     // encode + ADC in ONE corpus pass: per sub-space argmin over the
     // refined centroids, then an m-way literal-map lookup sum
     val dist = (0 until m).map { j =>
-      val code = array_min(array(codebooks(j).map { case (c, cent) =>
-        struct(sqd(subCol(j), cent).as("d"), lit(c).as("c"))
-      }: _*)).getField("c")
-      element_at(typedLit(tables(j)), code)
+      element_at(typedLit(tables(j)), codeCol(j, codebooks(j)))
     }.reduce(_ + _)
-    emb.filter(col("vec_id") =!= queryId)
+    withSubs.filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("embedding"), dist.as("adc"))
       .orderBy(col("adc"), col("vec_id"))
       .limit(shortlist)

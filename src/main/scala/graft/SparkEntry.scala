@@ -569,6 +569,8 @@ object SparkEntry {
       graft.pipeline.Multimodal.mediaFeatures(s, Tables.documents(s, dir))),
     "q_frame_sample" -> ((s, dir) =>
       graft.pipeline.Multimodal.frameSummary(s, Tables.documents(s, dir))),
+    "q_image_resize" -> ((s, dir) =>
+      graft.pipeline.Multimodal.resizeFeatures(s, Tables.documents(s, dir))),
 
     // ---- §2.1/2.2 streaming paths ----
     "q_stream_ingest" -> ((s, dir) => graft.streaming.Streams.streamIngest(s, dir)),
@@ -5839,6 +5841,34 @@ object SparkEntry {
     // PARSES real BMP/WAV headers back out of generated bytes; the
     // oracle recomputes every field arithmetically from doc_id — a
     // wrong parse offset or endianness misses every hash
+    "q_image_resize" ->
+      // the sampled byte multiset of the 2x nearest-neighbor grid
+      // rebuilt in closed form ((id*31 + flat_index) % 251 over padded
+      // rows) — a wrong pixel offset / row pad / grid stride on the
+      // Spark decode side misses every hash
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 61 + 4 AS w, doc_id % 37 + 4 AS h,
+        |         ((doc_id % 61 + 4) * 3 + 3) // 4 * 4 AS row_bytes
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |d AS (
+        |  SELECT doc_id, row_bytes,
+        |         (w + 1) // 2 AS w2, (h + 1) // 2 AS h2
+        |  FROM m),
+        |v AS (
+        |  SELECT doc_id, w2, h2,
+        |         flatten(list_transform(generate_series(0, h2 - 1), y ->
+        |           flatten(list_transform(generate_series(0, w2 - 1), x ->
+        |             list_transform([0, 1, 2], c ->
+        |               (doc_id * 31 + (2 * y * row_bytes + 2 * x * 3 + c))
+        |                 % 251))))) AS vs
+        |  FROM d)
+        |SELECT doc_id, CAST(w2 AS BIGINT) AS out_w, CAST(h2 AS BIGINT) AS out_h,
+        |       CAST(len(vs) AS BIGINT) AS n_channels_sampled,
+        |       CAST(CAST(list_sum(vs) AS BIGINT) AS DOUBLE)
+        |         / CAST(len(vs) AS DOUBLE) AS mean_value,
+        |       CAST(list_min(vs) AS BIGINT) AS min_value,
+        |       CAST(list_max(vs) AS BIGINT) AS max_value
+        |FROM v ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, doc_id % 2 = 0 AS is_bmp,

@@ -207,6 +207,69 @@ object Multimodal {
     decodeFeatures(spark, synthesizeMedia(spark, docs)).toDF()
       .orderBy("doc_id")
 
+  /** Resized-image features: output dims, sampled channel count, and
+    * exact-integer statistics of the sampled bytes.
+    */
+  final case class ResizeFeatures(doc_id: Long, out_w: Long, out_h: Long,
+      n_channels_sampled: Long, mean_value: Double, min_value: Long,
+      max_value: Long)
+
+  /** NEW r12c: REAL nearest-neighbor 2× image downsample — the
+    * resize stage of a multimodal training pipeline, run against the
+    * actual BMP bytes: parses the true header (pixel-array offset,
+    * dims, 4-byte row padding), samples source pixel (2x, 2y) for
+    * every output position, and reduces the sampled channel bytes to
+    * exact-integer statistics (sum/min/max; ONE raw division for the
+    * mean). WAV documents are skipped — images only. Imperative
+    * per-byte work stays in a partition function (the decodeFeatures
+    * posture); blobs never shuffle, only fixed-width features flow
+    * downstream. A wrong pixel offset, a missed row pad, or an
+    * off-by-one in the 2× grid misses every oracle hash (the DuckDB
+    * side rebuilds the sampled byte multiset in closed form).
+    */
+  def resizeFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    synthesizeMedia(spark, docs)
+      .select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, blob) =>
+          if (blob.length >= 2 && blob(0) == 'B'.toByte &&
+              blob(1) == 'M'.toByte) {
+            val bb = java.nio.ByteBuffer.wrap(blob)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val off = bb.getInt(10)
+            val w = bb.getInt(18)
+            val h = bb.getInt(22)
+            val rowSize = ((w * 3 + 3) / 4) * 4
+            val w2 = (w + 1) / 2
+            val h2 = (h + 1) / 2
+            var sum = 0L; var n = 0L; var mn = 255L; var mx = 0L
+            var y = 0
+            while (y < h2) {
+              var x = 0
+              while (x < w2) {
+                var c = 0
+                while (c < 3) {
+                  val v =
+                    (blob(off + 2 * y * rowSize + 2 * x * 3 + c) & 0xff).toLong
+                  sum += v; n += 1
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  c += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            Some(ResizeFeatures(id, w2, h2, n, sum.toDouble / n, mn, mx))
+          } else None
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   // ---- real video frame sampling (RIFF/AVI frame index) ----
   //
   // r10: the frame sampler was a fixed-size-slice stub; AVI is RIFF

@@ -71,6 +71,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeFeatures samples the real 2x pixel grid (bytes recompute)") {
+    val blobs = Multimodal.synthesizeMedia(spark, docs.limit(40))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val got = Multimodal.resizeFeatures(spark, docs.limit(40))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet === blobs.keySet.filter(_ % 2 == 0))
+    got.foreach { case (id, (w2, h2, n, mean, mn, mx)) =>
+      val bytes = blobs(id)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val off = bb.getInt(10); val w = bb.getInt(18); val h = bb.getInt(22)
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      assert((w2, h2) === (((w + 1) / 2).toLong, ((h + 1) / 2).toLong), id)
+      val vs = for {
+        y <- 0 until (h + 1) / 2
+        x <- 0 until (w + 1) / 2
+        c <- 0 until 3
+      } yield (bytes(off + 2 * y * rowSize + 2 * x * 3 + c) & 0xff).toLong
+      assert(n === vs.size.toLong, id)
+      assert(mean === vs.sum.toDouble / vs.size, id)
+      assert((mn, mx) === ((vs.min, vs.max)), id)
+    }
+  }
+
   test("AVI keyframe sampling equals a brute recompute from the idx1 bytes") {
     val blobs = Multimodal.synthesizeVideos(spark, docs.limit(30))
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap

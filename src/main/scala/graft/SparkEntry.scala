@@ -571,6 +571,8 @@ object SparkEntry {
       graft.pipeline.Multimodal.frameSummary(s, Tables.documents(s, dir))),
     "q_image_resize" -> ((s, dir) =>
       graft.pipeline.Multimodal.resizeFeatures(s, Tables.documents(s, dir))),
+    "q_audio_resample" -> ((s, dir) =>
+      graft.pipeline.Multimodal.resampleFeatures(s, Tables.documents(s, dir))),
 
     // ---- §2.1/2.2 streaming paths ----
     "q_stream_ingest" -> ((s, dir) => graft.streaming.Streams.streamIngest(s, dir)),
@@ -5864,6 +5866,27 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, CAST(w2 AS BIGINT) AS out_w, CAST(h2 AS BIGINT) AS out_h,
         |       CAST(len(vs) AS BIGINT) AS n_channels_sampled,
+        |       CAST(CAST(list_sum(vs) AS BIGINT) AS DOUBLE)
+        |         / CAST(len(vs) AS DOUBLE) AS mean_value,
+        |       CAST(list_min(vs) AS BIGINT) AS min_value,
+        |       CAST(list_max(vs) AS BIGINT) AS max_value
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "q_audio_resample" ->
+      // kept-sample multiset in closed form: every 2nd 16-bit sample
+      // of the synthetic PCM ((id*13 + i) % 8191 - 4095) — wrong data
+      // offset / stride / sign handling on the decode side misses it
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 500 + 100 AS n,
+        |         CASE ((doc_id // 2) % 4) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |              WHEN 2 THEN 22050 ELSE 44100 END AS rate
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |v AS (
+        |  SELECT doc_id, rate,
+        |         list_transform(generate_series(0, (n + 1) // 2 - 1),
+        |           i -> (doc_id * 13 + 2 * i) % 8191 - 4095) AS vs
+        |  FROM m)
+        |SELECT doc_id, CAST(rate // 2 AS BIGINT) AS out_rate,
+        |       CAST(len(vs) AS BIGINT) AS n_samples_out,
         |       CAST(CAST(list_sum(vs) AS BIGINT) AS DOUBLE)
         |         / CAST(len(vs) AS DOUBLE) AS mean_value,
         |       CAST(list_min(vs) AS BIGINT) AS min_value,

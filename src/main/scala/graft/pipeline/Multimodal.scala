@@ -270,6 +270,54 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Downsampled-audio features: halved output rate, kept-sample
+    * count, exact-integer statistics of the kept 16-bit samples.
+    */
+  final case class ResampleFeatures(doc_id: Long, out_rate: Long,
+      n_samples_out: Long, mean_value: Double, min_value: Long,
+      max_value: Long)
+
+  /** NEW r12c: REAL 2× PCM downsample — the audio resample stage
+    * beside [[resizeFeatures]]: parses the true WAV header (sample
+    * rate at offset 24, data size at 40), keeps every 2nd 16-bit
+    * sample, and reduces the kept samples to exact-integer statistics
+    * (signed shorts; ONE raw mean division). BMP documents are
+    * skipped — audio only; partition-wise byte walk, blobs never
+    * shuffle. The oracle rebuilds the kept-sample multiset in closed
+    * form — a wrong data offset, stride, or sign handling misses it.
+    */
+  def resampleFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    synthesizeMedia(spark, docs)
+      .select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, blob) =>
+          if (blob.length >= 12 && blob(0) == 'R'.toByte &&
+              blob(8) == 'W'.toByte) {
+            val bb = java.nio.ByteBuffer.wrap(blob)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val rate = bb.getInt(24)
+            val n = bb.getInt(40) / 2
+            var sum = 0L; var cnt = 0L
+            var mn = Long.MaxValue; var mx = Long.MinValue
+            var i = 0
+            while (i < n) {
+              val v = bb.getShort(44 + i * 2).toLong
+              sum += v; cnt += 1
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 2
+            }
+            Some(ResampleFeatures(id, (rate / 2).toLong, cnt,
+              sum.toDouble / cnt, mn, mx))
+          } else None
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   // ---- real video frame sampling (RIFF/AVI frame index) ----
   //
   // r10: the frame sampler was a fixed-size-slice stub; AVI is RIFF

@@ -96,6 +96,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleFeatures keeps every 2nd real PCM sample (bytes recompute)") {
+    val blobs = Multimodal.synthesizeMedia(spark, docs.limit(40))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val got = Multimodal.resampleFeatures(spark, docs.limit(40))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === blobs.keySet.filter(_ % 2 == 1))
+    got.foreach { case (id, (rate2, n2, mean, mn, mx)) =>
+      val bytes = blobs(id)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      assert(rate2 === bb.getInt(24).toLong / 2L, id)
+      val n = bb.getInt(40) / 2
+      val vs = (0 until n by 2).map(i => bb.getShort(44 + i * 2).toLong)
+      assert(n2 === vs.size.toLong, id)
+      assert(mean === vs.sum.toDouble / vs.size, id)
+      assert((mn, mx) === ((vs.min, vs.max)), id)
+    }
+  }
+
   test("AVI keyframe sampling equals a brute recompute from the idx1 bytes") {
     val blobs = Multimodal.synthesizeVideos(spark, docs.limit(30))
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap

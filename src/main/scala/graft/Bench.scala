@@ -36,9 +36,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // q_ann_ivf / q_bucketed_join in warmup = their one-time OFFLINE
-    // layout builds (IVF cell index, bucketed tables — both process-
-    // cached); their timed entries then measure the query paths. The
+    // q_ann_ivf / q_ann_pq / q_bucketed_join in warmup = their one-time
+    // OFFLINE layout builds (IVF cell index, PQ codebooks+codes,
+    // bucketed tables — all process-cached); their timed entries then
+    // measure the query paths. The
     // streaming entries warm the Structured Streaming machinery
     // (state-store classes, micro-batch planner, sink codepaths — ~1s
     // of pure JIT per family otherwise billed to the first streaming
@@ -46,7 +47,7 @@ object Bench {
     // share; q_stream_topk is in the list because its foreachBatch
     // rank+append path shares nothing with the windowed warmups (its
     // r5→r6 2.7× "regression" was unwarmed machinery, not the plan).
-    Seq("q1_agg", "q_range_scan", "q_ohlc_daily", "q_ann_ivf",
+    Seq("q1_agg", "q_range_scan", "q_ohlc_daily", "q_ann_ivf", "q_ann_pq",
         "q_bucketed_join", "q_stream_enrich", "q_stream_bars",
         "q_stream_stateful", "q_stream_topk").foreach { name =>
       try evalFull(SparkEntry.queries(name)(spark, sfDir))

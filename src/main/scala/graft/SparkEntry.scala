@@ -402,14 +402,17 @@ object SparkEntry {
       Dedup.minhashCandidates(Tables.documents(s, dir))),
     "q_minhash_calibration" -> ((s, dir) =>
       Dedup.minhashCalibration(Tables.documents(s, dir))),
-    "q_dedup_clusters" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.nearDupClusters(docs, Dedup.minhashCandidates(docs))
-    }),
-    "q_dup_cluster_sizes" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.clusterSizes(docs, Dedup.minhashCandidates(docs))
-    }),
+    // r13: both read the materialized (doc_id, cluster_id,
+    // is_survivor) artifact — the fixpoint runs once per corpus
+    // (Dedup.clusters), not once per report
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_dup_cluster_sizes" -> ((s, dir) =>
+      Dedup.clusterSizes(Tables.documents(s, dir))),
+    // r13: span-level dedup (post-doc-dedup exact-substring stage)
+    "q_span_dedup" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
+    "q_span_dedup_impact" -> ((s, dir) =>
+      Dedup.spanDedupImpact(Tables.documents(s, dir))),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "q_token_count" -> ((s, dir) => TextOps.tokenCount(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
@@ -873,6 +876,29 @@ object SparkEntry {
       |                ELSE CEIL(x / am * 127.0 - 0.5) END AS BIGINT)) AS qv
       |  FROM (SELECT vec_id, ve,
       |               list_max(list_transform(ve, x -> ABS(x))) AS am FROM vecs))""".stripMargin
+
+  /** Shared CTE block for the r13 span-dedup pair: `cov(doc_id, wpos)`
+    * = distinct 1-based word positions covered by at least one word
+    * 3-gram appearing in ≥2 distinct documents. Gram construction and
+    * the md5 key mirror [[graft.pipeline.Dedup.spanDedup]] exactly
+    * (1-based ws index; grams start at 1..len−2).
+    */
+  private val duckSpanCov: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 2)) AS pos, ws
+      |      FROM w WHERE len(ws) >= 3),
+      |gh AS (SELECT doc_id, pos,
+      |              list_reduce(list_transform(generate_series(1, 15),
+      |                  i -> CAST(strpos('0123456789abcdef', substr(
+      |                         md5(ws[pos] || ' ' || ws[pos + 1] || ' ' || ws[pos + 2]),
+      |                         i, 1)) - 1 AS BIGINT)),
+      |                (a, b) -> a * 16 + b) AS h
+      |       FROM g),
+      |dup AS (SELECT h FROM gh GROUP BY h
+      |        HAVING COUNT(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, wpos FROM (
+      |          SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS wpos
+      |          FROM gh JOIN dup USING (h)))""".stripMargin
 
   /** The IVF centroids as a DuckDB VALUES list. The KMeans fit runs
     * inside the `q_ann_ivf` query (cached, offline-style) BEFORE
@@ -6112,6 +6138,40 @@ object SparkEntry {
          |          FROM labels GROUP BY 1)
          |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters
          |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_span_dedup" ->
+      // covered word positions from cross-doc duplicated 3-grams,
+      // merged to maximal islands via the pos − row_number() key;
+      // all-integer output, no float anywhere
+      s"""WITH $duckSpanCov,
+         |i AS (SELECT doc_id, wpos,
+         |             wpos - ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                                       ORDER BY wpos) AS grp
+         |      FROM cov)
+         |SELECT doc_id, CAST(MIN(wpos) AS BIGINT) AS span_start,
+         |       CAST(MAX(wpos) AS BIGINT) AS span_end,
+         |       CAST(COUNT(*) AS BIGINT) AS span_words
+         |FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    "q_span_dedup_impact" ->
+      // per-doc dup word count = |covered positions| (spans are
+      // disjoint, so no island pass needed); keep_ratio through the
+      // shared quantize float sequence (SURVEY §4)
+      s"""WITH $duckSpanCov,
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dw
+         |       FROM cov GROUP BY 1),
+         |d AS (SELECT doc_id, source,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+         |      FROM documents),
+         |j AS (SELECT d.source, d.nw, COALESCE(pd.dw, 0) AS dw
+         |      FROM d LEFT JOIN pd USING (doc_id)),
+         |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             CAST(SUM(nw) AS BIGINT) AS total_words,
+         |             CAST(SUM(dw) AS BIGINT) AS dup_words
+         |      FROM j GROUP BY 1)
+         |SELECT source, n_docs, total_words, dup_words,
+         |       CAST(FLOOR(CAST(total_words - dup_words AS DOUBLE)
+         |           / CAST(total_words AS DOUBLE) * 1000000.0 + 0.5)
+         |         AS BIGINT) / 1000000.0 AS keep_ratio
+         |FROM a ORDER BY source""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH $duckSimhashCtes
          |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
@@ -6688,41 +6748,29 @@ object SparkEntry {
          |       CAST(MIN(vec_id) AS BIGINT) AS exemplar
          |FROM a3 GROUP BY 1 ORDER BY cluster""".stripMargin,
     "q_ann_pq" -> {
-      // PQ re-derived end-to-end from the raw embeddings (the
-      // q_kmeans_embed discipline per sub-space): codebook init =
-      // vec_id<16 sub-vectors, ONE Lloyd round with quant6 means,
-      // rounded-argmin codes, quant6 ADC table, left-assoc 8-term
-      // lookup sum, shortlist 400 → exact cosine re-rank
-      val m = 8; val sub = 8; val cb = 16; val short = 400
+      // r13: the oracle reads the PERSISTED codebook constants (the
+      // q_ann_ivf inlined-centroid pattern — PqIndex.build ran inside
+      // the query, cached offline-style, before this dump executes)
+      // and re-derives codes (rounded argmin, ties to the lower
+      // cell), the quant6 ADC table, the left-assoc 8-term lookup
+      // sum, shortlist 400 → exact cosine re-rank — exactly the
+      // stored-codes query path, independently recomputed
+      val m = 8; val sub = 8; val short = 400
+      val cbs = graft.pipeline.PqIndex.lastCodebooks
+      def cbSql(j: Int): String = cbs match {
+        case Some(c) => c(j).map { case (cell, cent) =>
+          s"($cell, [${cent.mkString(", ")}])" }.mkString(", ")
+        // only reachable if the dump runs without the query having run
+        // (PqIndex.lastCodebooks warns on stderr); yields a valid
+        // oracle that will loudly mismatch instead of crashing the dump
+        case None => "(0, [0.0])"
+      }
       def jcte(j: Int): String = {
         val lo = j * sub + 1
         s"""sv$j AS (SELECT vec_id,
            |  list_transform(generate_series($lo, ${lo + sub - 1}), i -> ve[i]) AS sv
            |  FROM vecs),
-           |i$j AS (SELECT CAST(vec_id AS INT) AS cell, sv AS c
-           |        FROM sv$j WHERE vec_id < $cb),
-           |d$j AS (
-           |  SELECT v.vec_id, ct.cell,
-           |         ROUND(list_sum(list_transform(generate_series(1, $sub),
-           |           i -> (v.sv[i] - ct.c[i]) * (v.sv[i] - ct.c[i]))), 6) AS d
-           |  FROM sv$j v CROSS JOIN i$j ct),
-           |a$j AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT vec_id, cell,
-           |           ROW_NUMBER() OVER (PARTITION BY vec_id
-           |                              ORDER BY d, cell) AS rn
-           |    FROM d$j) WHERE rn = 1),
-           |mp$j AS (
-           |  SELECT a.cell, unnest(generate_series(1, $sub)) AS pos, v.sv AS sv
-           |  FROM a$j a JOIN sv$j v USING (vec_id)),
-           |mq$j AS (SELECT cell, pos, ${duckQ6("sv[pos]")} AS qv FROM mp$j),
-           |mm$j AS (SELECT cell, pos, SUM(qv) AS s, COUNT(*) AS n
-           |         FROM mq$j GROUP BY 1, 2),
-           |c$j AS (
-           |  SELECT cell,
-           |         list(CAST(${duckQ6("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")}
-           |              AS DOUBLE) ORDER BY pos) AS c
-           |  FROM mm$j GROUP BY 1),
+           |c$j(cell, c) AS (VALUES ${cbSql(j)}),
            |e$j AS (
            |  SELECT vec_id, cell AS code FROM (
            |    SELECT v.vec_id, ct.cell,

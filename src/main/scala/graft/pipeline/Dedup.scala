@@ -153,16 +153,16 @@ object Dedup {
     * cluster survivors, and the retention ratios (the
     * "how much of each slice does dedup keep" report a data-mixture
     * owner reads before re-weighting sources). Pure composition of
-    * [[exact]]'s hash groups and [[nearDupClusters]]'s label
-    * propagation; joins key on doc_id (high-cardinality, skew-free),
-    * output is one row per source; ratios are single raw divisions of
-    * exact longs.
+    * [[exact]]'s hash groups and the materialized [[clusters]]
+    * artifact (r13 — one metadata read, not a fixpoint re-run); joins
+    * key on doc_id (high-cardinality, skew-free), output is one row
+    * per source; ratios are single raw divisions of exact longs.
     */
   def dedupImpact(docs: DataFrame): DataFrame = {
     val exactSurv = docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(1L).as("ex"))
-    val near = nearDupClusters(docs, minhashCandidates(docs))
+    val near = clusters(docs)
       .select(col("doc_id"), col("is_survivor").as("nr"))
     docs.select(col("doc_id"), col("source"))
       .join(exactSurv, Seq("doc_id"), "left")
@@ -310,6 +310,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** r13: the MATERIALIZED dedup artifact — `(doc_id, cluster_id,
+    * is_survivor)` written ONCE per corpus and read by every dedup
+    * reporting query (the r12 verdict's "store an artifact" item: the
+    * three reports each re-ran the label-propagation fixpoint from the
+    * raw corpus — 3× repeated O(corpus) work for what should be
+    * metadata reads). Same lifecycle posture as [[IvfIndex]] /
+    * [[PqIndex]]: the fixpoint ([[nearDupClusters]] over the default
+    * MinHash-LSH candidate graph) is the offline build; queries scan
+    * the persisted table.
+    *
+    * Staleness/rebuild rule: the cache key is the MD5 digest of the
+    * corpus's analyzed plan + schema, so a different corpus — or the
+    * same data read from a new path — triggers a fresh build
+    * automatically. What the digest can NOT see is an in-place
+    * mutation of the same files under the same path (the standard
+    * caveat of any derived artifact over immutable-file storage; a
+    * production deployment versions corpus directories, which makes
+    * the digest exact). The artifact lives in a process-scoped temp
+    * dir ([[graft.core.TempDirs]]); at 100 TB it would be a
+    * permanent table beside the corpus, rebuilt by the ingest
+    * pipeline when the corpus version advances.
+    */
+  private val artifactCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+
+  def clusters(docs: DataFrame): DataFrame = {
+    val key = (System.identityHashCode(docs.sparkSession),
+      IvfIndex.corpusDigest(docs))
+    val path = artifactCache.computeIfAbsent(key, _ => {
+      val p = graft.core.TempDirs.scoped("graft_dedup_") + "/clusters"
+      nearDupClusters(docs, minhashCandidates(docs)).write.parquet(p)
+      p
+    })
+    docs.sparkSession.read.parquet(path)
+  }
+
   /** Exact n-gram Jaccard for candidate pairs (verification stage after
     * LSH): |A∩B| / |A∪B| over shingle sets.
     */
@@ -344,6 +380,98 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** r13: SPAN-level dedup (the Lee et al. exact-substring class —
+    * the standard pipeline stage AFTER doc-level dedup): maximal runs
+    * of words covered by at least one word n-gram that also appears in
+    * ≥2 distinct documents. Doc-level dedup keeps one copy of a
+    * near-dup PAIR; span dedup finds the repeated license header /
+    * navigation chrome / quoted block INSIDE otherwise-unique
+    * documents, emitting per-doc removal spans (1-based inclusive word
+    * positions, merged so spans never overlap).
+    *
+    * Scale shape — never all-pairs, text never shuffles:
+    *  1. one scan computes per-doc gram positions and hashes each gram
+    *     map-side (md5 → bounded 32-char keys regardless of n);
+    *  2. cross-doc duplicated grams = one (hash)-keyed counter
+    *     aggregate with a ≥2-distinct-docs gate (the boilerplate
+    *     machinery, ungated by top-k);
+    *  3. flagged gram positions fan out to their n covered word
+    *     positions (bounded n× expansion of FLAGGED rows only) and
+    *     dedup on (doc_id, word) — overlapping grams merge here, so
+    *     the island step sees disjoint positions;
+    *  4. islands: consecutive covered words grouped by the classic
+    *     `pos − row_number()` key — a per-doc window (doc_id is
+    *     high-cardinality; no low-cardinality window hazard).
+    */
+  def spanDedup(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // gram positions hashed map-side; the ≥2-distinct-docs gate is a
+    // WINDOW over the hash partition (min(doc_id) ≠ max(doc_id) ⟺ ≥2
+    // distinct docs) so the gram pipeline is scanned and shuffled
+    // ONCE — a separate gate aggregate + join back would re-tokenize
+    // the corpus (consumers pruning different columns lose
+    // ReusedExchange, the session-cooccurrence lesson)
+    // gram key = 60-bit md5-hex fold (the established engine-neutral
+    // fold, q_chunking pattern): the window shuffle/sort runs on an
+    // 8-byte long instead of 32-char hex — same equivalence classes up
+    // to a ~2⁻⁶⁰-rate collision that BOTH engines would share
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        posexplode(TextOps.gramsOf(col("ws"), n)).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+    val wh = Window.partitionBy("h")
+    val flagged = grams
+      .withColumn("mn", min(col("doc_id")).over(wh))
+      .withColumn("mx", max(col("doc_id")).over(wh))
+      .filter(col("mn") =!= col("mx"))
+    // flagged gram positions fan out to their n covered words; the
+    // doc_id window dedups overlap (lag filter) and cuts islands in
+    // the SAME exchange+sort — no (doc_id, wpos) groupBy shuffle
+    val wd = Window.partitionBy("doc_id").orderBy("wpos")
+    flagged
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("wpos"))
+      .withColumn("prev", lag(col("wpos"), 1).over(wd))
+      .filter(col("prev").isNull || col("prev") =!= col("wpos"))
+      .withColumn("grp", col("wpos") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("wpos")).as("span_start"),
+        max(col("wpos")).as("span_end"),
+        count(lit(1)).as("span_words"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_words"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** r13: span-dedup survivor report per source — total words, words
+    * inside cross-doc duplicated spans, and the retention ratio (what
+    * fraction of each slice survives span removal): the re-weighting
+    * input a mixture owner reads next to [[dedupImpact]]. Exact long
+    * sums; the ratio goes through the shared quantize-pattern float
+    * sequence (ratio·10⁶, FLOOR(+0.5), /10⁶ — identical IEEE ops both
+    * engines; a bare ROUND of a true division is the SURVEY §4
+    * half-grid hazard).
+    */
+  def spanDedupImpact(docs: DataFrame, n: Int = 3): DataFrame = {
+    val perDoc = spanDedup(docs, n)
+      .groupBy(col("doc_id")).agg(sum(col("span_words")).as("dw"))
+    val ratio = (col("total_words") - col("dup_words")).cast("double") /
+      col("total_words").cast("double") * 1000000.0
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nw"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("total_words"),
+        sum(coalesce(col("dw"), lit(0L))).as("dup_words"))
+      .select(col("source"), col("n_docs"), col("total_words"),
+        col("dup_words"),
+        (floor(ratio + 0.5).cast("long").cast("double") / 1000000.0)
+          .as("keep_ratio"))
+      .orderBy("source")
+  }
+
   /** Cross-source duplicate leakage: per source, how many of its
     * documents (and distinct texts) also appear verbatim under at
     * least one OTHER source — the provenance audit that catches a
@@ -371,11 +499,12 @@ object Dedup {
   /** NEW r11: near-dup cluster-size histogram — the dedup QA report
     * (how much of the corpus is singletons vs 2-doc pairs vs big
     * template families; a fat tail means the LSH bands or the corpus
-    * need a look). Pure counter composition over [[nearDupClusters]].
+    * need a look). Pure counter composition over the materialized
+    * [[clusters]] artifact (r13 — a metadata read).
     */
-  def clusterSizes(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def clusterSizes(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    nearDupClusters(docs, pairs)
+    clusters(docs)
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
       .orderBy("sz")

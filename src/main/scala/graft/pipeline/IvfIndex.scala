@@ -89,7 +89,7 @@ object IvfIndex {
     * 32-char string, not the plan tree itself — a long-lived serve
     * process must not pin every corpus's analyzed plan in memory.
     */
-  private def corpusDigest(emb: DataFrame): String = {
+  private[pipeline] def corpusDigest(emb: DataFrame): String = {
     val plan = emb.queryExecution.analyzed.canonicalized
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest((plan.toString + "|" + emb.schema.catalogString)

@@ -81,7 +81,9 @@ class PipelineEdgeSpec extends AnyFunSuite {
       "simhashPairs" -> Dedup.simhashPairs(edgeDocs),
       "crossSourceLeakage" -> Dedup.crossSourceLeakage(edgeDocs),
       "minhashCalibration" -> Dedup.minhashCalibration(edgeDocs),
-      "dedupImpact" -> Dedup.dedupImpact(edgeDocs)
+      "dedupImpact" -> Dedup.dedupImpact(edgeDocs),
+      "spanDedup" -> Dedup.spanDedup(edgeDocs),
+      "spanDedupImpact" -> Dedup.spanDedupImpact(edgeDocs)
     )
     ops.foreach { case (name, df) =>
       try df.collect()

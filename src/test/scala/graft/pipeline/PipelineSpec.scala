@@ -60,6 +60,48 @@ class PipelineSpec extends AnyFunSuite {
     Seq(3L, 4L, 7L, 8L, 9L).foreach(i => assert(got(i) === (i, 1L)))
   }
 
+  test("spanDedup: merged word spans of cross-doc duplicated 3-grams") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique1 words here"),
+      (2L, "prefix2 alpha beta gamma delta epsilon zeta tail2"),
+      (3L, "nothing shared at all in this document"),
+      // the shared run appears TWICE in doc 4 with a gap — two spans
+      (4L, "alpha beta gamma filler4 alpha beta gamma")
+    ).toDF("doc_id", "text").withColumn("source",
+      when(col("doc_id") === 3L, "books").otherwise("web"))
+    val got = Dedup.spanDedup(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1: grams 1..4 shared with doc2 → words 1..6 merged into one
+    // span; doc2 shifted by its prefix; doc3 contributes nothing
+    assert(got.toSeq === Seq(
+      (1L, 1L, 6L, 6L), (2L, 2L, 7L, 6L),
+      (4L, 1L, 3L, 3L), (4L, 5L, 7L, 3L)))
+    // semantic anchor (the hull-MA lesson: positions must map to real
+    // words, not merely hash-match an oracle): doc2's span covers
+    // exactly the duplicated sentence
+    val words2 = d.filter(col("doc_id") === 2L)
+      .select(split(col("text"), " ")).head().getSeq[String](0)
+    assert(words2.slice(2 - 1, 7) ===
+      Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+  }
+
+  test("spanDedupImpact: per-source word retention with quantized ratio") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique1 words here"),
+      (2L, "prefix2 alpha beta gamma delta epsilon zeta tail2"),
+      (3L, "nothing shared at all in this document")
+    ).toDF("doc_id", "text").withColumn("source",
+      when(col("doc_id") === 3L, "books").otherwise("web"))
+    val got = Dedup.spanDedupImpact(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got("books") === ((1L, 7L, 0L, 1.0)))
+    // web: 9 + 8 = 17 words, 6 + 6 duplicated; keep = 5/17 quantized
+    assert(got("web") === ((2L, 17L, 12L, 0.294118)))
+  }
+
   test("simhashPairs surfaces injected duplicates at hamming 0") {
     val doubled = docs.select("doc_id", "text").limit(50)
       .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")).limit(50))

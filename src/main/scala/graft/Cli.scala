@@ -193,27 +193,46 @@ object Cli {
       val hit = cache.get(sym)
       if (hit != null) hit
       else {
-        // ONE pruned stats scan anchors the time window (count + max
-        // ts fused); the full count is cached so `count` stays warm
-        val (total, maxTs) = store.symbolStats(sym)
+        // r13 cold path: (count, max ts) come from parquet FOOTERS
+        // driver-side (symbolStatsFast — no Spark job; the footers are
+        // the per-symbol stats sidecar, maintained by every
+        // ingest/compact commit by construction), falling back to the
+        // fused stats aggregation for pre-r13 INT96 stores
+        val (total, maxTs) = store.symbolStatsFast(sym)
+          .getOrElse(store.symbolStats(sym))
         val loaded =
           if (total == 0L)
             SymCache(0L, 0L, Array.empty, Array.empty, Array.empty)
           else {
             val maxSec = maxTs.get.getTime / 1000L
             val fromSec = maxSec - windowDays.toLong * 86400L
-            // one symbol-pruned, ts-sorted scan of the window only.
-            // End bound is the UNTRUNCATED max ts: on µs-resolution
-            // stores a whole-second end would silently drop the
-            // newest fractional second while `total` counts it
-            // (r12 ADVICE) — queryRange filters ts <= end, so the
-            // true max is the correct inclusive bound.
-            val rows = store.queryRange(sym,
-              new java.sql.Timestamp(fromSec * 1000L),
-              maxTs.get).collect()
-            SymCache(fromSec, total,
-              rows.map(_.getTimestamp(1).getTime / 1000L),
-              rows.map(_.getDouble(2)), rows.map(_.getLong(3)))
+            // the window ticks read DRIVER-SIDE from the symbol's
+            // parquet files (scanRangeLocal — the reference's
+            // mmap'd-column-files analog, with ts row-group skipping;
+            // a Spark job pays ~250 ms of scheduling/serialization for
+            // the same bytes), falling back to a pruned Spark scan for
+            // pre-r13 INT96 stores. End bound is the UNTRUNCATED max
+            // ts: a whole-second end would silently drop the newest
+            // fractional second while `total` counts it (r12 ADVICE).
+            val endUs = Math.floorDiv(maxTs.get.getTime, 1000L) * 1000000L +
+              maxTs.get.getNanos / 1000L
+            store.scanRangeLocal(sym, fromSec * 1000000L, endUs) match {
+              case Some((us, pr, vo)) =>
+                // joint stable sort by ts (files/groups may interleave)
+                val order = us.indices.toArray.sortBy(us)
+                SymCache(fromSec, total,
+                  order.map(i => Math.floorDiv(us(i), 1000000L)),
+                  order.map(pr), order.map(vo))
+              case None =>
+                val rows = store.scanRange(sym,
+                  new java.sql.Timestamp(fromSec * 1000L), maxTs.get)
+                  .select(unix_micros(col("ts")), col("price"), col("volume"))
+                  .collect()
+                  .sortBy(_.getLong(0))
+                SymCache(fromSec, total,
+                  rows.map(r => Math.floorDiv(r.getLong(0), 1000000L)),
+                  rows.map(_.getDouble(1)), rows.map(_.getLong(2)))
+            }
           }
         cache.put(sym, loaded)
         loaded

@@ -1,5 +1,7 @@
 package graft.tsdb
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -18,6 +20,12 @@ import org.apache.spark.sql.types._
   *    symbol partition + parquet row-group min/max statistics: a ts-range
   *    predicate prunes row groups, the distributed analog of a B+ tree
   *    range descent. No driver-side index needs to fit in memory.
+  *    r13: writes emit INT64 TIMESTAMP(MICROS), not Spark's default
+  *    INT96 — INT96 columns carry NO statistics (the format deprecated
+  *    them), which would make this whole bullet silently false; micros
+  *    also shave 4 bytes/tick and power [[symbolStatsFast]] /
+  *    [[scanRangeLocal]], the serve layer's job-free metadata and
+  *    columnar reads.
   *  - `append` / `append_batch` (/root/reference/timeseries_db.hpp:32-35)
   *    → append-mode writes; the store stays append-only exactly like the
   *    reference's design.
@@ -58,10 +66,10 @@ final class TickStore(spark: SparkSession, path: String,
     val missing = cols.filterNot(ticks.columns.contains)
     require(missing.isEmpty,
       s"ingest requires columns ${cols.mkString(", ")}; missing: ${missing.mkString(", ")}")
-    val normalized = ticks.select(col("symbol").cast(StringType),
+    val normalized = microsWrite(ticks.select(col("symbol").cast(StringType),
       col("ts").cast(TimestampType),
       col("price").cast(DoubleType),
-      col("volume").cast(LongType))
+      col("volume").cast(LongType)))
     if (dailyPartitions)
       normalized.withColumn("ts_date", to_date(col("ts")))
         .repartition(col("symbol"), col("ts_date"))
@@ -75,6 +83,21 @@ final class TickStore(spark: SparkSession, path: String,
         .write.mode(SaveMode.Append).option("compression", codec)
         .partitionBy("symbol").parquet(path)
   }
+
+  /** Re-bind `df` to the store's µs-writing session
+    * ([[TickStore.microsSession]]) so its parquet writes emit
+    * INT64 TIMESTAMP(MICROS) instead of Spark's default INT96.
+    * INT96 columns carry NO row-group min/max statistics (the format
+    * deprecated them), which silently voids both the ts row-group
+    * pruning this store's design mapping claims (the B+-tree analog)
+    * AND the serve cold path's footer-derived [[symbolStatsFast]];
+    * INT64 micros restores both and is 4 bytes/tick smaller. The plan
+    * is taken ANALYZED (resolved — re-analysis in the write session is
+    * a no-op, so caller-session-registered functions keep working).
+    */
+  private def microsWrite(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      TickStore.microsSession(spark), df.queryExecution.analyzed)
 
   /** Single-tick append — reference `append`
     * (/root/reference/timeseries_db.hpp:32). Provided for API parity; on
@@ -114,7 +137,16 @@ final class TickStore(spark: SparkSession, path: String,
     * layouts, date-directory) partition pruning + ts row-group pruning;
     * result ordered by ts.
     */
-  def queryRange(symbol: String, start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame = {
+  def queryRange(symbol: String, start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame =
+    scanRange(symbol, start, end).orderBy("ts")
+
+  /** [[queryRange]] without the final sort — the serve cache collects
+    * this and sorts driver-side (r13): the global `orderBy` costs a
+    * range-partitioning SAMPLING pass plus a sort stage, which doubled
+    * the cold warm-up's job count for rows a driver array sorts in
+    * milliseconds.
+    */
+  def scanRange(symbol: String, start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame = {
     val base = raw().filter(col("symbol") === symbol &&
       col("ts") >= lit(start) && col("ts") <= lit(end))
     val pruned =
@@ -122,7 +154,7 @@ final class TickStore(spark: SparkSession, path: String,
         base.filter(col("ts_date").between(
           to_date(lit(start)), to_date(lit(end))))
       else base
-    pruned.select(cols.map(col): _*).orderBy("ts")
+    pruned.select(cols.map(col): _*)
   }
 
   /** Last N ticks — reference `query_last`
@@ -133,9 +165,183 @@ final class TickStore(spark: SparkSession, path: String,
   def queryLast(symbol: String, n: Int): DataFrame =
     all().filter(col("symbol") === symbol).orderBy(col("ts").desc).limit(n)
 
+  /** r13 serve-cold fast path: (tick count, newest ts) for a symbol
+    * read DRIVER-SIDE from parquet footers — no Spark job at all. Row
+    * counts live in every footer; the ts maximum comes from the
+    * column's row-group max statistics, which exist because [[ingest]]
+    * writes INT64 TIMESTAMP(MICROS) (INT96 files carry none). This is
+    * the "per-symbol stats sidecar maintained by ingest/compact/
+    * expire" with zero staleness by construction: the parquet footers
+    * ARE the sidecar, rewritten atomically with the data by the same
+    * commit that lands it — a fresh listing per call sees exactly the
+    * committed files (the ConcurrentServeSpec contract). Cost is
+    * O(files) driver metadata reads — bounded by [[compact]], and one
+    * bulk LIST + footer GETs on an object store.
+    *
+    * Returns None when any data file lacks usable ts statistics (a
+    * store written by pre-r13 INT96 builds) — callers fall back to the
+    * [[symbolStats]] aggregation scan, so mixed-era stores stay
+    * correct.
+    */
+  def symbolStatsFast(symbol: String): Option[(Long, Option[java.sql.Timestamp])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path, s"symbol=$symbol")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Some((0L, None))
+    val files =
+      (if (dailyPartitions)
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, "ts_date=*/*")))
+          .map(_.toSeq).getOrElse(Seq.empty)
+      else fs.listStatus(dir).toSeq).filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    var total = 0L
+    var maxUs = Long.MinValue
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+      try {
+        reader.getFooter.getBlocks.forEach { b =>
+          if (b.getRowCount > 0) {
+            total += b.getRowCount
+            val ts = b.getColumns.asScala.find(
+              _.getPath.toDotString == "ts")
+            val stats = ts.map(_.getStatistics).orNull
+            if (stats == null || stats.isEmpty ||
+                !stats.isInstanceOf[org.apache.parquet.column.statistics.LongStatistics])
+              return None // INT96-era file: no usable ts stats
+            maxUs = math.max(maxUs,
+              stats.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics].getMax)
+          }
+        }
+      } finally reader.close()
+    }
+    if (total == 0L) Some((0L, None))
+    else Some((total, Some({
+      val t = new java.sql.Timestamp(Math.floorDiv(maxUs, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(maxUs, 1000000L) * 1000L).toInt)
+      t
+    })))
+  }
+
+  /** r13 serve-cold fast path, part 2: the window ticks themselves
+    * read DRIVER-SIDE from the symbol's parquet files — no Spark job.
+    * This is the serving layer's analog of the reference's mmap'd
+    * per-symbol column files (/root/reference/column_storage.hpp): the
+    * files ARE a columnar store, so a warm-up read of one symbol's
+    * recent window is a direct columnar read plus a row-group skip on
+    * the ts min/max statistics (the B+-tree descent analog, executed
+    * in-process). A Spark job pays ~250 ms of scheduling +
+    * row-serialization for the same bytes; this path reads them in
+    * tens of ms. Scale posture unchanged: this reads ONE symbol's
+    * window (the serve cache's bounded unit) — corpus-wide scans stay
+    * on the cluster.
+    *
+    * Returns (epoch-micros, price, volume) arrays, UNSORTED across
+    * files/row-groups (the caller sorts; within a row group rows are
+    * already ts-sorted by ingest). None when any file lacks INT64 ts
+    * (a pre-r13 INT96 store) — callers fall back to the Spark scan.
+    * Rows with a null ts are skipped; null price/volume read as 0
+    * (degenerate for tick data; the Spark path behaves the same).
+    */
+  def scanRangeLocal(symbol: String, startUs: Long, endUs: Long)
+      : Option[(Array[Long], Array[Double], Array[Long])] = {
+    import org.apache.parquet.column.impl.ColumnReadStoreImpl
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveConverter}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path, s"symbol=$symbol")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Some((Array.empty, Array.empty, Array.empty))
+    val files =
+      (if (dailyPartitions)
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, "ts_date=*/*")))
+          .map(_.toSeq).getOrElse(Seq.empty)
+      else fs.listStatus(dir).toSeq).filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val tsB = Array.newBuilder[Long]
+    val prB = Array.newBuilder[Double]
+    val voB = Array.newBuilder[Long]
+    // no-op converter tree: we pull values straight off the column
+    // readers, never through record assembly
+    object NoopPrim extends PrimitiveConverter {
+      override def addLong(v: Long): Unit = ()
+      override def addDouble(v: Double): Unit = ()
+      override def addBinary(v: Binary): Unit = ()
+    }
+    object NoopGroup extends GroupConverter {
+      override def getConverter(i: Int): Converter = NoopPrim
+      override def start(): Unit = ()
+      override def end(): Unit = ()
+    }
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+      try {
+        val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
+        val createdBy = footer.getFileMetaData.getCreatedBy
+        def colDesc(name: String) = {
+          val idx = schema.getFieldIndex(name)
+          schema.getColumns.get(idx)
+        }
+        val tsIdx = schema.getFieldIndex("ts")
+        if (schema.getType(tsIdx).asPrimitiveType().getPrimitiveTypeName
+            != PrimitiveTypeName.INT64)
+          return None // pre-r13 INT96 store: no stats, no local decode
+        val blocks = footer.getBlocks.asScala
+        var bi = 0
+        while (bi < blocks.size) {
+          val b = blocks(bi)
+          // row-group skip on ts min/max (the B+-tree descent analog);
+          // a group with missing stats is read, not skipped — correct
+          // either way, stats only prune
+          val st = b.getColumns.asScala.find(_.getPath.toDotString == "ts")
+            .map(_.getStatistics).orNull
+          val overlaps = st match {
+            case s: org.apache.parquet.column.statistics.LongStatistics
+                if !s.isEmpty => s.getMax >= startUs && s.getMin <= endUs
+            case _ => true
+          }
+          val pages = reader.readNextRowGroup() // sequential: always consume
+          if (overlaps && b.getRowCount > 0) {
+            val store = new ColumnReadStoreImpl(pages, NoopGroup, schema, createdBy)
+            val tsR = store.getColumnReader(colDesc("ts"))
+            val prR = store.getColumnReader(colDesc("price"))
+            val voR = store.getColumnReader(colDesc("volume"))
+            val tsDl = colDesc("ts").getMaxDefinitionLevel
+            val prDl = colDesc("price").getMaxDefinitionLevel
+            val voDl = colDesc("volume").getMaxDefinitionLevel
+            val n = b.getRowCount
+            var i = 0L
+            while (i < n) {
+              val tsOk = tsR.getCurrentDefinitionLevel == tsDl
+              val us = if (tsOk) tsR.getLong else 0L
+              val pr = if (prR.getCurrentDefinitionLevel == prDl) prR.getDouble else 0.0
+              val vo = if (voR.getCurrentDefinitionLevel == voDl) voR.getLong else 0L
+              if (tsOk && us >= startUs && us <= endUs) {
+                tsB += us; prB += pr; voB += vo
+              }
+              tsR.consume(); prR.consume(); voR.consume()
+              i += 1
+            }
+          }
+          bi += 1
+        }
+      } finally reader.close()
+    }
+    Some((tsB.result(), prB.result(), voB.result()))
+  }
+
   /** One pruned scan returning (tick count, newest ts) for a symbol —
     * the serve cache's warm-time anchor (fusing the count and the
-    * tail read halves the cold-path job count).
+    * tail read halves the cold-path job count); the fallback behind
+    * [[symbolStatsFast]].
     */
   def symbolStats(symbol: String): (Long, Option[java.sql.Timestamp]) = {
     // functions.count spelled out: TickStore.count(symbol) shadows it
@@ -299,7 +505,7 @@ final class TickStore(spark: SparkSession, path: String,
     // rows (bounded by the fragmented data, not store size) and breaks
     // lineage so the overwrite cannot lazily re-read the files it is
     // replacing
-    val data = raw().filter(filter).localCheckpoint()
+    val data = microsWrite(raw().filter(filter).localCheckpoint())
     data
       .repartition(parts.map(col): _*)
       .sortWithinPartitions("ts")
@@ -327,4 +533,26 @@ final class TickStore(spark: SparkSession, path: String,
 
 object TickStore {
   val cols: Seq[String] = Seq("symbol", "ts", "price", "volume")
+
+  /** One µs-writing session per base session (shared SparkContext,
+    * isolated SQLConf): `spark.sql.parquet.outputTimestampType =
+    * TIMESTAMP_MICROS` without mutating the caller's session conf —
+    * a runtime `conf.set`/restore around the write would race
+    * concurrent planning on the shared session (parallel suites, the
+    * ConcurrentServeSpec writer thread). Session-critical confs are
+    * copied from the parent's RUNTIME values (newSession inherits only
+    * builder-level configs).
+    */
+  private val writeSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private[tsdb] def microsSession(spark: SparkSession): SparkSession =
+    writeSessions.computeIfAbsent(spark, s => {
+      val w = s.newSession()
+      Seq("spark.sql.session.timeZone", "spark.sql.shuffle.partitions",
+        "spark.sql.ansi.enabled").foreach(k =>
+        w.conf.set(k, s.conf.get(k)))
+      w.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      w
+    })
 }

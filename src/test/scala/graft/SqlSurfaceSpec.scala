@@ -4,10 +4,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The r11 SQL front-end contract: after `GraftSql.register`, a
   * SQL-only user can reproduce representative operators from every
-  * §2 family — market analytics, relational, text, similarity (via
-  * the registered codegen'd `graft_*` functions) — through
-  * `spark.sql` text, matching the DataFrame path EXACTLY (same rows,
-  * same bits; results compared as canonical sorted row strings).
+  * §2 family — market analytics, chunked cumulative/lag scaffolds,
+  * relational subqueries, dedup (exact/simhash/span-level), text,
+  * similarity (via the registered codegen'd `graft_*` functions) —
+  * through `spark.sql` text, matching the DataFrame path EXACTLY
+  * (same rows, same bits; results compared as canonical sorted row
+  * strings). r13 widened the panel to 16 operators (r12 verdict
+  * item 7) so the SQL surface can't silently drift from the
+  * DataFrame path in any family.
   */
 class SqlSurfaceSpec extends AnyFunSuite {
   import TestSpark._
@@ -157,6 +161,82 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |FROM q GROUP BY doc_id""".stripMargin,
       graft.pipeline.TextOps.tokenEntropy(
         graft.core.Tables.documents(spark, sf)))
+  }
+
+  test("chunked cumulative volume equals the naive SQL window bit for bit") {
+    // the distributed prefix aggregation's contract, stated in SQL: the
+    // chunked operator IS the per-symbol unbounded running sum
+    same(
+      """SELECT event_id, symbol,
+        |       sum(volume) OVER (PARTITION BY symbol ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_volume
+        |FROM ticks""".stripMargin,
+      graft.operators.MarketOps.runningVolume(graft.core.Tables.ticks(spark, sf)))
+  }
+
+  test("tick returns via SQL lag equal the chunked-carry operator") {
+    same(
+      """SELECT event_id, symbol, price / prev - 1 AS ret FROM (
+        |  SELECT event_id, symbol, price,
+        |         lag(price) OVER (PARTITION BY symbol ORDER BY ts, event_id) AS prev
+        |  FROM ticks)
+        |WHERE prev IS NOT NULL AND prev <> 0.0""".stripMargin,
+      graft.operators.MarketOps.returns(graft.core.Tables.ticks(spark, sf)))
+  }
+
+  test("exact dedup via SQL") {
+    same(
+      """SELECT min(doc_id) AS keep_id, count(1) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+      graft.pipeline.Dedup.exact(graft.core.Tables.documents(spark, sf)))
+  }
+
+  test("simhash signatures via the registered graft_simhash function") {
+    same(
+      "SELECT doc_id, graft_simhash(text) AS simhash FROM documents",
+      graft.pipeline.Dedup.simhash(graft.core.Tables.documents(spark, sf)))
+  }
+
+  test("EXISTS-subquery semi join via SQL") {
+    same(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_totalprice > 300000.0)""".stripMargin,
+      graft.operators.Relational.semiJoin(spark, sf))
+  }
+
+  test("span-level dedup via SQL window gate + islands (r13)") {
+    same(
+      """WITH g AS (
+        |  SELECT doc_id, pos0 + 1 AS pos,
+        |         CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT) AS h
+        |  FROM (SELECT doc_id,
+        |               posexplode(filter(transform(ws, (w, i) ->
+        |                 CASE WHEN i <= size(ws) - 3
+        |                      THEN concat_ws(' ', element_at(ws, i + 1),
+        |                             element_at(ws, i + 2), element_at(ws, i + 3))
+        |                 END), x -> x IS NOT NULL)) AS (pos0, gram)
+        |        FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents))),
+        |f AS (SELECT doc_id, pos FROM (
+        |        SELECT doc_id, pos,
+        |               min(doc_id) OVER (PARTITION BY h) AS mn,
+        |               max(doc_id) OVER (PARTITION BY h) AS mx
+        |        FROM g) WHERE mn <> mx),
+        |e AS (SELECT doc_id, explode(sequence(CAST(pos AS BIGINT),
+        |               CAST(pos AS BIGINT) + 2)) AS wpos FROM f),
+        |d AS (SELECT doc_id, wpos FROM (
+        |        SELECT doc_id, wpos,
+        |               lag(wpos) OVER (PARTITION BY doc_id ORDER BY wpos) AS prev
+        |        FROM e) WHERE prev IS NULL OR prev <> wpos),
+        |i AS (SELECT doc_id, wpos,
+        |             wpos - row_number() OVER (PARTITION BY doc_id
+        |                                       ORDER BY wpos) AS grp
+        |      FROM d)
+        |SELECT doc_id, min(wpos) AS span_start, max(wpos) AS span_end,
+        |       count(1) AS span_words
+        |FROM i GROUP BY doc_id, grp""".stripMargin,
+      graft.pipeline.Dedup.spanDedup(graft.core.Tables.documents(spark, sf)))
   }
 
   test("sessionization via SQL gaps-and-islands equals the chunked operator") {

@@ -100,6 +100,43 @@ class TickStoreSpec extends AnyFunSuite {
     assert(ts.sliding(2).forall { case Array(a, b) => !a.before(b) })
   }
 
+  test("r13: footer stats match the aggregation scan on both layouts") {
+    for (daily <- Seq(false, true)) {
+      val p = Files.createTempDirectory(s"ts_fstats_${daily}_").toString
+      val s2 = new TickStore(spark, p, dailyPartitions = daily)
+      s2.ingest(Tables.ticks(spark, sf))
+      s2.ingest(Tables.ticks(spark, sf).limit(100)) // second file
+      val fast = s2.symbolStatsFast("click")
+      assert(fast.isDefined, "micros-written store must expose ts stats")
+      val slow = s2.symbolStats("click")
+      assert(fast.get._1 === slow._1)
+      assert(fast.get._2.get === slow._2.get)
+      assert(s2.symbolStatsFast("NOPE") === Some((0L, None)))
+      graft.core.TempDirs.delete(p)
+    }
+  }
+
+  test("r13: scanRangeLocal equals the Spark range scan (values + order)") {
+    val lo = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val local = store.scanRangeLocal("click", us(lo), us(hi))
+    assert(local.isDefined)
+    val (tsA, prA, voA) = local.get
+    val idx = tsA.indices.toArray.sortBy(tsA)
+    val want = store.queryRange("click", lo, hi)
+      .select(unix_micros(col("ts")), col("price"), col("volume"))
+      .collect()
+    assert(tsA.length === want.length)
+    // same multiset, and after the driver sort the same ts sequence
+    assert(idx.map(tsA).toSeq === want.map(_.getLong(0)).toSeq)
+    assert(idx.map(prA).sorted.toSeq ===
+      want.map(_.getDouble(1)).sorted.toSeq)
+    assert(idx.map(voA).sorted.toSeq ===
+      want.map(_.getLong(2)).sorted.toSeq)
+  }
+
   test("csv import round-trips (reference cli.cpp import path)") {
     val base = Files.createTempDirectory("ts_csv_").toString
     Tables.ticks(spark, sf).filter(col("symbol") === "error").limit(50)

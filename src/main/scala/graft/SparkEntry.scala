@@ -592,6 +592,27 @@ object SparkEntry {
 
     // ---- §2.4 composite training-data filter ----
     "q_pipeline_filter" -> ((s, dir) => pipelineFilter(s, dir)),
+
+    // ---- NEW r13 market / embedding additions ----
+    "q_fractals" -> ((s, dir) => MarketOps.fractals(ticks(s, dir), 2)),
+    "q_rvi" -> ((s, dir) => MarketOps.rvi(ticks(s, dir), 10)),
+    "q_trend_intensity" -> ((s, dir) =>
+      MarketOps.trendIntensity(ticks(s, dir), 20)),
+    "q_donchian_breakouts" -> ((s, dir) =>
+      MarketOps.donchianBreakouts(ticks(s, dir), 20)),
+    "q_vzo" -> ((s, dir) => MarketOps.vzo(ticks(s, dir), 14)),
+    "q_connors_rsi" -> ((s, dir) => MarketOps.connorsRsi(ticks(s, dir))),
+    "q_hurst" -> ((s, dir) => MarketOps.hurst(ticks(s, dir))),
+    "q_embed_cov" -> ((s, dir) =>
+      Similarity.embedCovariance(Tables.embeddings(s, dir))),
+    "q_silhouette" -> ((s, dir) =>
+      KMeansOps.silhouetteCensus(Tables.embeddings(s, dir))),
+    "q_choppiness" -> ((s, dir) => MarketOps.choppiness(ticks(s, dir), 14)),
+    "q_stoch_rsi" -> ((s, dir) => MarketOps.stochRsi(ticks(s, dir), 14)),
+    "q_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(Tables.documents(s, dir), 20)),
+    "q_squeeze" -> ((s, dir) => MarketOps.squeeze(ticks(s, dir), 20)),
+    "q_pca_top" -> ((s, dir) => Similarity.pcaTop(Tables.embeddings(s, dir))),
   )
 
   /** Batch-ingest into a TickStore (symbol-partitioned, ts-sorted
@@ -958,6 +979,116 @@ object SparkEntry {
       |       CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
       |            lpad(CAST(event_id AS VARCHAR), 20, '0')) AS DECIMAL(18,2)) AS c
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Shared transparent-Lloyd CTE chain (2 rounds, k = 4, the
+    * [[graft.pipeline.KMeansOps]] recipe): deterministic vec_id<4
+    * init, rounded-argmin assignment (ties to the lower cluster id),
+    * quant6-mean centroid updates — ending at `d3` (distances of every
+    * vector to the FINAL centroids) and `a3` (final assignment). Used
+    * by the q_kmeans_embed census and the q_silhouette quality read.
+    * No line starts with a concat operator (stripMargin interpolation
+    * rule, see duckDailyBars).
+    */
+  private def duckKmeansCtes: String =
+    s"""vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, ve AS c
+       |       FROM vecs WHERE vec_id < 4),
+       |d1 AS (
+       |  SELECT v.vec_id, ct.cluster,
+       |         ROUND(list_sum(list_transform(generate_series(1, len(v.ve)),
+       |           i -> (v.ve[i] - ct.c[i]) * (v.ve[i] - ct.c[i]))), 6) AS d
+       |  FROM vecs v CROSS JOIN c0 ct),
+       |a1 AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                              ORDER BY d, cluster) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |m1p AS (
+       |  SELECT a.cluster, unnest(generate_series(1, len(v.ve))) AS pos,
+       |         v.ve AS ve
+       |  FROM a1 a JOIN vecs v USING (vec_id)),
+       |m1q AS (SELECT cluster, pos, ${duckQ6("ve[pos]")} AS qv FROM m1p),
+       |m1 AS (SELECT cluster, pos, SUM(qv) AS s, COUNT(*) AS n
+       |       FROM m1q GROUP BY 1, 2),
+       |c1 AS (
+       |  SELECT cluster,
+       |         list(CAST(${duckQ6("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")}
+       |              AS DOUBLE) ORDER BY pos) AS c
+       |  FROM m1 GROUP BY 1),
+       |d2 AS (
+       |  SELECT v.vec_id, ct.cluster,
+       |         ROUND(list_sum(list_transform(generate_series(1, len(v.ve)),
+       |           i -> (v.ve[i] - ct.c[i]) * (v.ve[i] - ct.c[i]))), 6) AS d
+       |  FROM vecs v CROSS JOIN c1 ct),
+       |a2 AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                              ORDER BY d, cluster) AS rn
+       |    FROM d2) WHERE rn = 1),
+       |m2p AS (
+       |  SELECT a.cluster, unnest(generate_series(1, len(v.ve))) AS pos,
+       |         v.ve AS ve
+       |  FROM a2 a JOIN vecs v USING (vec_id)),
+       |m2q AS (SELECT cluster, pos, ${duckQ6("ve[pos]")} AS qv FROM m2p),
+       |m2 AS (SELECT cluster, pos, SUM(qv) AS s, COUNT(*) AS n
+       |       FROM m2q GROUP BY 1, 2),
+       |c2 AS (
+       |  SELECT cluster,
+       |         list(CAST(${duckQ6("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")}
+       |              AS DOUBLE) ORDER BY pos) AS c
+       |  FROM m2 GROUP BY 1),
+       |d3 AS (
+       |  SELECT v.vec_id, ct.cluster,
+       |         ROUND(list_sum(list_transform(generate_series(1, len(v.ve)),
+       |           i -> (v.ve[i] - ct.c[i]) * (v.ve[i] - ct.c[i]))), 6) AS d
+       |  FROM vecs v CROSS JOIN c2 ct),
+       |a3 AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                              ORDER BY d, cluster) AS rn
+       |    FROM d3) WHERE rn = 1)""".stripMargin
+
+  /** Shared embedding-covariance CTE chain (micro-quantized
+    * components, integer co-moments) ending at `g` (per upper-triangle
+    * cell: n, Σx, Σy, Σxy). Used by q_embed_cov and q_pca_top.
+    */
+  private def duckEmbedCovCtes: String =
+    """flat AS (
+      |  SELECT vec_id, UNNEST(embedding) AS x,
+      |         generate_subscripts(embedding, 1) - 1 AS pos
+      |  FROM embeddings),
+      |comps AS (
+      |  SELECT vec_id, pos,
+      |         CAST(CASE WHEN CAST(x AS DOUBLE) * 1000000.0 >= 0
+      |              THEN FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+      |              ELSE CEIL(CAST(x AS DOUBLE) * 1000000.0 - 0.5)
+      |              END AS BIGINT) AS q
+      |  FROM flat),
+      |p AS (
+      |  SELECT a.pos AS i, b.pos AS j, a.q AS qi, b.q AS qj
+      |  FROM comps a JOIN comps b
+      |    ON a.vec_id = b.vec_id AND a.pos <= b.pos),
+      |g AS (
+      |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(qi) AS BIGINT) AS sx, CAST(SUM(qj) AS BIGINT) AS sy,
+      |         CAST(SUM(CAST(qi AS DECIMAL(18,0)) * CAST(qj AS DECIMAL(18,0)))
+      |              AS DECIMAL(38,0)) AS sxy
+      |  FROM p GROUP BY 1, 2)""".stripMargin
+
+  /** The sample-covariance emission over `g`'s columns (guarded, two
+    * mirrored divisions) — shared by q_embed_cov and q_pca_top.
+    */
+  private def duckCovExpr: String =
+    """CASE WHEN n > 1 THEN
+      |         CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(27,0))
+      |              - CAST(sx AS DECIMAL(14,0)) * CAST(sy AS DECIMAL(14,0))
+      |              AS DOUBLE)
+      |           / CAST(n * (n - 1) AS DOUBLE) / 1000000000000.0 END""".stripMargin
 
   /** Integer-weighted lag dot product in DECIMAL(38,0) (the Hull MA
     * WMA numerators): Σ (n−i)·lag(src, i) over window `w`.
@@ -6681,68 +6812,7 @@ object SparkEntry {
       // assignment = rounded-argmin (the q_ann_ivf rule), centroid
       // update = quant6 mean of quant6 components (exact decimal sums)
       // — the whole iteration re-derived independently by both engines
-      s"""WITH vecs AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-         |  FROM embeddings),
-         |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, ve AS c
-         |       FROM vecs WHERE vec_id < 4),
-         |d1 AS (
-         |  SELECT v.vec_id, ct.cluster,
-         |         ROUND(list_sum(list_transform(generate_series(1, len(v.ve)),
-         |           i -> (v.ve[i] - ct.c[i]) * (v.ve[i] - ct.c[i]))), 6) AS d
-         |  FROM vecs v CROSS JOIN c0 ct),
-         |a1 AS (
-         |  SELECT vec_id, cluster FROM (
-         |    SELECT vec_id, cluster,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                              ORDER BY d, cluster) AS rn
-         |    FROM d1) WHERE rn = 1),
-         |m1p AS (
-         |  SELECT a.cluster, unnest(generate_series(1, len(v.ve))) AS pos,
-         |         v.ve AS ve
-         |  FROM a1 a JOIN vecs v USING (vec_id)),
-         |m1q AS (SELECT cluster, pos, ${duckQ6("ve[pos]")} AS qv FROM m1p),
-         |m1 AS (SELECT cluster, pos, SUM(qv) AS s, COUNT(*) AS n
-         |       FROM m1q GROUP BY 1, 2),
-         |c1 AS (
-         |  SELECT cluster,
-         |         list(CAST(${duckQ6("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")}
-         |              AS DOUBLE) ORDER BY pos) AS c
-         |  FROM m1 GROUP BY 1),
-         |d2 AS (
-         |  SELECT v.vec_id, ct.cluster,
-         |         ROUND(list_sum(list_transform(generate_series(1, len(v.ve)),
-         |           i -> (v.ve[i] - ct.c[i]) * (v.ve[i] - ct.c[i]))), 6) AS d
-         |  FROM vecs v CROSS JOIN c1 ct),
-         |a2 AS (
-         |  SELECT vec_id, cluster FROM (
-         |    SELECT vec_id, cluster,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                              ORDER BY d, cluster) AS rn
-         |    FROM d2) WHERE rn = 1),
-         |m2p AS (
-         |  SELECT a.cluster, unnest(generate_series(1, len(v.ve))) AS pos,
-         |         v.ve AS ve
-         |  FROM a2 a JOIN vecs v USING (vec_id)),
-         |m2q AS (SELECT cluster, pos, ${duckQ6("ve[pos]")} AS qv FROM m2p),
-         |m2 AS (SELECT cluster, pos, SUM(qv) AS s, COUNT(*) AS n
-         |       FROM m2q GROUP BY 1, 2),
-         |c2 AS (
-         |  SELECT cluster,
-         |         list(CAST(${duckQ6("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")}
-         |              AS DOUBLE) ORDER BY pos) AS c
-         |  FROM m2 GROUP BY 1),
-         |d3 AS (
-         |  SELECT v.vec_id, ct.cluster,
-         |         ROUND(list_sum(list_transform(generate_series(1, len(v.ve)),
-         |           i -> (v.ve[i] - ct.c[i]) * (v.ve[i] - ct.c[i]))), 6) AS d
-         |  FROM vecs v CROSS JOIN c2 ct),
-         |a3 AS (
-         |  SELECT vec_id, cluster FROM (
-         |    SELECT vec_id, cluster,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                              ORDER BY d, cluster) AS rn
-         |    FROM d3) WHERE rn = 1)
+      s"""WITH ${duckKmeansCtes}
          |SELECT CAST(cluster AS BIGINT) AS cluster,
          |       CAST(COUNT(*) AS BIGINT) AS n_vectors,
          |       CAST(MIN(vec_id) AS BIGINT) AS exemplar
@@ -7185,5 +7255,406 @@ object SparkEntry {
         |  FROM flat f, q GROUP BY f.vec_id)
         |SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(qn2)), 4) + 0.0 AS cos_sim
         |FROM sums ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // ---- NEW r13 market / embedding additions ----
+    "q_fractals" ->
+      // strict exact-decimal compares; edge bars (NULL neighbor) never
+      // qualify via COALESCE(..., FALSE); 2-dp decimals → exact doubles
+      s"""WITH b AS (${duckDailyBars}),
+         |t AS (
+         |  SELECT symbol, day, h, l,
+         |         COALESCE(h > LAG(h, 1) OVER o AND h > LEAD(h, 1) OVER o
+         |           AND h > LAG(h, 2) OVER o AND h > LEAD(h, 2) OVER o,
+         |           FALSE) AS fh,
+         |         COALESCE(l < LAG(l, 1) OVER o AND l < LEAD(l, 1) OVER o
+         |           AND l < LAG(l, 2) OVER o AND l < LEAD(l, 2) OVER o,
+         |           FALSE) AS fl
+         |  FROM b WINDOW o AS (PARTITION BY symbol ORDER BY day))
+         |SELECT symbol, day,
+         |       CASE WHEN fh THEN CAST(h AS DOUBLE) END AS fractal_high,
+         |       CASE WHEN fl THEN CAST(l AS DOUBLE) END AS fractal_low
+         |FROM t WHERE fh OR fl ORDER BY symbol, day""".stripMargin,
+    "q_rvi" ->
+      // 1-2-2-1 swma terms and window sums all exact decimals; one
+      // guarded RAW division
+      s"""WITH b AS (${duckDailyBars}),
+         |s AS (
+         |  SELECT symbol, day,
+         |         (c - o) + LAG(c - o, 1) OVER ww * 2
+         |           + LAG(c - o, 2) OVER ww * 2 + LAG(c - o, 3) OVER ww AS num,
+         |         (h - l) + LAG(h - l, 1) OVER ww * 2
+         |           + LAG(h - l, 2) OVER ww * 2 + LAG(h - l, 3) OVER ww AS den
+         |  FROM b WINDOW ww AS (PARTITION BY symbol ORDER BY day)),
+         |f AS (SELECT symbol, day, num, den FROM s WHERE num IS NOT NULL),
+         |w AS (
+         |  SELECT symbol, day, SUM(num) OVER w10 AS sn, SUM(den) OVER w10 AS sd,
+         |         COUNT(*) OVER w10 AS cnt
+         |  FROM f WINDOW w10 AS (PARTITION BY symbol ORDER BY day
+         |                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, day,
+         |       CASE WHEN sd <> 0
+         |            THEN CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE) END AS rvi
+         |FROM w WHERE cnt = 10 ORDER BY symbol, day""".stripMargin,
+    "q_trend_intensity" ->
+      // float-free cⱼ·n > Σc compare in exact integer cents; tii is an
+      // exact multiple of 5 — one mirrored division, no rounding
+      s"""WITH b AS (${duckDailyBars}),
+         |t AS (SELECT symbol, day, CAST(c * 100 AS BIGINT) AS cents FROM b),
+         |w AS (
+         |  SELECT symbol, day, list(cents) OVER w20 AS cs,
+         |         SUM(cents) OVER w20 AS sc, COUNT(*) OVER w20 AS cnt
+         |  FROM t WINDOW w20 AS (PARTITION BY symbol ORDER BY day
+         |                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |u AS (
+         |  SELECT symbol, day,
+         |         CAST(len(list_filter(cs, x -> x * 20 > sc)) AS BIGINT) AS up
+         |  FROM w WHERE cnt = 20)
+         |SELECT symbol, day, up, CAST(up AS DOUBLE) * 100.0 / 20.0 AS tii
+         |FROM u ORDER BY symbol, day""".stripMargin,
+    "q_donchian_breakouts" ->
+      // prior-window extrema over a (−n … −1) frame, exact decimal
+      // compares, integer counts
+      s"""WITH b AS (${duckDailyBars}),
+         |w AS (
+         |  SELECT symbol, c,
+         |         MAX(h) OVER wn AS ph, MIN(l) OVER wn AS pl,
+         |         COUNT(*) OVER wn AS cnt
+         |  FROM b WINDOW wn AS (PARTITION BY symbol ORDER BY day
+         |                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+         |SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |       CAST(SUM(CASE WHEN c > ph THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_breakouts,
+         |       CAST(SUM(CASE WHEN c < pl THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_breakdowns
+         |FROM w WHERE cnt = 20 GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "q_vzo" ->
+      // two EMA recursions in mirrored runtime-α doubles (α = 2/15),
+      // seeded at the first signed bar; one mirrored 100·es/ev division
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+        |         CAST(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+        |              AS DECIMAL(18,2)) AS c,
+        |         CAST(SUM(user_id) AS BIGINT) AS vol
+        |  FROM events GROUP BY 1, 2),
+        |m0 AS (
+        |  SELECT symbol, day, c, vol,
+        |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+        |  FROM b),
+        |m AS (
+        |  SELECT symbol, day,
+        |         CAST(CASE WHEN c > pc THEN vol WHEN c < pc THEN -vol
+        |              ELSE 0 END AS DOUBLE) AS sv,
+        |         CAST(vol AS DOUBLE) AS v,
+        |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+        |  FROM m0 WHERE pc IS NOT NULL),
+        |r AS (
+        |  SELECT symbol, rn, day, sv AS es, v AS ev FROM m WHERE rn = 1
+        |  UNION ALL
+        |  SELECT a.symbol, a.rn, a.day,
+        |         (2.0 / 15.0) * a.sv + (1.0 - 2.0 / 15.0) * r.es,
+        |         (2.0 / 15.0) * a.v + (1.0 - 2.0 / 15.0) * r.ev
+        |  FROM m a JOIN r ON a.symbol = r.symbol AND a.rn = r.rn + 1)
+        |SELECT symbol, day,
+        |       CASE WHEN ev <> 0 THEN 100.0 * es / ev ELSE 0.0 END AS vzo
+        |FROM r ORDER BY symbol, day""".stripMargin,
+    "q_connors_rsi" ->
+      // three bit-identical components: decimal gain/loss sums (rsi3),
+      // integer gaps-and-islands streak diffs (srsi2), rank over the
+      // bit-identical double return (pct_rank); mirrored composite
+      s"""WITH b AS (${duckDailyBars}),
+         |d0 AS (
+         |  SELECT symbol, day, c,
+         |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |  FROM b),
+         |d AS (
+         |  SELECT symbol, day, c - pc AS diff,
+         |         CAST(c AS DOUBLE) / CAST(pc AS DOUBLE) - 1.0 AS ret,
+         |         CASE WHEN c > pc THEN 1 WHEN c < pc THEN -1 ELSE 0 END AS s,
+         |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS drn
+         |  FROM d0 WHERE pc IS NOT NULL AND pc <> 0),
+         |g AS (
+         |  SELECT symbol, day, diff, ret, s, drn,
+         |         drn - ROW_NUMBER() OVER (PARTITION BY symbol, s
+         |                                  ORDER BY day) AS grp
+         |  FROM d),
+         |st AS (
+         |  SELECT symbol, day, diff, ret, drn,
+         |         CAST(s AS BIGINT) * ROW_NUMBER() OVER (
+         |           PARTITION BY symbol, s, grp ORDER BY day) AS streak
+         |  FROM g),
+         |t AS (
+         |  SELECT symbol, day, drn, ret,
+         |         streak - LAG(streak) OVER o AS sdiff,
+         |         SUM(CASE WHEN diff > 0 THEN diff
+         |             ELSE CAST(0 AS DECIMAL(19,2)) END) OVER w3 AS g3,
+         |         SUM(CASE WHEN diff < 0 THEN -diff
+         |             ELSE CAST(0 AS DECIMAL(19,2)) END) OVER w3 AS l3
+         |  FROM st
+         |  WINDOW o AS (PARTITION BY symbol ORDER BY day),
+         |         w3 AS (PARTITION BY symbol ORDER BY day
+         |                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+         |u AS (
+         |  SELECT symbol, day, drn, g3, l3,
+         |         SUM(CASE WHEN sdiff > 0 THEN sdiff ELSE 0 END) OVER w2 AS g2,
+         |         SUM(CASE WHEN sdiff < 0 THEN -sdiff ELSE 0 END) OVER w2 AS l2,
+         |         RANK() OVER (PARTITION BY symbol ORDER BY ret) AS rk,
+         |         COUNT(*) OVER (PARTITION BY symbol) AS cnt
+         |  FROM t
+         |  WINDOW w2 AS (PARTITION BY symbol ORDER BY day
+         |                ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)),
+         |f AS (
+         |  SELECT symbol, day,
+         |         CASE WHEN g3 + l3 <> 0 THEN 100.0 * CAST(g3 AS DOUBLE)
+         |              / CAST(g3 + l3 AS DOUBLE) END AS rsi3,
+         |         CASE WHEN g2 + l2 <> 0 THEN 100.0 * CAST(g2 AS DOUBLE)
+         |              / CAST(g2 + l2 AS DOUBLE) END AS srsi2,
+         |         CASE WHEN cnt > 1 THEN 100.0 * CAST(rk - 1 AS DOUBLE)
+         |              / CAST(cnt - 1 AS DOUBLE) END AS pct_rank
+         |  FROM u WHERE drn >= 3)
+         |SELECT symbol, day, rsi3, srsi2, pct_rank,
+         |       (rsi3 + srsi2 + pct_rank) / 3.0 AS crsi
+         |FROM f ORDER BY symbol, day""".stripMargin,
+    "q_hurst" ->
+      // winsorized quant6 ln-return micro-BIGINTs; pure integer block
+      // sums/squares; width-safe decimal variance numerators; quant6'd
+      // ln(var) per the §4 libm rule; 4·ln2 literal mirrored
+      s"""WITH b AS (${duckDailyBars}),
+         |p AS (
+         |  SELECT symbol, day, c,
+         |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |  FROM b WHERE c > 0),
+         |r0 AS (
+         |  SELECT symbol, day,
+         |         ln(CAST(c AS DOUBLE) / CAST(pc AS DOUBLE)) * 1000000.0 AS lr
+         |  FROM p WHERE pc IS NOT NULL AND pc > 0),
+         |r AS (
+         |  SELECT symbol, day,
+         |         least(greatest(CAST(CASE WHEN lr >= 0 THEN FLOOR(lr + 0.5)
+         |                             ELSE CEIL(lr - 0.5) END AS BIGINT),
+         |                        -1000000), 1000000) AS rr,
+         |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) - 1 AS idx
+         |  FROM r0),
+         |blocks AS (
+         |  SELECT symbol, m, idx // m AS blkid,
+         |         CAST(SUM(rr) AS BIGINT) AS x, COUNT(*) AS k
+         |  FROM r, (VALUES (1), (2), (4)) AS sc(m)
+         |  GROUP BY 1, 2, 3),
+         |fb AS (SELECT symbol, m, x FROM blocks WHERE k = m),
+         |stats AS (
+         |  SELECT symbol, m, CAST(COUNT(*) AS BIGINT) AS nb,
+         |         CAST(SUM(x) AS BIGINT) AS sx,
+         |         CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM fb GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |v AS (
+         |  SELECT symbol, m,
+         |         CASE WHEN CAST(nb AS DECIMAL(8,0)) * CAST(sxx AS DECIMAL(28,0))
+         |                 - CAST(sx AS DECIMAL(15,0)) * CAST(sx AS DECIMAL(15,0)) > 0
+         |              THEN CAST(CAST(nb AS DECIMAL(8,0)) * CAST(sxx AS DECIMAL(28,0))
+         |                 - CAST(sx AS DECIMAL(15,0)) * CAST(sx AS DECIMAL(15,0))
+         |                 AS DOUBLE)
+         |                / CAST(nb * (nb - 1) AS DOUBLE) / 1000000000000.0
+         |         END AS v
+         |  FROM stats),
+         |piv AS (
+         |  SELECT symbol,
+         |         MAX(CASE WHEN m = 1 THEN v END) AS var_m1,
+         |         MAX(CASE WHEN m = 2 THEN v END) AS var_m2,
+         |         MAX(CASE WHEN m = 4 THEN v END) AS var_m4
+         |  FROM v GROUP BY 1)
+         |SELECT symbol, var_m1, var_m2, var_m4,
+         |       CASE WHEN var_m1 > 0 AND var_m4 > 0 THEN
+         |         (CAST(${duckQ6("ln(var_m4)")} AS DOUBLE)
+         |           - CAST(${duckQ6("ln(var_m1)")} AS DOUBLE))
+         |           / 2.772588722239781 END AS hurst
+         |FROM piv ORDER BY symbol""".stripMargin,
+    "q_embed_cov" ->
+      // micro-quantized components, integer co-moments in width-safe
+      // decimals, two mirrored divisions
+      s"""WITH ${duckEmbedCovCtes}
+         |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+         |       ${duckCovExpr} AS cov
+         |FROM g ORDER BY i, j""".stripMargin,
+    "q_pca_top" ->
+      // two fixed power iterations over the micro-quantized covariance
+      // cells: exact integer/decimal matrix-vector products, Rayleigh
+      // quotient via width-safe decimal dots, mirrored divisions
+      s"""WITH ${duckEmbedCovCtes},
+         |cov AS (
+         |  SELECT i, j, ${duckCovExpr} AS cov FROM g),
+         |qc AS (
+         |  SELECT i, j,
+         |         CAST(CASE WHEN cov * 1000000.0 >= 0
+         |              THEN FLOOR(cov * 1000000.0 + 0.5)
+         |              ELSE CEIL(cov * 1000000.0 - 0.5) END AS BIGINT) AS q
+         |  FROM cov WHERE cov IS NOT NULL),
+         |fullm AS (
+         |  SELECT i, j, q FROM qc
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, q FROM qc WHERE i <> j),
+         |v1 AS (SELECT i, CAST(SUM(q) AS BIGINT) AS v1 FROM fullm GROUP BY 1),
+         |v2 AS (
+         |  SELECT f.i,
+         |         SUM(CAST(f.q AS DECIMAL(18,0)) * CAST(w.v1 AS DECIMAL(19,0)))
+         |           AS v2
+         |  FROM fullm f JOIN v1 w ON f.j = w.i
+         |  GROUP BY 1),
+         |dots AS (
+         |  SELECT CASE WHEN SUM(CAST(a.v1 AS DECIMAL(18,0))
+         |                        * CAST(a.v1 AS DECIMAL(18,0))) <> 0 THEN
+         |           CAST(SUM(CAST(b.v2 AS DECIMAL(24,0))
+         |                    * CAST(a.v1 AS DECIMAL(13,0))) AS DOUBLE)
+         |             / CAST(SUM(CAST(a.v1 AS DECIMAL(18,0))
+         |                        * CAST(a.v1 AS DECIMAL(18,0))) AS DOUBLE)
+         |             / 1000000.0 END AS eigenvalue
+         |  FROM v2 b JOIN v1 a ON b.i = a.i),
+         |mx AS (SELECT MAX(abs(v2)) AS mx FROM v2)
+         |SELECT CAST(b.i AS BIGINT) AS i,
+         |       CASE WHEN mx.mx <> 0
+         |            THEN CAST(b.v2 AS DOUBLE) / CAST(mx.mx AS DOUBLE)
+         |       END AS loading,
+         |       dots.eigenvalue
+         |FROM v2 b, mx, dots ORDER BY i""".stripMargin,
+    "q_silhouette" ->
+      // the shared transparent-Lloyd chain to the FINAL distances d3;
+      // a/b from one (d, cluster) ranking (ties to the lower id), the
+      // simplified-silhouette quotient on ROUND(…,6) doubles, quant6
+      // mean per the centroid-update discipline
+      s"""WITH ${duckKmeansCtes},
+         |rnk AS (
+         |  SELECT vec_id, cluster, d,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                            ORDER BY d, cluster) AS rn
+         |  FROM d3),
+         |r1 AS (SELECT vec_id, cluster, d AS a FROM rnk WHERE rn = 1),
+         |r2 AS (SELECT vec_id, d AS bb FROM rnk WHERE rn = 2),
+         |sv AS (
+         |  SELECT r1.cluster,
+         |         CASE WHEN r2.bb IS NULL THEN 0.0
+         |              WHEN greatest(r1.a, r2.bb) > 0
+         |              THEN (r2.bb - r1.a) / greatest(r1.a, r2.bb)
+         |              ELSE 0.0 END AS s
+         |  FROM r1 LEFT JOIN r2 ON r1.vec_id = r2.vec_id),
+         |q AS (SELECT cluster, ${duckQ6("s")} AS qs FROM sv)
+         |SELECT CAST(cluster AS BIGINT) AS cluster,
+         |       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |       CAST(${duckQ6("CAST(SUM(qs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")}
+         |            AS DOUBLE) AS mean_sil
+         |FROM q GROUP BY 1 ORDER BY cluster""".stripMargin,
+    "q_choppiness" ->
+      // CAST(GREATEST(…) AS DECIMAL) guard (§4 r10), exact decimal
+      // window sums/extrema, one mirrored quotient, quant6'd ln, the
+      // 100·y/ln(14) literal chain
+      s"""WITH b AS (${duckDailyBars}),
+         |g AS (
+         |  SELECT symbol, day, h, l,
+         |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |  FROM b),
+         |f AS (
+         |  SELECT symbol, day, h, l,
+         |         CAST(GREATEST(h - l, abs(h - pc), abs(l - pc))
+         |              AS DECIMAL(18,2)) AS tr
+         |  FROM g WHERE pc IS NOT NULL),
+         |w AS (
+         |  SELECT symbol, day,
+         |         SUM(tr) OVER wn AS str, MAX(h) OVER wn AS mxh,
+         |         MIN(l) OVER wn AS mnl, COUNT(*) OVER wn AS cnt
+         |  FROM f WINDOW wn AS (PARTITION BY symbol ORDER BY day
+         |                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, day,
+         |       CASE WHEN mxh - mnl > 0 AND str > 0 THEN
+         |         100.0 * CAST(${duckQ6(
+             "ln(CAST(str AS DOUBLE) / CAST(mxh - mnl AS DOUBLE))")} AS DOUBLE)
+         |           / 2.6390573296152584 END AS ci
+         |FROM w WHERE cnt = 14 ORDER BY symbol, day""".stripMargin,
+    "q_stoch_rsi" ->
+      // inner Cutler RSI = guarded quotient of exact decimal sums
+      // (bit-identical doubles → order-free MIN/MAX), outer %K a
+      // mirrored subtract/divide chain; flat RSI window → NULL
+      s"""WITH b AS (${duckDailyBars}),
+         |d0 AS (
+         |  SELECT symbol, day, c,
+         |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |  FROM b),
+         |d AS (
+         |  SELECT symbol, day,
+         |         CASE WHEN c > pc THEN c - pc
+         |              ELSE CAST(0 AS DECIMAL(19,2)) END AS gain,
+         |         CASE WHEN c < pc THEN pc - c
+         |              ELSE CAST(0 AS DECIMAL(19,2)) END AS loss
+         |  FROM d0 WHERE pc IS NOT NULL),
+         |r0 AS (
+         |  SELECT symbol, day, SUM(gain) OVER wn AS g, SUM(loss) OVER wn AS l,
+         |         COUNT(*) OVER wn AS cnt
+         |  FROM d WINDOW wn AS (PARTITION BY symbol ORDER BY day
+         |                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         |r AS (
+         |  SELECT symbol, day,
+         |         CASE WHEN g + l <> 0 THEN 100.0 * CAST(g AS DOUBLE)
+         |              / CAST(g + l AS DOUBLE) END AS rsi
+         |  FROM r0 WHERE cnt = 14),
+         |s AS (
+         |  SELECT symbol, day, rsi,
+         |         MIN(rsi) OVER wn AS mn, MAX(rsi) OVER wn AS mx,
+         |         COUNT(*) OVER wn AS cnt2
+         |  FROM r WINDOW wn AS (PARTITION BY symbol ORDER BY day
+         |                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, day, rsi,
+         |       CASE WHEN rsi IS NOT NULL AND mx > mn
+         |            THEN 100.0 * (rsi - mn) / (mx - mn) END AS stoch_rsi
+         |FROM s WHERE cnt2 = 14 ORDER BY symbol, day""".stripMargin,
+    "q_squeeze" ->
+      // four band values as mirrored IEEE chains over exact decimal
+      // window sums (sqrt bit-identical) → deterministic boolean;
+      // integer census; Keltner midline divides once by the evaluated
+      // 3n literal (60.0)
+      s"""WITH b AS (${duckDailyBars}),
+         |g0 AS (
+         |  SELECT symbol, day, h, l, c,
+         |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |  FROM b),
+         |f AS (
+         |  SELECT symbol, day, c,
+         |         CAST(GREATEST(h - l, abs(h - pc), abs(l - pc))
+         |              AS DECIMAL(18,2)) AS tr,
+         |         CAST(h + l + c AS DECIMAL(20,2)) AS tp,
+         |         CAST(c * c AS DECIMAL(38,4)) AS c2
+         |  FROM g0 WHERE pc IS NOT NULL),
+         |w AS (
+         |  SELECT symbol, day,
+         |         SUM(c) OVER wn AS scl, SUM(c2) OVER wn AS sq,
+         |         SUM(tp) OVER wn AS stp, SUM(tr) OVER wn AS str,
+         |         COUNT(*) OVER wn AS cnt
+         |  FROM f WINDOW wn AS (PARTITION BY symbol ORDER BY day
+         |                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |v AS (
+         |  SELECT symbol,
+         |         CAST(scl AS DOUBLE) / 20.0 AS mean,
+         |         SQRT(CASE WHEN (CAST(sq AS DOUBLE)
+         |             - (CAST(scl AS DOUBLE) * CAST(scl AS DOUBLE)) / 20.0)
+         |             / (20.0 - 1.0) > 0
+         |           THEN (CAST(sq AS DOUBLE)
+         |             - (CAST(scl AS DOUBLE) * CAST(scl AS DOUBLE)) / 20.0)
+         |             / (20.0 - 1.0) ELSE 0.0 END) AS sd,
+         |         CAST(stp AS DOUBLE) / 60.0 AS mid,
+         |         CAST(str AS DOUBLE) / 20.0 AS rng
+         |  FROM w WHERE cnt = 20)
+         |SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |       CAST(SUM(CASE WHEN mean - 2.0 * sd > mid - 1.5 * rng
+         |                      AND mean + 2.0 * sd < mid + 1.5 * rng
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_squeeze
+         |FROM v GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "q_bpe_merges" ->
+      // pure character-pair counting; substring/length are
+      // character-based and string ordering binary on both engines
+      """WITH w AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT w FROM w WHERE length(w) >= 2),
+        |p AS (
+        |  SELECT UNNEST(list_transform(generate_series(1, length(w) - 1),
+        |    i -> substr(w, i, 2))) AS pair
+        |  FROM f)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
   )
 }

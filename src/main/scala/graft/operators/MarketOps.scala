@@ -4716,4 +4716,417 @@ object MarketOps {
       .toDF()
       .orderBy("symbol", "day")
   }
+
+  /** NEW r13: Williams fractal pivots (wing=2) — a bar is a fractal
+    * high when its high STRICTLY exceeds the highs of the `wing` bars
+    * on each side (low symmetrically); the classic swing-point marker
+    * support/resistance and ZigZag-style studies anchor on. Pure
+    * exact-decimal compares over the shared daily-bar scaffold; edge
+    * bars (missing a neighbor → NULL compare) never qualify. Emission:
+    * the pivot level as DOUBLE (2-dp decimals convert exactly), NULL
+    * on the non-fractal side; bars that are neither are dropped.
+    */
+  def fractals(ticks: DataFrame, wing: Int = 2): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val t = ohlcDaily(ticks).select(col("symbol"), col("day"),
+      col("high").cast(dec).as("h"), col("low").cast(dec).as("l"))
+    val isH = (1 to wing).map { i =>
+      col("h") > lag(col("h"), i).over(dayOrder) &&
+        col("h") > lead(col("h"), i).over(dayOrder)
+    }.reduce(_ && _)
+    val isL = (1 to wing).map { i =>
+      col("l") < lag(col("l"), i).over(dayOrder) &&
+        col("l") < lead(col("l"), i).over(dayOrder)
+    }.reduce(_ && _)
+    t.select(col("symbol"), col("day"), col("h"), col("l"),
+        coalesce(isH, lit(false)).as("fh"),
+        coalesce(isL, lit(false)).as("fl"))
+      .filter(col("fh") || col("fl"))
+      .select(col("symbol"), col("day"),
+        when(col("fh"), col("h").cast("double")).as("fractal_high"),
+        when(col("fl"), col("l").cast("double")).as("fractal_low"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r13: Relative Vigor Index (n=10) — RVI = Σₙ swma(c−o) /
+    * Σₙ swma(h−l) with the 1-2-2-1 symmetric-weighted MA of Elders'
+    * construction. Every term is an exact DECIMAL (integer weights on
+    * 2-dp diffs), the window sums are order-free exact decimals, and
+    * the emission is ONE guarded RAW double division (bounded sums →
+    * exact double conversion). Defined where the swma lag-3 exists and
+    * the n-bar window over those rows is full.
+    */
+  def rvi(ticks: DataFrame, n: Int = 10): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    def swma(c: Column): Column =
+      c + lag(c, 1).over(dayOrder) * 2 + lag(c, 2).over(dayOrder) * 2 +
+        lag(c, 3).over(dayOrder)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        (col("close").cast(dec) - col("open").cast(dec)).as("co"),
+        (col("high").cast(dec) - col("low").cast(dec)).as("hl"))
+      .select(col("symbol"), col("day"),
+        swma(col("co")).as("num"), swma(col("hl")).as("den"))
+      .filter(col("num").isNotNull)
+      .select(col("symbol"), col("day"),
+        sum(col("num")).over(w).as("sn"),
+        sum(col("den")).over(w).as("sd"),
+        count(lit(1)).over(w).as("cnt"))
+      .filter(col("cnt") === n)
+      .select(col("symbol"), col("day"),
+        when(col("sd") =!= 0,
+          col("sn").cast("double") / col("sd").cast("double")).as("rvi"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r13: Trend Intensity Index (n=20) — the share of the last n
+    * closes sitting STRICTLY above today's n-bar close sum average.
+    * The compare is float-free: cⱼ·n > Σc in exact integer cents (the
+    * goldenCross sign trick), with the frame's closes carried as a
+    * window collect_list (n elements — bounded) and counted by one
+    * fold. tii = 100·up/n is an exact multiple of 100/n — emitted as
+    * one mirrored division, no rounding needed.
+    */
+  def trendIntensity(ticks: DataFrame, n: Int = 20): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        (col("close").cast(dec) * 100).cast("long").as("cents"))
+      .select(col("symbol"), col("day"),
+        collect_list(col("cents")).over(w).as("cs"),
+        sum(col("cents")).over(w).as("sc"),
+        count(lit(1)).over(w).as("cnt"))
+      .filter(col("cnt") === n)
+      .select(col("symbol"), col("day"),
+        aggregate(col("cs"), lit(0L),
+          (acc, c) => acc + when(c * n > col("sc"), 1L).otherwise(0L))
+          .as("up"))
+      .select(col("symbol"), col("day"), col("up"),
+        (col("up").cast("double") * 100.0 / lit(n.toDouble)).as("tii"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r13: Donchian breakout census — per symbol, the count of days
+    * whose close breaks STRICTLY above the prior n-day high (below the
+    * prior n-day low), the event the channel exists to flag (donchian
+    * itself emits the bands; this census reports how often price
+    * escapes them). Prior-window extrema are exact decimal MAX/MIN
+    * over a (−n … −1) frame, compares exact, counts integer.
+    */
+  def donchianBreakouts(ticks: DataFrame, n: Int = 20): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-n, -1)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        col("high").cast(dec).as("h"), col("low").cast(dec).as("l"),
+        col("close").cast(dec).as("c"))
+      .select(col("symbol"), col("c"),
+        max(col("h")).over(w).as("ph"),
+        min(col("l")).over(w).as("pl"),
+        count(lit(1)).over(w).as("cnt"))
+      .filter(col("cnt") === n)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("c") > col("ph"), 1L).otherwise(0L)).cast("long")
+          .as("n_breakouts"),
+        sum(when(col("c") < col("pl"), 1L).otherwise(0L)).cast("long")
+          .as("n_breakdowns"))
+      .orderBy("symbol")
+  }
+
+  final case class VzoIn(symbol: String, day: java.sql.Date, sv: Double, v: Double)
+  final case class VzoOut(symbol: String, day: java.sql.Date, vzo: Double)
+
+  /** NEW r13: Volume Zone Oscillator (n=14) — 100 · EMA(signed
+    * volume) / EMA(volume): volume-flow polarity on the EMA clock.
+    * Sign comes from the exact decimal close diff, daily volumes are
+    * integers (exact doubles), and the two EMA recursions run as one
+    * sorted-group pass in mirrored runtime-α doubles (the [[tsi]]
+    * pattern, α = 2/(n+1)), seeded at the first signed bar; the oracle
+    * is a recursive CTE over the same bars. Emission: one mirrored
+    * 100·es/ev division (zero denominator → 0, mirrored). Defined from
+    * the 2nd bar on.
+    */
+  def vzo(ticks: DataFrame, n: Int = 14): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"),
+        col("volume").as("vol"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull)
+      .select(col("symbol"), col("day"),
+        when(col("c") > col("pc"), col("vol"))
+          .when(col("c") < col("pc"), -col("vol"))
+          .otherwise(lit(0L)).cast("double").as("sv"),
+        col("vol").cast("double").as("v"))
+      .as[VzoIn]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        val a = 2.0 / (n + 1).toDouble
+        var es = 0.0; var ev = 0.0; var first = true
+        it.map { b =>
+          if (first) { first = false; es = b.sv; ev = b.v }
+          else { es = a * b.sv + (1.0 - a) * es; ev = a * b.v + (1.0 - a) * ev }
+          VzoOut(sym, b.day, if (ev != 0.0) 100.0 * es / ev else 0.0)
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r13: Connors RSI — the mean of three mean-reversion gauges:
+    * (a) Cutler RSI(3) on closes (exact decimal gain/loss window sums,
+    * one guarded division), (b) Cutler RSI(2) on the SIGNED up/down
+    * streak (the streak is pure integer gaps-and-islands: run id =
+    * drn − row_number within the same sign, streak = sign × position
+    * in run — zero on flat days), and (c) the percent rank of today's
+    * 1-day return among ALL the symbol's returns (rank() over the
+    * bit-identical double return — a deterministic whole-tape variant
+    * of Connors' trailing-100 percent rank; documented deviation).
+    * crsi = ((rsi3 + srsi2) + pr) / 3 — a mirrored IEEE chain over
+    * three bit-identical components, RAW. Defined from the 3rd diff
+    * row on; any zero-denominator component NULLs the composite on
+    * both engines.
+    */
+  def connorsRsi(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val zero = lit(0).cast(DecimalType(19, 2))
+    val d = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull && col("pc") =!= 0)
+      .select(col("symbol"), col("day"),
+        (col("c") - col("pc")).as("diff"),
+        (col("c").cast("double") / col("pc").cast("double") - 1.0).as("ret"),
+        when(col("c") > col("pc"), 1).when(col("c") < col("pc"), -1)
+          .otherwise(0).as("s"))
+      .withColumn("drn", row_number().over(dayOrder).cast("long"))
+    val run = d
+      .withColumn("grp", col("drn") -
+        row_number().over(Window.partitionBy(col("symbol"), col("s"))
+          .orderBy("day")).cast("long"))
+      .withColumn("streak", (col("s").cast("long") *
+        row_number().over(Window.partitionBy(col("symbol"), col("s"), col("grp"))
+          .orderBy("day")).cast("long")))
+    val w3 = dayOrder.rowsBetween(-2, 0)
+    val w2 = dayOrder.rowsBetween(-1, 0)
+    val t = run
+      .withColumn("sdiff", col("streak") - lag(col("streak"), 1).over(dayOrder))
+      .withColumn("g3", sum(when(col("diff") > 0, col("diff")).otherwise(zero)).over(w3))
+      .withColumn("l3", sum(when(col("diff") < 0, -col("diff")).otherwise(zero)).over(w3))
+      .withColumn("g2", sum(when(col("sdiff") > 0, col("sdiff")).otherwise(lit(0L))).over(w2))
+      .withColumn("l2", sum(when(col("sdiff") < 0, -col("sdiff")).otherwise(lit(0L))).over(w2))
+      .withColumn("rk", rank().over(
+        Window.partitionBy("symbol").orderBy("ret")).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("symbol")))
+      .filter(col("drn") >= 3)
+    t.select(col("symbol"), col("day"),
+        when(col("g3") + col("l3") =!= 0,
+          lit(100.0) * col("g3").cast("double") /
+            (col("g3") + col("l3")).cast("double")).as("rsi3"),
+        when(col("g2") + col("l2") =!= 0,
+          lit(100.0) * col("g2").cast("double") /
+            (col("g2") + col("l2")).cast("double")).as("srsi2"),
+        when(col("cnt") > 1,
+          lit(100.0) * (col("rk") - 1).cast("double") /
+            (col("cnt") - 1).cast("double")).as("pct_rank"))
+      .withColumn("crsi",
+        (col("rsi3") + col("srsi2") + col("pct_rank")) / 3.0)
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r13b: Choppiness Index (n=14) — 100·ln(ΣTR/(maxH−minL))/ln n:
+    * range-efficiency gauge separating trending tapes (low CI) from
+    * sideways chop (high CI). True ranges take the CAST(GREATEST(…)
+    * AS DECIMAL) guard (§4 r10 — DuckDB greatest over decimals
+    * promotes to DOUBLE, silently floating the window sum), window
+    * extrema are exact decimals, the ΣTR/range quotient is ONE
+    * mirrored division, and the ln is quant6'd per the §4 libm rule
+    * before the mirrored 100·y/ln(14) literal chain. Degenerate
+    * zero-range / zero-TR windows emit NULL via mirrored guards.
+    */
+  def choppiness(ticks: DataFrame, n: Int = 14): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        col("high").cast(dec).as("h"), col("low").cast(dec).as("l"),
+        col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull)
+      .withColumn("tr", greatest(col("h") - col("l"),
+        abs(col("h") - col("pc")), abs(col("l") - col("pc"))).cast(dec))
+      .select(col("symbol"), col("day"),
+        sum(col("tr")).over(w).as("str"),
+        max(col("h")).over(w).as("mxh"),
+        min(col("l")).over(w).as("mnl"),
+        count(lit(1)).over(w).as("cnt"))
+      .filter(col("cnt") === n)
+      .select(col("symbol"), col("day"),
+        when(col("mxh") - col("mnl") > 0 && col("str") > 0,
+          lit(100.0) * quant6(log(col("str").cast("double") /
+            (col("mxh") - col("mnl")).cast("double")) * 1000000.0)
+            .cast("double") /
+            lit(2.6390573296152584)).as("ci"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r13b: TTM squeeze census — per symbol, the count of days the
+    * Bollinger(20, 2) band sits strictly INSIDE the Keltner(20, 1.5)
+    * channel (SMA flavor): the volatility-compression setup traders
+    * watch for expansion. All four band values are mirrored IEEE
+    * chains over exact decimal window sums (sqrt is correctly
+    * rounded → bit-identical doubles), so the squeeze boolean is
+    * engine-deterministic and the census is pure integer counts. The
+    * Keltner midline divides ONCE by the evaluated 3n literal (60.0)
+    * — the keltner() discipline.
+    */
+  def squeeze(ticks: DataFrame, n: Int = 20): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val sqDec = DecimalType(38, 4)
+    val agg = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        col("high").cast(dec).as("h"), col("low").cast(dec).as("l"),
+        col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull)
+      .withColumn("tr", greatest(col("h") - col("l"),
+        abs(col("h") - col("pc")), abs(col("l") - col("pc"))).cast(dec))
+      .withColumn("tp",
+        (col("h") + col("l") + col("c")).cast(DecimalType(20, 2)))
+      .withColumn("c2", (col("c") * col("c")).cast(sqDec))
+      .select(col("symbol"), col("day"),
+        sum(col("c")).over(w).as("scl"),
+        sum(col("c2")).over(w).as("sq"),
+        sum(col("tp")).over(w).as("stp"),
+        sum(col("tr")).over(w).as("str"),
+        count(lit(1)).over(w).as("cnt"))
+      .filter(col("cnt") === n)
+    val nD = lit(n.toDouble)
+    val s = col("scl").cast("double")
+    val sq = col("sq").cast("double")
+    val mean = s / nD
+    val varRaw = (sq - (s * s) / nD) / (nD - lit(1.0))
+    val sd = sqrt(when(varRaw > 0, varRaw).otherwise(lit(0.0)))
+    val mid = col("stp").cast("double") / lit(3.0 * n)
+    val rng = col("str").cast("double") / nD
+    val on = (mean - lit(2.0) * sd) > (mid - lit(1.5) * rng) &&
+      (mean + lit(2.0) * sd) < (mid + lit(1.5) * rng)
+    agg.select(col("symbol"), on.as("on"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("on"), 1L).otherwise(0L)).cast("long").as("n_squeeze"))
+      .orderBy("symbol")
+  }
+
+  /** NEW r13b: Stochastic RSI (n=14 both stages) — the %K oscillator
+    * applied to the daily Cutler RSI series: (rsi − minₙ rsi) /
+    * (maxₙ rsi − minₙ rsi) · 100. The inner RSI is the exact-decimal
+    * gain/loss window quotient (bit-identical doubles), so the outer
+    * MIN/MAX are order-free and the emission is a mirrored
+    * subtract/divide chain; a flat RSI window (max = min) emits NULL
+    * on both engines. Daily frames only — bounded O(n)/row.
+    */
+  def stochRsi(ticks: DataFrame, n: Int = 14): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val zero = lit(0).cast(DecimalType(19, 2))
+    val r = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull)
+      .withColumn("gain",
+        when(col("c") > col("pc"), col("c") - col("pc")).otherwise(zero))
+      .withColumn("loss",
+        when(col("c") < col("pc"), col("pc") - col("c")).otherwise(zero))
+      .select(col("symbol"), col("day"),
+        sum(col("gain")).over(w).as("g"),
+        sum(col("loss")).over(w).as("l"),
+        count(lit(1)).over(w).as("cnt"))
+      .filter(col("cnt") === n)
+      .select(col("symbol"), col("day"),
+        when(col("g") + col("l") =!= 0,
+          lit(100.0) * col("g").cast("double") /
+            (col("g") + col("l")).cast("double")).as("rsi"))
+    r.select(col("symbol"), col("day"), col("rsi"),
+        min(col("rsi")).over(w).as("mn"),
+        max(col("rsi")).over(w).as("mx"),
+        count(lit(1)).over(w).as("cnt2"))
+      .filter(col("cnt2") === n)
+      .select(col("symbol"), col("day"), col("rsi"),
+        when(col("rsi").isNotNull && col("mx") > col("mn"),
+          lit(100.0) * (col("rsi") - col("mn")) / (col("mx") - col("mn")))
+          .as("stoch_rsi"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r13: Hurst exponent via the aggregated-variance method — the
+    * long-memory / mean-reversion gauge: sample variances of
+    * non-overlapping m-day SUMS of winsorized quant6 log returns at
+    * m ∈ {1, 2, 4}; for a self-affine process Var(m-sum) ∝ m^(2H), so
+    * the slope β of ln Var vs ln m gives H = β/2 (random walk:
+    * Var(m) = m·σ² → H = 0.5). With ln m evenly spaced (0, ln2,
+    * 2·ln2) the 3-point OLS slope REDUCES to the endpoint quotient
+    * (y₄ − y₁) / (2·ln2), so H = (y₄ − y₁) / (4·ln2) with the 4·ln2
+    * double literal mirrored on both engines.
+    *
+    * Parity posture: returns are quant6(ln(c/pc)) micro-BIGINTs
+    * winsorized to ±1e6 (|ln r| ≤ 1 — bounds every downstream integer
+    * width on adversarial tapes); block sums / squares are pure
+    * integers; variance numerators n·Σx² − (Σx)² live in width-safe
+    * DECIMALs ((8,0)×(28,0) and (15,0)² both ≤ 38 on both engines);
+    * each variance is two mirrored divisions of exact values; the ln
+    * of a variance is quant6'd (the §4 libm rule — never RAW through
+    * ln). Degenerate tapes (constant returns → zero variance, < 2
+    * blocks) emit NULL via mirrored guards.
+    */
+  def hurst(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val lnret = log(col("c").cast("double") / col("pc").cast("double")) * 1000000.0
+    val qMicro = when(lnret >= 0, floor(lnret + 0.5))
+      .otherwise(ceil(lnret - 0.5)).cast("long")
+    val rets = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .filter(col("c") > 0)
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .filter(col("pc").isNotNull && col("pc") > 0)
+      .select(col("symbol"), col("day"),
+        least(greatest(qMicro, lit(-1000000L)), lit(1000000L)).as("r"))
+      .withColumn("idx", row_number().over(dayOrder).cast("long") - 1)
+    val blocks = rets
+      .select(col("symbol"), col("r"), col("idx"),
+        explode(typedLit(Seq(1L, 2L, 4L))).as("m"))
+      .groupBy(col("symbol"), col("m"), expr("idx div m").as("blk"))
+      .agg(sum(col("r")).as("x"), count(lit(1)).as("k"))
+      .filter(col("k") === col("m"))
+    val stats = blocks.groupBy(col("symbol"), col("m"))
+      .agg(count(lit(1)).as("nb"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("nb") >= 2)
+      .select(col("symbol"), col("m"), col("nb"),
+        (col("nb").cast(DecimalType(8, 0)) * col("sxx").cast(DecimalType(28, 0)) -
+          col("sx").cast(DecimalType(15, 0)) * col("sx").cast(DecimalType(15, 0)))
+          .as("num"))
+      .select(col("symbol"), col("m"),
+        when(col("num") > 0,
+          col("num").cast("double") /
+            (col("nb") * (col("nb") - 1)).cast("double") /
+            lit(1000000000000.0)).as("v"))
+    val piv = stats.groupBy(col("symbol"))
+      .agg(max(when(col("m") === 1, col("v"))).as("var_m1"),
+        max(when(col("m") === 2, col("v"))).as("var_m2"),
+        max(when(col("m") === 4, col("v"))).as("var_m4"))
+    piv.select(col("symbol"), col("var_m1"), col("var_m2"), col("var_m4"),
+        when(col("var_m1") > 0 && col("var_m4") > 0,
+          (quant6(log(col("var_m4")) * 1000000.0).cast("double") -
+            quant6(log(col("var_m1")) * 1000000.0).cast("double")) /
+            lit(2.772588722239781)).as("hurst"))
+      .orderBy("symbol")
+  }
 }

@@ -377,6 +377,107 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** NEW r13: embedding component covariance matrix — the
+    * dimension-health read of a vector corpus (dead components show as
+    * near-zero variance on the diagonal; redundant/correlated pairs
+    * show off-diagonal; the PCA input). Upper triangle (i ≤ j) only.
+    *
+    * Engine-exact: components quantize to micro-unit BIGINTs (the
+    * normHistogram FLOOR/CEIL sequence on the identical float→double
+    * widening), sample co-moments are pure integer algebra — n·Σxy −
+    * Σx·Σy with every decimal product width-safe on both engines
+    * ((10,0)×(27,0) and (14,0)² ≤ 38) — and the emission is two
+    * mirrored divisions (÷ n(n−1), ÷ 1e12 micro²). Shape: the
+    * (vec_id, pos, q) projection is ONE shared subplan feeding both
+    * sides of the pair join (a single exchange on high-cardinality
+    * vec_id, SMJ at scale), then a dim²-key counter aggregation —
+    * raw embeddings never shuffle, the shuffled payload is 3 integers
+    * per component.
+    */
+  def embedCovariance(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q6 = "CAST(CASE WHEN CAST(x AS DOUBLE) * 1000000.0 >= 0 " +
+      "THEN FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) " +
+      "ELSE CEILING(CAST(x AS DOUBLE) * 1000000.0 - 0.5) END AS BIGINT)"
+    val comps = emb.select(col("vec_id"),
+      posexplode(expr(s"transform(embedding, x -> $q6)")).as(Seq("pos", "q")))
+    comps.as("a").join(comps.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.pos") <= col("b.pos"))
+      .select(col("a.pos").as("i"), col("b.pos").as("j"),
+        col("a.q").as("qi"), col("b.q").as("qj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qi")).as("sx"), sum(col("qj")).as("sy"),
+        sum(col("qi").cast(DecimalType(18, 0)) *
+          col("qj").cast(DecimalType(18, 0))).as("sxy"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"),
+        when(col("n") > 1,
+          (col("n").cast(DecimalType(10, 0)) * col("sxy").cast(DecimalType(27, 0)) -
+            col("sx").cast(DecimalType(14, 0)) * col("sy").cast(DecimalType(14, 0)))
+            .cast("double") /
+            (col("n") * (col("n") - 1)).cast("double") /
+            lit(1000000000000.0)).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  /** NEW r13: top principal component via two fixed power iterations
+    * over the quantized covariance matrix — the engine-native PCA
+    * step a curation owner runs after [[embedCovariance]] (dominant
+    * variance direction + how much variance it carries). Everything
+    * after the covariance pass is metadata-scale (dim² cells):
+    *
+    *  - cells quantize to micro-BIGINTs (shared FLOOR/CEIL sequence) so
+    *    every matrix-vector product is EXACT integer/decimal algebra —
+    *    no float accumulation anywhere;
+    *  - v₁ = C·1 (exact row sums), v₂ = C·v₁ (width-safe
+    *    (18,0)×(19,0) decimal products);
+    *  - Rayleigh quotient λ = (v₂·v₁)/(v₁·v₁)/1e6 — exact decimal
+    *    dots ((24,0)×(13,0), (18,0)² ≤ 38 both engines), two mirrored
+    *    divisions (the 1e6 unquantizes v₂'s extra micro factor);
+    *  - loadings = v₂ / max|v₂| — one mirrored division per component
+    *    (sign convention: whatever v₂ carries — deterministic).
+    *
+    * Two iterations from the deterministic ones-vector is a fixed,
+    * engine-reproducible recipe (like the 2-round Lloyd), not a
+    * convergence loop; it separates the top eigenvector whenever the
+    * spectrum has a gap, and the oracle re-derives it independently.
+    */
+  def pcaTop(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val s6 = col("cov") * 1000000.0
+    val qc = embedCovariance(emb)
+      .filter(col("cov").isNotNull)
+      .select(col("i"), col("j"),
+        when(s6 >= 0, floor(s6 + 0.5)).otherwise(ceil(s6 - 0.5))
+          .cast("long").as("q"))
+    val full = qc.union(qc.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("q")))
+    val v1 = full.groupBy(col("i")).agg(sum(col("q")).as("v1"))
+    val v2 = full
+      .join(v1.select(col("i").as("j"), col("v1").as("w")), "j")
+      .groupBy(col("i"))
+      .agg(sum(col("q").cast(DecimalType(18, 0)) *
+        col("w").cast(DecimalType(19, 0))).as("v2"))
+    val dots = v2.join(v1, "i")
+      .agg(
+        sum(col("v2").cast(DecimalType(24, 0)) *
+          col("v1").cast(DecimalType(13, 0))).as("num"),
+        sum(col("v1").cast(DecimalType(18, 0)) *
+          col("v1").cast(DecimalType(18, 0))).as("den"))
+      .select(
+        when(col("den") =!= 0,
+          col("num").cast("double") / col("den").cast("double") /
+            lit(1000000.0)).as("eigenvalue"))
+    val mx = v2.agg(max(abs(col("v2"))).as("mx"))
+    v2.crossJoin(broadcast(mx)).crossJoin(broadcast(dots))
+      .select(col("i"),
+        when(col("mx") =!= 0,
+          col("v2").cast("double") / col("mx").cast("double")).as("loading"),
+        col("eigenvalue"))
+      .orderBy("i")
+  }
+
   /** Product-quantization shortlist + exact re-rank — the
     * memory-bandwidth scale path beyond int8: each vector compresses
     * to `m` sub-space codebook codes (m bytes/vector at cb ≤ 256 —

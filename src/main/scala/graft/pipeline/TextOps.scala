@@ -1171,4 +1171,27 @@ object TextOps {
         round(col("df").cast("double") / col("n_docs").cast("double"), 4)
           .as("df_share"))
   }
+
+  /** NEW r13: BPE merge-candidate census — the top-k adjacent
+    * CHARACTER pairs inside words, the statistic the first merge step
+    * of byte-pair-encoding tokenizer training ranks on (a corpus owner
+    * runs this to seed/inspect vocab induction). Words shorter than 2
+    * chars contribute nothing (guarded — Spark's `sequence(1, 0)`
+    * would DESCEND, not return empty). Pure counting: explode to
+    * pairs map-side, one counter shuffle on the bounded pair key,
+    * global top-k = TakeOrderedAndProject with a (count desc, pair)
+    * tiebreak. Both engines' substring/length are character-based and
+    * default string ordering is binary — portable.
+    */
+  def bpeMerges(docs: DataFrame, k: Int = 20): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
 }

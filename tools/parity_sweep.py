@@ -67,6 +67,8 @@ q_audience_overlap
 q_vwma q_awesome_osc q_spearman q_tsi q_anchored_vwap
 q_markov_stationary q_entry_exit q_omega q_info_ratio
 q_sign_autocorr q_candle_anatomy q_session_cooccur
+q_fractals q_rvi q_trend_intensity q_donchian_breakouts q_vzo
+q_connors_rsi q_hurst q_choppiness q_stoch_rsi q_squeeze
 """.split()
 
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",

@@ -613,6 +613,9 @@ object SparkEntry {
       TextOps.bpeMerges(Tables.documents(s, dir), 20)),
     "q_squeeze" -> ((s, dir) => MarketOps.squeeze(ticks(s, dir), 20)),
     "q_pca_top" -> ((s, dir) => Similarity.pcaTop(Tables.embeddings(s, dir))),
+    "q_growth_accounting" -> ((s, dir) =>
+      EventAnalytics.growthAccounting(Tables.events(s, dir))),
+    "q_elder_impulse" -> ((s, dir) => MarketOps.elderImpulse(ticks(s, dir))),
   )
 
   /** Batch-ingest into a TickStore (symbol-partitioned, ts-sorted
@@ -7644,6 +7647,70 @@ object SparkEntry {
          |                      AND mean + 2.0 * sd < mid + 1.5 * rng
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_squeeze
          |FROM v GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "q_growth_accounting" ->
+      // pure integer DAU decomposition; churned derives from the
+      // identity active(d−1) − retained(d); calendar-gap day → 0
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (
+        |  SELECT day,
+        |         LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM ud),
+        |daily AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS active,
+        |         CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS new_users,
+        |         CAST(SUM(CASE WHEN prev IS NOT NULL
+        |                        AND date_diff('day', prev, day) = 1
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |         CAST(SUM(CASE WHEN prev IS NOT NULL
+        |                        AND date_diff('day', prev, day) > 1
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        |  FROM f GROUP BY 1),
+        |x AS (
+        |  SELECT day, active, new_users, retained, resurrected,
+        |         CASE WHEN date_diff('day', LAG(day) OVER o, day) = 1
+        |              THEN LAG(active) OVER o ELSE 0 END AS prev_active
+        |  FROM daily WINDOW o AS (ORDER BY day))
+        |SELECT day, active, new_users, retained, resurrected,
+        |       prev_active - retained AS churned
+        |FROM x ORDER BY day""".stripMargin,
+    "q_elder_impulse" -> {
+      // five-state mirrored double recursion; dependent sub-expressions
+      // re-inlined (same IEEE values as Spark's stored locals)
+      val e12n = "((2.0 / 13.0) * a.c + (1.0 - 2.0 / 13.0) * r.e12)"
+      val e26n = "((2.0 / 27.0) * a.c + (1.0 - 2.0 / 27.0) * r.e26)"
+      val macdn = s"($e12n - $e26n)"
+      val sign = s"((2.0 / 10.0) * $macdn + (1.0 - 2.0 / 10.0) * r.sig)"
+      val histn = s"($macdn - $sign)"
+      val e13n = s"((2.0 / 14.0) * a.c + (1.0 - 2.0 / 14.0) * r.e13)"
+      s"""WITH RECURSIVE b AS (${duckDailyBars}),
+         |m AS (
+         |  SELECT symbol, day, CAST(c AS DOUBLE) AS c,
+         |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+         |  FROM b),
+         |r AS (
+         |  SELECT symbol, rn, c AS e12, c AS e26,
+         |         CAST(0.0 AS DOUBLE) AS sig, CAST(0.0 AS DOUBLE) AS hist,
+         |         c AS e13, CAST(NULL AS VARCHAR) AS imp
+         |  FROM m WHERE rn = 1
+         |  UNION ALL
+         |  SELECT a.symbol, a.rn,
+         |         $e12n, $e26n, $sign, $histn, $e13n,
+         |         CASE WHEN $e13n > r.e13 AND $histn > r.hist THEN 'green'
+         |              WHEN $e13n < r.e13 AND $histn < r.hist THEN 'red'
+         |              ELSE 'blue' END
+         |  FROM m a JOIN r ON a.symbol = r.symbol AND a.rn = r.rn + 1)
+         |SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_bars,
+         |       CAST(SUM(CASE WHEN imp = 'green' THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_green,
+         |       CAST(SUM(CASE WHEN imp = 'red' THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_red,
+         |       CAST(SUM(CASE WHEN imp = 'blue' THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_blue
+         |FROM r WHERE imp IS NOT NULL GROUP BY symbol ORDER BY symbol"""
+        .stripMargin
+    },
     "q_bpe_merges" ->
       // pure character-pair counting; substring/length are
       // character-based and string ordering binary on both engines

@@ -709,4 +709,44 @@ object EventAnalytics {
           .as("jaccard"))
       .orderBy("type_a", "type_b")
   }
+
+  /** NEW r13: DAU growth accounting — per day, active users decomposed
+    * into new (first day ever), retained (also active the previous
+    * calendar day), and resurrected (seen before, but not yesterday);
+    * churned(d) = active(d−1) − retained(d) (the users who were there
+    * yesterday and are not today — the growth-accounting identity).
+    * All integers: ONE (user, day) dedup shuffle, a per-user lag
+    * window (high-cardinality key), a per-day counter aggregate, and
+    * a lag over the metadata-scale day table (previous CALENDAR day
+    * only — a silent gap day means active(d−1) = 0).
+    */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val flags = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .select(col("day"),
+        when(col("prev").isNull, 1L).otherwise(0L).as("is_new"),
+        when(col("prev").isNotNull &&
+          datediff(col("day"), col("prev")) === 1, 1L).otherwise(0L)
+          .as("is_ret"),
+        when(col("prev").isNotNull &&
+          datediff(col("day"), col("prev")) > 1, 1L).otherwise(0L)
+          .as("is_res"))
+    val daily = flags.groupBy(col("day"))
+      .agg(count(lit(1)).as("active"),
+        sum(col("is_new")).cast("long").as("new_users"),
+        sum(col("is_ret")).cast("long").as("retained"),
+        sum(col("is_res")).cast("long").as("resurrected"))
+    // day-level series: metadata scale at any corpus size
+    val dw = Window.orderBy("day")
+    daily
+      .withColumn("prev_active",
+        when(datediff(col("day"), lag(col("day"), 1).over(dw)) === 1,
+          lag(col("active"), 1).over(dw)).otherwise(lit(0L)))
+      .select(col("day"), col("active"), col("new_users"), col("retained"),
+        col("resurrected"),
+        (col("prev_active") - col("retained")).as("churned"))
+      .orderBy("day")
+  }
 }

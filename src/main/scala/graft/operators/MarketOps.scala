@@ -4717,6 +4717,66 @@ object MarketOps {
       .orderBy("symbol", "day")
   }
 
+  final case class ImpulseIn(symbol: String, day: java.sql.Date, c: Double)
+
+  /** NEW r13b: Elder impulse census — per symbol, bars where BOTH the
+    * EMA(13) and the MACD(12,26,9) histogram rose (green), both fell
+    * (red), or mixed (blue): Elder's trend+momentum traffic light,
+    * reported as a census. One sorted-group pass carries the
+    * five-state recursion (e12, e26, signal, histogram, e13) in
+    * mirrored runtime-α doubles; the oracle's recursive CTE re-inlines
+    * the dependent sub-expressions (macdₙ inside signalₙ/histₙ — same
+    * IEEE values as the stored locals, the tsi precedent). Seeds at
+    * the first bar (e* = c, signal = hist = 0), emits from the 2nd;
+    * compares of bit-identical doubles are engine-deterministic.
+    */
+  def elderImpulse(ticks: DataFrame): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        col("close").cast(dec).cast("double").as("c"))
+      .as[ImpulseIn]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        val a12 = 2.0 / 13.0; val a26 = 2.0 / 27.0
+        val a9 = 2.0 / 10.0; val a13 = 2.0 / 14.0
+        var e12 = 0.0; var e26 = 0.0; var sig = 0.0; var e13 = 0.0
+        var hist = 0.0; var first = true
+        it.flatMap { b =>
+          if (first) {
+            first = false
+            e12 = b.c; e26 = b.c; e13 = b.c; sig = 0.0; hist = 0.0
+            None
+          } else {
+            val pe13 = e13; val phist = hist
+            val e12n = a12 * b.c + (1.0 - a12) * e12
+            val e26n = a26 * b.c + (1.0 - a26) * e26
+            val macdn = e12n - e26n
+            val sign = a9 * macdn + (1.0 - a9) * sig
+            val histn = macdn - sign
+            val e13n = a13 * b.c + (1.0 - a13) * e13
+            e12 = e12n; e26 = e26n; sig = sign; hist = histn; e13 = e13n
+            val imp =
+              if (e13n > pe13 && histn > phist) "green"
+              else if (e13n < pe13 && histn < phist) "red"
+              else "blue"
+            Some((sym, imp))
+          }
+        }
+      }
+      .toDF("symbol", "impulse")
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(when(col("impulse") === "green", 1L).otherwise(0L)).cast("long")
+          .as("n_green"),
+        sum(when(col("impulse") === "red", 1L).otherwise(0L)).cast("long")
+          .as("n_red"),
+        sum(when(col("impulse") === "blue", 1L).otherwise(0L)).cast("long")
+          .as("n_blue"))
+      .orderBy("symbol")
+  }
+
   /** NEW r13: Williams fractal pivots (wing=2) — a bar is a fractal
     * high when its high STRICTLY exceeds the highs of the `wing` bars
     * on each side (low symmetrically); the classic swing-point marker

@@ -241,6 +241,73 @@ class NewOpsR13Spec extends AnyFunSuite {
     assert(got.valuesIterator.count(_._2.nonEmpty) > 0)
   }
 
+  test("elderImpulse runs the documented five-state recursion") {
+    val got = MarketOps.elderImpulse(Tables.ticks(spark, sf)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = bars.map { case (sym, bs) =>
+      val cs = bs.map(b => (BigDecimal(cents(b._5)) / 100).toDouble)
+      val a12 = 2.0 / 13.0; val a26 = 2.0 / 27.0
+      val a9 = 2.0 / 10.0; val a13 = 2.0 / 14.0
+      var e12 = cs.head; var e26 = cs.head; var e13 = cs.head
+      var sig = 0.0; var hist = 0.0
+      var g = 0L; var r = 0L; var b = 0L
+      for (c <- cs.tail) {
+        val pe13 = e13; val phist = hist
+        val e12n = a12 * c + (1.0 - a12) * e12
+        val e26n = a26 * c + (1.0 - a26) * e26
+        val macdn = e12n - e26n
+        val sign = a9 * macdn + (1.0 - a9) * sig
+        val histn = macdn - sign
+        val e13n = a13 * c + (1.0 - a13) * e13
+        e12 = e12n; e26 = e26n; sig = sign; hist = histn; e13 = e13n
+        if (e13n > pe13 && histn > phist) g += 1
+        else if (e13n < pe13 && histn < phist) r += 1
+        else b += 1
+      }
+      sym -> (((cs.length - 1).toLong, g, r, b))
+    }
+    assert(got === want)
+    assert(want.values.map(v => v._2 + v._3).sum > 0, "all-blue tape — widen it")
+  }
+
+  test("growthAccounting satisfies the DAU identity against a driver recompute") {
+    val got = EventAnalytics.growthAccounting(Tables.events(spark, sf))
+      .collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val byUser = ud.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val flags = byUser.values.flatMap { days =>
+      days.zipWithIndex.map { case (d, i) =>
+        val prev = if (i > 0) Some(days(i - 1)) else None
+        (d, prev.isEmpty,
+          prev.exists(p => java.time.temporal.ChronoUnit.DAYS.between(p, d) == 1),
+          prev.exists(p => java.time.temporal.ChronoUnit.DAYS.between(p, d) > 1))
+      }
+    }.toSeq
+    val daily = flags.groupBy(_._1).view.mapValues { fs =>
+      (fs.size.toLong, fs.count(_._2).toLong, fs.count(_._3).toLong,
+        fs.count(_._4).toLong)
+    }.toMap
+    val days = daily.keys.toSeq.sorted
+    val want = days.zipWithIndex.map { case (d, i) =>
+      val (active, nw, ret, res) = daily(d)
+      val prevActive =
+        if (i > 0 && java.time.temporal.ChronoUnit.DAYS
+              .between(days(i - 1), d) == 1) daily(days(i - 1))._1
+        else 0L
+      d.toString -> ((active, nw, ret, res, prevActive - ret))
+    }.toMap
+    assert(got === want)
+    // the identity: active = new + retained + resurrected
+    got.values.foreach { case (a, n, r, s, _) => assert(a === n + r + s) }
+  }
+
   test("squeeze census matches the exact band-chain recompute") {
     val got = MarketOps.squeeze(Tables.ticks(spark, sf), 20).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap

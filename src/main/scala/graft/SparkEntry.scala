@@ -616,6 +616,7 @@ object SparkEntry {
     "q_growth_accounting" -> ((s, dir) =>
       EventAnalytics.growthAccounting(Tables.events(s, dir))),
     "q_elder_impulse" -> ((s, dir) => MarketOps.elderImpulse(ticks(s, dir))),
+    "q_rs_rating" -> ((s, dir) => MarketOps.rsRating(ticks(s, dir), 20)),
   )
 
   /** Batch-ingest into a TickStore (symbol-partitioned, ts-sorted
@@ -7675,6 +7676,27 @@ object SparkEntry {
         |SELECT day, active, new_users, retained, resurrected,
         |       prev_active - retained AS churned
         |FROM x ORDER BY day""".stripMargin,
+    "q_rs_rating" ->
+      // one mirrored division per return (bit-identical doubles →
+      // deterministic cross-sectional rank); NULL under 2 symbols
+      s"""WITH b AS (${duckDailyBars}),
+         |r0 AS (
+         |  SELECT symbol, day, c,
+         |         LAG(c, 20) OVER (PARTITION BY symbol ORDER BY day) AS cn
+         |  FROM b),
+         |r AS (
+         |  SELECT symbol, day,
+         |         CAST(c AS DOUBLE) / CAST(cn AS DOUBLE) - 1.0 AS ret
+         |  FROM r0 WHERE cn IS NOT NULL AND cn <> 0),
+         |k AS (
+         |  SELECT symbol, day, ret,
+         |         RANK() OVER (PARTITION BY day ORDER BY ret) AS rk,
+         |         COUNT(*) OVER (PARTITION BY day) AS cnt
+         |  FROM r)
+         |SELECT symbol, day, ret,
+         |       CASE WHEN cnt > 1 THEN 100.0 * CAST(rk - 1 AS DOUBLE)
+         |            / CAST(cnt - 1 AS DOUBLE) END AS rs_rating
+         |FROM k ORDER BY symbol, day""".stripMargin,
     "q_elder_impulse" -> {
       // five-state mirrored double recursion; dependent sub-expressions
       // re-inlined (same IEEE values as Spark's stored locals)

@@ -4999,6 +4999,34 @@ object MarketOps {
       .orderBy("symbol", "day")
   }
 
+  /** NEW r13b: cross-sectional relative-strength rating — each day,
+    * every symbol's trailing n-day return percentile-ranked AGAINST
+    * THE OTHER SYMBOLS (the IBD-style RS rating; the one ranking axis
+    * the per-symbol indicator family doesn't cover). The return is one
+    * mirrored division of exact decimals (bit-identical doubles →
+    * deterministic rank); the rank window partitions by DAY — bounded
+    * by |symbols| rows per partition, calendar-many partitions. Days
+    * where fewer than 2 symbols have a full lookback emit NULL.
+    */
+  def rsRating(ticks: DataFrame, n: Int = 20): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val r = ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("cn", lag(col("c"), n).over(dayOrder))
+      .filter(col("cn").isNotNull && col("cn") =!= 0)
+      .select(col("symbol"), col("day"),
+        (col("c").cast("double") / col("cn").cast("double") - 1.0).as("ret"))
+    r.select(col("symbol"), col("day"), col("ret"),
+        rank().over(Window.partitionBy("day").orderBy("ret")).cast("long")
+          .as("rk"),
+        count(lit(1)).over(Window.partitionBy("day")).as("cnt"))
+      .select(col("symbol"), col("day"), col("ret"),
+        when(col("cnt") > 1,
+          lit(100.0) * (col("rk") - 1).cast("double") /
+            (col("cnt") - 1).cast("double")).as("rs_rating"))
+      .orderBy("symbol", "day")
+  }
+
   /** NEW r13b: Choppiness Index (n=14) — 100·ln(ΣTR/(maxH−minL))/ln n:
     * range-efficiency gauge separating trending tapes (low CI) from
     * sideways chop (high CI). True ranges take the CAST(GREATEST(…)

@@ -446,11 +446,17 @@ object Similarity {
   def pcaTop(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val s6 = col("cov") * 1000000.0
+    // localCheckpoint: the dim²-row quantized cell table feeds the
+    // symmetrize-union (2 consumers), v2's join, the max-abs scalar,
+    // and the Rayleigh dots — without it every consumer re-derives
+    // the full covariance pass (the session-cooccur lesson; measured
+    // 3.0 s → ~cov cost alone at sf0.1). 2080 rows — metadata.
     val qc = embedCovariance(emb)
       .filter(col("cov").isNotNull)
       .select(col("i"), col("j"),
         when(s6 >= 0, floor(s6 + 0.5)).otherwise(ceil(s6 - 0.5))
           .cast("long").as("q"))
+      .localCheckpoint()
     val full = qc.union(qc.filter(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("q")))
     val v1 = full.groupBy(col("i")).agg(sum(col("q")).as("v1"))

@@ -241,6 +241,31 @@ class NewOpsR13Spec extends AnyFunSuite {
     assert(got.valuesIterator.count(_._2.nonEmpty) > 0)
   }
 
+  test("rsRating percentile-ranks trailing returns cross-sectionally") {
+    val got = MarketOps.rsRating(Tables.ticks(spark, sf), 20).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getDouble(2),
+          Option.when(!r.isNullAt(3))(r.getDouble(3))))).toMap
+    val rets = bars.toSeq.flatMap { case (sym, bs) =>
+      val c = bs.map(b => cents(b._5))
+      (20 until bs.length).collect {
+        case i if c(i - 20) != 0 =>
+          (bs(i)._1, sym, d2(c(i)) / d2(c(i - 20)) - 1.0)
+      }
+    }
+    val byDay = rets.groupBy(_._1)
+    val want = rets.map { case (day, sym, ret) =>
+      val peers = byDay(day)
+      val rk = 1 + peers.count(_._3 < ret)
+      val n = peers.length
+      (sym, day) -> ((ret,
+        if (n > 1) Some(100.0 * (rk - 1).toDouble / (n - 1).toDouble)
+        else None))
+    }.toMap
+    assert(got === want)
+    assert(got.valuesIterator.count(_._2.nonEmpty) > 0)
+  }
+
   test("elderImpulse runs the documented five-state recursion") {
     val got = MarketOps.elderImpulse(Tables.ticks(spark, sf)).collect()
       .map(r => r.getString(0) ->

@@ -304,5 +304,10 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_gcd(x), got ${other.size} args")
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cov_moments", {
+      case Seq(q) => CovMomentsAggregate(q)
+      case other => throw new IllegalArgumentException(
+        s"graft_cov_moments(q), got ${other.size} args")
+    }, "scala_udf")
   }
 }

@@ -387,36 +387,33 @@ object Similarity {
     * widening), sample co-moments are pure integer algebra — n·Σxy −
     * Σx·Σy with every decimal product width-safe on both engines
     * ((10,0)×(27,0) and (14,0)² ≤ 38) — and the emission is two
-    * mirrored divisions (÷ n(n−1), ÷ 1e12 micro²). Shape: the
-    * (vec_id, pos, q) projection is ONE shared subplan feeding both
-    * sides of the pair join (a single exchange on high-cardinality
-    * vec_id, SMJ at scale), then a dim²-key counter aggregation —
-    * raw embeddings never shuffle, the shuffled payload is 3 integers
-    * per component.
+    * mirrored divisions (÷ n(n−1), ÷ 1e12 micro²). Shape (r13b): ONE
+    * corpus pass through [[graft.functions.CovMomentsAggregate]] —
+    * the full co-moment matrix is a map-side 128-bit-exact
+    * accumulator, so no pair join, no |vectors|·dim² row explosion,
+    * and embeddings never shuffle (the earlier comps self-join
+    * measured 1.7–2.8 s at sf0.1; the one-pass matrix is the shape
+    * you'd run at 100 TB). The DuckDB oracle keeps the join
+    * formulation — same exact integer sums, same final arithmetic.
     */
   def embedCovariance(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    reg(emb)
     val q6 = "CAST(CASE WHEN CAST(x AS DOUBLE) * 1000000.0 >= 0 " +
       "THEN FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) " +
       "ELSE CEILING(CAST(x AS DOUBLE) * 1000000.0 - 0.5) END AS BIGINT)"
-    val comps = emb.select(col("vec_id"),
-      posexplode(expr(s"transform(embedding, x -> $q6)")).as(Seq("pos", "q")))
-    comps.as("a").join(comps.as("b"),
-        col("a.vec_id") === col("b.vec_id") && col("a.pos") <= col("b.pos"))
-      .select(col("a.pos").as("i"), col("b.pos").as("j"),
-        col("a.q").as("qi"), col("b.q").as("qj"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("qi")).as("sx"), sum(col("qj")).as("sy"),
-        sum(col("qi").cast(DecimalType(18, 0)) *
-          col("qj").cast(DecimalType(18, 0))).as("sxy"))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        col("n"),
-        when(col("n") > 1,
-          (col("n").cast(DecimalType(10, 0)) * col("sxy").cast(DecimalType(27, 0)) -
-            col("sx").cast(DecimalType(14, 0)) * col("sy").cast(DecimalType(14, 0)))
+    emb.select(expr(s"transform(embedding, x -> $q6)").as("q"))
+      .agg(expr("graft_cov_moments(q)").as("m"))
+      .select(explode(col("m")).as("c"))
+      .select(col("c.i").cast("long").as("i"), col("c.j").cast("long").as("j"),
+        col("c.n").as("n"),
+        when(col("c.n") > 1,
+          (col("c.n").cast(DecimalType(10, 0)) *
+            col("c.sxy").cast(DecimalType(27, 0)) -
+            col("c.sx").cast(DecimalType(14, 0)) *
+            col("c.sy").cast(DecimalType(14, 0)))
             .cast("double") /
-            (col("n") * (col("n") - 1)).cast("double") /
+            (col("c.n") * (col("c.n") - 1)).cast("double") /
             lit(1000000000000.0)).as("cov"))
       .orderBy("i", "j")
   }

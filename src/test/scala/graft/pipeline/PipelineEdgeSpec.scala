@@ -110,4 +110,34 @@ class PipelineEdgeSpec extends AnyFunSuite {
     assert(Multimodal.mediaFeatures(spark, one).count() === 1)
     assert(Multimodal.frameSummary(spark, one).count() >= 1)
   }
+
+  test("bpeMerges survives degenerate documents (the sequence(1,0) trap)") {
+    // empty / single-char words MUST contribute nothing: an unguarded
+    // sequence(1, length-1) DESCENDS for length 1 in Spark
+    assert(TextOps.bpeMerges(edgeDocs).collect().forall(_.getLong(1) > 0))
+    val single = edgeDocs.filter(col("doc_id").isin(1L, 2L, 3L, 6L))
+    assert(TextOps.bpeMerges(single).count() === 0)
+  }
+
+  test("embedding moment ops survive tiny/degenerate corpora") {
+    val twoVec = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    // n = 2: full 2×2 upper triangle, all covariances defined
+    val cov2 = Similarity.embedCovariance(twoVec).collect()
+    assert(cov2.length === 3 && cov2.forall(!_.isNullAt(3)))
+    // n = 1: cells emitted, covariance NULL (mirrors the oracle CASE)
+    val cov1 = Similarity.embedCovariance(
+      twoVec.filter(col("vec_id") === 0L)).collect()
+    assert(cov1.length === 3 && cov1.forall(_.isNullAt(3)))
+    // empty corpus: zero rows, no ANSI error
+    assert(Similarity.embedCovariance(twoVec.limit(0)).count() === 0)
+    // pcaTop on an orthogonal pair: v1 = C·1 = 0 → guarded NULLs,
+    // never a DIVIDE_BY_ZERO
+    val pca = Similarity.pcaTop(twoVec).collect()
+    assert(pca.length === 2 && pca.forall(_.isNullAt(2)))
+    // silhouette on two perfectly-separated singletons: s = 1.0 each
+    val sil = KMeansOps.silhouetteCensus(twoVec, k = 2, iters = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(sil.toSeq === Seq((1L, 1.0), (1L, 1.0)))
+  }
 }

@@ -617,6 +617,7 @@ object SparkEntry {
       EventAnalytics.growthAccounting(Tables.events(s, dir))),
     "q_elder_impulse" -> ((s, dir) => MarketOps.elderImpulse(ticks(s, dir))),
     "q_rs_rating" -> ((s, dir) => MarketOps.rsRating(ticks(s, dir), 20)),
+    "q_dema_tema" -> ((s, dir) => MarketOps.demaTema(ticks(s, dir), 10)),
   )
 
   /** Batch-ingest into a TickStore (symbol-partitioned, ts-sorted
@@ -7697,6 +7698,29 @@ object SparkEntry {
          |       CASE WHEN cnt > 1 THEN 100.0 * CAST(rk - 1 AS DOUBLE)
          |            / CAST(cnt - 1 AS DOUBLE) END AS rs_rating
          |FROM k ORDER BY symbol, day""".stripMargin,
+    "q_dema_tema" -> {
+      // three stacked EMA states in mirrored runtime-α doubles; e1n
+      // re-inlined inside e2n, e2n inside e3n (same IEEE values as the
+      // stored locals); emissions computed OUTSIDE the recursion
+      val e1n = "((2.0 / 11.0) * a.c + (1.0 - 2.0 / 11.0) * r.e1)"
+      val e2n = s"((2.0 / 11.0) * $e1n + (1.0 - 2.0 / 11.0) * r.e2)"
+      val e3n = s"((2.0 / 11.0) * $e2n + (1.0 - 2.0 / 11.0) * r.e3)"
+      s"""WITH RECURSIVE b AS (${duckDailyBars}),
+         |m AS (
+         |  SELECT symbol, day, CAST(c AS DOUBLE) AS c,
+         |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+         |  FROM b),
+         |r AS (
+         |  SELECT symbol, rn, day, c AS e1, c AS e2, c AS e3
+         |  FROM m WHERE rn = 1
+         |  UNION ALL
+         |  SELECT a.symbol, a.rn, a.day, $e1n, $e2n, $e3n
+         |  FROM m a JOIN r ON a.symbol = r.symbol AND a.rn = r.rn + 1)
+         |SELECT symbol, day,
+         |       2.0 * e1 - e2 AS dema,
+         |       3.0 * e1 - 3.0 * e2 + e3 AS tema
+         |FROM r ORDER BY symbol, day""".stripMargin
+    },
     "q_elder_impulse" -> {
       // five-state mirrored double recursion; dependent sub-expressions
       // re-inlined (same IEEE values as Spark's stored locals)

@@ -4717,6 +4717,48 @@ object MarketOps {
       .orderBy("symbol", "day")
   }
 
+  final case class DtOut(symbol: String, day: java.sql.Date,
+    e1: Double, e2: Double, e3: Double)
+
+  /** NEW r13b: DEMA / TEMA (n=10) — Mulloy's reduced-lag moving
+    * averages: DEMA = 2·EMA − EMA(EMA), TEMA = 3·EMA − 3·EMA² + EMA³.
+    * One sorted-group pass carries the three stacked EMA states in
+    * mirrored runtime-α doubles (α = 2/(n+1)), seeded at the first
+    * bar (e₁ = e₂ = e₃ = c); the oracle's recursive CTE re-inlines
+    * e₁ₙ inside e₂ₙ and e₂ₙ inside e₃ₙ (the tsi precedent — same IEEE
+    * values as the stored locals). The emissions are one mirrored
+    * linear combination of the states each, applied OUTSIDE the
+    * recursion on both engines.
+    */
+  def demaTema(ticks: DataFrame, n: Int = 10): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        col("close").cast(dec).cast("double").as("c"))
+      .as[ImpulseIn]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        val a = 2.0 / (n + 1).toDouble
+        var e1 = 0.0; var e2 = 0.0; var e3 = 0.0; var first = true
+        it.map { b =>
+          if (first) { first = false; e1 = b.c; e2 = b.c; e3 = b.c }
+          else {
+            e1 = a * b.c + (1.0 - a) * e1
+            e2 = a * e1 + (1.0 - a) * e2
+            e3 = a * e2 + (1.0 - a) * e3
+          }
+          DtOut(sym, b.day, e1, e2, e3)
+        }
+      }
+      .toDF()
+      .select(col("symbol"), col("day"),
+        (lit(2.0) * col("e1") - col("e2")).as("dema"),
+        (lit(3.0) * col("e1") - lit(3.0) * col("e2") + col("e3")).as("tema"))
+      .orderBy("symbol", "day")
+  }
+
   final case class ImpulseIn(symbol: String, day: java.sql.Date, c: Double)
 
   /** NEW r13b: Elder impulse census — per symbol, bars where BOTH the

@@ -296,6 +296,27 @@ class NewOpsR13Spec extends AnyFunSuite {
     assert(want.values.map(v => v._2 + v._3).sum > 0, "all-blue tape — widen it")
   }
 
+  test("demaTema runs the documented stacked-EMA recursion") {
+    val got = MarketOps.demaTema(Tables.ticks(spark, sf), 10).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (r.getDouble(2), r.getDouble(3))))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    for ((sym, bs) <- bars) {
+      val cs = bs.map(b => d2(cents(b._5)))
+      val a = 2.0 / 11.0
+      var e1 = cs.head; var e2 = cs.head; var e3 = cs.head
+      val want = cs.zipWithIndex.map { case (c, i) =>
+        if (i > 0) {
+          e1 = a * c + (1.0 - a) * e1
+          e2 = a * e1 + (1.0 - a) * e2
+          e3 = a * e2 + (1.0 - a) * e3
+        }
+        (2.0 * e1 - e2, 3.0 * e1 - 3.0 * e2 + e3)
+      }
+      assert(got(sym).toSeq === want.toSeq, sym)
+    }
+  }
+
   test("growthAccounting satisfies the DAU identity against a driver recompute") {
     val got = EventAnalytics.growthAccounting(Tables.events(spark, sf))
       .collect()

@@ -24,6 +24,31 @@ object Bench {
   private def evalFull(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** r14 (r13 verdict item 6): fixed-work CPU calibration probe —
+    * 8 threads each folding 100M xorshift steps, pure CPU, zero IO,
+    * zero Spark. Timed once after warmup and once at suite end; the
+    * two wall times land on the summary line so a reader can scale
+    * round-over-round totals for AMBIENT drift (r13's five same-code
+    * runs spanned 175.6–229.8 s with uniform per-query scaling — this
+    * probe pins what the machine was worth while the suite ran).
+    */
+  private def calibProbe(): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until 8).map { k =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + k
+        var i = 0
+        while (i < 100000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        if (x == 42L) System.err.print("") // defeat dead-code elimination
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -53,6 +78,8 @@ object Bench {
       try evalFull(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => () }
     }
+    calibProbe() // JIT warmup, untimed
+    val calib0 = calibProbe()
 
     // best-of-2 per query: a single sample can't distinguish a plan
     // regression from GC/scheduling noise (the r4→r5 judge flagged 2.4×
@@ -305,8 +332,10 @@ object Bench {
     }
 
     deleteRec(warmDir); deleteRec(ingestDir); deleteRec(serveDir)
+    val calib1 = calibProbe()
 
-    val extra = s""""ingest_ticks_per_sec":${(nTicks / ingestSec).toLong},""" +
+    val extra = f""""calib0_s":$calib0%.3f,"calib1_s":$calib1%.3f,""" +
+      s""""ingest_ticks_per_sec":${(nTicks / ingestSec).toLong},""" +
       s""""scan_ticks_per_sec":${(scanned / scanSec).toLong},""" +
       s""""win5_tps":${(nTicks / win5Sec).toLong},""" +
       s""""win10k_tps":${(nTicks / win10kSec).toLong},""" +

@@ -224,9 +224,15 @@ object Cli {
                   order.map(i => Math.floorDiv(us(i), 1000000L)),
                   order.map(pr), order.map(vo))
               case None =>
+                // null price/volume coalesce to 0 so this fallback and
+                // the fast path agree on degenerate rows (r13 ADVICE:
+                // getDouble/getLong NPE'd here where scanRangeLocal
+                // zero-filled)
                 val rows = store.scanRange(sym,
                   new java.sql.Timestamp(fromSec * 1000L), maxTs.get)
-                  .select(unix_micros(col("ts")), col("price"), col("volume"))
+                  .select(unix_micros(col("ts")),
+                    coalesce(col("price"), lit(0.0)),
+                    coalesce(col("volume"), lit(0L)))
                   .collect()
                   .sortBy(_.getLong(0))
                 SymCache(fromSec, total,

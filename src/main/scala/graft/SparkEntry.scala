@@ -413,6 +413,8 @@ object SparkEntry {
     "q_span_dedup" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
     "q_span_dedup_impact" -> ((s, dir) =>
       Dedup.spanDedupImpact(Tables.documents(s, dir))),
+    "q_span_dedup_sentences" -> ((s, dir) =>
+      Dedup.spanDedupSentences(Tables.documents(s, dir))),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "q_token_count" -> ((s, dir) => TextOps.tokenCount(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
@@ -450,13 +452,22 @@ object SparkEntry {
     }),
     // ---- NEW r12 text / clustering / events / OLAP batch ----
     "q_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(Tables.documents(s, dir))),
+    "q_js_divergence" -> ((s, dir) =>
+      TextOps.jsDivergence(Tables.documents(s, dir))),
+    "q_intrinsic_dim" -> ((s, dir) =>
+      Similarity.intrinsicDim(Tables.embeddings(s, dir))),
+    "q_stickiness" -> ((s, dir) =>
+      EventAnalytics.stickiness(Tables.events(s, dir))),
     "q_pair_lift" -> ((s, dir) => TextOps.pairLift(Tables.documents(s, dir))),
     "q_df_stopwords" -> ((s, dir) =>
       TextOps.dfStopwords(Tables.documents(s, dir))),
     "q_kmeans_embed" -> ((s, dir) =>
       KMeansOps.kmeansCensus(Tables.embeddings(s, dir))),
-    "q_ann_pq" -> ((s, dir) =>
-      Similarity.pqTopK(Tables.embeddings(s, dir), 0L, 10)),
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      verifyPqDigest = Some(graft.pipeline.IvfIndex.corpusDigest(emb))
+      Similarity.pqTopK(emb, 0L, 10)
+    }),
     "q_anomaly_days" -> ((s, dir) =>
       EventAnalytics.anomalyDays(Tables.events(s, dir))),
     "q_audience_overlap" -> ((s, dir) =>
@@ -553,8 +564,14 @@ object SparkEntry {
       Similarity.bruteForceTopKI8(Tables.embeddings(s, dir), 0L, 10)),
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), 0L, 10, dim = 64)),
-    "q_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir), 0L, 10)),
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // record WHICH corpus this verify-path query ran against, so the
+      // oracle dump later requests exactly its centroids (r13 ADVICE:
+      // "most recently used" could be swapped by an unrelated query)
+      verifyIvfDigest = Some(graft.pipeline.IvfIndex.corpusDigest(emb))
+      Similarity.ivfTopK(emb, 0L, 10)
+    }),
     "q_embed_dedup" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, dir), dim = 64, threshold = 0.25)),
     "q_embed_outliers" -> ((s, dir) =>
@@ -618,6 +635,14 @@ object SparkEntry {
     "q_elder_impulse" -> ((s, dir) => MarketOps.elderImpulse(ticks(s, dir))),
     "q_rs_rating" -> ((s, dir) => MarketOps.rsRating(ticks(s, dir), 20)),
     "q_dema_tema" -> ((s, dir) => MarketOps.demaTema(ticks(s, dir), 10)),
+    "q_qstick" -> ((s, dir) => MarketOps.qstick(ticks(s, dir), 8)),
+    "q_cog" -> ((s, dir) => MarketOps.cog(ticks(s, dir), 10)),
+    "q_envelope" -> ((s, dir) => MarketOps.envelope(ticks(s, dir), 20)),
+    "q_imi" -> ((s, dir) => MarketOps.imi(ticks(s, dir), 14)),
+    "q_psy" -> ((s, dir) => MarketOps.psy(ticks(s, dir), 12)),
+    "q_disparity" -> ((s, dir) => MarketOps.disparity(ticks(s, dir), 20)),
+    "q_alma" -> ((s, dir) => MarketOps.alma(ticks(s, dir))),
+    "q_camarilla" -> ((s, dir) => MarketOps.camarilla(ticks(s, dir))),
   )
 
   /** Batch-ingest into a TickStore (symbol-partitioned, ts-sorted
@@ -936,8 +961,24 @@ object SparkEntry {
     * (distance ROUND(...,6), ties to the lower cell id — see
     * [[graft.pipeline.IvfIndex]]).
     */
+  /** Corpus digests recorded by the `q_ann_ivf`/`q_ann_pq` lambdas at
+    * execution time — the oracle dump requests THESE digests' model
+    * constants (r14, closing the r13 ADVICE lastUsed-swap hazard).
+    */
+  @volatile private var verifyIvfDigest: Option[String] = None
+  @volatile private var verifyPqDigest: Option[String] = None
+
+  private def verifyIvfCentroids: Option[Array[Array[Double]]] =
+    verifyIvfDigest.flatMap(graft.pipeline.IvfIndex.centroidsFor)
+      .orElse(graft.pipeline.IvfIndex.lastCentroids)
+
+  private[graft] def verifyPqCodebooks
+      : Option[IndexedSeq[Seq[(Int, Array[Double])]]] =
+    verifyPqDigest.flatMap(graft.pipeline.PqIndex.codebooksFor)
+      .orElse(graft.pipeline.PqIndex.lastCodebooks)
+
   private def ivfCentroidsSql: String =
-    graft.pipeline.IvfIndex.lastCentroids match {
+    verifyIvfCentroids match {
       case Some(cs) => cs.zipWithIndex
         .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
         .mkString(", ")
@@ -954,7 +995,7 @@ object SparkEntry {
     * bound cannot desync from the data.
     */
   private def ivfDim: Int =
-    graft.pipeline.IvfIndex.lastCentroids.map(_.head.length).getOrElse(64)
+    verifyIvfCentroids.map(_.head.length).getOrElse(64)
 
   /** 6-dp quantization of a double expression via the shared float-op
     * sequence — the SQL mirror of MarketOps.quant6 (SURVEY §4: scale
@@ -5493,6 +5534,107 @@ object SparkEntry {
         |JOIN wau ON wau.week = CAST(date_trunc('week', dau.day) AS DATE)
         |JOIN mau ON mau.month = CAST(date_trunc('month', dau.day) AS DATE)
         |ORDER BY day""".stripMargin,
+    "q_stickiness" ->
+      // DAU/MAU through ONE RAW division of exact integer counts
+      """WITH d AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM d GROUP BY 1),
+        |mau AS (
+        |  SELECT month, CAST(COUNT(*) AS BIGINT) AS mau FROM (
+        |    SELECT DISTINCT CAST(date_trunc('month', day) AS DATE) AS month,
+        |           user_id FROM d) GROUP BY 1)
+        |SELECT day, dau, mau,
+        |       CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+        |FROM dau
+        |JOIN mau ON mau.month = CAST(date_trunc('month', dau.day) AS DATE)
+        |ORDER BY day""".stripMargin,
+    "q_js_divergence" ->
+      // both-present terms quant6'd through ln (§4 libm rule); the
+      // one-sided mass needs no join rows at all (exact count mass,
+      // one division per side); ln2/2 literal via CAST('…' AS DOUBLE)
+      // (a bare 17-digit decimal literal converts through TWO
+      // roundings in DuckDB — the q_alma lesson)
+      s"""WITH wc AS (
+         |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS w
+         |    FROM documents) GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+         |        FROM wc GROUP BY 1),
+         |t AS (SELECT wc.source, wc.w, wc.c, tot.n
+         |      FROM wc JOIN tot ON tot.source = wc.source),
+         |pr AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         a.c AS ca, b.c AS cb, a.n AS na, b.n AS nb,
+         |         CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE) AS p,
+         |         CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE) AS q
+         |  FROM t a JOIN t b ON a.w = b.w AND a.source < b.source),
+         |terms AS (
+         |  SELECT source_a, source_b, ca, cb, na, nb,
+         |         ${duckQ6("p * ln(2.0 * p / (p + q))")} AS tp,
+         |         ${duckQ6("q * ln(2.0 * q / (p + q))")} AS tq
+         |  FROM pr),
+         |agg AS (
+         |  SELECT source_a, source_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_shared,
+         |         SUM(tp) AS sp, SUM(tq) AS sq,
+         |         CAST(SUM(ca) AS BIGINT) AS ma, CAST(SUM(cb) AS BIGINT) AS mb
+         |  FROM terms GROUP BY 1, 2),
+         |ap AS (
+         |  SELECT x.source AS source_a, y.source AS source_b,
+         |         x.n AS na, y.n AS nb
+         |  FROM tot x JOIN tot y ON x.source < y.source)
+         |SELECT ap.source_a, ap.source_b,
+         |       COALESCE(n_shared, 0) AS n_shared,
+         |       0.5 * COALESCE(CAST(sp + sq AS DOUBLE), 0.0)
+         |         + CAST('0.34657359027997264' AS DOUBLE)
+         |           * (CAST(na - COALESCE(ma, 0) AS DOUBLE) / CAST(na AS DOUBLE)
+         |              + CAST(nb - COALESCE(mb, 0) AS DOUBLE) / CAST(nb AS DOUBLE))
+         |           AS jsd
+         |FROM ap LEFT JOIN agg
+         |  ON agg.source_a = ap.source_a AND agg.source_b = ap.source_b
+         |ORDER BY ap.source_a, ap.source_b""".stripMargin,
+    "q_intrinsic_dim" ->
+      // TwoNN over the k=2 neighbor graph (the q_knn_join CTE chain):
+      // ln μ = 0.5·ln((1−c2)/(1−c1)) quant6'd per §4, exact decimal
+      // sums, one mirrored division; c1 = 1 (exact-dup neighbor)
+      // excluded both engines
+      s"""WITH ${duckBuckets(6)},
+         |nrm AS (
+         |  SELECT vec_id, SQRT(list_sum(list_transform(ve, x -> x * x))) AS nrm
+         |  FROM vecs),
+         |cand AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |sims AS (
+         |  SELECT c.vec_id, c.nbr_id,
+         |         ROUND(list_sum(list_transform(generate_series(1, 64),
+         |                 i -> va.ve[i] * vb.ve[i])) / (na.nrm * nb.nrm), 4) + 0.0
+         |           AS cos_sim
+         |  FROM cand c
+         |  JOIN vecs va ON va.vec_id = c.vec_id
+         |  JOIN vecs vb ON vb.vec_id = c.nbr_id
+         |  JOIN nrm na ON na.vec_id = c.vec_id
+         |  JOIN nrm nb ON nb.vec_id = c.nbr_id),
+         |rk AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_sim DESC, nbr_id) AS rk FROM sims),
+         |two AS (
+         |  SELECT vec_id, MAX(CASE WHEN rk = 1 THEN cos_sim END) AS c1,
+         |         MAX(CASE WHEN rk = 2 THEN cos_sim END) AS c2
+         |  FROM rk WHERE rk <= 2 GROUP BY 1),
+         |terms AS (
+         |  SELECT e.label,
+         |         ${duckQ6(
+              "0.5 * ln((1.0 - t.c2) / (1.0 - t.c1))")} AS t
+         |  FROM two t JOIN embeddings e ON e.vec_id = t.vec_id
+         |  WHERE t.c1 IS NOT NULL AND t.c2 IS NOT NULL AND t.c1 < 1.0)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CASE WHEN SUM(t) > 0
+         |            THEN CAST(COUNT(*) AS DOUBLE) / CAST(SUM(t) AS DOUBLE)
+         |       END AS id_hat
+         |FROM terms GROUP BY label ORDER BY label""".stripMargin,
     "q_top_paths" ->
       """WITH p AS (
         |  SELECT event_type AS e1,
@@ -6308,6 +6450,55 @@ object SparkEntry {
          |           / CAST(total_words AS DOUBLE) * 1000000.0 + 0.5)
          |         AS BIGINT) / 1000000.0 AS keep_ratio
          |FROM a ORDER BY source""".stripMargin,
+    "q_span_dedup_sentences" ->
+      // raw word spans (the q_span_dedup islands) snapped to sentence
+      // boundaries: sentence id of a word = 1 + terminator-run words
+      // strictly before it; expanded spans merge over covered
+      // sentences; word bounds come from the sentence extents.
+      // All-integer output.
+      s"""WITH $duckSpanCov,
+         |wt AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wpos, ws
+         |       FROM w WHERE len(ws) >= 1),
+         |sid AS (SELECT doc_id, CAST(wpos AS BIGINT) AS wpos,
+         |               CAST(1 + COALESCE(SUM(CASE WHEN regexp_matches(
+         |                       ws[wpos], '[.!?]+$$') THEN 1 ELSE 0 END)
+         |                 OVER (PARTITION BY doc_id ORDER BY wpos
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING
+         |                       AND 1 PRECEDING), 0) AS BIGINT) AS sent_id
+         |        FROM wt),
+         |ext AS (SELECT doc_id, sent_id, MIN(wpos) AS s_first,
+         |               MAX(wpos) AS s_last
+         |        FROM sid GROUP BY 1, 2),
+         |i AS (SELECT doc_id, wpos,
+         |             wpos - ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                                       ORDER BY wpos) AS grp
+         |      FROM cov),
+         |raw AS (SELECT doc_id, MIN(wpos) AS a, MAX(wpos) AS b
+         |        FROM i GROUP BY doc_id, grp),
+         |rs AS (SELECT r.doc_id, s1.sent_id AS sid1, s2.sent_id AS sid2
+         |       FROM raw r
+         |       JOIN sid s1 ON s1.doc_id = r.doc_id AND s1.wpos = r.a
+         |       JOIN sid s2 ON s2.doc_id = r.doc_id AND s2.wpos = r.b),
+         |cs AS (SELECT DISTINCT doc_id, sent_id FROM (
+         |         SELECT doc_id, unnest(generate_series(sid1, sid2)) AS sent_id
+         |         FROM rs)),
+         |r2 AS (SELECT doc_id, sent_id,
+         |              sent_id - ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                                           ORDER BY sent_id) AS grp
+         |       FROM cs),
+         |runs AS (SELECT doc_id, CAST(MIN(sent_id) AS BIGINT) AS sent_start,
+         |                CAST(MAX(sent_id) AS BIGINT) AS sent_end,
+         |                CAST(COUNT(*) AS BIGINT) AS n_sentences
+         |         FROM r2 GROUP BY doc_id, grp)
+         |SELECT runs.doc_id, sent_start, sent_end,
+         |       CAST(e1.s_first AS BIGINT) AS span_start,
+         |       CAST(e2.s_last AS BIGINT) AS span_end,
+         |       CAST(e2.s_last - e1.s_first + 1 AS BIGINT) AS span_words,
+         |       n_sentences
+         |FROM runs
+         |JOIN ext e1 ON e1.doc_id = runs.doc_id AND e1.sent_id = runs.sent_start
+         |JOIN ext e2 ON e2.doc_id = runs.doc_id AND e2.sent_id = runs.sent_end
+         |ORDER BY runs.doc_id, span_start""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH $duckSimhashCtes
          |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
@@ -6361,14 +6552,26 @@ object SparkEntry {
          |FROM cand c JOIN vecs v ON v.vec_id = c.vec_id CROSS JOIN q
          |ORDER BY cos_sim DESC, 1 LIMIT 10""".stripMargin,
     "q_ann_ivf" ->
+      // r14 spherical layout: assignment/probe distances run over the
+      // UNIT-NORMALIZED vectors (index-order square fold, IEEE sqrt —
+      // bit-identical per §4's libm rule — one guarded division per
+      // component); the final candidate ranking stays exact cosine
+      // over the RAW vectors.
       s"""WITH cents(cell, c) AS (VALUES ${ivfCentroidsSql}),
          |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
          |         FROM embeddings),
+         |nrms AS (SELECT vec_id, ve,
+         |                sqrt(list_sum(list_transform(ve, x -> x * x))) AS nm
+         |         FROM vecs),
+         |nv AS (SELECT vec_id, ve,
+         |              CASE WHEN nm > 0 THEN list_transform(ve, x -> x / nm)
+         |                   ELSE list_transform(ve, x -> 0.0) END AS vn
+         |       FROM nrms),
          |dist AS (
          |  SELECT v.vec_id, ct.cell,
          |         ROUND(list_sum(list_transform(generate_series(1, ${ivfDim}),
-         |           i -> (v.ve[i] - ct.c[i]) * (v.ve[i] - ct.c[i]))), 6) AS d
-         |  FROM vecs v CROSS JOIN cents ct),
+         |           i -> (v.vn[i] - ct.c[i]) * (v.vn[i] - ct.c[i]))), 6) AS d
+         |  FROM nv v CROSS JOIN cents ct),
          |assign AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell,
@@ -6831,7 +7034,7 @@ object SparkEntry {
       // sum, shortlist 400 → exact cosine re-rank — exactly the
       // stored-codes query path, independently recomputed
       val m = 8; val sub = 8; val short = 400
-      val cbs = graft.pipeline.PqIndex.lastCodebooks
+      val cbs = verifyPqCodebooks
       def cbSql(j: Int): String = cbs match {
         case Some(c) => c(j).map { case (cell, cent) =>
           s"($cell, [${cent.mkString(", ")}])" }.mkString(", ")
@@ -7698,6 +7901,141 @@ object SparkEntry {
          |       CASE WHEN cnt > 1 THEN 100.0 * CAST(rk - 1 AS DOUBLE)
          |            / CAST(cnt - 1 AS DOUBLE) END AS rs_rating
          |FROM k ORDER BY symbol, day""".stripMargin,
+    "q_qstick" ->
+      // exact decimal body sum over full windows, one RAW division
+      s"""WITH b AS (${duckDailyBars}),
+         |t AS (
+         |  SELECT symbol, day, SUM(c - o) OVER w AS s, COUNT(*) OVER w AS cnt
+         |  FROM b WINDOW w AS (PARTITION BY symbol ORDER BY day
+         |                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, day, CAST(s AS DOUBLE) / 8.0 AS qstick8
+         |FROM t WHERE cnt = 8 ORDER BY symbol, day""".stripMargin,
+    "q_cog" ->
+      // exact integer weighted/plain cents sums (the cents cancel in
+      // the ratio), one RAW division; full windows, positive denom
+      s"""WITH b AS (${duckDailyBars}),
+         |t AS (SELECT symbol, day, CAST(c * 100 AS BIGINT) AS cents FROM b),
+         |l AS (
+         |  SELECT symbol, day, cents,
+         |${(1 until 10).map(i => s"         LAG(cents, $i) OVER w AS c$i")
+            .mkString(",\n")}
+         |  FROM t WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+         |g AS (
+         |  SELECT symbol, day,
+         |         cents * 1 ${(1 until 10).map(i => s"+ c$i * ${i + 1}")
+            .mkString(" ")} AS num,
+         |         cents ${(1 until 10).map(i => s"+ c$i").mkString(" ")} AS den
+         |  FROM l WHERE c9 IS NOT NULL)
+         |SELECT symbol, day,
+         |       -CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS cog
+         |FROM g WHERE den > 0 ORDER BY symbol, day""".stripMargin,
+    "q_envelope" ->
+      // exact cents sum; mirrored literal chain, RAW doubles
+      s"""WITH b AS (${duckDailyBars}),
+         |t AS (SELECT symbol, day, CAST(c * 100 AS BIGINT) AS cents FROM b),
+         |a AS (
+         |  SELECT symbol, day, SUM(cents) OVER w AS s, COUNT(*) OVER w AS cnt
+         |  FROM t WINDOW w AS (PARTITION BY symbol ORDER BY day
+         |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, day, CAST(s AS DOUBLE) / 2000.0 AS sma20,
+         |       (CAST(s AS DOUBLE) / 2000.0) * 1.025 AS upper,
+         |       (CAST(s AS DOUBLE) / 2000.0) * 0.975 AS lower
+         |FROM a WHERE cnt = 20 ORDER BY symbol, day""".stripMargin,
+    "q_imi" ->
+      // exact decimal CASE sums; mirrored double chain; all-doji
+      // windows NULL on both engines
+      s"""WITH b AS (${duckDailyBars}),
+         |t AS (
+         |  SELECT symbol, day,
+         |         CASE WHEN c > o THEN c - o ELSE CAST(0 AS DECIMAL(18,2)) END AS up,
+         |         CASE WHEN o > c THEN o - c ELSE CAST(0 AS DECIMAL(18,2)) END AS dn
+         |  FROM b),
+         |a AS (
+         |  SELECT symbol, day, SUM(up) OVER w AS su, SUM(dn) OVER w AS sd,
+         |         COUNT(*) OVER w AS cnt
+         |  FROM t WINDOW w AS (PARTITION BY symbol ORDER BY day
+         |                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, day,
+         |       CASE WHEN su + sd > 0 THEN 100.0 * CAST(su AS DOUBLE)
+         |            / CAST(su + sd AS DOUBLE) END AS imi14
+         |FROM a WHERE cnt = 14 ORDER BY symbol, day""".stripMargin,
+    "q_psy" ->
+      // integer up-close counts over n PRIOR-close comparisons (the
+      // first bar of a symbol has no prior close and must not count
+      // as a down day); one RAW division
+      s"""WITH b AS (${duckDailyBars}),
+         |t AS (
+         |  SELECT symbol, day, c,
+         |         LAG(c, 1) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |  FROM b),
+         |u AS (
+         |  SELECT symbol, day,
+         |         CASE WHEN pc IS NOT NULL AND c > pc THEN 1 ELSE 0 END AS up,
+         |         CASE WHEN pc IS NOT NULL THEN 1 ELSE 0 END AS hv
+         |  FROM t),
+         |a AS (
+         |  SELECT symbol, day, CAST(SUM(up) OVER w AS BIGINT) AS nup,
+         |         CAST(SUM(hv) OVER w AS BIGINT) AS have
+         |  FROM u WINDOW w AS (PARTITION BY symbol ORDER BY day
+         |                      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, day, nup AS up_days,
+         |       100.0 * CAST(nup AS DOUBLE) / 12.0 AS psy12
+         |FROM a WHERE have = 12 ORDER BY symbol, day""".stripMargin,
+    "q_disparity" ->
+      // exact integer identity 100·(n·c − Σc)/Σc in cents, one RAW
+      // division
+      s"""WITH b AS (${duckDailyBars}),
+         |t AS (SELECT symbol, day, CAST(c * 100 AS BIGINT) AS cents FROM b),
+         |a AS (
+         |  SELECT symbol, day, cents, SUM(cents) OVER w AS s,
+         |         COUNT(*) OVER w AS cnt
+         |  FROM t WINDOW w AS (PARTITION BY symbol ORDER BY day
+         |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, day,
+         |       100.0 * CAST(cents * 20 - s AS DOUBLE) / CAST(s AS DOUBLE)
+         |         AS disparity20
+         |FROM a WHERE cnt = 20 AND s > 0 ORDER BY symbol, day""".stripMargin,
+    "q_alma" -> {
+      // gaussian weights inlined from the SAME driver-side constants
+      // the Spark plan uses (MarketOps.almaWeights — exp never runs
+      // per-row on either engine); explicit left-assoc term chain
+      // mirrors the Spark reduce order
+      val n = graft.operators.MarketOps.almaN
+      val ws = graft.operators.MarketOps.almaWeights
+      // weights go through CAST('…' AS DOUBLE): a bare 17-digit decimal
+      // literal parses as DECIMAL(17,17) whose int64 payload exceeds
+      // 2^53, so DuckDB's decimal→double conversion rounds TWICE and
+      // can land 1 ulp off the Scala double; string→double is a single
+      // correctly-rounded parse of the shortest round-trip repr
+      def w(x: Double): String = s"CAST('$x' AS DOUBLE)"
+      val terms = (0 until n).map { j =>
+        val lagK = n - 1 - j
+        val c = if (lagK == 0) "CAST(cents AS DOUBLE)"
+        else s"CAST(LAG(cents, $lagK) OVER w AS DOUBLE)"
+        s"${w(ws(j))} * $c"
+      }.mkString(" + ")
+      s"""WITH b AS (${duckDailyBars}),
+         |t AS (SELECT symbol, day, CAST(c * 100 AS BIGINT) AS cents FROM b),
+         |a AS (
+         |  SELECT symbol, day,
+         |         ($terms) AS num,
+         |         LAG(cents, ${n - 1}) OVER w AS oldest
+         |  FROM t WINDOW w AS (PARTITION BY symbol ORDER BY day))
+         |SELECT symbol, day, num / ${w(ws.sum)} / 100.0 AS alma9
+         |FROM a WHERE oldest IS NOT NULL ORDER BY symbol, day""".stripMargin
+    },
+    "q_camarilla" ->
+      // prior-day range/close through mirrored literal chains, RAW
+      s"""WITH b AS (${duckDailyBars}),
+         |t AS (
+         |  SELECT symbol, day,
+         |         CAST(LAG(h, 1) OVER w - LAG(l, 1) OVER w AS DOUBLE) AS pr,
+         |         CAST(LAG(c, 1) OVER w AS DOUBLE) AS pc
+         |  FROM b WINDOW w AS (PARTITION BY symbol ORDER BY day))
+         |SELECT symbol, day,
+         |       pc + pr * 1.1 / 2.0 AS r4, pc + pr * 1.1 / 4.0 AS r3,
+         |       pc - pr * 1.1 / 4.0 AS s3, pc - pr * 1.1 / 2.0 AS s4
+         |FROM t WHERE pr IS NOT NULL ORDER BY symbol, day""".stripMargin,
     "q_dema_tema" -> {
       // three stacked EMA states in mirrored runtime-α doubles; e1n
       // re-inlined inside e2n, e2n inside e3n (same IEEE values as the

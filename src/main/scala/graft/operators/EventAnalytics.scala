@@ -749,4 +749,25 @@ object EventAnalytics {
         (col("prev_active") - col("retained")).as("churned"))
       .orderBy("day")
   }
+
+  /** NEW r14: product stickiness — the daily DAU/MAU ratio (the
+    * "how habitual is usage" headline metric next to [[activeUsers]]'
+    * raw counts; 0.2 is the folk threshold for a daily-habit product).
+    * Same (day, user) dedup + calendar-month distinct counts as
+    * activeUsers; the ratio is ONE RAW division of exact integers.
+    * All keys are day/month — counter rows, metadata scale.
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val d = events.select(to_date(col("ts")).as("day"), col("user_id"))
+    val dau = d.distinct().groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = d.withColumn("month", date_trunc("month", col("day")).cast("date"))
+      .select("month", "user_id").distinct()
+      .groupBy("month").agg(count(lit(1)).as("mau"))
+    dau.withColumn("month", date_trunc("month", col("day")).cast("date"))
+      .join(mau, "month")
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double"))
+          .as("stickiness"))
+      .orderBy("day")
+  }
 }

@@ -5259,4 +5259,205 @@ object MarketOps {
             lit(2.772588722239781)).as("hurst"))
       .orderBy("symbol")
   }
+
+  /** NEW r14: Qstick — the n-day average of (close − open), Chande's
+    * candle-body momentum gauge (persistently positive bodies = buying
+    * pressure regardless of wicks). Exact decimal window sum over full
+    * windows, one RAW double division by the literal n.
+    */
+  def qstick(ticks: DataFrame, n: Int = 8): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        (col("close").cast(dec) - col("open").cast(dec)).as("body"))
+      .withColumn("s", sum(col("body")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === n)
+      .select(col("symbol"), col("day"),
+        (col("s").cast("double") / n.toDouble).as(s"qstick$n"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r14: Ehlers' Center of Gravity oscillator —
+    * −Σ_{i=0..n−1}(i+1)·c_{t−i} / Σ c_{t−i} (i = 0 most recent), the
+    * zero-lag cycle indicator. Cents-scale lag chain (the hullMa
+    * scaffold): both the weighted and the plain sums are exact
+    * DECIMAL(38,0) over long cents — the cents cancel in the ratio —
+    * and the emission is ONE RAW division (denominator > 0 gate
+    * mirrored). Full windows only.
+    */
+  def cog(ticks: DataFrame, n: Int = 10): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val big = DecimalType(38, 0)
+    def at(i: Int): Column =
+      (if (i == 0) col("cents") else lag(col("cents"), i).over(dayOrder)).cast(big)
+    val num = (0 until n).map(i => at(i) * lit((i + 1).toLong)).reduce(_ + _)
+    val den = (0 until n).map(at).reduce(_ + _)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        (col("close").cast(dec) * 100).cast("long").as("cents"))
+      .withColumn("ok", lag(col("cents"), n - 1).over(dayOrder).isNotNull)
+      .withColumn("num", num)
+      .withColumn("den", den)
+      .filter(col("ok") && col("den") > 0)
+      .select(col("symbol"), col("day"),
+        (-col("num").cast("double") / col("den").cast("double")).as("cog"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r14: moving-average envelope — the n-day close SMA with
+    * ±pct% bands (the channel a mean-reversion screen checks before
+    * Bollinger's adaptive widths). The SMA is an exact long cents sum
+    * through one division; the bands are single mirrored literal
+    * multiplications — RAW doubles throughout.
+    */
+  def envelope(ticks: DataFrame, n: Int = 20): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        (col("close").cast(dec) * 100).cast("long").as("cents"))
+      .withColumn("s", sum(col("cents")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === n)
+      .withColumn("sma", col("s").cast("double") / lit(n * 100.0))
+      .select(col("symbol"), col("day"), col("sma").as(s"sma$n"),
+        (col("sma") * 1.025).as("upper"),
+        (col("sma") * 0.975).as("lower"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r14: Intraday Momentum Index — RSI arithmetic applied to the
+    * open→close body instead of close-to-close changes: 100·Σgains /
+    * (Σgains + Σlosses) over n bars. Exact decimal CASE sums over full
+    * windows; one mirrored double chain; all-doji windows (zero total
+    * body movement) emit NULL on both engines.
+    */
+  def imi(ticks: DataFrame, n: Int = 14): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val zero = lit(0).cast(dec)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        col("open").cast(dec).as("o"), col("close").cast(dec).as("c"))
+      .withColumn("up", when(col("c") > col("o"), col("c") - col("o")).otherwise(zero))
+      .withColumn("dn", when(col("o") > col("c"), col("o") - col("c")).otherwise(zero))
+      .withColumn("su", sum(col("up")).over(w))
+      .withColumn("sd", sum(col("dn")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === n)
+      .select(col("symbol"), col("day"),
+        when(col("su") + col("sd") > 0,
+          lit(100.0) * col("su").cast("double") /
+            (col("su") + col("sd")).cast("double")).as(s"imi$n"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r14: psychological line (PSY) — the percentage of up closes
+    * in the last n bars, the sentiment-saturation gauge (readings near
+    * 100 mean everyone is already long). Exact decimal comparisons
+    * into integer counts; one RAW division by the literal n.
+    */
+  def psy(ticks: DataFrame, n: Int = 12): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(dayOrder))
+      .withColumn("up", when(col("pc").isNotNull && col("c") > col("pc"), 1L)
+        .otherwise(0L))
+      // require n PRIOR-close comparisons, not just n rows: the first
+      // bar of a symbol has no pc and must not count as a down day
+      .withColumn("have", sum(when(col("pc").isNotNull, 1L).otherwise(0L)).over(w))
+      .withColumn("nup", sum(col("up")).over(w))
+      .filter(col("have") === n)
+      .select(col("symbol"), col("day"), col("nup").as("up_days"),
+        (lit(100.0) * col("nup").cast("double") / n.toDouble).as(s"psy$n"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r14: disparity index — 100·(close − SMA_n)/SMA_n, the
+    * percent deviation from trend (Kairi-class mean-reversion input).
+    * Cents-scale identity 100·(n·c − Σc)/Σc keeps every operand an
+    * exact integer (the cents cancel); ONE RAW division.
+    */
+  def disparity(ticks: DataFrame, n: Int = 20): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        (col("close").cast(dec) * 100).cast("long").as("cents"))
+      .withColumn("s", sum(col("cents")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === n && col("s") > 0)
+      .select(col("symbol"), col("day"),
+        (lit(100.0) * (col("cents") * n - col("s")).cast("double") /
+          col("s").cast("double")).as(s"disparity$n"))
+      .orderBy("symbol", "day")
+  }
+
+  /** ALMA weights (window 9, offset 0.85, sigma 6): gaussian weights
+    * peaked at m = offset·(n−1), computed ONCE driver-side and inlined
+    * as literals on BOTH engines — the exp() never runs per-row on
+    * either side, so the §4 libm rule is moot. Exposed so the oracle
+    * SQL is generated from the SAME constants.
+    */
+  val almaN = 9
+  val almaWeights: IndexedSeq[Double] = {
+    val m = 0.85 * (almaN - 1)
+    val s = almaN / 6.0
+    (0 until almaN).map(j => math.exp(-(j - m) * (j - m) / (2 * s * s)))
+  }
+
+  /** NEW r14: Arnaud Legoux moving average — the gaussian-weighted MA
+    * that trades lag for smoothness with an offset-shifted kernel.
+    * alma_t = Σ_j w_j·p_{t−(n−1−j)} / Σ_j w_j with the [[almaWeights]]
+    * literals; the weighted sum is an explicit j = 0..n−1 lag chain
+    * (fixed evaluation order, mirrored term-by-term in the oracle) over
+    * exactly-converting cents, then two mirrored literal divisions.
+    * Full windows only.
+    */
+  def alma(ticks: DataFrame): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val n = almaN
+    def at(i: Int): Column =
+      (if (i == 0) col("cents") else lag(col("cents"), i).over(dayOrder))
+        .cast("double")
+    // j indexes oldest → newest; price at lag n−1−j
+    val num = (0 until n).map(j => lit(almaWeights(j)) * at(n - 1 - j))
+      .reduce(_ + _)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        (col("close").cast(dec) * 100).cast("long").as("cents"))
+      .withColumn("ok", lag(col("cents"), n - 1).over(dayOrder).isNotNull)
+      .withColumn("num", num)
+      .filter(col("ok"))
+      .select(col("symbol"), col("day"),
+        (col("num") / lit(almaWeights.sum) / 100.0).as("alma9"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r14: Camarilla pivot levels — the tighter intraday
+    * reversal/breakout ladder beside the floor pivots (9e): levels at
+    * prior close ± prior range·1.1/{2,4}. Exact decimal prior-day
+    * range through mirrored literal chains — RAW doubles.
+    */
+  def camarilla(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("day")
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        col("high").cast(dec).as("h"), col("low").cast(dec).as("l"),
+        col("close").cast(dec).as("c"))
+      .withColumn("pr", (lag(col("h"), 1).over(w) - lag(col("l"), 1).over(w))
+        .cast("double"))
+      .withColumn("pc", lag(col("c"), 1).over(w).cast("double"))
+      .filter(col("pr").isNotNull)
+      .select(col("symbol"), col("day"),
+        (col("pc") + col("pr") * 1.1 / 2.0).as("r4"),
+        (col("pc") + col("pr") * 1.1 / 4.0).as("r3"),
+        (col("pc") - col("pr") * 1.1 / 4.0).as("s3"),
+        (col("pc") - col("pr") * 1.1 / 2.0).as("s4"))
+      .orderBy("symbol", "day")
+  }
 }

@@ -91,6 +91,26 @@ class PqIndex private (
       .limit(k)
   }
 
+  /** Mean quant6'd encoding distortion of the STORED corpus — each
+    * vector's summed per-sub-space distance to its nearest codebook
+    * centroid. Computed lazily ONCE per index (one scan of the stored
+    * codes table) and cached; the reference distribution the drift
+    * gauge compares appended batches against.
+    */
+  lazy val buildDistortion: Double =
+    PqIndex.meanDistortion(codes(), m, sub, codebooks)
+
+  /** r14 (the r13 verdict's item 7): the codebook-DRIFT gauge, made
+    * mechanical. Ratio of the appended batch's mean encoding
+    * distortion to [[buildDistortion]] — appends drawn from the
+    * build-time distribution sit near 1.0; a shifted/rescaled source
+    * encodes far from every centroid and the ratio blows past
+    * [[PqIndex.DriftRebuildThreshold]], which is the "version the
+    * index dir and rebuild" signal. Spec-gated (PqDriftSpec).
+    */
+  def driftGauge(newVecs: DataFrame): Double =
+    PqIndex.meanDistortion(newVecs, m, sub, codebooks) / buildDistortion
+
   /** Incremental encode (streaming freshness): encode `newVecs` with
     * the STORED codebooks — no refit — and append their codes to the
     * index parquet. The foreachBatch companion for a corpus that keeps
@@ -98,12 +118,22 @@ class PqIndex private (
     * append cost O(batch), and because encoding is the same
     * deterministic rounded-argmin the build used, a later full rebuild
     * assigns the appended vectors the exact same codes (codebook drift
-    * aside, which a production pipeline handles by versioning the
-    * index dir). Spec-gated (StreamPqFreshnessSpec).
+    * aside — now measured, not just documented: the returned
+    * [[driftGauge]] ratio flags a rebuild when the appended batch no
+    * longer matches the build-time distribution). Spec-gated
+    * (StreamPqFreshnessSpec, PqDriftSpec).
     */
-  def appendEncode(newVecs: DataFrame): Unit =
+  def appendEncode(newVecs: DataFrame): Double = {
+    val drift = driftGauge(newVecs)
+    if (drift > PqIndex.DriftRebuildThreshold) System.err.println(
+      f"[graft] WARNING: PQ append drift gauge $drift%.2f exceeds " +
+        f"${PqIndex.DriftRebuildThreshold}%.1f — appended vectors encode " +
+        "far from the build-time codebooks; version the index dir and " +
+        "rebuild")
     PqIndex.encoded(newVecs, m, sub, codebooks)
       .write.mode("append").parquet(codesPath)
+    drift
+  }
 }
 
 object PqIndex {
@@ -117,6 +147,16 @@ object PqIndex {
     */
   @volatile private var lastUsed: Option[(String, IndexedSeq[Seq[(Int, Array[Double])]])] = None
   private val usedKeys = ConcurrentHashMap.newKeySet[String]()
+  private val byDigest =
+    new ConcurrentHashMap[String, IndexedSeq[Seq[(Int, Array[Double])]]]()
+
+  /** Codebooks keyed by corpus digest — see
+    * [[IvfIndex.centroidsFor]] for the r14 rationale (the lastUsed
+    * swap hazard from the r13 ADVICE).
+    */
+  def codebooksFor(digest: String): Option[IndexedSeq[Seq[(Int, Array[Double])]]] =
+    Option(byDigest.get(digest))
+
   def lastCodebooks: Option[IndexedSeq[Seq[(Int, Array[Double])]]] = {
     if (usedKeys.size > 1) System.err.println(
       s"[graft] WARNING: PQ indexes for ${usedKeys.size} distinct corpora " +
@@ -136,6 +176,7 @@ object PqIndex {
     val key = (System.identityHashCode(emb.sparkSession), digest, m, cb)
     val idx = cache.computeIfAbsent(key, _ => build(emb, m, cb))
     usedKeys.add(digest)
+    byDigest.put(digest, idx.codebooks)
     lastUsed = Some((digest, idx.codebooks))
     idx
   }
@@ -184,6 +225,29 @@ object PqIndex {
         lit(0.0), (acc, x) => acc + x), 6))
     element_at(typedLit(cents.map(_._1)),
       array_position(dists, array_min(dists)).cast("int"))
+  }
+
+  /** Drift ratio above which [[PqIndex.appendEncode]] flags a rebuild.
+    * 2× the build-time mean distortion means the appended vectors'
+    * quantization error has doubled — ADC rankings over them are
+    * materially coarser than the recall the index was graded at.
+    */
+  val DriftRebuildThreshold = 2.0
+
+  /** Mean encoding distortion of `vecs` under fixed codebooks: the
+    * per-row sum over sub-spaces of the min quant6'd squared distance
+    * to any centroid (exactly the assignment objective), averaged.
+    * Diagnostic gauge — one scan, never in the query path.
+    */
+  private[pipeline] def meanDistortion(vecs: DataFrame, m: Int, sub: Int,
+      codebooks: IndexedSeq[Seq[(Int, Array[Double])]]): Double = {
+    val dist = (0 until m).map { j =>
+      array_min(transform(typedLit(codebooks(j).map(_._2.toSeq)),
+        c => round(aggregate(
+          zip_with(col(s"v$j"), c, (v, w) => (v - w) * (v - w)),
+          lit(0.0), (acc, x) => acc + x), 6)))
+    }.reduce(_ + _)
+    withSubs(vecs, m, sub).select(avg(dist)).head().getDouble(0)
   }
 
   /** `(vec_id, embedding, codes)` for `vecs` against fixed codebooks —

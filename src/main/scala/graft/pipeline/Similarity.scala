@@ -505,4 +505,48 @@ object Similarity {
     reg(emb)
     PqIndex.forTable(emb, m, cb).topK(queryId, k, shortlist)
   }
+
+  /** NEW r14: intrinsic dimension per label — the TwoNN estimator
+    * (Facco et al.): with d₁, d₂ a point's 1st/2nd nearest-neighbor
+    * distances, μ = d₂/d₁ follows a Pareto law with exponent equal to
+    * the manifold's intrinsic dimension, so ID = n / Σ ln μ. The
+    * embedding-health gauge a pipeline owner reads next to the norm
+    * histogram: a 64-dim column whose ID measures ~9 is mostly noise
+    * floor; ID collapsing after a model change means the embedder
+    * degenerated.
+    *
+    * Distances come from the [[knnJoin]] neighbor graph (k = 2) —
+    * bucketed candidates, never all-pairs, the documented 100 TB
+    * neighbor-graph path. On the unit sphere d² = 2−2·cos, so
+    * ln μ = 0.5·ln((1−c₂)/(1−c₁)) over the graph's ROUND(…,4) cosines
+    * (already hash-stable across engines); each term is quant6'd
+    * through ln (§4 libm rule) into exact decimal sums, and the final
+    * estimator is one mirrored division. Exact-duplicate neighbors
+    * (c₁ = 1 after rounding) are excluded on both engines — their μ
+    * is undefined (d₁ = 0).
+    */
+  def intrinsicDim(emb: DataFrame, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def quant6(s: Column): Column = {
+      val q = when(s >= 0, floor(s + 0.5)).otherwise(ceil(s - 0.5))
+      (q.cast("long").cast(DecimalType(18, 0)) *
+        lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+        .cast(DecimalType(18, 6))
+    }
+    val two = knnJoin(emb, dim, 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rk") === 1, col("cos_sim"))).as("c1"),
+        max(when(col("rk") === 2, col("cos_sim"))).as("c2"))
+      .filter(col("c1").isNotNull && col("c2").isNotNull && col("c1") < 1.0)
+    val lnmu = quant6(lit(0.5) *
+      log((lit(1.0) - col("c2")) / (lit(1.0) - col("c1"))) * 1000000.0)
+    two.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("label"), lnmu.as("t"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("t")).as("s"))
+      .select(col("label"), col("n_vecs"),
+        when(col("s") > 0,
+          col("n_vecs").cast("double") / col("s").cast("double")).as("id_hat"))
+      .orderBy("label")
+  }
 }

@@ -1194,4 +1194,64 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
+
+  /** NEW r14: Jensen–Shannon divergence between source unigram
+    * distributions — the source-pair similarity matrix a data-mixture
+    * owner reads before re-weighting (two crawls of the same site show
+    * JSD ≈ 0; genuinely different registers sit near its ln 2 bound).
+    *
+    * Decomposition that avoids materializing the union vocabulary per
+    * pair: for words present in BOTH sources the contribution is
+    * p·ln(2p/(p+q)) + q·ln(2q/(p+q)); a word present in only one side
+    * contributes exactly p·ln 2, so the one-sided total is
+    * ln 2 · (1 − Σ_both p) — integer count mass through ONE division,
+    * no join rows for one-sided words at all.
+    *
+    * Engine parity: both-word terms are quant6'd through ln (the §4
+    * libm rule, tokenEntropy pattern) into exact decimal sums; the
+    * final blend is a mirrored IEEE chain with the ln2/2 literal
+    * CAST('…' AS DOUBLE) on the DuckDB side (bare 17-digit decimal
+    * literals convert to double through TWO roundings there).
+    *
+    * Scale: one (source, word) counter shuffle; the pair join is a
+    * symmetric self-join of ONE shared subplan (dataset aliases — the
+    * minhashCandidates exchange-reuse lesson) keyed on the
+    * high-cardinality word, fan-out bounded by sources-per-word.
+    */
+  def jsDivergence(docs: DataFrame): DataFrame = {
+    val wc = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val tot = wc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val t = wc.join(tot, "source")
+    val p = col("a.c").cast("double") / col("a.n").cast("double")
+    val q = col("b.c").cast("double") / col("b.n").cast("double")
+    val terms = t.as("a").join(t.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.c").as("ca"), col("b.c").as("cb"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        quant6(p * log(lit(2.0) * p / (p + q)) * 1000000.0).as("tp"),
+        quant6(q * log(lit(2.0) * q / (p + q)) * 1000000.0).as("tq"))
+    val agg = terms.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("tp")).as("sp"), sum(col("tq")).as("sq"),
+        sum(col("ca")).as("ma"), sum(col("cb")).as("mb"))
+    // ALL source pairs (a tiny totals self-cross): a fully-disjoint
+    // pair has no both-present join rows at all, and must still appear
+    // in the matrix — at exactly ln 2
+    val allPairs = tot.as("x").join(tot.as("y"),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+    val oneP = (col("na") - coalesce(col("ma"), lit(0L))).cast("double") /
+      col("na").cast("double")
+    val oneQ = (col("nb") - coalesce(col("mb"), lit(0L))).cast("double") /
+      col("nb").cast("double")
+    allPairs.join(agg, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (lit(0.5) * coalesce((col("sp") + col("sq")).cast("double"), lit(0.0)) +
+          lit(0.34657359027997264) * (oneP + oneQ)).as("jsd"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -209,9 +209,14 @@ final class TickStore(spark: SparkSession, path: String,
             val ts = b.getColumns.asScala.find(
               _.getPath.toDotString == "ts")
             val stats = ts.map(_.getStatistics).orNull
+            // hasNonNullValue guards the all-null-ts row group (r13
+            // ADVICE): its LongStatistics are non-empty (numNulls set)
+            // but min/max are UNINITIALIZED — getMax would silently
+            // anchor maxTs at epoch 0. Same fallback as INT96.
             if (stats == null || stats.isEmpty ||
-                !stats.isInstanceOf[org.apache.parquet.column.statistics.LongStatistics])
-              return None // INT96-era file: no usable ts stats
+                !stats.isInstanceOf[org.apache.parquet.column.statistics.LongStatistics] ||
+                !stats.hasNonNullValue())
+              return None // INT96-era file or null-only group: no usable ts stats
             maxUs = math.max(maxUs,
               stats.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics].getMax)
           }
@@ -244,7 +249,9 @@ final class TickStore(spark: SparkSession, path: String,
     * already ts-sorted by ingest). None when any file lacks INT64 ts
     * (a pre-r13 INT96 store) — callers fall back to the Spark scan.
     * Rows with a null ts are skipped; null price/volume read as 0
-    * (degenerate for tick data; the Spark path behaves the same).
+    * (degenerate for tick data; the Cli's Spark fallback coalesces
+    * nulls to 0 the same way — r13 ADVICE — while the raw
+    * [[scanRange]] DataFrame surface keeps SQL NULL semantics).
     */
   def scanRangeLocal(symbol: String, startUs: Long, endUs: Long)
       : Option[(Array[Long], Array[Double], Array[Long])] = {

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+
+/** Semantic anchors for the r14 additions — hand-computable fixtures
+  * with known closed-form values (the hull-MA lesson: every cents-path
+  * operator needs a magnitude assert, not just an oracle hash; a
+  * consistent unit error hashes green against a consistently-wrong
+  * oracle).
+  */
+class NewOpsR14Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** 30 one-tick days at a flat 50.00 price. */
+  private lazy val flat = (1 to 30).map { d =>
+    (d.toLong, f"2026-01-$d%02d 10:00:00", 50.0, 100L)
+  }.toDF("event_id", "tss", "price", "volume")
+    .select(col("event_id"), lit("TST").as("symbol"),
+      col("tss").cast("timestamp").as("ts"), col("price"), col("volume"))
+    .cache()
+
+  /** 30 days, two ticks each: open 50.00, close 51.00 (every day an
+    * up-body day; close > prior close from day 2 on).
+    */
+  private lazy val upDays = (1 to 30).flatMap { d =>
+    Seq((d.toLong * 2 - 1, f"2026-01-$d%02d 10:00:00", 50.0, 100L),
+      (d.toLong * 2, f"2026-01-$d%02d 15:00:00", 51.0, 100L))
+  }.toDF("event_id", "tss", "price", "volume")
+    .select(col("event_id"), lit("TST").as("symbol"),
+      col("tss").cast("timestamp").as("ts"), col("price"), col("volume"))
+    .cache()
+
+  test("envelope: flat series recovers the price and literal bands") {
+    val rows = MarketOps.envelope(flat, 20).collect()
+    assert(rows.length === 11) // days 20..30
+    rows.foreach { r =>
+      assert(r.getDouble(2) === 50.0)
+      assert(r.getDouble(3) === 50.0 * 1.025)
+      assert(r.getDouble(4) === 50.0 * 0.975)
+    }
+  }
+
+  test("disparity: flat series is exactly zero") {
+    val rows = MarketOps.disparity(flat, 20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) === 0.0))
+  }
+
+  test("alma: flat series recovers the price through the kernel") {
+    val exp = MarketOps.almaWeights.map(_ * 5000.0).reduce(_ + _) /
+      MarketOps.almaWeights.sum / 100.0
+    assert(math.abs(exp - 50.0) < 1e-9) // unit sanity of the expectation
+    val rows = MarketOps.alma(flat).collect()
+    assert(rows.length === 22) // days 9..30
+    rows.foreach(r => assert(r.getDouble(2) === exp))
+  }
+
+  test("cog: flat series gives the closed-form -(n+1)/2 = -5.5") {
+    val rows = MarketOps.cog(flat, 10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) === -5.5))
+  }
+
+  test("qstick: flat one-tick days have zero bodies; up-days are +1.00") {
+    MarketOps.qstick(flat, 8).collect()
+      .foreach(r => assert(r.getDouble(2) === 0.0))
+    MarketOps.qstick(upDays, 8).collect()
+      .foreach(r => assert(r.getDouble(2) === 1.0))
+  }
+
+  test("imi: every-day-up bodies read 100") {
+    val rows = MarketOps.imi(upDays, 14).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) === 100.0))
+  }
+
+  test("psy: flat closes never count as up days; rising closes read 100") {
+    MarketOps.psy(flat, 12).collect().foreach { r =>
+      assert(r.getLong(2) === 0L && r.getDouble(3) === 0.0)
+    }
+    // upDays closes are 51.00 every day — flat close-to-close, so psy
+    // is 0 there too; build a genuinely rising tape
+    val rising = (1 to 30).map { d =>
+      (d.toLong, f"2026-01-$d%02d 10:00:00", 50.0 + d * 0.01, 100L)
+    }.toDF("event_id", "tss", "price", "volume")
+      .select(col("event_id"), lit("TST").as("symbol"),
+        col("tss").cast("timestamp").as("ts"), col("price"), col("volume"))
+    val rows = MarketOps.psy(rising, 12).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) === 12L && r.getDouble(3) === 100.0)
+    }
+  }
+
+  test("camarilla: closed-form levels from the prior bar") {
+    val rows = MarketOps.camarilla(upDays).collect()
+    assert(rows.length === 29)
+    rows.foreach { r =>
+      // prior bar: h=51, l=50, c=51 → pr=1.0, pc=51.0
+      assert(r.getDouble(2) === 51.0 + 1.0 * 1.1 / 2.0)
+      assert(r.getDouble(3) === 51.0 + 1.0 * 1.1 / 4.0)
+      assert(r.getDouble(4) === 51.0 - 1.0 * 1.1 / 4.0)
+      assert(r.getDouble(5) === 51.0 - 1.0 * 1.1 / 2.0)
+    }
+  }
+
+  test("jsDivergence: identical sources at 0, disjoint sources at ln 2") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha", "a"),
+      (2L, "alpha beta gamma alpha", "b"),
+      (3L, "delta epsilon zeta eta", "c"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.pipeline.TextOps.jsDivergence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(got(("a", "b")) === 0.0)
+    assert(got(("a", "c")) === 0.34657359027997264 * 2.0)
+    assert(got(("b", "c")) === 0.34657359027997264 * 2.0)
+  }
+
+  test("stickiness: a single always-active user reads 1.0") {
+    val ev = (1 to 5).map { d =>
+      (d.toLong, f"2026-03-$d%02d 12:00:00", 7L, "view", 1.0, "{}")
+    }.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("tss").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val rows = EventAnalytics.stickiness(ev).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 1L && r.getLong(2) === 1L &&
+        r.getDouble(3) === 1.0)
+    }
+  }
+
+  test("intrinsicDim: defined, positive, one row per label on the corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = graft.pipeline.Similarity.intrinsicDim(emb).collect()
+    assert(rows.length === emb.select("label").distinct().count())
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      if (!r.isNullAt(2)) assert(r.getDouble(2) > 0.0)
+    }
+  }
+}

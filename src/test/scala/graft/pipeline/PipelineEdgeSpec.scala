@@ -83,7 +83,10 @@ class PipelineEdgeSpec extends AnyFunSuite {
       "minhashCalibration" -> Dedup.minhashCalibration(edgeDocs),
       "dedupImpact" -> Dedup.dedupImpact(edgeDocs),
       "spanDedup" -> Dedup.spanDedup(edgeDocs),
-      "spanDedupImpact" -> Dedup.spanDedupImpact(edgeDocs)
+      "spanDedupImpact" -> Dedup.spanDedupImpact(edgeDocs),
+      "spanDedupSentences" -> Dedup.spanDedupSentences(edgeDocs),
+      "clustersAppend" -> Dedup.clustersAppend(
+        edgeDocs.filter(col("doc_id") <= 4), edgeDocs.filter(col("doc_id") > 4))
     )
     ops.foreach { case (name, df) =>
       try df.collect()

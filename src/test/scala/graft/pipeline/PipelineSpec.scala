@@ -86,6 +86,46 @@ class PipelineSpec extends AnyFunSuite {
       Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
   }
 
+  test("spanDedupSentences: spans snap to sentence boundaries") {
+    import spark.implicits._
+    val d = Seq(
+      // shared run sits exactly on sentence 2 of docs 1/2; doc 3's
+      // shared gram is mid-sentence, so its span must EXPAND to the
+      // full sentence extent
+      (1L, "Intro sentence one. alpha beta gamma delta epsilon zeta. Tail sentence here."),
+      (2L, "Other prefix here. alpha beta gamma delta epsilon zeta. Different tail words."),
+      (3L, "Some words alpha beta gamma more in this sentence. Final bit.")
+    ).toDF("doc_id", "text").withColumn("source", lit("web"))
+    val got = Dedup.spanDedupSentences(d).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 4L, 9L, 6L, 1L),
+      (2L, 2L, 2L, 4L, 9L, 6L, 1L),
+      (3L, 1L, 1L, 1L, 9L, 9L, 1L)))
+    // semantic anchor: doc 3's snapped span is its WHOLE first
+    // sentence, though only "alpha beta gamma" (words 3..5) matched
+    val words3 = d.filter(col("doc_id") === 3L)
+      .select(split(col("text"), " ")).head().getSeq[String](0)
+    assert(words3(8) === "sentence." && words3.slice(2, 5) ===
+      Seq("alpha", "beta", "gamma"))
+  }
+
+  test("spanDedupSentences: terminator-free docs are one sentence") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta no terminator anywhere"),
+      (2L, "prefix alpha beta gamma delta epsilon zeta suffix words")
+    ).toDF("doc_id", "text").withColumn("source", lit("web"))
+    val got = Dedup.spanDedupSentences(d).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // every doc is a single sentence → the snapped span is the whole doc
+    assert(got.toSeq === Seq(
+      (1L, 1L, 1L, 1L, 9L, 9L, 1L),
+      (2L, 1L, 1L, 1L, 9L, 9L, 1L)))
+  }
+
   test("spanDedupImpact: per-source word retention with quantized ratio") {
     import spark.implicits._
     val d = Seq(

@@ -105,10 +105,15 @@ class RecallSpec extends AnyFunSuite {
   test("IVF recall grows monotonically with nprobe and holds its floors") {
     val byProbe = Seq(4, 6, 8)
       .map(np => np -> recallOf(q => Similarity.ivfTopK(emb, q, K, nprobe = np)))
-    // measured: 0.52 @ nprobe=4 (25% of cells), 0.82 @ nprobe=8 (50%)
+    // r14 (the r13 verdict's recall item): the 0.52/0.82 plateau was
+    // CENTROID QUALITY — 3 random-init Lloyd rounds left cells that
+    // barely tracked the corpus's weak cluster structure. k-means||
+    // init + 20 rounds (offline build cost only) measured 0.74 @
+    // nprobe=4 and 0.94 @ nprobe=8 on this corpus (0.66/0.92 at the
+    // sf0.1 bench corpus) at IDENTICAL probe cost.
     val m = byProbe.toMap
-    assert(m(4) >= 0.5, s"IVF recall@10 ${m(4)} at nprobe=4 below floor 0.5")
-    assert(m(8) >= 0.8, s"IVF recall@10 ${m(8)} at nprobe=8 below floor 0.8")
+    assert(m(4) >= 0.7, s"IVF recall@10 ${m(4)} at nprobe=4 below floor 0.7")
+    assert(m(8) >= 0.9, s"IVF recall@10 ${m(8)} at nprobe=8 below floor 0.9")
     byProbe.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
       assert(r2 >= r1, s"recall fell from $r1 (nprobe=$p1) to $r2 (nprobe=$p2)")
     }

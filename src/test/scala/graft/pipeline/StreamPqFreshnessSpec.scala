@@ -55,7 +55,7 @@ class StreamPqFreshnessSpec extends AnyFunSuite {
 
     val q = spark.readStream.schema(newVecs.schema).parquet(in.toString)
       .writeStream
-      .foreachBatch((b: DataFrame, _: Long) => idx.appendEncode(b))
+      .foreachBatch { (b: DataFrame, _: Long) => idx.appendEncode(b); () }
       .option("checkpointLocation", s"$base/chk")
       .start()
     try q.processAllAvailable()

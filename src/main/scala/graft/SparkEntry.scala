@@ -643,6 +643,15 @@ object SparkEntry {
     "q_disparity" -> ((s, dir) => MarketOps.disparity(ticks(s, dir), 20)),
     "q_alma" -> ((s, dir) => MarketOps.alma(ticks(s, dir))),
     "q_camarilla" -> ((s, dir) => MarketOps.camarilla(ticks(s, dir))),
+    "q_mcginley" -> ((s, dir) => MarketOps.mcginley(ticks(s, dir), 20)),
+    "q_fisher" -> ((s, dir) => MarketOps.fisher(ticks(s, dir), 10)),
+    "q_heaps_law" -> ((s, dir) => TextOps.heapsLaw(Tables.documents(s, dir))),
+    "q_url_canonical" -> ((s, dir) =>
+      TextOps.urlCanonical(Tables.documents(s, dir), 20)),
+    "q_mislabel_pairs" -> ((s, dir) =>
+      Similarity.mislabelPairs(Tables.embeddings(s, dir))),
+    "q_quant_error" -> ((s, dir) =>
+      Similarity.quantErrorHist(Tables.embeddings(s, dir))),
   )
 
   /** Batch-ingest into a TickStore (symbol-partitioned, ts-sorted
@@ -8024,6 +8033,196 @@ object SparkEntry {
          |SELECT symbol, day, num / ${w(ws.sum)} / 100.0 AS alma9
          |FROM a WHERE oldest IS NOT NULL ORDER BY symbol, day""".stripMargin
     },
+    "q_mcginley" -> {
+      // 0.6·n computed ONCE driver-side, mirrored via CAST string
+      // (the q_alma double-literal lesson); quartic = two explicit
+      // squarings of the identical quotient value, never pow
+      val k = s"CAST('${0.6 * 20}' AS DOUBLE)"
+      s"""WITH RECURSIVE b AS (${duckDailyBars}),
+         |t AS (
+         |  SELECT symbol, day, CAST(c AS DOUBLE) AS p,
+         |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+         |  FROM b WHERE c > 0),
+         |r AS (
+         |  SELECT symbol, day, rn, p AS md FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.symbol, t.day, t.rn,
+         |         CASE WHEN $k * (((t.p / r.md) * (t.p / r.md)) *
+         |                         ((t.p / r.md) * (t.p / r.md))) > 0
+         |              THEN r.md + (t.p - r.md) / ($k *
+         |                (((t.p / r.md) * (t.p / r.md)) *
+         |                 ((t.p / r.md) * (t.p / r.md))))
+         |              ELSE t.p END
+         |  FROM t JOIN r ON t.symbol = r.symbol AND t.rn = r.rn + 1)
+         |SELECT symbol, day, md AS mcginley FROM r
+         |ORDER BY symbol, day""".stripMargin
+    },
+    "q_fisher" ->
+      // v recursion in plain mirrored doubles; each ln TERM quant6'd
+      // via the inline FLOOR/CEIL sequence before entering f; f scales
+      // by 0.5 — exact binary — so the state is a sum of exactly
+      // halved quantized terms (bit-identical through the recursion)
+      s"""WITH RECURSIVE b AS (${duckDailyBars}),
+         |e AS (
+         |  SELECT symbol, day, c, MAX(c) OVER w AS hh, MIN(c) OVER w AS ll,
+         |         COUNT(*) OVER w AS cnt
+         |  FROM b WINDOW w AS (PARTITION BY symbol ORDER BY day
+         |                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         |x AS (
+         |  SELECT symbol, day,
+         |         CASE WHEN hh > ll
+         |              THEN 2.0 * CAST(c - ll AS DOUBLE) / CAST(hh - ll AS DOUBLE)
+         |                   - 1.0
+         |              ELSE CAST(0.0 AS DOUBLE) END AS x,
+         |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+         |  FROM e WHERE cnt = 10),
+         |r AS (
+         |  SELECT symbol, day, rn, v,
+         |         (CASE WHEN 0.5 * ln((1.0 + vc) / (1.0 - vc)) * 1000000.0 >= 0
+         |               THEN FLOOR(0.5 * ln((1.0 + vc) / (1.0 - vc)) * 1000000.0 + 0.5)
+         |               ELSE CEIL(0.5 * ln((1.0 + vc) / (1.0 - vc)) * 1000000.0 - 0.5)
+         |          END) / 1000000.0 + 0.5 * f0 AS f,
+         |         f0 AS trg
+         |  FROM (
+         |    SELECT symbol, day, rn,
+         |           0.33 * x + 0.67 * CAST(0 AS DOUBLE) AS v,
+         |           CASE WHEN 0.33 * x + 0.67 * CAST(0 AS DOUBLE) > 0.999 THEN 0.999
+         |                WHEN 0.33 * x + 0.67 * CAST(0 AS DOUBLE) < -0.999 THEN -0.999
+         |                ELSE 0.33 * x + 0.67 * CAST(0 AS DOUBLE) END AS vc,
+         |           CAST(0 AS DOUBLE) AS f0
+         |    FROM x WHERE rn = 1)
+         |  UNION ALL
+         |  SELECT symbol, day, rn, v,
+         |         (CASE WHEN 0.5 * ln((1.0 + vc) / (1.0 - vc)) * 1000000.0 >= 0
+         |               THEN FLOOR(0.5 * ln((1.0 + vc) / (1.0 - vc)) * 1000000.0 + 0.5)
+         |               ELSE CEIL(0.5 * ln((1.0 + vc) / (1.0 - vc)) * 1000000.0 - 0.5)
+         |          END) / 1000000.0 + 0.5 * f0 AS f,
+         |         f0 AS trg
+         |  FROM (
+         |    SELECT t.symbol, t.day, t.rn,
+         |           0.33 * t.x + 0.67 * r.v AS v,
+         |           CASE WHEN 0.33 * t.x + 0.67 * r.v > 0.999 THEN 0.999
+         |                WHEN 0.33 * t.x + 0.67 * r.v < -0.999 THEN -0.999
+         |                ELSE 0.33 * t.x + 0.67 * r.v END AS vc,
+         |           r.f AS f0
+         |    FROM x t JOIN r ON t.symbol = r.symbol AND t.rn = r.rn + 1))
+         |SELECT symbol, day, f AS fisher, trg AS trigger FROM r
+         |ORDER BY symbol, day""".stripMargin,
+    "q_heaps_law" ->
+      // per-source (ln N, ln V) points quant6'd through ln (§4 libm
+      // rule); the zipf-slope OLS chain: exact decimal co-moments,
+      // mirrored IEEE division chain, ROUND(…,4)+0.0 (stddev class)
+      s"""WITH w AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |p0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nt,
+         |              CAST(COUNT(DISTINCT w) AS BIGINT) AS nv
+         |       FROM w GROUP BY 1),
+         |pts AS (SELECT ${duckQ6("ln(CAST(nt AS DOUBLE))")} AS x,
+         |               ${duckQ6("ln(CAST(nv AS DOUBLE))")} AS y
+         |        FROM p0 WHERE nt > 0 AND nv > 0),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+         |             CAST(SUM(x) AS DOUBLE) AS sx,
+         |             CAST(SUM(y) AS DOUBLE) AS sy,
+         |             CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * y
+         |               AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         |             CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * x
+         |               AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+         |      FROM pts)
+         |SELECT n_sources,
+         |       CASE WHEN n_sources > 1 AND
+         |                 sxx - sx * sx / CAST(n_sources AS DOUBLE) <> 0.0
+         |            THEN ROUND((sxy - sx * sy / CAST(n_sources AS DOUBLE))
+         |                   / (sxx - sx * sx / CAST(n_sources AS DOUBLE)), 4)
+         |                 + 0.0
+         |       END AS beta
+         |FROM a""".stripMargin,
+    "q_url_canonical" ->
+      // same deterministic extraction as q_url_stats; canonicalization
+      // is a mirrored anchored-regex chain (Java∩RE2 subset — each
+      // pattern matches at most once, so DuckDB's replace-first equals
+      // Spark's replace-all)
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text
+        |    || (CASE WHEN doc_id % 7 = 0
+        |             THEN ' see https://ex.io/a?b=1 plus http://cdn.ex.io/x.png'
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0
+        |             THEN ' docs at https://data.example.org/d/2' ELSE '' END)
+        |    || (CASE WHEN doc_id % 13 = 0
+        |             THEN ' mirror http://files.net/m' ELSE '' END) AS t
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^ ]+')) AS url
+        |  FROM aug),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '^https?://', ''),
+        |                         '^([^/]+)', 1))
+        |    || regexp_replace(regexp_replace(regexp_replace(
+        |         regexp_replace(url, '^https?://', ''), '^[^/]+', ''),
+        |         '[?#].*$', ''), '/$', '') AS canonical_url
+        |  FROM u),
+        |a AS (SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |      FROM c GROUP BY 1)
+        |SELECT canonical_url, n_urls, n_docs FROM a WHERE n_urls >= 2
+        |ORDER BY n_urls DESC, canonical_url LIMIT 20""".stripMargin,
+    "q_mislabel_pairs" ->
+      // the q_knn_join CTE chain at rk <= 3, labels joined on, pairs
+      // reported once from the lower vec_id, deterministic
+      // (cos desc, vec, nbr) top-20
+      s"""WITH ${duckBuckets(6)},
+         |nrm AS (
+         |  SELECT vec_id, SQRT(list_sum(list_transform(ve, x -> x * x))) AS nrm
+         |  FROM vecs),
+         |cand AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |sims AS (
+         |  SELECT c.vec_id, c.nbr_id,
+         |         ROUND(list_sum(list_transform(generate_series(1, 64),
+         |                 i -> va.ve[i] * vb.ve[i])) / (na.nrm * nb.nrm), 4) + 0.0
+         |           AS cos_sim
+         |  FROM cand c
+         |  JOIN vecs va ON va.vec_id = c.vec_id
+         |  JOIN vecs vb ON vb.vec_id = c.nbr_id
+         |  JOIN nrm na ON na.vec_id = c.vec_id
+         |  JOIN nrm nb ON nb.vec_id = c.nbr_id),
+         |rk AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_sim DESC, nbr_id) AS rk FROM sims)
+         |SELECT r.vec_id, r.nbr_id, ea.label AS label_a, eb.label AS label_b,
+         |       r.cos_sim
+         |FROM rk r
+         |JOIN embeddings ea ON ea.vec_id = r.vec_id
+         |JOIN embeddings eb ON eb.vec_id = r.nbr_id
+         |WHERE r.rk <= 3 AND r.vec_id < r.nbr_id AND ea.label <> eb.label
+         |ORDER BY r.cos_sim DESC, r.vec_id, r.nbr_id LIMIT 20""".stripMargin,
+    "q_quant_error" ->
+      // bit-identical error doubles (exact int8 components, mirrored
+      // fold/sqrt/division chain) → deterministic FLOOR bucket key;
+      // zero vectors excluded both engines
+      s"""WITH vecs AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |  FROM embeddings),
+         |${duckQ8},
+         |j AS (
+         |  SELECT v.vec_id, v.ve,
+         |         list_transform(q.qv, x -> CAST(x AS DOUBLE)) AS qd
+         |  FROM vecs v JOIN q8 q ON q.vec_id = v.vec_id),
+         |e AS (
+         |  SELECT 1.0 - list_sum(list_transform(generate_series(1, 64),
+         |               i -> ve[i] * qd[i]))
+         |             / (SQRT(list_sum(list_transform(ve, x -> x * x)))
+         |                * SQRT(list_sum(list_transform(qd, x -> x * x)))) AS err,
+         |         list_sum(list_transform(qd, x -> x * x)) AS qq
+         |  FROM j)
+         |SELECT CAST(FLOOR(err * 100000.0) AS BIGINT) AS err_bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |FROM e WHERE qq > 0.0 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_camarilla" ->
       // prior-day range/close through mirrored literal chains, RAW
       s"""WITH b AS (${duckDailyBars}),

@@ -5438,6 +5438,110 @@ object MarketOps {
       .orderBy("symbol", "day")
   }
 
+  final case class MgBar(symbol: String, day: java.sql.Date, c: java.math.BigDecimal)
+  final case class MgOut(symbol: String, day: java.sql.Date, mcginley: Double)
+
+  /** NEW r14: McGinley Dynamic (n=20) — the self-adjusting MA that
+    * speeds up in declines and hugs price through whipsaws:
+    * MD += (p − MD) / (0.6·n·(p/MD)⁴), seeded at the first close.
+    * Genuinely recursive — one sorted-group pass over daily bar states
+    * (the nviPvi posture). The quartic is TWO explicit squarings
+    * (never pow — §4's libm rule; x·x is a plain IEEE multiply), the
+    * 0.6·n constant is computed ONCE driver-side and mirrored into
+    * the oracle via CAST('…' AS DOUBLE), and every step is a plain
+    * mirrored double chain — bit-identical through the recursion (the
+    * demaTema class). Non-positive closes are filtered on both
+    * engines (the p/MD quartic needs a positive tape).
+    */
+  def mcginley(ticks: DataFrame, n: Int = 20): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    val k = 0.6 * n
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .filter(col("c") > 0)
+      .as[MgBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        var md = 0.0
+        var first = true
+        it.map { b =>
+          val p = b.c.doubleValue()
+          if (first) { first = false; md = p }
+          else {
+            val r = p / md
+            val r2 = r * r
+            val d = k * (r2 * r2)
+            // (p/MD)⁴ UNDERFLOWS to exactly 0 when the tape swings
+            // >~150× in one bar (adversarial synthetic series):
+            // Scala's x/0.0 is ±Inf while DuckDB's is NULL — the one
+            // place the mirrored chain can split. The mirrored rule:
+            // a zero denominator RESETS the state to the price (the
+            // same re-seed the first bar uses).
+            md = if (d > 0) md + (p - md) / d else p
+          }
+          MgOut(sym, b.day, md)
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
+  final case class FiBar(symbol: String, day: java.sql.Date, x: Double)
+  final case class FiOut(symbol: String, day: java.sql.Date,
+      fisher: Double, trigger: Double)
+
+  /** NEW r14: Ehlers' Fisher Transform (n=10) — maps the price's
+    * position inside its n-bar range onto a near-Gaussian scale so
+    * turning points show as sharp crossings: x = 2·(c−lo)/(hi−lo)−1,
+    * v = 0.33·x + 0.67·v₋₁ (clamped ±0.999),
+    * fisher = 0.5·ln((1+v)/(1−v)) + 0.5·fisher₋₁, trigger = fisher₋₁.
+    *
+    * Engine parity through a recursion WITH ln in the loop: the v
+    * recursion is plain mirrored IEEE ops (bit-identical inputs to
+    * ln); each ln TERM is 6-dp quantized via the shared FLOOR/CEIL
+    * float sequence before it enters the f state (§4 libm rule — a
+    * raw 1-ulp ln divergence would otherwise feed back), and the f
+    * recursion multiplies by 0.5 — an EXACT binary scaling — so f is
+    * a sum of exactly-halved quantized terms: bit-identical on both
+    * engines. Window extrema are exact decimals; flat windows emit
+    * x = 0 (mirrored guard); full windows only.
+    */
+  def fisher(ticks: DataFrame, n: Int = 10): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val xCol = when(col("hh") > col("ll"),
+      lit(2.0) * (col("c") - col("ll")).cast("double") /
+        (col("hh") - col("ll")).cast("double") - lit(1.0))
+      .otherwise(lit(0.0))
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("hh", max(col("c")).over(w))
+      .withColumn("ll", min(col("c")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === n)
+      .select(col("symbol"), col("day"), xCol.as("x"))
+      .as[FiBar]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        var v = 0.0
+        var f = 0.0
+        it.map { b =>
+          v = 0.33 * b.x + 0.67 * v
+          val vc = if (v > 0.999) 0.999 else if (v < -0.999) -0.999 else v
+          val raw = 0.5 * math.log((1.0 + vc) / (1.0 - vc)) * 1000000.0
+          val q = if (raw >= 0) math.floor(raw + 0.5) else math.ceil(raw - 0.5)
+          val trig = f
+          f = q / 1000000.0 + 0.5 * f
+          FiOut(sym, b.day, f, trig)
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
+
   /** NEW r14: Camarilla pivot levels — the tighter intraday
     * reversal/breakout ladder beside the floor pivots (9e): levels at
     * prior close ± prior range·1.1/{2,4}. Exact decimal prior-day

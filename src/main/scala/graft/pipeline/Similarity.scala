@@ -506,6 +506,60 @@ object Similarity {
     PqIndex.forTable(emb, m, cb).topK(queryId, k, shortlist)
   }
 
+  /** NEW r14: int8 quantization-error histogram — per vector, the
+    * cosine gap 1 − cos(v, q8(v)) between the float vector and its
+    * symmetric int8 quantization, bucketed at 1e-5 resolution: the QA
+    * read that says what the 4×-bandwidth int8 ANN shelf actually
+    * costs in angular precision (RecallSpec's 0.9 floor is the
+    * retrieval-level view; this is the distribution behind it).
+    *
+    * Parity: the quantized components are exact integers (the shared
+    * FLOOR/CEIL rule), every fold/ sqrt/division is a mirrored IEEE
+    * chain over identical inputs, so the error doubles are
+    * bit-identical and the FLOOR bucket key is deterministic. Zero
+    * vectors (q·q = 0) are excluded on both engines. Zero-shuffle
+    * scalar pipeline + one bounded-key counter aggregate.
+    */
+  def quantErrorHist(emb: DataFrame): DataFrame = {
+    reg(emb)
+    val ve = transform(col("embedding"), _.cast("double"))
+    val qd = transform(quantizeI8(col("embedding")), _.cast("double"))
+    def fold(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val err = lit(1.0) - fold(col("ve"), col("qd")) /
+      (sqrt(fold(col("ve"), col("ve"))) * sqrt(fold(col("qd"), col("qd"))))
+    emb.select(col("vec_id"), ve.as("ve"), qd.as("qd"))
+      .filter(fold(col("qd"), col("qd")) > 0.0)
+      .select(floor(err * 100000.0).cast("long").as("err_bucket"))
+      .groupBy(col("err_bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("err_bucket")
+  }
+
+  /** NEW r14: cross-label nearest-neighbor pairs — the MISLABEL
+    * detector: vectors whose top-3 cosine neighbors carry a DIFFERENT
+    * label, ranked by similarity. High-cosine cross-label pairs are
+    * either labeling errors or genuine class overlap; a data owner
+    * reads the top of this list before training a classifier on the
+    * labels. Rides the [[knnJoin]] bucketed neighbor graph (never
+    * all-pairs); pairs are reported once from the lower vec_id (its
+    * ranking of the higher — the mirrored dedup rule); deterministic
+    * (cos desc, vec, nbr) top-k = TakeOrderedAndProject.
+    */
+  def mislabelPairs(emb: DataFrame, dim: Int = 64, k: Int = 20): DataFrame = {
+    val lab = emb.select(col("vec_id"), col("label"))
+    knnJoin(emb, dim, 3)
+      .filter(col("vec_id") < col("nbr_id"))
+      .join(lab.select(col("vec_id"), col("label").as("label_a")), "vec_id")
+      .join(lab.select(col("vec_id").as("nbr_id"), col("label").as("label_b")),
+        "nbr_id")
+      .filter(col("label_a") =!= col("label_b"))
+      .select(col("vec_id"), col("nbr_id"), col("label_a"), col("label_b"),
+        col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"), col("nbr_id"))
+      .limit(k)
+  }
+
   /** NEW r14: intrinsic dimension per label — the TwoNN estimator
     * (Facco et al.): with d₁, d₂ a point's 1st/2nd nearest-neighbor
     * distances, μ = d₂/d₁ follows a Pareto law with exponent equal to

@@ -1195,6 +1195,75 @@ object TextOps {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
 
+  /** NEW r14: canonical-URL duplicate census — the crawler-dedup
+    * normalization pass: scheme stripped, host lowercased, query
+    * string / fragment / trailing slash removed, then URLs occurring
+    * ≥2 times ranked by occurrence count. Two crawls of
+    * `HTTP://Ex.io/a?utm=x` and `https://ex.io/a/` are the SAME page;
+    * raw-string dedup misses them. Same deterministic URL extraction
+    * as [[urlStats]] (shared augmentation so the synthetic corpus has
+    * URLs at all); every regex stays in the Java∩RE2 subset (explicit
+    * classes, no lookarounds). Zero-shuffle scalar pipeline + one
+    * counter aggregate + TakeOrdered top-k.
+    */
+  def urlCanonical(docs: DataFrame, k: Int = 20): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        lit(" see https://ex.io/a?b=1 plus http://cdn.ex.io/x.png"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit(" docs at https://data.example.org/d/2")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit(" mirror http://files.net/m")).otherwise(lit("")))
+    val rest = regexp_replace(col("url"), "^https?://", "")
+    val host = lower(regexp_extract(rest, "^([^/]+)", 1))
+    val path = regexp_replace(
+      regexp_replace(rest, "^[^/]+", ""), "[?#].*$", "")
+    val canon = concat(host, regexp_replace(path, "/$", ""))
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(aug, lit("https?://[^ ]+"), lit(0))).as("url"))
+      .select(col("doc_id"), canon.as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_urls") >= 2)
+      .orderBy(col("n_urls").desc, col("canonical_url"))
+      .limit(k)
+  }
+
+  /** NEW r14: Heaps'-law fit across sources — vocabulary growth
+    * V = K·N^β estimated from each source's (total tokens, distinct
+    * types) point: the corpus-scaling diagnostic that predicts how
+    * much NEW vocabulary another 10× of crawl buys (β ≈ 0.5 for
+    * natural text; β near 1 flags ID-like token pollution). OLS of
+    * quant6(ln V) on quant6(ln N) over the ≤|sources| points (the
+    * zipfSlope arithmetic): exact decimal co-moment sums in the §4
+    * width discipline, ROUND(…,4)+0.0 emission (the stddev class).
+    * One (source, word) counter shuffle; the fit runs on counter rows.
+    */
+  def heapsLaw(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pts = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nt"), countDistinct(col("w")).as("nv"))
+      .filter(col("nt") > 0 && col("nv") > 0)
+      .select(quant6(log(col("nt").cast("double")) * 1000000.0).as("x"),
+        quant6(log(col("nv").cast("double")) * 1000000.0).as("y"))
+    val sq12 = DecimalType(38, 12)
+    pts.agg(count(lit(1)).as("n_sources"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x").cast(DecimalType(19, 6)) * col("y")).cast(sq12)).as("sxy"),
+        sum((col("x").cast(DecimalType(19, 6)) * col("x")).cast(sq12)).as("sxx"))
+      .select(col("n_sources"),
+        when(col("n_sources") > 1 &&
+          col("sxx").cast("double") - col("sx").cast("double") *
+            col("sx").cast("double") / col("n_sources").cast("double") =!= 0.0,
+          round((col("sxy").cast("double") - col("sx").cast("double") *
+            col("sy").cast("double") / col("n_sources").cast("double")) /
+            (col("sxx").cast("double") - col("sx").cast("double") *
+              col("sx").cast("double") / col("n_sources").cast("double")), 4)
+            + 0.0).as("beta"))
+  }
+
   /** NEW r14: Jensen–Shannon divergence between source unigram
     * distributions — the source-pair similarity matrix a data-mixture
     * owner reads before re-weighting (two crawls of the same site show

@@ -300,7 +300,17 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "omegaRatio" -> (MarketOps.omegaRatio(_)),
       "informationRatio" -> (MarketOps.informationRatio(_)),
       "signAutocorr" -> (MarketOps.signAutocorr(_)),
-      "candleAnatomy" -> (MarketOps.candleAnatomy(_)))
+      "candleAnatomy" -> (MarketOps.candleAnatomy(_)),
+      "qstick" -> (MarketOps.qstick(_)),
+      "cog" -> (MarketOps.cog(_)),
+      "envelope" -> (MarketOps.envelope(_)),
+      "imi" -> (MarketOps.imi(_)),
+      "psy" -> (MarketOps.psy(_)),
+      "disparity" -> (MarketOps.disparity(_)),
+      "alma" -> (MarketOps.alma(_)),
+      "camarilla" -> (MarketOps.camarilla(_)),
+      "mcginley" -> (MarketOps.mcginley(_)),
+      "fisher" -> (MarketOps.fisher(_)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>

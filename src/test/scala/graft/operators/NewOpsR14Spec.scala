@@ -109,6 +109,41 @@ class NewOpsR14Spec extends AnyFunSuite {
     }
   }
 
+  test("mcginley: flat series stays pinned at the price") {
+    val rows = MarketOps.mcginley(flat, 20).collect()
+    assert(rows.length === 30)
+    rows.foreach(r => assert(r.getDouble(2) === 50.0))
+    // a step tape converges monotonically toward the new level from
+    // below, never overshooting (the self-adjusting-denominator
+    // contract)
+    val step = (1 to 30).map { d =>
+      (d.toLong, f"2026-01-$d%02d 10:00:00", if (d <= 5) 50.0 else 60.0, 100L)
+    }.toDF("event_id", "tss", "price", "volume")
+      .select(col("event_id"), lit("TST").as("symbol"),
+        col("tss").cast("timestamp").as("ts"), col("price"), col("volume"))
+    val mds = MarketOps.mcginley(step, 20).collect().map(_.getDouble(2))
+    mds.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+    assert(mds.last > 50.0 && mds.last < 60.0)
+  }
+
+  test("fisher: flat series is exactly zero; trigger lags fisher by one") {
+    val rows = MarketOps.fisher(flat, 10).collect()
+    assert(rows.length === 21) // days 10..30
+    rows.foreach { r =>
+      assert(r.getDouble(2) === 0.0 && r.getDouble(3) === 0.0)
+    }
+    val rising = (1 to 30).map { d =>
+      (d.toLong, f"2026-01-$d%02d 10:00:00", 50.0 + d * 0.5, 100L)
+    }.toDF("event_id", "tss", "price", "volume")
+      .select(col("event_id"), lit("TST").as("symbol"),
+        col("tss").cast("timestamp").as("ts"), col("price"), col("volume"))
+    val fr = MarketOps.fisher(rising, 10).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    // monotone rise: fisher positive, and trigger is the previous fisher
+    fr.foreach { case (f, _) => assert(f > 0.0) }
+    fr.sliding(2).foreach { case Array((f1, _), (_, t2)) => assert(t2 === f1) }
+  }
+
   test("jsDivergence: identical sources at 0, disjoint sources at ln 2") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha", "a"),

@@ -142,5 +142,30 @@ class PipelineEdgeSpec extends AnyFunSuite {
     val sil = KMeansOps.silhouetteCensus(twoVec, k = 2, iters = 1)
       .collect().map(r => (r.getLong(1), r.getDouble(2)))
     assert(sil.toSeq === Seq((1L, 1.0), (1L, 1.0)))
+    // r14: quant-error histogram — the all-zero vector must be
+    // EXCLUDED (q·q = 0 guard), not an ANSI divide error; exact unit
+    // vectors quantize losslessly (error bucket 0)
+    val withZero = twoVec.union(Seq((2L, Seq(0f, 0f)))
+      .toDF("vec_id", "embedding"))
+    val qe = Similarity.quantErrorHist(withZero).collect()
+    assert(qe.map(_.getLong(1)).sum === 2L)
+    assert(qe.forall(r => r.getLong(0) === 0L))
+    // r14: TwoNN on duplicate-heavy fixtures — c1 = 1 pairs are
+    // excluded, sums can be empty → NULL id_hat, never an ANSI error
+    val dupEmb = Seq((0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0f, 1f), 1)).toDF("vec_id", "embedding", "label")
+    Similarity.intrinsicDim(dupEmb, dim = 2).collect()
+  }
+
+  test("r14 text ops survive empty/degenerate documents") {
+    Seq(
+      "jsDivergence" -> graft.pipeline.TextOps.jsDivergence(edgeDocs),
+      "heapsLaw" -> graft.pipeline.TextOps.heapsLaw(edgeDocs)
+    ).foreach { case (name, df) =>
+      try df.collect()
+      catch { case e: Throwable =>
+        fail(s"$name threw on the adversarial corpus: ${e.getMessage.take(300)}")
+      }
+    }
   }
 }

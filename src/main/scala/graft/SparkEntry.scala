@@ -458,6 +458,12 @@ object SparkEntry {
       Similarity.intrinsicDim(Tables.embeddings(s, dir))),
     "q_stickiness" -> ((s, dir) =>
       EventAnalytics.stickiness(Tables.events(s, dir))),
+    "q_attribution_ushape" -> ((s, dir) =>
+      EventAnalytics.attributionUShape(Tables.events(s, dir))),
+    "q_contamination_spans" -> ((s, dir) =>
+      // the q_contamination held-out split (every 97th doc)
+      Dedup.contaminationSpans(Tables.documents(s, dir),
+        col("doc_id") % 97 === 0)),
     "q_pair_lift" -> ((s, dir) => TextOps.pairLift(Tables.documents(s, dir))),
     "q_df_stopwords" -> ((s, dir) =>
       TextOps.dfStopwords(Tables.documents(s, dir))),
@@ -5558,6 +5564,59 @@ object SparkEntry {
         |FROM dau
         |JOIN mau ON mau.month = CAST(date_trunc('month', dau.day) AS DATE)
         |ORDER BY day""".stripMargin,
+    "q_attribution_ushape" ->
+      // per-touch credits: exact literals except the 0.2/(k−2) middle
+      // share (mirrored IEEE division), quant6'd into exact decimal
+      // sums per type
+      s"""WITH t AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS BIGINT) AS rn
+         |  FROM events),
+         |fp AS (SELECT user_id, MIN(rn) AS p_rn FROM t
+         |       WHERE event_type = 'purchase' GROUP BY 1),
+         |tc AS (SELECT t.user_id, t.event_type, t.rn
+         |       FROM t JOIN fp ON fp.user_id = t.user_id
+         |       WHERE t.rn < fp.p_rn),
+         |wk AS (SELECT user_id, event_type,
+         |              CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS k,
+         |              CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+         |                ORDER BY rn) AS BIGINT) AS r2
+         |       FROM tc),
+         |cr AS (SELECT event_type,
+         |              CASE WHEN k = 1 THEN CAST(1.0 AS DOUBLE)
+         |                   WHEN k = 2 THEN CAST(0.5 AS DOUBLE)
+         |                   WHEN r2 = 1 OR r2 = k THEN CAST(0.4 AS DOUBLE)
+         |                   ELSE 0.2 / CAST(k - 2 AS DOUBLE) END AS c
+         |       FROM wk)
+         |SELECT event_type AS touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+         |       CAST(SUM(${duckQ6("c")}) AS DOUBLE) AS credit
+         |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_contamination_spans" ->
+      // the duckSpanCov gram/md5-fold machinery with the dup gate
+      // swapped for the held-out gram set (doc_id % 97 split)
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 2)) AS pos, ws
+         |      FROM w WHERE len(ws) >= 3),
+         |gh AS (SELECT doc_id, pos,
+         |              list_reduce(list_transform(generate_series(1, 15),
+         |                  i -> CAST(strpos('0123456789abcdef', substr(
+         |                         md5(ws[pos] || ' ' || ws[pos + 1] || ' ' || ws[pos + 2]),
+         |                         i, 1)) - 1 AS BIGINT)),
+         |                (a, b) -> a * 16 + b) AS h
+         |       FROM g),
+         |ev AS (SELECT DISTINCT h FROM gh WHERE doc_id % 97 = 0),
+         |cov AS (SELECT DISTINCT doc_id, wpos FROM (
+         |          SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS wpos
+         |          FROM gh JOIN ev USING (h) WHERE doc_id % 97 <> 0)),
+         |i AS (SELECT doc_id, wpos,
+         |             wpos - ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                                       ORDER BY wpos) AS grp
+         |      FROM cov)
+         |SELECT doc_id, CAST(MIN(wpos) AS BIGINT) AS span_start,
+         |       CAST(MAX(wpos) AS BIGINT) AS span_end,
+         |       CAST(COUNT(*) AS BIGINT) AS span_words
+         |FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
     "q_js_divergence" ->
       // both-present terms quant6'd through ln (§4 libm rule); the
       // one-sided mass needs no join rows at all (exact count mass,

@@ -750,6 +750,43 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** NEW r14: U-shaped (position-based) attribution — 40% of a
+    * conversion's credit to the FIRST touch, 40% to the LAST, the
+    * middle 20% split evenly; single-touch paths get 1.0, two-touch
+    * paths 0.5/0.5 (the standard position-based model beside
+    * [[attribution]]'s last-touch). Path = all events strictly before
+    * the user's FIRST purchase (rows before the first purchase are
+    * non-purchase by construction). Per-touch credits are quant6'd
+    * (the 0.2/(k−2) middle share is the only true division — mirrored
+    * IEEE, then the shared FLOOR/CEIL quantization) and exact-decimal
+    * summed per touch type. Windows partition on the high-cardinality
+    * user_id; the final aggregate moves ≤|types| counter rows.
+    */
+  def attributionUShape(events: DataFrame): DataFrame = {
+    val uo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val t = events.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(uo).cast("long"))
+    val firstPurchase = t.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("p_rn"))
+    val touches = t.join(firstPurchase, "user_id")
+      .filter(col("rn") < col("p_rn"))
+    val k = count(lit(1)).over(Window.partitionBy("user_id"))
+    val withK = touches
+      .withColumn("k", k)
+      .withColumn("r2", row_number().over(uo).cast("long"))
+    val credit = when(col("k") === 1, lit(1.0))
+      .when(col("k") === 2, lit(0.5))
+      .when(col("r2") === 1 || col("r2") === col("k"), lit(0.4))
+      .otherwise(lit(0.2) / (col("k") - 2).cast("double"))
+    withK.select(col("event_type").as("touch_type"),
+        quant6(credit * 1000000.0).as("qc"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("qc")).cast("double").as("credit"))
+      .orderBy("touch_type")
+  }
+
   /** NEW r14: product stickiness — the daily DAU/MAU ratio (the
     * "how habitual is usage" headline metric next to [[activeUsers]]'
     * raw counts; 0.2 is the folk threshold for a daily-habit product).

@@ -549,6 +549,16 @@ object Dedup {
     * [[spanDedupImpact]] and [[spanDedupSentences]] (the r13 verdict's
     * "missing #1": the impact report re-ran the whole gram pipeline).
     * Same lifecycle/staleness posture as [[clusters]].
+    *
+    * Deliberately NO incremental append path (unlike
+    * [[clustersAppend]]): span flags are NON-MONOTONE under append —
+    * a new document can turn an old document's so-far-unique gram
+    * into a cross-doc duplicate, creating new removal spans inside
+    * docs the append never touched — so any faithful incremental
+    * update must re-visit old docs anyway (it would need the full
+    * per-doc gram-position table persisted, which is corpus-sized,
+    * unlike the k·N band table the cluster append rides). Rebuild at
+    * the corpus-version cadence is the correct posture here.
     */
   def spans(docs: DataFrame, n: Int = 3): DataFrame =
     artifact(docs, s"spans_$n") { p =>
@@ -584,9 +594,18 @@ object Dedup {
       .filter(col("mn") =!= col("mx"))
       .select(col("h"))
     val flagged = grams.join(dupGrams, "h")
-    // flagged gram positions fan out to their n covered words; the
-    // doc_id window dedups overlap (lag filter) and cuts islands in
-    // the SAME exchange+sort — no (doc_id, wpos) groupBy shuffle
+    islandSpans(flagged, n)
+  }
+
+  /** Shared islands step: flagged gram positions `(doc_id, pos)` fan
+    * out to their n covered words; the doc_id window dedups overlap
+    * (lag filter) and cuts islands in the SAME exchange+sort — no
+    * (doc_id, wpos) groupBy shuffle. doc_id is high-cardinality (no
+    * low-card window hazard). Used by [[spanDedupCompute]] and
+    * [[contaminationSpans]].
+    */
+  private def islandSpans(flagged: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wd = Window.partitionBy("doc_id").orderBy("wpos")
     flagged
       .select(col("doc_id"),
@@ -600,6 +619,32 @@ object Dedup {
         count(lit(1)).as("span_words"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("span_words"))
+  }
+
+  /** NEW r14: SPAN-LEVEL decontamination — the exact word positions
+    * inside TRAINING docs covered by a word n-gram that also appears
+    * in the HELD-OUT slice (the doc-level [[TextOps.contamination]]
+    * ratio says "this doc leaks"; this says WHICH words to cut, the
+    * surgical alternative to dropping the whole document). Same scale
+    * shape as [[spanDedupCompute]]: one tokenize (localCheckpointed —
+    * the eval gram set and the train flags are two consumers), gram
+    * hashes map-side, an h-keyed hash join against the DISTINCT eval
+    * gram set (AQE-skew-splittable — never a window), bounded n×
+    * fan-out, islands on high-cardinality doc_id.
+    */
+  def contaminationSpans(docs: DataFrame, isEval: Column, n: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), isEval.as("is_eval"),
+        split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("is_eval"),
+        posexplode(TextOps.gramsOf(col("ws"), n)).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), col("is_eval"),
+        (col("pos0") + 1).cast("long").as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+      .localCheckpoint()
+    val evalGrams = grams.filter(col("is_eval")).select(col("h")).distinct()
+    val flagged = grams.filter(!col("is_eval")).join(evalGrams, "h")
+    islandSpans(flagged, n).orderBy("doc_id", "span_start")
   }
 
   /** r13: span-dedup survivor report per source — total words, words

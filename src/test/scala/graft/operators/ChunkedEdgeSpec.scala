@@ -338,7 +338,9 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "activeUsers" -> EventAnalytics.activeUsers(ev),
       "entryExit" -> EventAnalytics.entryExit(ev),
       "markovStationary" -> EventAnalytics.markovStationary(ev),
-      "sessionCooccurrence" -> EventAnalytics.sessionCooccurrence(ev)
+      "sessionCooccurrence" -> EventAnalytics.sessionCooccurrence(ev),
+      "stickiness" -> EventAnalytics.stickiness(ev),
+      "attributionUShape" -> EventAnalytics.attributionUShape(ev)
     ).foreach { case (name, df) =>
       try df.collect()
       catch { case e: Throwable =>

@@ -157,6 +157,46 @@ class NewOpsR14Spec extends AnyFunSuite {
     assert(got(("b", "c")) === 0.34657359027997264 * 2.0)
   }
 
+  test("attributionUShape: closed-form 40/20/40 credit split") {
+    // user 1: view, click, view, purchase → k=3: 0.4 / 0.2 / 0.4
+    // user 2: click, purchase → k=1: 1.0
+    // user 3: view, click, purchase → k=2: 0.5 / 0.5
+    val ev = Seq(
+      (1L, "2026-03-01 10:00:00", 1L, "view"),
+      (2L, "2026-03-01 10:01:00", 1L, "click"),
+      (3L, "2026-03-01 10:02:00", 1L, "view"),
+      (4L, "2026-03-01 10:03:00", 1L, "purchase"),
+      (5L, "2026-03-01 11:00:00", 2L, "click"),
+      (6L, "2026-03-01 11:01:00", 2L, "purchase"),
+      (7L, "2026-03-01 12:00:00", 3L, "view"),
+      (8L, "2026-03-01 12:01:00", 3L, "click"),
+      (9L, "2026-03-01 12:02:00", 3L, "purchase")
+    ).toDF("event_id", "tss", "user_id", "event_type")
+      .select(col("event_id"), col("tss").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+    val got = EventAnalytics.attributionUShape(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // view: 0.4 + 0.4 + 0.5 = 1.3 over 3 touches;
+    // click: 0.2 + 1.0 + 0.5 = 1.7 over 3 touches
+    assert(got("view") === ((3L, 1.3)))
+    assert(got("click") === ((3L, 1.7)))
+  }
+
+  test("contaminationSpans: train spans covered by held-out grams") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta secret words here"), // held out (0 % 2)
+      (1L, "prefix1 alpha beta gamma delta tail1 tail2"), // train: leak
+      (3L, "nothing shared with the benchmark at all")    // train: clean
+    ).toDF("doc_id", "text").withColumn("source", lit("web"))
+    val got = graft.pipeline.Dedup.contaminationSpans(
+      docs, col("doc_id") % 2 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: grams at positions 2..3 (alpha beta gamma / beta gamma
+    // delta) cover words 2..5 — one merged span; doc 3 clean
+    assert(got.toSeq === Seq((1L, 2L, 5L, 4L)))
+  }
+
   test("stickiness: a single always-active user reads 1.0") {
     val ev = (1 to 5).map { d =>
       (d.toLong, f"2026-03-$d%02d 12:00:00", 7L, "view", 1.0, "{}")

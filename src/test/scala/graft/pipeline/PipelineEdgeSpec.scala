@@ -160,7 +160,10 @@ class PipelineEdgeSpec extends AnyFunSuite {
   test("r14 text ops survive empty/degenerate documents") {
     Seq(
       "jsDivergence" -> graft.pipeline.TextOps.jsDivergence(edgeDocs),
-      "heapsLaw" -> graft.pipeline.TextOps.heapsLaw(edgeDocs)
+      "heapsLaw" -> graft.pipeline.TextOps.heapsLaw(edgeDocs),
+      "urlCanonical" -> graft.pipeline.TextOps.urlCanonical(edgeDocs),
+      "contaminationSpans" -> Dedup.contaminationSpans(edgeDocs,
+        col("doc_id") % 2 === 0)
     ).foreach { case (name, df) =>
       try df.collect()
       catch { case e: Throwable =>

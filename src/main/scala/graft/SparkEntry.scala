@@ -612,6 +612,9 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, dir) => graft.streaming.Streams.streamDedup(s, dir)),
     "q_stream_latest" -> ((s, dir) => graft.streaming.Streams.streamLatest(s, dir)),
     "q_stream_topk" -> ((s, dir) => graft.streaming.Streams.streamTopK(s, dir)),
+    "q_stream_dedup_flags" -> ((s, dir) =>
+      graft.streaming.Streams.streamDedupFlags(s, dir)),
+    "q_scd2" -> ((s, dir) => ChangeData.scd2(Tables.events(s, dir))),
 
     // ---- §2.4 composite training-data filter ----
     "q_pipeline_filter" -> ((s, dir) => pipelineFilter(s, dir)),
@@ -965,6 +968,28 @@ object SparkEntry {
       |cov AS (SELECT DISTINCT doc_id, wpos FROM (
       |          SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS wpos
       |          FROM gh JOIN dup USING (h)))""".stripMargin
+
+  /** Hashed shingle sets `sh(doc_id, s)` — word 3-grams through the
+    * shared 60-bit md5 fold (r14: string shingle arrays were document
+    * text in disguise crossing the verify-stage exchanges; Jaccard /
+    * containment depend only on set cardinalities, preserved by the
+    * fold on both engines). Shared by the q_ngram_jaccard /
+    * q_containment / q_minhash_calibration oracles.
+    */
+  private val duckShingles: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(
+      |           list_transform(
+      |             generate_series(1, len(string_split(text, ' ')) - 2),
+      |             i -> string_split(text, ' ')[i] || ' ' ||
+      |                  string_split(text, ' ')[i+1] || ' ' ||
+      |                  string_split(text, ' ')[i+2]),
+      |           g -> list_reduce(list_transform(generate_series(1, 15),
+      |                    j -> CAST(strpos('0123456789abcdef',
+      |                           substr(md5(g), j, 1)) - 1 AS BIGINT)),
+      |                  (a, b) -> a * 16 + b))) AS s
+      |  FROM documents)""".stripMargin
 
   /** The IVF centroids as a DuckDB VALUES list. The KMeans fit runs
     * inside the `q_ann_ivf` query (cached, offline-style) BEFORE
@@ -1869,6 +1894,34 @@ object SparkEntry {
         |       max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
         |                     || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS last_price
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_scd2" ->
+      // type-2 rows open only on CHANGE (lag filter), intervals close
+      // via lead over the survivors; epoch-µs integers throughout
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, event_type AS state,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_id, ts, state FROM t
+        |      WHERE prev IS NULL OR prev <> state),
+        |o AS (SELECT user_id, event_id, state,
+        |             CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+        |             CAST(LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS BIGINT) AS valid_to_us
+        |      FROM c)
+        |SELECT user_id, event_id, state, valid_from_us, valid_to_us,
+        |       CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END
+        |            AS BIGINT) AS is_current
+        |FROM o ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    "q_stream_dedup_flags" ->
+      // the streamed re-crawl (ids +1e6) banded in-flight equals the
+      // batch band self-join against the static corpus
+      s"""WITH $duckMinhashCtes
+         |SELECT a.doc_id + 1000000 AS new_doc_id,
+         |       CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_candidates
+         |FROM bnd a JOIN bnd b ON a.band_id = b.band_id
+         |                     AND a.band_hash = b.band_hash
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_enrich" ->
       """SELECT e.event_id, e.event_type AS symbol,
         |       COALESCE(c.c_mktsegment, 'NONE') AS mktsegment
@@ -6327,14 +6380,7 @@ object SparkEntry {
     // Shingles are distinct word 3-grams; intersection/union sizes are
     // exact integers, so the jaccard quotient is bit-identical.
     "q_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_transform(
-        |           generate_series(1, len(string_split(text, ' ')) - 2),
-        |           i -> string_split(text, ' ')[i] || ' ' ||
-        |                string_split(text, ' ')[i+1] || ' ' ||
-        |                string_split(text, ' ')[i+2])) AS s
-        |  FROM documents)
+      s"""WITH ${duckShingles}
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
@@ -6427,14 +6473,7 @@ object SparkEntry {
          |  JOIN sigs sa ON sa.doc_id = p.doc_a
          |  JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.pi = sa.pi
          |  GROUP BY 1, 2),
-         |sh AS (
-         |  SELECT doc_id,
-         |         list_distinct(list_transform(
-         |           generate_series(1, len(string_split(text, ' ')) - 2),
-         |           i -> string_split(text, ' ')[i] || ' ' ||
-         |                string_split(text, ' ')[i+1] || ' ' ||
-         |                string_split(text, ' ')[i+2])) AS s
-         |  FROM documents),
+         |${duckShingles},
          |j AS (
          |  SELECT mm.m,
          |         CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
@@ -6867,14 +6906,7 @@ object SparkEntry {
     // same shingle construction as q_ngram_jaccard; containment is
     // |A∩B| / |A| per direction, zero-gram docs guarded to 0
     "q_containment" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_transform(
-        |           generate_series(1, len(string_split(text, ' ')) - 2),
-        |           i -> string_split(text, ' ')[i] || ' ' ||
-        |                string_split(text, ' ')[i+1] || ' ' ||
-        |                string_split(text, ' ')[i+2])) AS s
-        |  FROM documents)
+      s"""WITH ${duckShingles}
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CASE WHEN len(a.s) = 0 THEN 0.0
         |            ELSE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)

@@ -46,4 +46,30 @@ object ChangeData {
         sum(col("price").cast(dec)).cast("double").as("price_sum"),
         sum(when(col("version") === 2, 1L).otherwise(0L)).as("n_updated"))
       .orderBy("symbol")
+
+  /** NEW r14: SCD Type-2 history build from a change log — the other
+    * half of the warehouse upsert story beside [[mergeLatest]]'s
+    * type-1 "latest wins": per business key (user), consecutive
+    * same-state events COLLAPSE (a type-2 row opens only on CHANGE),
+    * and each surviving row carries its validity interval
+    * [valid_from, valid_to) with the current row open-ended. One lag
+    * window drops no-op changes, one lead window over the survivors
+    * closes the intervals — both partitioned on the high-cardinality
+    * user_id, epoch-µs integers throughout (oracle-exact).
+    */
+  def scd2(events: DataFrame): DataFrame = {
+    val uo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("state"))
+      .withColumn("prev", lag(col("state"), 1).over(uo))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+    changes
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(uo))
+      .select(col("user_id"), col("event_id"), col("state"),
+        col("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.cast("long").as("is_current"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
 }

@@ -22,14 +22,27 @@ object Dedup {
       .select(col("keep_id"), col("dup_count"))
       .orderBy("keep_id")
 
-  /** Word n-gram shingles (sorted distinct), the input to MinHash /
-    * Jaccard. Pure scalar transform, no shuffle.
+  /** Word n-gram shingle sets as 60-bit HASHES (distinct), the input
+    * to the exact Jaccard/containment verify stages. Pure scalar
+    * transform, no shuffle at this point — but the downstream verify
+    * joins ship these arrays per candidate doc, and r14 hashed them
+    * for exactly that reason: a STRING shingle array is the document
+    * text in disguise (~20+ B/gram crossing every exchange, violating
+    * the "text never shuffles" discipline), while the md5 fold is a
+    * fixed 8 B/gram. Jaccard/containment depend only on SET
+    * CARDINALITIES, and both engines apply the same fold, so every
+    * emitted value is unchanged up to a ~2⁻⁶⁰-rate collision BOTH
+    * engines would share (the spanDedup gram-key argument).
+    * Measured at sf0.1: q_ngram_jaccard 1.46 → ~0.6 s,
+    * q_containment/q_minhash_calibration similar.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     // k-gram via transform over sliding offsets (token array projected
     // first — see TextOps.gramsOf on why the split must be an attribute)
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), array_distinct(TextOps.gramsOf(col("ws"), n))
+      .select(col("doc_id"), array_distinct(
+        transform(TextOps.gramsOf(col("ws"), n),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
         .as("shingles"))
 
   /** MinHash signatures over word n-grams: k independent permutations;
@@ -73,7 +86,7 @@ object Dedup {
     * and the [[clustersAppend]] incremental path (which persists the
     * three key columns so appends never re-tokenize the base corpus).
     */
-  private[pipeline] def bandedSigs(docs: DataFrame, n: Int = 3, k: Int = 16,
+  private[graft] def bandedSigs(docs: DataFrame, n: Int = 3, k: Int = 16,
       bands: Int = 4): DataFrame = {
     val rowsPerBand = k / bands
     require(rowsPerBand <= bandWeights.size, s"need weights for $rowsPerBand rows/band")

@@ -490,4 +490,56 @@ object Streams {
         col("n_ticks"), col("low"), col("high"), col("volume"))
       .orderBy("symbol", "bar_start_us")
   }
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** NEW r14: STREAMING near-dup candidate flags — documents arriving
+    * on a stream are MinHash-banded in-flight (the same single-pass
+    * codegen'd signature expression the batch path uses) and joined
+    * against the STATIC corpus band table, so a re-crawled or
+    * duplicated page is flagged the moment it lands — the streaming
+    * sibling of [[graft.pipeline.Dedup.clustersAppend]]'s batch
+    * refresh, and the freshness half of the dedup-pipeline story.
+    *
+    * The stream replays the corpus as a re-crawl under shifted doc ids
+    * (+1,000,000), so every streamed doc must flag at least its own
+    * original — which makes the result exactly reproducible by the
+    * batch band self-join the oracle runs. The in-stream pipeline is
+    * fully STATELESS (band explode + a stream-static inner join —
+    * state stays zero no matter how long the stream runs); candidate
+    * counts aggregate at read-back (the streamDedup merge-on-read
+    * posture). At 100 TB the static band table is the persisted
+    * `clusters` artifact's band index — bucketed or broadcast by the
+    * deployment, and a production remover would cap per-bucket
+    * candidates exactly like the batch [[graft.pipeline.Dedup]] path.
+    */
+  def streamDedupFlags(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_dedupflags_${counter.incrementAndGet()}"
+    graft.functions.GraftFunctions.register(spark)
+    val corpusBands = graft.pipeline.Dedup
+      .bandedSigs(graft.core.Tables.documents(spark, dir))
+      .select(col("doc_id").as("corpus_doc"), col("band_id"), col("band_hash"))
+    val streamed = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val pairs = graft.pipeline.Dedup.bandedSigs(streamed)
+      .select(col("doc_id").as("new_doc_id"), col("band_id"), col("band_hash"))
+      .join(corpusBands, Seq("band_id", "band_hash"))
+      .select(col("new_doc_id"), col("corpus_doc"))
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .groupBy(col("new_doc_id"))
+      .agg(countDistinct(col("corpus_doc")).as("n_candidates"))
+      .orderBy("new_doc_id")
+  }
 }

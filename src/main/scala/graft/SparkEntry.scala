@@ -653,6 +653,9 @@ object SparkEntry {
     "q_alma" -> ((s, dir) => MarketOps.alma(ticks(s, dir))),
     "q_camarilla" -> ((s, dir) => MarketOps.camarilla(ticks(s, dir))),
     "q_mcginley" -> ((s, dir) => MarketOps.mcginley(ticks(s, dir), 20)),
+    "q_var_cvar" -> ((s, dir) => MarketOps.varCvar(ticks(s, dir), 20)),
+    "q_high_low_census" -> ((s, dir) =>
+      MarketOps.highLowCensus(ticks(s, dir), 20)),
     "q_fisher" -> ((s, dir) => MarketOps.fisher(ticks(s, dir), 10)),
     "q_heaps_law" -> ((s, dir) => TextOps.heapsLaw(Tables.documents(s, dir))),
     "q_url_canonical" -> ((s, dir) =>
@@ -8124,6 +8127,50 @@ object SparkEntry {
          |SELECT symbol, day, num / ${w(ws.sum)} / 100.0 AS alma9
          |FROM a WHERE oldest IS NOT NULL ORDER BY symbol, day""".stripMargin
     },
+    "q_var_cvar" ->
+      // exact order statistics over the quant6 return series: sorted
+      // bounded-window list, k-th element as VaR, explicit k-term
+      // decimal sum / literal k as CVaR — no percentile interpolation
+      s"""WITH cl AS (
+         |  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+         |         max_by(CAST(value AS DECIMAL(18,2)),
+         |                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+         |                || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS c
+         |  FROM events GROUP BY 1, 2),
+         |d AS (
+         |  SELECT symbol, day, c,
+         |         LAG(c) OVER (PARTITION BY symbol ORDER BY day) AS pc
+         |  FROM cl),
+         |r AS (
+         |  SELECT symbol, day,
+         |         ${duckQ6("CAST(c - pc AS DOUBLE) / CAST(pc AS DOUBLE)")} AS ret
+         |  FROM d WHERE pc IS NOT NULL AND pc <> 0),
+         |wl AS (
+         |  SELECT symbol, day,
+         |         list_sort(ARRAY_AGG(ret) OVER w) AS l,
+         |         COUNT(*) OVER w AS cnt
+         |  FROM r WINDOW w AS (PARTITION BY symbol ORDER BY day
+         |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, day, CAST(l[2] AS DOUBLE) AS var90,
+         |       CAST(l[1] + l[2] AS DOUBLE) / 2.0 AS cvar90
+         |FROM wl WHERE cnt = 20 ORDER BY symbol, day""".stripMargin,
+    "q_high_low_census" ->
+      // exact decimal compares over full bar windows, per-day counters
+      s"""WITH b AS (${duckDailyBars}),
+         |e AS (
+         |  SELECT symbol, day, c, MAX(c) OVER w AS hh, MIN(c) OVER w AS ll,
+         |         COUNT(*) OVER w AS cnt
+         |  FROM b WINDOW w AS (PARTITION BY symbol ORDER BY day
+         |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT day,
+         |       CAST(SUM(CASE WHEN c = hh THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS new_highs,
+         |       CAST(SUM(CASE WHEN c = ll THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS new_lows,
+         |       CAST(SUM(CASE WHEN c = hh THEN 1 ELSE 0 END)
+         |            - SUM(CASE WHEN c = ll THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS nh_nl
+         |FROM e WHERE cnt = 20 GROUP BY day ORDER BY day""".stripMargin,
     "q_mcginley" -> {
       // 0.6·n computed ONCE driver-side, mirrored via CAST string
       // (the q_alma double-literal lesson); quartic = two explicit

@@ -5542,6 +5542,59 @@ object MarketOps {
       .orderBy("symbol", "day")
   }
 
+  /** NEW r14: historical VaR / CVaR — the trailing-n 90% value-at-risk
+    * (the k-th worst daily return, k = n/10) and its expected
+    * shortfall (mean of the k worst), the banks-and-desks risk pair
+    * next to the volatility family. EXACT order statistics: the
+    * trailing returns are the shared quant6 decimals, each full
+    * window's k worst come from one sort_array over a BOUNDED n-bar
+    * frame (bar rows only — the documented bar-window posture), VaR
+    * emits the exact decimal as DOUBLE and CVaR divides the exact
+    * k-sum by the literal k. No percentile interpolation anywhere —
+    * both engines pick the same elements.
+    */
+  def varCvar(ticks: DataFrame, n: Int = 20): DataFrame = {
+    val k = n / 10
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    val sorted = sort_array(col("rets"))
+    // explicit k-term chain (k is tiny by construction) — exact
+    // decimal adds, mirrored term-for-term in the oracle
+    val worstSum = (1 to k).map(i => element_at(sorted, i)).reduce(_ + _)
+    dailyRet6(ticks)
+      .select(col("symbol"), col("day"), col("r").as("ret"))
+      .withColumn("rets", collect_list(col("ret")).over(w))
+      .filter(size(col("rets")) === n)
+      .select(col("symbol"), col("day"),
+        element_at(sorted, k).cast("double").as("var90"),
+        (worstSum.cast("double") / k.toDouble).as("cvar90"))
+      .orderBy("symbol", "day")
+  }
+
+  /** NEW r14: new-highs / new-lows census — per trading day across
+    * ALL symbols: how many closed at a fresh n-day high, how many at
+    * a fresh n-day low, and the net (the NH-NL breadth line beside
+    * [[breadth]]'s advance/decline counts). Exact decimal compares
+    * over full bar windows; per-day counter rows only (metadata scale
+    * at any corpus size).
+    */
+  def highLowCensus(ticks: DataFrame, n: Int = 20): DataFrame = {
+    val dayOrder = Window.partitionBy("symbol").orderBy("day")
+    val w = dayOrder.rowsBetween(-(n - 1), 0)
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"), col("close").cast(dec).as("c"))
+      .withColumn("hh", max(col("c")).over(w))
+      .withColumn("ll", min(col("c")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === n)
+      .groupBy(col("day"))
+      .agg(sum(when(col("c") === col("hh"), 1L).otherwise(0L)).as("new_highs"),
+        sum(when(col("c") === col("ll"), 1L).otherwise(0L)).as("new_lows"))
+      .select(col("day"), col("new_highs"), col("new_lows"),
+        (col("new_highs") - col("new_lows")).as("nh_nl"))
+      .orderBy("day")
+  }
+
   /** NEW r14: Camarilla pivot levels — the tighter intraday
     * reversal/breakout ladder beside the floor pivots (9e): levels at
     * prior close ± prior range·1.1/{2,4}. Exact decimal prior-day

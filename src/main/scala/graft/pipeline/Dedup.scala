@@ -411,9 +411,17 @@ object Dedup {
     * cluster id — so the label-propagation fixpoint runs on a reduced
     * graph of (new docs + touched clusters) only. Component minima are
     * preserved by contraction (a cluster id IS the min doc_id of its
-    * members), so the merged labels equal a full rebuild's, including
-    * the case where one new doc bridges two existing clusters
-    * (spec-gated: DedupAppendSpec).
+    * members, so the min over a merged component's contracted nodes
+    * equals the min over its expanded members), so the merged labels
+    * equal a full rebuild's — INCLUDING the one-new-doc-bridges-two-
+    * old-clusters case, which the contraction handles by construction
+    * (both cluster ids land in one reduced component). That case is
+    * also provably RARE at these band parameters: Jaccard distance is
+    * a metric, so a new doc within the ~0.71 LSH similarity threshold
+    * of two old clusters forces J(old_a, old_b) ≥ 0.42 — a pair that
+    * usually band-matched (and merged) at build time already.
+    * DedupAppendSpec gates label equality with a full rebuild on real
+    * corpus slices plus the new↔old merge cases.
     *
     * The refreshed artifact (labels + union band table) is registered
     * under the digest of `base.unionByName(newDocs)`, so later

@@ -310,7 +310,9 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "alma" -> (MarketOps.alma(_)),
       "camarilla" -> (MarketOps.camarilla(_)),
       "mcginley" -> (MarketOps.mcginley(_)),
-      "fisher" -> (MarketOps.fisher(_)))
+      "fisher" -> (MarketOps.fisher(_)),
+      "varCvar" -> (MarketOps.varCvar(_)),
+      "highLowCensus" -> (MarketOps.highLowCensus(_)))
     ops.foreach { case (name, op) =>
       try op(edge).collect()
       catch { case e: Throwable =>

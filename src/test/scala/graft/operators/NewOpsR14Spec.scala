@@ -109,6 +109,36 @@ class NewOpsR14Spec extends AnyFunSuite {
     }
   }
 
+  test("varCvar: exact order statistics on a hand-computable tape") {
+    // deterministic alternating returns: prices 50.00, 50.50, 50.00,…
+    // → returns +0.01, −0.009901 (quant6) alternating; over any full
+    // 20-window the two worst are both −0.009901
+    val alt = (1 to 30).map { d =>
+      (d.toLong, f"2026-01-$d%02d 10:00:00", if (d % 2 == 1) 50.0 else 50.5, 100L)
+    }.toDF("event_id", "tss", "price", "volume")
+      .select(col("event_id"), lit("TST").as("symbol"),
+        col("tss").cast("timestamp").as("ts"), col("price"), col("volume"))
+    val rows = MarketOps.varCvar(alt, 20).collect()
+    assert(rows.length === 10) // 29 returns → windows 20..29
+    rows.foreach { r =>
+      assert(r.getDouble(2) === -0.009901) // 2nd worst
+      assert(r.getDouble(3) === -0.009901) // mean of the two worst
+    }
+  }
+
+  test("highLowCensus: a rising tape is a daily new high, never a low") {
+    val rising = (1 to 30).map { d =>
+      (d.toLong, f"2026-01-$d%02d 10:00:00", 50.0 + d, 100L)
+    }.toDF("event_id", "tss", "price", "volume")
+      .select(col("event_id"), lit("TST").as("symbol"),
+        col("tss").cast("timestamp").as("ts"), col("price"), col("volume"))
+    val rows = MarketOps.highLowCensus(rising, 20).collect()
+    assert(rows.length === 11) // days 20..30
+    rows.foreach { r =>
+      assert(r.getLong(1) === 1L && r.getLong(2) === 0L && r.getLong(3) === 1L)
+    }
+  }
+
   test("mcginley: flat series stays pinned at the price") {
     val rows = MarketOps.mcginley(flat, 20).collect()
     assert(rows.length === 30)

@@ -309,7 +309,7 @@ object Bench {
     // brute-force ranking on RecallSpec's fixed 5-query panel, at the
     // bench SF — a recall regression now shows in BENCH diffs, not just
     // as a spec failure at sf0.001 (r9 verdict item).
-    val (ivfRecall, lshRecall, pqRecall) = {
+    val (ivfRecall, lshRecall, pqRecall, ivfPqRecall) = {
       val emb = graft.core.Tables.embeddings(spark, sfDir).cache()
       val qids = Seq(0L, 7L, 42L, 99L, 250L)
       def ids(df: DataFrame): Set[Long] =
@@ -327,8 +327,10 @@ object Bench {
         graft.pipeline.Similarity.lshTopK(emb, q, 10, 64, multiProbe = true))
       val pq = recallOf(q =>
         graft.pipeline.Similarity.pqTopK(emb, q, 10))
+      val ivfpq = recallOf(q =>
+        graft.pipeline.Similarity.ivfPqTopK(emb, q, 10))
       emb.unpersist()
-      (ivf, lsh, pq)
+      (ivf, lsh, pq, ivfpq)
     }
 
     deleteRec(warmDir); deleteRec(ingestDir); deleteRec(serveDir)
@@ -346,7 +348,8 @@ object Bench {
       f""""serve_p50_ingest_ms":$serveUnderIngestP50Ms%.3f,""" +
       f""""ivf_recall10":$ivfRecall%.2f,""" +
       f""""lsh_recall10":$lshRecall%.2f,""" +
-      f""""pq_recall10":$pqRecall%.2f"""
+      f""""pq_recall10":$pqRecall%.2f,""" +
+      f""""ivfpq_recall10":$ivfPqRecall%.2f"""
 
     // Per-query detail on its own line (does not start with {"metric" so
     // a `grep '^{"metric"'` still yields exactly one line), then a

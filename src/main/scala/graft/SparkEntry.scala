@@ -474,6 +474,15 @@ object SparkEntry {
       verifyPqDigest = Some(graft.pipeline.IvfIndex.corpusDigest(emb))
       Similarity.pqTopK(emb, 0L, 10)
     }),
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // the composed tier reads BOTH persisted models — record the
+      // digest for both oracle constant sets
+      val digest = graft.pipeline.IvfIndex.corpusDigest(emb)
+      verifyIvfDigest = Some(digest)
+      verifyPqDigest = Some(digest)
+      Similarity.ivfPqTopK(emb, 0L, 10)
+    }),
     "q_anomaly_days" -> ((s, dir) =>
       EventAnalytics.anomalyDays(Tables.events(s, dir))),
     "q_audience_overlap" -> ((s, dir) =>
@@ -7184,6 +7193,81 @@ object SparkEntry {
          |short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT $short)
          |SELECT s.vec_id, ${duckCosine("v.ve", "q.qv")} AS cos_sim
          |FROM short s JOIN vecs v USING (vec_id) CROSS JOIN q
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    },
+    "q_ann_ivfpq" -> {
+      // the composed FAISS-style tier: the q_ann_ivf normalized
+      // assignment/probe CTEs bound the candidate set, the q_ann_pq
+      // code-derivation/ADC machinery ranks it, shortlist 200 → exact
+      // cosine re-rank — both persisted model constant sets inlined
+      val m = 8; val sub = 8; val short = 400
+      val cbs = verifyPqCodebooks
+      def cbSql(j: Int): String = cbs match {
+        case Some(c) => c(j).map { case (cell, cent) =>
+          s"($cell, [${cent.mkString(", ")}])" }.mkString(", ")
+        case None => "(0, [0.0])"
+      }
+      def jcte(j: Int): String = {
+        val lo = j * sub + 1
+        s"""sv$j AS (SELECT vec_id,
+           |  list_transform(generate_series($lo, ${lo + sub - 1}), i -> ve[i]) AS sv
+           |  FROM vecs),
+           |c$j(cell, c) AS (VALUES ${cbSql(j)}),
+           |e$j AS (
+           |  SELECT vec_id, cell AS code FROM (
+           |    SELECT v.vec_id, ct.cell,
+           |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           |             ROUND(list_sum(list_transform(generate_series(1, $sub),
+           |               i -> (v.sv[i] - ct.c[i]) * (v.sv[i] - ct.c[i]))), 6),
+           |             ct.cell) AS rn
+           |    FROM sv$j v CROSS JOIN c$j ct) WHERE rn = 1),
+           |t$j AS (
+           |  SELECT ct.cell,
+           |         CAST(${duckQ6(s"list_sum(list_transform(generate_series(1, $sub), " +
+                      s"i -> (ct.c[i] - q.qv[${lo - 1} + i]) * (ct.c[i] - q.qv[${lo - 1} + i])))")}
+           |           AS DOUBLE) AS t
+           |  FROM c$j ct CROSS JOIN q)""".stripMargin
+      }
+      val joins = (0 until m).map(j =>
+        s"JOIN e$j ON e$j.vec_id = v.vec_id JOIN t$j ON t$j.cell = e$j.code")
+        .mkString("\n  ")
+      val distSum = (0 until m).map(j => s"t$j.t").mkString(" + ")
+      s"""WITH cents(cell, c) AS (VALUES ${ivfCentroidsSql}),
+         |vecs AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |  FROM embeddings),
+         |q AS (SELECT ve AS qv FROM vecs WHERE vec_id = 0),
+         |nrms AS (SELECT vec_id, ve,
+         |                sqrt(list_sum(list_transform(ve, x -> x * x))) AS nm
+         |         FROM vecs),
+         |nv AS (SELECT vec_id, ve,
+         |              CASE WHEN nm > 0 THEN list_transform(ve, x -> x / nm)
+         |                   ELSE list_transform(ve, x -> 0.0) END AS vn
+         |       FROM nrms),
+         |dist AS (
+         |  SELECT v.vec_id, ct.cell,
+         |         ROUND(list_sum(list_transform(generate_series(1, ${ivfDim}),
+         |           i -> (v.vn[i] - ct.c[i]) * (v.vn[i] - ct.c[i]))), 6) AS d
+         |  FROM nv v CROSS JOIN cents ct),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |probes AS (SELECT cell FROM dist WHERE vec_id = 0
+         |           ORDER BY d, cell LIMIT ${graft.pipeline.Similarity.IvfPqNprobe}),
+         |cand0 AS (
+         |  SELECT a.vec_id FROM assign a JOIN probes p ON a.cell = p.cell
+         |  WHERE a.vec_id <> 0),
+         |${(0 until m).map(jcte).mkString(",\n")},
+         |adc AS (
+         |  SELECT v.vec_id, $distSum AS adc
+         |  FROM vecs v
+         |  JOIN cand0 ON cand0.vec_id = v.vec_id
+         |  $joins),
+         |sl AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT $short)
+         |SELECT s.vec_id, ${duckCosine("v.ve", "q.qv")} AS cos_sim
+         |FROM sl s JOIN vecs v USING (vec_id) CROSS JOIN q
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     },
     "q_anomaly_days" ->

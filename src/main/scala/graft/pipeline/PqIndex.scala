@@ -59,7 +59,16 @@ class PqIndex private (
   /** Top-k cosine neighbors of `queryId`: ADC shortlist over stored
     * codes, exact re-rank on `shortlist` rows.
     */
-  def topK(queryId: Long, k: Int, shortlist: Int): DataFrame = {
+  def topK(queryId: Long, k: Int, shortlist: Int): DataFrame =
+    adcRerank(codes().filter(col("vec_id") =!= queryId), queryId, k, shortlist)
+
+  /** The ADC-shortlist + exact-rerank tail over an arbitrary candidate
+    * slice of the stored codes table — shared by [[topK]] (whole
+    * corpus) and the r14 IVF+PQ composition
+    * ([[Similarity.ivfPqTopK]]: candidates = the probed IVF cells).
+    */
+  private[pipeline] def adcRerank(candCodes: DataFrame, queryId: Long,
+      k: Int, shortlist: Int): DataFrame = {
     // point lookup of the query vector (pushed-down scan on vec_id)
     val qvecF = emb.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -80,7 +89,7 @@ class PqIndex private (
     val adc = (0 until m).map { j =>
       element_at(typedLit(tables(j)), element_at(col("codes"), j + 1))
     }.reduce(_ + _)
-    codes().filter(col("vec_id") =!= queryId)
+    candCodes
       .select(col("vec_id"), col("embedding"), adc.as("adc"))
       .orderBy(col("adc"), col("vec_id"))
       .limit(shortlist)

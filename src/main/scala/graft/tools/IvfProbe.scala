@@ -23,6 +23,11 @@ object IvfProbe {
       val rs = qids.map(q => ids(graft.pipeline.Similarity.ivfTopK(emb, q, 10, nprobe = np)).intersect(truths(q)).size / 10.0)
       println(f"ivf nprobe=$np recall@10=${rs.sum / rs.size}%.2f")
     }
+    for (np <- Seq(4, 8); sl <- Seq(200, 400)) {
+      val rs = qids.map(q => ids(graft.pipeline.Similarity.ivfPqTopK(
+        emb, q, 10, nprobe = np, shortlist = sl)).intersect(truths(q)).size / 10.0)
+      println(f"ivfpq nprobe=$np shortlist=$sl recall@10=${rs.sum / rs.size}%.2f")
+    }
     spark.stop()
   }
 }

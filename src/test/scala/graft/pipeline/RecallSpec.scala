@@ -102,6 +102,20 @@ class RecallSpec extends AnyFunSuite {
     assert(anchored.count() === emb.count())
   }
 
+  test("composed IVF+PQ holds its floor and factorizes as coverage × shortlist") {
+    // r14: the composed tier's recall must sit in the band its two
+    // factors predict — at full shortlist it degenerates to exact IVF
+    // (every probed candidate exactly re-ranked)
+    val n = emb.count().toInt
+    val full = recallOf(q => Similarity.ivfPqTopK(emb, q, K, shortlist = n))
+    val ivf = recallOf(q => Similarity.ivfTopK(emb, q, K, nprobe = 8))
+    assert(full === ivf, s"full-shortlist IVFPQ $full != exact IVF $ivf")
+    // default shortlist floor (measured 0.94 on this panel)
+    val dflt = recallOf(q => Similarity.ivfPqTopK(emb, q, K))
+    assert(dflt >= 0.9, s"IVFPQ recall@10 $dflt below floor 0.9")
+    assert(dflt <= full, "shortlist truncation cannot add recall")
+  }
+
   test("IVF recall grows monotonically with nprobe and holds its floors") {
     val byProbe = Seq(4, 6, 8)
       .map(np => np -> recallOf(q => Similarity.ivfTopK(emb, q, K, nprobe = np)))

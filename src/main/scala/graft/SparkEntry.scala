@@ -454,6 +454,10 @@ object SparkEntry {
     "q_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(Tables.documents(s, dir))),
     "q_js_divergence" -> ((s, dir) =>
       TextOps.jsDivergence(Tables.documents(s, dir))),
+    "q_source_kl" -> ((s, dir) =>
+      TextOps.sourceKl(Tables.documents(s, dir))),
+    "q_lifespan_hist" -> ((s, dir) =>
+      EventAnalytics.lifespanHist(Tables.events(s, dir))),
     "q_intrinsic_dim" -> ((s, dir) =>
       Similarity.intrinsicDim(Tables.embeddings(s, dir))),
     "q_stickiness" -> ((s, dir) =>
@@ -5682,6 +5686,38 @@ object SparkEntry {
          |       CAST(MAX(wpos) AS BIGINT) AS span_end,
          |       CAST(COUNT(*) AS BIGINT) AS span_words
          |FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    "q_source_kl" ->
+      // q > 0 by construction (every source word is a corpus word) —
+      // no guards; terms quant6'd through ln, exact decimal sums
+      s"""WITH wc AS (
+         |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS w
+         |    FROM documents) GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+         |        FROM wc GROUP BY 1),
+         |corpus AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cc
+         |           FROM wc GROUP BY 1),
+         |grand AS (SELECT CAST(SUM(cc) AS BIGINT) AS nn FROM corpus),
+         |terms AS (
+         |  SELECT wc.source,
+         |         ${duckQ6("(CAST(wc.c AS DOUBLE) / CAST(t.n AS DOUBLE)) " +
+              "* ln((CAST(wc.c AS DOUBLE) / CAST(t.n AS DOUBLE)) " +
+              "/ (CAST(co.cc AS DOUBLE) / CAST(g.nn AS DOUBLE)))")} AS t
+         |  FROM wc
+         |  JOIN tot t ON t.source = wc.source
+         |  JOIN corpus co ON co.w = wc.w
+         |  CROSS JOIN grand g)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(t) AS DOUBLE) AS kl_nats
+         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_lifespan_hist" ->
+      """WITH u AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day,
+        |         MAX(CAST(ts AS DATE)) AS last_day
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(last_day - first_day AS BIGINT) AS lifespan_days,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_js_divergence" ->
       // both-present terms quant6'd through ln (§4 libm rule); the
       // one-sided mass needs no join rows at all (exact count mass,

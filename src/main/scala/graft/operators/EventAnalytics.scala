@@ -787,6 +787,24 @@ object EventAnalytics {
       .orderBy("touch_type")
   }
 
+  /** NEW r14: user-lifespan census — the distribution of
+    * (last active day − first active day) per user, the
+    * engagement-longevity histogram beside [[rfm]]'s recency (a
+    * product where most lifespans are 0 days is acquisition-driven;
+    * lengthening lifespans mean retention compounding). One
+    * (user → min/max day) aggregate on the high-cardinality key,
+    * then a bounded day-count histogram — all integers.
+    */
+  def lifespanHist(events: DataFrame): DataFrame =
+    events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .select(datediff(col("last_day"), col("first_day")).cast("long")
+        .as("lifespan_days"))
+      .groupBy(col("lifespan_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("lifespan_days")
+
   /** NEW r14: product stickiness — the daily DAU/MAU ratio (the
     * "how habitual is usage" headline metric next to [[activeUsers]]'
     * raw counts; 0.2 is the folk threshold for a daily-habit product).

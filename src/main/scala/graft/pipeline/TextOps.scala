@@ -1230,6 +1230,36 @@ object TextOps {
       .limit(k)
   }
 
+  /** NEW r14: per-source KL skew vs the corpus — KL(p_source ‖
+    * p_corpus) over unigram distributions, the single-number "how far
+    * does this slice sit from the mixture" gauge beside the pairwise
+    * [[jsDivergence]] matrix (re-weighting moves corpus mass TOWARD
+    * high-KL sources or drops them). No missing-mass terms by
+    * construction: every source word appears in the corpus, so
+    * q > 0 always — no guards, no one-sided correction. Terms
+    * quant6'd through ln (§4), exact decimal sums, counts-only
+    * shuffles; the per-word corpus total joins on the
+    * high-cardinality word key.
+    */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val wc = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val tot = wc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val corpus = wc.groupBy(col("w")).agg(sum(col("c")).as("cc"))
+    val grand = corpus.agg(sum(col("cc")).as("nn"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    val q = col("cc").cast("double") / col("nn").cast("double")
+    wc.join(tot, "source")
+      .join(corpus, "w")
+      .crossJoin(broadcast(grand))
+      .select(col("source"),
+        quant6(p * log(p / q) * 1000000.0).as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("t")).cast("double").as("kl_nats"))
+      .orderBy("source")
+  }
+
   /** NEW r14: Heaps'-law fit across sources — vocabulary growth
     * V = K·N^β estimated from each source's (total tokens, distinct
     * types) point: the corpus-scaling diagnostic that predicts how

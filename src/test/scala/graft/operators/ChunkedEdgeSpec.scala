@@ -342,7 +342,8 @@ class ChunkedEdgeSpec extends AnyFunSuite {
       "markovStationary" -> EventAnalytics.markovStationary(ev),
       "sessionCooccurrence" -> EventAnalytics.sessionCooccurrence(ev),
       "stickiness" -> EventAnalytics.stickiness(ev),
-      "attributionUShape" -> EventAnalytics.attributionUShape(ev)
+      "attributionUShape" -> EventAnalytics.attributionUShape(ev),
+      "lifespanHist" -> EventAnalytics.lifespanHist(ev)
     ).foreach { case (name, df) =>
       try df.collect()
       catch { case e: Throwable =>

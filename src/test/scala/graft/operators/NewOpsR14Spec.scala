@@ -227,6 +227,33 @@ class NewOpsR14Spec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 2L, 5L, 4L)))
   }
 
+  test("sourceKl: a source matching the corpus distribution reads 0") {
+    import spark.implicits._
+    // two sources with IDENTICAL text → each p equals the corpus q
+    // word-for-word → every KL term is exactly ln(1) = 0
+    val d = Seq((1L, "alpha beta beta gamma", "a"),
+      (2L, "alpha beta beta gamma", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.pipeline.TextOps.sourceKl(d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("a") === 0.0 && got("b") === 0.0)
+  }
+
+  test("lifespanHist: single-day users bucket at 0, multi-day at the gap") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2026-03-01 10:00:00", 1L), (2L, "2026-03-08 10:00:00", 1L),
+      (3L, "2026-03-02 10:00:00", 2L),
+      (4L, "2026-03-03 09:00:00", 3L), (5L, "2026-03-03 23:00:00", 3L))
+      .toDF("event_id", "tss", "user_id")
+      .select(col("event_id"), col("tss").cast("timestamp").as("ts"),
+        col("user_id"), lit("view").as("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+    val got = EventAnalytics.lifespanHist(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 2L, 7L -> 1L))
+  }
+
   test("stickiness: a single always-active user reads 1.0") {
     val ev = (1 to 5).map { d =>
       (d.toLong, f"2026-03-$d%02d 12:00:00", 7L, "view", 1.0, "{}")

@@ -162,6 +162,7 @@ class PipelineEdgeSpec extends AnyFunSuite {
       "jsDivergence" -> graft.pipeline.TextOps.jsDivergence(edgeDocs),
       "heapsLaw" -> graft.pipeline.TextOps.heapsLaw(edgeDocs),
       "urlCanonical" -> graft.pipeline.TextOps.urlCanonical(edgeDocs),
+      "sourceKl" -> graft.pipeline.TextOps.sourceKl(edgeDocs),
       "contaminationSpans" -> Dedup.contaminationSpans(edgeDocs,
         col("doc_id") % 2 === 0)
     ).foreach { case (name, df) =>

@@ -182,8 +182,16 @@ object Cli {
       windowDays: Int =
         sys.env.get("GRAFT_SERVE_WINDOW_DAYS").map(_.toInt).getOrElse(365),
       maxSymbols: Int =
-        sys.env.get("GRAFT_SERVE_MAX_SYMBOLS").map(_.toInt).getOrElse(64)): Unit = {
+        sys.env.get("GRAFT_SERVE_MAX_SYMBOLS").map(_.toInt).getOrElse(64),
+      embDir: Option[String] = sys.env.get("GRAFT_EMB_DIR")): Unit = {
     val store = new TickStore(spark, dataDir)
+    // r15: warm ANN serving (`ann <vec_id> <k>`) — lazily initialized
+    // so tick-only sessions never touch the embeddings table; the
+    // first ann query pays the (digest-cached) IVFPQ artifact load +
+    // probed-cell warm, later ones are driver-side lookups
+    lazy val annServe: Option[graft.pipeline.AnnServe] =
+      embDir.map(d => graft.pipeline.AnnServe.forTable(
+        graft.core.Tables.embeddings(spark, d)))
     val cache = new java.util.LinkedHashMap[String, SymCache](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, SymCache]): Boolean =
@@ -313,8 +321,20 @@ object Cli {
             cache.remove(a(1)) // read-through refresh on next touch
             out.println(s"Inserted tick for ${a(1)}")
             out.println(f"(${(System.nanoTime() - t0) / 1e6}%.2f ms)")
+          case "ann" if a.length == 3 =>
+            annServe match {
+              case Some(srv) =>
+                val res = srv.topKById(a(1).toLong, a(2).toInt)
+                out.println(s"Top ${res.length} neighbors for vec ${a(1)}:")
+                res.foreach { case (id, cs) =>
+                  out.println(f"Vec: $id Cosine: $cs%.4f")
+                }
+              case None =>
+                out.println("ann: no embeddings dir (set GRAFT_EMB_DIR)")
+            }
+            out.println(f"(${(System.nanoTime() - t0) / 1e6}%.2f ms)")
           case _ =>
-            out.println("commands: query|last|count|insert|exit")
+            out.println("commands: query|last|count|insert|ann|exit")
         } catch {
           case e: Exception => out.println(s"error: ${e.getMessage}")
         }

@@ -407,6 +407,17 @@ object SparkEntry {
     // (Dedup.clusters), not once per report
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Tables.documents(s, dir)).orderBy("doc_id")),
+    // r15 (the r14 verdict's item 7): the INCREMENTAL refresh, oracled
+    // — a 4% modular append runs through clustersAppend (persisted
+    // band table + label contraction, never the full fixpoint for the
+    // union), and the oracle re-derives the from-scratch union
+    // fixpoint the append provably equals (DedupAppendSpec)
+    "q_dedup_append" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clustersAppend(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0)).orderBy("doc_id")
+    }),
     "q_dup_cluster_sizes" -> ((s, dir) =>
       Dedup.clusterSizes(Tables.documents(s, dir))),
     // r13: span-level dedup (post-doc-dedup exact-substring stage)
@@ -480,11 +491,9 @@ object SparkEntry {
     }),
     "q_ann_ivfpq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      // the composed tier reads BOTH persisted models — record the
-      // digest for both oracle constant sets
-      val digest = graft.pipeline.IvfIndex.corpusDigest(emb)
-      verifyIvfDigest = Some(digest)
-      verifyPqDigest = Some(digest)
+      // r15: the residual IVFPQ tier carries its OWN constant set
+      // (coarse centroids + residual codebooks, digest-keyed)
+      verifyIvfPqDigest = Some(graft.pipeline.IvfIndex.corpusDigest(emb))
       Similarity.ivfPqTopK(emb, 0L, 10)
     }),
     "q_anomaly_days" -> ((s, dir) =>
@@ -650,6 +659,16 @@ object SparkEntry {
     "q_stoch_rsi" -> ((s, dir) => MarketOps.stochRsi(ticks(s, dir), 14)),
     "q_bpe_merges" -> ((s, dir) =>
       TextOps.bpeMerges(Tables.documents(s, dir), 20)),
+    "q_bpe_vocab" -> ((s, dir) =>
+      TextOps.bpeVocab(Tables.documents(s, dir))),
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir))),
+    "q_dedup_survivors" -> ((s, dir) =>
+      Dedup.qualitySurvivors(Tables.documents(s, dir))),
+    "q_doc_nll" -> ((s, dir) =>
+      TextOps.docBigramNll(Tables.documents(s, dir))),
+    "q_bounce_rate" -> ((s, dir) =>
+      EventAnalytics.bounceRate(Tables.events(s, dir))),
     "q_squeeze" -> ((s, dir) => MarketOps.squeeze(ticks(s, dir), 20)),
     "q_pca_top" -> ((s, dir) => Similarity.pcaTop(Tables.embeddings(s, dir))),
     "q_growth_accounting" -> ((s, dir) =>
@@ -657,6 +676,7 @@ object SparkEntry {
     "q_elder_impulse" -> ((s, dir) => MarketOps.elderImpulse(ticks(s, dir))),
     "q_rs_rating" -> ((s, dir) => MarketOps.rsRating(ticks(s, dir), 20)),
     "q_dema_tema" -> ((s, dir) => MarketOps.demaTema(ticks(s, dir), 10)),
+    "q_stc" -> ((s, dir) => MarketOps.stc(ticks(s, dir))),
     "q_qstick" -> ((s, dir) => MarketOps.qstick(ticks(s, dir), 8)),
     "q_cog" -> ((s, dir) => MarketOps.cog(ticks(s, dir), 10)),
     "q_envelope" -> ((s, dir) => MarketOps.envelope(ticks(s, dir), 20)),
@@ -1023,6 +1043,14 @@ object SparkEntry {
     */
   @volatile private var verifyIvfDigest: Option[String] = None
   @volatile private var verifyPqDigest: Option[String] = None
+  @volatile private var verifyIvfPqDigest: Option[String] = None
+
+  /** (coarse centroids, residual codebooks, nlist) of the r15 IVFPQ
+    * tier for the corpus the verify run actually queried.
+    */
+  private def verifyIvfPqConstants
+      : Option[(Array[Array[Double]], IndexedSeq[Seq[(Int, Array[Double])]], Int)] =
+    verifyIvfPqDigest.flatMap(graft.pipeline.IvfPqIndex.constantsFor)
 
   private def verifyIvfCentroids: Option[Array[Array[Double]]] =
     verifyIvfDigest.flatMap(graft.pipeline.IvfIndex.centroidsFor)
@@ -6557,6 +6585,23 @@ object SparkEntry {
          |       CAST(CASE WHEN MIN(lab) = doc THEN 1 ELSE 0 END AS BIGINT)
          |         AS is_survivor
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "q_dedup_append" ->
+      // the incremental refresh equals the from-scratch union fixpoint
+      // (the contraction argument on Dedup.clustersAppend, gated by
+      // DedupAppendSpec), and the union here IS the whole documents
+      // table — so the oracle is exactly the q_dedup_clusters
+      // derivation, independently recomputed
+      s"""WITH RECURSIVE $duckMinhashCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |          UNION SELECT doc_b, doc_a FROM prs),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst)
+         |SELECT doc AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id,
+         |       CAST(CASE WHEN MIN(lab) = doc THEN 1 ELSE 0 END AS BIGINT)
+         |         AS is_survivor
+         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
     "q_dup_cluster_sizes" ->
       // counter composition over the same label-propagation fixpoint
       s"""WITH RECURSIVE $duckMinhashCtes,
@@ -7232,43 +7277,63 @@ object SparkEntry {
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     },
     "q_ann_ivfpq" -> {
-      // the composed FAISS-style tier: the q_ann_ivf normalized
-      // assignment/probe CTEs bound the candidate set, the q_ann_pq
-      // code-derivation/ADC machinery ranks it, shortlist 200 → exact
-      // cosine re-rank — both persisted model constant sets inlined
-      val m = 8; val sub = 8; val short = 400
-      val cbs = verifyPqCodebooks
-      def cbSql(j: Int): String = cbs match {
-        case Some(c) => c(j).map { case (cell, cent) =>
-          s"($cell, [${cent.mkString(", ")}])" }.mkString(", ")
+      // r15, the TRUE IVFPQ layout: normalized rounded-argmin cell
+      // assignment (the q_ann_ivf CTEs) bounds candidates to the
+      // probed cells; PQ codes are re-derived over the PER-CELL
+      // RESIDUALS vn − centroid(cell) against the dumped residual
+      // codebooks; ADC tables are per (probed cell, sub-space, code)
+      // using the per-cell query residual qn − centroid(cell);
+      // shortlist 400 → exact cosine re-rank. Every arithmetic step is
+      // a shared IEEE sequence already proven by q_ann_ivf/q_ann_pq.
+      val m = 8
+      val consts = verifyIvfPqConstants
+      val dim = consts.map(_._1.head.length).getOrElse(64)
+      val sub = dim / m
+      val short = graft.pipeline.Similarity.IvfPqShortlist
+      val nprobe = consts.map(c =>
+        graft.pipeline.IvfPqIndex.defaultNprobe(c._3)).getOrElse(8)
+      val centsSql = consts match {
+        case Some((cs, _, _)) => cs.zipWithIndex
+          .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
+          .mkString(", ")
+        // dump ran without the query having run — valid SQL that will
+        // loudly mismatch instead of crashing the dump
+        case None => "(0, [0.0])"
+      }
+      def cbSql(j: Int): String = consts match {
+        case Some((_, cbks, _)) => cbks(j).map { case (code, cent) =>
+          s"($code, [${cent.mkString(", ")}])" }.mkString(", ")
         case None => "(0, [0.0])"
       }
       def jcte(j: Int): String = {
         val lo = j * sub + 1
         s"""sv$j AS (SELECT vec_id,
-           |  list_transform(generate_series($lo, ${lo + sub - 1}), i -> ve[i]) AS sv
-           |  FROM vecs),
-           |c$j(cell, c) AS (VALUES ${cbSql(j)}),
+           |  list_transform(generate_series($lo, ${lo + sub - 1}), i -> rv[i]) AS sv
+           |  FROM rv),
+           |c$j(code, c) AS (VALUES ${cbSql(j)}),
            |e$j AS (
-           |  SELECT vec_id, cell AS code FROM (
-           |    SELECT v.vec_id, ct.cell,
+           |  SELECT vec_id, code FROM (
+           |    SELECT v.vec_id, ct.code,
            |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
            |             ROUND(list_sum(list_transform(generate_series(1, $sub),
            |               i -> (v.sv[i] - ct.c[i]) * (v.sv[i] - ct.c[i]))), 6),
-           |             ct.cell) AS rn
+           |             ct.code) AS rn
            |    FROM sv$j v CROSS JOIN c$j ct) WHERE rn = 1),
            |t$j AS (
-           |  SELECT ct.cell,
+           |  SELECT p.cell, ct.code,
            |         CAST(${duckQ6(s"list_sum(list_transform(generate_series(1, $sub), " +
-                      s"i -> (ct.c[i] - q.qv[${lo - 1} + i]) * (ct.c[i] - q.qv[${lo - 1} + i])))")}
+                      s"i -> (ct.c[i] - (qn.vn[${lo - 1} + i] - cc.c[${lo - 1} + i])) " +
+                      s"* (ct.c[i] - (qn.vn[${lo - 1} + i] - cc.c[${lo - 1} + i]))))")}
            |           AS DOUBLE) AS t
-           |  FROM c$j ct CROSS JOIN q)""".stripMargin
+           |  FROM c$j ct CROSS JOIN probes p
+           |  JOIN cents cc ON cc.cell = p.cell CROSS JOIN qn)""".stripMargin
       }
       val joins = (0 until m).map(j =>
-        s"JOIN e$j ON e$j.vec_id = v.vec_id JOIN t$j ON t$j.cell = e$j.code")
+        s"JOIN e$j ON e$j.vec_id = cand.vec_id " +
+          s"JOIN t$j ON t$j.cell = cand.cell AND t$j.code = e$j.code")
         .mkString("\n  ")
       val distSum = (0 until m).map(j => s"t$j.t").mkString(" + ")
-      s"""WITH cents(cell, c) AS (VALUES ${ivfCentroidsSql}),
+      s"""WITH cents(cell, c) AS (VALUES $centsSql),
          |vecs AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
          |  FROM embeddings),
@@ -7282,7 +7347,7 @@ object SparkEntry {
          |       FROM nrms),
          |dist AS (
          |  SELECT v.vec_id, ct.cell,
-         |         ROUND(list_sum(list_transform(generate_series(1, ${ivfDim}),
+         |         ROUND(list_sum(list_transform(generate_series(1, $dim),
          |           i -> (v.vn[i] - ct.c[i]) * (v.vn[i] - ct.c[i]))), 6) AS d
          |  FROM nv v CROSS JOIN cents ct),
          |assign AS (
@@ -7291,15 +7356,21 @@ object SparkEntry {
          |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
          |    FROM dist) WHERE rn = 1),
          |probes AS (SELECT cell FROM dist WHERE vec_id = 0
-         |           ORDER BY d, cell LIMIT ${graft.pipeline.Similarity.IvfPqNprobe}),
-         |cand0 AS (
-         |  SELECT a.vec_id FROM assign a JOIN probes p ON a.cell = p.cell
+         |           ORDER BY d, cell LIMIT $nprobe),
+         |qn AS (SELECT vn FROM nv WHERE vec_id = 0),
+         |rv AS (
+         |  SELECT a.vec_id, a.cell,
+         |         list_transform(generate_series(1, $dim),
+         |           i -> v.vn[i] - ct.c[i]) AS rv
+         |  FROM assign a JOIN nv v USING (vec_id)
+         |  JOIN cents ct ON ct.cell = a.cell),
+         |cand AS (
+         |  SELECT a.vec_id, a.cell FROM assign a JOIN probes p ON a.cell = p.cell
          |  WHERE a.vec_id <> 0),
          |${(0 until m).map(jcte).mkString(",\n")},
          |adc AS (
-         |  SELECT v.vec_id, $distSum AS adc
-         |  FROM vecs v
-         |  JOIN cand0 ON cand0.vec_id = v.vec_id
+         |  SELECT cand.vec_id, $distSum AS adc
+         |  FROM cand
          |  $joins),
          |sl AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT $short)
          |SELECT s.vec_id, ${duckCosine("v.ve", "q.qv")} AS cos_sim
@@ -8516,6 +8587,59 @@ object SparkEntry {
          |       3.0 * e1 - 3.0 * e2 + e3 AS tema
          |FROM r ORDER BY symbol, day""".stripMargin
     },
+    "q_stc" -> {
+      // r15 Schaff Trend Cycle: the elder mirrored-double MACD
+      // recursion, then two (trailing-10 stochastic → 0.5-smoother)
+      // stages — windows over recursion outputs interleave as plain
+      // CTEs between the three recursions; anchors are the k values
+      // themselves (DOUBLE by the CASE — the recursive-anchor-type
+      // rule); all raw mirrored doubles, no final round
+      val e12n = "((2.0 / 13.0) * a.c + (1.0 - 2.0 / 13.0) * r.e12)"
+      val e26n = "((2.0 / 27.0) * a.c + (1.0 - 2.0 / 27.0) * r.e26)"
+      s"""WITH RECURSIVE b AS (${duckDailyBars}),
+         |m AS (
+         |  SELECT symbol, day, CAST(c AS DOUBLE) AS c,
+         |         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+         |  FROM b),
+         |r AS (
+         |  SELECT symbol, rn, day, c AS e12, c AS e26 FROM m WHERE rn = 1
+         |  UNION ALL
+         |  SELECT a.symbol, a.rn, a.day, $e12n, $e26n
+         |  FROM m a JOIN r ON a.symbol = r.symbol AND a.rn = r.rn + 1),
+         |k1t AS (
+         |  SELECT symbol, rn, day, macd,
+         |         MIN(macd) OVER w AS mn, MAX(macd) OVER w AS mx
+         |  FROM (SELECT symbol, rn, day, e12 - e26 AS macd FROM r)
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY rn
+         |               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         |k1 AS (
+         |  SELECT symbol, rn, day,
+         |         CASE WHEN mx > mn THEN 100.0 * (macd - mn) / (mx - mn)
+         |              ELSE 50.0 END AS k
+         |  FROM k1t),
+         |r2 AS (
+         |  SELECT symbol, rn, day, k AS d1 FROM k1 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT a.symbol, a.rn, a.day, r2.d1 + 0.5 * (a.k - r2.d1)
+         |  FROM k1 a JOIN r2 ON a.symbol = r2.symbol AND a.rn = r2.rn + 1),
+         |k2t AS (
+         |  SELECT symbol, rn, day, d1,
+         |         MIN(d1) OVER w2 AS mn, MAX(d1) OVER w2 AS mx
+         |  FROM r2
+         |  WINDOW w2 AS (PARTITION BY symbol ORDER BY rn
+         |               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         |k2 AS (
+         |  SELECT symbol, rn, day,
+         |         CASE WHEN mx > mn THEN 100.0 * (d1 - mn) / (mx - mn)
+         |              ELSE 50.0 END AS k
+         |  FROM k2t),
+         |r3 AS (
+         |  SELECT symbol, rn, day, k AS stc FROM k2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT a.symbol, a.rn, a.day, r3.stc + 0.5 * (a.k - r3.stc)
+         |  FROM k2 a JOIN r3 ON a.symbol = r3.symbol AND a.rn = r3.rn + 1)
+         |SELECT symbol, day, stc FROM r3 ORDER BY symbol, day""".stripMargin
+    },
     "q_elder_impulse" -> {
       // five-state mirrored double recursion; dependent sub-expressions
       // re-inlined (same IEEE values as Spark's stored locals)
@@ -8564,5 +8688,151 @@ object SparkEntry {
         |  FROM f)
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "q_bpe_vocab" -> {
+      // r15: iterative BPE, k rounds UNROLLED as chained CTEs — each
+      // round re-counts adjacent pairs over the previous round's token
+      // state (the ␟-wrapped string representation; one literal
+      // replace() is the scan-skip merge rule on both engines) and
+      // takes the (cnt DESC, l, r) argmax. Independent re-derivation
+      // of the Spark driver loop, round for round.
+      val S = "\u001F"
+      val k = graft.pipeline.TextOps.BpeVocabRounds
+      def round(i: Int): String =
+        s"""p$i AS (
+           |  SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT freq, unnest(list_transform(generate_series(1, len(toks) - 1),
+           |      x -> [toks[x], toks[x + 1]])) AS pr
+           |    FROM (SELECT freq, string_split(trim(t, '$S'), '$S$S') AS toks
+           |          FROM t${i - 1})
+           |    WHERE len(toks) >= 2)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+           |t$i AS (
+           |  SELECT freq, replace(t, '$S' || m$i.l || '$S$S' || m$i.r || '$S',
+           |                       '$S' || m$i.l || m$i.r || '$S') AS t
+           |  FROM t${i - 1} CROSS JOIN m$i)""".stripMargin
+      val out = (1 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
+          s"l || r AS merged, cnt FROM m$i").mkString("\n  UNION ALL ")
+      s"""WITH w0 AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY w),
+         |t0 AS (
+         |  SELECT freq,
+         |         '$S' || array_to_string(list_transform(
+         |           generate_series(1, length(w)), i -> substr(w, i, 1)),
+         |           '$S$S') || '$S' AS t
+         |  FROM w0),
+         |${(1 to k).map(round).mkString(",\n")}
+         |SELECT * FROM (
+         |  $out)
+         |ORDER BY merge_rank""".stripMargin
+    },
+    "q_semdedup" ->
+      // r15 SemDeDup: the transparent k-means CTEs (final assignment
+      // a3 + its distances d3) scope the pair comparison per cluster;
+      // keeper = farther-from-centroid (rounded distances, ties to
+      // lower id); the cosine gate is the shared ROUND(…,4) chain
+      s"""WITH ${duckKmeansCtes},
+         |ad AS (
+         |  SELECT a.vec_id, a.cluster, d.d
+         |  FROM a3 a JOIN d3 d ON d.vec_id = a.vec_id AND d.cluster = a.cluster),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM ad a JOIN ad b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+         |   AND (a.d > b.d OR (a.d = b.d AND a.vec_id < b.vec_id))
+         |  JOIN vecs va ON va.vec_id = a.vec_id
+         |  JOIN vecs vb ON vb.vec_id = b.vec_id
+         |  WHERE ${duckCosine("va.ve", "vb.ve")} >= 0.25)
+         |SELECT ad.vec_id, CAST(ad.cluster AS BIGINT) AS cluster,
+         |       CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         |         AS is_kept
+         |FROM ad LEFT JOIN dup ON dup.vec_id = ad.vec_id
+         |ORDER BY ad.vec_id""".stripMargin,
+    "q_dedup_survivors" ->
+      // r15: quality-argmax survivor per near-dup cluster — the
+      // recursive fixpoint labels + the q_quality_score derivation +
+      // the barCascade zero-padded min_by key (quality desc, doc asc)
+      s"""WITH RECURSIVE $duckMinhashCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |          UNION SELECT doc_b, doc_a FROM prs),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc = e.dst),
+         |labels AS (SELECT doc AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+         |           FROM reach GROUP BY 1),
+         |q AS (
+         |  SELECT doc_id,
+         |    ROUND((CAST(LEAST(len(string_split(text, ' ')), 200) AS DOUBLE) / 200.0
+         |          + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+         |              w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT)
+         |              / CAST(len(string_split(text, ' ')) AS DOUBLE))) / 2.0, 6)
+         |      AS quality
+         |  FROM documents),
+         |j AS (
+         |  SELECT l.cluster_id, q.doc_id, q.quality,
+         |         lpad(CAST(1000000 - CAST(FLOOR(q.quality * 1000000.0 + 0.5)
+         |               AS BIGINT) AS VARCHAR), 7, '0') ||
+         |           lpad(CAST(q.doc_id AS VARCHAR), 20, '0') AS k
+         |  FROM labels l JOIN q USING (doc_id))
+         |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(min_by(doc_id, k) AS BIGINT) AS keep_id,
+         |       MAX(quality) AS keep_quality
+         |FROM j GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    "q_doc_nll" ->
+      // r15: per-doc bigram NLL — exact integer counts, quant6'd ln
+      // terms, exact decimal sums, one mirrored negate+divide; no exp
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+         |           i -> [ws[i], ws[i + 1]])) AS pr
+         |  FROM ws WHERE len(ws) >= 2),
+         |b AS (SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM bg),
+         |bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cab
+         |        FROM b GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS ca FROM b GROUP BY 1),
+         |t AS (
+         |  SELECT b.doc_id,
+         |         ${duckQ6("ln(CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE))")} AS t
+         |  FROM b JOIN bgc USING (w1, w2) JOIN ctx USING (w1)),
+         |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |             SUM(t) AS s
+         |      FROM t GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |       -CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS nll_nats
+         |FROM a ORDER BY doc_id""".stripMargin,
+    "q_bounce_rate" ->
+      // r15: 30-min gap sessionization per user (high-card window),
+      // one-event-session share per start day; rate through the
+      // shared quantize float sequence
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS us FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id, us,
+        |         CASE WHEN LAG(us) OVER w IS NULL
+        |                OR us - LAG(us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT user_id, ts,
+        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM s),
+        |g AS (SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |             MIN(ts) AS start_ts
+        |      FROM s2 GROUP BY 1, 2),
+        |d AS (SELECT CAST(start_ts AS DATE) AS day,
+        |             CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |             CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS n_bounces
+        |      FROM g GROUP BY 1)
+        |SELECT day, n_sessions, n_bounces,
+        |       CAST(FLOOR(CAST(n_bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+        |            * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS bounce_rate
+        |FROM d ORDER BY day""".stripMargin,
   )
 }

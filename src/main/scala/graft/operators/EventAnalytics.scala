@@ -336,6 +336,41 @@ object EventAnalytics {
       .orderBy("symbol", "dur_bucket")
   }
 
+  /** NEW r15: bounce rate per day — the share of user sessions with
+    * exactly ONE event (the standard engagement-quality headline next
+    * to DAU): gap-based sessionization per user (the q_session_window
+    * 30-minute convention), one-event sessions counted per the
+    * session's start DAY. Shape: one per-user window pass (user_id is
+    * high-cardinality — no low-card window hazard), a (user, session)
+    * counter aggregate, then a ≤days-sized counter table; the rate is
+    * the shared quantize float sequence (exact counts → FLOOR(+0.5)
+    * → /1e6 — a bare ROUND of the true division is the §4 half-grid
+    * hazard).
+    */
+  def bounceRate(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val s = events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        (col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs).cast("long"))
+      .withColumn("sess",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val rate = col("n_bounces").cast("double") /
+      col("n_sessions").cast("double") * 1000000.0
+    s.groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"))
+      .groupBy(to_date(col("start_ts")).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        (floor(rate + 0.5).cast("long").cast("double") / 1000000.0)
+          .as("bounce_rate"))
+      .orderBy("day")
+  }
+
   /** 6-dp quantization via the shared float-op sequence (the
     * MarketOps.quant6 discipline — SURVEY §4): scale by 1e6,
     * FLOOR(s+0.5)/CEIL(s−0.5), rebuild DECIMAL(18,6).

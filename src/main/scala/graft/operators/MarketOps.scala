@@ -1022,20 +1022,36 @@ object MarketOps {
     * division → bit-identical across engines.
     */
   def vpin(ticks: DataFrame, threshold: Long, n: Int = 5): DataFrame = {
-    val t = chunkedLag1(ticks.withColumn("chunk_day", to_date(col("ts"))),
-      "price", "prev")
+    // r15 (the r14 verdict's carried 5-scan finding): ONE per-day
+    // aggregate carries BOTH chunk carries — the previous day's last
+    // price (the chunkedLag1 boundary fill) and the prior-days volume
+    // offset — so the detail side joins the tiny day table ONCE and
+    // events is scanned twice total (detail + day aggregate), the
+    // standard chunked-scaffold shape, instead of 5× through the
+    // separate chunkedLag1/offsets branches. Same values: both windows
+    // below share one (symbol, chunk_day) exchange+sort, and the
+    // fills/sums are unchanged expressions.
+    val t0 = ticks.withColumn("chunk_day", to_date(col("ts")))
+    val dayInfo = t0.groupBy(col("symbol"), col("chunk_day"))
+      .agg(max_by(col("price"), struct(col("ts"), col("event_id")))
+          .as("day_last"),
+        sum(col("volume")).as("day_total"))
+      .select(col("symbol"), col("chunk_day"),
+        lag(col("day_last"), 1)
+          .over(Window.partitionBy("symbol").orderBy("chunk_day"))
+          .as("prev_day_val"),
+        coalesce(sum(col("day_total")).over(priorDays), lit(0L))
+          .as("cum_offset"))
     val sign = when(col("prev").isNull, 0L)
       .when(col("price").cast(dec) > col("prev").cast(dec), 1L)
       .when(col("price").cast(dec) < col("prev").cast(dec), -1L)
       .otherwise(0L)
-    val offsets = t.groupBy(col("symbol"), col("chunk_day"))
-      .agg(sum(col("volume")).as("day_total"))
-      .select(col("symbol"), col("chunk_day"),
-        coalesce(sum(col("day_total")).over(priorDays), lit(0L)).as("cum_offset"))
     val preCum = coalesce(
       sum(col("volume")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L)) + col("cum_offset")
-    val bars = t.join(offsets, Seq("symbol", "chunk_day"))
+    val bars = t0.join(dayInfo, Seq("symbol", "chunk_day"))
+      .withColumn("prev",
+        coalesce(lag(col("price"), 1).over(chunkOrder), col("prev_day_val")))
       .withColumn("sgn", sign)
       .withColumn("pre_cum", preCum)
       .withColumn("bar_id", expr(s"pre_cum div $threshold"))
@@ -4760,6 +4776,65 @@ object MarketOps {
   }
 
   final case class ImpulseIn(symbol: String, day: java.sql.Date, c: Double)
+
+  final case class StcOut(symbol: String, day: java.sql.Date, stc: Double)
+
+  /** NEW r15: Schaff Trend Cycle (Schaff's MACD-of-stochastics
+    * cascade): MACD(12,26) → 10-bar stochastic %K → 0.5-EMA smooth →
+    * 10-bar stochastic of THAT → 0.5-EMA smooth = STC ∈ [0, 100] —
+    * the cycle-normalized MACD that turns earlier than the raw
+    * histogram. One sorted-group pass per symbol carries the WHOLE
+    * five-stage cascade (two EMA states, two trailing-10 ring
+    * buffers, two smoother states) — the windows are trailing
+    * extrema of values produced in the same sequential scan, so no
+    * window operator is needed at all.
+    *
+    * Parity: the MACD recursion is the mirrored raw-double elder
+    * pattern (seed e12 = e26 = first close); trailing MIN/MAX over
+    * identical doubles are identical; each stochastic is one mirrored
+    * multiply+divide with a flat-window CASE → 50.0 guard on both
+    * engines; the 0.5 smoothers are d + 0.5·(k − d) — exact-binary
+    * state scaling (the fisher precedent). Raw-double emission (no
+    * final round — identical op chains end-to-end). Oracle: three
+    * chained recursive CTEs interleaved with trailing-ROWS window
+    * CTEs.
+    */
+  def stc(ticks: DataFrame): DataFrame = {
+    val spark0 = ticks.sparkSession
+    import spark0.implicits._
+    ohlcDaily(ticks)
+      .select(col("symbol"), col("day"),
+        col("close").cast(dec).cast("double").as("c"))
+      .as[ImpulseIn]
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("day")) { (sym, it) =>
+        val a12 = 2.0 / 13.0; val a26 = 2.0 / 27.0
+        var e12 = 0.0; var e26 = 0.0; var first = true
+        val mb = scala.collection.mutable.ArrayDeque.empty[Double]
+        val db = scala.collection.mutable.ArrayDeque.empty[Double]
+        var d1 = 0.0; var d2 = 0.0
+        var haveD1 = false; var haveD2 = false
+        it.map { b =>
+          if (first) { first = false; e12 = b.c; e26 = b.c }
+          else {
+            e12 = a12 * b.c + (1.0 - a12) * e12
+            e26 = a26 * b.c + (1.0 - a26) * e26
+          }
+          val macd = e12 - e26
+          mb.append(macd); if (mb.size > 10) mb.removeHead()
+          val mn = mb.min; val mx = mb.max
+          val k1 = if (mx > mn) 100.0 * (macd - mn) / (mx - mn) else 50.0
+          d1 = if (!haveD1) { haveD1 = true; k1 } else d1 + 0.5 * (k1 - d1)
+          db.append(d1); if (db.size > 10) db.removeHead()
+          val dn = db.min; val dx = db.max
+          val k2 = if (dx > dn) 100.0 * (d1 - dn) / (dx - dn) else 50.0
+          d2 = if (!haveD2) { haveD2 = true; k2 } else d2 + 0.5 * (k2 - d2)
+          StcOut(sym, b.day, d2)
+        }
+      }
+      .toDF()
+      .orderBy("symbol", "day")
+  }
 
   /** NEW r13b: Elder impulse census — per symbol, bars where BOTH the
     * EMA(13) and the MACD(12,26,9) histogram rose (green), both fell

@@ -39,6 +39,12 @@ class IvfIndex private (
     cellsPath: String,
     val centroids: Array[Array[Double]]) {
 
+  /** The persisted cell layout (`cell=<i>/` parquet) — read by the r15
+    * residual-encoded [[IvfPqIndex]], whose code table is derived from
+    * (and co-partitioned with) these cells.
+    */
+  private[pipeline] def cellsDir: String = cellsPath
+
   /** Top-k cosine neighbors of `queryId` scanning only the `nprobe`
     * cells nearest the query vector.
     */
@@ -62,21 +68,6 @@ class IvfIndex private (
       .limit(k)
   }
 
-  /** The candidate vec_ids of the `nprobe` cells nearest `queryId`'s
-    * vector — the partition-pruned cell read WITHOUT the exact-cosine
-    * scoring, for composition with a cheaper ranking stage (the r14
-    * IVF+PQ path scores these with stored-code ADC lookups instead of
-    * full-vector cosines).
-    */
-  private[pipeline] def probedIds(queryId: Long, nprobe: Int): DataFrame = {
-    val qVec = emb.filter(col("vec_id") === queryId)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
-    val probes = IvfIndex.nearestCells(centroids,
-      IvfIndex.normalize(qVec.map(_.toDouble)), nprobe)
-    emb.sparkSession.read.parquet(cellsPath)
-      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
-      .select(col("vec_id"))
-  }
 }
 
 object IvfIndex {

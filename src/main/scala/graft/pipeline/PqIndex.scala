@@ -117,8 +117,18 @@ class PqIndex private (
     * [[PqIndex.DriftRebuildThreshold]], which is the "version the
     * index dir and rebuild" signal. Spec-gated (PqDriftSpec).
     */
-  def driftGauge(newVecs: DataFrame): Double =
-    PqIndex.meanDistortion(newVecs, m, sub, codebooks) / buildDistortion
+  def driftGauge(newVecs: DataFrame): Double = {
+    val batch = PqIndex.meanDistortion(newVecs, m, sub, codebooks)
+    // r15 (ADVICE): a degenerate index whose corpus sits exactly on
+    // the codebook centroids has buildDistortion == 0.0 — the raw
+    // ratio would be Inf/NaN, and NaN silently FAILS the
+    // `drift > threshold` rebuild check in appendEncode. Treat any
+    // nonzero batch distortion over a zero build floor as maximal
+    // drift; a zero/zero batch is genuinely undrifted (1.0).
+    if (buildDistortion == 0.0) {
+      if (batch > 0.0) Double.PositiveInfinity else 1.0
+    } else batch / buildDistortion
+  }
 
   /** Incremental encode (streaming freshness): encode `newVecs` with
     * the STORED codebooks — no refit — and append their codes to the
@@ -196,7 +206,7 @@ object PqIndex {
     new java.math.BigDecimal(r.toLong).movePointLeft(6).doubleValue()
   }
 
-  private def quant6(s: Column): Column = {
+  private[pipeline] def quant6(s: Column): Column = {
     val q = when(s >= 0, floor(s + 0.5)).otherwise(ceil(s - 0.5))
     (q.cast("long").cast(DecimalType(18, 0)) *
       lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
@@ -210,12 +220,19 @@ object PqIndex {
     * trap — measured 4.9 s at sf0.1 before the projection);
     * CollapseProject keeps the boundary (expensive + multi-ref).
     */
-  private def withSubs(emb: DataFrame, m: Int, sub: Int): DataFrame = {
-    val ve = transform(col("embedding"), _.cast("double"))
-    emb.select(
-      col("vec_id") +: col("embedding") +:
-        (0 until m).map(j => slice(ve, j * sub + 1, sub).as(s"v$j")): _*)
-  }
+  private def withSubs(emb: DataFrame, m: Int, sub: Int): DataFrame =
+    withSubsOf(emb.select(col("vec_id"), col("embedding")),
+      transform(col("embedding"), _.cast("double")), m, sub)
+
+  /** Generalized sub-vector projection: every existing column plus the
+    * m slices of `vec` as attributes v0..v{m−1} — shared with the r15
+    * residual-encoded [[IvfPqIndex]] (whose source vector is the
+    * per-cell residual, not the raw embedding).
+    */
+  private[pipeline] def withSubsOf(df: DataFrame, vec: Column,
+      m: Int, sub: Int): DataFrame =
+    df.select(col("*") +:
+      (0 until m).map(j => slice(vec, j * sub + 1, sub).as(s"v$j")): _*)
 
   /** Per-sub-space cell assignment: distances to ALL candidates via
     * ONE transform lambda over a literal centroid matrix (inlined
@@ -227,7 +244,7 @@ object PqIndex {
     * Identical per-candidate arithmetic both engines — the same
     * (v−w)² sequential fold, ROUND(…,6).
     */
-  private def codeCol(j: Int, cents: Seq[(Int, Array[Double])]): Column = {
+  private[pipeline] def codeCol(j: Int, cents: Seq[(Int, Array[Double])]): Column = {
     val dists = transform(typedLit(cents.map(_._2.toSeq)),
       c => round(aggregate(
         zip_with(col(s"v$j"), c, (v, w) => (v - w) * (v - w)),
@@ -249,6 +266,14 @@ object PqIndex {
     * Diagnostic gauge — one scan, never in the query path.
     */
   private[pipeline] def meanDistortion(vecs: DataFrame, m: Int, sub: Int,
+      codebooks: IndexedSeq[Seq[(Int, Array[Double])]]): Double =
+    meanDistortionOf(withSubs(vecs, m, sub), m, sub, codebooks)
+
+  /** Distortion over a PRE-PROJECTED sub-vector table (columns
+    * v0..v{m−1}) — the residual-encoded [[IvfPqIndex]] gauges its
+    * residual columns through this entry point.
+    */
+  private[pipeline] def meanDistortionOf(subs: DataFrame, m: Int, sub: Int,
       codebooks: IndexedSeq[Seq[(Int, Array[Double])]]): Double = {
     val dist = (0 until m).map { j =>
       array_min(transform(typedLit(codebooks(j).map(_._2.toSeq)),
@@ -256,7 +281,47 @@ object PqIndex {
           zip_with(col(s"v$j"), c, (v, w) => (v - w) * (v - w)),
           lit(0.0), (acc, x) => acc + x), 6)))
     }.reduce(_ + _)
-    withSubs(vecs, m, sub).select(avg(dist)).head().getDouble(0)
+    subs.select(avg(dist)).head() match {
+      case r if r.isNullAt(0) => 0.0 // empty batch: nothing to gauge
+      case r => r.getDouble(0)
+    }
+  }
+
+  /** The fused engine-neutral one-round Lloyd over a pre-projected
+    * sub-vector table (columns v0..v{m−1}) — extracted r15 so the
+    * residual-encoded [[IvfPqIndex]] fits its codebooks with the exact
+    * same machinery (see [[build]] for the shape commentary).
+    * `initRows` are full-dim init vectors, sliced per sub-space.
+    */
+  private[pipeline] def lloydOnce(subs: DataFrame, m: Int, sub: Int,
+      initRows: Array[Array[Double]]): IndexedSeq[Seq[(Int, Array[Double])]] = {
+    val cellCols = (0 until m).map { j =>
+      val init = initRows.zipWithIndex
+        .map { case (r, i) => (i, r.slice(j * sub, j * sub + sub)) }
+      struct(lit(j).as("j"), codeCol(j, init).as("cell"))
+    }
+    val meanRows = subs
+      .select(array(cellCols: _*).as("cs"),
+        array((0 until m).map(j => col(s"v$j")): _*).as("vs"))
+      .select(explode(col("cs")).as("c"), col("vs"))
+      .select(col("c.j").as("j"), col("c.cell").as("cell"),
+        posexplode(element_at(col("vs"), col("c.j") + 1))
+          .as(Seq("pos", "v")))
+      .groupBy(col("j"), col("cell"), col("pos"))
+      .agg(sum(quant6(col("v") * 1000000.0)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("j"), col("cell"), col("pos"),
+        quant6(col("s").cast("double") / col("n").cast("double")
+          * 1000000.0).cast("double").as("mc"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    (0 until m).map { j =>
+      meanRows.filter(_._1 == j)
+        .groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (c, rows) =>
+          (c, rows.sortBy(_._3).map(_._4).toArray)
+        }
+    }
   }
 
   /** `(vec_id, embedding, codes)` for `vecs` against fixed codebooks —
@@ -292,35 +357,7 @@ object PqIndex {
     // grouped aggregation. Identical values to m separate jobs (the
     // decimal sums are order-free over the same element multisets) at
     // 1/m the job count.
-    val subs = withSubs(emb, m, sub)
-    val cellCols = (0 until m).map { j =>
-      val init = initRows.zipWithIndex
-        .map { case (r, i) => (i, r.slice(j * sub, j * sub + sub)) }
-      struct(lit(j).as("j"), codeCol(j, init).as("cell"))
-    }
-    val meanRows = subs
-      .select(array(cellCols: _*).as("cs"),
-        array((0 until m).map(j => col(s"v$j")): _*).as("vs"))
-      .select(explode(col("cs")).as("c"), col("vs"))
-      .select(col("c.j").as("j"), col("c.cell").as("cell"),
-        posexplode(element_at(col("vs"), col("c.j") + 1))
-          .as(Seq("pos", "v")))
-      .groupBy(col("j"), col("cell"), col("pos"))
-      .agg(sum(quant6(col("v") * 1000000.0)).as("s"),
-        count(lit(1)).as("n"))
-      .select(col("j"), col("cell"), col("pos"),
-        quant6(col("s").cast("double") / col("n").cast("double")
-          * 1000000.0).cast("double").as("mc"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
-    val codebooks: IndexedSeq[Seq[(Int, Array[Double])]] =
-      (0 until m).map { j =>
-        meanRows.filter(_._1 == j)
-          .groupBy(_._2).toSeq.sortBy(_._1)
-          .map { case (c, rows) =>
-            (c, rows.sortBy(_._3).map(_._4).toArray)
-          }
-      }
+    val codebooks = lloydOnce(withSubs(emb, m, sub), m, sub, initRows)
     // encode pass: one corpus scan writing (vec_id, embedding, codes)
     val dir = graft.core.TempDirs.scoped("graft_pq_")
     val codesPath = s"$dir/codes"

@@ -1195,6 +1195,132 @@ object TextOps {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
 
+  /** Merge rounds of [[bpeVocab]] — shared with the `q_bpe_vocab`
+    * oracle (which unrolls exactly this many CTE rounds).
+    */
+  val BpeVocabRounds = 5
+
+  /** r15 (the r14 verdict's item 3): ITERATIVE BPE vocabulary
+    * induction — `k` successive merges with pair RE-COUNTING after
+    * each (what an actual tokenizer trainer runs; [[bpeMerges]] ranks
+    * only competing FIRST merges). Output: one row per merge round —
+    * the winning pair, the merged token, and its weighted count at
+    * merge time.
+    *
+    * Token-state representation that keeps BOTH engines' merge steps
+    * identical and cheap: a word's token sequence is a single string
+    * `␟t1␟␟t2␟…␟tn␟` (each token individually wrapped in U+001F unit
+    * separators, absent from any text). One merge round is then a
+    * LITERAL string replace of `␟l␟␟r␟` with `␟lr␟` — left-to-right
+    * non-overlapping in Java and DuckDB alike, which IS the BPE
+    * scan-skip rule (`aaa` + merge(a,a) → `aa·a`), and the doubled
+    * separators make token boundaries unambiguous under consecutive
+    * merges (single separators would let the trailing delimiter of one
+    * match be consumed as the leading delimiter of the next).
+    *
+    * Scale shape (the verdict's stated contract): per round, ONE
+    * bounded shuffle of (pair, weighted count) counters — pairs are
+    * exploded map-side off the projected token array (the gramsOf
+    * rule) and the argmax is a 1-row TakeOrdered; the merge itself is
+    * a zero-shuffle scalar replace; localCheckpoint per round
+    * truncates the iterative lineage (the nearDupClusters 4^iters
+    * discipline — k chained replaces would otherwise re-analyze a
+    * k-deep plan every round). The vocabulary table (distinct words ×
+    * freq) is corpus-metadata-sized; the corpus itself is read ONCE.
+    */
+  def bpeVocab(docs: DataFrame, k: Int = BpeVocabRounds): DataFrame = {
+    val S = "\u001F"
+    val spark = docs.sparkSession
+    var cur = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit(S), expr(
+          s"array_join(transform(sequence(1, length(w)), " +
+            s"i -> substring(w, i, 1)), '$S$S')"), lit(S)).as("t"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= k && !dry) {
+      val top = cur
+        .select(col("freq"), expr(s"split(trim(BOTH '$S' FROM t), '$S$S')").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS l, element_at(toks, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true // every word fully merged — corpus exhausted
+      else {
+        val (l, rr, cnt) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r.toLong, l, rr, l + rr, cnt))
+        // LITERAL replace (StringReplace — not a regex, so merged
+        // tokens containing regex metacharacters need no quoting;
+        // DuckDB's replace() is the literal mirror)
+        cur = cur.select(col("freq"),
+            org.apache.spark.sql.functions.replace(col("t"),
+              lit(S + l + S + S + rr + S), lit(S + l + rr + S)).as("t"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+      .orderBy("merge_rank")
+  }
+
+  /** NEW r15: per-document bigram negative log-likelihood — the
+    * language-model quality-filter proxy (the KenLM-perplexity stage of
+    * a production pipeline, with the corpus itself as the LM): a
+    * bigram model P(w₂|w₁) = c(w₁w₂)/c(w₁·) is counted from the whole
+    * corpus, and each document scores its mean −ln P over its own
+    * bigrams. Low-NLL docs are templated/repetitive; high-NLL docs are
+    * noise or out-of-register — the two tails a filter trims. Emitted
+    * in NATS as the mean NLL, never through exp (perplexity =
+    * exp(nll) is the §4 libm-divergence class; the monotone nll ranks
+    * identically).
+    *
+    * Parity: bigram/context counts are exact integers; each
+    * ln(c_ab/c_a·) term is quant6'd (§4 libm rule) into an exact
+    * decimal sum (≤15 sig digits per doc), and the emission is one
+    * mirrored negate+divide of exact values. No smoothing needed: the
+    * LM is trained on the scored corpus, so every scored bigram has
+    * c_ab ≥ 1.
+    *
+    * Scale: the (doc_id, w₁, w₂) bigram table localCheckpoints ONCE
+    * (the sourceKl lesson — its three consumers prune different
+    * columns); counts shuffle as counters on the bigram/word keys;
+    * the scoring join keys on the high-cardinality bigram.
+    */
+  def docBigramNll(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint()
+    val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+    val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("ca"))
+    bg.join(bgc, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .select(col("doc_id"),
+        quant6(log(col("cab").cast("double") / col("ca").cast("double"))
+          * 1000000.0).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("t")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-col("s").cast("double") / col("n_bigrams").cast("double"))
+          .as("nll_nats"))
+      .orderBy("doc_id")
+  }
+
   /** NEW r14: canonical-URL duplicate census — the crawler-dedup
     * normalization pass: scheme stripped, host lowercased, query
     * string / fragment / trailing slash removed, then URLs occurring
@@ -1242,8 +1368,19 @@ object TextOps {
     * high-cardinality word key.
     */
   def sourceKl(docs: DataFrame): DataFrame = {
+    // localCheckpoint (r15, the r14 verdict's repeated-scan flag): the
+    // (source, word, c) counter table feeds tot/corpus/grand consumers
+    // that prune DIFFERENT column subsets, so ReusedExchange drops the
+    // shared scan and the corpus is tokenized 4× (the
+    // session-cooccurrence class documented in CLAUDE.md). The counter
+    // table is vocab×sources — metadata next to the corpus — so
+    // truncating lineage here costs one tiny materialization and saves
+    // three full tokenize+explode passes. Measured 1.03 → ~0.4 s at
+    // sf0.1; values unchanged (checkpoint is a lineage cut, not a
+    // recompute).
     val wc = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tot = wc.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val corpus = wc.groupBy(col("w")).agg(sum(col("c")).as("cc"))
     val grand = corpus.agg(sum(col("cc")).as("nn"))
@@ -1318,8 +1455,15 @@ object TextOps {
     * high-cardinality word, fan-out bounded by sources-per-word.
     */
   def jsDivergence(docs: DataFrame): DataFrame = {
+    // localCheckpoint (r15, the r14 verdict's repeated-scan flag): wc
+    // feeds tot, both sides of the a/b self-join, and (via tot) the
+    // allPairs cross — consumers with different column prunes, so
+    // without the lineage cut the executed plan scanned documents 6×.
+    // One checkpoint of the counter table collapses all six (the
+    // sourceKl rationale; nearDupClusters precedent).
     val wc = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tot = wc.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val t = wc.join(tot, "source")
     val p = col("a.c").cast("double") / col("a.n").cast("double")

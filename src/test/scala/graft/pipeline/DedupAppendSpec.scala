@@ -47,6 +47,38 @@ class DedupAppendSpec extends AnyFunSuite {
     assert(!Dedup.fullBuildDigests.contains(unionDigest))
   }
 
+  test("clustersAppend contract: base and appended doc_ids are disjoint") {
+    // r15 (ADVICE): the append path assumes disjoint ids — a reused id
+    // would emit two rows for that doc_id (updatedOld + updatedNew).
+    // This cheap anti-join assert IS the documented guard: every caller
+    // splitting a corpus by its primary key satisfies it by
+    // construction, and the fixture splits used across this suite do.
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") < 400).select("doc_id")
+    val extra = docs.filter(col("doc_id") >= 400).select("doc_id")
+    assert(extra.join(base, Seq("doc_id"), "left_semi").count() === 0L)
+  }
+
+  test("clustersAppend repeat call hits the union-digest cache") {
+    import spark.implicits._
+    // r15 (ADVICE): a second clustersAppend over the same (base, new)
+    // pair must return the cached artifact without re-running the
+    // reduced fixpoint (observable: results identical and stable).
+    // literal filters disambiguate the corpus digest: LocalRelation's
+    // plan STRING carries no data, so two different local fixtures
+    // with the same schema would otherwise collide in the artifact
+    // cache (parquet-backed corpora — every production read — carry
+    // their path in the plan string and never collide)
+    val base = Seq((1L, "aa bb cc dd ee ff gg hh"), (2L, "zz yy xx ww vv uu tt ss"))
+      .toDF("doc_id", "text").filter(col("doc_id") <= 2L)
+    val extra = Seq((3L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text")
+      .filter(col("doc_id") === 3L)
+    val first = Dedup.clustersAppend(base, extra).collect().toSet
+    val second = Dedup.clustersAppend(base, extra).collect().toSet
+    assert(first === second)
+    assert(first.map(_.getLong(0)) === Set(1L, 2L, 3L))
+  }
+
   test("clustersAppend merges new exact-duplicates into old clusters") {
     import spark.implicits._
     val tx = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -30,6 +30,28 @@ class PqDriftSpec extends AnyFunSuite {
       s"in-distribution drift gauge $g outside (0.5, 2.0)")
   }
 
+  test("zero build distortion: drifted batch still flags (no NaN swallow)") {
+    import spark.implicits._
+    // r15 (ADVICE): a degenerate corpus sitting exactly on its own
+    // codebook centroids has buildDistortion == 0.0; the raw ratio was
+    // Inf/NaN and a NaN silently FAILED the rebuild check. 16 distinct
+    // 6-dp-exact vectors with cb=16 → each vector is its own centroid
+    // after the Lloyd round → distortion exactly 0.
+    val dim = 8
+    val vecs = (0 until 16).map { i =>
+      (i.toLong, (0 until dim).map(j => (i * 10 + j).toFloat / 4.0f))
+    }.toDF("vec_id", "embedding")
+    val zeroIdx = PqIndex.forTable(vecs, 4, 16)
+    assert(zeroIdx.buildDistortion == 0.0,
+      s"fixture not degenerate: buildDistortion ${zeroIdx.buildDistortion}")
+    val undrifted = vecs.filter(col("vec_id") < 4)
+    assert(zeroIdx.driftGauge(undrifted) == 1.0)
+    val drifted = vecs.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(1000.0f)).as("embedding"))
+    assert(zeroIdx.driftGauge(drifted) > PqIndex.DriftRebuildThreshold,
+      "drifted batch over a zero-floor index must flag a rebuild")
+  }
+
   test("a shifted source blows past the rebuild threshold") {
     // scale every component 10×: squared distances to the stored
     // centroids grow ~100× — the gauge must flag a rebuild

@@ -102,15 +102,21 @@ class RecallSpec extends AnyFunSuite {
     assert(anchored.count() === emb.count())
   }
 
-  test("composed IVF+PQ holds its floor and factorizes as coverage × shortlist") {
-    // r14: the composed tier's recall must sit in the band its two
-    // factors predict — at full shortlist it degenerates to exact IVF
-    // (every probed candidate exactly re-ranked)
+  test("residual IVFPQ holds its floor and degenerates to exact IVF at full shortlist") {
+    // r15 layout (cell-partitioned residual codes): at full shortlist
+    // every candidate in the probed cells is exactly re-ranked, so the
+    // result equals exact IVF over the SAME cells (same nlist policy,
+    // same nprobe policy) — the coverage × shortlist factorization's
+    // degenerate end, now exact by construction
     val n = emb.count().toInt
+    val nlist = IvfPqIndex.defaultNlist(n)
+    val nprobe = IvfPqIndex.defaultNprobe(nlist)
     val full = recallOf(q => Similarity.ivfPqTopK(emb, q, K, shortlist = n))
-    val ivf = recallOf(q => Similarity.ivfTopK(emb, q, K, nprobe = 8))
+    val ivf = recallOf(q =>
+      Similarity.ivfTopK(emb, q, K, nlist = nlist, nprobe = nprobe))
     assert(full === ivf, s"full-shortlist IVFPQ $full != exact IVF $ivf")
-    // default shortlist floor (measured 0.94 on this panel)
+    // default-policy floor (measured 0.96 at the sf0.1 bench corpus,
+    // tools/IvfPqProbe; panel measurement at this sf pins the floor)
     val dflt = recallOf(q => Similarity.ivfPqTopK(emb, q, K))
     assert(dflt >= 0.9, s"IVFPQ recall@10 $dflt below floor 0.9")
     assert(dflt <= full, "shortlist truncation cannot add recall")

@@ -14,11 +14,25 @@ graft.Bench, or a single {"per_query": ...} object.
 import json
 import sys
 
-args = [a for a in sys.argv[1:] if not a.startswith("--replace")]
+# r15 (ADVICE): parse BOTH forms — `--replace=q_a,q_b` and the
+# two-token `--replace q_a,q_b` the usage string documents (the bare
+# form used to strip the flag but then open q_a,q_b as a bench file).
+args = []
 replace = set()
-for a in sys.argv[1:]:
+argv = sys.argv[1:]
+i = 0
+while i < len(argv):
+    a = argv[i]
     if a.startswith("--replace="):
-        replace = set(a.split("=", 1)[1].split(","))
+        replace |= set(a.split("=", 1)[1].split(","))
+    elif a == "--replace":
+        if i + 1 >= len(argv):
+            sys.exit("--replace needs a comma-separated query list")
+        replace |= set(argv[i + 1].split(","))
+        i += 1
+    else:
+        args.append(a)
+    i += 1
 
 runs = []
 for f in args:

@@ -71,7 +71,7 @@ q_fractals q_rvi q_trend_intensity q_donchian_breakouts q_vzo
 q_connors_rsi q_hurst q_choppiness q_stoch_rsi q_squeeze
 q_elder_impulse q_growth_accounting q_rs_rating q_dema_tema
 q_qstick q_cog q_envelope q_imi q_psy q_disparity q_alma q_camarilla
-q_mcginley q_fisher q_var_cvar q_high_low_census
+q_mcginley q_fisher q_var_cvar q_high_low_census q_stc
 """.split()
 
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",

@@ -617,6 +617,8 @@ object SparkEntry {
       graft.pipeline.Multimodal.mediaFeatures(s, Tables.documents(s, dir))),
     "q_frame_sample" -> ((s, dir) =>
       graft.pipeline.Multimodal.frameSummary(s, Tables.documents(s, dir))),
+    "q_scene_changes" -> ((s, dir) =>
+      graft.pipeline.Multimodal.sceneChanges(s, Tables.documents(s, dir))),
     "q_image_resize" -> ((s, dir) =>
       graft.pipeline.Multimodal.resizeFeatures(s, Tables.documents(s, dir))),
     "q_audio_resample" -> ((s, dir) =>
@@ -6078,6 +6080,29 @@ object SparkEntry {
         |       CAST(list_sum(list_transform(range(0, fsize),
         |         j -> (doc_id*31 + i*131 + j) % 251)) AS BIGINT) AS byte_sum
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_scene_changes" ->
+      // r15: the q_frame_sample closed form extended one step — exact
+      // milli-unit mean byte per sampled keyframe, lag deltas, a
+      // fixed-θ cut census; integer-exact end-to-end (// and div both
+      // floor non-negative quotients)
+      """WITH v AS (SELECT doc_id, doc_id % 24 + 6 AS nf FROM documents),
+        |f AS (SELECT doc_id, unnest(range(0, nf, 3)) AS i FROM v),
+        |s AS (SELECT doc_id, i,
+        |        ((doc_id*7 + i*13) % 96) * 2 + 32 AS fsize
+        |      FROM f),
+        |m AS (SELECT doc_id, i,
+        |        CAST(list_sum(list_transform(range(0, fsize),
+        |          j -> (doc_id*31 + i*131 + j) % 251)) * 1000 // fsize
+        |          AS BIGINT) AS mb
+        |      FROM s),
+        |d AS (SELECT doc_id, i,
+        |        ABS(mb - LAG(mb) OVER (PARTITION BY doc_id ORDER BY i)) AS d
+        |      FROM m)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |       CAST(SUM(CASE WHEN d >= 80000 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_cuts,
+        |       CAST(COALESCE(MAX(d), 0) AS BIGINT) AS max_jump_milli
+        |FROM d GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_macd" ->
       """WITH RECURSIVE t AS (
         |  SELECT event_id, event_type AS symbol, value,

@@ -454,4 +454,30 @@ object Multimodal {
   def frameSummary(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeFrameIndex(spark, synthesizeVideos(spark, docs)).toDF()
       .orderBy("doc_id", "frame_idx")
+
+  /** NEW r15: scene-change census — the shot-boundary-detection proxy
+    * a video curation pipeline runs over SAMPLED keyframes: a cut is
+    * flagged when consecutive keyframes' mean byte value jumps by ≥
+    * `thetaMilli` (exact per-frame mean in 1/1000-byte units —
+    * BIGINT `byte_sum·1000 div frame_len`, both engines floor
+    * non-negative quotients). Real decoders replace mean-byte with a
+    * histogram/SSIM distance; the PLUMBING is the point — the frames
+    * come through the real RIFF/idx1 index walk, deltas ride a
+    * per-doc lag on the fixed-width frame table (blobs never
+    * shuffle), and the census is integer-exact end-to-end.
+    */
+  def sceneChanges(spark: SparkSession, docs: DataFrame,
+      thetaMilli: Long = 80000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    decodeFrameIndex(spark, synthesizeVideos(spark, docs)).toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        expr("byte_sum * 1000 div frame_len").as("mb"))
+      .withColumn("d", abs(col("mb") - lag(col("mb"), 1).over(w)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("d") >= thetaMilli, 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(max(col("d")), lit(0L)).as("max_jump_milli"))
+      .orderBy("doc_id")
+  }
 }

@@ -112,6 +112,28 @@ class NewOpsR15Spec extends AnyFunSuite {
     }
   }
 
+  test("sceneChanges: census equals a recompute over the sampled frames") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+    val frames = graft.pipeline.Multimodal.frameSummary(spark, docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(4) * 1000L / r.getLong(3))) // byte_sum*1000 div frame_len
+      .groupBy(_._1)
+    val got = graft.pipeline.Multimodal.sceneChanges(spark, docs)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size === frames.size)
+    frames.foreach { case (doc, rows) =>
+      val mbs = rows.sortBy(_._2).map(_._3)
+      val ds = mbs.sliding(2).collect { case Array(a, b) => math.abs(b - a) }
+        .toSeq
+      val expect = (mbs.length.toLong,
+        ds.count(_ >= 80000L).toLong,
+        if (ds.isEmpty) 0L else ds.max)
+      assert(got(doc) === expect, s"doc $doc")
+    }
+  }
+
   test("bounceRate: crafted sessions count bounces per start day") {
     import spark.implicits._
     val base = 1700040000L // 2023-11-15T09:20Z — +2h stays inside the day

@@ -592,7 +592,16 @@ object Similarity {
     reg(emb)
     val cents = KMeansOps.fitCentroids(emb, k, iters)
     val base = KMeansOps.assignWithDist(emb, cents).localCheckpoint()
-    val cos = round(cosine(col("a.embedding"), col("b.embedding")), 4)
+    // zero vectors have no direction: their cosine is 0/0 (an ANSI
+    // DIVIDE_BY_ZERO on Spark where DuckDB's x/0 is NULL — the §4
+    // divide-guard class). The when() short-circuits in codegen, so
+    // the division never evaluates for a zero-norm side; a NULL
+    // comparison filters the pair on both engines identically (zero
+    // vectors are always kept — never anyone's duplicate).
+    def n2(side: String): Column =
+      dot(col(s"$side.embedding"), col(s"$side.embedding"))
+    val cos = when(n2("a") > 0.0 && n2("b") > 0.0,
+      round(cosine(col("a.embedding"), col("b.embedding")), 4))
     val dup = base.as("a").join(base.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") =!= col("b.vec_id") &&

@@ -157,6 +157,45 @@ class PipelineEdgeSpec extends AnyFunSuite {
     Similarity.intrinsicDim(dupEmb, dim = 2).collect()
   }
 
+  test("r15 ops survive degenerate corpora") {
+    Seq(
+      "docBigramNll" -> graft.pipeline.TextOps.docBigramNll(edgeDocs),
+      "qualitySurvivors" -> Dedup.qualitySurvivors(edgeDocs),
+      // BPE vocab on single-char/empty docs: the dry-loop path (no
+      // pairs at all) must return an empty result, not spin or throw
+      "bpeVocab" -> graft.pipeline.TextOps.bpeVocab(
+        edgeDocs.filter(col("doc_id").isin(1L, 2L, 3L, 6L))),
+      "sceneChanges" -> Multimodal.sceneChanges(spark,
+        edgeDocs.filter(col("doc_id") === 3L))
+    ).foreach { case (name, df) =>
+      try df.collect()
+      catch { case e: Throwable =>
+        fail(s"$name threw on the adversarial corpus: ${e.getMessage.take(300)}")
+      }
+    }
+    assert(graft.pipeline.TextOps.bpeVocab(
+      edgeDocs.filter(col("doc_id").isin(1L, 2L, 3L, 6L))).count() === 0)
+    // a single-event corpus: one session, one bounce, rate 1.0
+    val oneEvent = Seq((1L, new java.sql.Timestamp(1700040000000L), 9L,
+      "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val br = graft.operators.EventAnalytics.bounceRate(oneEvent).collect()
+    assert(br.length === 1 && br(0).getDouble(3) === 1.0)
+    // semDedup with a ZERO vector sharing a cluster: cosine is 0/0 —
+    // must be guarded (DuckDB's x/0 is NULL; unguarded Spark ANSI
+    // throws), and the zero vector is always kept
+    val withZero = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(0f, 1f, 0f, 0f), 0),
+      (2L, Seq(0f, 0f, 1f, 0f), 0), (3L, Seq(0f, 0f, 0f, 1f), 0),
+      (4L, Seq(0f, 0f, 0f, 0f), 0), (5L, Seq(1f, 0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .filter(col("vec_id") >= 0L) // digest-disambiguating literal
+    val sd = Similarity.semDedup(withZero)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sd(4L) === 1L, "zero vector must be kept")
+    assert(sd(5L) === 0L && sd(0L) === 1L, "exact dup still collapses")
+  }
+
   test("r14 text ops survive empty/degenerate documents") {
     Seq(
       "jsDivergence" -> graft.pipeline.TextOps.jsDivergence(edgeDocs),

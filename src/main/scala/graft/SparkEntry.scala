@@ -21,6 +21,12 @@ object SparkEntry {
 
   private def ticks(s: SparkSession, dir: String): DataFrame = Tables.ticks(s, dir)
 
+  /** The q_bm25_search query terms — shared between the query lambda
+    * and the oracle SQL so the two cannot desync ('dup' is the
+    * corpus's one rare/high-idf term; the others are common).
+    */
+  val Bm25Terms: Seq[String] = Seq("dup", "spark", "join")
+
   /** Tick view keeping `user_id` as the as-of/range join key. */
   private def keyedTicks(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(col("event_id"), col("event_type").as("symbol"),
@@ -496,6 +502,16 @@ object SparkEntry {
       verifyIvfPqDigest = Some(graft.pipeline.IvfIndex.corpusDigest(emb))
       Similarity.ivfPqTopK(emb, 0L, 10)
     }),
+    // r16 (the r15 verdict's #3): attribute-filtered ANN — the same
+    // IVFPQ artifact/constants as q_ann_ivfpq (shared digest), with a
+    // selective label predicate pushed INTO the one pruned probe scan
+    // (filter-then-rank); the oracle re-derives the filtered probe from
+    // the dumped constants
+    "q_ann_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      verifyIvfPqDigest = Some(graft.pipeline.IvfIndex.corpusDigest(emb))
+      Similarity.ivfPqTopKFiltered(emb, 0L, col("label") === 1)
+    }),
     "q_anomaly_days" -> ((s, dir) =>
       EventAnalytics.anomalyDays(Tables.events(s, dir))),
     "q_audience_overlap" -> ((s, dir) =>
@@ -663,8 +679,48 @@ object SparkEntry {
       TextOps.bpeMerges(Tables.documents(s, dir), 20)),
     "q_bpe_vocab" -> ((s, dir) =>
       TextOps.bpeVocab(Tables.documents(s, dir))),
-    "q_semdedup" -> ((s, dir) =>
-      Similarity.semDedup(Tables.embeddings(s, dir))),
+    // r16 (the r15 verdict's #5): apply the induced merges back to the
+    // corpus — per-doc BPE token counts + compression vs whitespace
+    "q_bpe_apply" -> ((s, dir) =>
+      TextOps.bpeApply(Tables.documents(s, dir))),
+    // r16 (the r15 verdict's #4): BM25 lexical retrieval — a 3-term
+    // query over the corpus ('dup' is the rare/high-idf term)
+    "q_bm25_search" -> ((s, dir) =>
+      TextOps.bm25(Tables.documents(s, dir), SparkEntry.Bm25Terms)),
+    // r16: the INVERTED-INDEX tier — same query, same scores, but the
+    // answer comes from the bucket-partition-pruned postings artifact
+    // (zero corpus scans; Bm25IndexSpec gates indexed ≡ scan)
+    "q_bm25_indexed" -> ((s, dir) =>
+      graft.pipeline.Bm25Index.forTable(Tables.documents(s, dir))
+        .topK(SparkEntry.Bm25Terms, 10)),
+    "q_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // r16: artifact-backed — record the corpus digest so the oracle
+      // dump later requests exactly the centroids this query used
+      verifySemDedupDigest = Some(graft.pipeline.IvfIndex.corpusDigest(emb))
+      Similarity.semDedup(emb)
+    }),
+    // r16 (the r15 verdict's #7): incremental SemDeDup refresh, ORACLED
+    // — a 4% modular append assigns against the stored base-fit
+    // centroids and re-verdicts only touched clusters; drops are
+    // monotone under the keeper rule, so the result EQUALS a full
+    // union re-verdict against the same centroids — which is exactly
+    // what the oracle re-derives from the dumped constants
+    "q_semdedup_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 25 =!= 0)
+      val nw = emb.filter(col("vec_id") % 25 === 0)
+      verifySemDedupAppendDigest = Some(
+        graft.pipeline.IvfIndex.corpusDigest(base.unionByName(nw)))
+      Similarity.semDedupAppend(base, nw)
+    }),
+    // r16: the per-cluster curation census off the same verdict
+    // artifact (a metadata read — zero corpus scans)
+    "q_semdedup_impact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      verifySemDedupDigest = Some(graft.pipeline.IvfIndex.corpusDigest(emb))
+      Similarity.semDedupImpact(emb)
+    }),
     "q_dedup_survivors" -> ((s, dir) =>
       Dedup.qualitySurvivors(Tables.documents(s, dir))),
     "q_doc_nll" -> ((s, dir) =>
@@ -1046,6 +1102,8 @@ object SparkEntry {
   @volatile private var verifyIvfDigest: Option[String] = None
   @volatile private var verifyPqDigest: Option[String] = None
   @volatile private var verifyIvfPqDigest: Option[String] = None
+  @volatile private var verifySemDedupDigest: Option[String] = None
+  @volatile private var verifySemDedupAppendDigest: Option[String] = None
 
   /** (coarse centroids, residual codebooks, nlist) of the r15 IVFPQ
     * tier for the corpus the verify run actually queried.
@@ -1184,6 +1242,214 @@ object SparkEntry {
        |           ROW_NUMBER() OVER (PARTITION BY vec_id
        |                              ORDER BY d, cluster) AS rn
        |    FROM d3) WHERE rn = 1)""".stripMargin
+
+  /** r16 BM25 oracle (shared by q_bm25_search and q_bm25_indexed —
+    * the indexed tier is value-equal to the scan formulation, gated by
+    * Bm25IndexSpec): scalar tf/dl per doc, one corpus-stats row, the
+    * Lucene idf through quant6 (ln is the 1-ulp libm class), each term
+    * contribution re-quantized so the score is an exact decimal sum
+    * (order-free), mirrored op for op.
+    */
+  private def duckBm25Sql: String = {
+    val terms = Bm25Terms
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n       ")
+    val dfs = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n       ")
+    def contrib(i: Int): String = {
+      val idfArg = s"ln((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) " +
+        s"/ (CAST(df$i AS DOUBLE) + 0.5) + 1.0)"
+      val ratio = s"CAST(tf$i AS DOUBLE) * 2.2 / (CAST(tf$i AS DOUBLE) " +
+        s"+ 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) " +
+        s"/ (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))"
+      duckQ6(s"CAST(${duckQ6(idfArg)} AS DOUBLE) * ($ratio)")
+    }
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |b AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |       $tfs
+       |  FROM d),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |       CAST(SUM(dl) AS BIGINT) AS tot,
+       |       $dfs
+       |  FROM b),
+       |sc AS (
+       |  SELECT doc_id, dl,
+       |         ${terms.indices.map(contrib).mkString("\n         + ")} AS score
+       |  FROM b CROSS JOIN st
+       |  WHERE ${terms.indices.map(i => s"tf$i > 0").mkString(" OR ")})
+       |SELECT doc_id, dl, CAST(score AS DOUBLE) AS score
+       |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** r16 SemDeDup oracle (shared by q_semdedup and q_semdedup_append):
+    * re-derives the whole verdict pass from the DUMPED final centroids
+    * (the q_ann_ivf handshake) — rounded-argmin assignment (ties to
+    * the lower cluster id), the [[graft.pipeline.SemDedupIndex
+    * .MaxCluster]] size gate, the farther-from-centroid keeper rule,
+    * and the shared ROUND(…,4) cosine gate. The append variant
+    * verifies the INCREMENTAL path because append ≡ a full union
+    * re-verdict against the stored (dumped) centroids — drops are
+    * monotone under the keeper rule.
+    */
+  private def duckSemDedupSql(
+      consts: Option[(Seq[(Int, Array[Double])], Int)]): String =
+    s"""WITH ${duckSemDedupCtes(consts)}
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, is_kept
+       |FROM v ORDER BY vec_id""".stripMargin
+
+  /** The shared CTE chain ending at `v(vec_id, cluster, d, is_kept)` —
+    * consumed by q_semdedup/q_semdedup_append (row dump) and
+    * q_semdedup_impact (per-cluster census).
+    */
+  private def duckSemDedupCtes(
+      consts: Option[(Seq[(Int, Array[Double])], Int)]): String = {
+    val centsSql = consts match {
+      case Some((cs, _)) => cs.map { case (i, c) =>
+        s"($i, [${c.mkString(", ")}])" }.mkString(", ")
+      // dump ran without the query having run — valid SQL that will
+      // loudly mismatch instead of crashing the dump
+      case None => "(0, [0.0])"
+    }
+    val dim = consts.map(_._1.head._2.length).getOrElse(64)
+    s"""cents(cluster, c) AS (VALUES $centsSql),
+       |vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings),
+       |dist AS (
+       |  SELECT v.vec_id, ct.cluster,
+       |         ROUND(list_sum(list_transform(generate_series(1, $dim),
+       |           i -> (v.ve[i] - ct.c[i]) * (v.ve[i] - ct.c[i]))), 6) AS d
+       |  FROM vecs v CROSS JOIN cents ct),
+       |ad AS (
+       |  SELECT vec_id, cluster, d FROM (
+       |    SELECT vec_id, cluster, d,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |sz AS (SELECT cluster FROM ad GROUP BY cluster
+       |       HAVING COUNT(*) BETWEEN 2 AND ${graft.pipeline.SemDedupIndex.MaxCluster}),
+       |el AS (SELECT ad.vec_id, ad.cluster, ad.d FROM ad JOIN sz USING (cluster)),
+       |dup AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM el a JOIN el b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+       |   AND (a.d > b.d OR (a.d = b.d AND a.vec_id < b.vec_id))
+       |  JOIN vecs va ON va.vec_id = a.vec_id
+       |  JOIN vecs vb ON vb.vec_id = b.vec_id
+       |  WHERE ${duckCosine("va.ve", "vb.ve")} >= 0.25),
+       |v AS (
+       |  SELECT ad.vec_id, ad.cluster, ad.d,
+       |         CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |           AS is_kept
+       |  FROM ad LEFT JOIN dup ON dup.vec_id = ad.vec_id)""".stripMargin
+  }
+
+  /** The residual-IVFPQ oracle (r15; parameterized r16): normalized
+    * rounded-argmin cell assignment (the q_ann_ivf CTEs) bounds
+    * candidates to the probed cells; PQ codes are re-derived over the
+    * PER-CELL RESIDUALS vn − centroid(cell) against the dumped residual
+    * codebooks; ADC tables are per (probed cell, sub-space, code) using
+    * the per-cell query residual qn − centroid(cell); shortlist 400 →
+    * exact cosine re-rank. Every arithmetic step is a shared IEEE
+    * sequence already proven by q_ann_ivf/q_ann_pq. `candFilter` (r16,
+    * attribute-filtered ANN) restricts the candidate CTE exactly as the
+    * Spark scan-level data filter does — BEFORE the ADC shortlist.
+    */
+  private def duckIvfPqSql(candFilter: String): String = {
+    val m = 8
+    val consts = verifyIvfPqConstants
+    val dim = consts.map(_._1.head.length).getOrElse(64)
+    val sub = dim / m
+    val short = graft.pipeline.Similarity.IvfPqShortlist
+    val nprobe = consts.map(c =>
+      graft.pipeline.IvfPqIndex.defaultNprobe(c._3)).getOrElse(8)
+    val centsSql = consts match {
+      case Some((cs, _, _)) => cs.zipWithIndex
+        .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
+        .mkString(", ")
+      // dump ran without the query having run — valid SQL that will
+      // loudly mismatch instead of crashing the dump
+      case None => "(0, [0.0])"
+    }
+    def cbSql(j: Int): String = consts match {
+      case Some((_, cbks, _)) => cbks(j).map { case (code, cent) =>
+        s"($code, [${cent.mkString(", ")}])" }.mkString(", ")
+      case None => "(0, [0.0])"
+    }
+    def jcte(j: Int): String = {
+      val lo = j * sub + 1
+      s"""sv$j AS (SELECT vec_id,
+         |  list_transform(generate_series($lo, ${lo + sub - 1}), i -> rv[i]) AS sv
+         |  FROM rv),
+         |c$j(code, c) AS (VALUES ${cbSql(j)}),
+         |e$j AS (
+         |  SELECT vec_id, code FROM (
+         |    SELECT v.vec_id, ct.code,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |             ROUND(list_sum(list_transform(generate_series(1, $sub),
+         |               i -> (v.sv[i] - ct.c[i]) * (v.sv[i] - ct.c[i]))), 6),
+         |             ct.code) AS rn
+         |    FROM sv$j v CROSS JOIN c$j ct) WHERE rn = 1),
+         |t$j AS (
+         |  SELECT p.cell, ct.code,
+         |         CAST(${duckQ6(s"list_sum(list_transform(generate_series(1, $sub), " +
+                    s"i -> (ct.c[i] - (qn.vn[${lo - 1} + i] - cc.c[${lo - 1} + i])) " +
+                    s"* (ct.c[i] - (qn.vn[${lo - 1} + i] - cc.c[${lo - 1} + i]))))")}
+         |           AS DOUBLE) AS t
+         |  FROM c$j ct CROSS JOIN probes p
+         |  JOIN cents cc ON cc.cell = p.cell CROSS JOIN qn)""".stripMargin
+    }
+    val joins = (0 until m).map(j =>
+      s"JOIN e$j ON e$j.vec_id = cand.vec_id " +
+        s"JOIN t$j ON t$j.cell = cand.cell AND t$j.code = e$j.code")
+      .mkString("\n  ")
+    val distSum = (0 until m).map(j => s"t$j.t").mkString(" + ")
+    s"""WITH cents(cell, c) AS (VALUES $centsSql),
+       |vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings),
+       |q AS (SELECT ve AS qv FROM vecs WHERE vec_id = 0),
+       |nrms AS (SELECT vec_id, ve,
+       |                sqrt(list_sum(list_transform(ve, x -> x * x))) AS nm
+       |         FROM vecs),
+       |nv AS (SELECT vec_id, ve,
+       |              CASE WHEN nm > 0 THEN list_transform(ve, x -> x / nm)
+       |                   ELSE list_transform(ve, x -> 0.0) END AS vn
+       |       FROM nrms),
+       |dist AS (
+       |  SELECT v.vec_id, ct.cell,
+       |         ROUND(list_sum(list_transform(generate_series(1, $dim),
+       |           i -> (v.vn[i] - ct.c[i]) * (v.vn[i] - ct.c[i]))), 6) AS d
+       |  FROM nv v CROSS JOIN cents ct),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |probes AS (SELECT cell FROM dist WHERE vec_id = 0
+       |           ORDER BY d, cell LIMIT $nprobe),
+       |qn AS (SELECT vn FROM nv WHERE vec_id = 0),
+       |rv AS (
+       |  SELECT a.vec_id, a.cell,
+       |         list_transform(generate_series(1, $dim),
+       |           i -> v.vn[i] - ct.c[i]) AS rv
+       |  FROM assign a JOIN nv v USING (vec_id)
+       |  JOIN cents ct ON ct.cell = a.cell),
+       |cand AS (
+       |  SELECT a.vec_id, a.cell FROM assign a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.vec_id <> 0$candFilter),
+       |${(0 until m).map(jcte).mkString(",\n")},
+       |adc AS (
+       |  SELECT cand.vec_id, $distSum AS adc
+       |  FROM cand
+       |  $joins),
+       |sl AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT $short)
+       |SELECT s.vec_id, ${duckCosine("v.ve", "q.qv")} AS cos_sim
+       |FROM sl s JOIN vecs v USING (vec_id) CROSS JOIN q
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+  }
 
   /** Shared embedding-covariance CTE chain (micro-quantized
     * components, integer co-moments) ending at `g` (per upper-triangle
@@ -7301,107 +7567,13 @@ object SparkEntry {
          |FROM short s JOIN vecs v USING (vec_id) CROSS JOIN q
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     },
-    "q_ann_ivfpq" -> {
-      // r15, the TRUE IVFPQ layout: normalized rounded-argmin cell
-      // assignment (the q_ann_ivf CTEs) bounds candidates to the
-      // probed cells; PQ codes are re-derived over the PER-CELL
-      // RESIDUALS vn − centroid(cell) against the dumped residual
-      // codebooks; ADC tables are per (probed cell, sub-space, code)
-      // using the per-cell query residual qn − centroid(cell);
-      // shortlist 400 → exact cosine re-rank. Every arithmetic step is
-      // a shared IEEE sequence already proven by q_ann_ivf/q_ann_pq.
-      val m = 8
-      val consts = verifyIvfPqConstants
-      val dim = consts.map(_._1.head.length).getOrElse(64)
-      val sub = dim / m
-      val short = graft.pipeline.Similarity.IvfPqShortlist
-      val nprobe = consts.map(c =>
-        graft.pipeline.IvfPqIndex.defaultNprobe(c._3)).getOrElse(8)
-      val centsSql = consts match {
-        case Some((cs, _, _)) => cs.zipWithIndex
-          .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
-          .mkString(", ")
-        // dump ran without the query having run — valid SQL that will
-        // loudly mismatch instead of crashing the dump
-        case None => "(0, [0.0])"
-      }
-      def cbSql(j: Int): String = consts match {
-        case Some((_, cbks, _)) => cbks(j).map { case (code, cent) =>
-          s"($code, [${cent.mkString(", ")}])" }.mkString(", ")
-        case None => "(0, [0.0])"
-      }
-      def jcte(j: Int): String = {
-        val lo = j * sub + 1
-        s"""sv$j AS (SELECT vec_id,
-           |  list_transform(generate_series($lo, ${lo + sub - 1}), i -> rv[i]) AS sv
-           |  FROM rv),
-           |c$j(code, c) AS (VALUES ${cbSql(j)}),
-           |e$j AS (
-           |  SELECT vec_id, code FROM (
-           |    SELECT v.vec_id, ct.code,
-           |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-           |             ROUND(list_sum(list_transform(generate_series(1, $sub),
-           |               i -> (v.sv[i] - ct.c[i]) * (v.sv[i] - ct.c[i]))), 6),
-           |             ct.code) AS rn
-           |    FROM sv$j v CROSS JOIN c$j ct) WHERE rn = 1),
-           |t$j AS (
-           |  SELECT p.cell, ct.code,
-           |         CAST(${duckQ6(s"list_sum(list_transform(generate_series(1, $sub), " +
-                      s"i -> (ct.c[i] - (qn.vn[${lo - 1} + i] - cc.c[${lo - 1} + i])) " +
-                      s"* (ct.c[i] - (qn.vn[${lo - 1} + i] - cc.c[${lo - 1} + i]))))")}
-           |           AS DOUBLE) AS t
-           |  FROM c$j ct CROSS JOIN probes p
-           |  JOIN cents cc ON cc.cell = p.cell CROSS JOIN qn)""".stripMargin
-      }
-      val joins = (0 until m).map(j =>
-        s"JOIN e$j ON e$j.vec_id = cand.vec_id " +
-          s"JOIN t$j ON t$j.cell = cand.cell AND t$j.code = e$j.code")
-        .mkString("\n  ")
-      val distSum = (0 until m).map(j => s"t$j.t").mkString(" + ")
-      s"""WITH cents(cell, c) AS (VALUES $centsSql),
-         |vecs AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-         |  FROM embeddings),
-         |q AS (SELECT ve AS qv FROM vecs WHERE vec_id = 0),
-         |nrms AS (SELECT vec_id, ve,
-         |                sqrt(list_sum(list_transform(ve, x -> x * x))) AS nm
-         |         FROM vecs),
-         |nv AS (SELECT vec_id, ve,
-         |              CASE WHEN nm > 0 THEN list_transform(ve, x -> x / nm)
-         |                   ELSE list_transform(ve, x -> 0.0) END AS vn
-         |       FROM nrms),
-         |dist AS (
-         |  SELECT v.vec_id, ct.cell,
-         |         ROUND(list_sum(list_transform(generate_series(1, $dim),
-         |           i -> (v.vn[i] - ct.c[i]) * (v.vn[i] - ct.c[i]))), 6) AS d
-         |  FROM nv v CROSS JOIN cents ct),
-         |assign AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-         |    FROM dist) WHERE rn = 1),
-         |probes AS (SELECT cell FROM dist WHERE vec_id = 0
-         |           ORDER BY d, cell LIMIT $nprobe),
-         |qn AS (SELECT vn FROM nv WHERE vec_id = 0),
-         |rv AS (
-         |  SELECT a.vec_id, a.cell,
-         |         list_transform(generate_series(1, $dim),
-         |           i -> v.vn[i] - ct.c[i]) AS rv
-         |  FROM assign a JOIN nv v USING (vec_id)
-         |  JOIN cents ct ON ct.cell = a.cell),
-         |cand AS (
-         |  SELECT a.vec_id, a.cell FROM assign a JOIN probes p ON a.cell = p.cell
-         |  WHERE a.vec_id <> 0),
-         |${(0 until m).map(jcte).mkString(",\n")},
-         |adc AS (
-         |  SELECT cand.vec_id, $distSum AS adc
-         |  FROM cand
-         |  $joins),
-         |sl AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT $short)
-         |SELECT s.vec_id, ${duckCosine("v.ve", "q.qv")} AS cos_sim
-         |FROM sl s JOIN vecs v USING (vec_id) CROSS JOIN q
-         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
-    },
+    "q_ann_ivfpq" -> duckIvfPqSql(""),
+    "q_ann_filtered" ->
+      // r16: the filtered probe — candidates additionally restricted
+      // by the label predicate BEFORE the ADC shortlist, exactly as
+      // the Spark scan-level filter composes (filter-then-rank)
+      duckIvfPqSql(
+        "\n   AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 1)"),
     "q_anomaly_days" ->
       // trailing 7-observation window (current day excluded); integer
       // counts, DECIMAL squares (long² overflows ANSI at scale),
@@ -8755,27 +8927,93 @@ object SparkEntry {
          |  $out)
          |ORDER BY merge_rank""".stripMargin
     },
+    "q_bpe_apply" -> {
+      // r16: re-derive the k merge rounds over the word-TYPE states
+      // (the q_bpe_vocab CTEs, with the word carried through), then
+      // per-doc token counts = Σ type token counts (1 for sub-2-char
+      // words), compression through the shared quant6 sequence. A dry
+      // round (empty m$i) falls back to the previous state via the
+      // LEFT JOIN ON TRUE + CASE — mirroring the Spark driver loop,
+      // which simply stops applying merges.
+      val S = "\u001F"
+      val k = graft.pipeline.TextOps.BpeVocabRounds
+      def round(i: Int): String =
+        s"""p$i AS (
+           |  SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT freq, unnest(list_transform(generate_series(1, len(toks) - 1),
+           |      x -> [toks[x], toks[x + 1]])) AS pr
+           |    FROM (SELECT freq, string_split(trim(t, '$S'), '$S$S') AS toks
+           |          FROM t${i - 1})
+           |    WHERE len(toks) >= 2)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+           |t$i AS (
+           |  SELECT w, freq,
+           |         CASE WHEN m$i.l IS NULL THEN t
+           |              ELSE replace(t, '$S' || m$i.l || '$S$S' || m$i.r || '$S',
+           |                           '$S' || m$i.l || m$i.r || '$S') END AS t
+           |  FROM t${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin
+      s"""WITH w0 AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY w),
+         |t0 AS (
+         |  SELECT w, freq,
+         |         '$S' || array_to_string(list_transform(
+         |           generate_series(1, length(w)), i -> substr(w, i, 1)),
+         |           '$S$S') || '$S' AS t
+         |  FROM w0),
+         |${(1 to k).map(round).mkString(",\n")},
+         |cnts AS (
+         |  SELECT w,
+         |         CAST((length(t) - length(replace(t, '$S', ''))) // 2 AS BIGINT)
+         |           AS ntok
+         |  FROM t$k),
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |       FROM documents),
+         |agg AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN length(dw.w) >= 2 THEN c.ntok ELSE 1 END)
+         |              AS BIGINT) AS n_bpe_tokens,
+         |         CAST(COUNT(*) AS BIGINT) AS n_ws_tokens
+         |  FROM dw LEFT JOIN cnts c ON c.w = dw.w
+         |  GROUP BY 1)
+         |SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+         |       CAST(${duckQ6("CAST(n_bpe_tokens AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE)")}
+         |            AS DOUBLE) AS compression
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+    "q_bm25_search" -> duckBm25Sql,
+    // r16: the indexed tier answers the SAME query with the SAME
+    // quantized scoring (Bm25IndexSpec gates value equality with the
+    // scan path), so the scan re-derivation verifies it end-to-end
+    "q_bm25_indexed" -> duckBm25Sql,
     "q_semdedup" ->
-      // r15 SemDeDup: the transparent k-means CTEs (final assignment
-      // a3 + its distances d3) scope the pair comparison per cluster;
-      // keeper = farther-from-centroid (rounded distances, ties to
-      // lower id); the cosine gate is the shared ROUND(…,4) chain
-      s"""WITH ${duckKmeansCtes},
-         |ad AS (
-         |  SELECT a.vec_id, a.cluster, d.d
-         |  FROM a3 a JOIN d3 d ON d.vec_id = a.vec_id AND d.cluster = a.cluster),
-         |dup AS (
-         |  SELECT DISTINCT b.vec_id
-         |  FROM ad a JOIN ad b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
-         |   AND (a.d > b.d OR (a.d = b.d AND a.vec_id < b.vec_id))
-         |  JOIN vecs va ON va.vec_id = a.vec_id
-         |  JOIN vecs vb ON vb.vec_id = b.vec_id
-         |  WHERE ${duckCosine("va.ve", "vb.ve")} >= 0.25)
-         |SELECT ad.vec_id, CAST(ad.cluster AS BIGINT) AS cluster,
-         |       CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
-         |         AS is_kept
-         |FROM ad LEFT JOIN dup ON dup.vec_id = ad.vec_id
-         |ORDER BY ad.vec_id""".stripMargin,
+      // r16: artifact-backed SemDeDup verified from the dumped final
+      // centroids (assignment, size cap, keeper rule, cosine gate all
+      // re-derived — see duckSemDedupSql)
+      duckSemDedupSql(
+        verifySemDedupDigest.flatMap(graft.pipeline.SemDedupIndex.constantsFor)),
+    "q_semdedup_append" ->
+      // r16: the incremental path equals a full union re-verdict
+      // against the stored base-fit centroids (monotone drops), which
+      // is exactly what this SQL re-derives from the dumped constants
+      duckSemDedupSql(verifySemDedupAppendDigest
+        .flatMap(graft.pipeline.SemDedupIndex.constantsFor)),
+    "q_semdedup_impact" ->
+      // r16: per-cluster census over the same re-derived verdicts;
+      // kept_frac = one division of exact longs (IEEE-identical), dc
+      // bounds are the shared ROUND(…,6) assignment distances
+      s"""WITH ${duckSemDedupCtes(
+             verifySemDedupDigest.flatMap(graft.pipeline.SemDedupIndex.constantsFor))}
+         |SELECT CAST(cluster AS BIGINT) AS cluster,
+         |       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |       CAST(SUM(is_kept) AS BIGINT) AS n_kept,
+         |       CAST(SUM(is_kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |         AS kept_frac,
+         |       MIN(d) AS min_dc, MAX(d) AS max_dc
+         |FROM v GROUP BY 1 ORDER BY cluster""".stripMargin,
     "q_dedup_survivors" ->
       // r15: quality-argmax survivor per near-dup cluster — the
       // recursive fixpoint labels + the q_quality_score derivation +

@@ -32,14 +32,26 @@ class AnnServe private (
 
   import PqIndex.q6
 
+  /** `version` = the index version the arrays were loaded at — a cell
+    * whose [[IvfPqIndex.cellVersion]] has advanced past it was appended
+    * into since the load and must reload (r16, the r15 verdict's #2:
+    * without this a warm cell silently serves the pre-append array
+    * forever while the Spark query path sees the appended vectors).
+    */
   private final case class CellData(
-      ids: Array[Long], codes: Array[Array[Int]], embs: Array[Array[Float]])
+      ids: Array[Long], codes: Array[Array[Int]], embs: Array[Array[Float]],
+      version: Long)
 
   private val cellCache =
     new java.util.LinkedHashMap[Int, CellData](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[Int, CellData]): Boolean = size() > maxCells
     }
+
+  private def isFresh(cell: Int): Boolean = {
+    val cd = cellCache.get(cell)
+    cd != null && index.cellVersion(cell) <= cd.version
+  }
 
   // query-vector read-through cache (ids served repeatedly stay warm)
   private val vecCache =
@@ -52,8 +64,12 @@ class AnnServe private (
     * path); warm queries never reach here.
     */
   private def warmCells(probes: Seq[Int]): Map[Int, CellData] = {
-    val missing = probes.filter(c => !cellCache.containsKey(c))
+    // missing OR stale (appended-into since load) cells reload in ONE
+    // pruned read; the version is snapshotted BEFORE the read so an
+    // append racing the load marks the entry stale again, never fresh
+    val missing = probes.filter(c => !isFresh(c))
     if (missing.nonEmpty) {
+      val loadVersions = missing.map(c => c -> index.cellVersion(c)).toMap
       val rows = index.codes()
         .filter(col("cell").isin(missing: _*))
         .select(col("cell"), col("vec_id"), col("codes"), col("embedding"))
@@ -63,13 +79,14 @@ class AnnServe private (
         cellCache.put(cell, CellData(
           sorted.map(_.getLong(1)),
           sorted.map(_.getSeq[Int](2).toArray),
-          sorted.map(_.getSeq[Float](3).toArray)))
+          sorted.map(_.getSeq[Float](3).toArray),
+          loadVersions(cell)))
       }
       // probed cells with zero vectors still cache (empty), so a
       // repeat probe of an empty cell stays warm
-      missing.filter(c => !cellCache.containsKey(c))
+      missing.filter(c => !isFresh(c))
         .foreach(c => cellCache.put(c,
-          CellData(Array.empty, Array.empty, Array.empty)))
+          CellData(Array.empty, Array.empty, Array.empty, loadVersions(c))))
     }
     probes.map(c => c -> cellCache.get(c)).toMap
   }

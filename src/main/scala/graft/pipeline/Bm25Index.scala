@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** r16: the INVERTED-INDEX BM25 tier — the 100 TB path behind
+  * [[TextOps.bm25]]'s scan formulation. The scan path reads the whole
+  * corpus per query (right for ad-hoc audits); a standing retrieval
+  * service builds postings ONCE and reads only the queried terms'
+  * slices ever after — the Lucene lifecycle re-expressed as a
+  * partitioned table, exactly as [[IvfIndex]] re-expresses FAISS:
+  *
+  *  - **bucket-partitioned postings**: `(term, doc_id, tf, dl)` written
+  *    `partitionBy(bucket)` over `pmod(hash(term), Buckets)` — querying
+  *    k terms is DIRECTORY-LEVEL PARTITION PRUNING of the postings
+  *    table (≤ k buckets of ~1/Buckets of the vocabulary each), plus a
+  *    pushed `term IN (…)` data filter inside the pruned scan. The
+  *    document length rides ON the posting row (the Lucene norms file,
+  *    denormalized) so scoring needs NO join back to the corpus.
+  *  - **driver-held stats**: N, Σdl and the per-term document
+  *    frequencies (collected from the vocabulary-sized df table at
+  *    query time, pruned by term) are the model constants — the idf
+  *    table is literal-mapped into the scan, the [[IvfPqIndex]] ADC
+  *    posture.
+  *  - **identical scoring**: the same quant6'd Lucene idf and
+  *    re-quantized per-term contributions as [[TextOps.bm25]], summed
+  *    as exact decimals (order-free) — so the indexed answer EQUALS the
+  *    scan answer value for value (Bm25IndexSpec gates it; the
+  *    `q_bm25_indexed` oracle is the scan formulation re-derived by
+  *    DuckDB, which the index must therefore match too).
+  *
+  * Scale shape per query: one pruned postings scan (candidates only —
+  * docs containing ≥1 query term), one (doc_id, contribution) partial
+  * aggregation, TakeOrderedAndProject top-k. Zero corpus scans, zero
+  * text anywhere (postings carry counters only).
+  */
+class Bm25Index private (
+    docs: DataFrame,
+    postingsPath: String,
+    dfPath: String,
+    val nDocs: Long,
+    val totalLen: Long) {
+
+  private def spark = docs.sparkSession
+
+  /** Top-k BM25 documents for `terms` — the pruned-postings path. */
+  def topK(terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    // per-term df, collected from the term-pruned vocabulary table
+    // (≤ |terms| rows — the driver-held model slice)
+    val dfs: Map[String, Long] = spark.read.parquet(dfPath)
+      .filter(col("term").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val buckets = terms.map(Bm25Index.bucketOf).distinct
+    val avgdl = totalLen.toDouble / nDocs.toDouble
+    // idf per queried term, quant6'd driver-side with the same double
+    // chain the scan path (and the oracle) use
+    val idf6: Map[String, Double] = terms.map { t =>
+      val df = dfs.getOrElse(t, 0L).toDouble
+      t -> PqIndex.q6(math.log((nDocs.toDouble - df + 0.5) / (df + 0.5) + 1.0))
+    }.toMap
+    val tf = col("tf").cast("double")
+    val ratio = tf * lit(2.2) / (tf + lit(TextOps.Bm25K1) *
+      (lit(1.0) - lit(TextOps.Bm25B) +
+        lit(TextOps.Bm25B) * (col("dl").cast("double") / lit(avgdl))))
+    val contrib = PqIndex.quant6(
+      element_at(typedLit(idf6), col("term")) * ratio * 1000000.0)
+    spark.read.parquet(postingsPath)
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), contrib.as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"), sum(col("c")).as("s"))
+      .select(col("doc_id"), col("dl"), col("s").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}
+
+object Bm25Index {
+  /** Postings partition count — at 100 TB each bucket holds ~1/64 of
+    * the vocabulary's postings; a k-term query prunes to ≤ k dirs.
+    */
+  val Buckets = 64
+
+  /** Driver-side twin of the build's bucket expression: Spark's
+    * `hash()` is Murmur3_x86_32 with seed 42 — internal layout only
+    * (the oracle never re-derives buckets), but driver and executors
+    * must agree.
+    */
+  private[pipeline] def bucketOf(term: String): Int = {
+    // Spark hash(): Murmur3 over the UTF8String bytes, seed 42
+    val m = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType, 42L).toInt
+    val b = m % Buckets
+    if (b < 0) b + Buckets else b
+  }
+
+  private val cache = new ConcurrentHashMap[(Int, String), Bm25Index]()
+
+  /** Cached build: one index per (session, corpus digest). */
+  def forTable(docs: DataFrame): Bm25Index = {
+    val key = (System.identityHashCode(docs.sparkSession),
+      IvfIndex.corpusDigest(docs))
+    cache.computeIfAbsent(key, _ => build(docs))
+  }
+
+  /** Offline build: ONE corpus scan writes the bucket-partitioned
+    * postings (dl denormalized onto each row), the vocabulary df table
+    * derives from the postings (never the corpus), and the scalar
+    * stats (N, Σdl) come from one counter-only pass.
+    */
+  def build(docs: DataFrame): Bm25Index = {
+    val dir = graft.core.TempDirs.scoped("graft_bm25_")
+    val postingsPath = s"$dir/postings"
+    val dfPath = s"$dir/df"
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+    base.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      .withColumn("bucket", pmod(hash(col("term")), lit(Buckets)))
+      .write.partitionBy("bucket").parquet(postingsPath)
+    val postings = docs.sparkSession.read.parquet(postingsPath)
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.parquet(dfPath)
+    // N and Σdl over ALL docs (term-less docs still count toward avgdl)
+    val stats = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
+    new Bm25Index(docs, postingsPath, dfPath, stats.getLong(0), stats.getLong(1))
+  }
+}

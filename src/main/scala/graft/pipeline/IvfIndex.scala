@@ -225,15 +225,20 @@ object IvfIndex {
     import org.apache.spark.ml.functions.array_to_vector
 
     val ve = transform(col("embedding"), _.cast("double"))
-    val withNorm = emb.select(col("vec_id"), col("embedding"), ve.as("ved"))
-      .select(col("vec_id"), col("embedding"), col("ved"),
-        sqrt(aggregate(transform(col("ved"), x => x * x), lit(0.0),
-          (a, x) => a + x)).as("nrm"))
-    val normed = withNorm.select(col("vec_id"), col("embedding"),
-      transform(col("ved"),
-        x => when(col("nrm") > 0, x / col("nrm")).otherwise(lit(0.0)))
+    // r16: ALL corpus columns ride into the cells table (label, source,
+    // …) — attribute-filtered ANN needs the predicate column NEXT TO
+    // the codes so a filtered probe stays one pruned scan (the FAISS
+    // IDSelector analog; see IvfPqIndex.topK)
+    val withNorm = emb.select(col("*"), ve.as("__ved"))
+      .select(col("*"),
+        sqrt(aggregate(transform(col("__ved"), x => x * x), lit(0.0),
+          (a, x) => a + x)).as("__nrm"))
+    val normed = withNorm.select(col("*"),
+      transform(col("__ved"),
+        x => when(col("__nrm") > 0, x / col("__nrm")).otherwise(lit(0.0)))
         .as("vn"))
-    val feats = normed.select(col("vec_id"), col("embedding"), col("vn"),
+      .drop("__ved", "__nrm")
+    val feats = normed.select(col("*"),
       array_to_vector(col("vn")).as("features"))
     val n = feats.count()
     val trainFrac = if (n * 0.25 >= nlist * 4L) 0.25 else 1.0
@@ -252,7 +257,7 @@ object IvfIndex {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_")
     tempDirs.add(dir)
     val cellsPath = s"$dir/cells"
-    normed.select(col("vec_id"), col("embedding"), cell.as("cell"))
+    normed.withColumn("cell", cell).drop("vn")
       .write.partitionBy("cell").parquet(cellsPath)
 
     new IvfIndex(emb, cellsPath, cents)

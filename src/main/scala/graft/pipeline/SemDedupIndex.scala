@@ -1,0 +1,256 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** r16 (the r15 verdict's #1): the SemDeDup verdict ARTIFACT — the
+  * Abbas et al. 2023 (arXiv:2303.09540) semantic-dedup pass
+  * materialized once per corpus digest as `(vec_id, cluster, dc,
+  * is_kept)`, the [[Dedup.clusters]] lifecycle applied to the
+  * embedding side. r15 ran the Lloyd fit + assignment + pair join on
+  * EVERY call (2.0 s at sf0.1 — the slowest non-streaming query), with
+  * a FIXED k = 4: a cluster-scoped pair join is only bounded if k
+  * grows with N (the paper's own design — k = 11k at 100M vectors), so
+  * fixed-k was O(n²/k) — a cartesian in disguise at 100 TB.
+  *
+  * What changed:
+  *
+  *  - **k(N) policy**: [[defaultK]] reuses the
+  *    [[IvfPqIndex.defaultNlist]] occupancy discipline — ~√N clusters
+  *    bounded by the n/39 training-point budget, floored at 16 — so
+  *    expected cluster size is ~√N and the per-cluster pair join stays
+  *    O(N) total work as the corpus grows.
+  *  - **per-cluster pair cap**: clusters above [[MaxCluster]] members
+  *    skip the pair comparison entirely (all members kept) — the
+  *    [[Dedup.maxBucket]] precedent: a degenerate cluster (all vectors
+  *    identical) otherwise lands m²/2 pairs on one task; a real corpus
+  *    removes those with exact dedup first.
+  *  - **artifact lifecycle**: the fit + verdict runs ONCE per (corpus
+  *    digest, tau); every later call — and every downstream consumer —
+  *    is a metadata read of the persisted verdict table. The fitted
+  *    centroids are digest-keyed for the oracle dump
+  *    ([[IvfIndex.centroidsFor]] handshake), so DuckDB re-derives
+  *    assignment, cap, keeper rule and cosine gate from the SAME
+  *    constants the Spark answer used.
+  *  - **incremental append** ([[append]]): new vectors assign against
+  *    the STORED centroids (the [[IvfPqIndex.appendEncode]]
+  *    discipline) and only TOUCHED clusters re-verdict — drops are
+  *    monotone under the keeper rule (old↔old pairs are already folded
+  *    into the stored verdicts), so append ≡ a full re-verdict of the
+  *    union against the stored centroids, at O(touched members) cost.
+  *
+  * Engine parity is unchanged from r15: cluster ids and centroid
+  * distances are rounded-argmin values both engines derive identically
+  * from the dumped centroids, the cosine gate is the shared
+  * ROUND(dot/(‖a‖·‖b‖), 4) chain, the keeper rule a pure (dc, vec_id)
+  * comparison of rounded values.
+  */
+object SemDedupIndex {
+
+  /** Per-cluster member cap for the pair join — clusters above this
+    * are degenerate (exact-dup shards) and skip pair comparison, all
+    * kept; the [[Dedup.maxBucket]] twin.
+    */
+  val MaxCluster = 10000
+
+  /** k(N): the [[IvfPqIndex.defaultNlist]] occupancy policy — ~√N
+    * clusters (expected cluster size √N ⇒ pair work Σ sᵢ² ≈ N·√N/√N =
+    * O(N)), bounded by the n/39 k-means training budget, floored at
+    * 16. The paper's k = 11k at N = 100M sits on the same √N curve.
+    */
+  def defaultK(n: Long): Int = IvfPqIndex.defaultNlist(n)
+
+  private val artifactCache =
+    new ConcurrentHashMap[(Int, String, String), String]()
+  private val byDigest =
+    new ConcurrentHashMap[String, (Seq[(Int, Array[Double])], Int)]()
+
+  /** Full fit+verdict build counter plus PER-DIGEST build counts — the
+    * spec gate that repeated queries (and the append path) never
+    * re-fit. Per-digest (not a global count) so parallel suites
+    * building their own fixtures can't race the assertion (the
+    * [[Dedup.fullBuildDigests]] pattern, counted).
+    */
+  private[pipeline] val fullBuilds = new AtomicInteger(0)
+  private[pipeline] val buildCounts =
+    new ConcurrentHashMap[String, AtomicInteger]()
+
+  /** (final centroids, k) for the corpus `digest` — the oracle-dump
+    * handshake (see [[IvfIndex.centroidsFor]]).
+    */
+  def constantsFor(digest: String): Option[(Seq[(Int, Array[Double])], Int)] =
+    Option(byDigest.get(digest))
+
+  private def tag(tau: Double): String = s"sem_$tau"
+
+  /** The persisted verdict table `(vec_id, cluster, dc, is_kept)` for
+    * `emb` — built on first touch, a parquet read ever after.
+    */
+  def verdicts(emb: DataFrame, tau: Double = 0.25): DataFrame =
+    emb.sparkSession.read.parquet(verdictPath(emb, tau))
+
+  private def verdictPath(emb: DataFrame, tau: Double): String = {
+    val digest = IvfIndex.corpusDigest(emb)
+    val key = (System.identityHashCode(emb.sparkSession), digest, tag(tau))
+    artifactCache.computeIfAbsent(key, _ => {
+      fullBuilds.incrementAndGet()
+      buildCounts.computeIfAbsent(digest, _ => new AtomicInteger(0))
+        .incrementAndGet()
+      val k = defaultK(IvfPqIndex.countFor(emb))
+      val cents = KMeansOps.fitCentroids(emb, k, iters = 2)
+      val p = graft.core.TempDirs.scoped("graft_semdedup_") + "/verdicts"
+      verdictsAgainst(emb, cents, tau).write.parquet(p)
+      // registered INSIDE the build lambda: a later cache hit (any
+      // thread) is therefore guaranteed to find the constants
+      byDigest.put(digest, (cents, k))
+      p
+    })
+  }
+
+  /** The full verdict pass against FIXED centroids — shared by the
+    * offline build, the [[append]] equality contract, and the spec's
+    * reference path. One localCheckpointed assignment feeds the size
+    * gate, both pair-join sides and the verdict join.
+    */
+  private[pipeline] def verdictsAgainst(emb: DataFrame,
+      cents: Seq[(Int, Array[Double])], tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val base = KMeansOps.assignWithDist(emb, cents).localCheckpoint()
+    verdictsOver(base, base, tau)
+  }
+
+  /** Keeper-rule verdicts over an assigned member table: pairs are
+    * drawn from `pairSource` (size-capped per cluster), every row of
+    * `all` gets a verdict. `pairSource` ⊆ `all` lets [[append]] limit
+    * pair generation to pairs touching a new vector.
+    */
+  private def verdictsOver(all: DataFrame, pairSource: DataFrame,
+      tau: Double): DataFrame = {
+    // cluster sizes from the FULL member table (k rows — AQE broadcasts
+    // the join back; deliberately unhinted per the chunk-offsets rule)
+    val sizes = all.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, MaxCluster))
+      .select(col("cluster"))
+    val elig = pairSource.join(sizes, Seq("cluster"))
+    // zero vectors have no direction: their cosine is 0/0 (an ANSI
+    // DIVIDE_BY_ZERO on Spark where DuckDB's x/0 is NULL — the §4
+    // divide-guard class). The when() short-circuits in codegen, so
+    // the division never evaluates for a zero-norm side; a NULL
+    // comparison filters the pair on both engines identically (zero
+    // vectors are always kept — never anyone's duplicate).
+    def n2(side: String): Column =
+      Similarity.dot(col(s"$side.embedding"), col(s"$side.embedding"))
+    val cos = when(n2("a") > 0.0 && n2("b") > 0.0,
+      round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 4))
+    val dup = elig.as("a").join(elig.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          (col("a.dc") > col("b.dc") ||
+            (col("a.dc") === col("b.dc") && col("a.vec_id") < col("b.vec_id"))))
+      .filter(cos >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("dropped", lit(1L))
+    all.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dc"),
+        when(col("dropped").isNull, 1L).otherwise(0L).as("is_kept"))
+  }
+
+  /** r16 (the r15 verdict's #7): INCREMENTAL verdict refresh. New
+    * vectors assign against the STORED centroids and only clusters
+    * RECEIVING a new vector re-verdict — and within those, only pairs
+    * touching a new vector are generated (old↔old pairs are already
+    * folded into the stored verdicts; drops are monotone under the
+    * keeper rule, so `stored_drop ∨ new_pair_drop` EQUALS the full
+    * union re-verdict against the same centroids — gated by
+    * SemDedupSpec). Old members of touched clusters re-read their
+    * embeddings via a vec_id join against the base corpus (the verdict
+    * artifact deliberately stores no vectors); untouched clusters are
+    * a pure metadata copy.
+    *
+    * Model staleness is the [[IvfPqIndex.appendEncode]] trade: the
+    * centroids (and k) stay those of the BASE fit — the rebuild
+    * trigger is the corpus version advancing, which re-keys the digest
+    * and re-fits. Documented divergence ([[Dedup.clustersAppend]]
+    * precedent): a cluster crossing [[MaxCluster]] only BECAUSE of the
+    * append keeps its pre-existing drops (a full rebuild would skip
+    * the whole degenerate cluster).
+    *
+    * The refreshed artifact registers under the digest of
+    * `base.unionByName(newVecs)`, so later [[verdicts]] reads of that
+    * union hit it without any rebuild.
+    */
+  def append(base: DataFrame, newVecs: DataFrame,
+      tau: Double = 0.25): DataFrame = {
+    val spark = base.sparkSession
+    val union = base.unionByName(newVecs)
+    val unionDigest = IvfIndex.corpusDigest(union)
+    val unionKey = (System.identityHashCode(spark), unionDigest, tag(tau))
+    val cached = artifactCache.get(unionKey)
+    if (cached != null) return spark.read.parquet(cached)
+    val basePath = verdictPath(base, tau) // builds the base artifact if absent
+    val baseDigest = IvfIndex.corpusDigest(base)
+    val (cents, k) = byDigest.get(baseDigest)
+    val stored = spark.read.parquet(basePath)
+    val assignedNew = KMeansOps.assignWithDist(newVecs, cents)
+      .localCheckpoint() // touched set, pair side and verdicts all read it
+    val touched = assignedNew.select(col("cluster")).distinct()
+    val oldTouched = stored.join(touched, Seq("cluster"), "left_semi")
+    // old members re-fetch embeddings by vec_id (high-card, skew-free)
+    val oldMembers = oldTouched
+      .join(base.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("dc"),
+        col("is_kept").as("old_kept"), lit(false).as("is_new"))
+    val newMembers = assignedNew
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("dc"),
+        lit(1L).as("old_kept"), lit(true).as("is_new"))
+    val members = oldMembers.unionByName(newMembers).localCheckpoint()
+    val pairSource = members
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("dc"),
+        col("is_new"))
+    // pairs must touch a new vector: restrict ONE side to new members —
+    // keeper drops b when a out-ranks it, so (a any, b any) pairs with
+    // a or b new are covered by the union of (a new) and (b new) joins;
+    // verdictsOver's symmetric join makes that the filter below
+    val reVerdict = {
+      val sizes = members.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n").between(2, MaxCluster))
+        .select(col("cluster"))
+      val elig = pairSource.join(sizes, Seq("cluster"))
+      def n2(side: String): Column =
+        Similarity.dot(col(s"$side.embedding"), col(s"$side.embedding"))
+      val cos = when(n2("a") > 0.0 && n2("b") > 0.0,
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 4))
+      val dup = elig.as("a").join(elig.as("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("a.vec_id") =!= col("b.vec_id") &&
+            (col("a.is_new") || col("b.is_new")) &&
+            (col("a.dc") > col("b.dc") ||
+              (col("a.dc") === col("b.dc") &&
+                col("a.vec_id") < col("b.vec_id"))))
+        .filter(cos >= tau)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("dropped", lit(1L))
+      members.join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("dc"),
+          when(col("dropped").isNull, col("old_kept")).otherwise(0L)
+            .as("is_kept"))
+    }
+    val untouched = stored.join(touched, Seq("cluster"), "left_anti")
+      .select(col("vec_id"), col("cluster"), col("dc"), col("is_kept"))
+    val merged = untouched.unionByName(reVerdict)
+    val path = artifactCache.computeIfAbsent(unionKey, _ => {
+      val p = graft.core.TempDirs.scoped("graft_semdedup_") + "/verdicts"
+      merged.write.parquet(p)
+      p
+    })
+    // the union corpus answers oracle dumps with the BASE constants —
+    // append never refits (registered under the union digest so a
+    // q_semdedup_append dump finds them)
+    byDigest.putIfAbsent(unionDigest, (cents, k))
+    spark.read.parquet(path)
+  }
+}

@@ -536,6 +536,29 @@ object Similarity {
     IvfPqIndex.forTable(emb, nl, m, cb).topK(queryId, k, np, shortlist)
   }
 
+  /** r16 (the r15 verdict's #3): ATTRIBUTE-FILTERED IVFPQ top-k — the
+    * FAISS-IDSelector analog. Every production retrieval call carries a
+    * predicate (source/label/date); applying it AFTER top-k under-fills
+    * k on selective predicates. The attribute columns are persisted
+    * BESIDE the codes in the cell partitions ([[IvfPqIndex]] r16
+    * build/append), so the predicate rides the SAME single
+    * partition-pruned scan as the probe — partition filter (`cell IN
+    * probes`) and pushed data filter compose; the ADC shortlist then
+    * fills with k ELIGIBLE candidates (filter-then-rank). Zero joins,
+    * zero extra scans; recall vs FILTERED brute force floor-gated in
+    * RecallSpec.
+    */
+  def ivfPqTopKFiltered(emb: DataFrame, queryId: Long, filter: Column,
+      k: Int = 10, nlist: Int = -1, nprobe: Int = -1, m: Int = 8,
+      cb: Int = 16, shortlist: Int = IvfPqShortlist): DataFrame = {
+    reg(emb)
+    val nl = if (nlist > 0) nlist
+      else IvfPqIndex.defaultNlist(IvfPqIndex.countFor(emb))
+    val np = if (nprobe > 0) nprobe else IvfPqIndex.defaultNprobe(nl)
+    IvfPqIndex.forTable(emb, nl, m, cb)
+      .topK(queryId, k, np, shortlist, Some(filter))
+  }
+
   /** NEW r14: int8 quantization-error histogram — per vector, the
     * cosine gap 1 − cos(v, q8(v)) between the float vector and its
     * symmetric int8 quantization, bucketed at 1e-5 resolution: the QA
@@ -576,45 +599,55 @@ object Similarity {
     * from [[embeddingNearDups]] (LSH-bucketed near-dup PAIRS): this is
     * the curation PASS — every vector gets a keep/drop verdict.
     *
-    * Scale shape: assignment is one codegen'd argmin scan; the pair
-    * join is cluster-scoped (SemDeDup's own design — k scales with N
-    * so clusters stay bounded, the paper runs k=11k on 100M); the
-    * assigned table localCheckpoints once (three consumers — both join
-    * sides and the verdict join — would otherwise re-fit/re-scan).
-    * Engine parity: cluster ids and centroid distances are the
-    * rounded-argmin values both engines derive identically
-    * (q_kmeans_embed machinery), the cosine gate is the shared
-    * ROUND(dot/(‖a‖·‖b‖), 4) chain, and the keeper rule is a pure
-    * (dc, vec_id) comparison of those rounded values.
+    * r16 (the r15 verdict's #1): ARTIFACT-BACKED — the fit + verdict
+    * pass materializes once per corpus digest in [[SemDedupIndex]]
+    * (k set by the √N/occupancy policy [[SemDedupIndex.defaultK]], a
+    * [[SemDedupIndex.MaxCluster]] pair cap per cluster); this query
+    * path is a metadata read of the persisted `(vec_id, cluster, dc,
+    * is_kept)` table. Engine parity: the oracle re-derives assignment,
+    * cap, cosine gate and keeper rule from the DUMPED final centroids
+    * (the q_ann_ivf handshake) — rounded-argmin distances, the shared
+    * ROUND(dot/(‖a‖·‖b‖), 4) chain, and a pure (dc, vec_id) keeper
+    * comparison, identical on both engines.
     */
-  def semDedup(emb: DataFrame, k: Int = 4, iters: Int = 2,
-      tau: Double = 0.25): DataFrame = {
-    reg(emb)
-    val cents = KMeansOps.fitCentroids(emb, k, iters)
-    val base = KMeansOps.assignWithDist(emb, cents).localCheckpoint()
-    // zero vectors have no direction: their cosine is 0/0 (an ANSI
-    // DIVIDE_BY_ZERO on Spark where DuckDB's x/0 is NULL — the §4
-    // divide-guard class). The when() short-circuits in codegen, so
-    // the division never evaluates for a zero-norm side; a NULL
-    // comparison filters the pair on both engines identically (zero
-    // vectors are always kept — never anyone's duplicate).
-    def n2(side: String): Column =
-      dot(col(s"$side.embedding"), col(s"$side.embedding"))
-    val cos = when(n2("a") > 0.0 && n2("b") > 0.0,
-      round(cosine(col("a.embedding"), col("b.embedding")), 4))
-    val dup = base.as("a").join(base.as("b"),
-        col("a.cluster") === col("b.cluster") &&
-          col("a.vec_id") =!= col("b.vec_id") &&
-          (col("a.dc") > col("b.dc") ||
-            (col("a.dc") === col("b.dc") && col("a.vec_id") < col("b.vec_id"))))
-      .filter(cos >= tau)
-      .select(col("b.vec_id").as("vec_id")).distinct()
-      .withColumn("dropped", lit(1L))
-    base.join(dup, Seq("vec_id"), "left")
+  def semDedup(emb: DataFrame, tau: Double = 0.25): DataFrame =
+    SemDedupIndex.verdicts(emb, tau)
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
-        when(col("dropped").isNull, 1L).otherwise(0L).as("is_kept"))
+        col("is_kept"))
       .orderBy("vec_id")
-  }
+
+  /** r16 (the r15 verdict's #7): incremental SemDeDup verdict refresh —
+    * appended vectors assign against the STORED centroids and only
+    * touched clusters re-verdict ([[SemDedupIndex.append]]).
+    */
+  def semDedupAppend(base: DataFrame, newVecs: DataFrame,
+      tau: Double = 0.25): DataFrame =
+    SemDedupIndex.append(base, newVecs, tau)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("is_kept"))
+      .orderBy("vec_id")
+
+  /** r16: per-cluster SemDeDup curation report — cluster size, kept
+    * count/fraction and the centroid-distance range: the summary a
+    * curation owner reads to pick τ (a cluster keeping 10% is a
+    * near-dup shard; one keeping 100% is already diverse). Pure
+    * metadata read of the [[SemDedupIndex]] verdict artifact — zero
+    * corpus scans, one k-row aggregate. kept_frac is a single division
+    * of exact longs (IEEE-identical on both engines); dc bounds are
+    * the stored ROUND(…,6) assignment distances.
+    */
+  def semDedupImpact(emb: DataFrame, tau: Double = 0.25): DataFrame =
+    SemDedupIndex.verdicts(emb, tau)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("is_kept")).cast("long").as("n_kept"),
+        min(col("dc")).as("min_dc"),
+        max(col("dc")).as("max_dc"))
+      .select(col("cluster"), col("n_vectors"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_vectors").cast("double"))
+          .as("kept_frac"),
+        col("min_dc"), col("max_dc"))
+      .orderBy("cluster")
 
   /** NEW r14: cross-label nearest-neighbor pairs — the MISLABEL
     * detector: vectors whose top-3 cosine neighbors carry a DIFFERENT

@@ -1228,16 +1228,49 @@ object TextOps {
     * k-deep plan every round). The vocabulary table (distinct words ×
     * freq) is corpus-metadata-sized; the corpus itself is read ONCE.
     */
+  /** The BPE token-state separator (U+001F) — each token wrapped
+    * `␟tok␟`, so one merge is a literal replace (see [[bpeVocab]]).
+    */
+  private val BpeSep = "\u001F"
+
+  /** r16 (ADVICE): the token-state encoding ASSUMES U+001F never occurs
+    * in corpus text — a word carrying it would silently corrupt token
+    * boundaries (wrong pair counts, wrong merges). Assert the invariant
+    * in-stream: assert_true returns NULL on success (isnull → keep the
+    * row) and raises loudly on the first violating word; living inside
+    * the filter, it cannot be pruned away.
+    */
+  private def bpeNoSep: Column =
+    isnull(assert_true(!col("w").contains(lit(BpeSep)),
+      lit("graft BPE: corpus text contains U+001F, which the BPE " +
+        "token-state encoding reserves as its separator")))
+
+  /** `w` → its ␟-wrapped character token state (`␟c1␟␟c2␟…`). */
+  private def bpeWrap: Column =
+    concat(lit(BpeSep), expr(
+      s"array_join(transform(sequence(1, length(w)), " +
+        s"i -> substring(w, i, 1)), '$BpeSep$BpeSep')"), lit(BpeSep))
+
   def bpeVocab(docs: DataFrame, k: Int = BpeVocabRounds): DataFrame = {
-    val S = "\u001F"
     val spark = docs.sparkSession
+    import spark.implicits._
+    bpeInduce(docs, k)._1
+      .toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+      .orderBy("merge_rank")
+  }
+
+  /** The shared induction loop: returns the merge list AND the final
+    * word-type state table `(w, freq, t)` (checkpointed), so
+    * [[bpeApply]] reuses the already-folded states instead of
+    * re-scanning the corpus and re-applying every merge.
+    */
+  private def bpeInduce(docs: DataFrame, k: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    val S = BpeSep
     var cur = docs.select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 2)
+      .filter(length(col("w")) >= 2 && bpeNoSep)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
-        concat(lit(S), expr(
-          s"array_join(transform(sequence(1, length(w)), " +
-            s"i -> substring(w, i, 1)), '$S$S')"), lit(S)).as("t"))
+      .select(col("w"), col("freq"), bpeWrap.as("t"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var r = 1
@@ -1262,16 +1295,119 @@ object TextOps {
         // LITERAL replace (StringReplace — not a regex, so merged
         // tokens containing regex metacharacters need no quoting;
         // DuckDB's replace() is the literal mirror)
-        cur = cur.select(col("freq"),
+        cur = cur.select(col("w"), col("freq"),
             org.apache.spark.sql.functions.replace(col("t"),
               lit(S + l + S + S + rr + S), lit(S + l + rr + S)).as("t"))
           .localCheckpoint()
         r += 1
       }
     }
-    import spark.implicits._
-    merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
-      .orderBy("merge_rank")
+    (merges.result(), cur)
+  }
+
+  /** r16 (the r15 verdict's #5): BPE APPLY — re-tokenize the corpus
+    * with the [[bpeVocab]]-induced merge list. The missing half of the
+    * tokenizer loop: induction ranks merges, apply MEASURES them — per
+    * document, the BPE token count after all k merges vs the
+    * whitespace baseline, and the compression ratio a tokenizer owner
+    * reads to judge the vocabulary.
+    *
+    * Shape: the induction's FINAL word-type states are reused directly
+    * ([[bpeInduce]] — vocabulary-sized, checkpointed, merges already
+    * folded), and the corpus pays ONE further scan: doc words join the
+    * type table's token counts (vocabulary side broadcast by AQE —
+    * bounded, never the corpus) and aggregate per doc. Words under 2
+    * chars (excluded from induction) count 1 token, mirrored. The
+    * ratio is engine-exact: integer counts, one quant6'd division
+    * (shared FLOOR/CEIL float sequence).
+    */
+  def bpeApply(docs: DataFrame, k: Int = BpeVocabRounds): DataFrame = {
+    val S = BpeSep
+    // the induction's FINAL word-type states — the merges are already
+    // folded in (and checkpointed), so apply pays zero extra scans or
+    // replaces on the type side
+    val types = bpeInduce(docs, k)._2
+    // each token contributes exactly two separators (tokens never
+    // contain ␟ — asserted at wrap time), so count = ␟-count / 2
+    val ntok = ((length(col("t")) -
+      length(org.apache.spark.sql.functions.replace(col("t"), lit(S), lit(""))))
+      .cast("long") / lit(2L)).cast("long")
+    val cnts = types.select(col("w"), ntok.as("ntok"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(cnts, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(length(col("w")) >= 2, col("ntok")).otherwise(1L))
+        .cast("long").as("n_bpe_tokens"),
+        count(lit(1)).as("n_ws_tokens"))
+      .select(col("doc_id"), col("n_bpe_tokens"), col("n_ws_tokens"),
+        quant6(col("n_bpe_tokens").cast("double") /
+          col("n_ws_tokens").cast("double") * 1000000.0)
+          .cast("double").as("compression"))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 parameters, shared with the `q_bm25_search` oracle. `2.2`
+    * (k1+1) stays a LITERAL on both engines — a runtime `k1 + 1.0`
+    * could land one ulp off the literal's parse.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** r16 (the r15 verdict's #4): BM25 lexical retrieval — the ranked
+    * query→documents search the decontamination/dedup-audit workflows
+    * read (tf-idf top terms exist; this is the QUERY side). Classic
+    * Robertson/Spärck Jones BM25 with the Lucene-style idf
+    * `ln((N − df + 0.5)/(df + 0.5) + 1)`.
+    *
+    * Scale shape: term frequencies are SCALAR per-row folds over the
+    * projected token array (terms are a small literal list — no
+    * posting-list shuffle, no text shuffle; the only aggregate is the
+    * one-row corpus stats (N, Σdl, df per term), broadcast back), and
+    * top-k is TakeOrderedAndProject. At 100 TB this is one corpus scan
+    * per query batch; a standing inverted index would only change
+    * WHERE the scan prunes, not this operator's contract.
+    *
+    * Parity (§4): idf goes through quant6 (ln is the 1-ulp libm
+    * class); each term's contribution re-quantizes the mirrored
+    * double chain (exact-int tf/dl, avgdl = one double division,
+    * literal k1/b), so the score is an exact decimal sum — order-free
+    * and hash-stable.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    // the per-doc counter table (doc_id, dl, tf…) localCheckpoints:
+    // its two consumers (the one-row stats agg and the candidate
+    // filter) prune differently, so without it each re-plans the full
+    // text scan — the sourceKl lesson; text is decoded ONCE, only
+    // counters persist
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id") +: size(col("ws")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("ws"), w => w === lit(t))).cast("long").as(s"tf$i")
+        }: _*)
+      .localCheckpoint()
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).as("tot") +: terms.indices.map(i =>
+        sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))): _*)
+    val avgdl = col("tot").cast("double") / col("n").cast("double")
+    def contrib(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      val idf6 = quant6(log(
+        (col("n").cast("double") - df + 0.5) / (df + 0.5) + 1.0)
+        * 1000000.0).cast("double")
+      val ratio = tf * lit(2.2) / (tf + lit(Bm25K1) *
+        (lit(1.0) - lit(Bm25B) + lit(Bm25B) * (col("dl").cast("double") / avgdl)))
+      quant6(idf6 * ratio * 1000000.0)
+    }
+    base
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        terms.indices.map(contrib).reduce(_ + _).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** NEW r15: per-document bigram negative log-likelihood — the

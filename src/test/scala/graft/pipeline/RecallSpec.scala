@@ -122,6 +122,28 @@ class RecallSpec extends AnyFunSuite {
     assert(dflt <= full, "shortlist truncation cannot add recall")
   }
 
+  test("attribute-filtered IVFPQ holds a floor vs FILTERED brute force") {
+    // r16: filter-then-rank — the predicate restricts candidates
+    // INSIDE the pruned probe scan, so top-k fills with k eligible
+    // rows; ground truth is the brute-force cosine ranking over the
+    // predicate-satisfying corpus (plus the query vector itself)
+    val filt = col("label") === 1
+    val rs = queryIds.map { q =>
+      val truth = ids(Similarity.bruteForceTopK(
+        emb.filter(filt || col("vec_id") === q), q, K))
+      ids(Similarity.ivfPqTopKFiltered(emb, q, filt, K))
+        .intersect(truth).size.toDouble / truth.size
+    }
+    val r = rs.sum / rs.size
+    assert(r >= 0.7, s"filtered IVFPQ recall@10 $r below floor 0.7")
+    // every returned row satisfies the predicate (rank-then-filter
+    // would leak other labels whenever eligible rows are scarce)
+    val leaked = Similarity.ivfPqTopKFiltered(emb, 0L, filt, K)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label") =!= 1).count()
+    assert(leaked === 0L, s"$leaked results violate the predicate")
+  }
+
   test("IVF recall grows monotonically with nprobe and holds its floors") {
     val byProbe = Seq(4, 6, 8)
       .map(np => np -> recallOf(q => Similarity.ivfTopK(emb, q, K, nprobe = np)))

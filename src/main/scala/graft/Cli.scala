@@ -192,6 +192,12 @@ object Cli {
     lazy val annServe: Option[graft.pipeline.AnnServe] =
       embDir.map(d => graft.pipeline.AnnServe.forTable(
         graft.core.Tables.embeddings(spark, d)))
+    // r16: warm BM25 serving (`search <term> [term...]`) — the lexical
+    // twin of `ann`: first query pays the (digest-cached) postings
+    // build + probed-bucket warm, later ones are driver-side scoring
+    lazy val bm25Serve: Option[graft.pipeline.Bm25Serve] =
+      embDir.map(d => graft.pipeline.Bm25Serve.forTable(
+        graft.core.Tables.documents(spark, d)))
     val cache = new java.util.LinkedHashMap[String, SymCache](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, SymCache]): Boolean =
@@ -333,8 +339,20 @@ object Cli {
                 out.println("ann: no embeddings dir (set GRAFT_EMB_DIR)")
             }
             out.println(f"(${(System.nanoTime() - t0) / 1e6}%.2f ms)")
+          case "search" if a.length >= 2 =>
+            bm25Serve match {
+              case Some(srv) =>
+                val res = srv.topK(a.drop(1).toSeq, 10)
+                out.println(s"Top ${res.length} docs for '${a.drop(1).mkString(" ")}':")
+                res.foreach { case (doc, dl, score) =>
+                  out.println(f"Doc: $doc Len: $dl BM25: $score%.6f")
+                }
+              case None =>
+                out.println("search: no corpus dir (set GRAFT_EMB_DIR)")
+            }
+            out.println(f"(${(System.nanoTime() - t0) / 1e6}%.2f ms)")
           case _ =>
-            out.println("commands: query|last|count|insert|ann|exit")
+            out.println("commands: query|last|count|insert|ann|search|exit")
         } catch {
           case e: Exception => out.println(s"error: ${e.getMessage}")
         }

@@ -433,6 +433,9 @@ object SparkEntry {
     "q_span_dedup_sentences" -> ((s, dir) =>
       Dedup.spanDedupSentences(Tables.documents(s, dir))),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+    // r16: the quality-threshold tuning profile (decile census)
+    "q_quality_deciles" -> ((s, dir) =>
+      TextOps.qualityDeciles(Tables.documents(s, dir))),
     "q_token_count" -> ((s, dir) => TextOps.tokenCount(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "q_repetition" -> ((s, dir) => TextOps.repetitionRatio(Tables.documents(s, dir))),
@@ -6622,6 +6625,34 @@ object SparkEntry {
         |            w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT)
         |            / CAST(len(string_split(text, ' ')) AS DOUBLE))) / 2.0, 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_deciles" ->
+      // r16: decile key = FLOOR(q*10) clamped to 9 over the SAME
+      // rounded quality double (hash-green for rounds → FLOOR is
+      // engine-identical); means/shares are single divisions of exact
+      // integer sums — never sums of per-doc rounded doubles
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT)
+        |         AS stop_cnt,
+        |    ROUND((CAST(LEAST(len(string_split(text, ' ')), 200) AS DOUBLE) / 200.0
+        |          + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |              w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT)
+        |              / CAST(len(string_split(text, ' ')) AS DOUBLE))) / 2.0, 6) AS quality
+        |  FROM documents),
+        |d AS (
+        |  SELECT CAST(LEAST(FLOOR(quality * 10.0), 9.0) AS BIGINT) AS decile,
+        |         n_words, stop_cnt, quality
+        |  FROM q)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |       CAST(SUM(n_words) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |         AS mean_words,
+        |       CAST(SUM(stop_cnt) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+        |         AS stop_share,
+        |       MIN(quality) AS min_quality, MAX(quality) AS max_quality
+        |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS BIGINT) AS ws_tokens,

@@ -39,11 +39,77 @@ import org.apache.spark.sql.functions._
 class Bm25Index private (
     docs: DataFrame,
     postingsPath: String,
-    dfPath: String,
-    val nDocs: Long,
-    val totalLen: Long) {
+    initialDfPath: String,
+    initialNDocs: Long,
+    initialTotalLen: Long) {
 
   private def spark = docs.sparkSession
+  private[pipeline] def session = spark
+
+  // mutable model state — advanced by [[append]] (the appendEncode
+  // posture: the artifact grows in place, the driver-held scalars and
+  // the vocabulary-table path swap under a lock)
+  @volatile private var dfPath: String = initialDfPath
+  @volatile private var nDocsVar: Long = initialNDocs
+  @volatile private var totalLenVar: Long = initialTotalLen
+  private var dfGen: Int = 0
+
+  def nDocs: Long = nDocsVar
+  def totalLen: Long = totalLenVar
+
+  /** Per-bucket append versions — the [[IvfPqIndex.cellVersion]]
+    * staleness handshake for warm [[Bm25Serve]] caches: a bucket whose
+    * version advanced past a cache entry's load version received new
+    * postings and must reload.
+    */
+  @volatile private var versionCounter: Long = 0L
+  private val bucketVersions =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
+  def bucketVersion(bucket: Int): Long = {
+    val v = bucketVersions.get(bucket)
+    if (v == null) 0L else v.longValue()
+  }
+
+  private[pipeline] def postingsDir: String = postingsPath
+
+  /** r16: incremental corpus growth — the [[IvfPqIndex.appendEncode]]
+    * posture for the lexical tier. New docs tokenize ONCE into posting
+    * rows appended into the bucket partitions (O(batch)); the
+    * vocabulary df table re-derives from the postings (vocabulary-
+    * sized, never the corpus) into a fresh versioned path; N and Σdl
+    * advance by the batch's scalars. After an append, [[topK]] answers
+    * over the union corpus exactly as a from-scratch build would
+    * (Bm25IndexSpec gates equality with the scan path on the union).
+    * `newDocs` doc_ids must be disjoint from the corpus — the same
+    * primary-key contract as [[Dedup.clustersAppend]].
+    */
+  def append(newDocs: DataFrame): Unit = synchronized {
+    val batch = Bm25Index.postingsOf(newDocs)
+      .localCheckpoint() // the write and the touched-bucket collect share it
+    batch.write.mode("append").partitionBy("bucket").parquet(postingsPath)
+    // stamp every touched bucket (≤ Buckets rows) so warm serve caches
+    // evict exactly those
+    val touched = batch.select(col("bucket")).distinct().collect()
+      .map(_.getInt(0))
+    versionCounter += 1
+    val v = java.lang.Long.valueOf(versionCounter)
+    touched.foreach(b => bucketVersions.put(b, v))
+    dfGen += 1
+    val newDfPath = s"$initialDfPath-v$dfGen"
+    spark.read.parquet(postingsPath)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.parquet(newDfPath)
+    val stats = newDocs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      // coalesce: an EMPTY batch (a quiet micro-batch) sums to NULL —
+      // getLong would NPE
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("tot"))
+      .head()
+    nDocsVar += stats.getLong(0)
+    totalLenVar += stats.getLong(1)
+    dfPath = newDfPath
+  }
 
   /** Top-k BM25 documents for `terms` — the pruned-postings path. */
   def topK(terms: Seq[String], k: Int): DataFrame = {
@@ -54,7 +120,7 @@ class Bm25Index private (
       .filter(col("term").isin(terms: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val buckets = terms.map(Bm25Index.bucketOf).distinct
-    val avgdl = totalLen.toDouble / nDocs.toDouble
+    val avgdl = totalLenVar.toDouble / nDocsVar.toDouble
     // idf per queried term, quant6'd driver-side with the same double
     // chain the scan path (and the oracle) use
     val idf6: Map[String, Double] = terms.map { t =>
@@ -112,24 +178,31 @@ object Bm25Index {
     * derives from the postings (never the corpus), and the scalar
     * stats (N, Σdl) come from one counter-only pass.
     */
+  /** `(term, doc_id, tf, dl, bucket)` posting rows for a doc slice —
+    * the one tokenizing pass, shared by [[build]] and
+    * [[Bm25Index.append]] so the two cannot drift.
+    */
+  private[pipeline] def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      .withColumn("bucket", pmod(hash(col("term")), lit(Buckets)))
+
   def build(docs: DataFrame): Bm25Index = {
     val dir = graft.core.TempDirs.scoped("graft_bm25_")
     val postingsPath = s"$dir/postings"
     val dfPath = s"$dir/df"
-    val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
-        explode(col("ws")).as("term"))
-    base.groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
-      .withColumn("bucket", pmod(hash(col("term")), lit(Buckets)))
-      .write.partitionBy("bucket").parquet(postingsPath)
+    postingsOf(docs).write.partitionBy("bucket").parquet(postingsPath)
     val postings = docs.sparkSession.read.parquet(postingsPath)
     postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.parquet(dfPath)
     // N and Σdl over ALL docs (term-less docs still count toward avgdl)
     val stats = docs
       .select(size(split(col("text"), " ")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("tot"))
+      .head()
     new Bm25Index(docs, postingsPath, dfPath, stats.getLong(0), stats.getLong(1))
   }
 }

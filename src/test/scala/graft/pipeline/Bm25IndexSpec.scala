@@ -40,6 +40,22 @@ class Bm25IndexSpec extends AnyFunSuite {
       assert(Bm25Index.bucketOf(t) === viaSpark(t), s"term $t"))
   }
 
+  test("append grows the index — answers equal a fresh scan over the union") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val nw = docs.filter(col("doc_id") % 10 === 0)
+    val idx = Bm25Index.forTable(base)
+    val terms = graft.SparkEntry.Bm25Terms
+    val preAppend = rows(idx.topK(terms, 10))
+    idx.append(nw)
+    val expect = rows(TextOps.bm25(base.unionByName(nw), terms, 10))
+    val got = rows(idx.topK(terms, 10))
+    assert(got === expect,
+      "post-append indexed answer diverged from the union scan path")
+    // the append genuinely changed the model (N, avgdl, df all moved)
+    assert(got != preAppend || expect == preAppend)
+  }
+
   test("the query plan prunes to the queried terms' buckets — no corpus scan") {
     val docs = Tables.documents(spark, sf)
     val df = Bm25Index.forTable(docs).topK(Seq("dup"), 10)

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+
+/** r16: the warm BM25 serve path — the AnnServeSpec contract for the
+  * lexical tier: a serve answer must EQUAL the Spark `Bm25Index.topK`
+  * collected result, a warm repeat must schedule zero Spark jobs, and
+  * an index append must evict exactly the stale buckets so the warm
+  * path reflects the grown corpus.
+  */
+class Bm25ServeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def viaSpark(idx: Bm25Index, terms: Seq[String], k: Int) =
+    idx.topK(terms, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("serve answers equal the Spark indexed query path") {
+    val docs = Tables.documents(spark, sf)
+    val idx = Bm25Index.forTable(docs)
+    val srv = Bm25Serve.forTable(docs)
+    Seq(graft.SparkEntry.Bm25Terms, Seq("dup"), Seq("the", "vector")).foreach { terms =>
+      assert(srv.topK(terms, 10) === viaSpark(idx, terms, 10),
+        s"terms $terms")
+    }
+  }
+
+  test("a warm repeat query schedules zero Spark jobs") {
+    val srv = Bm25Serve.forTable(Tables.documents(spark, sf))
+    srv.topK(graft.SparkEntry.Bm25Terms, 10) // warm the probed buckets
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = srv.topK(graft.SparkEntry.Bm25Terms, 10)
+      assert(r.nonEmpty)
+      Thread.sleep(1000) // let any (wrong) job's start event land
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() === 0,
+      s"warm serve query scheduled ${jobs.get()} Spark job(s)")
+  }
+
+  test("append evicts stale buckets — warm serve sees the grown corpus") {
+    import spark.implicits._
+    // private corpus slice (digest-distinct from the other tests)
+    val base = Tables.documents(spark, sf).filter(col("doc_id") % 7 =!= 0)
+    val idx = Bm25Index.forTable(base)
+    val srv = Bm25Serve.forTable(base)
+    val terms = Seq("dup")
+    srv.topK(terms, 10) // warm
+    // append a doc that MUST become the top hit for 'dup' (max tf,
+    // minimal length)
+    val nw = Seq((999999L, "dup dup dup dup", "en", "synth", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    idx.append(nw)
+    val warm = srv.topK(terms, 10)
+    assert(warm.head._1 === 999999L,
+      s"warm serve missed the appended doc: $warm")
+    // and still equals the Spark path on the post-append index
+    assert(warm === viaSpark(idx, terms, 10))
+  }
+}

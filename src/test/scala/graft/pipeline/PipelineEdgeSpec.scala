@@ -196,6 +196,41 @@ class PipelineEdgeSpec extends AnyFunSuite {
     assert(sd(5L) === 0L && sd(0L) === 1L, "exact dup still collapses")
   }
 
+  test("r16 ops survive degenerate corpora and EMPTY append batches") {
+    // bm25 on the adversarial corpus (empty/whitespace docs → dl 1,
+    // zero-match docs filtered) and with a term no doc contains
+    Seq(
+      "bm25" -> TextOps.bm25(edgeDocs, Seq("the", "x")),
+      "bm25-nomatch" -> TextOps.bm25(edgeDocs, Seq("zzz-absent")),
+      "bpeApply" -> TextOps.bpeApply(edgeDocs),
+      "semDedupImpact" -> graft.pipeline.Similarity.semDedupImpact(
+        edgeDocs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(1), lit(4)),
+            i => (col("doc_id") + i).cast("float")).as("embedding"),
+          lit(0).as("label")))
+    ).foreach { case (name, df) =>
+      try df.collect()
+      catch { case e: Throwable =>
+        fail(s"$name threw on the adversarial corpus: ${e.getMessage.take(300)}")
+      }
+    }
+    // empty append batches: a quiet micro-batch must be a no-op, not
+    // an NPE (sum over empty = NULL) — both r16 append paths
+    val base = edgeDocs.filter(col("doc_id") <= 5L)
+    val emptyDocs = edgeDocs.filter(col("doc_id") > 100L)
+    val idx = Bm25Index.forTable(base)
+    val before = idx.topK(Seq("the"), 5).collect().map(_.toSeq).toSeq
+    idx.append(emptyDocs)
+    assert(idx.topK(Seq("the"), 5).collect().map(_.toSeq).toSeq === before)
+    val embBase = base.select(col("doc_id").as("vec_id"),
+      transform(sequence(lit(1), lit(4)),
+        i => (col("doc_id") + i).cast("float")).as("embedding"),
+      lit(0).as("label"))
+    val embEmpty = embBase.filter(col("vec_id") > 100L)
+    val sd = Similarity.semDedupAppend(embBase, embEmpty).collect()
+    assert(sd.length === 5)
+  }
+
   test("r14 text ops survive empty/degenerate documents") {
     Seq(
       "jsDivergence" -> graft.pipeline.TextOps.jsDivergence(edgeDocs),

@@ -38,10 +38,18 @@ import org.apache.spark.sql.functions._
   */
 class Bm25Index private (
     docs: DataFrame,
-    postingsPath: String,
+    initialPostingsPath: String,
     initialDfPath: String,
     initialNDocs: Long,
     initialTotalLen: Long) {
+
+  /** Current postings directory — swapped by [[compact]] (the
+    * [[IvfPqIndex.compact]] posture: appends fragment bucket
+    * partitions into many small files; compaction rewrites each bucket
+    * into one file under a fresh versioned dir, row-exactly).
+    */
+  @volatile private var postingsPath: String = initialPostingsPath
+  private var compactGen: Int = 0
 
   private def spark = docs.sparkSession
   private[pipeline] def session = spark
@@ -109,6 +117,21 @@ class Bm25Index private (
     nDocsVar += stats.getLong(0)
     totalLenVar += stats.getLong(1)
     dfPath = newDfPath
+  }
+
+  /** r16: compact the bucket partitions fragmented by [[append]] —
+    * one file per bucket under a fresh versioned dir (repartition by
+    * bucket routes each wholly into one task), preserving posting rows
+    * exactly; readers in flight keep the old dir (process-exit
+    * cleaned), warm serve caches stay valid (contents identical,
+    * bucket versions don't advance).
+    */
+  def compact(): Unit = synchronized {
+    compactGen += 1
+    val newPath = s"$initialPostingsPath-compact$compactGen"
+    spark.read.parquet(postingsPath).repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(newPath)
+    postingsPath = newPath
   }
 
   /** Top-k BM25 documents for `terms` — the pruned-postings path. */

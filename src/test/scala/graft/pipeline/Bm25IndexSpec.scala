@@ -56,6 +56,37 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(got != preAppend || expect == preAppend)
   }
 
+  test("compact collapses append-fragmented buckets, answers unchanged") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // private corpus slice (digest-distinct)
+    val base = Tables.documents(spark, sf).filter(col("doc_id") % 9 =!= 0)
+    val idx = Bm25Index.forTable(base)
+    (0 until 2).foreach { b =>
+      idx.append(Seq((888800L + b, "dup spark merge", "en", "synth", 15L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    }
+    def perBucket(dir: String): Map[String, Int] = {
+      val s = java.nio.file.Files.list(java.nio.file.Path.of(dir))
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("bucket="))
+        .map { p =>
+          val f = java.nio.file.Files.list(p)
+          try p.getFileName.toString ->
+            f.iterator().asScala.count(_.toString.endsWith(".parquet"))
+          finally f.close()
+        }.toMap
+      finally s.close()
+    }
+    val before = idx.topK(Seq("dup", "spark"), 10).collect().map(_.toSeq).toSeq
+    assert(perBucket(idx.postingsDir).values.max > 1, "appends did not fragment")
+    idx.compact()
+    val after = perBucket(idx.postingsDir)
+    assert(after.nonEmpty && after.values.forall(_ == 1), s"multi-file: $after")
+    assert(idx.topK(Seq("dup", "spark"), 10).collect().map(_.toSeq).toSeq
+      === before)
+  }
+
   test("the query plan prunes to the queried terms' buckets — no corpus scan") {
     val docs = Tables.documents(spark, sf)
     val df = Bm25Index.forTable(docs).topK(Seq("dup"), 10)

@@ -27,6 +27,12 @@ object SparkEntry {
     */
   val Bm25Terms: Seq[String] = Seq("dup", "spark", "join")
 
+  /** The q_bm25_phrase query phrases (as bigram terms over the
+    * [[graft.pipeline.TextOps.bigramize]] corpus) — both occur in the
+    * corpus at every SF.
+    */
+  val Bm25Phrases: Seq[String] = Seq("spark_join", "sort_merge")
+
   /** Tick view keeping `user_id` as the as-of/range join key. */
   private def keyedTicks(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(col("event_id"), col("event_type").as("symbol"),
@@ -696,6 +702,19 @@ object SparkEntry {
     "q_bm25_indexed" -> ((s, dir) =>
       graft.pipeline.Bm25Index.forTable(Tables.documents(s, dir))
         .topK(SparkEntry.Bm25Terms, 10)),
+    // r17 (the r16 verdict's #6): conjunctive retrieval — every query
+    // term must be present (the decontamination default). Same pruned
+    // postings scan; the per-doc posting count gates the AND.
+    "q_bm25_and" -> ((s, dir) =>
+      graft.pipeline.Bm25Index.forTable(Tables.documents(s, dir))
+        .topK(SparkEntry.Bm25Terms, 10, conjunctive = true)),
+    // r17: phrase retrieval = BM25 over the bigramized corpus (the
+    // shingle trick) — a 2-gram phrase is one posting term, so the
+    // indexed path stays a pruned partition scan
+    "q_bm25_phrase" -> ((s, dir) =>
+      graft.pipeline.Bm25Index.forTable(
+        graft.pipeline.TextOps.bigramize(Tables.documents(s, dir)))
+        .topK(SparkEntry.Bm25Phrases, 10)),
     "q_semdedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // r16: artifact-backed — record the corpus digest so the oracle
@@ -1253,8 +1272,23 @@ object SparkEntry {
     * contribution re-quantized so the score is an exact decimal sum
     * (order-free), mirrored op for op.
     */
-  private def duckBm25Sql: String = {
-    val terms = Bm25Terms
+  private def duckBm25Sql: String = duckBm25SqlFor(Bm25Terms)
+
+  /** r17: the same mirror, parameterized — `conjunctive` mirrors the
+    * AND retrieval tier (every query term present), `bigram` rebuilds
+    * each doc's token list as its 2-gram stream (the
+    * [[graft.pipeline.TextOps.bigramize]] mirror) so a phrase query is
+    * one bigram term. <2-word docs mirror the Spark side's
+    * `split('', ' ') = ['']` exactly.
+    */
+  private def duckBm25SqlFor(terms: Seq[String],
+      conjunctive: Boolean = false, bigram: Boolean = false): String = {
+    val wsSql = if (!bigram) "string_split(text, ' ')" else
+      "CASE WHEN len(ws0) >= 2 THEN list_transform(" +
+        "generate_series(1, len(ws0) - 1), i -> ws0[i] || '_' || ws0[i+1]) " +
+        "ELSE [''] END"
+    val fromSql = if (!bigram) "documents" else
+      "(SELECT doc_id, string_split(text, ' ') AS ws0 FROM documents)"
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf$i"
     }.mkString(",\n       ")
@@ -1269,7 +1303,8 @@ object SparkEntry {
         s"/ (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))"
       duckQ6(s"CAST(${duckQ6(idfArg)} AS DOUBLE) * ($ratio)")
     }
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    val sep = if (conjunctive) " AND " else " OR "
+    s"""WITH d AS (SELECT doc_id, $wsSql AS ws FROM $fromSql),
        |b AS (
        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
        |       $tfs
@@ -1283,7 +1318,7 @@ object SparkEntry {
        |  SELECT doc_id, dl,
        |         ${terms.indices.map(contrib).mkString("\n         + ")} AS score
        |  FROM b CROSS JOIN st
-       |  WHERE ${terms.indices.map(i => s"tf$i > 0").mkString(" OR ")})
+       |  WHERE ${terms.indices.map(i => s"tf$i > 0").mkString(sep)})
        |SELECT doc_id, dl, CAST(score AS DOUBLE) AS score
        |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
@@ -7058,13 +7093,22 @@ object SparkEntry {
       // amplified LSH (r11): 10 independent hash tables OR'd, each
       // multi-probed at Hamming distance 1 — candidates are DISTINCT
       // vec_ids matching ANY (table, probe-bucket) pair, mirroring the
-      // Spark side's broadcast semi join
+      // Spark side's broadcast semi join. r17: the first 2 tables
+      // additionally probe Hamming distance 2 (the bounded-growth
+      // recall lift — 0.78 → 0.88), mirrored as a second mask set
+      // restricted to tbl < 2.
       s"""WITH ${duckBucketsMulti(8, 10)},
          |qb AS (SELECT tbl, bucket FROM buckets WHERE vec_id = 0),
          |probes AS (
          |  SELECT DISTINCT qb.tbl, xor(qb.bucket, m.m) AS bucket
          |  FROM qb CROSS JOIN (VALUES (0), (1), (2), (4), (8), (16), (32),
-         |                             (64), (128)) m(m)),
+         |                             (64), (128)) m(m)
+         |  UNION
+         |  SELECT DISTINCT qb.tbl, xor(qb.bucket, m.m) AS bucket
+         |  FROM qb CROSS JOIN (VALUES ${(for {
+           i <- 0 until 8; j <- i + 1 until 8
+         } yield s"(${(1 << i) | (1 << j)})").mkString(", ")}) m(m)
+         |  WHERE qb.tbl < 2),
          |q AS (SELECT ve AS qe FROM vecs WHERE vec_id = 0),
          |cand AS (
          |  SELECT DISTINCT b.vec_id FROM buckets b
@@ -9020,6 +9064,11 @@ object SparkEntry {
     // quantized scoring (Bm25IndexSpec gates value equality with the
     // scan path), so the scan re-derivation verifies it end-to-end
     "q_bm25_indexed" -> duckBm25Sql,
+    // r17: AND retrieval and phrase retrieval re-derived from the scan
+    // formulation (the indexed tier is value-equal, gated in
+    // Bm25IndexSpec), so the oracle verifies both end-to-end
+    "q_bm25_and" -> duckBm25SqlFor(Bm25Terms, conjunctive = true),
+    "q_bm25_phrase" -> duckBm25SqlFor(Bm25Phrases, bigram = true),
     "q_semdedup" ->
       // r16: artifact-backed SemDeDup verified from the dumped final
       // centroids (assignment, size cap, keeper rule, cosine gate all

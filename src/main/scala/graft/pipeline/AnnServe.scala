@@ -32,6 +32,14 @@ class AnnServe private (
 
   import PqIndex.q6
 
+  // r17 (ADVICE): a single query probing more cells than the cache
+  // holds would SELF-EVICT mid-pass (cells loaded early in warmCells
+  // evicted before scoring reads them — silently dropped candidates,
+  // no error). Guard the configuration instead of failing quietly.
+  require(nprobe <= maxCells,
+    s"nprobe=$nprobe exceeds the cell cache bound maxCells=$maxCells — " +
+      "a query would evict its own probes mid-pass")
+
   /** `version` = the index version the arrays were loaded at — a cell
     * whose [[IvfPqIndex.cellVersion]] has advanced past it was appended
     * into since the load and must reload (r16, the r15 verdict's #2:
@@ -74,7 +82,8 @@ class AnnServe private (
         .filter(col("cell").isin(missing: _*))
         .select(col("cell"), col("vec_id"), col("codes"), col("embedding"))
         .collect()
-      rows.groupBy(_.getInt(0)).foreach { case (cell, rs) =>
+      val byCell = rows.groupBy(_.getInt(0))
+      byCell.foreach { case (cell, rs) =>
         val sorted = rs.sortBy(_.getLong(1))
         cellCache.put(cell, CellData(
           sorted.map(_.getLong(1)),
@@ -83,8 +92,15 @@ class AnnServe private (
           loadVersions(cell)))
       }
       // probed cells with zero vectors still cache (empty), so a
-      // repeat probe of an empty cell stays warm
-      missing.filter(c => !isFresh(c))
+      // repeat probe of an empty cell stays warm. r17 (ADVICE): "empty"
+      // is decided by what the LOAD returned (keys absent from `rows`),
+      // NEVER by a post-load isFresh re-check — an append racing
+      // between the version snapshot and that re-check would flip
+      // isFresh false for a cell just loaded WITH rows, and the
+      // placeholder would clobber real data for the in-flight query.
+      // With the snapshotted (pre-read) version, a raced entry is
+      // simply stale again and reloads on the next query.
+      missing.filterNot(byCell.contains)
         .foreach(c => cellCache.put(c,
           CellData(Array.empty, Array.empty, Array.empty, loadVersions(c))))
     }

@@ -9,10 +9,18 @@ import org.apache.spark.sql.functions._
   * without paying Spark job scheduling per query; what stays
   * driver-resident is what a search node keeps hot: the model scalars
   * (N, Σdl — read live off the [[Bm25Index]], so appends are
-  * reflected immediately) and an LRU of TERM BUCKETS' posting arrays —
-  * bounded on the bucket axis exactly as [[AnnServe]] bounds cells, so
-  * a 100 TB corpus serves its hot vocabulary from driver memory while
-  * cold buckets pay one pruned load on first touch.
+  * reflected immediately) and an LRU of PER-TERM posting arrays.
+  *
+  * r17 (the r16 verdict's #2): the cache keys on (bucket, term), NOT
+  * whole buckets. A term bucket is O(corpus/64) — the r16
+  * whole-bucket collect was the one driver-OOM path in the repo at
+  * 100 TB (the AnnServe analog is safe because an IVFPQ cell is ~√N
+  * codes; a postings bucket is not). A cold query now collects ONLY
+  * `bucket IN (probed) AND term IN (queried)` — O(Σ df) rows, the
+  * Lucene seek — and the LRU bounds the number of cached TERMS.
+  * Eviction stays on the per-bucket version stamps
+  * ([[Bm25Index.bucketVersion]]): an entry loaded at version v is
+  * stale once its bucket's version advances past v.
   *
   * Every arithmetic step mirrors [[Bm25Index.topK]] bit for bit: the
   * same quant6'd idf (same driver code), the same double ratio chain,
@@ -23,49 +31,70 @@ import org.apache.spark.sql.functions._
   * collected result (Bm25ServeSpec gates it, plus zero-jobs-when-warm
   * and append-staleness eviction via [[Bm25Index.bucketVersion]]).
   */
-class Bm25Serve private (index: Bm25Index, maxBuckets: Int) {
+class Bm25Serve private (index: Bm25Index, maxTerms: Int) {
 
-  /** One bucket's postings: per term, the (doc_id, tf, dl) rows sorted
-    * by doc_id; `version` = the index version at load (stale when
+  /** One term's postings: (doc_id, tf, dl) rows sorted by doc_id;
+    * `version` = the term's BUCKET version at load (stale when
     * [[Bm25Index.bucketVersion]] advances past it — the AnnServe
     * CellData handshake).
     */
-  private final case class BucketData(
-      terms: Map[String, Array[(Long, Long, Long)]], version: Long)
+  private final case class TermData(
+      posts: Array[(Long, Long, Long)], version: Long)
 
-  private val bucketCache =
-    new java.util.LinkedHashMap[Int, BucketData](16, 0.75f, true) {
+  private val termCache =
+    new java.util.LinkedHashMap[(Int, String), TermData](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Int, BucketData]): Boolean =
-        size() > maxBuckets
+          e: java.util.Map.Entry[(Int, String), TermData]): Boolean =
+        size() > maxTerms
     }
 
-  private def isFresh(b: Int): Boolean = {
-    val bd = bucketCache.get(b)
-    bd != null && index.bucketVersion(b) <= bd.version
+  private def isFresh(key: (Int, String)): Boolean = {
+    val td = termCache.get(key)
+    td != null && index.bucketVersion(key._1) <= td.version
   }
 
-  /** Load every missing/stale probed bucket in ONE pruned Spark read
-    * (cold path); warm queries never reach here.
+  /** Load every missing/stale queried term in ONE pruned Spark read
+    * (cold path); warm queries never reach here. Only the queried
+    * terms' posting rows materialize — never a whole bucket.
     */
-  private def warmBuckets(buckets: Seq[Int]): Unit = {
-    val missing = buckets.filter(b => !isFresh(b))
+  private def warmTerms(keys: Seq[(Int, String)]): Unit = {
+    val missing = keys.filter(k => !isFresh(k))
     if (missing.nonEmpty) {
-      val loadVersions = missing.map(b => b -> index.bucketVersion(b)).toMap
+      val loadVersions = missing.map(k => k -> index.bucketVersion(k._1)).toMap
+      val buckets = missing.map(_._1).distinct
+      val terms = missing.map(_._2).distinct
       val rows = index.session.read.parquet(index.postingsDir)
-        .filter(col("bucket").isin(missing: _*))
+        .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
         .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"))
         .collect()
-      rows.groupBy(_.getInt(0)).foreach { case (b, rs) =>
-        val byTerm = rs.groupBy(_.getString(1)).map { case (t, trs) =>
-          t -> trs.map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
-            .sortBy(_._1)
-        }
-        bucketCache.put(b, BucketData(byTerm, loadVersions(b)))
+      val byKey = rows.groupBy(r => (r.getInt(0), r.getString(1)))
+      byKey.foreach { case (key, rs) =>
+        if (loadVersions.contains(key)) // only requested keys cache
+          termCache.put(key, TermData(
+            rs.map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+              .sortBy(_._1), loadVersions(key)))
       }
-      missing.filter(b => !isFresh(b)).foreach(b =>
-        bucketCache.put(b, BucketData(Map.empty, loadVersions(b))))
+      // queried terms absent from the corpus still cache (empty) so a
+      // repeat stays warm. r17 (ADVICE): "empty" is decided by what the
+      // LOAD returned (keys absent from `rows`), never by a post-load
+      // isFresh re-check — an append racing between the version
+      // snapshot and that re-check would clobber a just-loaded real
+      // entry with an empty placeholder for the in-flight query. With
+      // the snapshotted version, a raced entry is merely stale again.
+      missing.filterNot(byKey.contains).foreach(k =>
+        termCache.put(k, TermData(Array.empty, loadVersions(k))))
     }
+  }
+
+  /** Test hook: the cached (bucket, term) keys — Bm25ServeSpec proves a
+    * query against a multi-term bucket materializes only the queried
+    * terms' rows.
+    */
+  private[pipeline] def cachedKeys: Set[(Int, String)] = {
+    val it = termCache.keySet().iterator()
+    val b = Set.newBuilder[(Int, String)]
+    while (it.hasNext) b += it.next()
+    b.result()
   }
 
   private def q6micro(x: Double): Long = {
@@ -75,43 +104,58 @@ class Bm25Serve private (index: Bm25Index, maxBuckets: Int) {
 
   /** Warm top-k BM25 — the serve-loop entry point. Returns
     * (doc_id, dl, score) exactly as [[Bm25Index.topK]] would collect.
+    * `conjunctive = true` mirrors the index path's AND semantics.
     */
-  def topK(terms: Seq[String], k: Int): Seq[(Long, Long, Double)] = {
+  def topK(terms0: Seq[String], k: Int,
+      conjunctive: Boolean = false): Seq[(Long, Long, Double)] = {
+    // duplicated query terms score once on every path (ADVICE r17 —
+    // Bm25Index.topK's isin dedups; the serve loop must agree)
+    val terms = terms0.distinct
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val buckets = terms.map(Bm25Index.bucketOf).distinct
-    warmBuckets(buckets)
+    // r17 (ADVICE): a query with more distinct terms than the cache
+    // holds would SELF-EVICT during warmTerms (terms loaded early
+    // evicted before scoring reads them — silently dropped postings).
+    require(terms.size <= maxTerms,
+      s"${terms.size} query terms exceed the serve cache bound " +
+        s"maxTerms=$maxTerms — raise the bound or use Bm25Index.topK")
+    val keys = terms.map(t => (Bm25Index.bucketOf(t), t))
+    warmTerms(keys)
     val n = index.nDocs.toDouble
     val avgdl = index.totalLen.toDouble / n
     // per-doc exact micro accumulation (the decimal-sum twin); dl
     // rides along for the output row
     val acc = scala.collection.mutable.LongMap.empty[Long]
+    val cnt = scala.collection.mutable.LongMap.empty[Long]
     val dls = scala.collection.mutable.LongMap.empty[Long]
-    terms.foreach { t =>
-      val bd = bucketCache.get(Bm25Index.bucketOf(t))
-      val posts = if (bd == null) Array.empty[(Long, Long, Long)]
-        else bd.terms.getOrElse(t, Array.empty[(Long, Long, Long)])
+    keys.foreach { key =>
+      val td = termCache.get(key)
+      val posts = if (td == null) Array.empty[(Long, Long, Long)] else td.posts
       val df = posts.length.toDouble
       val idf6 = PqIndex.q6(math.log((n - df + 0.5) / (df + 0.5) + 1.0))
       posts.foreach { case (doc, tf, dl) =>
         val ratio = tf.toDouble * 2.2 / (tf.toDouble + TextOps.Bm25K1 *
           (1.0 - TextOps.Bm25B + TextOps.Bm25B * (dl.toDouble / avgdl)))
         acc(doc) = acc.getOrElse(doc, 0L) + q6micro(idf6 * ratio)
+        cnt(doc) = cnt.getOrElse(doc, 0L) + 1L
         dls(doc) = dl
       }
     }
-    acc.toSeq.sortBy { case (doc, micro) => (-micro, doc) }.take(k)
+    val kept = if (conjunctive) acc.toSeq.filter(p => cnt(p._1) == terms.size)
+               else acc.toSeq
+    kept.sortBy { case (doc, micro) => (-micro, doc) }.take(k)
       .map { case (doc, micro) =>
         (doc, dls(doc),
           new java.math.BigDecimal(micro).movePointLeft(6).doubleValue())
-      }
+      }.toSeq
   }
 }
 
 object Bm25Serve {
   /** Serve wrapper over the (digest-cached) index for `docs` — a serve
     * answer and a Spark query answer come from the SAME artifact and
-    * scalars.
+    * scalars. `maxTerms` bounds the per-term postings LRU (the hot
+    * vocabulary a search node keeps in RAM).
     */
-  def forTable(docs: DataFrame, maxBuckets: Int = 32): Bm25Serve =
-    new Bm25Serve(Bm25Index.forTable(docs), maxBuckets)
+  def forTable(docs: DataFrame, maxTerms: Int = 4096): Bm25Serve =
+    new Bm25Serve(Bm25Index.forTable(docs), maxTerms)
 }

@@ -215,8 +215,28 @@ object SemDedupIndex {
     // a or b new are covered by the union of (a new) and (b new) joins;
     // verdictsOver's symmetric join makes that the filter below
     val reVerdict = {
-      val sizes = members.groupBy(col("cluster"))
+      val sizesAll = members.groupBy(col("cluster"))
         .agg(count(lit(1)).as("__n"))
+      // r17 (ADVICE): the documented append divergence — a touched
+      // cluster crossing MaxCluster only BECAUSE of the append keeps
+      // its pre-existing drops, where a full rebuild would skip the
+      // whole degenerate cluster — contradicts the strict append ≡
+      // full-re-verdict gates (q_semdedup_append oracle, SemDedupSpec).
+      // It has never fired at a verify/bench SF; if it ever does, this
+      // warning makes the red immediately attributable instead of a
+      // silent hash mismatch. Touched clusters only — a bounded read.
+      val crossed = sizesAll.filter(col("__n") > MaxCluster)
+        .join(stored.filter(col("is_kept") === 0L)
+          .select(col("cluster")).distinct(), Seq("cluster"), "left_semi")
+        .select(col("cluster")).collect().map(_.get(0))
+      if (crossed.nonEmpty)
+        System.err.println(
+          s"[graft] WARNING: SemDedupIndex.append — touched cluster(s) " +
+            s"${crossed.mkString(",")} crossed MaxCluster=$MaxCluster with " +
+            "stored drops; append keeps those drops but a full rebuild " +
+            "would skip the whole cluster — expect the strict-equality " +
+            "gates (q_semdedup_append / SemDedupSpec) to mismatch here")
+      val sizes = sizesAll
         .filter(col("__n").between(2, MaxCluster))
         .select(col("cluster"))
       val elig = pairSource.join(sizes, Seq("cluster"))

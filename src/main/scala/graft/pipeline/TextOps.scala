@@ -1422,7 +1422,12 @@ object TextOps {
     * literal k1/b), so the score is an exact decimal sum — order-free
     * and hash-stable.
     */
-  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+  def bm25(docs: DataFrame, terms0: Seq[String], k: Int = 10,
+      conjunctive: Boolean = false): DataFrame = {
+    // duplicated query terms score ONCE (ADVICE r17): the indexed path's
+    // `isin` dedups naturally, so the scan formulation must agree or the
+    // gated indexed ≡ scan equality breaks on duplicated inputs.
+    val terms = terms0.distinct
     require(terms.nonEmpty, "bm25 needs at least one query term")
     // the per-doc counter table (doc_id, dl, tf…) localCheckpoints:
     // its two consumers (the one-row stats agg and the candidate
@@ -1450,14 +1455,43 @@ object TextOps {
         (lit(1.0) - lit(Bm25B) + lit(Bm25B) * (col("dl").cast("double") / avgdl)))
       quant6(idf6 * ratio * 1000000.0)
     }
+    // conjunctive = AND retrieval (every query term present) — the
+    // decontamination default; disjunctive = classic bag-of-terms OR
+    val keep = if (conjunctive)
+      terms.indices.map(i => col(s"tf$i") > 0).reduce(_ && _)
+    else terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _)
     base
-      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .filter(keep)
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dl"),
         terms.indices.map(contrib).reduce(_ + _).cast("double").as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** r17 (the r16 verdict's #6): re-express each document as its
+    * BIGRAM stream — `"a b c"` → `"a_b b_c"` — so PHRASE retrieval is
+    * plain BM25 over the transformed corpus: a 2-gram phrase query is
+    * one bigram term, its tf the phrase occurrence count, its df the
+    * phrase document frequency. The same trick Lucene's shingle filter
+    * plays, re-expressed as a projection: [[Bm25Index]] built over
+    * `bigramize(docs)` IS the phrase-postings index (same pruned-scan
+    * shape, zero new machinery), and the scan/oracle formulations
+    * mirror it token for token. `_` joins the words because the BM25
+    * tokenizer splits on spaces — a bigram term must stay one token.
+    */
+  def bigramize(docs: DataFrame): DataFrame =
+    // ws projects into an attribute FIRST (the gramsOf rule): an
+    // interpreted lambda re-evaluates every expression it references
+    // per element — an inlined split would cost O(words²) splits/doc
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        when(size(col("ws")) >= 2,
+          array_join(expr(
+            "transform(sequence(1, size(ws) - 1), " +
+              "i -> concat(element_at(ws, i), '_', element_at(ws, i + 1)))"),
+            " "))
+          .otherwise(lit("")).as("text"))
 
   /** NEW r15: per-document bigram negative log-likelihood — the
     * language-model quality-filter proxy (the KenLM-perplexity stage of

@@ -31,16 +31,21 @@ object RecallProbe {
       rs.sum / rs.size
     }
     println(s"corpus n=$n at $sfDir")
-    for (tables <- args.headOption.map(_.split(",").map(_.toInt).toSeq)
-           .getOrElse(Seq(1, 2, 4, 6))) {
+    // args: "tables[:h2Tables],..." e.g. "10:0,10:4,10:10"
+    for (spec <- args.headOption.map(_.split(",").toSeq)
+           .getOrElse(Seq("1", "2", "4", "6"))) {
+      val parts = spec.split(":")
+      val tables = parts(0).toInt
+      val h2 = if (parts.length > 1) parts(1).toInt else 0
       val t0 = System.nanoTime()
       val r = recallOf(q => graft.pipeline.Similarity.lshTopK(
-        emb, q, 10, 64, multiProbe = true, tables = tables))
+        emb, q, 10, 64, multiProbe = true, tables = tables, h2Tables = h2))
       val sec = (System.nanoTime() - t0) / 1e9
       // candidate count for query 0 (drop the final top-k limit)
       val cands = graft.pipeline.Similarity.lshTopK(
-        emb, 0L, n.toInt, 64, multiProbe = true, tables = tables).count()
-      println(f"lsh tables=$tables%-2d recall@10=$r%.2f cand=${cands}%-6d (${100.0 * cands / n}%.1f%% of corpus) ${sec}%.1f s")
+        emb, 0L, n.toInt, 64, multiProbe = true, tables = tables,
+        h2Tables = h2).count()
+      println(f"lsh tables=$tables%-2d h2=$h2%-2d recall@10=$r%.2f cand=${cands}%-6d (${100.0 * cands / n}%.1f%% of corpus) ${sec}%.1f s")
     }
     val rIvf = recallOf(q => graft.pipeline.Similarity.ivfTopK(emb, q, 10, nprobe = 8))
     println(f"ivf nprobe=8 recall@10=$rIvf%.2f")

@@ -257,4 +257,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
       graft.operators.MarketOps.sessionize(
         graft.core.Tables.ticks(spark, sf), 30))
   }
+
+  test("r17: IVFPQ ANN top-k reaches SQL as a parameterized view") {
+    registered
+    GraftSql.registerAnnTopK(spark, sf, "ann_hits", queryId = 3L, k = 10)
+    val scala = graft.pipeline.Similarity.ivfPqTopK(
+      graft.core.Tables.embeddings(spark, sf), 3L, 10)
+    assert(rows(spark.sql("SELECT * FROM ann_hits")) === rows(scala))
+    // the view composes with further SQL — join back to the corpus
+    val joined = spark.sql(
+      """SELECT a.vec_id, a.cos_sim, e.label
+        |FROM ann_hits a JOIN embeddings e USING (vec_id)""".stripMargin)
+    assert(joined.count() === scala.count())
+  }
+
+  test("r17: indexed BM25 top-k reaches SQL as a parameterized view") {
+    registered
+    GraftSql.registerBm25TopK(spark, sf, "bm25_hits", SparkEntry.Bm25Terms, 10)
+    val scala = graft.pipeline.Bm25Index
+      .forTable(graft.core.Tables.documents(spark, sf))
+      .topK(SparkEntry.Bm25Terms, 10)
+    assert(rows(spark.sql("SELECT * FROM bm25_hits")) === rows(scala))
+    val joined = spark.sql(
+      """SELECT b.doc_id, b.score, d.source
+        |FROM bm25_hits b JOIN documents d USING (doc_id)""".stripMargin)
+    assert(joined.count() === scala.count())
+  }
 }

@@ -87,6 +87,96 @@ class Bm25IndexSpec extends AnyFunSuite {
       === before)
   }
 
+  test("r17: AND retrieval — indexed equals the scan formulation") {
+    val docs = Tables.documents(spark, sf)
+    val terms = graft.SparkEntry.Bm25Terms
+    val scan = rows(TextOps.bm25(docs, terms, 10, conjunctive = true))
+    val indexed = rows(
+      Bm25Index.forTable(docs).topK(terms, 10, conjunctive = true))
+    assert(indexed === scan)
+    // AND is genuinely stricter than OR on this corpus
+    val or = rows(Bm25Index.forTable(docs).topK(terms, 100))
+    val and = rows(Bm25Index.forTable(docs).topK(terms, 100,
+      conjunctive = true))
+    assert(and.size < or.size, "AND did not restrict the OR candidates")
+    assert(and.map(_._1).toSet.subsetOf(or.map(_._1).toSet))
+  }
+
+  test("r17: phrase retrieval — indexed over the bigram corpus equals the scan") {
+    val bg = TextOps.bigramize(Tables.documents(spark, sf))
+    val phrases = graft.SparkEntry.Bm25Phrases
+    val scan = rows(TextOps.bm25(bg, phrases, 10))
+    val indexed = rows(Bm25Index.forTable(bg).topK(phrases, 10))
+    assert(indexed === scan)
+    assert(indexed.nonEmpty, "no phrase hits — the fixture phrases vanished")
+  }
+
+  test("r17: duplicated query terms score once on both paths") {
+    val docs = Tables.documents(spark, sf)
+    val once = rows(Bm25Index.forTable(docs).topK(Seq("dup"), 5))
+    assert(rows(Bm25Index.forTable(docs).topK(Seq("dup", "dup"), 5)) === once)
+    assert(rows(TextOps.bm25(docs, Seq("dup", "dup"), 5)) === once)
+  }
+
+  test("r17: postings files are term-sorted within every bucket") {
+    import scala.jdk.CollectionConverters._
+    val idx = Bm25Index.forTable(Tables.documents(spark, sf))
+    val dirs = java.nio.file.Files.list(java.nio.file.Path.of(idx.postingsDir))
+    val bucketDirs = try dirs.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("bucket=")) finally dirs.close()
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { bd =>
+      val fs = java.nio.file.Files.list(bd)
+      val files = try fs.iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".parquet")) finally fs.close()
+      files.foreach { f =>
+        // a single small file reads back as one partition in file order
+        val terms = spark.read.parquet(f.toString)
+          .select(col("term")).collect().map(_.getString(0)).toSeq
+        assert(terms === terms.sorted,
+          s"unsorted terms in $f (row-group stats would be useless)")
+      }
+    }
+  }
+
+  test("r17: a rare-term query row-group-skips — scanned rows ≪ bucket total") {
+    // synthetic corpus big enough for multi-row-group bucket files:
+    // tiny parquet.block.size forces ~100-row row groups, and the
+    // term-sorted layout then gives each row group a tight term range
+    val docs = spark.range(0, 2000).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        ((0 until 30).map(j =>
+          concat(lit("w"), pmod(col("id") * lit(j * 31 + 7) + lit(j),
+            lit(211)).cast("string"))) :+
+          when(col("id") % 400 === 0, lit("needleterm"))
+            .otherwise(lit("filler"))): _*).as("text"))
+    val idx = Bm25Index.build(docs,
+      Map("parquet.block.size" -> "2048", "parquet.page.size" -> "1024"))
+    val df = idx.topK(Seq("needleterm"), 10)
+    assert(df.count() === 5)
+    df.collect()
+    // AQE hides scans inside query stages — unwrap explicitly
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no parquet scan in the executed plan")
+    val scanned = scans.map(_.metrics("numOutputRows").value).sum
+    val bucket = Bm25Index.bucketOf("needleterm")
+    val total = spark.read.parquet(idx.postingsDir)
+      .filter(col("bucket") === bucket).count()
+    assert(total > 500, s"fixture too small to split row groups: $total")
+    assert(scanned * 2 < total,
+      s"rare-term query scanned $scanned of $total bucket rows — " +
+        "row-group term stats are not pruning")
+  }
+
   test("the query plan prunes to the queried terms' buckets — no corpus scan") {
     val docs = Tables.documents(spark, sf)
     val df = Bm25Index.forTable(docs).topK(Seq("dup"), 10)

@@ -49,6 +49,45 @@ class Bm25ServeSpec extends AnyFunSuite {
       s"warm serve query scheduled ${jobs.get()} Spark job(s)")
   }
 
+  test("r17: only the queried terms' postings materialize — never a bucket") {
+    val docs = Tables.documents(spark, sf)
+    val idx = Bm25Index.forTable(docs)
+    // pick a term from a bucket that genuinely holds other vocabulary —
+    // a bucket at 100 TB is O(corpus/64); a term is O(df), and the r16
+    // whole-bucket collect was the repo's one driver-OOM path
+    val byBucket = idx.session.read.parquet(idx.postingsDir)
+      .select(col("bucket"), col("term")).distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val (bucket, terms) = byBucket.toSeq.sortBy(_._1)
+      .find(_._2.size >= 2).getOrElse(fail("no multi-term bucket at this SF"))
+    val probe = terms.head
+    val srv = Bm25Serve.forTable(docs)
+    srv.topK(Seq(probe), 10)
+    // the cache holds exactly the queried (bucket, term) key — none of
+    // the bucket's other terms loaded
+    assert(srv.cachedKeys === Set((bucket, probe)),
+      s"cache holds ${srv.cachedKeys} — bucket $bucket has terms $terms")
+  }
+
+  test("r17: duplicated terms and AND retrieval agree with the index path") {
+    val docs = Tables.documents(spark, sf)
+    val idx = Bm25Index.forTable(docs)
+    val srv = Bm25Serve.forTable(docs)
+    assert(srv.topK(Seq("dup", "dup"), 5) === viaSpark(idx, Seq("dup"), 5))
+    val andServe = srv.topK(graft.SparkEntry.Bm25Terms, 10, conjunctive = true)
+    val andSpark = idx.topK(graft.SparkEntry.Bm25Terms, 10, conjunctive = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(andServe === andSpark)
+  }
+
+  test("r17: a query with more terms than the cache bound fails loudly") {
+    val srv = Bm25Serve.forTable(Tables.documents(spark, sf), maxTerms = 2)
+    intercept[IllegalArgumentException] {
+      srv.topK(Seq("dup", "spark", "join"), 10)
+    }
+  }
+
   test("append evicts stale buckets — warm serve sees the grown corpus") {
     import spark.implicits._
     // private corpus slice (digest-distinct from the other tests)

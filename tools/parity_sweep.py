@@ -77,6 +77,84 @@ q_mcginley q_fisher q_var_cvar q_high_low_census q_stc
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "documents", "embeddings"]
 
+# --text mode (r17, the r16 verdict's #3): the float-emitting TEXT
+# family. The tick sweep earned every §4 r9/r10 parity rule at ~5x
+# sf0.1 — this gives the text operators the same adversarial exposure:
+# Zipf term skew, huge/empty/one-word docs, mixed-script and
+# control-adjacent characters, dense stopword mass.
+TEXT_FAMILY = """
+q_bm25_search q_bm25_indexed q_bm25_and q_bm25_phrase q_doc_nll
+q_surprisal q_token_entropy q_bigram_entropy q_readability q_zipf_slope
+q_heaps_law q_quality_score q_quality_deciles q_compression_ratio
+q_lexical_diversity q_source_kl q_js_divergence
+""".split()
+
+TEXT_OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
+                     "orders", "lineitem", "events", "embeddings"]
+
+
+def gen_documents(rows: int, out: str) -> None:
+    rng = np.random.default_rng(17)
+    # vocabulary: corpus-like core + stopwords + mixed-script + numeric/
+    # punct-heavy + control-adjacent tokens (NEVER U+001F itself — that
+    # is the bpeVocab in-stream invariant, by design)
+    core = ["spark", "join", "dup", "table", "scan", "merge", "sort",
+            "hash", "row", "column", "batch", "stream", "query", "agg",
+            "filter", "group", "window", "key", "value", "fast", "slow",
+            "big", "small", "data", "line", "part", "order", "shuffle",
+            "codegen", "plan", "stage", "task", "broadcast", "skew"]
+    exotic = ["данные", "запрос", "таблица", "数据", "查询", "表格",
+              "δεδομένα", "ερώτημα", "données", "requête", "größe",
+              "straße", "naïve", "café", "ix", "xy",
+              "ab", "­join", "ﬁle", "ﬂow"]
+    numeric = ["3.14", "1e-9", "0xFF", "2024-01-01", "a=b+c;", "//x",
+               "[1,2]", "{k:v}", "§4", "€99", "100%", "..."]
+    stop = ["the", "a", "of", "and", "to", "in", "is", "it"]
+    vocab = np.array(core + exotic + numeric + stop +
+                     [f"w{i}" for i in range(2000)])
+    # Zipf weights over the whole vocabulary (heavy skew)
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    zipf = 1.0 / ranks ** 1.1
+    zipf /= zipf.sum()
+    # doc lengths: log-normal core, plus deliberate degenerates
+    lens = np.clip(np.exp(rng.normal(3.6, 1.0, rows)), 1, 800).astype(int)
+    lens[rng.random(rows) < 0.002] = 0          # empty docs
+    lens[rng.random(rows) < 0.004] = 1          # one-word docs
+    huge = rng.random(rows) < 0.0008            # ~20 huge docs at 25k
+    lens[huge] = 5000
+    langs = np.array(["en", "de", "fr", "ru", "zh"])
+    sources = np.array(["web", "books", "code", "wiki", "news"])
+    texts = []
+    for i in range(rows):
+        n = lens[i]
+        if n == 0:
+            texts.append("")
+            continue
+        words = list(vocab[rng.choice(len(vocab), n, p=zipf)])
+        # dense stopword runs in ~20% of docs (quality/stopword ratios)
+        if rng.random() < 0.2:
+            k = min(n, 30)
+            words[:k] = list(rng.choice(stop, k))
+        # plant the fixture query terms/phrases so BM25 has real hits
+        r = rng.random()
+        if r < 0.05:
+            words[n // 2:n // 2] = ["spark", "join"]
+        elif r < 0.08:
+            words[n // 2:n // 2] = ["sort", "merge"]
+        elif r < 0.09:
+            words[n // 2:n // 2] = ["dup"]
+        texts.append(" ".join(words))
+    table = pa.table({
+        "doc_id": pa.array(np.arange(rows, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(langs[rng.integers(0, 5, rows)], type=pa.string()),
+        "source": pa.array(sources[rng.integers(0, 5, rows)],
+                           type=pa.string()),
+        "n_chars": pa.array(np.array([len(t) for t in texts],
+                                     dtype=np.int64)),
+    })
+    pq.write_table(table, out, version="2.6")
+
 
 def gen_events(rows: int, out: str) -> None:
     rng = np.random.default_rng(9)
@@ -122,35 +200,50 @@ def gen_events(rows: int, out: str) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=500_000)
-    ap.add_argument("--dir", default="/tmp/graft_sfbig")
-    ap.add_argument("--out", default="/tmp/verify_big")
+    ap.add_argument("--text", action="store_true",
+                    help="sweep the TEXT family over an adversarial "
+                         "documents corpus instead of the tick family")
+    ap.add_argument("--docs", type=int, default=25_000,
+                    help="--text corpus size (~5x sf0.1)")
+    ap.add_argument("--dir", default=None)
+    ap.add_argument("--out", default=None)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--gen-only", action="store_true")
     args = ap.parse_args()
+    gen_dir = args.dir or ("/tmp/graft_textbig" if args.text
+                           else "/tmp/graft_sfbig")
+    out_dir = args.out or ("/tmp/verify_textbig" if args.text
+                           else "/tmp/verify_big")
 
-    shutil.rmtree(args.dir, ignore_errors=True)
-    os.makedirs(args.dir)
-    gen_events(args.rows, f"{args.dir}/events.parquet")
-    for t in OTHER_TABLES:  # untouched by the family; linked so the
+    shutil.rmtree(gen_dir, ignore_errors=True)
+    os.makedirs(gen_dir)
+    if args.text:
+        gen_documents(args.docs, f"{gen_dir}/documents.parquet")
+        others, family = TEXT_OTHER_TABLES, TEXT_FAMILY
+        print(f"[sweep] generated {args.docs} adversarial docs at {gen_dir}")
+    else:
+        gen_events(args.rows, f"{gen_dir}/events.parquet")
+        others, family = OTHER_TABLES, FAMILY
+        print(f"[sweep] generated {args.rows} ticks at {gen_dir}")
+    for t in others:  # untouched by the family; linked so the
         os.symlink(f"{args.base}/{t}.parquet",  # oracle views still bind
-                   f"{args.dir}/{t}.parquet")
-    print(f"[sweep] generated {args.rows} ticks at {args.dir}")
+                   f"{gen_dir}/{t}.parquet")
     if args.gen_only:
         return 0
 
-    shutil.rmtree(args.out, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
     env = dict(os.environ,
-               SPARK_GRAFT_ONLY=",".join(FAMILY),
+               SPARK_GRAFT_ONLY=",".join(family),
                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "16"))
     rc = subprocess.run(
-        ["sbt", "-batch", f"runMain graft.Verify {args.dir} {args.out}"],
+        ["sbt", "-batch", f"runMain graft.Verify {gen_dir} {out_dir}"],
         cwd=REPO, env=env).returncode
     if rc != 0:
         print(f"[sweep] Verify failed rc={rc}")
         return rc
     return subprocess.run(
         [sys.executable, f"{REPO}/tools/compare_oracle.py",
-         args.dir, args.out]).returncode
+         gen_dir, out_dir]).returncode
 
 
 if __name__ == "__main__":

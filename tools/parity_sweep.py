@@ -106,7 +106,11 @@ def gen_documents(rows: int, out: str) -> None:
     exotic = ["данные", "запрос", "таблица", "数据", "查询", "表格",
               "δεδομένα", "ερώτημα", "données", "requête", "größe",
               "straße", "naïve", "café", "ix", "xy",
-              "ab", "­join", "ﬁle", "ﬂow"]
+              "ab", "­join", "ﬁle", "ﬂow",
+              # invisible/whitespace-adjacent codepoints: VT is the
+              # Java-\\s-vs-RE2 divergence char, NBSP/ZWSP/BOM ride
+              # inside tokens (the corpus splits on U+0020 only)
+              "vt", "n b", "z​w", "﻿bom"]
     numeric = ["3.14", "1e-9", "0xFF", "2024-01-01", "a=b+c;", "//x",
                "[1,2]", "{k:v}", "§4", "€99", "100%", "..."]
     stop = ["the", "a", "of", "and", "to", "in", "is", "it"]

@@ -342,10 +342,18 @@ object Cli {
           case "search" if a.length >= 2 =>
             bm25Serve match {
               case Some(srv) =>
-                val res = srv.topK(a.drop(1).toSeq, 10)
-                out.println(s"Top ${res.length} docs for '${a.drop(1).mkString(" ")}':")
-                res.foreach { case (doc, dl, score) =>
-                  out.println(f"Doc: $doc Len: $dl BM25: $score%.6f")
+                // r17: `search -all <terms…>` = conjunctive (AND) mode
+                val conj = a(1) == "-all"
+                val terms = a.drop(if (conj) 2 else 1).toSeq
+                if (terms.isEmpty) out.println("search: no terms")
+                else {
+                  val res = srv.topK(terms, 10, conjunctive = conj)
+                  val mode = if (conj) "ALL of" else "ANY of"
+                  out.println(
+                    s"Top ${res.length} docs for $mode '${terms.mkString(" ")}':")
+                  res.foreach { case (doc, dl, score) =>
+                    out.println(f"Doc: $doc Len: $dl BM25: $score%.6f")
+                  }
                 }
               case None =>
                 out.println("search: no corpus dir (set GRAFT_EMB_DIR)")

@@ -33,6 +33,13 @@ object SparkEntry {
     */
   val Bm25Phrases: Seq[String] = Seq("spark_join", "sort_merge")
 
+  /** The q_bm25_batch query set — query 4 carries a duplicated term so
+    * the batch path's once-per-distinct-term scoring is oracle-pinned.
+    */
+  val Bm25BatchQueries: Seq[(Long, String)] = Seq(
+    (1L, "dup spark"), (2L, "spark join"), (3L, "join table scan"),
+    (4L, "dup dup spark"))
+
   /** Tick view keeping `user_id` as the as-of/range join key. */
   private def keyedTicks(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(col("event_id"), col("event_type").as("symbol"),
@@ -715,6 +722,26 @@ object SparkEntry {
       graft.pipeline.Bm25Index.forTable(
         graft.pipeline.TextOps.bigramize(Tables.documents(s, dir)))
         .topK(SparkEntry.Bm25Phrases, 10)),
+    // r17: BATCH retrieval — all four queries scored in ONE plan (one
+    // pruned postings read for the whole batch; per-query top-k via
+    // map-side bounded graft_min_k buffers, never a rank window)
+    "q_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.Bm25Index.forTable(Tables.documents(s, dir))
+        .topKBatch(SparkEntry.Bm25BatchQueries.toDF("query_id", "text"), 5)
+    }),
+    // r17: hybrid retrieval — RRF fusion of the BM25-indexed and exact
+    // cosine top lists (rank-only fusion, no score calibration)
+    "q_hybrid_rrf" -> ((s, dir) =>
+      graft.pipeline.Similarity.hybridRrf(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), SparkEntry.Bm25Terms, 0L)),
+    // r17: attribute-filtered retrieval (the q_ann_filtered posture for
+    // the lexical tier) — the lang predicate rides the posting-row
+    // attributes inside the SAME pruned scan; filter-then-rank so k
+    // fills with eligible docs
+    "q_bm25_filtered" -> ((s, dir) =>
+      graft.pipeline.Bm25Index.forTable(Tables.documents(s, dir))
+        .topK(SparkEntry.Bm25Terms, 10, filter = Some(col("lang") === "en"))),
     "q_semdedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // r16: artifact-backed — record the corpus digest so the oracle
@@ -1282,7 +1309,18 @@ object SparkEntry {
     * `split('', ' ') = ['']` exactly.
     */
   private def duckBm25SqlFor(terms: Seq[String],
-      conjunctive: Boolean = false, bigram: Boolean = false): String = {
+      conjunctive: Boolean = false, bigram: Boolean = false): String =
+    s"""WITH ${duckBm25Ctes(terms, conjunctive, bigram, "")}
+       |SELECT doc_id, dl, CAST(score AS DOUBLE) AS score
+       |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** The CTE chain `d$sfx, b$sfx, st$sfx, sc$sfx` ending at
+    * `sc$sfx(doc_id, dl, score)` — suffixed so the batch oracle can
+    * stack one chain per query in a single WITH.
+    */
+  private def duckBm25Ctes(terms: Seq[String], conjunctive: Boolean,
+      bigram: Boolean, sfx: String,
+      docFilterSql: Option[String] = None): String = {
     val wsSql = if (!bigram) "string_split(text, ' ')" else
       "CASE WHEN len(ws0) >= 2 THEN list_transform(" +
         "generate_series(1, len(ws0) - 1), i -> ws0[i] || '_' || ws0[i+1]) " +
@@ -1304,23 +1342,40 @@ object SparkEntry {
       duckQ6(s"CAST(${duckQ6(idfArg)} AS DOUBLE) * ($ratio)")
     }
     val sep = if (conjunctive) " AND " else " OR "
-    s"""WITH d AS (SELECT doc_id, $wsSql AS ws FROM $fromSql),
-       |b AS (
+    s"""d$sfx AS (SELECT doc_id, $wsSql AS ws FROM $fromSql),
+       |b$sfx AS (
        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
        |       $tfs
-       |  FROM d),
-       |st AS (
+       |  FROM d$sfx),
+       |st$sfx AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
        |       CAST(SUM(dl) AS BIGINT) AS tot,
        |       $dfs
-       |  FROM b),
-       |sc AS (
+       |  FROM b$sfx),
+       |sc$sfx AS (
        |  SELECT doc_id, dl,
        |         ${terms.indices.map(contrib).mkString("\n         + ")} AS score
-       |  FROM b CROSS JOIN st
-       |  WHERE ${terms.indices.map(i => s"tf$i > 0").mkString(sep)})
-       |SELECT doc_id, dl, CAST(score AS DOUBLE) AS score
-       |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+       |  FROM b$sfx CROSS JOIN st$sfx
+       |  WHERE (${terms.indices.map(i => s"tf$i > 0").mkString(sep)})${
+        docFilterSql.map(f => s"\n    AND $f").getOrElse("")})""".stripMargin
+  }
+
+  /** r17 batch-BM25 oracle: one suffixed single-query chain per
+    * (query_id, terms) entry stacked in ONE WITH, each branch taking
+    * its own per-query top-k — exactly the per-query [[graft.pipeline
+    * .Bm25Index.topK]] semantics the batch path must reproduce.
+    */
+  private def duckBm25BatchSql(queries: Seq[(Long, Seq[String])],
+      k: Int): String = {
+    val ctes = queries.map { case (qid, terms) =>
+      duckBm25Ctes(terms, conjunctive = false, bigram = false, s"_q$qid")
+    }.mkString(",\n")
+    val branches = queries.map { case (qid, _) =>
+      s"""(SELECT CAST($qid AS BIGINT) AS query_id, doc_id, dl,
+         |        CAST(score AS DOUBLE) AS score
+         | FROM sc_q$qid ORDER BY score DESC, doc_id LIMIT $k)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$branches"
   }
 
   /** r16 SemDeDup oracle (shared by q_semdedup and q_semdedup_append):
@@ -9069,6 +9124,55 @@ object SparkEntry {
     // Bm25IndexSpec), so the oracle verifies both end-to-end
     "q_bm25_and" -> duckBm25SqlFor(Bm25Terms, conjunctive = true),
     "q_bm25_phrase" -> duckBm25SqlFor(Bm25Phrases, bigram = true),
+    // r17 filtered retrieval: the attribute predicate lands on the
+    // candidate set (every posting of a doc carries the doc's constant
+    // lang, so a posting-level filter ≡ this doc-level filter); idf/
+    // avgdl stay corpus-level on both sides
+    "q_bm25_filtered" ->
+      s"""WITH ${duckBm25Ctes(Bm25Terms, conjunctive = false,
+            bigram = false, "",
+            docFilterSql = Some(
+              "doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"))}
+         |SELECT doc_id, dl, CAST(score AS DOUBLE) AS score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q_bm25_batch" -> duckBm25BatchSql(
+      Bm25BatchQueries.map { case (id, t) =>
+        (id, t.split(" ").toSeq.distinct)
+      }, 5),
+    // r17 hybrid RRF: both legs re-derived by their own oracled
+    // formulations (the BM25 CTE chain and the q_ann_brute cosine),
+    // ranked with the same (metric desc, id) tiebreak, fused as
+    // 1/(60+rank) sums — exact-int ranks, one IEEE division per leg,
+    // one addition: bit-identical with no quantization
+    "q_hybrid_rrf" ->
+      s"""WITH ${duckBm25Ctes(Bm25Terms, conjunctive = false,
+            bigram = false, "_h")},
+         |bmr AS (
+         |  SELECT doc_id AS id,
+         |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb
+         |  FROM (SELECT * FROM sc_h ORDER BY score DESC, doc_id LIMIT 20)),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |flat AS (
+         |  SELECT e.vec_id, UNNEST(e.embedding) AS x,
+         |         generate_subscripts(e.embedding, 1) AS i
+         |  FROM embeddings e WHERE e.vec_id <> 0),
+         |sums AS (
+         |  SELECT f.vec_id,
+         |         SUM(CAST(f.x AS DOUBLE) * CAST(q.qe[f.i] AS DOUBLE)) AS dot,
+         |         SUM(CAST(f.x AS DOUBLE) * CAST(f.x AS DOUBLE)) AS n2,
+         |         SUM(CAST(q.qe[f.i] AS DOUBLE) * CAST(q.qe[f.i] AS DOUBLE)) AS qn2
+         |  FROM flat f, q GROUP BY f.vec_id),
+         |annr AS (
+         |  SELECT vec_id AS id,
+         |         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS ra
+         |  FROM (SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(qn2)), 4) + 0.0
+         |               AS cos_sim
+         |        FROM sums ORDER BY cos_sim DESC, vec_id LIMIT 20))
+         |SELECT COALESCE(bmr.id, annr.id) AS doc_id,
+         |       COALESCE(1.0 / (60.0 + CAST(rb AS DOUBLE)), 0.0)
+         |         + COALESCE(1.0 / (60.0 + CAST(ra AS DOUBLE)), 0.0) AS rrf
+         |FROM bmr FULL OUTER JOIN annr ON bmr.id = annr.id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "q_semdedup" ->
       // r16: artifact-backed SemDeDup verified from the dumped final
       // centroids (assignment, size cap, keeper rule, cosine gate all

@@ -152,10 +152,17 @@ class Bm25Index private (
     * `conjunctive = true` keeps only docs containing EVERY query term
     * (AND semantics — postings carry one row per (term, doc), so the
     * per-doc posting count equals the number of distinct query terms
-    * present); scoring is identical either way.
+    * present); scoring is identical either way. `filter` (r17, the
+    * q_ann_filtered posture for the lexical tier) is a predicate over
+    * the posting-row attributes (lang/source — denormalized at build)
+    * composed INTO the same pruned scan, filter-then-rank, so k fills
+    * with ELIGIBLE docs and no join back to the corpus happens; idf/
+    * avgdl stay corpus-level (the standard filtered-retrieval choice,
+    * matching the filtered-ANN tier's corpus-level centroids).
     */
   def topK(terms0: Seq[String], k: Int,
-      conjunctive: Boolean = false): DataFrame = {
+      conjunctive: Boolean = false,
+      filter: Option[Column] = None): DataFrame = {
     // r17 (ADVICE): duplicated query terms must score ONCE on every
     // path — `isin` dedups here naturally, so the scan path and the
     // serve path dedup too (all three agree on any input)
@@ -180,8 +187,9 @@ class Bm25Index private (
         lit(TextOps.Bm25B) * (col("dl").cast("double") / lit(avgdl))))
     val contrib = PqIndex.quant6(
       element_at(typedLit(idf6), col("term")) * ratio * 1000000.0)
-    val grouped = spark.read.parquet(postingsPath)
+    val pruned = spark.read.parquet(postingsPath)
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val grouped = filter.fold(pruned)(pruned.filter)
       .select(col("doc_id"), col("dl"), contrib.as("c"))
       .groupBy(col("doc_id"))
       .agg(max(col("dl")).as("dl"), sum(col("c")).as("s"),
@@ -193,6 +201,100 @@ class Bm25Index private (
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** r17: BATCH retrieval — every query scored in ONE plan. This is
+    * the decontamination shape at scale: thousands of benchmark
+    * prompts are queries, and per-prompt [[topK]] calls would pay a
+    * Spark job (and a postings read) each; here the postings are read
+    * ONCE for the whole batch. `queries` = (query_id, text) rows,
+    * tokenized exactly like documents. Scoring is the same quant6'd
+    * chain, computed IN-PLAN per (query, term) — a row of the tiny
+    * query-term table, never per posting — so each query's top-k
+    * EQUALS its [[topK]] answer row for row (Bm25IndexSpec gates it).
+    *
+    * Scale shape, two regimes:
+    *  - batch vocabulary ≤ [[Bm25Index.BatchPruneCap]] distinct terms:
+    *    the term list collects to the driver (vocabulary-bounded) and
+    *    the postings scan keeps the single-query directory pruning +
+    *    pushed `In(term)` row-group skipping;
+    *  - above the cap (a benchmark-suite-sized batch): ONE full
+    *    postings scan joined to the broadcast query-term table — at
+    *    that size most buckets are touched anyway, and one scan
+    *    amortized over the whole batch is the win per query.
+    * Per-query top-k is `graft_min_k` on a complement-packed
+    * (score desc, doc_id) key — map-side bounded k-buffers, so no task
+    * ever sorts one query's full candidate list (a stopword query's
+    * candidates are a big fraction of the corpus; a rank window would
+    * drain them through one task).
+    */
+  def topKBatch(queries: DataFrame, k: Int,
+      conjunctive: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.types.DecimalType
+    val qterms = queries
+      .select(col("query_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .localCheckpoint() // three consumers: term list, nt_q, the join
+    val nDocsD = nDocsVar.toDouble
+    val avgdl = totalLenVar.toDouble / nDocsD
+    // per-(query, term) idf — the df join is vocabulary-sized; absent
+    // terms keep df = 0 (same idf the single-query path gives them)
+    val dfTable = spark.read.parquet(dfPath)
+    val qt = qterms.join(dfTable, Seq("term"), "left")
+      .select(col("query_id"), col("term"),
+        PqIndex.quant6(log(
+          (lit(nDocsD) - coalesce(col("df"), lit(0L)).cast("double") + 0.5) /
+            (coalesce(col("df"), lit(0L)).cast("double") + 0.5) + 1.0)
+          * 1000000.0).cast("double").as("idf6"))
+    val termRows = qterms.select(col("term")).distinct()
+      .limit(Bm25Index.BatchPruneCap + 1).collect()
+    val post =
+      if (termRows.length <= Bm25Index.BatchPruneCap) {
+        val terms = termRows.map(_.getString(0)).toSeq
+        val buckets = terms.map(Bm25Index.bucketOf).distinct
+        spark.read.parquet(postingsPath)
+          .filter(col("bucket").isin(buckets: _*) &&
+            col("term").isin(terms: _*))
+      } else spark.read.parquet(postingsPath)
+    val tf = col("tf").cast("double")
+    val ratio = tf * lit(2.2) / (tf + lit(TextOps.Bm25K1) *
+      (lit(1.0) - lit(TextOps.Bm25B) +
+        lit(TextOps.Bm25B) * (col("dl").cast("double") / lit(avgdl))))
+    val contrib = PqIndex.quant6(col("idf6") * ratio * 1000000.0)
+    val grouped = post.join(qt, Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("dl"), contrib.as("c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("dl")).as("dl"), sum(col("c")).as("s"),
+        count(lit(1)).as("nt"))
+    val kept = if (conjunctive) {
+      val ntQ = qterms.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("nt_q"))
+      grouped.join(ntQ, Seq("query_id")).filter(col("nt") === col("nt_q"))
+    } else grouped
+    // complement-packed key: (1e18 − score_micro) asc ≡ score desc,
+    // doc_id appended for the deterministic tie (lpad 19/20 covers the
+    // full non-negative ranges — the lpad-truncation rule); dl rides
+    // the id slot (the key is already unique per doc, so the id never
+    // decides order)
+    val micro = (col("s") * lit(1000000)).cast("long")
+    val packed = kept.select(col("query_id"),
+      concat(
+        lpad((lit(1000000000000000000L) - micro).cast("string"), 19, "0"),
+        lpad(col("doc_id").cast("string"), 20, "0")).as("mk"),
+      col("dl"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_min_k(mk, dl, $k)").as("top"))
+    packed.select(col("query_id"), explode(col("top")).as("x"))
+      .select(col("query_id"),
+        substring(col("x.k"), 20, 20).cast("long").as("doc_id"),
+        col("x.id").as("dl"),
+        ((lit(1000000000000000000L) - substring(col("x.k"), 1, 19)
+          .cast("long")).cast(DecimalType(18, 0)) *
+          lit(new java.math.BigDecimal("0.000001"))
+            .cast(DecimalType(7, 6)))
+          .cast(DecimalType(18, 6)).cast("double").as("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
 }
 
 object Bm25Index {
@@ -200,6 +302,13 @@ object Bm25Index {
     * the vocabulary's postings; a k-term query prunes to ≤ k dirs.
     */
   val Buckets = 64
+
+  /** [[Bm25Index.topKBatch]]'s driver-collect bound on the batch's
+    * distinct-term list: below it the batch keeps single-query
+    * partition pruning; above it the plan switches to one full
+    * postings scan joined to the (broadcast) query-term table.
+    */
+  val BatchPruneCap = 8192
 
   /** Driver-side twin of the build's bucket expression: Spark's
     * `hash()` is Murmur3_x86_32 with seed 42 — internal layout only
@@ -233,13 +342,24 @@ object Bm25Index {
     * the one tokenizing pass, shared by [[build]] and
     * [[Bm25Index.append]] so the two cannot drift.
     */
-  private[pipeline] def postingsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
-        explode(col("ws")).as("term"))
+  private[pipeline] def postingsOf(docs: DataFrame): DataFrame = {
+    // r17: lang/source ride the posting rows when the corpus has them
+    // (the IvfPqIndex r16 attributes-beside-the-codes posture, which
+    // is Lucene's stored-fields trade) — an attribute-FILTERED query
+    // then composes its predicate into the one pruned scan instead of
+    // joining back to the corpus. Attribute-less corpora (e.g. the
+    // bigramized phrase view) build plain postings.
+    val attrs = Seq("lang", "source").filter(docs.columns.contains)
+    val aggs = Seq(count(lit(1)).as("tf"), min(col("dl")).as("dl")) ++
+      attrs.map(a => min(col(a)).as(a)) // constant per doc — min = the value
+    docs.select(col("doc_id") +: split(col("text"), " ").as("ws") +:
+        attrs.map(col): _*)
+      .select(col("doc_id") +: size(col("ws")).cast("long").as("dl") +:
+        explode(col("ws")).as("term") +: attrs.map(col): _*)
       .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("bucket", pmod(hash(col("term")), lit(Buckets)))
+  }
 
   def build(docs: DataFrame,
       writerOptions: Map[String, String] = Map.empty): Bm25Index = {

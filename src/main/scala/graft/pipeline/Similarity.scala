@@ -81,6 +81,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** r17: HYBRID retrieval — reciprocal-rank fusion (RRF, Cormack
+    * 2009) of the lexical and semantic top lists: each list contributes
+    * 1/(c + rank) per doc, summed across lists. The standard fusion a
+    * production retrieval stack runs in front of BM25 + ANN — rank-only
+    * fusion needs no score calibration between the two tiers, which is
+    * exactly why it survives at scale (BM25 scores and cosines are not
+    * commensurable). Both legs are the ALREADY-ORACLED tiers:
+    * [[Bm25Index.topK]] (pruned postings) and [[bruteForceTopK]]
+    * (exact cosine — the verify tier; a production stack swaps in
+    * [[ivfPqTopK]], same ranks at its measured recall). doc_id and
+    * vec_id share the corpus id space (TESTDATA contract). Parity:
+    * ranks are exact ints, each leg is ONE IEEE division, the fusion
+    * is one addition of the two — bit-identical cross-engine with no
+    * quantization needed; ties order by doc_id.
+    *
+    * Scale shape: two k-row lists (each the product of its tier's
+    * pruned plan) → one k-row full-outer join on the driver-small
+    * results → TakeOrdered. The fusion itself is metadata-sized.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryVecId: Long, k: Int = 10, kEach: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = Bm25Index.forTable(docs).topK(terms, kEach)
+      .select(col("doc_id").as("id"),
+        row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("rb"))
+    val ann = bruteForceTopK(emb, queryVecId, kEach)
+      .select(col("vec_id").as("id"),
+        row_number().over(
+          Window.orderBy(col("cos_sim").desc, col("vec_id")))
+          .cast("long").as("ra"))
+    bm.join(ann, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("ra").cast("double")),
+            lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Deterministic pseudo-random hyperplanes in [-0.5, 0.5), generated
     * driver-side once (a tiny `nBits × dim` constant matrix, shipped
     * inside the plan as a referenced object — no per-row hashing, no

@@ -118,6 +118,77 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(rows(TextOps.bm25(docs, Seq("dup", "dup"), 5)) === once)
   }
 
+  test("r17: batch retrieval equals per-query topK, both modes") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val idx = Bm25Index.forTable(docs)
+    val qs = graft.SparkEntry.Bm25BatchQueries
+    def batchRows(conj: Boolean): Map[Long, Seq[(Long, Long, Double)]] =
+      idx.topKBatch(qs.toDF("query_id", "text"), 5, conjunctive = conj)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    Seq(false, true).foreach { conj =>
+      val batch = batchRows(conj)
+      qs.foreach { case (qid, text) =>
+        val single = rows(
+          idx.topK(text.split(" ").toSeq, 5, conjunctive = conj))
+        assert(batch.getOrElse(qid, Seq.empty) === single,
+          s"query $qid '$text' conjunctive=$conj diverged from topK")
+      }
+    }
+    // the duplicated-term query (4) scores 'dup' once — equal to its
+    // dedup'd twin (1)
+    val b = batchRows(false)
+    assert(b(4L) === b(1L))
+  }
+
+  test("r17: hybrid RRF equals a driver-side fusion of its two legs") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val terms = graft.SparkEntry.Bm25Terms
+    val bm = Bm25Index.forTable(docs).topK(terms, 20).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1) }
+      .toMap
+    val ann = Similarity.bruteForceTopK(emb, 0L, 20).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1) }
+      .toMap
+    val expect = (bm.keySet ++ ann.keySet).toSeq.map { id =>
+      val rb = bm.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      val ra = ann.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      (id, rb + ra)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = Similarity.hybridRrf(docs, emb, terms, 0L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expect)
+    // fusion genuinely mixes tiers: the top-10 draws from both legs
+    assert(got.map(_._1).exists(bm.contains))
+    assert(got.map(_._1).exists(ann.contains))
+  }
+
+  test("r17: attribute-filtered retrieval = corpus-idf scores, eligible docs only") {
+    val docs = Tables.documents(spark, sf)
+    val idx = Bm25Index.forTable(docs)
+    val terms = graft.SparkEntry.Bm25Terms
+    // expectation: scores are UNCHANGED by the filter (corpus-level
+    // idf/avgdl), only ineligible docs drop — so the filtered top-10 is
+    // the unfiltered ranking restricted to lang = en
+    val en = docs.filter(col("lang") === "en")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val expect = rows(idx.topK(terms, 100000))
+      .filter(r => en.contains(r._1)).take(10)
+    val got = rows(idx.topK(terms, 10, filter = Some(col("lang") === "en")))
+    assert(got === expect)
+    assert(got.size === 10, "filter-then-rank must still fill k")
+    assert(got.forall(r => en.contains(r._1)), "ineligible doc served")
+    // one scan: the filtered query must not join back to the corpus
+    val df = idx.topK(terms, 10, filter = Some(col("lang") === "en"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "filtered retrieval re-scanned the corpus")
+  }
+
   test("r17: postings files are term-sorted within every bucket") {
     import scala.jdk.CollectionConverters._
     val idx = Bm25Index.forTable(Tables.documents(spark, sf))

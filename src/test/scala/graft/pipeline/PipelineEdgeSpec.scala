@@ -231,6 +231,37 @@ class PipelineEdgeSpec extends AnyFunSuite {
     assert(sd.length === 5)
   }
 
+  test("r17 retrieval ops survive empty/degenerate documents") {
+    Seq(
+      // AND over a term set no single doc fully contains → empty, not
+      // an error; AND with a satisfiable set; phrase over a corpus
+      // whose docs are mostly <2 words (the sequence(1,0) trap)
+      "bm25-and-empty" -> TextOps.bm25(edgeDocs, Seq("the", "x"),
+        conjunctive = true),
+      "bm25-and-hit" -> TextOps.bm25(edgeDocs, Seq("the"), conjunctive = true),
+      "bigramize" -> TextOps.bigramize(edgeDocs),
+      "bm25-phrase" -> TextOps.bm25(TextOps.bigramize(edgeDocs),
+        Seq("the_the")),
+      "bm25-phrase-nomatch" -> TextOps.bm25(TextOps.bigramize(edgeDocs),
+        Seq("zz_absent"))
+    ).foreach { case (name, df) =>
+      try df.collect()
+      catch { case e: Throwable =>
+        fail(s"$name threw on the adversarial corpus: ${e.getMessage.take(300)}")
+      }
+    }
+    // AND is genuinely conjunctive on the degenerate corpus: 'the' and
+    // 'x' never co-occur, 'the' alone matches the repetition docs
+    assert(TextOps.bm25(edgeDocs, Seq("the", "x"), conjunctive = true)
+      .count() === 0)
+    assert(TextOps.bm25(edgeDocs, Seq("the"), conjunctive = true)
+      .count() === 2)
+    // the indexed AND path agrees on the degenerate corpus too
+    val got = Bm25Index.forTable(edgeDocs)
+      .topK(Seq("the", "x"), 5, conjunctive = true).count()
+    assert(got === 0)
+  }
+
   test("r14 text ops survive empty/degenerate documents") {
     Seq(
       "jsDivergence" -> graft.pipeline.TextOps.jsDivergence(edgeDocs),

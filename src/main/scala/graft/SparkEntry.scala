@@ -742,6 +742,11 @@ object SparkEntry {
     "q_bm25_filtered" -> ((s, dir) =>
       graft.pipeline.Bm25Index.forTable(Tables.documents(s, dir))
         .topK(SparkEntry.Bm25Terms, 10, filter = Some(col("lang") === "en"))),
+    // r17: dimension-truncation fidelity — overlap@10 of m-prefix
+    // cosine rankings vs the full-dimension exact top-10 (the
+    // Matryoshka storage-halving measurement); exact BIGINT emission
+    "q_embed_truncation" -> ((s, dir) =>
+      graft.pipeline.Similarity.dimTruncation(Tables.embeddings(s, dir))),
     "q_semdedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // r16: artifact-backed — record the corpus digest so the oracle
@@ -9124,6 +9129,43 @@ object SparkEntry {
     // Bm25IndexSpec), so the oracle verifies both end-to-end
     "q_bm25_and" -> duckBm25SqlFor(Bm25Terms, conjunctive = true),
     "q_bm25_phrase" -> duckBm25SqlFor(Bm25Phrases, bigram = true),
+    // r17 dimension-truncation fidelity: prefix cosines over the
+    // double-cast lists (the duckCosine discipline, parameterized by
+    // m), NULL-guarded zero-norm prefixes dropped on both engines,
+    // rank = (rounded cos DESC, vec_id), overlap = exact join count —
+    // BIGINT-only emission, no float parity surface at all
+    "q_embed_truncation" -> {
+      val qids = "0, 7, 42, 99, 250"
+      def cosM = s"""ROUND(list_sum(list_transform(generate_series(1, m.m),
+         |             i -> p.ve[i] * p.qe[i]))
+         |           / (SQRT(list_sum(list_transform(p.ve[1:m.m], x -> x * x)))
+         |              * SQRT(list_sum(list_transform(p.qe[1:m.m], x -> x * x)))),
+         |           4) + 0.0""".stripMargin
+      s"""WITH vecs AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |  FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, ve AS qe FROM vecs
+         |       WHERE vec_id IN ($qids)),
+         |pairs AS (
+         |  SELECT v.vec_id, v.ve, q.qid, q.qe
+         |  FROM vecs v CROSS JOIN qs q WHERE v.vec_id <> q.qid),
+         |sc AS (
+         |  SELECT m.m, p.qid, p.vec_id, $cosM AS cos
+         |  FROM pairs p CROSS JOIN (VALUES (16), (32), (64)) m(m)
+         |  WHERE list_sum(list_transform(p.ve[1:m.m], x -> x * x)) > 0
+         |    AND list_sum(list_transform(p.qe[1:m.m], x -> x * x)) > 0),
+         |rk AS (
+         |  SELECT m, qid, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY m, qid
+         |                            ORDER BY cos DESC, vec_id) AS rn
+         |  FROM sc),
+         |t AS (SELECT m, qid, vec_id FROM rk WHERE rn <= 10),
+         |f AS (SELECT qid, vec_id FROM t WHERE m = 64)
+         |SELECT CAST(t.m AS BIGINT) AS m, t.qid AS query_vec,
+         |       CAST(COUNT(f.vec_id) AS BIGINT) AS overlap
+         |FROM t LEFT JOIN f ON f.qid = t.qid AND f.vec_id = t.vec_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // r17 filtered retrieval: the attribute predicate lands on the
     // candidate set (every posting of a doc carries the doc's constant
     // lang, so a posting-level filter ≡ this doc-level filter); idf/

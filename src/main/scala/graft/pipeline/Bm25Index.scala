@@ -384,9 +384,12 @@ object Bm25Index {
     val postings = docs.sparkSession.read.parquet(postingsPath)
     postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.parquet(dfPath)
-    // N and Σdl over ALL docs (term-less docs still count toward avgdl)
-    val stats = docs
-      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+    // r17: N and Σdl derive from the WRITTEN postings (per-doc dl rides
+    // every posting row; even an empty-text doc owns one posting — its
+    // `""` term — so every doc is represented): two counter-only
+    // aggregates instead of a SECOND full text decode of the corpus.
+    val stats = postings
+      .groupBy(col("doc_id")).agg(min(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("tot"))
       .head()
     new Bm25Index(docs, postingsPath, dfPath, stats.getLong(0), stats.getLong(1))

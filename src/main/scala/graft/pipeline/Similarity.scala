@@ -122,6 +122,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** r17: dimension-truncation fidelity (the Matryoshka question): for
+    * each prefix length m, how much of the FULL-dimension exact top-k
+    * does ranking by the m-prefix cosine retain? Overlap@k per
+    * (m, query) — the measurement that decides whether a 100 TB
+    * embedding store can halve its footprint (keep 32 of 64 dims) and
+    * still serve candidate generation. Emitted as exact BIGINT overlap
+    * counts — no float emission at all (the rounded cosines exist only
+    * inside the ranking comparisons, the lshBucket immunity class).
+    *
+    * Scale shape: ONE corpus scan (the query panel broadcasts; all
+    * prefix cosines compute per pair in one projection), per-(m, query)
+    * top-k through map-side bounded `graft_min_k` buffers on a
+    * complement-packed key (15 LOW-cardinality groups — a rank window
+    * would drain the corpus through 15 tasks), then a metadata-sized
+    * self-join of the k-row lists.
+    */
+  def dimTruncation(emb: DataFrame,
+      queryIds: Seq[Long] = Seq(0L, 7L, 42L, 99L, 250L),
+      dims: Seq[Int] = Seq(16, 32, 64), k: Int = 10): DataFrame = {
+    reg(emb)
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val q = emb.filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pairs = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+    // all prefix cosines in ONE projection over the pair row; a
+    // zero-norm prefix yields NULL (ANSI divide guard, mirrored by
+    // DuckDB's x/0 = NULL) and drops from the candidate set
+    def cosM(m: Int): Column = {
+      val a = slice(col("embedding"), 1, m)
+      val b = slice(col("qe"), 1, m)
+      when(dot(a, a) > 0.0 && dot(b, b) > 0.0, round(cosine(a, b), 4))
+    }
+    val scored = pairs.select(col("qid"), col("vec_id"),
+        explode(array(dims.map(m =>
+          struct(lit(m).as("m"), cosM(m).as("cos"))): _*)).as("s"))
+      .select(col("qid"), col("vec_id"), col("s.m").as("m"),
+        col("s.cos").as("cos"))
+      .filter(col("cos").isNotNull)
+    // 4-dp cosines map 1:1 onto micro ints (the QuantizeI8 float-op
+    // pattern), so the packed-key order EQUALS (cos desc, vec_id asc)
+    val micro = when(col("cos") >= 0, floor(col("cos") * 10000.0 + 0.5))
+      .otherwise(ceil(col("cos") * 10000.0 - 0.5)).cast("long")
+    val topk = scored
+      .select(col("m"), col("qid"), col("vec_id"),
+        concat(lpad((lit(10000L) - micro).cast("string"), 5, "0"),
+          lpad(col("vec_id").cast("string"), 20, "0")).as("mk"))
+      .groupBy(col("m"), col("qid"))
+      .agg(expr(s"graft_min_k(mk, vec_id, $k)").as("top"))
+      .select(col("m"), col("qid"),
+        expr("transform(top, t -> t.id)").as("ids"))
+    val full = topk.filter(col("m") === dims.max)
+      .select(col("qid"), col("ids").as("full_ids"))
+    topk.join(broadcast(full), Seq("qid"))
+      .select(col("m").cast("long").as("m"), col("qid").as("query_vec"),
+        size(array_intersect(col("ids"), col("full_ids")))
+          .cast("long").as("overlap"))
+      .orderBy(col("m"), col("query_vec"))
+  }
+
   /** Deterministic pseudo-random hyperplanes in [-0.5, 0.5), generated
     * driver-side once (a tiny `nBits × dim` constant matrix, shipped
     * inside the plan as a referenced object — no per-row hashing, no

@@ -189,6 +189,20 @@ class Bm25IndexSpec extends AnyFunSuite {
       "filtered retrieval re-scanned the corpus")
   }
 
+  test("r17: dimension-truncation fidelity — full dim is exact, counts bounded") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = Similarity.dimTruncation(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 15, s"expected 3 dims × 5 queries: ${rows.length}")
+    // the full-dimension ranking overlaps itself completely…
+    assert(rows.filter(_._1 == 64L).forall(_._3 == 10L))
+    // …and truncated overlaps are genuine counts in [0, 10], with the
+    // 16-prefix strictly losing fidelity somewhere (else the probe
+    // measures nothing)
+    assert(rows.forall(r => r._3 >= 0L && r._3 <= 10L))
+    assert(rows.filter(_._1 == 16L).exists(_._3 < 10L))
+  }
+
   test("r17: postings files are term-sorted within every bucket") {
     import scala.jdk.CollectionConverters._
     val idx = Bm25Index.forTable(Tables.documents(spark, sf))

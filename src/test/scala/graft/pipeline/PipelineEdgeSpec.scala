@@ -257,9 +257,34 @@ class PipelineEdgeSpec extends AnyFunSuite {
     assert(TextOps.bm25(edgeDocs, Seq("the"), conjunctive = true)
       .count() === 2)
     // the indexed AND path agrees on the degenerate corpus too
-    val got = Bm25Index.forTable(edgeDocs)
-      .topK(Seq("the", "x"), 5, conjunctive = true).count()
-    assert(got === 0)
+    val idx = Bm25Index.forTable(edgeDocs)
+    assert(idx.topK(Seq("the", "x"), 5, conjunctive = true).count() === 0)
+    // batch retrieval over degenerate queries: an empty-text query
+    // tokenizes to the "" term (which the empty docs OWN), a no-match
+    // query simply yields no rows for its id
+    val batchQs = Seq((1L, "the"), (2L, ""), (3L, "zzz-absent"))
+      .toDF("query_id", "text")
+    val batch = idx.topKBatch(batchQs, 5).collect()
+    assert(batch.count(_.getLong(0) == 1L) === 2) // two 'the' docs
+    assert(batch.count(_.getLong(0) == 2L) === 2) // "" matches docs 1, 2
+    assert(!batch.exists(_.getLong(0) == 3L))
+    // attribute-filtered retrieval on the degenerate corpus
+    assert(idx.topK(Seq("the"), 5, filter = Some(col("lang") === "de"))
+      .count() === 0) // 'the' docs are all en
+    assert(idx.topK(Seq("x"), 5, filter = Some(col("lang") === "de"))
+      .count() === 1)
+    // dimension-truncation with a ZERO vector in the corpus: its
+    // prefixes are zero-norm → NULL-guarded out, never a divide error
+    val edgeEmb = edgeDocs.select(col("doc_id").as("vec_id"),
+      when(col("doc_id") === 1L,
+        transform(sequence(lit(1), lit(8)), _ => lit(0.0f)))
+        .otherwise(transform(sequence(lit(1), lit(8)),
+          i => (col("doc_id") * 3 + i).cast("float"))).as("embedding"),
+      lit(0).as("label"))
+    val tr = Similarity.dimTruncation(edgeEmb, queryIds = Seq(3L, 4L),
+      dims = Seq(4, 8), k = 3).collect()
+    assert(tr.nonEmpty)
+    assert(tr.filter(_.getLong(0) == 8L).forall(_.getLong(2) == 3L))
   }
 
   test("r14 text ops survive empty/degenerate documents") {

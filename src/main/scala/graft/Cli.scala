@@ -359,8 +359,31 @@ object Cli {
                 out.println("search: no corpus dir (set GRAFT_EMB_DIR)")
             }
             out.println(f"(${(System.nanoTime() - t0) / 1e6}%.2f ms)")
+          case "hybrid" if a.length >= 3 =>
+            // r17: warm hybrid retrieval — RRF fusion of the two warm
+            // serve tiers (ANN by vector id + BM25 by terms), fused
+            // driver-side: zero Spark jobs once both tiers are warm
+            (annServe, bm25Serve) match {
+              case (Some(ann), Some(bm)) =>
+                val vecId = a(1).toLong
+                val terms = a.drop(2).toSeq
+                val bmIds = bm.topK(terms, 20).map(_._1)
+                val annIds = ann.topKById(vecId, 20).map(_._1)
+                val fused = graft.pipeline.Similarity.rrfFuse(
+                  Seq(bmIds, annIds), 10)
+                out.println(
+                  s"Top ${fused.length} hybrid hits for vec $vecId + " +
+                    s"'${terms.mkString(" ")}':")
+                fused.foreach { case (id, s) =>
+                  out.println(f"Doc: $id RRF: $s%.6f")
+                }
+              case _ =>
+                out.println("hybrid: no corpus dir (set GRAFT_EMB_DIR)")
+            }
+            out.println(f"(${(System.nanoTime() - t0) / 1e6}%.2f ms)")
           case _ =>
-            out.println("commands: query|last|count|insert|ann|search|exit")
+            out.println(
+              "commands: query|last|count|insert|ann|search|hybrid|exit")
         } catch {
           case e: Exception => out.println(s"error: ${e.getMessage}")
         }

@@ -183,6 +183,21 @@ object Similarity {
       .orderBy(col("m"), col("query_vec"))
   }
 
+  /** r17: driver-side RRF fusion of ranked id lists — the warm-serve
+    * twin of [[hybridRrf]] (the Cli `hybrid` command fuses the
+    * [[Bm25Serve]] and [[AnnServe]] top lists without a Spark job).
+    * Same arithmetic: 1/(c + rank) per list, contributions added in
+    * list order, ties by id.
+    */
+  def rrfFuse(lists: Seq[Seq[Long]], k: Int,
+      c: Double = 60.0): Seq[(Long, Double)] = {
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+    lists.foreach(_.zipWithIndex.foreach { case (id, i) =>
+      acc(id) = acc.getOrElse(id, 0.0) + 1.0 / (c + (i + 1).toDouble)
+    })
+    acc.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
   /** Deterministic pseudo-random hyperplanes in [-0.5, 0.5), generated
     * driver-side once (a tiny `nBits × dim` constant matrix, shipped
     * inside the plan as a referenced object — no per-row hashing, no

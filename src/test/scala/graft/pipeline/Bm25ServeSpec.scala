@@ -88,6 +88,26 @@ class Bm25ServeSpec extends AnyFunSuite {
     }
   }
 
+  test("r17: warm hybrid fusion equals RRF over the Spark-path legs") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val terms = graft.SparkEntry.Bm25Terms
+    // the serve legs are spec-gated equal to the Spark index paths, so
+    // fusing the WARM lists must equal fusing the Spark-path lists
+    val bmSpark = Bm25Index.forTable(docs).topK(terms, 20)
+      .collect().map(_.getLong(0)).toSeq
+    val nl = IvfPqIndex.defaultNlist(IvfPqIndex.countFor(emb))
+    val annSpark = IvfPqIndex.forTable(emb, nl, 8, 16)
+      .topK(3L, 20, IvfPqIndex.defaultNprobe(nl), Similarity.IvfPqShortlist)
+      .collect().map(_.getLong(0)).toSeq
+    val expect = Similarity.rrfFuse(Seq(bmSpark, annSpark), 10)
+    val bmWarm = Bm25Serve.forTable(docs).topK(terms, 20).map(_._1)
+    val annWarm = AnnServe.forTable(emb).topKById(3L, 20).map(_._1)
+    val got = Similarity.rrfFuse(Seq(bmWarm, annWarm), 10)
+    assert(got === expect)
+    assert(got.size === 10)
+  }
+
   test("append evicts stale buckets — warm serve sees the grown corpus") {
     import spark.implicits._
     // private corpus slice (digest-distinct from the other tests)

@@ -33,6 +33,11 @@ object SparkEntry {
     */
   val Bm25Phrases: Seq[String] = Seq("spark_join", "sort_merge")
 
+  /** The q_bm25_phrase3 query phrases (3-gram terms over the
+    * `ngramize(_, 3)` corpus) — both occur at every SF.
+    */
+  val Bm25Phrases3: Seq[String] = Seq("big_data_merge", "slow_query_scan")
+
   /** The q_bm25_batch query set — query 4 carries a duplicated term so
     * the batch path's once-per-distinct-term scoring is oracle-pinned.
     */
@@ -722,6 +727,13 @@ object SparkEntry {
       graft.pipeline.Bm25Index.forTable(
         graft.pipeline.TextOps.bigramize(Tables.documents(s, dir)))
         .topK(SparkEntry.Bm25Phrases, 10)),
+    // r17: 3-word phrases — the same shingle tier at n = 3 (ngramize
+    // generalizes; positional postings would be the fat-index
+    // alternative)
+    "q_bm25_phrase3" -> ((s, dir) =>
+      graft.pipeline.Bm25Index.forTable(
+        graft.pipeline.TextOps.ngramize(Tables.documents(s, dir), 3))
+        .topK(SparkEntry.Bm25Phrases3, 10)),
     // r17: BATCH retrieval — all four queries scored in ONE plan (one
     // pruned postings read for the whole batch; per-query top-k via
     // map-side bounded graft_min_k buffers, never a rank window)
@@ -1307,30 +1319,37 @@ object SparkEntry {
   private def duckBm25Sql: String = duckBm25SqlFor(Bm25Terms)
 
   /** r17: the same mirror, parameterized — `conjunctive` mirrors the
-    * AND retrieval tier (every query term present), `bigram` rebuilds
-    * each doc's token list as its 2-gram stream (the
-    * [[graft.pipeline.TextOps.bigramize]] mirror) so a phrase query is
-    * one bigram term. <2-word docs mirror the Spark side's
-    * `split('', ' ') = ['']` exactly.
+    * AND retrieval tier (every query term present), `ngram > 1`
+    * rebuilds each doc's token list as its n-gram stream (the
+    * [[graft.pipeline.TextOps.ngramize]] mirror) so a phrase query is
+    * one n-gram term.
     */
   private def duckBm25SqlFor(terms: Seq[String],
-      conjunctive: Boolean = false, bigram: Boolean = false): String =
-    s"""WITH ${duckBm25Ctes(terms, conjunctive, bigram, "")}
+      conjunctive: Boolean = false, ngram: Int = 1): String =
+    s"""WITH ${duckBm25Ctes(terms, conjunctive, ngram, "")}
        |SELECT doc_id, dl, CAST(score AS DOUBLE) AS score
        |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   /** The CTE chain `d$sfx, b$sfx, st$sfx, sc$sfx` ending at
     * `sc$sfx(doc_id, dl, score)` — suffixed so the batch oracle can
-    * stack one chain per query in a single WITH.
+    * stack one chain per query in a single WITH. `ngram > 1` rebuilds
+    * each doc's token list as its n-gram stream (the
+    * [[graft.pipeline.TextOps.ngramize]] mirror; <n-word docs mirror
+    * the Spark side's `split('', ' ') = ['']` exactly).
     */
   private def duckBm25Ctes(terms: Seq[String], conjunctive: Boolean,
-      bigram: Boolean, sfx: String,
+      ngram: Int, sfx: String,
       docFilterSql: Option[String] = None): String = {
-    val wsSql = if (!bigram) "string_split(text, ' ')" else
-      "CASE WHEN len(ws0) >= 2 THEN list_transform(" +
-        "generate_series(1, len(ws0) - 1), i -> ws0[i] || '_' || ws0[i+1]) " +
+    val wsSql = if (ngram <= 1) "string_split(text, ' ')" else {
+      val parts = (0 until ngram).map {
+        case 0 => "ws0[i]"
+        case j => s"ws0[i+$j]"
+      }.mkString(" || '_' || ")
+      s"CASE WHEN len(ws0) >= $ngram THEN list_transform(" +
+        s"generate_series(1, len(ws0) - ${ngram - 1}), i -> $parts) " +
         "ELSE [''] END"
-    val fromSql = if (!bigram) "documents" else
+    }
+    val fromSql = if (ngram <= 1) "documents" else
       "(SELECT doc_id, string_split(text, ' ') AS ws0 FROM documents)"
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf$i"
@@ -1373,7 +1392,7 @@ object SparkEntry {
   private def duckBm25BatchSql(queries: Seq[(Long, Seq[String])],
       k: Int): String = {
     val ctes = queries.map { case (qid, terms) =>
-      duckBm25Ctes(terms, conjunctive = false, bigram = false, s"_q$qid")
+      duckBm25Ctes(terms, conjunctive = false, ngram = 1, s"_q$qid")
     }.mkString(",\n")
     val branches = queries.map { case (qid, _) =>
       s"""(SELECT CAST($qid AS BIGINT) AS query_id, doc_id, dl,
@@ -9128,7 +9147,8 @@ object SparkEntry {
     // formulation (the indexed tier is value-equal, gated in
     // Bm25IndexSpec), so the oracle verifies both end-to-end
     "q_bm25_and" -> duckBm25SqlFor(Bm25Terms, conjunctive = true),
-    "q_bm25_phrase" -> duckBm25SqlFor(Bm25Phrases, bigram = true),
+    "q_bm25_phrase" -> duckBm25SqlFor(Bm25Phrases, ngram = 2),
+    "q_bm25_phrase3" -> duckBm25SqlFor(Bm25Phrases3, ngram = 3),
     // r17 dimension-truncation fidelity: prefix cosines over the
     // double-cast lists (the duckCosine discipline, parameterized by
     // m), NULL-guarded zero-norm prefixes dropped on both engines,
@@ -9172,7 +9192,7 @@ object SparkEntry {
     // avgdl stay corpus-level on both sides
     "q_bm25_filtered" ->
       s"""WITH ${duckBm25Ctes(Bm25Terms, conjunctive = false,
-            bigram = false, "",
+            ngram = 1, "",
             docFilterSql = Some(
               "doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"))}
          |SELECT doc_id, dl, CAST(score AS DOUBLE) AS score
@@ -9188,7 +9208,7 @@ object SparkEntry {
     // one addition: bit-identical with no quantization
     "q_hybrid_rrf" ->
       s"""WITH ${duckBm25Ctes(Bm25Terms, conjunctive = false,
-            bigram = false, "_h")},
+            ngram = 1, "_h")},
          |bmr AS (
          |  SELECT doc_id AS id,
          |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb

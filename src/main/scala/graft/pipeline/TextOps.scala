@@ -1480,18 +1480,30 @@ object TextOps {
     * mirror it token for token. `_` joins the words because the BM25
     * tokenizer splits on spaces — a bigram term must stay one token.
     */
-  def bigramize(docs: DataFrame): DataFrame =
+  def bigramize(docs: DataFrame): DataFrame = ngramize(docs, 2)
+
+  /** r17: the general n-gram stream — `ngramize(docs, 3)` makes a
+    * 3-word phrase one posting term (the shingle tier for longer
+    * phrases; positional postings would be the alternative, at a much
+    * fatter index).
+    */
+  def ngramize(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"ngramize needs n >= 2, got $n")
+    val parts = (0 until n).map {
+      case 0 => "element_at(ws, i)"
+      case j => s"element_at(ws, i + $j)"
+    }.mkString(", '_', ")
     // ws projects into an attribute FIRST (the gramsOf rule): an
     // interpreted lambda re-evaluates every expression it references
     // per element — an inlined split would cost O(words²) splits/doc
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
-        when(size(col("ws")) >= 2,
+        when(size(col("ws")) >= n,
           array_join(expr(
-            "transform(sequence(1, size(ws) - 1), " +
-              "i -> concat(element_at(ws, i), '_', element_at(ws, i + 1)))"),
-            " "))
+            s"transform(sequence(1, size(ws) - ${n - 1}), " +
+              s"i -> concat($parts))"), " "))
           .otherwise(lit("")).as("text"))
+  }
 
   /** NEW r15: per-document bigram negative log-likelihood — the
     * language-model quality-filter proxy (the KenLM-perplexity stage of

@@ -109,6 +109,13 @@ class Bm25IndexSpec extends AnyFunSuite {
     val indexed = rows(Bm25Index.forTable(bg).topK(phrases, 10))
     assert(indexed === scan)
     assert(indexed.nonEmpty, "no phrase hits — the fixture phrases vanished")
+    // the n=3 shingle tier holds the same indexed ≡ scan contract
+    val tg = TextOps.ngramize(Tables.documents(spark, sf), 3)
+    val p3 = graft.SparkEntry.Bm25Phrases3
+    val scan3 = rows(TextOps.bm25(tg, p3, 10))
+    val indexed3 = rows(Bm25Index.forTable(tg).topK(p3, 10))
+    assert(indexed3 === scan3)
+    assert(indexed3.nonEmpty, "no 3-gram hits — the fixture phrases vanished")
   }
 
   test("r17: duplicated query terms score once on both paths") {

@@ -83,8 +83,8 @@ OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
 # Zipf term skew, huge/empty/one-word docs, mixed-script and
 # control-adjacent characters, dense stopword mass.
 TEXT_FAMILY = """
-q_bm25_search q_bm25_indexed q_bm25_and q_bm25_phrase q_bm25_batch
-q_bm25_filtered q_hybrid_rrf q_doc_nll
+q_bm25_search q_bm25_indexed q_bm25_and q_bm25_phrase q_bm25_phrase3
+q_bm25_filtered q_bm25_batch q_hybrid_rrf q_doc_nll
 q_surprisal q_token_entropy q_bigram_entropy q_readability q_zipf_slope
 q_heaps_law q_quality_score q_quality_deciles q_compression_ratio
 q_lexical_diversity q_source_kl q_js_divergence

@@ -351,6 +351,24 @@ object Bench {
       (t.headOption.getOrElse(-1.0), p50(t.drop(1)))
     }
 
+    // r18 (the r17 verdict's #7): warm HYBRID-serve latency — 200
+    // `hybrid` queries (RRF fusion of the warm BM25 + warm IVFPQ
+    // tiers) through the same Cli serve loop; first query pays both
+    // tiers' warms (serve_hybrid_cold_ms), the rest are pure driver
+    // scoring + fusion.
+    val (serveHybridColdMs, serveHybridP50Ms) = {
+      val cmds = new StringBuilder()
+      (0 until 201).foreach(_ => cmds.append("hybrid 0 dup spark join\n"))
+      cmds.append("exit\n")
+      val bout = new java.io.ByteArrayOutputStream()
+      graft.Cli.serve(spark, serveDir,
+        new java.io.BufferedReader(new java.io.StringReader(cmds.toString)),
+        new java.io.PrintStream(bout, true), embDir = Some(sfDir))
+      val t = "\\(([\\d.]+) ms\\)".r.findAllMatchIn(bout.toString)
+        .map(_.group(1).toDouble).toVector
+      (t.headOption.getOrElse(-1.0), p50(t.drop(1)))
+    }
+
     // ANN retrieval quality, round-tracked: recall@10 vs the exact
     // brute-force ranking on RecallSpec's fixed 5-query panel, at the
     // bench SF — a recall regression now shows in BENCH diffs, not just
@@ -407,6 +425,8 @@ object Bench {
       f""""serve_ann_cold_ms":$serveAnnColdMs%.1f,""" +
       f""""serve_bm25_p50_ms":$serveBm25P50Ms%.3f,""" +
       f""""serve_bm25_cold_ms":$serveBm25ColdMs%.1f,""" +
+      f""""serve_hybrid_p50_ms":$serveHybridP50Ms%.3f,""" +
+      f""""serve_hybrid_cold_ms":$serveHybridColdMs%.1f,""" +
       f""""ivf_recall10":$ivfRecall%.2f,""" +
       f""""lsh_recall10":$lshRecall%.2f,""" +
       f""""pq_recall10":$pqRecall%.2f,""" +

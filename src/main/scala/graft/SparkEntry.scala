@@ -45,6 +45,12 @@ object SparkEntry {
     (1L, "dup spark"), (2L, "spark join"), (3L, "join table scan"),
     (4L, "dup dup spark"))
 
+  /** The q_ann_batch query panel (shared with the oracle) — the
+    * q_embed_truncation recall panel, so batch ANN is measured on the
+    * same query set the fidelity probes use.
+    */
+  val AnnBatchIds: Seq[Long] = Seq(0L, 7L, 42L, 99L, 250L)
+
   /** Tick view keeping `user_id` as the as-of/range join key. */
   private def keyedTicks(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(col("event_id"), col("event_type").as("symbol"),
@@ -533,6 +539,45 @@ object SparkEntry {
       verifyIvfPqDigest = Some(graft.pipeline.IvfIndex.corpusDigest(emb))
       Similarity.ivfPqTopKFiltered(emb, 0L, col("label") === 1)
     }),
+    // r18 (the r17 verdict's #6): BATCH ANN — the whole recall panel
+    // probed and scored in ONE plan (two pruned scans amortized over
+    // the panel vs one scan per query); per query the rows equal the
+    // single ivfPqTopK answer, which the oracle re-derives per panel
+    // member from the dumped constants
+    "q_ann_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      verifyIvfPqDigest = Some(graft.pipeline.IvfIndex.corpusDigest(emb))
+      Similarity.ivfPqTopKBatch(emb, SparkEntry.AnnBatchIds)
+    }),
+    // r18 (the r17 verdict's #1): vector DELETION on the ANN tier —
+    // tombstone a curation batch (vec_id ≡ 4 mod 9) and probe; the
+    // answer must equal the same index with the deleted ids masked
+    // from the candidate set (the FAISS IDSelector semantic), which the
+    // oracle re-derives from the dumped constants. A PRIVATE build —
+    // delete mutates, the shared digest-cached index must not see it;
+    // forTable first so the constants register for the oracle dump.
+    "q_ann_deleted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      verifyIvfPqDigest = Some(graft.pipeline.IvfIndex.corpusDigest(emb))
+      val nl = graft.pipeline.IvfPqIndex.defaultNlist(
+        graft.pipeline.IvfPqIndex.countFor(emb))
+      // a STANDING index the curation batch was deleted from once —
+      // the tombstone lifecycle (build and delete are one-time, the
+      // timed path is the masked probe); private build, never the
+      // shared digest-cached instance (delete mutates), cached like
+      // forTable so repeated calls measure the query, not the rebuild
+      // deletion was invented to avoid
+      val idx = annDeletedFixture.computeIfAbsent(
+        (System.identityHashCode(s), graft.pipeline.IvfIndex.corpusDigest(emb)),
+        _ => {
+          graft.pipeline.IvfPqIndex.forTable(emb, nl, 8, 16) // oracle consts
+          val i = graft.pipeline.IvfPqIndex.build(emb, nl, 8, 16)
+          i.delete(emb.filter(col("vec_id") % 9 === 4).select(col("vec_id")))
+          i
+        })
+      idx.topK(0L, 10, graft.pipeline.IvfPqIndex.defaultNprobe(nl),
+        Similarity.IvfPqShortlist)
+    }),
     "q_anomaly_days" -> ((s, dir) =>
       EventAnalytics.anomalyDays(Tables.events(s, dir))),
     "q_audience_overlap" -> ((s, dir) =>
@@ -720,20 +765,26 @@ object SparkEntry {
     "q_bm25_and" -> ((s, dir) =>
       graft.pipeline.Bm25Index.forTable(Tables.documents(s, dir))
         .topK(SparkEntry.Bm25Terms, 10, conjunctive = true)),
-    // r17: phrase retrieval = BM25 over the bigramized corpus (the
-    // shingle trick) — a 2-gram phrase is one posting term, so the
-    // indexed path stays a pruned partition scan
+    // r18 (the r17 verdict's #4): phrase retrieval now serves from the
+    // ONE positional artifact (position-list intersection ≡ the r17
+    // shingle stream's tf, n-gram model constants derived from the
+    // driver-held dl histogram) — hash-identical to the shingle
+    // formulation, so the oracle is UNCHANGED; Bm25PosSpec gates
+    // positional ≡ shingle-index ≡ scan
     "q_bm25_phrase" -> ((s, dir) =>
-      graft.pipeline.Bm25Index.forTable(
-        graft.pipeline.TextOps.bigramize(Tables.documents(s, dir)))
-        .topK(SparkEntry.Bm25Phrases, 10)),
-    // r17: 3-word phrases — the same shingle tier at n = 3 (ngramize
-    // generalizes; positional postings would be the fat-index
-    // alternative)
+      graft.pipeline.Bm25PosIndex.forTable(Tables.documents(s, dir))
+        .phraseTopK(SparkEntry.Bm25Phrases, 2, 10)),
+    // r18: 3-word phrases off the SAME positional artifact (r17 needed
+    // a second shingle index and a third corpus tokenize for n = 3)
     "q_bm25_phrase3" -> ((s, dir) =>
-      graft.pipeline.Bm25Index.forTable(
-        graft.pipeline.TextOps.ngramize(Tables.documents(s, dir), 3))
-        .topK(SparkEntry.Bm25Phrases3, 10)),
+      graft.pipeline.Bm25PosIndex.forTable(Tables.documents(s, dir))
+        .phraseTopK(SparkEntry.Bm25Phrases3, 3, 10)),
+    // r18: proximity retrieval — `spark NEAR/3 join`, only positional
+    // postings can answer it (min pairwise position distance ≤ w,
+    // ranked by the standard two-term BM25 sum)
+    "q_bm25_near" -> ((s, dir) =>
+      graft.pipeline.Bm25PosIndex.forTable(Tables.documents(s, dir))
+        .nearTopK("spark", "join", 3, 10)),
     // r17: BATCH retrieval — all four queries scored in ONE plan (one
     // pruned postings read for the whole batch; per-query top-k via
     // map-side bounded graft_min_k buffers, never a rank window)
@@ -754,11 +805,38 @@ object SparkEntry {
     "q_bm25_filtered" -> ((s, dir) =>
       graft.pipeline.Bm25Index.forTable(Tables.documents(s, dir))
         .topK(SparkEntry.Bm25Terms, 10, filter = Some(col("lang") === "en"))),
+    // r18 (the r17 verdict's #1): document DELETION — tombstone the
+    // curation batch (here every doc_id ≡ 3 mod 7) and query; the
+    // answer must equal a from-scratch build over the filtered corpus
+    // (exact integer df/N/Σdl deltas), which is exactly what the
+    // oracle re-derives. A PRIVATE build — delete mutates the index,
+    // so the shared digest-cached instance must never see it.
+    "q_bm25_deleted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // a STANDING index the curation batch was deleted from once (see
+      // q_ann_deleted) — the timed path is the tombstone-masked query
+      val idx = bm25DeletedFixture.computeIfAbsent(
+        (System.identityHashCode(s), graft.pipeline.IvfIndex.corpusDigest(docs)),
+        _ => {
+          val i = graft.pipeline.Bm25Index.build(docs)
+          i.delete(docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+          i
+        })
+      idx.topK(SparkEntry.Bm25Terms, 10)
+    }),
     // r17: dimension-truncation fidelity — overlap@10 of m-prefix
     // cosine rankings vs the full-dimension exact top-10 (the
     // Matryoshka storage-halving measurement); exact BIGINT emission
     "q_embed_truncation" -> ((s, dir) =>
       graft.pipeline.Similarity.dimTruncation(Tables.embeddings(s, dir))),
+    // r18 (the r17 verdict's #5): the storage tier the truncation
+    // numbers justify — MATRYOSHKA two-stage retrieval: 32-prefix
+    // cosine candidate generation (half the bytes), full-dim exact
+    // re-rank of the 50 survivors. This is the exact verify tier (one
+    // corpus scan); the indexed tier (half-size IVFPQ artifact over
+    // truncated vectors) is recall-gated in RecallSpec.
+    "q_ann_matryoshka" -> ((s, dir) =>
+      graft.pipeline.Similarity.matryoshkaTopK(Tables.embeddings(s, dir), 0L)),
     "q_semdedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // r16: artifact-backed — record the corpus digest so the oracle
@@ -779,6 +857,18 @@ object SparkEntry {
       verifySemDedupAppendDigest = Some(
         graft.pipeline.IvfIndex.corpusDigest(base.unionByName(nw)))
       Similarity.semDedupAppend(base, nw)
+    }),
+    // r18 (the r17 verdict's #1): verdict refresh after DELETION — the
+    // non-monotone direction (removing a keeper can resurrect the doc
+    // it out-ranked), so touched clusters re-verdict in full over
+    // their survivors; equals a filtered-corpus re-verdict against the
+    // stored centroids, which the oracle re-derives
+    "q_semdedup_deleted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val del = emb.filter(col("vec_id") % 21 === 6).select(col("vec_id"))
+      verifySemDedupDeletedDigest = Some(graft.pipeline.IvfIndex.corpusDigest(
+        graft.pipeline.SemDedupIndex.remainingOf(emb, del)))
+      Similarity.semDedupDelete(emb, del)
     }),
     // r16: the per-cluster curation census off the same verdict
     // artifact (a metadata read — zero corpus scans)
@@ -1170,6 +1260,19 @@ object SparkEntry {
   @volatile private var verifyIvfPqDigest: Option[String] = None
   @volatile private var verifySemDedupDigest: Option[String] = None
   @volatile private var verifySemDedupAppendDigest: Option[String] = None
+  @volatile private var verifySemDedupDeletedDigest: Option[String] = None
+
+  /** r18: the standing deleted-from indexes behind q_ann_deleted /
+    * q_bm25_deleted — build + delete run once per (session, corpus
+    * digest); repeated calls time the tombstone-masked QUERY, not a
+    * rebuild (which deletion exists to avoid).
+    */
+  private val annDeletedFixture =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String),
+      graft.pipeline.IvfPqIndex]()
+  private val bm25DeletedFixture =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String),
+      graft.pipeline.Bm25Index]()
 
   /** (coarse centroids, residual codebooks, nlist) of the r15 IVFPQ
     * tier for the corpus the verify run actually queried.
@@ -1325,8 +1428,9 @@ object SparkEntry {
     * one n-gram term.
     */
   private def duckBm25SqlFor(terms: Seq[String],
-      conjunctive: Boolean = false, ngram: Int = 1): String =
-    s"""WITH ${duckBm25Ctes(terms, conjunctive, ngram, "")}
+      conjunctive: Boolean = false, ngram: Int = 1,
+      srcSql: String = "documents"): String =
+    s"""WITH ${duckBm25Ctes(terms, conjunctive, ngram, "", srcSql = srcSql)}
        |SELECT doc_id, dl, CAST(score AS DOUBLE) AS score
        |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
@@ -1339,7 +1443,8 @@ object SparkEntry {
     */
   private def duckBm25Ctes(terms: Seq[String], conjunctive: Boolean,
       ngram: Int, sfx: String,
-      docFilterSql: Option[String] = None): String = {
+      docFilterSql: Option[String] = None,
+      srcSql: String = "documents"): String = {
     val wsSql = if (ngram <= 1) "string_split(text, ' ')" else {
       val parts = (0 until ngram).map {
         case 0 => "ws0[i]"
@@ -1349,8 +1454,8 @@ object SparkEntry {
         s"generate_series(1, len(ws0) - ${ngram - 1}), i -> $parts) " +
         "ELSE [''] END"
     }
-    val fromSql = if (ngram <= 1) "documents" else
-      "(SELECT doc_id, string_split(text, ' ') AS ws0 FROM documents)"
+    val fromSql = if (ngram <= 1) srcSql else
+      s"(SELECT doc_id, string_split(text, ' ') AS ws0 FROM $srcSql)"
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf$i"
     }.mkString(",\n       ")
@@ -1413,8 +1518,9 @@ object SparkEntry {
     * monotone under the keeper rule.
     */
   private def duckSemDedupSql(
-      consts: Option[(Seq[(Int, Array[Double])], Int)]): String =
-    s"""WITH ${duckSemDedupCtes(consts)}
+      consts: Option[(Seq[(Int, Array[Double])], Int)],
+      srcWhere: String = ""): String =
+    s"""WITH ${duckSemDedupCtes(consts, srcWhere)}
        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, is_kept
        |FROM v ORDER BY vec_id""".stripMargin
 
@@ -1423,7 +1529,8 @@ object SparkEntry {
     * q_semdedup_impact (per-cluster census).
     */
   private def duckSemDedupCtes(
-      consts: Option[(Seq[(Int, Array[Double])], Int)]): String = {
+      consts: Option[(Seq[(Int, Array[Double])], Int)],
+      srcWhere: String = ""): String = {
     val centsSql = consts match {
       case Some((cs, _)) => cs.map { case (i, c) =>
         s"($i, [${c.mkString(", ")}])" }.mkString(", ")
@@ -1435,7 +1542,7 @@ object SparkEntry {
     s"""cents(cluster, c) AS (VALUES $centsSql),
        |vecs AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-       |  FROM embeddings),
+       |  FROM embeddings$srcWhere),
        |dist AS (
        |  SELECT v.vec_id, ct.cluster,
        |         ROUND(list_sum(list_transform(generate_series(1, $dim),
@@ -1566,6 +1673,121 @@ object SparkEntry {
        |SELECT s.vec_id, ${duckCosine("v.ve", "q.qv")} AS cos_sim
        |FROM sl s JOIN vecs v USING (vec_id) CROSS JOIN q
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** r18 batch-ANN oracle: the duckIvfPqSql re-derivation with the
+    * query-independent CTEs (assignment, residuals, code assignment)
+    * SHARED and one suffixed probe/ADC/shortlist chain per panel
+    * query, each branch taking its own top-k — exactly the per-query
+    * [[graft.pipeline.IvfPqIndex.topK]] semantics the batch path must
+    * reproduce (the duckBm25BatchSql posture for the ANN tier).
+    */
+  private def duckIvfPqBatchSql(qids: Seq[Long], k: Int): String = {
+    val m = 8
+    val consts = verifyIvfPqConstants
+    val dim = consts.map(_._1.head.length).getOrElse(64)
+    val sub = dim / m
+    val short = graft.pipeline.Similarity.IvfPqShortlist
+    val nprobe = consts.map(c =>
+      graft.pipeline.IvfPqIndex.defaultNprobe(c._3)).getOrElse(8)
+    val centsSql = consts match {
+      case Some((cs, _, _)) => cs.zipWithIndex
+        .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
+        .mkString(", ")
+      case None => "(0, [0.0])"
+    }
+    def cbSql(j: Int): String = consts match {
+      case Some((_, cbks, _)) => cbks(j).map { case (code, cent) =>
+        s"($code, [${cent.mkString(", ")}])" }.mkString(", ")
+      case None => "(0, [0.0])"
+    }
+    // query-independent: sub-vectors, codebooks, code assignment
+    def sharedJcte(j: Int): String = {
+      val lo = j * sub + 1
+      s"""sv$j AS (SELECT vec_id,
+         |  list_transform(generate_series($lo, ${lo + sub - 1}), i -> rv[i]) AS sv
+         |  FROM rv),
+         |c$j(code, c) AS (VALUES ${cbSql(j)}),
+         |e$j AS (
+         |  SELECT vec_id, code FROM (
+         |    SELECT v.vec_id, ct.code,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |             ROUND(list_sum(list_transform(generate_series(1, $sub),
+         |               i -> (v.sv[i] - ct.c[i]) * (v.sv[i] - ct.c[i]))), 6),
+         |             ct.code) AS rn
+         |    FROM sv$j v CROSS JOIN c$j ct) WHERE rn = 1)""".stripMargin
+    }
+    // per-query: probes, normalized query, ADC tables, shortlist
+    def qCtes(qid: Long): String = {
+      val s = s"_q$qid"
+      def tcte(j: Int): String = {
+        val lo = j * sub + 1
+        s"""t$j$s AS (
+           |  SELECT p.cell, ct.code,
+           |         CAST(${duckQ6(s"list_sum(list_transform(generate_series(1, $sub), " +
+                      s"i -> (ct.c[i] - (qn$s.vn[${lo - 1} + i] - cc.c[${lo - 1} + i])) " +
+                      s"* (ct.c[i] - (qn$s.vn[${lo - 1} + i] - cc.c[${lo - 1} + i]))))")}
+           |           AS DOUBLE) AS t
+           |  FROM c$j ct CROSS JOIN probes$s p
+           |  JOIN cents cc ON cc.cell = p.cell CROSS JOIN qn$s)""".stripMargin
+      }
+      val joins = (0 until m).map(j =>
+        s"JOIN e$j ON e$j.vec_id = cand$s.vec_id " +
+          s"JOIN t$j$s ON t$j$s.cell = cand$s.cell AND t$j$s.code = e$j.code")
+        .mkString("\n  ")
+      val distSum = (0 until m).map(j => s"t$j$s.t").mkString(" + ")
+      s"""q$s AS (SELECT ve AS qv FROM vecs WHERE vec_id = $qid),
+         |probes$s AS (SELECT cell FROM dist WHERE vec_id = $qid
+         |             ORDER BY d, cell LIMIT $nprobe),
+         |qn$s AS (SELECT vn FROM nv WHERE vec_id = $qid),
+         |cand$s AS (
+         |  SELECT a.vec_id, a.cell
+         |  FROM assign a JOIN probes$s p ON a.cell = p.cell
+         |  WHERE a.vec_id <> $qid),
+         |${(0 until m).map(tcte).mkString(",\n")},
+         |adc$s AS (
+         |  SELECT cand$s.vec_id, $distSum AS adc
+         |  FROM cand$s
+         |  $joins),
+         |sl$s AS (SELECT vec_id FROM adc$s ORDER BY adc, vec_id LIMIT $short)""".stripMargin
+    }
+    val branches = qids.map { qid =>
+      val s = s"_q$qid"
+      s"""(SELECT CAST($qid AS BIGINT) AS query_vec, s.vec_id,
+         |        ${duckCosine("v.ve", s"q$s.qv")} AS cos_sim
+         | FROM sl$s s JOIN vecs v USING (vec_id) CROSS JOIN q$s
+         | ORDER BY cos_sim DESC, vec_id LIMIT $k)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cents(cell, c) AS (VALUES $centsSql),
+       |vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       |  FROM embeddings),
+       |nrms AS (SELECT vec_id, ve,
+       |                sqrt(list_sum(list_transform(ve, x -> x * x))) AS nm
+       |         FROM vecs),
+       |nv AS (SELECT vec_id, ve,
+       |              CASE WHEN nm > 0 THEN list_transform(ve, x -> x / nm)
+       |                   ELSE list_transform(ve, x -> 0.0) END AS vn
+       |       FROM nrms),
+       |dist AS (
+       |  SELECT v.vec_id, ct.cell,
+       |         ROUND(list_sum(list_transform(generate_series(1, $dim),
+       |           i -> (v.vn[i] - ct.c[i]) * (v.vn[i] - ct.c[i]))), 6) AS d
+       |  FROM nv v CROSS JOIN cents ct),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |rv AS (
+       |  SELECT a.vec_id, a.cell,
+       |         list_transform(generate_series(1, $dim),
+       |           i -> v.vn[i] - ct.c[i]) AS rv
+       |  FROM assign a JOIN nv v USING (vec_id)
+       |  JOIN cents ct ON ct.cell = a.cell),
+       |${(0 until m).map(sharedJcte).mkString(",\n")},
+       |${qids.map(qCtes).mkString(",\n")}
+       |$branches""".stripMargin
   }
 
   /** Shared embedding-covariance CTE chain (micro-quantized
@@ -7728,6 +7950,17 @@ object SparkEntry {
       // the Spark scan-level filter composes (filter-then-rank)
       duckIvfPqSql(
         "\n   AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 1)"),
+    "q_ann_deleted" ->
+      // r18: tombstoned ids mask out of the candidate set before the
+      // ADC shortlist — the same filter-then-rank composition as
+      // q_ann_filtered, with the SAME dumped constants (centroids and
+      // codebooks deliberately survive a delete; refit is the rebuild's
+      // job)
+      duckIvfPqSql("\n   AND a.vec_id % 9 <> 4"),
+    "q_ann_batch" ->
+      // r18: per-panel-member re-derivation (shared assignment/code
+      // CTEs, suffixed probe/ADC/shortlist chains, per-branch top-k)
+      duckIvfPqBatchSql(AnnBatchIds, 10),
     "q_anomaly_days" ->
       // trailing 7-observation window (current day excluded); integer
       // counts, DECIMAL squares (long² overflows ANSI at scale),
@@ -9149,6 +9382,28 @@ object SparkEntry {
     "q_bm25_and" -> duckBm25SqlFor(Bm25Terms, conjunctive = true),
     "q_bm25_phrase" -> duckBm25SqlFor(Bm25Phrases, ngram = 2),
     "q_bm25_phrase3" -> duckBm25SqlFor(Bm25Phrases3, ngram = 3),
+    // r18 proximity: positions re-derived from the text (1-based
+    // subscripts — distances are base-invariant), min pairwise
+    // distance via the pair join, scores = the conjunctive two-term
+    // scan formulation (what the positional index mirrors)
+    "q_bm25_near" -> {
+      val w = 3
+      s"""WITH ${duckBm25Ctes(Seq("spark", "join"), conjunctive = true,
+            ngram = 1, "_nr")},
+         |wsn AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |pos AS (SELECT doc_id, UNNEST(ws) AS term,
+         |               generate_subscripts(ws, 1) AS i
+         |        FROM wsn),
+         |pa AS (SELECT doc_id, i FROM pos WHERE term = 'spark'),
+         |pb AS (SELECT doc_id, i FROM pos WHERE term = 'join'),
+         |md AS (SELECT pa.doc_id, CAST(MIN(ABS(pa.i - pb.i)) AS BIGINT)
+         |              AS min_dist
+         |       FROM pa JOIN pb USING (doc_id) GROUP BY 1)
+         |SELECT sc.doc_id, sc.dl, md.min_dist, CAST(sc.score AS DOUBLE) AS score
+         |FROM sc_nr sc JOIN md USING (doc_id)
+         |WHERE md.min_dist <= $w
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
     // r17 dimension-truncation fidelity: prefix cosines over the
     // double-cast lists (the duckCosine discipline, parameterized by
     // m), NULL-guarded zero-norm prefixes dropped on both engines,
@@ -9156,11 +9411,14 @@ object SparkEntry {
     // BIGINT-only emission, no float parity surface at all
     "q_embed_truncation" -> {
       val qids = "0, 7, 42, 99, 250"
-      def cosM = s"""ROUND(list_sum(list_transform(generate_series(1, m.m),
+      // r18 (ADVICE): the rank key is the RAW prefix cosine quantized
+      // with the shared FLOOR(s+0.5)/CEIL(s−0.5) micro sequence — not
+      // ROUND(…,4), the engine-divergent class — mirroring
+      // Similarity.dimTruncation exactly
+      def cosM = s"""list_sum(list_transform(generate_series(1, m.m),
          |             i -> p.ve[i] * p.qe[i]))
          |           / (SQRT(list_sum(list_transform(p.ve[1:m.m], x -> x * x)))
-         |              * SQRT(list_sum(list_transform(p.qe[1:m.m], x -> x * x)))),
-         |           4) + 0.0""".stripMargin
+         |              * SQRT(list_sum(list_transform(p.qe[1:m.m], x -> x * x))))""".stripMargin
       s"""WITH vecs AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
          |  FROM embeddings),
@@ -9170,14 +9428,18 @@ object SparkEntry {
          |  SELECT v.vec_id, v.ve, q.qid, q.qe
          |  FROM vecs v CROSS JOIN qs q WHERE v.vec_id <> q.qid),
          |sc AS (
-         |  SELECT m.m, p.qid, p.vec_id, $cosM AS cos
+         |  SELECT m.m, p.qid, p.vec_id,
+         |         CAST(CASE WHEN ($cosM) * 10000.0 >= 0
+         |              THEN FLOOR(($cosM) * 10000.0 + 0.5)
+         |              ELSE CEILING(($cosM) * 10000.0 - 0.5) END AS BIGINT)
+         |           AS micro
          |  FROM pairs p CROSS JOIN (VALUES (16), (32), (64)) m(m)
          |  WHERE list_sum(list_transform(p.ve[1:m.m], x -> x * x)) > 0
          |    AND list_sum(list_transform(p.qe[1:m.m], x -> x * x)) > 0),
          |rk AS (
          |  SELECT m, qid, vec_id,
          |         ROW_NUMBER() OVER (PARTITION BY m, qid
-         |                            ORDER BY cos DESC, vec_id) AS rn
+         |                            ORDER BY micro DESC, vec_id) AS rn
          |  FROM sc),
          |t AS (SELECT m, qid, vec_id FROM rk WHERE rn <= 10),
          |f AS (SELECT qid, vec_id FROM t WHERE m = 64)
@@ -9185,6 +9447,36 @@ object SparkEntry {
          |       CAST(COUNT(f.vec_id) AS BIGINT) AS overlap
          |FROM t LEFT JOIN f ON f.qid = t.qid AND f.vec_id = t.vec_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // r18 Matryoshka: stage-1 rank key = prefix cosine through the
+    // shared FLOOR/CEIL micro sequence (never ROUND), candidate cut at
+    // ROW_NUMBER ≤ 50 with the vec_id tiebreak, stage-2 the standard
+    // ROUND(cos,4) emission — both stages mirrored token for token
+    "q_ann_matryoshka" -> {
+      val (mp, cand) = (32, 50)
+      val pdot = s"list_sum(list_transform(generate_series(1, $mp), " +
+        "i -> v.ve[i] * q.qp[i]))"
+      val pn = s"list_sum(list_transform(v.ve[1:$mp], x -> x * x))"
+      val qn = "list_sum(list_transform(q.qp, x -> x * x))"
+      val cp = s"$pdot / (SQRT($pn) * SQRT($qn))"
+      s"""WITH vecs AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |  FROM embeddings),
+         |q AS (SELECT ve AS qe, ve[1:$mp] AS qp FROM vecs WHERE vec_id = 0),
+         |sc AS (
+         |  SELECT v.vec_id, v.ve,
+         |         CAST(CASE WHEN ($cp) * 10000.0 >= 0
+         |              THEN FLOOR(($cp) * 10000.0 + 0.5)
+         |              ELSE CEILING(($cp) * 10000.0 - 0.5) END AS BIGINT) AS mc
+         |  FROM vecs v CROSS JOIN q
+         |  WHERE v.vec_id <> 0 AND $pn > 0 AND $qn > 0),
+         |rk AS (SELECT vec_id, ve,
+         |              ROW_NUMBER() OVER (ORDER BY mc DESC, vec_id) AS rn
+         |       FROM sc),
+         |c AS (SELECT vec_id, ve FROM rk WHERE rn <= $cand)
+         |SELECT c.vec_id, ${duckCosine("c.ve", "q.qe")} AS cos_sim
+         |FROM c CROSS JOIN q
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     },
     // r17 filtered retrieval: the attribute predicate lands on the
     // candidate set (every posting of a doc carries the doc's constant
@@ -9201,6 +9493,12 @@ object SparkEntry {
       Bm25BatchQueries.map { case (id, t) =>
         (id, t.split(" ").toSeq.distinct)
       }, 5),
+    // r18 deletion: the tombstoned index must answer as a from-scratch
+    // build over the filtered corpus — re-derived here as the scan
+    // formulation over exactly that filtered corpus (N, df, avgdl all
+    // shrink with it)
+    "q_bm25_deleted" -> duckBm25SqlFor(Bm25Terms,
+      srcSql = "(SELECT * FROM documents WHERE doc_id % 7 <> 3)"),
     // r17 hybrid RRF: both legs re-derived by their own oracled
     // formulations (the BM25 CTE chain and the q_ann_brute cosine),
     // ranked with the same (metric desc, id) tiebreak, fused as
@@ -9247,6 +9545,14 @@ object SparkEntry {
       // is exactly what this SQL re-derives from the dumped constants
       duckSemDedupSql(verifySemDedupAppendDigest
         .flatMap(graft.pipeline.SemDedupIndex.constantsFor)),
+    "q_semdedup_deleted" ->
+      // r18: the delete path equals a filtered-corpus re-verdict
+      // against the stored base-fit centroids (touched clusters
+      // re-verdict in full — deletion is non-monotone), which this SQL
+      // re-derives from the dumped constants over the filtered corpus
+      duckSemDedupSql(verifySemDedupDeletedDigest
+        .flatMap(graft.pipeline.SemDedupIndex.constantsFor),
+        srcWhere = " WHERE vec_id % 21 <> 6"),
     "q_semdedup_impact" ->
       // r16: per-cluster census over the same re-derived verdicts;
       // kept_frac = one division of exact longs (IEEE-identical), dc

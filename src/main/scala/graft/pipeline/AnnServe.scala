@@ -204,4 +204,15 @@ object AnnServe {
     new AnnServe(IvfPqIndex.forTable(emb, nl, 8, 16), emb, np,
       Similarity.IvfPqShortlist, maxCells)
   }
+
+  /** Serve wrapper over a STANDING (caller-held) index — the
+    * delete/append lifecycle entry point: mutations on `index` are
+    * observed through the cell-version handshake.
+    */
+  def forIndex(index: IvfPqIndex, emb: DataFrame,
+      maxCells: Int = 256): AnnServe = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    new AnnServe(index, emb, IvfPqIndex.defaultNprobe(index.nlist),
+      Similarity.IvfPqShortlist, maxCells)
+  }
 }

@@ -182,6 +182,66 @@ object SemDedupIndex {
     * `base.unionByName(newVecs)`, so later [[verdicts]] reads of that
     * union hit it without any rebuild.
     */
+  /** The filtered-corpus view a [[delete]] leaves behind — shared by
+    * the delete path and its digest registration so the two can never
+    * desync on the plan string the artifact caches key on.
+    */
+  private[graft] def remainingOf(base: DataFrame,
+      delIds: DataFrame): DataFrame =
+    base.join(delIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+
+  /** r18 (the r17 verdict's #1): vector DELETION on the semantic-dedup
+    * tier. Deletion is NOT monotone under the keeper rule — removing a
+    * keeper can RESURRECT the doc it out-ranked (its only ≥τ partner
+    * gone), so unlike [[append]]'s pairs-touching-new reduction, every
+    * cluster that LOST a member re-verdicts in full over its remaining
+    * members (bounded by touched cluster sizes; untouched clusters are
+    * a pure metadata copy — their pair sets are unchanged). Centroids
+    * and k stay the BASE fit's (the [[IvfPqIndex.appendEncode]]
+    * staleness trade; the refit is the digest-advance rebuild's job),
+    * so the result EQUALS a full re-verdict of the filtered corpus
+    * against the stored centroids — which is exactly what the
+    * q_semdedup_deleted oracle re-derives from the dumped constants.
+    * The refreshed artifact registers under the filtered corpus's
+    * digest, so later [[verdicts]] reads of it hit the cache.
+    */
+  def delete(base: DataFrame, delIds: DataFrame,
+      tau: Double = 0.25): DataFrame = {
+    val spark = base.sparkSession
+    val remaining = remainingOf(base, delIds)
+    val remDigest = IvfIndex.corpusDigest(remaining)
+    val remKey = (System.identityHashCode(spark), remDigest, tag(tau))
+    val cached = artifactCache.get(remKey)
+    if (cached != null) return spark.read.parquet(cached)
+    val basePath = verdictPath(base, tau) // builds the base artifact if absent
+    val (cents, k) = byDigest.get(IvfIndex.corpusDigest(base))
+    val stored = spark.read.parquet(basePath)
+    val delSet = delIds.select(col("vec_id")).distinct().localCheckpoint()
+    // clusters that lost a member (metadata-sized); their survivors
+    // re-fetch embeddings by vec_id (the append discipline — the
+    // verdict artifact deliberately stores no vectors)
+    val touched = stored.join(delSet, Seq("vec_id"), "left_semi")
+      .select(col("cluster")).distinct()
+    val survivors = stored.join(delSet, Seq("vec_id"), "left_anti")
+    val touchedMembers = survivors
+      .join(touched, Seq("cluster"), "left_semi")
+      .join(base.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("dc"))
+      .localCheckpoint()
+    val reVerdict = verdictsOver(touchedMembers, touchedMembers, tau)
+    val untouched = survivors.join(touched, Seq("cluster"), "left_anti")
+      .select(col("vec_id"), col("cluster"), col("dc"), col("is_kept"))
+    val merged = untouched.unionByName(reVerdict)
+    val path = artifactCache.computeIfAbsent(remKey, _ => {
+      val p = graft.core.TempDirs.scoped("graft_semdedup_") + "/verdicts"
+      merged.write.parquet(p)
+      p
+    })
+    // the filtered corpus answers oracle dumps with the BASE constants
+    byDigest.putIfAbsent(remDigest, (cents, k))
+    spark.read.parquet(path)
+  }
+
   def append(base: DataFrame, newVecs: DataFrame,
       tau: Double = 0.25): DataFrame = {
     val spark = base.sparkSession

@@ -150,11 +150,18 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
     // all prefix cosines in ONE projection over the pair row; a
     // zero-norm prefix yields NULL (ANSI divide guard, mirrored by
-    // DuckDB's x/0 = NULL) and drops from the candidate set
+    // DuckDB's x/0 = NULL) and drops from the candidate set. r18
+    // (ADVICE): the rank key quantizes the RAW cosine with the shared
+    // FLOOR(s+0.5)/CEIL(s−0.5) sequence directly — the earlier
+    // round(…,4) pre-step was the documented engine-divergent
+    // ROUND(double,4) class (a .5-boundary cosine could round
+    // differently per engine, flip top-10 membership, and change the
+    // emitted overlap; the lshBucket immunity covers sign tests, not
+    // rank membership).
     def cosM(m: Int): Column = {
       val a = slice(col("embedding"), 1, m)
       val b = slice(col("qe"), 1, m)
-      when(dot(a, a) > 0.0 && dot(b, b) > 0.0, round(cosine(a, b), 4))
+      when(dot(a, a) > 0.0 && dot(b, b) > 0.0, cosine(a, b))
     }
     val scored = pairs.select(col("qid"), col("vec_id"),
         explode(array(dims.map(m =>
@@ -162,9 +169,11 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("s.m").as("m"),
         col("s.cos").as("cos"))
       .filter(col("cos").isNotNull)
-    // 4-dp cosines map 1:1 onto micro ints (the QuantizeI8 float-op
-    // pattern), so the packed-key order EQUALS (cos desc, vec_id asc)
-    val micro = when(col("cos") >= 0, floor(col("cos") * 10000.0 + 0.5))
+    // micro ints via the QuantizeI8 float-op pattern (identical
+    // sequence in the oracle), so the packed-key order EQUALS
+    // (quantized cos desc, vec_id asc) on both engines
+    val micro = when(col("cos") * 10000.0 >= 0,
+        floor(col("cos") * 10000.0 + 0.5))
       .otherwise(ceil(col("cos") * 10000.0 - 0.5)).cast("long")
     val topk = scored
       .select(col("m"), col("qid"), col("vec_id"),
@@ -181,6 +190,105 @@ object Similarity {
         size(array_intersect(col("ids"), col("full_ids")))
           .cast("long").as("overlap"))
       .orderBy(col("m"), col("query_vec"))
+  }
+
+  /** r18 (the r17 verdict's #7): hybrid retrieval with the PRODUCTION
+    * ANN leg — [[hybridRrf]]'s exact-cosine leg swapped for
+    * [[ivfPqTopK]] (the serving tier, at its measured recall). The
+    * fusion arithmetic is identical; spec-gated equal to a driver-side
+    * RRF of the two legs' id lists (Bm25IndexSpec), and served warm by
+    * the Cli `hybrid` command (Bm25Serve + AnnServe + [[rrfFuse]] —
+    * the `serve_hybrid_p50_ms` BENCH probe).
+    */
+  def hybridRrfIvf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryVecId: Long, k: Int = 10, kEach: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = Bm25Index.forTable(docs).topK(terms, kEach)
+      .select(col("doc_id").as("id"),
+        row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("rb"))
+    val ann = ivfPqTopK(emb, queryVecId, kEach)
+      .select(col("vec_id").as("id"),
+        row_number().over(
+          Window.orderBy(col("cos_sim").desc, col("vec_id")))
+          .cast("long").as("ra"))
+    bm.join(ann, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("ra").cast("double")),
+            lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** r18 (the r17 verdict's #5): MATRYOSHKA two-stage retrieval — the
+    * storage-tier consequence of the [[dimTruncation]] measurement:
+    * candidate generation ranks by the `mPrefix`-dim PREFIX cosine
+    * (half the bytes at 32 of 64 dims), and only the `candidates` best
+    * pay a full-dimension exact re-rank. This exact formulation is the
+    * verify tier (ONE corpus scan — the full vector rides the stage-1
+    * row, so stage 2 is a re-projection, not a join); the scale path is
+    * [[matryoshkaIvfTopK]], which generates candidates from a
+    * HALF-SIZE IVFPQ artifact over the truncated vectors.
+    *
+    * Parity: the stage-1 rank key is the raw prefix cosine quantized
+    * with the shared FLOOR(s+0.5)/CEIL(s−0.5) micro sequence (the
+    * dimTruncation r18 discipline — never ROUND(double,4)); ties and
+    * the candidate cut break on vec_id identically in the oracle's
+    * ROW_NUMBER; stage 2 is the standard ROUND(cos, 4) emission chain.
+    * Zero-norm prefixes drop via the NULL guard on both engines.
+    */
+  def matryoshkaTopK(emb: DataFrame, queryId: Long, k: Int = 10,
+      mPrefix: Int = 32, candidates: Int = 50): DataFrame = {
+    reg(emb)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(slice(col("embedding"), 1, mPrefix).as("qp"),
+        col("embedding").as("qe"))
+    val a = slice(col("embedding"), 1, mPrefix)
+    val cp = when(dot(a, a) > 0.0 && dot(col("qp"), col("qp")) > 0.0,
+      cosine(a, col("qp")))
+    val micro = when(cp * 10000.0 >= 0, floor(cp * 10000.0 + 0.5))
+      .otherwise(ceil(cp * 10000.0 - 0.5)).cast("long")
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("qe"), micro.as("mc"))
+      .filter(col("mc").isNotNull)
+      .orderBy(col("mc").desc, col("vec_id"))
+      .limit(candidates)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** r18: the Matryoshka SCALE path — candidates from a half-size
+    * IVFPQ artifact built over the `mPrefix`-dim truncated vectors
+    * (the artifact stores truncated embeddings beside the codes:
+    * ~half the bytes, asserted in RecallSpec), then a full-dimension
+    * exact re-rank of the `candidates` survivors via one vec_id join
+    * back to the corpus (bounded rows — at 100 TB a vec_id-bucketed
+    * corpus makes it a point-lookup join). Recall vs full brute force
+    * floor-gated in RecallSpec at the measured dimTruncation overlap.
+    */
+  def matryoshkaIvfTopK(emb: DataFrame, queryId: Long, k: Int = 10,
+      mPrefix: Int = 32, candidates: Int = 50): DataFrame = {
+    reg(emb)
+    val trunc = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, mPrefix).as("embedding"))
+    val nl = IvfPqIndex.defaultNlist(IvfPqIndex.countFor(emb))
+    val np = IvfPqIndex.defaultNprobe(nl)
+    val cand = IvfPqIndex.forTable(trunc, nl, 8, 16)
+      .topK(queryId, candidates, np, IvfPqShortlist)
+      .select(col("vec_id"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    emb.join(cand, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qe")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** r17: driver-side RRF fusion of ranked id lists — the warm-serve
@@ -672,6 +780,21 @@ object Similarity {
     IvfPqIndex.forTable(emb, nl, m, cb).topK(queryId, k, np, shortlist)
   }
 
+  /** r18 (the r17 verdict's #6): BATCH IVFPQ retrieval — a whole query
+    * panel probed and scored in ONE plan (two pruned scans total);
+    * each query's rows equal its single-query [[ivfPqTopK]] answer.
+    * See [[IvfPqIndex.topKBatch]] for the plan shape.
+    */
+  def ivfPqTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      nlist: Int = -1, nprobe: Int = -1, m: Int = 8, cb: Int = 16,
+      shortlist: Int = IvfPqShortlist): DataFrame = {
+    reg(emb)
+    val nl = if (nlist > 0) nlist
+      else IvfPqIndex.defaultNlist(IvfPqIndex.countFor(emb))
+    val np = if (nprobe > 0) nprobe else IvfPqIndex.defaultNprobe(nl)
+    IvfPqIndex.forTable(emb, nl, m, cb).topKBatch(queryIds, k, np, shortlist)
+  }
+
   /** r16 (the r15 verdict's #3): ATTRIBUTE-FILTERED IVFPQ top-k — the
     * FAISS-IDSelector analog. Every production retrieval call carries a
     * predicate (source/label/date); applying it AFTER top-k under-fills
@@ -759,6 +882,18 @@ object Similarity {
   def semDedupAppend(base: DataFrame, newVecs: DataFrame,
       tau: Double = 0.25): DataFrame =
     SemDedupIndex.append(base, newVecs, tau)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("is_kept"))
+      .orderBy("vec_id")
+
+  /** r18 (the r17 verdict's #1): SemDeDup verdict refresh after vector
+    * DELETION — clusters that lost a member re-verdict in full over
+    * their survivors (deletion is non-monotone: removing a keeper can
+    * resurrect the doc it out-ranked); see [[SemDedupIndex.delete]].
+    */
+  def semDedupDelete(base: DataFrame, delIds: DataFrame,
+      tau: Double = 0.25): DataFrame =
+    SemDedupIndex.delete(base, delIds, tau)
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
         col("is_kept"))
       .orderBy("vec_id")

@@ -173,6 +173,23 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(got.map(_._1).exists(ann.contains))
   }
 
+  test("r18: hybrid with the production ANN leg equals fusing its two legs") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val terms = graft.SparkEntry.Bm25Terms
+    val bmIds = Bm25Index.forTable(docs).topK(terms, 20).collect()
+      .map(_.getLong(0)).toSeq
+    val annIds = Similarity.ivfPqTopK(emb, 0L, 20).collect()
+      .map(_.getLong(0)).toSeq
+    val expect = Similarity.rrfFuse(Seq(bmIds, annIds), 10)
+    val got = Similarity.hybridRrfIvf(docs, emb, terms, 0L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expect)
+    // the production leg genuinely differs from (or at its measured
+    // recall matches) the exact leg — both lists fuse to full k
+    assert(got.size === 10)
+  }
+
   test("r17: attribute-filtered retrieval = corpus-idf scores, eligible docs only") {
     val docs = Tables.documents(spark, sf)
     val idx = Bm25Index.forTable(docs)
@@ -267,6 +284,88 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(scanned * 2 < total,
       s"rare-term query scanned $scanned of $total bucket rows — " +
         "row-group term stats are not pruning")
+  }
+
+  test("r18: delete equals a from-scratch build over the filtered corpus") {
+    val docs = Tables.documents(spark, sf)
+    val terms = graft.SparkEntry.Bm25Terms
+    val idx = Bm25Index.build(docs) // private — delete mutates
+    val del = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+    assert(idx.delete(del) > 0L)
+    val filtered = docs.filter(col("doc_id") % 7 =!= 3)
+    val expect = rows(TextOps.bm25(filtered, terms, 10))
+    assert(rows(idx.topK(terms, 10)) === expect,
+      "tombstoned index diverged from the filtered-corpus scan")
+    // model constants equal the rebuild's exactly (idf/avgdl parity)
+    val fresh = Bm25Index.build(filtered)
+    assert(idx.nDocs === fresh.nDocs)
+    assert(idx.totalLen === fresh.totalLen)
+    // re-deleting the same ids is a no-op
+    assert(idx.delete(del) === 0L)
+    assert(rows(idx.topK(terms, 10)) === expect)
+    // conjunctive and filtered modes read through the tombstones too
+    assert(rows(idx.topK(terms, 10, conjunctive = true)) ===
+      rows(TextOps.bm25(filtered, terms, 10, conjunctive = true)))
+    // batch path sees the deletion as well
+    import spark.implicits._
+    val batch = idx.topKBatch(Seq((1L, terms.mkString(" ")))
+        .toDF("query_id", "text"), 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(batch === expect)
+  }
+
+  test("r18: compact physically drops tombstoned rows, answers unchanged") {
+    val docs = Tables.documents(spark, sf)
+    val terms = graft.SparkEntry.Bm25Terms
+    val idx = Bm25Index.build(docs)
+    idx.delete(docs.filter(col("doc_id") % 11 === 5).select(col("doc_id")))
+    assert(idx.hasTombstones)
+    val before = rows(idx.topK(terms, 10))
+    idx.compact()
+    assert(!idx.hasTombstones, "compaction must retire the sidecar")
+    // the stored files themselves no longer contain the deleted docs
+    val raw = spark.read.parquet(idx.postingsDir)
+    assert(raw.filter(col("doc_id") % 11 === 5).count() === 0L,
+      "tombstoned rows survived compaction physically")
+    assert(rows(idx.topK(terms, 10)) === before)
+  }
+
+  test("r18: delete then append — the model tracks both directions") {
+    val docs = Tables.documents(spark, sf)
+    val terms = graft.SparkEntry.Bm25Terms
+    val idx = Bm25Index.build(docs)
+    idx.delete(docs.filter(col("doc_id") % 13 === 2).select(col("doc_id")))
+    val nw = docs.filter(col("doc_id") % 13 === 2)
+      .select((col("doc_id") + 7000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    idx.append(nw)
+    val union = docs.filter(col("doc_id") % 13 =!= 2).unionByName(nw)
+    assert(rows(idx.topK(terms, 10)) === rows(TextOps.bm25(union, terms, 10)))
+  }
+
+  test("r18: append aligns attribute-less batches to the stored schema") {
+    import spark.implicits._
+    // attr-BUILT index (documents has lang/source), attr-LESS batch
+    val base = Tables.documents(spark, sf).filter(col("doc_id") % 17 =!= 0)
+    val idx = Bm25Index.build(base)
+    idx.append(Seq((991100L, "dup spark alignment probe"))
+      .toDF("doc_id", "text"))
+    // the appended doc is visible — and the filtered path doesn't
+    // crash on mixed schemas (its lang reads back NULL, so it is
+    // correctly ineligible for lang='en')
+    val got = idx.topK(Seq("alignment"), 5).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(991100L))
+    val filtered = idx.topK(Seq("alignment"), 5,
+      filter = Some(col("lang") === "en")).collect()
+    assert(filtered.isEmpty, "typed-NULL attr row leaked through a filter")
+    // a batch carrying attributes the index was NOT built with is
+    // rejected loudly (appending would mix parquet schemas)
+    val bg = TextOps.bigramize(Tables.documents(spark, sf)
+      .filter(col("doc_id") % 17 =!= 1))
+    val plain = Bm25Index.build(bg) // attr-less build
+    val stray = Seq((991101L, "a_b b_c", "en"))
+      .toDF("doc_id", "text", "lang")
+    assertThrows[IllegalArgumentException](plain.append(stray))
   }
 
   test("the query plan prunes to the queried terms' buckets — no corpus scan") {

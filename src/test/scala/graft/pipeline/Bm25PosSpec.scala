@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+
+/** r18 (the r17 verdict's #4): positional postings. The headline
+  * contract is HASH-IDENTITY with the r17 shingle tier — one
+  * positional artifact must reproduce every n's shingle-index answers
+  * exactly (so the q_bm25_phrase/q_bm25_phrase3 oracles carry over
+  * unchanged) — plus the proximity operator only positions can answer.
+  */
+class Bm25PosSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("phraseTopK equals the r17 shingle index AND the scan, n = 2 and 3") {
+    val docs = Tables.documents(spark, sf)
+    val pos = Bm25PosIndex.forTable(docs)
+    // n = 2: positional ≡ shingle-index ≡ scan over the bigram stream
+    val p2 = rows(pos.phraseTopK(graft.SparkEntry.Bm25Phrases, 2, 10))
+    val bg = TextOps.bigramize(docs)
+    assert(p2 === rows(Bm25Index.forTable(bg)
+      .topK(graft.SparkEntry.Bm25Phrases, 10)),
+      "positional n=2 diverged from the shingle index")
+    assert(p2 === rows(TextOps.bm25(bg, graft.SparkEntry.Bm25Phrases, 10)))
+    assert(p2.nonEmpty, "no phrase hits — the fixture phrases vanished")
+    // n = 3 off the SAME artifact
+    val p3 = rows(pos.phraseTopK(graft.SparkEntry.Bm25Phrases3, 3, 10))
+    val tg = TextOps.ngramize(docs, 3)
+    assert(p3 === rows(Bm25Index.forTable(tg)
+      .topK(graft.SparkEntry.Bm25Phrases3, 10)),
+      "positional n=3 diverged from the shingle index")
+    assert(p3.nonEmpty)
+    // one artifact, one corpus tokenize: both n share the postings dir
+    assert(pos.postingsDir === Bm25PosIndex.forTable(docs).postingsDir)
+  }
+
+  test("n-gram model constants derive exactly from the dl histogram") {
+    val docs = Tables.documents(spark, sf)
+    val pos = Bm25PosIndex.forTable(docs)
+    // the shingle index's own scalars are the reference
+    Seq(2, 3).foreach { n =>
+      val shingle = Bm25Index.forTable(TextOps.ngramize(docs, n))
+      assert(pos.nDocs === shingle.nDocs, s"N mismatch at n=$n")
+      // private accessor not exposed — equality of answers (above)
+      // already pins avgdl; here pin the derived Σdl via a recompute
+      val expectTot = docs
+        .select(greatest(size(split(col("text"), " ")).cast("long")
+          - (n - 1), lit(1L)).as("dln"))
+        .agg(sum(col("dln"))).head().getLong(0)
+      assert(shingle.totalLen === expectTot,
+        s"shingle Σdl diverged from the ngramize convention at n=$n")
+    }
+  }
+
+  test("nearTopK finds proximity hits the phrase fixture guarantees") {
+    val docs = Tables.documents(spark, sf)
+    val pos = Bm25PosIndex.forTable(docs)
+    val near = pos.nearTopK("spark", "join", 3, 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(near.nonEmpty, "no near hits — 'spark_join' exists as a phrase")
+    assert(near.forall(_._3 <= 3L), "a hit beyond the window leaked")
+    assert(near.exists(_._3 == 1L),
+      "adjacent occurrences ('spark_join' docs) must measure distance 1")
+    // near candidates ⊆ conjunctive BM25 candidates, scores identical
+    val conj = rows(Bm25Index.forTable(docs)
+      .topK(Seq("spark", "join"), 100000, conjunctive = true))
+      .map(r => r._1 -> r._3).toMap
+    near.foreach { case (doc, _, _, score) =>
+      assert(conj.get(doc).contains(score),
+        s"doc $doc: near score $score != conjunctive BM25 ${conj.get(doc)}")
+    }
+    // widening the window is monotone
+    val wider = pos.nearTopK("spark", "join", 10, 100000).collect()
+    assert(wider.length >= near.length)
+  }
+
+  test("phrase queries prune to the words' buckets — no corpus scan") {
+    val docs = Tables.documents(spark, sf)
+    val df = Bm25PosIndex.forTable(docs)
+      .phraseTopK(graft.SparkEntry.Bm25Phrases, 2, 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "the positional phrase path re-scanned the corpus")
+  }
+}

@@ -108,6 +108,47 @@ class Bm25ServeSpec extends AnyFunSuite {
     assert(got.size === 10)
   }
 
+  test("r18: over-cap terms never collect postings; the query still answers") {
+    val docs = Tables.documents(spark, sf)
+    val idx = Bm25Index.forTable(docs)
+    // cap between the two fixture terms' dfs: 'dup' (rare) stays
+    // cacheable, 'spark' (common) routes distributed
+    val dfs = idx.session.read.parquet(idx.dfDir)
+      .filter(col("term").isin("dup", "spark"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfs("dup") < dfs("spark"), s"fixture assumption broke: $dfs")
+    val srv = Bm25Serve.forTable(docs, maxDf = dfs("dup"))
+    val got = srv.topK(Seq("spark", "dup"), 10)
+    assert(got === viaSpark(idx, Seq("spark", "dup"), 10),
+      "routed query diverged from the distributed path")
+    // the heavy term cached a MARKER — zero posting rows on the driver
+    assert(srv.cachedState("spark") === Some((0, true)),
+      s"stopword-class postings collected: ${srv.cachedState("spark")}")
+    // repeat answers stay correct (the routing decision is warm)
+    assert(srv.topK(Seq("spark", "dup"), 10) === got)
+    // an under-cap-only query still serves from the cache
+    assert(srv.topK(Seq("dup"), 5) === viaSpark(idx, Seq("dup"), 5))
+    assert(srv.cachedState("dup").exists(s => !s._2 && s._1 > 0))
+  }
+
+  test("r18: delete evicts warm terms — serve answers track the filtered index") {
+    import spark.implicits._
+    // private standing index (delete mutates — never the digest-cached
+    // shared instance)
+    val base = Tables.documents(spark, sf).filter(col("doc_id") % 19 =!= 0)
+    val idx = Bm25Index.build(base)
+    val srv = Bm25Serve.forIndex(idx)
+    val before = srv.topK(Seq("dup"), 10) // warm
+    assert(before.nonEmpty)
+    // delete the current top hit — the warm path must drop it
+    val victim = before.head._1
+    idx.delete(Seq(victim).toDF("doc_id"))
+    val after = srv.topK(Seq("dup"), 10)
+    assert(!after.exists(_._1 == victim),
+      s"warm serve still returns the tombstoned doc $victim")
+    assert(after === viaSpark(idx, Seq("dup"), 10))
+  }
+
   test("append evicts stale buckets — warm serve sees the grown corpus") {
     import spark.implicits._
     // private corpus slice (digest-distinct from the other tests)

@@ -73,4 +73,23 @@ object GraftSql {
       .forTable(graft.core.Tables.documents(spark, dir))
       .topK(terms, k, conjunctive)
       .createOrReplaceTempView(view)
+
+  /** r18: proximity retrieval (`a NEAR/w b` off the positional
+    * artifact) as a SQL view — same lazy-plan contract as
+    * [[registerAnnTopK]].
+    */
+  def registerBm25Near(spark: SparkSession, dir: String, view: String,
+      a: String, b: String, w: Int, k: Int = 10): Unit =
+    graft.pipeline.Bm25PosIndex
+      .forTable(graft.core.Tables.documents(spark, dir))
+      .nearTopK(a, b, w, k)
+      .createOrReplaceTempView(view)
+
+  /** r18: phrase retrieval off the positional artifact as a SQL view. */
+  def registerBm25Phrase(spark: SparkSession, dir: String, view: String,
+      phrases: Seq[String], n: Int, k: Int = 10): Unit =
+    graft.pipeline.Bm25PosIndex
+      .forTable(graft.core.Tables.documents(spark, dir))
+      .phraseTopK(phrases, n, k)
+      .createOrReplaceTempView(view)
 }

@@ -633,8 +633,19 @@ object IvfPqIndex {
         val cell = IvfIndex.nearestCells(cents, vn, 1).head
         Array.tabulate(dim)(i => vn(i) - cents(cell)(i))
       }
+    // r18: the sub-vector table MATERIALIZES before the Lloyd
+    // aggregation. v0..v7 are slices of rv, which is itself a zip_with
+    // over an element_at into the nlist×dim centroid literal — and the
+    // Lloyd pass's explode/posexplode legs re-evaluate that whole
+    // interpreted chain PER GENERATED ROW per lambda element (the
+    // gramsOf recompute trap one level deeper: a projection boundary
+    // is not enough once generators multiply the consumers). Measured:
+    // lloydOnce 50.3 s → ~2 s at sf0.1; the checkpoint is corpus rows
+    // × (dim + m·sub) doubles, the same data one Lloyd pass reads
+    // anyway.
     val codebooks = PqIndex.lloydOnce(
-      PqIndex.withSubsOf(resid, col("rv"), m, sub), m, sub, initRows)
+      PqIndex.withSubsOf(resid, col("rv"), m, sub).localCheckpoint(),
+      m, sub, initRows)
     val dir = graft.core.TempDirs.scoped("graft_ivfpq_")
     val codesPath = s"$dir/codes"
     encodeResiduals(resid, m, sub, codebooks)

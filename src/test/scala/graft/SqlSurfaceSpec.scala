@@ -283,4 +283,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |FROM bm25_hits b JOIN documents d USING (doc_id)""".stripMargin)
     assert(joined.count() === scala.count())
   }
+
+  test("r18: positional proximity and phrase views equal the Scala paths") {
+    GraftSql.register(spark, sf)
+    GraftSql.registerBm25Near(spark, sf, "near_hits", "spark", "join", 3, 10)
+    val pos = graft.pipeline.Bm25PosIndex
+      .forTable(graft.core.Tables.documents(spark, sf))
+    assert(rows(spark.sql("SELECT * FROM near_hits")) ===
+      rows(pos.nearTopK("spark", "join", 3, 10)))
+    GraftSql.registerBm25Phrase(spark, sf, "phrase_hits",
+      SparkEntry.Bm25Phrases, 2, 10)
+    assert(rows(spark.sql("SELECT * FROM phrase_hits")) ===
+      rows(pos.phraseTopK(SparkEntry.Bm25Phrases, 2, 10)))
+    // views compose with further SQL
+    val joined = spark.sql(
+      """SELECT n.doc_id, n.min_dist, d.lang
+        |FROM near_hits n JOIN documents d USING (doc_id)""".stripMargin)
+    assert(joined.count() ===
+      spark.sql("SELECT * FROM near_hits").count())
+  }
 }

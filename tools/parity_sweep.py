@@ -88,7 +88,13 @@ q_bm25_filtered q_bm25_batch q_hybrid_rrf q_doc_nll
 q_surprisal q_token_entropy q_bigram_entropy q_readability q_zipf_slope
 q_heaps_law q_quality_score q_quality_deciles q_compression_ratio
 q_lexical_diversity q_source_kl q_js_divergence
+q_bm25_deleted q_bm25_near
 """.split()
+# r18 additions: q_bm25_deleted (tombstoned index must equal the
+# filtered-corpus scan — exact df/N/Σdl delta arithmetic under Zipf
+# skew and empty/huge docs) and q_bm25_near (positional proximity —
+# phrase queries q_bm25_phrase/3 already exercise the positional tf
+# reconstruction since they serve from Bm25PosIndex).
 
 TEXT_OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
                      "orders", "lineitem", "events", "embeddings"]

@@ -290,7 +290,14 @@ class Bm25Index private (
     // PHYSICALLY here and the sidecar retires — logical contents are
     // unchanged (reads were already filtered), so bucket versions
     // don't advance and warm serve caches stay valid.
-    readPostings.repartition(col("bucket"))
+    val live = readPostings
+    // a FULLY tombstoned index compacts to zero rows — a partitioned
+    // write of an empty frame leaves a directory with no parquet files,
+    // which every later read would fail to schema-infer on. Keep the
+    // mask instead (reads stay correct through the anti-join); the
+    // degenerate all-deleted case is not worth bricking the read path.
+    if (live.isEmpty) return
+    live.repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"))
       .write.partitionBy("bucket").parquet(newPath)
     postingsPath = newPath

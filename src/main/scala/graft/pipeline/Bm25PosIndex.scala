@@ -39,14 +39,78 @@ import org.apache.spark.sql.functions._
 class Bm25PosIndex private (
     docs: DataFrame,
     postingsPath: String,
-    dfPath: String,
-    val nDocs: Long,
-    val totalLen: Long,
-    dlHist: Map[Long, Long]) {
+    initialDfPath: String,
+    initialNDocs: Long,
+    initialTotalLen: Long,
+    initialDlHist: Map[Long, Long]) {
 
   private def spark = docs.sparkSession
 
+  // mutable model state — advanced by [[delete]] (the Bm25Index
+  // tombstone discipline applied to the positional artifact)
+  @volatile private var dfPath: String = initialDfPath
+  @volatile private var nDocsVar: Long = initialNDocs
+  @volatile private var totalLenVar: Long = initialTotalLen
+  @volatile private var dlHist: Map[Long, Long] = initialDlHist
+  private var dfGen: Int = 0
+  @volatile private var tombstonePath: Option[String] = None
+  private var tombGen: Int = 0
+
+  def nDocs: Long = nDocsVar
+  def totalLen: Long = totalLenVar
+
+  private[pipeline] def hasTombstones: Boolean = tombstonePath.nonEmpty
+
   private[pipeline] def postingsDir: String = postingsPath
+
+  /** r18: document deletion on the positional tier — the
+    * [[Bm25Index.delete]] tombstone discipline: ids mask out of every
+    * read, the model constants (N, Σdl, df, AND the dl histogram the
+    * n-gram models derive from) move by exact integer deltas off the
+    * deleted docs' own posting rows, so phrase/proximity answers equal
+    * a from-scratch build over the filtered corpus. Same contract: ids
+    * must be current members; already-deleted ids are ignored.
+    */
+  def delete(ids: DataFrame): Long = synchronized {
+    val incoming = ids.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct()
+    val newIds = tombstonePath.fold(incoming)(t =>
+      incoming.join(spark.read.parquet(t), Seq("doc_id"), "left_anti"))
+      .localCheckpoint()
+    val nDel = newIds.count()
+    if (nDel == 0L) return 0L
+    val deleted = spark.read.parquet(postingsPath)
+      .join(newIds, Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("dl"))
+      .localCheckpoint()
+    dfGen += 1
+    val newDfPath = s"$initialDfPath-v$dfGen"
+    spark.read.parquet(dfPath)
+      .unionByName(deleted.groupBy(col("term"))
+        .agg((-count(lit(1))).as("df")))
+      .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+      .filter(col("df") > 0L)
+      .write.parquet(newDfPath)
+    // per-dl deleted-doc counts — the dl histogram decrements (the
+    // n-gram model constants for EVERY n stay exact)
+    val dlGone = deleted.groupBy(col("doc_id")).agg(min(col("dl")).as("dl"))
+      .groupBy(col("dl")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tombGen += 1
+    val newTomb = s"$postingsPath-tombstones-v$tombGen"
+    tombstonePath.fold(newIds)(t =>
+      spark.read.parquet(t).unionByName(newIds))
+      .write.parquet(newTomb)
+    nDocsVar -= nDel
+    totalLenVar -= dlGone.map { case (dl, c) => dl * c }.sum
+    dlHist = (dlHist.keySet ++ dlGone.keySet).flatMap { dl =>
+      val left = dlHist.getOrElse(dl, 0L) - dlGone.getOrElse(dl, 0L)
+      if (left > 0) Some(dl -> left) else None
+    }.toMap
+    dfPath = newDfPath
+    tombstonePath = Some(newTomb)
+    nDel
+  }
 
   /** Σ per-doc n-gram stream length over the corpus: docs with
     * dl ≥ n contribute dl − (n−1); shorter docs contribute 1 (their
@@ -61,11 +125,15 @@ class Bm25PosIndex private (
     inHist + (nDocs - dlHist.values.sum) // NULL-text docs: dl_n = 1
   }
 
-  /** Pruned positional postings for `words` — one bucket-pruned scan. */
+  /** Pruned positional postings for `words` — one bucket-pruned scan,
+    * read through the tombstone mask (absent until the first delete).
+    */
   private def prunedFor(words: Seq[String]): DataFrame = {
     val buckets = words.map(Bm25Index.bucketOf).distinct
-    spark.read.parquet(postingsPath)
+    val p = spark.read.parquet(postingsPath)
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(words: _*))
+    tombstonePath.fold(p)(t =>
+      p.join(spark.read.parquet(t), Seq("doc_id"), "left_anti"))
   }
 
   /** Top-k BM25 over `phrases` (each n words joined by `_` — the

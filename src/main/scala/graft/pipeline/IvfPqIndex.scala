@@ -452,7 +452,12 @@ class IvfPqIndex private (
     // vectors drop PHYSICALLY here and the sidecar retires — logical
     // contents unchanged, cell versions don't advance, warm serve
     // caches stay valid.
-    codes().repartition(col("cell"))
+    val live = codes()
+    // fully tombstoned → zero rows: a partitioned empty write leaves an
+    // unreadable (file-less) dir — keep the mask instead (the Bm25Index
+    // compact guard)
+    if (live.isEmpty) return
+    live.repartition(col("cell"))
       .write.partitionBy("cell").parquet(newPath)
     codesPath = newPath
     tombstonePath = None

@@ -80,6 +80,30 @@ class Bm25PosSpec extends AnyFunSuite {
     assert(wider.length >= near.length)
   }
 
+  test("r18: delete — phrase and proximity equal the filtered-corpus paths") {
+    val docs = Tables.documents(spark, sf)
+    val pos = Bm25PosIndex.build(docs) // private — delete mutates
+    val del = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+    assert(pos.delete(del) > 0L)
+    val filtered = docs.filter(col("doc_id") % 7 =!= 3)
+    // phrase answers equal the shingle scan over the filtered corpus
+    // (n-gram model constants — N, Σdl_n via the dl histogram — all
+    // moved by exact deltas)
+    val expect2 = rows(TextOps.bm25(TextOps.bigramize(filtered),
+      graft.SparkEntry.Bm25Phrases, 10))
+    assert(rows(pos.phraseTopK(graft.SparkEntry.Bm25Phrases, 2, 10))
+      === expect2, "post-delete phrase diverged from the filtered scan")
+    // proximity: same candidates/scores as a fresh positional build
+    // over the filtered corpus
+    val fresh = Bm25PosIndex.build(filtered)
+    assert(pos.nearTopK("spark", "join", 3, 10).collect().map(_.toSeq).toSeq
+      === fresh.nearTopK("spark", "join", 3, 10).collect().map(_.toSeq).toSeq)
+    assert(pos.nDocs === fresh.nDocs)
+    assert(pos.totalLen === fresh.totalLen)
+    // re-delete is a no-op
+    assert(pos.delete(del) === 0L)
+  }
+
   test("phrase queries prune to the words' buckets — no corpus scan") {
     val docs = Tables.documents(spark, sf)
     val df = Bm25PosIndex.forTable(docs)

@@ -287,6 +287,55 @@ class PipelineEdgeSpec extends AnyFunSuite {
     assert(tr.filter(_.getLong(0) == 8L).forall(_.getLong(2) == 3L))
   }
 
+  test("r18 deletion/positional ops survive degenerate corpora") {
+    // delete EVERYTHING: the model hits N = 0 (driver-side avgdl is
+    // NaN, never an ANSI throw) and every query answers empty
+    val all = Bm25Index.build(edgeDocs)
+    assert(all.delete(edgeDocs.select(col("doc_id"))) === 7L)
+    assert(all.topK(Seq("the"), 5).count() === 0)
+    assert(all.nDocs === 0L && all.totalLen === 0L)
+    all.compact() // compacting an all-tombstoned index must not throw
+    assert(all.topK(Seq("the"), 5).count() === 0)
+    // delete ids given as an EMPTY frame: a no-op
+    val idx2 = Bm25Index.build(edgeDocs.filter(col("doc_id") =!= 3L))
+    assert(idx2.delete(edgeDocs.filter(lit(false)).select(col("doc_id")))
+      === 0L)
+    // positional index over the degenerate corpus: <2-word docs, a
+    // phrase that only the repetition docs contain, absent terms
+    val pos = Bm25PosIndex.build(edgeDocs)
+    assert(pos.phraseTopK(Seq("the_the"), 2, 5).count() === 2)
+    assert(pos.phraseTopK(Seq("zz_absent"), 2, 5).count() === 0)
+    assert(pos.nearTopK("the", "x", 3, 5).count() === 0) // never co-occur
+    // doc 7's space-split tokens carry the VT/tab INSIDE them - the
+    // positional tier must treat them as opaque terms
+    assert(pos.nearTopK("a\u000Bb", "c\td", 3, 5).count() === 1)
+    // positional delete down to a single survivor of the phrase
+    pos.delete(Seq(4L).toDF("doc_id"))
+    assert(pos.phraseTopK(Seq("the_the"), 2, 5).count() === 1)
+    // SemDeDup delete of a whole tiny corpus' ids minus one: the
+    // survivor must come back kept (clusters emptied — the resurrect
+    // rule at the smallest scale); 40 synthetic near-dup vectors so
+    // the √N policy forms real multi-member clusters
+    val tinyEmb = spark.range(0, 40).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => (when(col("id") < 20, lit(1.0f)).otherwise(lit(-1.0f)) *
+          (i.cast("float") + (col("id") % 3).cast("float") * 0.01f)))
+        .as("embedding"),
+      lit(0).as("label"))
+    val verdicts = SemDedupIndex.verdicts(tinyEmb)
+    val dropped = verdicts.filter(col("is_kept") === 0L)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    if (dropped.nonEmpty) {
+      val keep = dropped.head
+      val delIds = tinyEmb.filter(col("vec_id") =!= keep)
+        .select(col("vec_id"))
+      val after = SemDedupIndex.delete(tinyEmb, delIds)
+      assert(after.count() === 1L)
+      assert(after.head().getLong(3) === 1L,
+        "sole survivor must be kept once every cluster emptied")
+    }
+  }
+
   test("r14 text ops survive empty/degenerate documents") {
     Seq(
       "jsDivergence" -> graft.pipeline.TextOps.jsDivergence(edgeDocs),

@@ -75,8 +75,11 @@ object GraftSql {
       .createOrReplaceTempView(view)
 
   /** r18: proximity retrieval (`a NEAR/w b` off the positional
-    * artifact) as a SQL view — same lazy-plan contract as
-    * [[registerAnnTopK]].
+    * artifact) as a SQL view. NOTE (r19, ADVICE): unlike
+    * [[registerAnnTopK]], registration here is EAGER — nearTopK runs
+    * the pruned postings load (localCheckpoint) and the per-term df
+    * collect at call time; only the final top-k plan behind the view
+    * stays lazy.
     */
   def registerBm25Near(spark: SparkSession, dir: String, view: String,
       a: String, b: String, w: Int, k: Int = 10): Unit =
@@ -85,7 +88,10 @@ object GraftSql {
       .nearTopK(a, b, w, k)
       .createOrReplaceTempView(view)
 
-  /** r18: phrase retrieval off the positional artifact as a SQL view. */
+  /** r18: phrase retrieval off the positional artifact as a SQL view
+    * (eager registration, like [[registerBm25Near]]: the pruned
+    * postings load + df collect run at call time).
+    */
   def registerBm25Phrase(spark: SparkSession, dir: String, view: String,
       phrases: Seq[String], n: Int, k: Int = 10): Unit =
     graft.pipeline.Bm25PosIndex

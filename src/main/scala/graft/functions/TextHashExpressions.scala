@@ -273,6 +273,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_sig_match(a, b), got ${other.size} args")
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_min_pos_dist", {
+      case Seq(a, b) => MinPosDist(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_min_pos_dist(a, b), got ${other.size} args")
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_bucket", {
       case Seq(v, d, n) => LshBucket(v, intLit(d), intLit(n))
       case Seq(v, d, n, s) => LshBucket(v, intLit(d), intLit(n), intLit(s))

@@ -125,6 +125,55 @@ object VectorMath {
     while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
     c
   }
+
+  /** Min pairwise |x − y| between two SORTED int arrays via a
+    * two-pointer merge — O(n_a + n_b), exact ints. Replaces the
+    * O(n_a · n_b) flatten(transform×transform) cross-product the
+    * proximity operator shipped with (r18 verdict: a stopword-class
+    * pair with tf ≈ 10³–10⁴ each materialized a 10⁶–10⁸-element array
+    * per doc). At each merge step only the closest predecessor/
+    * successor pair can improve the minimum, so the merge visits each
+    * element once and finds the same min the full cross-product would.
+    * Empty inputs yield Long.MaxValue (the caller's `≤ w` gate drops
+    * the row, matching array_min(empty) = NULL under the old form).
+    */
+  def minPosDist(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return Long.MaxValue
+    var i = 0
+    var j = 0
+    var best = Long.MaxValue
+    while (i < na && j < nb) {
+      val x = a.getInt(i).toLong
+      val y = b.getInt(j).toLong
+      val d = math.abs(x - y)
+      if (d < best) best = d
+      if (x < y) i += 1 else j += 1
+    }
+    best
+  }
+}
+
+/** `graft_min_pos_dist(array<int>, array<int>) -> bigint`: min pairwise
+  * absolute difference between two sorted position lists (see
+  * [[VectorMath.minPosDist]]).
+  */
+case class MinPosDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_min_pos_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(VectorMath.minPosDist(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.minPosDist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_dot(array<float>, array<float>) -> double`. */

@@ -243,12 +243,19 @@ object EventAnalytics {
     * tables join back broadcast-style under AQE (unhinted).
     */
   def activeUsers(events: DataFrame): DataFrame = {
+    // r19: every tier derives from the ONE distinct (day, user) table —
+    // distinct-of-distinct is distinct, so week/month re-distincts over
+    // `dd` equal the old from-the-facts distincts value for value, and
+    // all three consumers read the SAME (day, user) columns, so the
+    // distinct's exchange is reused instead of re-scanning the facts
+    // three times (guide §2.4; was scans=3, audit r19).
     val d = events.select(to_date(col("ts")).as("day"), col("user_id"))
-    val dau = d.distinct().groupBy("day").agg(count(lit(1)).as("dau"))
-    val wau = d.withColumn("week", date_trunc("week", col("day")).cast("date"))
+    val dd = d.distinct()
+    val dau = dd.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = dd.withColumn("week", date_trunc("week", col("day")).cast("date"))
       .select("week", "user_id").distinct()
       .groupBy("week").agg(count(lit(1)).as("wau"))
-    val mau = d.withColumn("month", date_trunc("month", col("day")).cast("date"))
+    val mau = dd.withColumn("month", date_trunc("month", col("day")).cast("date"))
       .select("month", "user_id").distinct()
       .groupBy("month").agg(count(lit(1)).as("mau"))
     dau.withColumn("week", date_trunc("week", col("day")).cast("date"))
@@ -317,9 +324,11 @@ object EventAnalytics {
     * to tick timestamps on event_id, then counter-only aggregation.
     */
   def sessionStats(ticks: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val sessions = MarketOps.sessionize(ticks, gapMinutes)
-    val withTs = sessions.join(
-      ticks.select(col("event_id"), col("ts")), Seq("event_id"))
+    // r19: the ts-carrying sessionize core — the old path re-joined the
+    // facts on event_id (a third events scan + facts-sized shuffle) to
+    // recover the timestamp sessionize had just projected away, and
+    // inherited a global event_id sort this aggregate discards.
+    val withTs = MarketOps.sessionizeWithTs(ticks, gapMinutes)
     withTs.groupBy(col("symbol"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         unix_micros(max(col("ts"))).as("mx_us"),

@@ -143,12 +143,21 @@ object MarketOps {
     * (tiny table, broadcast back) — the prefix-sum trick applied to
     * row_number itself.
     */
-  private def withSymbolRowNumber(ticks: DataFrame): DataFrame = {
+  private def withSymbolRowNumber(ticks: DataFrame,
+      withTotal: Boolean = false): DataFrame = {
     val t = ticks.withColumn("chunk_day", to_date(col("ts")))
-    val offsets = t.groupBy(col("symbol"), col("chunk_day"))
+    val dayCounts = t.groupBy(col("symbol"), col("chunk_day"))
       .agg(count(lit(1)).as("c"))
-      .select(col("symbol"), col("chunk_day"),
-        coalesce(sum(col("c")).over(priorDays), lit(0L)).as("rn_off"))
+    // r19: `withTotal` rides the per-symbol total count `n` on the same
+    // tiny day table (a second window over the one (symbol) exchange) —
+    // downsample previously paid a THIRD events scan + broadcast join
+    // just to fetch n per symbol.
+    val offCol = coalesce(sum(col("c")).over(priorDays), lit(0L)).as("rn_off")
+    val offsets =
+      if (withTotal)
+        dayCounts.select(col("symbol"), col("chunk_day"), offCol,
+          sum(col("c")).over(Window.partitionBy("symbol")).as("n"))
+      else dayCounts.select(col("symbol"), col("chunk_day"), offCol)
     t.join(offsets, Seq("symbol", "chunk_day"))
       .withColumn("rn",
         row_number().over(chunkOrder).cast("long") + col("rn_off"))
@@ -1434,13 +1443,11 @@ object MarketOps {
     */
   def downsample(ticks: DataFrame, k: Int = 100): DataFrame = {
     val b = Window.partitionBy("symbol", "bucket")
-    // global index from the prefix-sum row number + per-symbol totals
-    // broadcast back — neither a whole-symbol rank window nor a
-    // whole-partition COUNT window
-    val nTab = ticks.groupBy(col("symbol")).agg(count(lit(1)).as("n"))
-    val base = withSymbolRowNumber(ticks)
+    // global index from the prefix-sum row number; the per-symbol total
+    // n rides the scaffold's own day table (r19 — was a third events
+    // scan + broadcast join for a count the day table already knows)
+    val base = withSymbolRowNumber(ticks, withTotal = true)
       .withColumn("i", col("rn") - 1)
-      .join(broadcast(nTab), "symbol")
       .withColumn("bucket", expr(s"(i * $k) div n"))
     val mean = sum(col("price").cast(dec)).over(b).cast("double") /
       count(lit(1)).over(b).cast("double")
@@ -1965,7 +1972,19 @@ object MarketOps {
     * per-day last-ts table, the session id from within-day flag
     * cumsums + prior-day flag totals — no whole-symbol window.
     */
-  def sessionize(ticks: DataFrame, gapMinutes: Int): DataFrame = {
+  def sessionize(ticks: DataFrame, gapMinutes: Int): DataFrame =
+    sessionizeWithTs(ticks, gapMinutes)
+      .select(col("event_id"), col("symbol"), col("session_id"))
+      .orderBy("event_id")
+
+  /** [[sessionize]] core that keeps `ts` on the output and skips the
+    * final presentation sort (r19): aggregating consumers
+    * ([[graft.operators.EventAnalytics.sessionStats]]) previously paid
+    * a third events scan + a facts-sized event_id join to re-attach the
+    * timestamp sessionize had just dropped, plus a global sort their
+    * re-aggregation immediately discards.
+    */
+  private[graft] def sessionizeWithTs(ticks: DataFrame, gapMinutes: Int): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
     val t = ticks.withColumn("chunk_day", to_date(col("ts")))
     val flagged = chunkedLag1(t, "ts", "prev_ts")
@@ -1977,10 +1996,9 @@ object MarketOps {
       .select(col("symbol"), col("chunk_day"),
         coalesce(sum(col("day_total")).over(priorDays), lit(0L)).as("cum_offset"))
     flagged.join(offsets, Seq("symbol", "chunk_day"))
-      .select(col("event_id"), col("symbol"),
+      .select(col("event_id"), col("symbol"), col("ts"),
         (sum(col("is_new")).over(chunkOrder.rowsBetween(Window.unboundedPreceding, 0))
           + col("cum_offset")).as("session_id"))
-      .orderBy("event_id")
   }
 
   /** Overnight gap report: each day's open vs the previous trading

@@ -403,6 +403,13 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(sum(d("l_extendedprice") * (one - d("l_discount"))).cast("double")
         .as("total_revenue"))
+      // r19: the revenue view feeds BOTH its own MAX and the compare —
+      // column pruning made the two consumers re-derive it from two
+      // full lineitem scans (audit: lineitem×2). The view is
+      // supplier-sized, so one localCheckpoint computes it once
+      // (the bm25 counter-table precedent); the scalar-subquery shape
+      // of the query is unchanged.
+      .localCheckpoint()
     val mx = rev.agg(max(col("total_revenue")).as("mx"))
     rev.crossJoin(broadcast(mx))
       .filter(col("total_revenue") === col("mx"))
@@ -688,22 +695,36 @@ object Relational {
     * is scanned once, not once per set). The grouping level surfaces
     * via per-column `grouping()` flags, which both engines define.
     */
-  def groupingSetsPricing(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupingSets(
+  def groupingSetsPricing(spark: SparkSession, dir: String): DataFrame = {
+    // r19: partial-aggregate BEFORE the Expand (guide §2.3 "aggregate
+    // before you shuffle"). GROUPING SETS replays its input once per
+    // set — 3× here — so the old plan pushed every fact row through
+    // the decimal casts and partial aggregate three times. Decimal
+    // sums and counts are associative and exact, so aggregating to the
+    // tiny (returnflag, linestatus) table first and running the SAME
+    // grouping sets over it is value-identical (oracle hash unchanged)
+    // while the Expand now multiplies |flag×status| rows, not the
+    // fact table — the shape that survives 100 TB.
+    val base = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("pn"),
+        sum(d("l_quantity")).as("pqty"),
+        sum(d("l_extendedprice")).as("pprice"))
+    base.groupingSets(
         Seq(Seq(col("l_returnflag"), col("l_linestatus")),
           Seq(col("l_linestatus")), Seq()),
         col("l_returnflag"), col("l_linestatus"))
       .agg(
         (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
           .cast("long").as("g_level"),
-        count(lit(1)).as("n"),
-        sum(d("l_quantity")).cast("double").as("sum_qty"),
-        sum(d("l_extendedprice")).cast("double").as("sum_price"))
+        sum(col("pn")).as("n"),
+        sum(col("pqty")).cast("double").as("sum_qty"),
+        sum(col("pprice")).cast("double").as("sum_price"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag_g"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus_g"),
         col("g_level"), col("n"), col("sum_qty"), col("sum_price"))
       .orderBy("g_level", "returnflag_g", "linestatus_g")
+  }
 
   /** NEW r10: revenue concentration (Pareto report) — the share of
     * total order revenue carried by the top 1% / 10% of customers.
@@ -790,13 +811,26 @@ object Relational {
     * with a (count desc, pair) total order.
     */
   def basketPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"),
-        col("b.l_partkey").as("part_b"))
+    // r19: pair generation WITHOUT the fact self-join. The old plan
+    // shuffled the distinct (order, part) table twice and built a
+    // 600k-row broadcast (AQE's pick at sf0.1 — at 100 TB that join
+    // degrades to a second full fact shuffle). One exchange to the
+    // per-order sorted part set, then pairs explode from the ≤|basket|²
+    // per-order array: sorted-set order makes x < y exactly the old
+    // a.l_partkey < b.l_partkey condition — identical pair multiset,
+    // identical counts, oracle hash unchanged. Baskets are bounded
+    // (≤7 parts/order in TPC-H-shaped data), so the per-row lambda is
+    // constant work, and the fact now crosses the network once.
+    val baskets = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    baskets
+      .select(explode(expr(
+        "flatten(transform(parts, (x, i) -> " +
+          "transform(slice(parts, i + 2, size(parts)), " +
+          "y -> struct(x AS part_a, y AS part_b))))")).as("pr"))
+      .select(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(desc("n_orders"), col("part_a"), col("part_b"))
       .limit(k)

@@ -222,9 +222,13 @@ class Bm25PosIndex private (
         col("positions").as("pa"))
     val pb = posts.filter(col("term") === b)
       .select(col("doc_id"), col("tf").as("tfb"), col("positions").as("pb"))
-    // min pairwise |i − j| — O(tf_a · tf_b) per doc, exact ints
-    val minDist = array_min(flatten(
-      transform(col("pa"), x => transform(col("pb"), y => abs(x - y)))))
+    // min pairwise |i − j| — two-pointer merge over the already-sorted
+    // position lists (r19; was flatten(transform×transform), an
+    // O(tf_a·tf_b) array PER DOC — an executor-OOM grenade on a
+    // stopword-class pair at scale). O(tf_a + tf_b), exact ints, stays
+    // in WholeStageCodegen; same minimum, q_bm25_near hash unchanged.
+    graft.functions.GraftFunctions.register(spark)
+    val minDist = expr("graft_min_pos_dist(pa, pb)")
     def contrib(t: String, tfc: Column): Column = {
       val tf = tfc.cast("double")
       val ratio = tf * lit(2.2) / (tf + lit(TextOps.Bm25K1) *

@@ -336,6 +336,44 @@ class PipelineEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("r19: nearTopK two-pointer min distance — stopword-pair fixture") {
+    // The r18 cross-product form materialized a tf_a·tf_b array per doc
+    // (4M elements for this fixture); the r19 two-pointer merge is
+    // O(tf_a + tf_b). Distances are fixed by construction, so this both
+    // exercises the stopword-pair regime and pins the exact minima.
+    val big = ("a b " * 2000).trim // tf(a) = tf(b) = 2000, min |i−j| = 1
+    val docs = Seq(
+      (1L, big),
+      (2L, "a " + ("z " * 500).trim + " b"), // a at 0, b at 501
+      (3L, "b a")                            // reversed adjacency
+    ).toDF("doc_id", "text")
+    val pos = Bm25PosIndex.build(docs)
+    val near = pos.nearTopK("a", "b", 3, 10).collect()
+    assert(near.map(_.getLong(0)).toSet === Set(1L, 3L))
+    assert(near.forall(_.getAs[Long]("min_dist") === 1L))
+    val wide = pos.nearTopK("a", "b", 501, 10).collect()
+    assert(wide.map(r => r.getLong(0) -> r.getAs[Long]("min_dist")).toMap
+      === Map(1L -> 1L, 2L -> 501L, 3L -> 1L))
+    // unit pin: the merge equals the brute-force cross-product minimum
+    // on adversarial sorted shapes (ties, disjoint ranges, singletons)
+    val cases = Seq(
+      (Array(0, 2, 4, 6), Array(1, 3, 5)),
+      (Array(10, 20, 30), Array(31, 40)),
+      (Array(5), Array(5)),
+      (Array(1, 1000000), Array(500000)),
+      (Array(1, 2, 3), Array(100, 200)),
+      ((0 until 2000 by 2).toArray, (1 until 2000 by 2).toArray))
+    cases.foreach { case (a, b) =>
+      val brute = (for (x <- a; y <- b) yield math.abs(x - y).toLong).min
+      val got = graft.functions.VectorMath.minPosDist(
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(a),
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(b))
+      assert(got === brute, s"minPosDist(${a.toSeq}, ${b.toSeq})")
+    }
+  }
+
   test("r14 text ops survive empty/degenerate documents") {
     Seq(
       "jsDivergence" -> graft.pipeline.TextOps.jsDivergence(edgeDocs),

@@ -25,10 +25,19 @@ def canon(df):
     return df
 
 fails = []
+# r19 (r18 verdict #7): self-recorded correctness artifact — per-query
+# {rows_match, schema_match, hash_match, err} in the driver's shape, so
+# the hard correctness record survives a driver-side artifact failure.
+# Written when SELF_RECORD names the output file (committed at gates).
+record = {}
 for name, sql in sorted(oracle.items()):
+    rec = {"rows_match": False, "schema_match": False,
+           "hash_match": False, "err": None}
+    record[name] = rec
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         print(f"MISSING  {name}")
+        rec["err"] = "missing spark result"
         fails.append(name)
         continue
     try:
@@ -36,16 +45,19 @@ for name, sql in sorted(oracle.items()):
         want = canon(con.sql(sql).df())
     except Exception as e:
         print(f"ERROR    {name}: {e}")
+        rec["err"] = str(e)[:300]
         fails.append(name)
         continue
     if list(got.columns) != list(want.columns):
         print(f"COLS     {name}: spark={list(got.columns)} oracle={list(want.columns)}")
         fails.append(name)
         continue
+    rec["schema_match"] = True
     if len(got) != len(want):
         print(f"ROWS     {name}: spark={len(got)} oracle={len(want)}")
         fails.append(name)
         continue
+    rec["rows_match"] = True
     # dtype check (informational) + exact value compare
     mismatch_cols = []
     for c in got.columns:
@@ -57,6 +69,7 @@ for name, sql in sorted(oracle.items()):
         if not eq:
             mismatch_cols.append(c)
     dt = [c for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+    rec["hash_match"] = not mismatch_cols
     if mismatch_cols:
         print(f"VALUES   {name}: cols {mismatch_cols}")
         for c in mismatch_cols[:2]:
@@ -70,4 +83,13 @@ for name, sql in sorted(oracle.items()):
         print(f"OK       {name} rows={len(got)}{note}")
 
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracled queries match")
+
+import os
+self_out = os.environ.get("SELF_RECORD")
+if self_out:
+    with open(self_out, "w") as f:
+        json.dump({"sf_dir": sf_dir, "n_queries": len(oracle),
+                   "n_match": len(oracle) - len(fails),
+                   "queries": record}, f, indent=1, sort_keys=True)
+    print(f"self-record written: {self_out}")
 sys.exit(1 if fails else 0)

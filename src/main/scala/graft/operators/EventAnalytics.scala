@@ -26,17 +26,21 @@ object EventAnalytics {
     * not the event log.
     */
   def funnel(events: DataFrame): DataFrame = {
-    val v = events.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("t_view"))
-    val c = events.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") >= col("t_view"))
-      .groupBy("user_id").agg(min("ts").as("t_click"))
-    val p = events.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ts") >= col("t_click"))
-      .groupBy("user_id").agg(min("ts").as("t_purchase"))
-    v.agg(count(lit(1)).as("n_view"))
-      .crossJoin(c.agg(count(lit(1)).as("n_click")))
-      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    // r19: ONE events scan + ONE user_id shuffle (was 5 scans — each
+    // staged filter+join replanned the scan, and the three stage-count
+    // aggs consumed v/c/p again). The staged mins become three window
+    // mins over the same user_id partitioning (one sort, zero extra
+    // exchanges): t_click = min click ts ≥ t_view via per-row
+    // conditions, with NULL propagation (ts ≥ NULL is NULL) standing
+    // in for the old inner joins. Values are exact timestamps —
+    // identical stage sets, identical counts, oracle hash unchanged.
+    val t = funnelTimes(events)
+      .groupBy("user_id")
+      .agg(max("t_view").as("t_view"), max("t_click").as("t_click"),
+        max("t_purchase").as("t_purchase"))
+    t.agg(count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"))
       .select(col("n_view"), col("n_click"), col("n_purchase"),
         // empty stages ⇒ NULL conversion rates (DuckDB's double 0/0 is
         // NULL; unguarded Spark ANSI throws — ChunkedEdgeSpec)
@@ -46,6 +50,31 @@ object EventAnalytics {
         round(when(col("n_click") > 0,
           col("n_purchase").cast("double") / col("n_click").cast("double")), 6)
           .as("click_to_purchase"))
+  }
+
+  /** Shared funnel-stage timestamps (r19, [[funnel]]/[[windowFunnel]]):
+    * per event row of the three funnel types, the user's staged
+    * first-qualifying timestamps — t_view = first view, t_click =
+    * first click at-or-after t_view, t_purchase = first purchase
+    * at-or-after t_click — as three stacked window mins over ONE
+    * user_id partitioning. A user with no qualifying event at a stage
+    * carries NULL from that stage on (`ts >= NULL` is NULL, so the
+    * conditional min sees no rows), exactly the old staged inner
+    * joins' row-set semantics.
+    */
+  private def funnelTimes(events: DataFrame): DataFrame = {
+    val wu = Window.partitionBy("user_id")
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(wu))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("ts") >= col("t_view"), col("ts"))).over(wu))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("t_click"), col("ts"))).over(wu))
   }
 
   /** Day-N cohort retention: cohort = a user's first active day;
@@ -245,12 +274,16 @@ object EventAnalytics {
   def activeUsers(events: DataFrame): DataFrame = {
     // r19: every tier derives from the ONE distinct (day, user) table —
     // distinct-of-distinct is distinct, so week/month re-distincts over
-    // `dd` equal the old from-the-facts distincts value for value, and
-    // all three consumers read the SAME (day, user) columns, so the
-    // distinct's exchange is reused instead of re-scanning the facts
-    // three times (guide §2.4; was scans=3, audit r19).
+    // `dd` equal the old from-the-facts distincts value for value.
+    // Plan-sharing alone is NOT enough: Catalyst collapses the
+    // distinct-of-distinct and pushes each tier's coarser distinct
+    // down to its own scan (3 fact scans, 0 reuse — audited), so the
+    // activity table is localCheckpointed once (the sessionCooccur
+    // rule for consumers that prune to different granularities) and
+    // the facts decode exactly once. |users × active days| rows —
+    // metadata-sized next to the event log.
     val d = events.select(to_date(col("ts")).as("day"), col("user_id"))
-    val dd = d.distinct()
+    val dd = d.distinct().localCheckpoint()
     val dau = dd.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = dd.withColumn("week", date_trunc("week", col("day")).cast("date"))
       .select("week", "user_id").distinct()
@@ -642,16 +675,16 @@ object EventAnalytics {
     */
   def windowFunnel(events: DataFrame, windowMinutes: Long = 60L): DataFrame = {
     val winUs = windowMinutes * 60L * 1000000L
-    val v = events.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("t_view"))
-    val c = events.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") >= col("t_view"))
-      .groupBy("user_id").agg(min("ts").as("t_click"), min("t_view").as("tv"))
-    val p = events.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ts") >= col("t_click"))
-      .groupBy("user_id").agg(min("ts").as("t_purchase"))
-    v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
+    // r19: same single-scan/single-shuffle rewrite as [[funnel]] (was
+    // 4 scans + 2 left joins): [[funnelTimes]] yields the staged
+    // timestamps per user; users with no view (NULL t_view) drop out,
+    // matching the old v-anchored left-join base. Exact integer
+    // epoch-µs comparisons unchanged, oracle hash unchanged.
+    funnelTimes(events)
+      .groupBy("user_id")
+      .agg(max("t_view").as("t_view"), max("t_click").as("t_click"),
+        max("t_purchase").as("t_purchase"))
+      .filter(col("t_view").isNotNull)
       .select(col("user_id"),
         when(col("t_purchase").isNotNull &&
           unix_micros(col("t_purchase")) - unix_micros(col("t_view")) <= winUs, 3L)

@@ -787,11 +787,18 @@ object Relational {
     * at scale).
     */
   def ltvCohort(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(spark, dir).select(col("o_custkey"),
       to_date(col("o_orderdate")).as("od"), d("o_totalprice").as("price"))
-    val f = o.groupBy(col("o_custkey"))
-      .agg(trunc(min(col("od")), "month").as("cohort_month"))
-    o.join(f, "o_custkey")
+    // r19: cohort month as a window min over the one o_custkey
+    // partitioning instead of a separate per-customer aggregate joined
+    // back — the two consumers pruned different columns, so the old
+    // plan scanned orders TWICE and paid the join's second exchange.
+    // min-over-partition is exact (same rows, same min); customers are
+    // high-cardinality, so the window task sizing is per-customer
+    // order counts — fine at scale.
+    o.withColumn("cohort_month",
+        trunc(min(col("od")).over(Window.partitionBy("o_custkey")), "month"))
       .withColumn("month_offset",
         ((year(col("od")) * 12 + month(col("od"))) -
           (year(col("cohort_month")) * 12 + month(col("cohort_month"))))

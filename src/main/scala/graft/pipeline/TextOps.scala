@@ -223,9 +223,20 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val words = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("word"))
+    // r19: df derives from the tf counter table — tf holds exactly one
+    // row per distinct (doc, word), so count(*) per word over it IS
+    // countDistinct(doc_id) over the raw token stream. The old plan
+    // scanned + split + exploded the text TWICE (column pruning defeats
+    // exchange reuse across the two aggregation granularities — the
+    // CLAUDE.md r12 rule) and shuffled the full token stream a second
+    // time for df; now the text decodes once and df is a
+    // vocabulary-sized partial agg over the localCheckpointed counter
+    // table (the bm25 r16 counter-table precedent). n_docs keeps its
+    // own doc_id-only pruned scan: NULL-text docs never reach `words`
+    // but DO count in N — deriving it from tf would change scores.
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = words.groupBy("word")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .localCheckpoint()
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("word"))

@@ -240,7 +240,18 @@ object GraftFunctions {
   private def intLit(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()
 
+  // r20 (r19 ADVICE): register() is called from every operator that
+  // needs a graft_* function — per-QUERY on some serve paths — and
+  // each call re-created the whole temp-function set, flooding WARN
+  // ("replaced a previously registered function") and churning the
+  // shared session's registry. Registration is idempotent (the
+  // builders are static), so one pass per session suffices; weak keys
+  // let short-lived sessions (TickStore per-write newSession) collect.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_minhash", {
       case Seq(t) => MinHashSig(t, 3, 16)

@@ -156,13 +156,34 @@ object VectorMath {
 }
 
 /** `graft_min_pos_dist(array<int>, array<int>) -> bigint`: min pairwise
-  * absolute difference between two sorted position lists (see
+  * absolute difference between two position lists (see
   * [[VectorMath.minPosDist]]).
+  *
+  * PRECONDITION: both arrays must be sorted ASCENDING — the two-pointer
+  * merge silently returns a wrong (too large) minimum on unsorted
+  * input. Today's only caller (Bm25PosIndex.nearTopK) feeds
+  * sort_array'd position lists; any new SQL-facing use must sort
+  * first. r20 (r19 ADVICE): element types are enforced via
+  * checkInputDataTypes — an array<bigint> argument would otherwise be
+  * misread 4 bytes at a time by getInt and produce plausible garbage
+  * instead of an analysis error.
   */
 case class MinPosDist(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_min_pos_dist"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<int> arguments (sorted " +
+            s"ascending), got ${left.dataType.catalogString} and " +
+            s"${right.dataType.catalogString}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.valueOf(VectorMath.minPosDist(

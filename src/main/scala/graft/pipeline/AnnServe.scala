@@ -68,8 +68,10 @@ class AnnServe private (
           e: java.util.Map.Entry[Long, Array[Float]]): Boolean = size() > 4096
     }
 
-  /** Load every missing probed cell in ONE pruned Spark read (cold
-    * path); warm queries never reach here.
+  /** Load every missing probed cell — driver-side parquet reads of the
+    * cell partitions first (r20, the scanRangeLocal posture: no Spark
+    * job on the serve path), falling back to ONE pruned Spark read on
+    * any unexpected layout. Warm queries never reach here.
     */
   private def warmCells(probes: Seq[Int]): Map[Int, CellData] = {
     // missing OR stale (appended-into since load) cells reload in ONE
@@ -78,18 +80,28 @@ class AnnServe private (
     val missing = probes.filter(c => !isFresh(c))
     if (missing.nonEmpty) {
       val loadVersions = missing.map(c => c -> index.cellVersion(c)).toMap
-      val rows = index.codes()
-        .filter(col("cell").isin(missing: _*))
-        .select(col("cell"), col("vec_id"), col("codes"), col("embedding"))
-        .collect()
-      val byCell = rows.groupBy(_.getInt(0))
+      // both paths produce (cell -> rows sorted by vec_id); the local
+      // map carries EVERY requested cell (empty cells as empty arrays),
+      // the Spark map only the non-empty ones — the placeholder loop
+      // below covers the difference either way
+      val byCell: Map[Int, Array[(Long, Array[Int], Array[Float])]] =
+        try index.cellRowsLocal(missing)
+        catch {
+          case e: Exception =>
+            if (sys.env.contains("GRAFT_SERVE_DEBUG")) e.printStackTrace()
+            index.codes()
+              .filter(col("cell").isin(missing: _*))
+              .select(col("cell"), col("vec_id"), col("codes"), col("embedding"))
+              .collect()
+              .groupBy(_.getInt(0))
+              .map { case (cell, rs) =>
+                cell -> rs.sortBy(_.getLong(1)).map(r => (r.getLong(1),
+                  r.getSeq[Int](2).toArray, r.getSeq[Float](3).toArray))
+              }
+        }
       byCell.foreach { case (cell, rs) =>
-        val sorted = rs.sortBy(_.getLong(1))
         cellCache.put(cell, CellData(
-          sorted.map(_.getLong(1)),
-          sorted.map(_.getSeq[Int](2).toArray),
-          sorted.map(_.getSeq[Float](3).toArray),
-          loadVersions(cell)))
+          rs.map(_._1), rs.map(_._2), rs.map(_._3), loadVersions(cell)))
       }
       // probed cells with zero vectors still cache (empty), so a
       // repeat probe of an empty cell stays warm. r17 (ADVICE): "empty"
@@ -107,8 +119,17 @@ class AnnServe private (
     probes.map(c => c -> cellCache.get(c)).toMap
   }
 
-  /** Query vector by id: warm cells first, then one pruned point
-    * lookup (cached).
+  // the embeddings table's file roots, when (and only when) `emb` is a
+  // plain parquet scan a driver-side read can stand in for (r20)
+  private lazy val embRoots: Option[Seq[org.apache.hadoop.fs.Path]] =
+    try graft.core.LocalParquet.plainParquetRoots(emb)
+    catch { case _: Exception => None }
+
+  /** Query vector by id: warm cells first, then one point lookup —
+    * driver-side with a parquet-mr vec_id filter (row-group stats and
+    * dictionary pages prune exactly like the pushed-down Spark scan;
+    * no job), Spark-scan fallback on non-plain tables or any read
+    * surprise. Served ids stay warm in the LRU either way.
     */
   private def vecFor(vecId: Long): Array[Float] = {
     val hit = vecCache.get(vecId)
@@ -119,10 +140,69 @@ class AnnServe private (
       val i = java.util.Arrays.binarySearch(cd.ids, vecId)
       if (i >= 0) { vecCache.put(vecId, cd.embs(i)); return cd.embs(i) }
     }
-    val v = emb.filter(col("vec_id") === vecId)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val local: Option[Array[Float]] = embRoots.flatMap { roots =>
+      try {
+        import graft.core.LocalParquet
+        import org.apache.parquet.filter2.predicate.FilterApi
+        val conf = emb.sparkSession.sparkContext.hadoopConfiguration
+        val files = roots.flatMap(LocalParquet.dataFiles(_, conf))
+        // many-file tables: a driver-side point lookup would open every
+        // footer — that is the distributed scan's job; fall back
+        if (files.isEmpty || files.size > 64) None
+        else {
+          val pred = FilterApi.eq(FilterApi.longColumn("vec_id"),
+            java.lang.Long.valueOf(vecId))
+          // footer stats skip non-matching row groups per file; only
+          // the file holding the id decodes anything
+          LocalParquet.parMap(files) { f =>
+            var found: Option[Array[Float]] = None
+            LocalParquet.readGroups(f.getPath, conf, Some(pred)) { g =>
+              if (found.isEmpty)
+                found = Some(LocalParquet.floatArray(g, "embedding"))
+            }
+            found
+          }.flatten.headOption
+          // clean read, id absent → Spark path (throws as before)
+        }
+      } catch { case _: Exception => None }
+    }
+    val v = local.getOrElse(
+      emb.filter(col("vec_id") === vecId)
+        .select(col("embedding")).head().getSeq[Float](0).toArray)
     vecCache.put(vecId, v)
     v
+  }
+
+  /** r20 (the r19 verdict's #3, guide §4.5 init-once): warm the shared
+    * plan fragments at serve START so the first real query pays only
+    * its own probed cells' IO, not first-plan analysis + parquet
+    * listing/footer work. Two untimed micro-jobs: a zero-partition
+    * pruned codes read (cell = −1 prunes everything — warms the
+    * FileStatusCache listing, schema inference, analysis and codegen
+    * of exactly the warmCells plan shape) and a one-row embeddings
+    * read (warms the point-lookup scan path; bounded at any corpus
+    * size — no filter, LIMIT 1). No cell data, no query answer is
+    * cached here — the LRU stays empty until a real query probes.
+    */
+  def prewarm(): Unit = {
+    index.codes().filter(col("cell").isin(-1))
+      .select(col("cell"), col("vec_id"), col("codes"), col("embedding"))
+      .collect()
+    emb.select(col("embedding")).limit(1).collect()
+    // local-reader init (r20): one zero-row filtered parquet-mr read
+    // warms the driver-side read stack (Hadoop FS, footer reader,
+    // GroupReadSupport, filter2 classes — ~100 ms of one-time class
+    // loading otherwise billed to the first cold query). Stats prune
+    // every row group for vec_id = −1, so no data is read or cached.
+    try embRoots.foreach { roots =>
+      import graft.core.LocalParquet
+      import org.apache.parquet.filter2.predicate.FilterApi
+      val conf = emb.sparkSession.sparkContext.hadoopConfiguration
+      val pred = FilterApi.eq(FilterApi.longColumn("vec_id"),
+        java.lang.Long.valueOf(-1L))
+      roots.flatMap(LocalParquet.dataFiles(_, conf)).headOption.foreach(f =>
+        LocalParquet.readGroups(f.getPath, conf, Some(pred))(_ => ()))
+    } catch { case _: Exception => () }
   }
 
   /** Warm top-k by query id — the serve-loop entry point. */

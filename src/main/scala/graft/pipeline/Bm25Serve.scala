@@ -73,10 +73,20 @@ class Bm25Serve private (index: Bm25Index, maxTerms: Int, maxDf: Long) {
     if (missing.nonEmpty) {
       val loadVersions = missing.map(k => k -> index.bucketVersion(k._1)).toMap
       // df gate before any postings collect — the driver-held model
-      // slice (same pruned vocabulary read Bm25Index.topK does)
-      val dfs: Map[String, Long] = index.session.read.parquet(index.dfDir)
-        .filter(col("term").isin(missing.map(_._2).distinct: _*))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // slice (same pruned vocabulary read Bm25Index.topK does).
+      // r20 (the r19 verdict's #3): both the df gate and the postings
+      // load go DRIVER-SIDE first (parquet-mr, term-filtered,
+      // scanRangeLocal posture — no Spark job on the serve path),
+      // falling back to the pruned Spark reads on any layout surprise.
+      val missingTerms = missing.map(_._2).distinct
+      val dfs: Map[String, Long] =
+        try index.dfLocal(missingTerms)
+        catch {
+          case _: Exception =>
+            index.session.read.parquet(index.dfDir)
+              .filter(col("term").isin(missingTerms: _*))
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
       val (heavy, light) = missing.partition(k =>
         dfs.getOrElse(k._2, 0L) > maxDf)
       heavy.foreach(k =>
@@ -85,16 +95,25 @@ class Bm25Serve private (index: Bm25Index, maxTerms: Int, maxDf: Long) {
       if (light.nonEmpty) {
         val buckets = light.map(_._1).distinct
         val terms = light.map(_._2).distinct
-        val rows = index.readPostings
-          .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
-          .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"))
-          .collect()
-        val byKey = rows.groupBy(r => (r.getInt(0), r.getString(1)))
-        byKey.foreach { case (key, rs) =>
+        val byKey: Map[(Int, String), Array[(Long, Long, Long)]] =
+          try index.postingsLocal(buckets, terms)
+          catch {
+            case _: Exception =>
+              index.readPostings
+                .filter(col("bucket").isin(buckets: _*) &&
+                  col("term").isin(terms: _*))
+                .select(col("bucket"), col("term"), col("doc_id"),
+                  col("tf"), col("dl"))
+                .collect()
+                .groupBy(r => (r.getInt(0), r.getString(1)))
+                .map { case (key, rs) =>
+                  key -> rs.map(r =>
+                    (r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
+                }
+          }
+        byKey.foreach { case (key, posts) =>
           if (loadVersions.contains(key)) // only requested keys cache
-            termCache.put(key, TermData(
-              rs.map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
-                .sortBy(_._1), loadVersions(key)))
+            termCache.put(key, TermData(posts, loadVersions(key)))
         }
         // queried terms absent from the corpus still cache (empty) so a
         // repeat stays warm. r17 (ADVICE): "empty" is decided by what the
@@ -127,6 +146,30 @@ class Bm25Serve private (index: Bm25Index, maxTerms: Int, maxDf: Long) {
   private[pipeline] def cachedState(term: String): Option[(Int, Boolean)] = {
     val td = termCache.get((Bm25Index.bucketOf(term), term))
     Option(td).map(t => (t.posts.length, t.overCap))
+  }
+
+  /** r20 (the r19 verdict's #3, guide §4.5 init-once): warm the shared
+    * plan fragments at serve START — the vocabulary-df read and the
+    * bucket/term-pruned postings read — so a first real query pays
+    * only its own terms' postings IO. The df probe uses an impossible
+    * term (row-group stats prune it to zero rows) and the postings
+    * probe an impossible bucket (partition pruning: zero tasks); both
+    * warm FileStatusCache listing, schema inference, analysis and
+    * codegen of exactly the warmTerms plan shapes. No postings, no
+    * query answer is cached here.
+    */
+  def prewarm(): Unit = {
+    index.session.read.parquet(index.dfDir)
+      .filter(col("term").isin(" ")).collect()
+    index.readPostings
+      .filter(col("bucket").isin(-1) && col("term").isin(" "))
+      .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"))
+      .collect()
+    // local-reader init (r20): one term-filtered parquet-mr read warms
+    // the driver-side read stack (footer reader, filter2, codec
+    // classes) once, at serve start — a single space can never be a
+    // token (the tokenizer splits on it), so zero rows match or cache
+    try index.dfLocal(Seq(" ")) catch { case _: Exception => () }
   }
 
   private def q6micro(x: Double): Long = {

@@ -49,6 +49,12 @@ class IvfIndex private (
     * cells nearest the query vector.
     */
   def topK(queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    // r20: register the graft_* functions on THIS session — the cosine
+    // below resolves graft_dot at analysis, and q_ann_ivf as the FIRST
+    // query of a fresh session used to fail with UNRESOLVED_ROUTINE
+    // (every earlier caller had leaned on some other operator having
+    // registered first; registration is now guarded so this is O(1))
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     // point lookup of the query vector (pushed-down scan on vec_id)
     val qVec = emb.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -257,7 +263,12 @@ object IvfIndex {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_")
     tempDirs.add(dir)
     val cellsPath = s"$dir/cells"
+    // r20 (guide §6 small-files): shuffle by cell before the
+    // partitioned write so each cell is one file, not one fragment per
+    // write task — probe reads (Spark or driver-side) open nprobe
+    // files instead of nprobe × tasks.
     normed.withColumn("cell", cell).drop("vn")
+      .repartition(col("cell"))
       .write.partitionBy("cell").parquet(cellsPath)
 
     new IvfIndex(emb, cellsPath, cents)

@@ -113,6 +113,54 @@ class IvfPqIndex private (
       p.join(emb.sparkSession.read.parquet(t), Seq("vec_id"), "left_anti"))
   }
 
+  /** r20 (the r19 verdict's #3): DRIVER-SIDE load of whole cell
+    * partitions — the [[graft.tsdb.TickStore.scanRangeLocal]] posture
+    * for the ANN serve tier. A probed cell is O(N/nlist) rows under
+    * one `cell=<c>` directory; reading it through a Spark job pays
+    * ~100–150 ms of scheduling/codegen/collect for bytes parquet-mr
+    * returns in single-digit ms, and the serve loop's whole point is
+    * to avoid per-query job latency. Semantics are identical to
+    * collecting [[codes]] filtered to these cells: same files (a
+    * listing is fresher than any cached Spark file index, so appended
+    * files are seen), same tombstone mask, rows sorted by vec_id.
+    * Throws on any unexpected layout — the caller falls back to the
+    * Spark path.
+    */
+  private[pipeline] def cellRowsLocal(cells: Seq[Int])
+      : Map[Int, Array[(Long, Array[Int], Array[Float])]] = {
+    import graft.core.LocalParquet
+    val t0 = System.nanoTime()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cp = codesPath // volatile: snapshot once (compact may swap it)
+    val dead: Set[Long] = tombstonePath match {
+      case None => Set.empty
+      case Some(t) =>
+        val b = Set.newBuilder[Long]
+        LocalParquet.dataFiles(new org.apache.hadoop.fs.Path(t), conf)
+          .foreach(f => LocalParquet.readGroups(f.getPath, conf, None)(g =>
+            b += g.getLong("vec_id", 0)))
+        b.result()
+    }
+    val out = LocalParquet.parMap(cells) { c =>
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Int], Array[Float])]
+      LocalParquet.dataFiles(
+          new org.apache.hadoop.fs.Path(cp, s"cell=$c"), conf)
+        .foreach(f => LocalParquet.readGroups(f.getPath, conf, None) { g =>
+          val id = g.getLong("vec_id", 0)
+          if (!dead.contains(id))
+            rows += ((id, LocalParquet.intArray(g, "codes"),
+              LocalParquet.floatArray(g, "embedding")))
+        })
+      c -> rows.sortBy(_._1).toArray
+    }.toMap
+    if (sys.env.contains("GRAFT_SERVE_DEBUG"))
+      System.err.println(f"cellRowsLocal: ${cells.size} cells, " +
+        f"${out.valuesIterator.map(_.length).sum} rows, " +
+        f"${(System.nanoTime() - t0) / 1e6}%.1f ms")
+    out
+  }
+
   /** r18 (the r17 verdict's #1): vector DELETION — the curation
     * pipeline's "drop these ids" applied to the ANN tier. Tombstoned
     * ids mask out of every probe ([[codes]]), so top-k fills with
@@ -653,7 +701,13 @@ object IvfPqIndex {
       m, sub, initRows)
     val dir = graft.core.TempDirs.scoped("graft_ivfpq_")
     val codesPath = s"$dir/codes"
+    // r20 (guide §6 small-files): one shuffle by cell before the
+    // partitioned write — without it every write task that held rows
+    // for a cell emitted its own fragment (nlist × tasks files total;
+    // a probed read opened ~32 tiny files PER CELL). One file per cell
+    // is the layout compact() already restores after appends.
     encodeResiduals(resid, m, sub, codebooks)
+      .repartition(col("cell"))
       .write.partitionBy("cell").parquet(codesPath)
     new IvfPqIndex(emb, codesPath, nlist, m, sub, cents, codebooks)
   }

@@ -45,7 +45,12 @@ object PlanAudit {
     Seq("q1_agg", "q_range_scan", "q_ohlc_daily", "q_ann_ivf", "q_ann_pq",
         "q_bucketed_join").foreach { n =>
       try graft.SparkEntry.queries(n)(spark, sfDir).collect()
-      catch { case _: Throwable => () }
+      catch {
+        // r20 (r19 ADVICE): a silently-failing warmup (e.g. after a
+        // testdata regeneration) would quietly cost every subsequent
+        // audit timing its warm baseline — announce it
+        case e: Throwable => println(s"WARMUP-ERROR $n: ${e.getMessage}")
+      }
     }
     names.foreach { name =>
       graft.SparkEntry.queries.get(name).foreach { fn =>

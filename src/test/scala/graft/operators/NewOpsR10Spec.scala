@@ -559,6 +559,25 @@ class NewOpsR10Spec extends AnyFunSuite {
     assert(got.map(_._1).toSeq === want)
   }
 
+  test("basketPairs: an adversarial mega-basket fails loudly, not quadratically") {
+    // r20 (the r19 verdict's What's-wrong #1): one order with >4096
+    // distinct parts would explode O(|basket|²) pairs inside a single
+    // row — the guard must abort the query with a diagnosable error
+    // instead of silently burning one task on 10¹⁰ pairs at scale.
+    val dir = java.nio.file.Files.createTempDirectory("basket_guard_").toString
+    spark.range(5000).select(
+        lit(1L).as("l_orderkey"), col("id").as("l_partkey"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val e = intercept[Exception] {
+      Relational.basketPairs(spark, dir, 20).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("basket_pairs")),
+      s"expected the basket guard message, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("sessionStats: bucket totals partition the tick log; buckets are bit lengths") {
     val ticks = Tables.ticks(spark, sf)
     val st = EventAnalytics.sessionStats(ticks, 30).cache()

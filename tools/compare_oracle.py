@@ -70,6 +70,13 @@ for name, sql in sorted(oracle.items()):
             mismatch_cols.append(c)
     dt = [c for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
     rec["hash_match"] = not mismatch_cols
+    # r20 (r19 ADVICE): record dtype divergence in the committed
+    # artifact too — the DECIMAL-vs-double emission class CLAUDE.md
+    # tracks was previously visible only in stdout
+    rec["dtype_match"] = not dt
+    if dt:
+        rec["dtype_mismatch"] = [
+            (c, str(got[c].dtype), str(want[c].dtype)) for c in dt]
     if mismatch_cols:
         print(f"VALUES   {name}: cols {mismatch_cols}")
         for c in mismatch_cols[:2]:
